@@ -1,0 +1,87 @@
+"""Basket / sequence derivation (SURVEY.md §1.3, M1) — the bridge from
+relational fixtures to the mining core's transaction model.
+
+The reference's data model is "one basket per text line"; ours derives
+baskets from relational tables with a single shuffle:
+
+    lineitem GROUP BY l_orderkey -> collect_set(l_partkey)
+
+Scale notes:
+- `collect_set` (not `collect_list`) is mandatory: MLlib FPGrowth
+  raises on duplicate items within a transaction, and the fixtures DO
+  repeat partkeys within an order (FIXTURES.md lineitem note).
+- One hash-aggregate shuffle on the basket key; partial aggregation
+  (map-side combine) applies to collect_set, so the shuffle carries
+  de-duplicated partial sets, not raw rows.
+- Basket skew: a pathological order with millions of lines would blow
+  a single task; at 100 TB add `.filter(F.size("items") < cap)` after
+  derivation or pre-aggregate with a salted two-phase collect_set.
+  The fixtures' max basket is tiny so the plain form is used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basketize(
+    df: DataFrame,
+    key: str,
+    item: str,
+    *,
+    items_col: str = "items",
+    min_items: int = 1,
+) -> DataFrame:
+    """M1: rows -> one row per key with a sorted, deduplicated item set.
+
+    Sorting makes downstream output deterministic (oracle-friendly);
+    FPGrowth itself is order-insensitive on input items.
+    """
+    out = df.groupBy(key).agg(
+        F.sort_array(F.collect_set(item)).alias(items_col)
+    )
+    if min_items > 1:
+        out = out.filter(F.size(items_col) >= min_items)
+    return out
+
+
+def order_baskets(lineitem: DataFrame) -> DataFrame:
+    """Market baskets: (l_orderkey, items ARRAY<BIGINT> of partkeys)."""
+    return basketize(lineitem, "l_orderkey", "l_partkey")
+
+
+def token_baskets(documents: DataFrame) -> DataFrame:
+    """Token baskets from documents.text (whitespace-separated vocab).
+
+    (doc_id, items ARRAY<STRING> of distinct tokens).
+    """
+    return documents.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(F.split(F.col("text"), r"\s+"))
+        ).alias("items"),
+    ).filter(F.size("items") > 0)
+
+
+def event_sequences(events: DataFrame) -> DataFrame:
+    """Time-ordered per-user sequences for PrefixSpan (M9).
+
+    PrefixSpan wants ARRAY<ARRAY<T>>: a sequence of itemsets. Events
+    are instantaneous, so each itemset is a singleton [event_type].
+    Ordering: sort struct(ts, event_id) then project — `sort_array` on
+    an array of structs orders lexicographically by field position,
+    giving a deterministic time order with event_id as tiebreak
+    (the fixtures can repeat ts per user at ms granularity).
+    """
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: F.array(s["event_type"]),
+            ).alias("sequence")
+        )
+    )

@@ -1,0 +1,261 @@
+"""Frequent-pattern mining core (SURVEY.md §2.2, M2-M10).
+
+This is the engine's reason to exist: the capability surface of a
+MapReduce frequent-itemset miner (Apriori / FP-Growth / PFP per Li et
+al., RecSys 2008), re-expressed Spark-first.
+
+Mapping of the canonical 3-job PFP pipeline onto Spark:
+  job 1 (parallel counting)  -> explode + groupBy().count()
+                                (partial agg = Hadoop combiner, free)
+  job 2 (group-dependent FP-Growth shards) -> inside
+                                pyspark.ml.fpm.FPGrowth (MLlib's own
+                                PFP implementation; numPartitions knob)
+  job 3 (top-K aggregation)  -> orderBy(desc(freq)).limit(K)
+
+Nothing here uses RDDs; FPGrowth/PrefixSpan are the DataFrame-native
+MLlib estimators. An independent DataFrame-only Apriori lives in
+`apriori_frequent_itemsets` as a cross-check (M8) — same output
+contract as FP-Growth at the same minSupport, used by tests to verify
+MLlib results without trusting MLlib.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.fpm import FPGrowth, FPGrowthModel, PrefixSpan
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# M2/M3: pass-1 counting + min-support filter (PFP job 1 == word count)
+# ---------------------------------------------------------------------------
+
+def item_supports(baskets: DataFrame, items_col: str = "items") -> DataFrame:
+    """M2: per-item basket frequency. explode -> count; partial
+    aggregation keeps the shuffle small (item, partial_count) pairs."""
+    return (
+        baskets.select(F.explode(items_col).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def frequent_items(
+    baskets: DataFrame, min_support: float, items_col: str = "items"
+) -> DataFrame:
+    """M2+M3: the F-list — items with basket-frequency >= ceil(s*N).
+
+    The threshold is computed Spark-side with a scalar subquery-free
+    crossJoin on a 1-row count so the plan stays fully distributed
+    (no driver collect)."""
+    n = baskets.select(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        item_supports(baskets, items_col)
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("freq") >= F.ceil(F.lit(min_support) * F.col("n_baskets")))
+        .select("item", "freq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4/M5/M6: FP-Growth itemsets, association rules, rule transform
+# ---------------------------------------------------------------------------
+
+def fit_fpgrowth(
+    baskets: DataFrame,
+    min_support: float = 0.01,
+    min_confidence: float = 0.3,
+    items_col: str = "items",
+    num_partitions: int | None = None,
+) -> FPGrowthModel:
+    """M4: fit MLlib FP-Growth (internally the PFP parallelization).
+
+    `fit` is an action (breaks laziness) so the input is cached first;
+    callers should unpersist via the returned model's input when done.
+    `num_partitions` is PFP's group count — at 100 TB set it to a few
+    times the executor-core count so each conditional FP-tree fits in
+    one task's memory.
+    """
+    baskets = baskets.cache()
+    kwargs = dict(
+        itemsCol=items_col, minSupport=min_support, minConfidence=min_confidence
+    )
+    if num_partitions is not None:
+        kwargs["numPartitions"] = num_partitions
+    return FPGrowth(**kwargs).fit(baskets)
+
+
+def freq_itemsets(model: FPGrowthModel) -> DataFrame:
+    """M4 output, deterministically ordered: (items ARRAY, freq BIGINT)."""
+    return (
+        model.freqItemsets
+        .select(F.sort_array("items").alias("items"), "freq")
+        .orderBy(F.desc("freq"), F.col("items"))
+    )
+
+
+def association_rules(model: FPGrowthModel) -> DataFrame:
+    """M5: (antecedent, consequent, confidence, lift, support)."""
+    return (
+        model.associationRules
+        .select(
+            F.sort_array("antecedent").alias("antecedent"),
+            F.sort_array("consequent").alias("consequent"),
+            "confidence",
+            "lift",
+            "support",
+        )
+        .orderBy(F.desc("confidence"), F.col("antecedent"), F.col("consequent"))
+    )
+
+
+def predict_baskets(model: FPGrowthModel, baskets: DataFrame) -> DataFrame:
+    """M6: for each basket, consequents of fired rules not already in
+    the basket (MLlib `transform` semantics)."""
+    return model.transform(baskets).withColumn(
+        "prediction", F.sort_array("prediction")
+    )
+
+
+def top_k_itemsets(model: FPGrowthModel, k: int) -> DataFrame:
+    """M7: K most frequent itemsets with deterministic tiebreak."""
+    return freq_itemsets(model).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# M8: DataFrame-only Apriori (cross-check implementation)
+# ---------------------------------------------------------------------------
+
+def apriori_frequent_itemsets(
+    baskets: DataFrame,
+    min_support: float,
+    max_k: int = 3,
+    items_col: str = "items",
+) -> DataFrame:
+    """M8: iterative Apriori on DataFrames — candidate generation via
+    frequent-(k-1) self-join, support counting via array_contains
+    against a broadcast candidate set. Same result contract as M4
+    (Han et al. 2000 §5: identical result set at equal minSupport).
+
+    This is deliberately the *candidate-generation* algorithm the
+    reference's Apriori entry point embodies: one Spark job per k,
+    with the candidate set broadcast (the Hadoop distributed-cache
+    move) — useful as an independent check on FP-Growth and as the
+    didactic baseline. FP-Growth remains the production path: Apriori's
+    per-k passes re-scan the baskets k times.
+
+    Returns (items ARRAY, freq BIGINT) for all k <= max_k.
+    """
+    baskets = baskets.select(F.col(items_col).alias("items")).cache()
+    n = baskets.count()
+    threshold = int(-(-min_support * n // 1))  # ceil
+
+    # k=1
+    lk = (
+        baskets.select(F.explode("items").alias("i0"))
+        .groupBy("i0")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= threshold)
+        .cache()
+    )
+    results = [lk.select(F.array("i0").alias("items"), "freq")]
+    frequent_singletons = lk.select("i0")
+
+    # Prune each basket to frequent items once (the F-list projection —
+    # same trick FP-Growth uses) so later subset tests shrink.
+    with_id = baskets.withColumn("_bid", F.monotonically_increasing_id())
+    pruned = (
+        with_id.select("_bid", F.explode("items").alias("i0"))
+        .join(F.broadcast(frequent_singletons), "i0")
+        .groupBy("_bid")
+        .agg(F.sort_array(F.collect_set("i0")).alias("items"))
+        .cache()
+    )
+
+    prev = lk.select(F.array("i0").alias("itemset"))
+    for k in range(2, max_k + 1):
+        # Candidate generation: join L_{k-1} x L_1 keeping only
+        # lexicographically-extending items (classic F_{k-1} x F_1).
+        cands = (
+            prev.crossJoin(F.broadcast(frequent_singletons))
+            .filter(F.col("i0") > F.element_at("itemset", -1))
+            .select(F.concat("itemset", F.array("i0")).alias("itemset"))
+        )
+        counted = (
+            pruned.join(
+                F.broadcast(cands),
+                F.size(F.array_except(F.col("itemset"), F.col("items"))) == 0,
+            )
+            .groupBy("itemset")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") >= threshold)
+            .cache()
+        )
+        if counted.isEmpty():
+            break
+        results.append(counted.select(F.col("itemset").alias("items"), "freq"))
+        prev = counted.select("itemset")
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy(F.desc("freq"), F.col("items"))
+
+
+# ---------------------------------------------------------------------------
+# M9: sequential patterns
+# ---------------------------------------------------------------------------
+
+def prefix_span(
+    sequences: DataFrame,
+    min_support: float = 0.1,
+    max_pattern_length: int = 5,
+    sequence_col: str = "sequence",
+) -> DataFrame:
+    """M9: PrefixSpan frequent sequential patterns.
+
+    Input: one row per entity with `sequence ARRAY<ARRAY<T>>` (see
+    baskets.event_sequences). Output: (sequence, freq) ordered.
+    """
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        sequenceCol=sequence_col,
+    )
+    return ps.findFrequentSequentialPatterns(sequences).orderBy(
+        F.desc("freq"), F.col("sequence").cast("string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M10: closed / maximal itemset post-filters
+# ---------------------------------------------------------------------------
+
+def closed_itemsets(itemsets: DataFrame) -> DataFrame:
+    """M10: itemsets with no proper superset of EQUAL support.
+
+    Anti-join on the superset relation. The self-join is size-bounded
+    because |freqItemsets| << |data|; at scale, group by freq first
+    (closure only compares equal-support sets) to cut the join space.
+    """
+    a, b = itemsets.alias("a"), itemsets.alias("b")
+    supersets = a.join(
+        b,
+        (F.col("a.freq") == F.col("b.freq"))
+        & (F.size("b.items") > F.size("a.items"))
+        & (F.size(F.array_except(F.col("a.items"), F.col("b.items"))) == 0),
+        "left_semi",
+    )
+    return itemsets.exceptAll(supersets).orderBy(F.desc("freq"), F.col("items"))
+
+
+def maximal_itemsets(itemsets: DataFrame) -> DataFrame:
+    """M10: itemsets with no frequent proper superset at all."""
+    a, b = itemsets.alias("a"), itemsets.alias("b")
+    non_maximal = a.join(
+        b,
+        (F.size("b.items") > F.size("a.items"))
+        & (F.size(F.array_except(F.col("a.items"), F.col("b.items"))) == 0),
+        "left_semi",
+    )
+    return itemsets.exceptAll(non_maximal).orderBy(F.desc("freq"), F.col("items"))

@@ -1,0 +1,343 @@
+"""Mining pack (SURVEY.md §2.2): the reference capability surface.
+
+Support calibration against the fixtures (probed at sf0.01):
+- order baskets are sparse (14,743 baskets, top item freq 49 → max
+  support ≈ 0.33%), so market-basket queries use minSupport=0.002;
+- token baskets are dense by construction (500 docs, 31-word vocab,
+  ~23 distinct tokens/doc), so itemset/rule queries that need k≥2
+  structure run there with minSupport≈0.45-0.5.
+
+Oracle strategy: itemsets are serialized to a canonical string
+(`array_join(sort_array(items), ' ')`) so the DuckDB comparison is on
+plain (string, bigint) columns — no cross-engine array-encoding risk.
+Confidence/lift/support doubles are rounded to 4dp on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.baskets import event_sequences, order_baskets, token_baskets
+from ..operators.mining import (
+    apriori_frequent_itemsets,
+    association_rules,
+    closed_itemsets,
+    fit_fpgrowth,
+    freq_itemsets,
+    frequent_items,
+    item_supports,
+    maximal_itemsets,
+    predict_baskets,
+    prefix_span,
+    top_k_itemsets,
+)
+from ..sources.io import load_table
+from .registry import query
+
+# Canonical token-explode CTE reused by every token-basket oracle.
+_TOK = (
+    "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS item "
+    "FROM documents"
+)
+
+
+def _itemset_str(df: DataFrame, items_col: str = "items") -> DataFrame:
+    """Canonical string form of an itemset column (oracle-safe)."""
+    return df.withColumn(
+        "itemset", F.array_join(F.sort_array(F.col(items_col)), " ")
+    ).drop(items_col)
+
+
+# ---------------------------------------------------------------------------
+# M1: basketize
+# ---------------------------------------------------------------------------
+
+@query(
+    "m01_basketize_orders",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list_distinct(list(l_partkey))), ' ')
+             AS basket,
+           count(DISTINCT l_partkey) AS basket_size
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def m01_basketize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: lineitem → market baskets (collect_set semantics; the
+    duplicate-partkey trap from FIXTURES.md is exactly what this
+    query's oracle locks in)."""
+    b = order_baskets(load_table(spark, sf_dir, "lineitem"))
+    return b.select(
+        "l_orderkey",
+        F.array_join("items", " ").alias("basket"),
+        F.size("items").alias("basket_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2/M3: item support + min-support filter (PFP job 1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "m02_item_support",
+    oracle="""
+    SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS freq
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def m02_item_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: pass-1 item frequency over market baskets (== word count,
+    the reference's first MapReduce job). Runs through the basket
+    derivation + explode to exercise the real mining path."""
+    b = order_baskets(load_table(spark, sf_dir, "lineitem"))
+    return item_supports(b)
+
+
+@query(
+    "m03_frequent_items",
+    oracle="""
+    WITH n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lineitem)
+    SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS freq
+    FROM lineitem GROUP BY l_partkey
+    HAVING count(DISTINCT l_orderkey) >= ceil(0.002 * (SELECT n_baskets FROM n))
+    """,
+)
+def m03_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: the F-list — items at minSupport=0.002 of order baskets."""
+    b = order_baskets(load_table(spark, sf_dir, "lineitem"))
+    return frequent_items(b, min_support=0.002)
+
+
+# ---------------------------------------------------------------------------
+# M4: FP-Growth frequent itemsets
+# ---------------------------------------------------------------------------
+
+@query(
+    "m04_itemsets_k2_tokens",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         k1 AS (SELECT item AS itemset, count(*) AS freq
+                FROM tok GROUP BY item),
+         k2 AS (SELECT a.item || ' ' || b.item AS itemset, count(*) AS freq
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND a.item < b.item
+                GROUP BY a.item, b.item)
+    SELECT itemset, freq
+    FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2)
+    WHERE freq >= ceil(0.45 * (SELECT n_docs FROM n))
+    """,
+)
+def m04_itemsets_k2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (oracle slice): FP-Growth itemsets of size ≤ 2 over token
+    baskets vs an exact SQL self-join count. Locks MLlib's support
+    semantics to the textbook definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_fpgrowth(token_baskets(docs), min_support=0.45)
+    k2 = model.freqItemsets.filter(F.size("items") <= 2)
+    return _itemset_str(k2).select("itemset", "freq")
+
+
+@query("m04_itemsets_full_tokens")
+def m04_itemsets_full_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (full): all FP-Growth itemsets over token baskets,
+    minSupport=0.5. Rows-only: k-way SQL joins are not a practical
+    oracle beyond k=2; correctness is anchored by the k≤2 oracle above
+    plus the Apriori cross-check test (tests/test_mining.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_fpgrowth(token_baskets(docs), min_support=0.5)
+    return _itemset_str(freq_itemsets(model)).select("itemset", "freq")
+
+
+@query("m04_itemsets_market")
+def m04_itemsets_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 over the sparse market baskets (minSupport=0.002) — the
+    reference's archetypal input shape. Rows-only; k=1 slice is
+    oracle-locked via m03."""
+    li = load_table(spark, sf_dir, "lineitem")
+    model = fit_fpgrowth(order_baskets(li), min_support=0.002)
+    return _itemset_str(freq_itemsets(model)).select("itemset", "freq")
+
+
+# ---------------------------------------------------------------------------
+# M5: association rules
+# ---------------------------------------------------------------------------
+
+@query(
+    "m05_rules_1to1_tokens",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         k1 AS (SELECT item, count(*) AS freq FROM tok GROUP BY item),
+         k2 AS (SELECT a.item AS x, b.item AS y, count(*) AS freq
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.item < b.item
+                GROUP BY a.item, b.item),
+         pairs AS (SELECT x, y, freq FROM k2
+                   WHERE freq >= ceil(0.45 * (SELECT n_docs FROM n))),
+         both_dirs AS (
+           SELECT x AS antecedent, y AS consequent, freq FROM pairs
+           UNION ALL
+           SELECT y AS antecedent, x AS consequent, freq FROM pairs)
+    SELECT r.antecedent, r.consequent,
+           round(r.freq * 1.0 / fa.freq, 4) AS confidence,
+           round((r.freq * 1.0 / fa.freq) / (fc.freq * 1.0 / n.n_docs), 4) AS lift,
+           round(r.freq * 1.0 / n.n_docs, 4) AS support
+    FROM both_dirs r
+    JOIN k1 fa ON fa.item = r.antecedent
+    JOIN k1 fc ON fc.item = r.consequent
+    CROSS JOIN n
+    WHERE r.freq * 1.0 / fa.freq >= 0.6
+    """,
+)
+def m05_rules_1to1_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 (oracle slice): single-antecedent → single-consequent rules
+    from FP-Growth at minSupport=0.45, minConfidence=0.6, checked
+    against confidence/lift/support recomputed exactly in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_fpgrowth(token_baskets(docs), min_support=0.45, min_confidence=0.6)
+    r = model.associationRules.filter(
+        (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+    )
+    return r.select(
+        F.element_at("antecedent", 1).alias("antecedent"),
+        F.element_at("consequent", 1).alias("consequent"),
+        F.round("confidence", 4).alias("confidence"),
+        F.round("lift", 4).alias("lift"),
+        F.round("support", 4).alias("support"),
+    )
+
+
+@query("m05_rules_full_tokens")
+def m05_rules_full_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 (full): all association rules (any antecedent size) at
+    minSupport=0.5, minConfidence=0.7. Rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_fpgrowth(token_baskets(docs), min_support=0.5, min_confidence=0.7)
+    r = association_rules(model)
+    return r.select(
+        F.array_join("antecedent", " ").alias("antecedent"),
+        F.array_join("consequent", " ").alias("consequent"),
+        F.round("confidence", 4).alias("confidence"),
+        F.round("lift", 4).alias("lift"),
+        F.round("support", 4).alias("support"),
+    )
+
+
+@query("m06_rule_transform")
+def m06_rule_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: fire rules against each basket; emit predicted items not
+    already present (MLlib transform semantics). Rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = token_baskets(docs)
+    model = fit_fpgrowth(b, min_support=0.5, min_confidence=0.7)
+    out = predict_baskets(model, b)
+    return out.select(
+        "doc_id",
+        F.array_join("prediction", " ").alias("predicted_items"),
+        F.size("prediction").alias("n_predicted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7: top-K patterns
+# ---------------------------------------------------------------------------
+
+@query(
+    "m07_topk_items",
+    oracle="""
+    SELECT item, freq FROM (
+      SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS freq
+      FROM lineitem GROUP BY l_partkey
+    ) ORDER BY freq DESC, item LIMIT 20
+    """,
+)
+def m07_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (oracle slice): top-20 single items, deterministic tiebreak
+    on item id (PFP job 3's final aggregation at k=1)."""
+    b = order_baskets(load_table(spark, sf_dir, "lineitem"))
+    return (
+        item_supports(b)
+        .orderBy(F.desc("freq"), F.col("item"))
+        .limit(20)
+    )
+
+
+@query("m07_topk_itemsets")
+def m07_topk_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (full): top-50 FP-Growth itemsets over tokens. Rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_fpgrowth(token_baskets(docs), min_support=0.45)
+    return _itemset_str(top_k_itemsets(model, 50)).select("itemset", "freq")
+
+
+# ---------------------------------------------------------------------------
+# M8: Apriori cross-check implementation
+# ---------------------------------------------------------------------------
+
+@query("m08_apriori_tokens")
+def m08_apriori_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: independent DataFrame-only Apriori (k≤3) at minSupport=0.5.
+    Rows-only here; tests assert it equals FP-Growth's k≤3 slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = apriori_frequent_itemsets(token_baskets(docs), min_support=0.5, max_k=3)
+    return _itemset_str(out).select("itemset", "freq")
+
+
+# ---------------------------------------------------------------------------
+# M9: sequential patterns (PrefixSpan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "m09_prefixspan_1seq",
+    oracle="""
+    WITH n AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+    SELECT event_type AS pattern, count(DISTINCT user_id) AS freq
+    FROM events GROUP BY event_type
+    HAVING count(DISTINCT user_id) >= ceil(0.3 * (SELECT n_users FROM n))
+    """,
+)
+def m09_prefixspan_1seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 (oracle slice): PrefixSpan length-1 patterns == distinct-user
+    event-type counts (exact SQL identity)."""
+    seqs = event_sequences(load_table(spark, sf_dir, "events"))
+    pats = prefix_span(seqs, min_support=0.3, max_pattern_length=1)
+    return pats.select(
+        F.element_at(F.col("sequence"), 1).getItem(0).alias("pattern"),
+        "freq",
+    )
+
+
+@query("m09_prefixspan_full")
+def m09_prefixspan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 (full): frequent sequential patterns up to length 3 over
+    per-user event sequences. Rows-only."""
+    seqs = event_sequences(load_table(spark, sf_dir, "events"))
+    pats = prefix_span(seqs, min_support=0.5, max_pattern_length=3)
+    return pats.select(
+        F.array_join(F.flatten("sequence"), ">").alias("pattern"),
+        "freq",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M10: closed / maximal itemsets
+# ---------------------------------------------------------------------------
+
+@query("m10_closed_itemsets")
+def m10_closed_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: closed frequent itemsets (no equal-support superset).
+    Rows-only; invariants tested in tests/test_mining.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_fpgrowth(token_baskets(docs), min_support=0.5)
+    out = closed_itemsets(model.freqItemsets)
+    return _itemset_str(out).select("itemset", "freq")
+
+
+@query("m10_maximal_itemsets")
+def m10_maximal_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: maximal frequent itemsets (no frequent superset)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_fpgrowth(token_baskets(docs), min_support=0.5)
+    out = maximal_itemsets(model.freqItemsets)
+    return _itemset_str(out).select("itemset", "freq")

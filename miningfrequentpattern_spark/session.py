@@ -1,0 +1,89 @@
+"""SparkSession construction and per-session config hardening.
+
+The driver harness passes its own SparkSession into ``entry``/
+``queries()``; we therefore split config into two tiers:
+
+- build-time config (only honored at session construction):
+  master, shuffle partitions, memory — applied in :func:`get_session`
+  for tests and bench runs;
+- runtime-settable config (safe to set on any live session):
+  session timezone, Arrow, AQE — applied by :func:`harden` which every
+  query entry point calls so oracle parity holds even on a session we
+  did not build.
+
+Scale posture: `spark.sql.shuffle.partitions` is sized for local[32]
+here; on a 1000-executor cluster it should be left to AQE coalescing
+(`spark.sql.adaptive.coalescePartitions.enabled`, on by default) with
+an `initialPartitionNum` in the thousands. Nothing in the engine
+assumes a partition count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Config that can be flipped on a running session (verified runtime-settable
+# in PySpark 4.1.2). Everything oracle parity depends on lives here.
+RUNTIME_CONF: dict[str, str] = {
+    # Timestamp parity with DuckDB: both engines must render instants in UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow-accelerated toPandas()/pandas UDFs (SNIPPETS.md:78 pattern).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # ANSI off: TPC-H-ish queries rely on permissive casts; DuckDB oracle
+    # comparisons are done on rounded values so overflow semantics never bite.
+    "spark.sql.ansi.enabled": "false",
+    # Spark's parquet reader cannot represent TIMESTAMP(NANOS) (events.ts
+    # is timestamp[ns], FIXTURES.md): read as epoch-nanos LongType and let
+    # sources/io.py convert to a microsecond timestamp (lossless on the
+    # fixtures — verified zero sub-microsecond components).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+BUILD_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "24g",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # Broadcast anything under 64 MB — the fixture dims (region, nation,
+    # supplier, part, customer) are all far below this at every SF we run;
+    # at 100 TB the same threshold still correctly broadcasts true dims.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Djava.io.tmpdir=/tmp",
+}
+
+
+def harden(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable config to an externally-built session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be frozen by the host harness; parity-critical
+            # ones (timezone, Arrow, AQE) are all runtime-settable in 4.1.2.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "mfp-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a hardened local session for tests/bench.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**BUILD_CONF, **RUNTIME_CONF}.items():
+        builder = builder.config(k, v)
+    return harden(builder.getOrCreate())
+
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"

@@ -1,0 +1,132 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S5).
+
+The fixture tables are single parquet files per TESTDATA.md. At 100 TB
+each "table" would be a partitioned parquet/Delta directory; nothing
+here assumes single-file layout — `spark.read.parquet` takes
+directories, globs, and file lists identically.
+
+Column pruning and predicate pushdown are free as long as callers keep
+plans declarative: `load_table(...).select(...).filter(...)` compiles
+to a parquet scan with `ReadSchema`/`PushedFilters` populated (verified
+via .explain in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# True dimension tables: always small relative to facts at any scale
+# factor (region=5, nation=25 rows at every SF). Broadcast candidates.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: parquet scan of one fixture table.
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader cannot
+    represent natively; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    (set in session.RUNTIME_CONF) it arrives as epoch-nanos BIGINT and is
+    converted here to a microsecond TIMESTAMP — lossless on the fixtures
+    (zero sub-microsecond components, verified) and exactly what DuckDB's
+    `ts::TIMESTAMP` yields, keeping oracle parity.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_transactions_text(
+    spark: SparkSession, path: str, sep: str = " "
+) -> DataFrame:
+    """S2: the reference's native input — one basket per text line.
+
+    Returns schema (txn_id BIGINT, items ARRAY<STRING>) with items
+    deduplicated and sorted, ready for FPGrowth. This is the classic
+    FIMI/market-basket file format (SURVEY.md §1.1).
+    """
+    lines = spark.read.text(path)
+    return lines.select(
+        F.monotonically_increasing_id().alias("txn_id"),
+        F.sort_array(
+            F.array_distinct(F.split(F.trim(F.col("value")), sep))
+        ).alias("items"),
+    ).filter(F.size("items") > 0)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str | None = None, header: bool = True
+) -> DataFrame:
+    """S3: CSV ingestion; explicit schema preferred (no inference job)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """S3: JSON-lines ingestion."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """S4: result sink. At scale, partition by a low-cardinality key so
+    downstream partition pruning works; never partition by a high-card
+    key (small-files problem)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: replay the events fixture as a Structured Streaming source.
+
+    Uses the parquet file-stream source with the batch-inferred schema
+    (streaming reads require an explicit schema). `maxFilesPerTrigger=1`
+    keeps micro-batches deterministic in tests.
+    """
+    batch_schema = load_table(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )

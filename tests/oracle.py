@@ -1,0 +1,56 @@
+"""Local mirror of the driver's t2 comparison: run a registry query on
+Spark and its oracle SQL on DuckDB, then compare row count, column
+names, and an order-insensitive value multiset."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pandas as pd
+
+
+def _norm_cell(v):
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        # Queries are required to pre-round; this guards residual fp noise.
+        return f"{v:.4f}"
+    if isinstance(v, pd.Timestamp):
+        return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return "[" + ",".join(_norm_cell(x) for x in seq) + "]"
+    return str(v)
+
+
+def _normalize(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm_cell(row[c]) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    ]
+    return sorted(rows)
+
+
+def compare(spark_df, duck_con, sql: str) -> None:
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck_con.execute(sql).df()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"column mismatch: spark={sorted(spark_pdf.columns)} "
+        f"duck={sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    mismatches = [
+        (a, b) for a, b in zip(s, d) if a != b
+    ]
+    assert not mismatches, f"value mismatch, first 3: {mismatches[:3]}"

@@ -1,0 +1,139 @@
+"""Mining-core invariants (SURVEY.md §5.4) — algorithm-level checks
+that need no SQL oracle."""
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.baskets import (
+    order_baskets,
+    token_baskets,
+)
+from miningfrequentpattern_spark.operators.mining import (
+    apriori_frequent_itemsets,
+    closed_itemsets,
+    fit_fpgrowth,
+    maximal_itemsets,
+)
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_SMOKE
+
+MIN_SUPPORT = 0.5
+
+
+def _fp_itemsets(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    model = fit_fpgrowth(token_baskets(docs), min_support=MIN_SUPPORT)
+    return model.freqItemsets
+
+
+def test_apriori_equals_fpgrowth(spark):
+    """Han 2000 §5: Apriori and FP-Growth produce the identical result
+    set at equal minSupport. Our DataFrame Apriori (k≤3) must match
+    MLlib FP-Growth's k≤3 slice exactly — items AND counts."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    b = token_baskets(docs)
+    fp = (
+        fit_fpgrowth(b, min_support=MIN_SUPPORT)
+        .freqItemsets.filter(F.size("items") <= 3)
+        .select(F.sort_array("items").alias("items"), "freq")
+    )
+    ap = apriori_frequent_itemsets(b, min_support=MIN_SUPPORT, max_k=3).select(
+        F.sort_array("items").alias("items"), "freq"
+    )
+    assert fp.count() == ap.count()
+    assert fp.exceptAll(ap).isEmpty() and ap.exceptAll(fp).isEmpty()
+
+
+def test_anti_monotonicity(spark):
+    """Every (k-1)-subset of a frequent k-itemset is frequent with
+    support >= the superset's support."""
+    fi = _fp_itemsets(spark).cache()
+    multi = fi.filter(F.size("items") >= 2)
+    # Generate all (k-1)-subsets by dropping one element.
+    subsets = multi.select(
+        F.col("freq").alias("super_freq"),
+        F.explode(
+            F.transform(
+                "items",
+                lambda x: F.array_remove("items", x),
+            )
+        ).alias("sub_items"),
+    )
+    joined = subsets.join(
+        fi.select(F.col("items").alias("sub_items"), F.col("freq").alias("sub_freq")),
+        "sub_items",
+        "left",
+    )
+    violations = joined.filter(
+        F.col("sub_freq").isNull() | (F.col("sub_freq") < F.col("super_freq"))
+    )
+    assert violations.isEmpty()
+
+
+def test_k1_equals_sql_groupby(spark):
+    """FPGrowth's k=1 itemsets == plain GROUP BY counts over exploded
+    baskets at the same threshold."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    b = order_baskets(li).cache()
+    n = b.count()
+    s = 0.002
+    model = fit_fpgrowth(b, min_support=s)
+    k1 = model.freqItemsets.filter(F.size("items") == 1).select(
+        F.element_at("items", 1).alias("item"), "freq"
+    )
+    import math
+
+    sql = (
+        b.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .count()
+        .filter(F.col("count") >= math.ceil(s * n))
+        .select("item", F.col("count").alias("freq"))
+    )
+    assert k1.exceptAll(sql).isEmpty() and sql.exceptAll(k1).isEmpty()
+
+
+def test_closed_maximal_containment(spark):
+    """maximal ⊆ closed ⊆ frequent, and maximal sets are mutually
+    incomparable."""
+    fi = _fp_itemsets(spark).cache()
+    cl = closed_itemsets(fi).cache()
+    mx = maximal_itemsets(fi).cache()
+    assert cl.count() <= fi.count()
+    assert mx.count() <= cl.count()
+    # maximal must be a subset of closed
+    assert mx.exceptAll(cl).isEmpty()
+
+
+def test_rule_confidence_identity(spark):
+    """confidence(X=>Y) == supp(X∪Y)/supp(X) recomputed from the
+    itemset table itself."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    model = fit_fpgrowth(
+        token_baskets(docs), min_support=MIN_SUPPORT, min_confidence=0.6
+    )
+    fi = model.freqItemsets.select(
+        F.sort_array("items").alias("items"), F.col("freq")
+    )
+    rules = model.associationRules.select(
+        F.sort_array(
+            F.array_union("antecedent", "consequent")
+        ).alias("union_items"),
+        F.sort_array("antecedent").alias("ante"),
+        "confidence",
+    )
+    j = (
+        rules.join(fi.withColumnRenamed("items", "union_items"), "union_items")
+        .withColumnRenamed("freq", "union_freq")
+        .join(
+            fi.withColumnRenamed("items", "ante").withColumnRenamed(
+                "freq", "ante_freq"
+            ),
+            "ante",
+        )
+    )
+    bad = j.filter(
+        F.abs(F.col("confidence") - F.col("union_freq") / F.col("ante_freq"))
+        > 1e-9
+    )
+    assert bad.isEmpty()

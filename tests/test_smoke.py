@@ -1,0 +1,33 @@
+"""End-to-end smoke: package imports, fixtures load, flagship runs."""
+
+from miningfrequentpattern_spark.sources.io import TABLES, load_table
+from miningfrequentpattern_spark.operators.baskets import order_baskets
+from miningfrequentpattern_spark.operators.mining import fit_fpgrowth, freq_itemsets
+
+from .conftest import SF_SMOKE
+
+
+def test_all_tables_load(spark):
+    for name in TABLES:
+        df = load_table(spark, SF_SMOKE, name)
+        assert df.count() > 0, name
+
+
+def test_flagship_fpgrowth(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    baskets = order_baskets(li)
+    # No duplicate items inside any basket (FPGrowth hard requirement).
+    model = fit_fpgrowth(baskets, min_support=0.01, min_confidence=0.3)
+    out = freq_itemsets(model)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert set(out.columns) == {"items", "freq"}
+    # Anti-monotonicity spot check: top itemset's freq <= n_baskets.
+    assert rows[0]["freq"] <= baskets.count()
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
