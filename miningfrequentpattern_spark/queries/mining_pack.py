@@ -71,7 +71,7 @@ def m01_basketize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "l_orderkey",
         F.array_join("items", " ").alias("basket"),
-        F.size("items").alias("basket_size"),
+        F.size("items").cast("long").alias("basket_size"),
     )
 
 

@@ -1,1 +1,757 @@
-"""Placeholder — filled in by later build phase."""
+"""Relational pack (SURVEY.md §2.3, R1-R22): TPC-H-shaped queries over
+the fixture star schema, every one oracle-checked against DuckDB.
+
+Scale notes baked into each query:
+- dimension joins use explicit `broadcast()` hints (region/nation/
+  supplier/part/customer are true dims at any SF);
+- filters and projections are expressed declaratively so Catalyst
+  pushes them into the parquet scan (asserted in tests/test_plans.py);
+- every ordered/limited output carries a deterministic tiebreak;
+- float aggregates are rounded to 4dp on BOTH engines before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import asof_join, top_k_per_group
+from ..sources.io import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# R1/R2: projection + predicates (pushdown showcase)
+# ---------------------------------------------------------------------------
+
+@query(
+    "r01_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_quantity BETWEEN 10 AND 20
+      AND l_linestatus IN ('F', 'O')
+    """,
+)
+def r01_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+R2: projection with computed column under pushed-down
+    conjunctive predicates (=, BETWEEN, IN)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_quantity").between(10, 20)
+        & F.col("l_linestatus").isin("F", "O")
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R9: TPC-H Q1 shape — the canonical hash-aggregate
+# ---------------------------------------------------------------------------
+
+@query(
+    "r02_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def r02_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 (TPC-H Q1 shape): multi-aggregate scan with partial
+    aggregation; one shuffle on the 6-value group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3: broadcast star join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "r03_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def r03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 (TPC-H Q5 shape): fact table joined to a 3-level dim chain,
+    every dim broadcast — zero shuffles for the joins, one for the
+    final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4: outer join
+# ---------------------------------------------------------------------------
+
+@query(
+    "r04_customer_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 4) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def r04_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: left outer join preserving order-less customers (count=0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R5: semi / anti join
+# ---------------------------------------------------------------------------
+
+@query(
+    "r05_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def r05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: left anti join == NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "r05b_parts_with_bulk_orders",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+    """,
+)
+def r05b_parts_with_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: left semi join == EXISTS with a pushed predicate."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+# ---------------------------------------------------------------------------
+# R6: range (theta) join
+# ---------------------------------------------------------------------------
+
+@query(
+    "r06_click_to_purchase_10min",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           round((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0, 4) AS gap_sec
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def r06_click_to_purchase_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: self range-join — purchases within 10 minutes after a click
+    by the same user. Equi-key (user_id) carries the shuffle; the range
+    predicate is applied post-join, so fan-out is bounded per user."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (
+            F.col("b.ts")
+            <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("click_id"),
+        F.col("b.event_id").alias("purchase_id"),
+        F.round(
+            F.col("b.ts").cast("double") - F.col("a.ts").cast("double"), 4
+        ).alias("gap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: cross join
+# ---------------------------------------------------------------------------
+
+@query(
+    "r07_region_segment_grid",
+    oracle="""
+    SELECT r.r_name AS region, s.c_mktsegment AS segment,
+           coalesce(x.n_customers, 0) AS n_customers
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+    LEFT JOIN (
+      SELECT n.n_regionkey, c.c_mktsegment, count(*) AS n_customers
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, c.c_mktsegment
+    ) x ON x.n_regionkey = r.r_regionkey AND x.c_mktsegment = s.c_mktsegment
+    """,
+)
+def r07_region_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: dense (region × segment) grid via cross join, zero-filled
+    from an aggregated fact — the canonical "complete the matrix"
+    pattern. Both cross-join sides are tiny at any SF."""
+    reg = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    segs = cust.select("c_mktsegment").distinct()
+    counts = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return (
+        reg.crossJoin(segs)
+        .join(
+            counts,
+            (counts.n_regionkey == reg.r_regionkey)
+            & (counts.c_mktsegment == segs.c_mktsegment),
+            "left",
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            segs.c_mktsegment.alias("segment"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: as-of join
+# ---------------------------------------------------------------------------
+
+@query(
+    "r08_asof_last_click_before_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+             c.event_id AS asof_event_id,
+             row_number() OVER (
+               PARTITION BY p.user_id, p.event_id
+               ORDER BY (epoch_us(p.ts) - epoch_us(c.ts)) ASC NULLS LAST,
+                        c.event_id) AS rn
+      FROM purchases p
+      LEFT JOIN clicks c ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT user_id, purchase_id, asof_event_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def r08_asof_last_click_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R8: as-of (backward) join — for every purchase, the most recent
+    click at-or-before it by the same user. Implemented by the reusable
+    asof_join operator (range join + rank-1 window, one shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        right_cols=["event_id"],
+    )
+    return out.select("user_id", "purchase_id", "asof_event_id")
+
+
+# ---------------------------------------------------------------------------
+# R9: distinct aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "r09_distinct_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def r09_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9: multiple COUNT(DISTINCT) in one aggregate (expand-based
+    plan; AQE handles the blow-up)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@query("r10_approx_aggregates")
+def r10_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: approx_count_distinct + percentile_approx next to their
+    exact counterparts. Rows-only by design (sketches are
+    engine-specific); the exact columns anchor sanity in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R11: rollup / cube
+# ---------------------------------------------------------------------------
+
+@query(
+    "r11_rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def r11_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: hierarchical rollup with NULL-marked subtotal rows."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@query(
+    "r11b_cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def r11b_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: full cube (all 2^2 grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R12/R15: ranking windows + top-k per group
+# ---------------------------------------------------------------------------
+
+@query(
+    "r12_top3_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      FROM part)
+    WHERE rnk <= 3
+    """,
+)
+def r12_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12+R15: row_number ranking, top-3 per brand, deterministic
+    tiebreak on p_partkey."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R13: analytic windows (lag/lead)
+# ---------------------------------------------------------------------------
+
+@query(
+    "r13_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+)
+def r13_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: lag() — days since the customer's previous order (NULL for
+    the first)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias(
+            "days_since_prev"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R14: running aggregates (frames)
+# ---------------------------------------------------------------------------
+
+@query(
+    "r14_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS cum_spend
+    FROM orders
+    """,
+)
+def r14_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14: running sum with an explicit ROWS frame and deterministic
+    ordering (orderdate + orderkey tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("cum_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R15: global top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "r15_top25_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def r15_top25_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15: global ORDER BY + LIMIT (TakeOrderedAndProject — no full
+    sort, per-partition heaps)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R16: set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "r16_repeat_customers_y2k",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+    """,
+)
+def r16_repeat_customers_y2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16: INTERSECT — customers ordering in both 1999 and 2000."""
+    o = _t(spark, sf_dir, "orders")
+    y99 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y00 = o.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y99.intersect(y00)
+
+
+@query(
+    "r16b_one_year_only_customers",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+    """,
+)
+def r16b_one_year_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16: EXCEPT (set difference, distinct semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    y99 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y00 = o.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y99.subtract(y00)
+
+
+# ---------------------------------------------------------------------------
+# R17: string functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "r17_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat(c_mktsegment, ':', cast(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    WHERE c_name LIKE 'Customer%'
+    """,
+)
+def r17_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17: upper/substring/length/concat under a LIKE predicate."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").like("Customer%")).select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R18: date/time functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "r18_monthly_order_stats",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           year(o_orderdate) AS order_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS monthly_total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def r18_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18: date_trunc/year with UTC session tz on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("monthly_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R19: math functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "r19_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 1000), 4) AS abs_dev,
+           round(pow(1 + l_discount, 2), 4) AS disc_sq,
+           round(ln(l_extendedprice + 1), 4) AS log_price,
+           round(least(l_quantity, 25.0), 4) AS q_capped,
+           round(greatest(l_tax, l_discount), 4) AS max_rate
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def r19_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19: abs/pow/ln/least/greatest on a pruned scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000), 4).alias("abs_dev"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 4).alias("disc_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("log_price"),
+        F.round(F.least("l_quantity", F.lit(25.0)), 4).alias("q_capped"),
+        F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R20: array functions (over derived baskets)
+# ---------------------------------------------------------------------------
+
+@query(
+    "r20_array_functions",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey,
+             list_sort(list_distinct(list(l_partkey))) AS items
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           len(items) AS n_items,
+           items[1] AS min_item,
+           items[-1] AS max_item,
+           list_contains(items, 42) AS has_42,
+           len(list_filter(items, x -> x % 2 = 0)) AS n_even
+    FROM b
+    """,
+)
+def r20_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20: size/element_at/array_contains/filter over basket arrays —
+    the array toolkit the mining pack rests on."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    return b.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.element_at("items", 1).alias("min_item"),
+        F.element_at("items", -1).alias("max_item"),
+        F.array_contains("items", 42).alias("has_42"),
+        F.size(F.filter("items", lambda x: x % 2 == 0)).cast("long").alias(
+            "n_even"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R21: JSON extraction
+# ---------------------------------------------------------------------------
+
+@query(
+    "r21_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(cast(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(cast(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def r21_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21: from_json over the events.props JSON column + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R22: hashing
+# ---------------------------------------------------------------------------
+
+@query(
+    "r22_content_hashes",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def r22_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R22: md5/sha256 content digests (shared algorithms across
+    engines; xxhash64 deliberately unoracled — Spark-specific seed)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

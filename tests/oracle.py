@@ -46,6 +46,14 @@ def compare(spark_df, duck_con, sql: str) -> None:
         f"column mismatch: spark={sorted(spark_pdf.columns)} "
         f"duck={sorted(duck_pdf.columns)}"
     )
+    for c in spark_pdf.columns:
+        sk, dk = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        # Nullable int comes back as object/float in pandas on either
+        # side; only flag clearly-incompatible kinds.
+        compat = {sk, dk} <= {"i", "u"} or sk == dk or "O" in (sk, dk) or (
+            {sk, dk} <= {"f", "i", "u"} and (spark_pdf[c].isna().any() or duck_pdf[c].isna().any())
+        )
+        assert compat, f"dtype kind mismatch on {c}: spark={sk} duck={dk}"
     assert len(spark_pdf) == len(duck_pdf), (
         f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
