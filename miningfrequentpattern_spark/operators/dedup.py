@@ -1,0 +1,283 @@
+"""Deduplication operators for LLM-training-data pipelines
+(SURVEY.md §2.4 L1/L2): exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale posture per variant (the 100 TB question each answers):
+- exact: one shuffle on a 256-bit digest — the canonical first pass;
+  digest keys are uniform so no skew.
+- MinHash LSH: shingle → sparse vector → banded min-hash; candidate
+  generation is a self-join on hash buckets (MLlib approxSimilarityJoin),
+  which scales as Σ bucket² — the reason it beats the O(n²) cross join.
+- SimHash: 64-bit fingerprint wholly in native expressions (xxhash64 +
+  bit votes); near-dup = hamming distance on a single BIGINT, cheap to
+  block on the top bits.
+- n-gram Jaccard: exact verification pass, run *inside blocks* (here:
+  lang) — never globally.
+- embedding cosine: threshold self-join, blocked or LSH-accelerated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """L1: keep the lowest-id doc per normalized-content digest.
+
+    Returns all docs annotated with (content_hash, dup_rank, is_kept) —
+    callers filter `is_kept` to materialize the deduplicated corpus.
+    """
+    h = F.sha2(normalized_text(text_col), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        docs.select("*", h)
+        .withColumn("dup_rank", F.row_number().over(w).cast("long"))
+        .withColumn("is_kept", F.col("dup_rank") == 1)
+    )
+
+
+def shingles(col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingle set of a token array column (sorted,
+    distinct) — the unit of Jaccard similarity."""
+    return F.sort_array(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.col(col),
+                    lambda x, i: F.when(
+                        i <= F.size(F.col(col)) - n,
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at(F.col(col), (i + k + 1).cast("int")) for k in range(n)],
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """L2 (exact variant): pairwise n-gram Jaccard within blocks.
+
+    |A∩B| / |A∪B| over word-3-gram shingle sets; self-join restricted
+    to a blocking key so the pair space is Σ block² not N². Fully
+    native (array_intersect / size), so it doubles as the SQL-oracle
+    anchor for the randomized MinHash path.
+    """
+    tokens_col = "tokens" if "tokens" in docs.columns else "_tokens"
+    s = docs.select(
+        F.col(id_col),
+        F.col(block_col).alias("_block"),
+        shingles(tokens_col, n).alias("sh"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(tokens_col: str = "tokens") -> F.Column:
+    """L2 (SimHash): 64-bit fingerprint of a token array, entirely in
+    native expressions.
+
+    Classic Charikar scheme: hash every token to 64 bits (xxhash64),
+    per bit position vote +1/-1 weighted by presence, fingerprint bit i
+    = sign of vote. Expressed as: for each bit i, count tokens whose
+    hash has bit i set; set bit i iff count*2 >= n_tokens. Compiles to
+    one pass over the token array per document — no shuffle at all.
+    """
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+
+    def bit(i: int) -> F.Column:
+        ones = F.size(
+            F.filter(
+                toks,
+                lambda t: F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1))
+                == 1,
+            )
+        )
+        return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2 ** i).cast("long")
+
+    out = bit(0)
+    for i in range(1, 63):  # bit 63 excluded: keep fingerprint non-negative
+        out = out + bit(i)
+    return out
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    XOR — single JVM intrinsic)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    docs_with_fp: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    block_col: str | None = "lang",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """L2 (SimHash candidate pass): pairs within `max_hamming` bits.
+    Blocked self-join; at 100 TB block on the top-16 fingerprint bits
+    instead of (or in addition to) a metadata key so the join is
+    equi-key on fingerprint prefix."""
+    cols = [id_col, fp_col] + ([block_col] if block_col else [])
+    s = docs_with_fp.select(*cols)
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    d = hamming64(F.col(f"a.{fp_col}"), F.col(f"b.{fp_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            d.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """L2 (MinHash LSH): shingle → binarized term vector → MinHashLSH
+    → approxSimilarityJoin. Returns (doc_a, doc_b, jaccard_dist).
+
+    Randomized but seeded; registered rows-only (SURVEY.md §2 L2) with
+    the exact n-gram Jaccard as its oracle anchor in tests.
+    MLlib's approxSimilarityJoin explodes each row into its hash
+    buckets and self-joins on (table, bucket) — Σ bucket², the textbook
+    LSH candidate bound.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="_toks", pattern=r"\s+"
+    ).transform(docs)
+    ng = NGram(n=3, inputCol="_toks", outputCol="_shingles").transform(tok)
+    ng = ng.filter(F.size("_shingles") > 0)
+    cv_model = CountVectorizer(
+        inputCol="_shingles", outputCol="_vec", binary=True
+    ).fit(ng)
+    # MinHashLSH requires ≥1 non-zero entry; guaranteed by the
+    # non-empty-shingles filter above since CountVectorizer keeps the
+    # full vocabulary at these corpus sizes.
+    vec = cv_model.transform(ng)
+    lsh = MinHashLSH(
+        inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(vec)
+    joined = lsh.approxSimilarityJoin(
+        vec, vec, threshold=1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("doc_a"),
+            F.col(f"datasetB.{id_col}").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """L2 (embedding cosine): near-duplicate pairs by cosine similarity.
+    Brute-force O(n²) self-join — correct baseline; the LSH-bucketed
+    scale path is similarity.ann_lsh_pairs."""
+    s = emb.select(id_col, vec_col)
+    a, b = s.alias("a"), s.alias("b")
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") > threshold)
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into groups by smallest-id label
+    propagation (no GraphFrames dependency).
+
+    edges: (doc_a, doc_b). Returns (doc_id, component) where component
+    is the minimum doc id reachable. Iterations are bounded by graph
+    diameter; near-dup graphs are overwhelmingly tiny cliques, so this
+    converges in 2-3 rounds. Each round: one groupBy shuffle.
+    """
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = fwd.union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        sym.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("component"))
+        .select("doc_id", F.least("component", "doc_id").alias("component"))
+    ).cache()
+    for _ in range(max_iter):
+        # propagate: my new label = min(my label, labels of my neighbors)
+        prop = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component")
+            .union(labels)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        ).cache()
+        converged = (
+            prop.join(labels.withColumnRenamed("component", "_old"), "doc_id")
+            .filter(F.col("component") != F.col("_old"))
+            .isEmpty()
+        )
+        old = labels
+        labels = prop
+        old.unpersist()
+        if converged:
+            break
+    return labels

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing (SURVEY.md §2.4 L7).
+
+The fixtures carry no binary media, so this module does two things:
+
+1. the REAL part — a typed multimodal row model joining text, vector,
+   and label modalities (documents ⋈ embeddings), plus a `media`
+   binary column with a typed metadata struct, built deterministically
+   from text bytes so tests exercise true BinaryType plumbing;
+2. the STUBBED part — decode/feature-extraction over the binary column
+   via `mapInPandas` with a real schema, real Arrow batch flow, and a
+   clearly marked seam where an image/audio library would plug in.
+   The stub "decoder" computes deterministic pseudo-features
+   (byte length, crc-like rolling sum, first/last bytes); swapping in
+   PIL/librosa changes ONE function, none of the Spark plumbing.
+
+Why mapInPandas: media decode is per-row Python work with large blob
+inputs — Arrow-batched iteration avoids both per-row UDF overhead and
+materializing all blobs of a partition at once (the iterator yields
+batch-by-batch). This is the sanctioned shape for binary-heavy
+pipelines; partition sizing is governed by
+spark.sql.files.maxPartitionBytes on the scan side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id BIGINT, media BINARY, "
+    "media_meta STRUCT<kind: STRING, n_bytes: BIGINT, encoding: STRING>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, checksum BIGINT, "
+    "head_byte INT, tail_byte INT"
+)
+
+
+def multimodal_rows(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """L7: one row per document with every modality: text + metadata,
+    embedding vector, class label. Plain equi-join on the 1:1 key;
+    at scale both sides bucket by id so this is shuffle-free."""
+    return documents.join(
+        embeddings,
+        documents.doc_id == embeddings.vec_id,
+        "inner",
+    ).select(
+        "doc_id", "text", "lang", "source", "n_chars", "embedding", "label"
+    )
+
+
+def attach_media(documents: DataFrame) -> DataFrame:
+    """Build a BinaryType `media` column (UTF-8 bytes of text — a
+    deterministic stand-in for an image/audio payload) with typed
+    metadata, mirroring how a real pipeline lands media next to text."""
+    media = F.encode("text", "UTF-8")
+    return documents.select(
+        "doc_id",
+        media.alias("media"),
+        F.struct(
+            F.lit("text/fake-media").alias("kind"),
+            F.length(media).cast("long").alias("n_bytes"),
+            F.lit("utf-8").alias("encoding"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The decode seam. Replace the body with PIL/librosa/ffmpeg calls
+    for real media; everything around it stays identical.
+
+    Raises NotImplementedError for media kinds a real decoder would
+    own; the deterministic fake path covers the fixture kind so the
+    plumbing is testable end-to-end.
+    """
+    blobs = pdf["media"]
+    kinds = pdf["media_meta"].map(lambda m: m["kind"])
+    if (kinds != "text/fake-media").any():
+        raise NotImplementedError(
+            "real media decode (image/audio/video) requires codec libs "
+            "not present in this environment; plug them in here"
+        )
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": blobs.map(len).astype("int64"),
+            "checksum": blobs.map(
+                lambda b: sum((i + 1) * v for i, v in enumerate(b)) % (1 << 31)
+            ).astype("int64"),
+            "head_byte": blobs.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+            "tail_byte": blobs.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+        }
+    )
+
+
+def extract_media_features(media_df: DataFrame, batch_size: int | None = None) -> DataFrame:
+    """L7: Arrow-batched feature extraction over the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _decode_batch(pdf)
+
+    return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,1 +1,379 @@
-"""Placeholder — filled in by later build phase."""
+"""LLM-data-pipeline pack (SURVEY.md §2.4, L1-L7): dedup, similarity
+search, text analysis, corpus profiling, multimodal plumbing.
+
+Oracle-parity conventions specific to this pack:
+- cosine math is forced to DOUBLE on both engines (Spark: cast to
+  array<double> before the fold; DuckDB: embedding::DOUBLE[] with an
+  explicit list_sum/list_transform formula rather than
+  list_cosine_similarity, which accumulates in float32) so 4dp
+  rounding agrees bit-for-bit;
+- randomized operators (MinHash LSH, RP-LSH) are seeded and
+  registered rows-only; their exact counterparts (n-gram Jaccard,
+  brute-force cosine) carry the oracles;
+- thresholds are calibrated against the fixtures (planted near-dups:
+  6 doc pairs with 3-gram Jaccard ≥ 0.2; 271 embedding pairs with
+  cosine > 0.35 at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_neardup_pairs,
+    connected_components,
+)
+from ..operators.multimodal import (
+    attach_media,
+    extract_media_features,
+    multimodal_rows,
+)
+from ..operators.similarity import ann_lsh_topk, cosine_topk_exact
+from ..sources.io import load_table
+from .registry import query
+
+_STOPLIST_SQL = "', '".join(T.STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "l01_exact_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS content_hash
+      FROM documents)
+    SELECT doc_id, content_hash,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+             AS dup_rank,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+             AS is_kept
+    FROM h
+    """,
+)
+def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: normalized-content SHA-256 dedup; lowest doc_id survives."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(
+        "doc_id", "content_hash", "dup_rank", "is_kept"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2: near-duplicate detection (4 methods + clustering)
+# ---------------------------------------------------------------------------
+
+@query(
+    "l02_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+               FROM documents),
+    sh AS (SELECT doc_id, lang,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+               x -> x IS NOT NULL)) AS g
+           FROM t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.g, b.g)) * 1.0 /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+          >= 0.2
+    """,
+)
+def l02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact): word-3-gram Jaccard near-dup pairs, lang-blocked.
+    The deterministic anchor for the randomized MinHash variant."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    return ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.2)
+
+
+@query("l02b_minhash_lsh_pairs")
+def l02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (MinHash LSH, seeded): candidate near-dup pairs at estimated
+    Jaccard ≥ 0.2 via banded min-hash. Rows-only (randomized); recall
+    vs the exact pairs is asserted in tests/test_llm.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(
+        docs, num_hash_tables=8, jaccard_threshold=0.2, seed=42
+    )
+
+
+@query("l02c_simhash_pairs")
+def l02c_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (SimHash): 64-bit fingerprints + hamming≤8 pairs, lang-blocked.
+    Rows-only (xxhash64 is Spark-specific)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    fp = docs.withColumn("simhash", simhash64("tokens"))
+    return simhash_neardup_pairs(fp, block_col="lang", max_hamming=8)
+
+
+@query(
+    "l02d_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]))
+                 / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                    * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4)
+             AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.v, b.v), s -> s[1]*s[2]))
+                / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                   * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 4)
+          > 0.35
+    """,
+)
+def l02d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (embedding cosine): brute-force near-dup pairs above 0.35."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_neardup_pairs(emb, threshold=0.35)
+
+
+@query("l02e_neardup_clusters")
+def l02e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (clustering): connected components over the exact-Jaccard
+    edge set — smallest-id label propagation, no graph library.
+    Rows-only (iterative); invariants tested in tests/test_llm.py."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    edges = ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.2)
+    return connected_components(edges).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L3: similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "l03_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]))
+                   / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4)
+               AS cos_sim
+      FROM q JOIN e c ON c.vec_id != q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def l03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (exact): brute-force top-5 cosine neighbors for 20 query
+    vectors; ranking happens on the 4dp-rounded similarity with an id
+    tiebreak so both engines rank identically."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_exact(queries_df, emb, k=5)
+
+
+@query("l03b_ann_lsh_topk")
+def l03b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (approximate): random-projection LSH top-5 for the same 20
+    queries — the 100 TB scale path. Seeded, rows-only; recall vs the
+    exact operator is asserted in tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ann_lsh_topk(queries_df, emb, k=5, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# L4: text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "l04_token_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+               FROM documents)
+    SELECT doc_id,
+           len(l) AS n_tokens,
+           len(list_distinct(l)) AS n_distinct_tokens,
+           round(list_sum(list_transform(l, x -> len(x) * 1.0)) / len(l), 4)
+             AS avg_token_len,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpe_ish_tokens
+    FROM t
+    """,
+)
+def l04_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-document token counting (whitespace + BPE-ish regex)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_stats(docs)
+
+
+@query(
+    "l04b_top_bigrams",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+    z AS (SELECT unnest(list_zip(l, l[2:])) AS s FROM t)
+    SELECT s[1] || ' ' || s[2] AS bigram, count(*) AS n_occurrences
+    FROM z WHERE s[2] IS NOT NULL
+    GROUP BY 1 ORDER BY n_occurrences DESC, bigram LIMIT 30
+    """,
+)
+def l04b_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus-wide top-30 token bigrams (order-sensitive n-grams,
+    unlike the shingle sets used for dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = T.tokens("text")
+    bigrams = F.zip_with(
+        F.slice(l, 1, F.size(l) - 1),
+        F.slice(l, 2, F.size(l) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.filter(F.size(l) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.col("bigram"))
+        .limit(30)
+    )
+
+
+@query("l04c_doc_fingerprints")
+def l04c_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: order-sensitive rolling-hash fingerprints (xxhash64-based —
+    Spark-specific, hence rows-only) next to a portable SHA-256."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.rolling_fingerprint(docs)
+
+
+@query("l08_langid_heuristic")
+def l08_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: marker-token language-ID scores + argmax prediction.
+    Deterministic native expressions; rows-only because the per-language
+    CASE cascade has no value as SQL — accuracy vs the label column is
+    the real check (tests/test_llm.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.langid_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# L5/L6: corpus profiling + quality filtering
+# ---------------------------------------------------------------------------
+
+@query(
+    "l05_corpus_profile",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def l05_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: language × source corpus profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "l06_quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, n_chars,
+                      string_split(text, ' ') AS l FROM documents),
+    f AS (SELECT doc_id, lang, n_chars,
+                 len(l) AS n_tokens,
+                 round(list_sum(list_transform(l, x -> len(x) * 1.0))
+                       / len(l), 4) AS mean_word_len,
+                 round(len(list_distinct(l)) * 1.0 / len(l), 4)
+                   AS distinct_ratio,
+                 round(len(list_intersect(list_distinct(l),
+                                          ['{_STOPLIST_SQL}'])) * 1.0
+                       / len(list_distinct(l)), 4) AS stopword_ratio
+          FROM t)
+    SELECT *,
+           (n_tokens >= 5 AND n_chars BETWEEN 20 AND 10000
+            AND mean_word_len BETWEEN 2 AND 12
+            AND distinct_ratio > 0.1) AS quality_pass
+    FROM f
+    """,
+)
+def l06_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: Gopher/C4-style quality features + pass verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# L7: multimodal
+# ---------------------------------------------------------------------------
+
+@query(
+    "l07_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(e.embedding) AS emb_dim,
+           round(sqrt(list_sum(list_transform(
+             CAST(e.embedding AS DOUBLE[]), x -> x*x))), 4) AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def l07_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: text+vector+label multimodal rows with embedding geometry."""
+    from ..functions.vectors import norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = multimodal_rows(docs, emb)
+    return rows.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").cast("long").alias("emb_dim"),
+        F.round(norm(F.col("embedding").cast("array<double>")), 4).alias(
+            "emb_norm"
+        ),
+    )
+
+
+@query("l07b_media_features")
+def l07b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: BinaryType media column → Arrow-batched mapInPandas feature
+    extraction (deterministic stand-in decoder; real codecs plug into
+    operators/multimodal._decode_batch). Rows-only: the binary column
+    and pandas seam have no DuckDB equivalent worth faking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_features(attach_media(docs))

@@ -58,8 +58,38 @@ BUILD_CONF: dict[str, str] = {
 }
 
 
+_SHIPPED_TO: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Python UDFs (mapInPandas etc.) are cloudpickled BY REFERENCE to
+    this module's name; workers import it from their own sys.path,
+    which does not inherit the driver's. Shipping a zip via addPyFile
+    fixes that identically in local mode and on a real cluster —
+    verified failure mode: driver process launched outside the repo
+    root → ModuleNotFoundError on the worker.
+    """
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_TO:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / f"mfp_spark_pkg_{os.getpid()}.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            z.write(py, py.relative_to(pkg_dir.parent))
+    spark.sparkContext.addPyFile(str(zpath))
+    _SHIPPED_TO.add(app_id)
+
+
 def harden(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable config to an externally-built session."""
+    """Apply runtime-settable config to an externally-built session and
+    ship this package to executor workers."""
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -67,6 +97,11 @@ def harden(spark: SparkSession) -> SparkSession:
             # Some confs may be frozen by the host harness; parity-critical
             # ones (timezone, Arrow, AQE) are all runtime-settable in 4.1.2.
             pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # Shipping is best-effort; pure-DataFrame queries don't need it.
+        pass
     return spark
 
 
