@@ -1,1 +1,159 @@
-"""Placeholder — filled in by later build phase."""
+"""Streaming pack (SURVEY.md §2.5): event-time windowing, sessionization,
+dedup, stateful processing, micro-batch mining.
+
+Registry entries are the BATCH-EQUIVALENT forms — identical expression
+trees to the streaming plans (see streaming/windows.py docstring for
+why that equivalence is exact). The true streaming execution (readStream
++ watermark + availableNow) of the same operators is exercised in
+tests/test_streaming.py, where batch-vs-stream equality is asserted;
+the driver's DuckDB oracle checks the batch plan here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from ..streaming.windows import (
+    dedup_events,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "t01_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def t01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling 1-hour event-time windows per event type."""
+    return tumbling_counts(_events(spark, sf_dir), "1 hour")
+
+
+@query(
+    "t02_sliding_window",
+    oracle="""
+    WITH c AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts)
+                       - INTERVAL '30 minutes']) AS window_start
+      FROM events)
+    SELECT window_start, count(*) AS n_events
+    FROM c GROUP BY 1
+    """,
+)
+def t02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: sliding windows (1h width / 30min slide — every event falls
+    in exactly two windows; the oracle enumerates both candidate
+    starts per event, which is the same expansion Spark's window
+    generator performs)."""
+    return sliding_counts(_events(spark, sf_dir), "1 hour", "30 minutes")
+
+
+@query(
+    "t03_session_window",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    y AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, max(ts) AS last_ts
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def t03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 30-minute-gap session windows per user, cross-checked
+    against the classic gaps-and-islands SQL (lag + cumulative flag).
+    Locks Spark's session semantics — a gap of exactly 30min starts a
+    NEW session (window end is exclusive) — to the oracle's >=."""
+    return session_counts(_events(spark, sf_dir), "30 minutes")
+
+
+@query(
+    "t04_dedup_first_event",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def t04_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (batch form): deterministic first-event dedup per
+    (user, event_type). The streaming twin
+    (dropDuplicatesWithinWatermark) runs in tests/test_streaming.py."""
+    out = dedup_events(
+        _events(spark, sf_dir), keys=["user_id", "event_type"]
+    )
+    return out.select("event_id", "user_id", "event_type", "ts")
+
+
+@query(
+    "t05_stateful_user_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def t05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (batch form): per-user running counts via applyInPandas —
+    the same pandas state function the streaming
+    applyInPandasWithState variant uses, fitted to the grouped-map
+    API. Oracle-checked because the final state is deterministic."""
+    ev = _events(spark, sf_dir)
+
+    import pandas as pd
+
+    def counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_purchases": [int((pdf["event_type"] == "purchase").sum())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        counts, schema="user_id BIGINT, n_events BIGINT, n_purchases BIGINT"
+    )
+
+
+@query("t06_microbatch_mining")
+def t06_microbatch_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (batch form): frequent event-type itemsets over per-user
+    baskets — what each foreachBatch invocation of the streaming miner
+    computes (tests run the real stream). Rows-only: FPGrowth over
+    arbitrary-k itemsets has no practical SQL oracle."""
+    from ..operators.mining import fit_fpgrowth
+
+    ev = _events(spark, sf_dir)
+    baskets = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("items")
+    )
+    model = fit_fpgrowth(baskets, min_support=0.2)
+    return model.freqItemsets.select(
+        F.array_join(F.sort_array("items"), " ").alias("itemset"), "freq"
+    ).orderBy(F.desc("freq"), "itemset")

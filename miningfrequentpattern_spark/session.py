@@ -43,10 +43,13 @@ RUNTIME_CONF: dict[str, str] = {
     # sources/io.py convert to a microsecond timestamp (lossless on the
     # fixtures — verified zero sub-microsecond components).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime-settable; pinned so an externally-built session (driver
+    # default: 200) doesn't pay 200-task overhead on local shuffles.
+    # At cluster scale AQE coalescing governs the effective count.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 BUILD_CONF: dict[str, str] = {
-    "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "24g",
     "spark.sql.files.maxPartitionBytes": "128m",
     # Broadcast anything under 64 MB — the fixture dims (region, nation,

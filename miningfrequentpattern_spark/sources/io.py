@@ -51,7 +51,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 
@@ -124,9 +124,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming reads require an explicit schema). `maxFilesPerTrigger=1`
     keeps micro-batches deterministic in tests.
     """
-    batch_schema = load_table(spark, sf_dir, "events").schema
-    return (
+    # Raw (pre-conversion) schema: under nanosAsLong the reader yields
+    # ts as BIGINT; the stream must declare the same, then convert.
+    batch_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    # The file-stream source requires a DIRECTORY; select the single
+    # fixture file out of sf_dir with a glob filter.
+    stream = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream

@@ -1,0 +1,95 @@
+"""Event-time window aggregations (SURVEY.md §2.5 T1-T4).
+
+Each operator is a single expression tree valid in BOTH batch and
+streaming mode — the driver's oracle runs the batch plan, the
+streaming tests run the identical plan behind readStream + watermark.
+That equivalence is the point: Structured Streaming's incremental
+execution of a windowed agg converges to exactly the batch answer
+once all data is ingested (complete/append mode with watermark past
+max event time).
+
+Scale: event-time windows group by (window, key) — the shuffle key
+cardinality is bounded by (#buckets × #keys), not #events, and
+partial aggregation compacts map-side. Session windows are the
+exception (unbounded key space); Spark handles them with a dedicated
+session-merge exec, and the 100 TB lever is watermarking to bound
+state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """T1: tumbling-window counts per event_type."""
+    return (
+        events.groupBy(
+            F.window(ts_col, width).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """T1: sliding-window counts (each event lands in width/slide
+    windows; Spark expands via the `window` generator)."""
+    return (
+        events.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """T2: session windows per user — sessions close after `gap` of
+    inactivity. Returns (user_id, session_start, n_events, last_ts).
+
+    `session_window` is valid in batch mode too; last_ts (not the
+    window end) is exposed because Spark defines end = last + gap,
+    which a SQL oracle would have to special-case.
+    """
+    return (
+        events.groupBy(
+            F.session_window(ts_col, gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "last_ts",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, keys: list[str], ts_col: str = "ts") -> DataFrame:
+    """T4 (batch form): deterministic dedup — earliest (ts, event_id)
+    row per key. The streaming twin is dropDuplicatesWithinWatermark,
+    exercised in tests/test_streaming.py; this batch form is the
+    oracle-checkable contract (dropDuplicates keeps an ARBITRARY row,
+    which can never hash-match an oracle)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,117 @@
+"""True Structured Streaming runs (readStream over the events parquet,
+availableNow trigger) asserted equal to their batch twins — the
+equivalence the streaming pack's oracles rely on."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.sources.io import (
+    load_table,
+    read_events_stream,
+)
+from miningfrequentpattern_spark.streaming.stateful import (
+    mine_stream_foreach_batch,
+    running_user_counts_stream,
+    watermark_dedup_stream,
+    windowed_counts_stream,
+)
+from miningfrequentpattern_spark.streaming.windows import tumbling_counts
+
+from .conftest import SF_SMOKE
+
+
+def _run_to_memory(sdf, name, mode="update"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_window_equals_batch(spark):
+    """Windowed streaming agg over the full replay == batch agg."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(
+        windowed_counts_stream(stream, "1 hour", "2 hours"), "win", "append"
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM win").collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in tumbling_counts(batch, "1 hour").collect()
+    }
+    # Append mode only emits windows the watermark has closed; every
+    # emitted window must match batch exactly, and most windows close.
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want.get(k) == v, k
+    assert len(got) >= 0.9 * len(want)
+
+
+def test_stream_stateful_counts(spark):
+    """applyInPandasWithState final state == batch group counts."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(running_user_counts_stream(stream), "run_counts")
+    # update mode: last emitted row per user is the final state
+    got = {
+        r.user_id: (r.n_events, r.n_purchases)
+        for r in spark.sql("SELECT * FROM run_counts").collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("p"),
+        )
+    )
+    want = {r.user_id: (r.n, r.p) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_watermark_dedup(spark):
+    """dropDuplicatesWithinWatermark on unique event_id keeps all rows
+    of the replay (ids never repeat -> dedup is the identity here; the
+    operator's value is bounded state, which this exercises)."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(watermark_dedup_stream(stream), "dedup", "append")
+    n_stream = spark.sql("SELECT count(*) AS n FROM dedup").collect()[0].n
+    n_batch = load_table(spark, SF_SMOKE, "events").count()
+    assert n_stream == n_batch
+
+
+def test_stream_foreachbatch_mining(spark):
+    """foreachBatch re-mining: itemsets from the single availableNow
+    micro-batch == batch FPGrowth over the same baskets."""
+    stream = read_events_stream(spark, SF_SMOKE)
+    sink: list = []
+    q = mine_stream_foreach_batch(stream, sink, min_support=0.2)
+    q.awaitTermination(120)
+    assert sink, "no micro-batch processed"
+    mined = {
+        (tuple(sorted(r["items"])), r["freq"])
+        for _, rows in sink
+        for r in rows
+    }
+    from miningfrequentpattern_spark.operators.mining import fit_fpgrowth
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    baskets = batch.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("items")
+    )
+    want = {
+        (tuple(sorted(r["items"])), r["freq"])
+        for r in fit_fpgrowth(baskets, min_support=0.2).freqItemsets.collect()
+    }
+    assert mined == want
