@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract): times the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect cost). Timings include Catalyst planning; the
+session is warmed with one throwaway action first so JVM startup isn't
+attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: spans mining / relational / LLM / streaming packs and
+# every physical-plan family (scan+agg, broadcast star join, window,
+# range+asof join, LSH, crossJoin topk, session windows, FPGrowth).
+HEADLINE = [
+    "m03_frequent_items",
+    "m04_itemsets_market",
+    "m04_itemsets_full_tokens",
+    "m09_prefixspan_full",
+    "r02_pricing_summary",
+    "r03_local_supplier_volume",
+    "r04_customer_order_counts",
+    "r08_asof_last_click_before_purchase",
+    "r11_rollup_status_priority",
+    "r14_running_customer_spend",
+    "l01_exact_dedup",
+    "l02_ngram_jaccard_pairs",
+    "l02d_embedding_neardup",
+    "l03_cosine_topk",
+    "l04_token_stats",
+    "l06_quality_filter",
+    "t01_tumbling_window",
+    "t03_session_window",
+    "t05_stateful_user_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from miningfrequentpattern_spark.session import get_session
+
+    spark = get_session("mfp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # Warm-up: JVM + parquet footer caches, not attributed to any query.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

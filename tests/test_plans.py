@@ -1,0 +1,79 @@
+"""Physical-plan audits: the scale properties the docstrings promise
+must be visible in the actual plans (.explain formatted), not just
+asserted in prose. These are the checks that catch a silent
+regression to SortMergeJoin or a lost filter pushdown."""
+
+import io
+from contextlib import redirect_stdout
+
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
+
+from .conftest import SF_ORACLE
+
+load_all_packs()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan_of(spark, "r01_filter_project")
+    assert "PushedFilters:" in p
+    # The equality predicate must be pushed into the parquet scan.
+    assert "EqualTo(l_returnflag,R)" in p.replace(" ", "")
+
+
+def test_column_pruning(spark):
+    p = plan_of(spark, "r01_filter_project")
+    # ReadSchema must NOT include columns the query never touches.
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema, p
+    assert "l_tax" not in read_schema[0]
+    assert "l_suppkey" not in read_schema[0]
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = plan_of(spark, "r03_local_supplier_volume")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_agg_is_partial_then_final(spark):
+    p = plan_of(spark, "r02_pricing_summary")
+    # Two HashAggregate nodes = map-side partial + final (the Hadoop
+    # combiner equivalent, SURVEY.md §4).
+    assert p.count("HashAggregate") >= 2
+    # Codegen visibility: AQE's formatted plan omits codegen stage
+    # annotations pre-execution, so inspect codegen mode explicitly.
+    df = QUERIES["r02_pricing_summary"](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+
+
+def test_topk_uses_bounded_sort(spark):
+    p = plan_of(spark, "r15_top25_orders")
+    # Global ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    # (per-partition heaps), never a full sort.
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_join_stays_semi(spark):
+    p = plan_of(spark, "r05b_parts_with_bulk_orders")
+    assert "LeftSemi" in p
+
+
+def test_no_cartesian_in_blocked_jaccard(spark):
+    # The inverted-index rewrite must not contain a cartesian product.
+    p = plan_of(spark, "l02_ngram_jaccard_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
