@@ -1,0 +1,57 @@
+"""Skew-handling primitives (SCALING.md levers).
+
+AQE's skew-join splitting handles JOIN skew automatically, but a
+skewed AGGREGATION key (one user with 10⁹ events, one order with 10⁶
+lines) still lands every row of the hot key in one reducer. The fix is
+the classic two-phase salted aggregate: shard each key across
+`n_salts` partial groups, aggregate, then merge the partials.
+
+Only algebraic aggregates (sum/count/min/max, collect_set-as-union)
+can be salted this way; the helpers below cover the shapes this
+engine's operators actually use (counts and set-collection — the
+basketize hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, keys: list[str], n_salts: int = 16, out: str = "n"
+) -> DataFrame:
+    """COUNT(*) per key, skew-proof: phase 1 aggregates
+    (key, salt) shards, phase 2 sums the shard counts. Two small
+    shuffles instead of one skewed one."""
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
+    partial = (
+        df.select(*keys, salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_pn").alias(out))
+
+
+def salted_collect_set(
+    df: DataFrame,
+    key: str,
+    item: str,
+    n_salts: int = 16,
+    out: str = "items",
+) -> DataFrame:
+    """collect_set per key, skew-proof: shard-level collect_set, then
+    flatten+distinct at merge. Bounds any single task's set size to
+    ~|key's items|/n_salts during phase 1 — the salted twin of
+    operators.baskets.basketize for pathological keys."""
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
+    partial = (
+        df.select(key, F.col(item), salt)
+        .groupBy(key, "_salt")
+        .agg(F.collect_set(item).alias("_ps"))
+    )
+    return partial.groupBy(key).agg(
+        F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list("_ps")))
+        ).alias(out)
+    )

@@ -12,9 +12,11 @@ Two tiers, same output contract (query_id, neighbor_id, cos_sim, rank):
   bucketing by euclidean LSH IS cosine ANN. This is the 100 TB path:
   candidate generation touches only same-bucket pairs.
 
-An IVF variant (KMeans coarse quantizer → per-centroid shortlists)
-would slot in identically; RP-LSH is preferred here because it needs
-no training pass over the full corpus.
+- `ivf_topk`: IVF (inverted-file) — KMeans coarse quantizer assigns
+  every corpus vector to a centroid; a query searches only its
+  `n_probes` nearest centroids' posting lists, exact-reranked. The
+  other classic ANN shape: needs a training pass (vs LSH's none) but
+  gives directly tunable recall/cost via n_probes.
 """
 
 from __future__ import annotations
@@ -108,6 +110,80 @@ def ann_lsh_topk(
             sim.alias("cos_sim"),
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF index.
+
+    1. train: MLlib KMeans (seeded) on the corpus -> coarse quantizer;
+    2. index: assign each corpus vector its centroid id (one narrow
+       column — the "inverted file");
+    3. probe: each query computes distances to the (broadcast, tiny)
+       centroid matrix in a pandas UDF and keeps its n_probes nearest
+       centroid ids;
+    4. search: equi-join query-probes to corpus postings on centroid id
+       (shuffle bounded by posting-list sizes, the IVF win) and
+       exact-rerank with the native cosine.
+
+    Deterministic under the fixed seed; registered rows-only like all
+    ANN variants. Recall vs the exact operator is asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    c_vec = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_arr")
+    ).withColumn("_v", array_to_vector("_arr"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cid")
+    model = km.fit(c_vec)
+    postings = model.transform(c_vec).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_arr").alias("_cv"),
+        F.col("_cid").alias("cid"),
+    )
+
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    def _probe(vecs):
+        # NOTE: no inline type hints — `from __future__ import
+        # annotations` stringifies them, which pandas_udf's hint
+        # inference can't resolve; the explicit returnType suffices.
+        m = np.array(list(vecs), dtype=np.float64)
+        d = ((m[:, None, :] - b_centers.value[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d, axis=1)[:, :n_probes]
+        return pd.Series(list(idx.astype("int32")))
+
+    probe_cids = pandas_udf(_probe, returnType="array<int>")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("cid", F.explode(probe_cids(F.col("_qv"))))
+
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        q.join(postings, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

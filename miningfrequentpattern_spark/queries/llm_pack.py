@@ -377,3 +377,15 @@ def l07b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pandas seam have no DuckDB equivalent worth faking."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_features(attach_media(docs))
+
+
+@query("l03c_ivf_topk")
+def l03c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (approximate, IVF): KMeans coarse quantizer + n_probes=4
+    posting-list search + exact rerank for the same 20 queries. The
+    trained-index counterpart of the LSH path; seeded, rows-only."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(queries_df, emb, k=5, n_clusters=16, n_probes=4, seed=42)

@@ -64,3 +64,4 @@ def load_all_packs() -> None:
     from . import relational_pack  # noqa: F401
     from . import llm_pack  # noqa: F401
     from . import streaming_pack  # noqa: F401
+    from . import sources_pack  # noqa: F401

@@ -755,3 +755,149 @@ def r22_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R10: exact percentiles (the oracle-able counterpart of the approx query)
+# ---------------------------------------------------------------------------
+
+@query(
+    "r10b_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def r10b_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: EXACT interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation) — the
+    deterministic sibling of r10's sketch-based approx."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R12b: rank / dense_rank / ntile
+# ---------------------------------------------------------------------------
+
+@query(
+    "r12b_rank_variants",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           rank() OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           ntile(4) OVER w AS price_quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def r12b_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: rank/dense_rank/ntile over the same deterministic window."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.col("p_partkey")
+    )
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R13b: lead + first/last analytic functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "r13b_next_order_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(lead(o_totalprice) OVER w, 4) AS next_price,
+           round(first_value(o_totalprice) OVER w, 4) AS first_price,
+           round(last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+             AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def r13b_next_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: lead/first/last — last_value needs the full-partition frame
+    on BOTH engines (default frame stops at CURRENT ROW)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 4).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 4).alias("last_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R17b: edit distance
+# ---------------------------------------------------------------------------
+
+@query(
+    "r17b_name_edit_distance",
+    oracle="""
+    SELECT c_custkey, c_name,
+           levenshtein(c_name, 'Customer#000000001') AS dist
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def r17b_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17: levenshtein edit distance (same algorithm both engines)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        "c_name",
+        F.levenshtein("c_name", F.lit("Customer#000000001"))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R11c: GROUPING SETS through the SQL surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "r11c_grouping_sets_sql",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def r11c_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 via the SQL entry point: explicit GROUPING SETS with
+    grouping() markers (distinguishes real NULLs from subtotal NULLs),
+    run through spark.sql over registered temp views — exercises the
+    engine's second query surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               cast(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

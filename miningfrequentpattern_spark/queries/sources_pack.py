@@ -1,0 +1,170 @@
+"""Sources/sinks pack (SURVEY.md §2.1 S2-S4 + §2.6 U3): the reference's
+native text-transaction format, CSV/JSON ingestion, the parquet sink,
+and the Python UDTF surface — each proven by a ROUND TRIP whose result
+is oracle-checked against the originating fixture table.
+
+Round-trip shape: derive data from a fixture → write it in the target
+format to a scratch dir → read it back through the engine's source
+operator → reduce to an oracle-comparable result. The oracle runs on
+the fixture directly, so any loss/corruption in the write/read leg
+fails the hash match.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udtf import register_udtfs
+from ..sources.io import (
+    load_table,
+    read_csv,
+    read_json,
+    read_transactions_text,
+    write_parquet,
+)
+from .registry import query
+
+
+def _scratch(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"mfp_{tag}_")
+
+
+@query(
+    "s02_text_transactions",
+    oracle="""
+    SELECT array_to_string(
+             list_sort(list_transform(list_distinct(list(l_partkey)),
+                                      x -> CAST(x AS VARCHAR))), ' ')
+             AS basket,
+           count(DISTINCT l_partkey) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def s02_text_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the reference's native input format, round-tripped.
+
+    lineitem → one space-separated basket line per order → text file →
+    read_transactions_text → (basket, n_items). Items become STRINGS on
+    the text leg, so both engines sort lexicographically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("l_partkey").cast("string"))), " "
+        ).alias("value")
+    )
+    path = _scratch("txn")
+    lines.select("value").write.mode("overwrite").text(path)
+    txns = read_transactions_text(spark, path)
+    return txns.select(
+        F.array_join("items", " ").alias("basket"),
+        F.size("items").cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "s03_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 4) AS total_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s03_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (CSV): customer → CSV with header → read back with an
+    explicit DDL schema (no inference job) → aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _scratch("csv")
+    c.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(
+        spark,
+        path,
+        schema=(
+            "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+            "c_acctbal DOUBLE, c_mktsegment STRING"
+        ),
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_balance"),
+    )
+
+
+@query(
+    "s03b_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def s03b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (JSON): orders → JSON lines → schema-full read → aggregate.
+    Timestamps ride through ISO strings; the aggregate avoids exposing
+    them so JSON timestamp-format drift can't bite the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch("json")
+    o.write.mode("overwrite").json(path)
+    back = read_json(
+        spark,
+        path,
+        schema=(
+            "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+            "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+        ),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "s04_parquet_sink_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def s04_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: result sink — aggregate → write_parquet (partitioned by the
+    low-cardinality flag, the scale-correct layout) → read back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    path = _scratch("sink")
+    write_parquet(agg, path, partition_by=["l_returnflag"])
+    back = spark.read.parquet(path)
+    return back.select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+
+
+@query(
+    "u03_udtf_token_counts",
+    oracle="""
+    SELECT tok AS token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    """,
+)
+def u03_udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: Python UDTF in a SQL lateral join — token frequencies via
+    the tokenize table function, oracle-checked against plain unnest.
+    (Row-at-a-time Python: the slow path, registered to prove the
+    extension surface; see functions/udtf.py.)"""
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_u3")
+    return spark.sql(
+        """
+        SELECT t.token, count(*) AS n
+        FROM docs_u3, LATERAL tokenize(text) t
+        GROUP BY t.token
+        """
+    )

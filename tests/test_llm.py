@@ -123,3 +123,26 @@ def test_exact_dedup_keeps_one_per_hash(spark):
         F.sum(F.col("is_kept").cast("int")).alias("n_kept")
     )
     assert per_hash.filter(F.col("n_kept") != 1).isEmpty()
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with 4/16 probes must recall a solid fraction of exact
+    top-5 and return only true cosine values (exact rerank)."""
+    from miningfrequentpattern_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_exact(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ivf_topk(q, emb, k=5, n_clusters=16, n_probes=4, seed=42).collect()
+    }
+    hits = set(exact) & set(approx)
+    assert len(hits) / len(exact) >= 0.4, f"ivf recall too low: {len(hits)}/{len(exact)}"
+    for pair in hits:
+        assert abs(exact[pair] - approx[pair]) < 1e-9

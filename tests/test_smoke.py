@@ -31,3 +31,32 @@ def test_entry_contract(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_salted_aggregates_match_plain(spark):
+    """Skew-proof salted aggregates must equal their plain forms."""
+    from miningfrequentpattern_spark.functions.skew import (
+        salted_collect_set,
+        salted_count,
+    )
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    plain_n = {
+        r.l_orderkey: r.n
+        for r in li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted_n = {
+        r.l_orderkey: r.n
+        for r in salted_count(li, ["l_orderkey"], n_salts=8).collect()
+    }
+    assert plain_n == salted_n
+
+    plain_s = {
+        r.l_orderkey: tuple(r.items) for r in order_baskets(li).collect()
+    }
+    salted_s = {
+        r.l_orderkey: tuple(r.items)
+        for r in salted_collect_set(li, "l_orderkey", "l_partkey", 8).collect()
+    }
+    assert plain_s == salted_s
