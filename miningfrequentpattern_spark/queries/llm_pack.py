@@ -389,3 +389,33 @@ def l03c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(queries_df, emb, k=5, n_clusters=16, n_probes=4, seed=42)
+
+
+@query(
+    "l09_hash_split",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7'
+                  THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def l09_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-pack: deterministic hash-based train/val/test split (50/25/25
+    by first md5 nibble of the id) — the standard stable-sampling move
+    for training corpora: no seed state, reproducible across engines
+    and runs, and new documents never reshuffle old assignments."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket <= "7", "train")
+        .when(bucket <= "b", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -901,3 +901,80 @@ def r11c_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# R23: calendar resample + forward fill (time-series gap filling)
+# ---------------------------------------------------------------------------
+
+@query(
+    "r23_daily_activity_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      FROM events),
+    cal AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY)) AS day),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             count(*) AS n, round(sum(value), 4) AS v
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT u.user_id, c.day, coalesce(d.n, 0) AS n_events, d.v
+      FROM users u CROSS JOIN cal c
+      LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day)
+    SELECT user_id, day, n_events,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS ffill_value
+    FROM grid
+    """,
+)
+def r23_daily_activity_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R23 (resample): dense per-user daily calendar with zero-filled
+    counts and forward-filled metric — the gap-filling shape every
+    time-series feature pipeline needs. Calendar bounds derive from the
+    data on BOTH engines (no literals to drift). The users × days grid
+    is a broadcast-friendly cross join: |users| × |days| rows, never
+    |events|-proportional."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(cal))
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            "v",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("ffill_value"),
+    )
