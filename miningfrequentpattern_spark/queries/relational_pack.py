@@ -978,3 +978,59 @@ def r23_daily_activity_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.last("v", ignorenulls=True).over(w), 4).alias("ffill_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R24/R25: pivot / unpivot
+# ---------------------------------------------------------------------------
+
+@query(
+    "r24_pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def r24_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24: pivot — long→wide per-user event-type counts. Pivot values
+    are EXPLICIT (the 5 known types): with an inferred value list Spark
+    runs an extra distinct job and column order becomes data-dependent,
+    both wrong at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot leaves NULL for absent combos; counts must be 0.
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@query(
+    "r25_unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, round(p_retailprice, 4) AS val
+    FROM part
+    """,
+)
+def r25_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25: unpivot/melt — wide→long over part attributes (the inverse
+    of r24; stack values into (attr, val) rows)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.round("p_retailprice", 4).alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
