@@ -40,6 +40,39 @@ def item_supports(baskets: DataFrame, items_col: str = "items") -> DataFrame:
     )
 
 
+def item_supports_from_rows(df: DataFrame, key: str, item: str) -> DataFrame:
+    """M2, scalable form: support counting WITHOUT materializing basket
+    arrays — distinct (key, item) pairs → count per item. Identical
+    result to `item_supports(basketize(df, key, item))` (asserted in
+    tests/test_mining.py) but the shuffle carries narrow pairs instead
+    of collect_set arrays: no array build, no explode, and partial
+    aggregation applies to both the distinct and the count. This is the
+    form to run at 100 TB; the basket-path twin exists because the
+    mining pipeline needs the arrays anyway for FPGrowth."""
+    return (
+        df.select(key, item)
+        .distinct()
+        .groupBy(F.col(item).alias("item"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def frequent_items_from_rows(
+    df: DataFrame, key: str, item: str, min_support: float
+) -> DataFrame:
+    """M2+M3 scalable form: F-list from raw rows (see
+    item_supports_from_rows)."""
+    n = df.select(key).distinct().select(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    return (
+        item_supports_from_rows(df, key, item)
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("freq") >= F.ceil(F.lit(min_support) * F.col("n_baskets")))
+        .select("item", "freq")
+    )
+
+
 def frequent_items(
     baskets: DataFrame, min_support: float, items_col: str = "items"
 ) -> DataFrame:

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from ..operators.baskets import event_sequences, order_baskets, token_baskets
 from ..operators.mining import (
     apriori_frequent_itemsets,
+    frequent_items_from_rows,
+    item_supports_from_rows,
     association_rules,
     closed_itemsets,
     fit_fpgrowth,
@@ -87,11 +89,11 @@ def m01_basketize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m02_item_support(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2: pass-1 item frequency over market baskets (== word count,
-    the reference's first MapReduce job). Runs through the basket
-    derivation + explode to exercise the real mining path."""
-    b = order_baskets(load_table(spark, sf_dir, "lineitem"))
-    return item_supports(b)
+    """M2: pass-1 item frequency (== word count, the reference's first
+    MapReduce job), in the scalable pair-shuffle form — the basket-path
+    equivalence is locked by tests/test_mining.py::test_k1_equals_sql_groupby."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_supports_from_rows(li, "l_orderkey", "l_partkey")
 
 
 @query(
@@ -104,9 +106,10 @@ def m02_item_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m03_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3: the F-list — items at minSupport=0.002 of order baskets."""
-    b = order_baskets(load_table(spark, sf_dir, "lineitem"))
-    return frequent_items(b, min_support=0.002)
+    """M3: the F-list — items at minSupport=0.002 of order baskets
+    (scalable pair-shuffle form; see item_supports_from_rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_items_from_rows(li, "l_orderkey", "l_partkey", 0.002)
 
 
 # ---------------------------------------------------------------------------

@@ -137,3 +137,22 @@ def test_rule_confidence_identity(spark):
         > 1e-9
     )
     assert bad.isEmpty()
+
+
+def test_pair_form_equals_basket_form(spark):
+    """The scalable pair-shuffle support count must equal the
+    basket-materializing path exactly."""
+    from miningfrequentpattern_spark.operators.mining import (
+        item_supports,
+        item_supports_from_rows,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    via_pairs = {
+        r.item: r.freq
+        for r in item_supports_from_rows(li, "l_orderkey", "l_partkey").collect()
+    }
+    via_baskets = {
+        r.item: r.freq for r in item_supports(order_baskets(li)).collect()
+    }
+    assert via_pairs == via_baskets
