@@ -59,7 +59,9 @@ def token_baskets(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.sort_array(
-            F.array_distinct(F.split(F.col("text"), r"\s+"))
+            # trim first: split('  a b ') would yield a '' item that
+            # FPGrowth happily mines (same trim+split as text.tokens)
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
         ).alias("items"),
     ).filter(F.size("items") > 0)
 

@@ -82,11 +82,16 @@ def ngram_jaccard_pairs(
     native (array_intersect / size), so it doubles as the SQL-oracle
     anchor for the randomized MinHash path.
     """
-    tokens_col = "tokens" if "tokens" in docs.columns else "_tokens"
+    if "tokens" not in docs.columns:
+        # Tokenize internally (same trim+split as operators.text.tokens)
+        # so callers may pass the raw documents table directly.
+        docs = docs.withColumn(
+            "tokens", F.split(F.trim(F.col("text")), r"\s+")
+        )
     s = docs.select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
-        shingles(tokens_col, n).alias("sh"),
+        shingles("tokens", n).alias("sh"),
     ).cache()
     # Inverted-index formulation (the scalable exact set-similarity
     # join): explode to (shingle, doc), self-join on shingle within a
@@ -130,30 +135,33 @@ def simhash64(tokens_col: str = "tokens") -> F.Column:
     native expressions.
 
     Classic Charikar scheme: hash every token to 64 bits (xxhash64),
-    per bit position vote +1/-1 weighted by presence, fingerprint bit i
-    = sign of vote. Expressed as: for each bit i, count tokens whose
-    hash has bit i set; set bit i iff count*2 >= n_tokens. Compiles to
-    one pass over the token array per document — no shuffle at all.
+    per bit position count tokens with that bit set, fingerprint bit i
+    = 1 iff count*2 >= n_tokens. Tokens are hashed ONCE (a transform),
+    then a single aggregate folds all 63 bit-counters at once — no
+    per-bit re-hash, no shuffle. Bit 63 is excluded to keep the
+    fingerprint non-negative.
     """
-    toks = F.col(tokens_col)
-    n = F.size(toks)
-
-    def bit(i: int) -> F.Column:
-        ones = F.size(
-            F.filter(
-                toks,
-                lambda t: F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1))
-                == 1,
-            )
-        )
-        return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(2 ** i).cast("long")
-
-    out = bit(0)
-    for i in range(1, 63):  # bit 63 excluded: keep fingerprint non-negative
-        out = out + bit(i)
-    return out
+    # SQL-expression form: the Python shiftright/shiftleft wrappers only
+    # accept int literals for the shift amount, but the underlying SQL
+    # functions take column shifts — required here since the bit index
+    # comes from sequence(0, 62) inside the lambda.
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform({tokens_col}, t -> xxhash64(t)),
+              array_repeat(0L, 63),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, 62), i -> shiftright(h, i) & 1L),
+                (a, b) -> a + b)),
+            sequence(0, 62),
+            (c, i) -> IF(c * 2 >= size({tokens_col}), shiftleft(1L, i), 0L)),
+          0L,
+          (acc, v) -> acc + v)
+        """
+    )
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
@@ -305,6 +313,8 @@ def embedding_neardup_pairs(
                     )
 
         results.append(src.mapInPandas(tile_pairs, schema=out_schema))
+    if not results:
+        return spark.createDataFrame([], out_schema)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -103,8 +103,12 @@ def fit_fpgrowth(
 ) -> FPGrowthModel:
     """M4: fit MLlib FP-Growth (internally the PFP parallelization).
 
-    `fit` is an action (breaks laziness) so the input is cached first;
-    callers should unpersist via the returned model's input when done.
+    `fit` is an action (breaks laziness) so the input is cached for the
+    duration of the fit and unpersisted before returning — the model's
+    own outputs (freqItemsets/associationRules) don't reference the
+    input, and `model.transform` recomputes it lazily if needed, so
+    holding the cache would only leak storage memory across a long
+    session running many queries.
     `num_partitions` is PFP's group count — at 100 TB set it to a few
     times the executor-core count so each conditional FP-tree fits in
     one task's memory.
@@ -115,7 +119,10 @@ def fit_fpgrowth(
     )
     if num_partitions is not None:
         kwargs["numPartitions"] = num_partitions
-    return FPGrowth(**kwargs).fit(baskets)
+    try:
+        return FPGrowth(**kwargs).fit(baskets)
+    finally:
+        baskets.unpersist()
 
 
 def freq_itemsets(model: FPGrowthModel) -> DataFrame:

@@ -47,7 +47,12 @@ def asof_join(
     r = right.alias("r")
     keep = right_cols or [c for c in right.columns if c != on]
     joined = l.join(r, (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond, "left")
-    w = Window.partitionBy(F.col("l._lid")).orderBy(delta.asc_nulls_last())
+    # Tiebreak beyond delta: right rows can share a timestamp (equal
+    # delta), so order further by the kept right columns — without this
+    # the rank-1 pick is nondeterministic on ties.
+    w = Window.partitionBy(F.col("l._lid")).orderBy(
+        delta.asc_nulls_last(), *[F.col(f"r.{c}") for c in keep]
+    )
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -55,8 +55,10 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L6: quality-filter features + verdict.
 
     Heuristics follow the public Gopher/C4-style rules: length bounds,
-    mean word length bounds, stopword ratio floor, repetition ceiling
-    (distinct/total tokens).
+    mean word length bounds, repetition ceiling (distinct/total
+    tokens). stopword_ratio is REPORTED but deliberately not gated —
+    the stoplist is English-only and the corpus is multilingual, so a
+    floor would mass-reject non-English documents.
     """
     t = tokens(text_col)
     n_tok = F.size(t)

@@ -19,6 +19,8 @@ def _norm_cell(v):
         return "NULL"
     if isinstance(v, float):
         # Queries are required to pre-round; this guards residual fp noise.
+        if v == 0:
+            v = 0.0  # fold -0.0 into 0.0 so the engines can't disagree
         return f"{v:.4f}"
     if isinstance(v, pd.Timestamp):
         return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
