@@ -6,6 +6,8 @@ regression to SortMergeJoin or a lost filter pushdown."""
 import io
 from contextlib import redirect_stdout
 
+from pyspark.sql import functions as F
+
 from miningfrequentpattern_spark.queries.registry import (
     QUERIES,
     load_all_packs,
@@ -77,3 +79,49 @@ def test_no_cartesian_in_blocked_jaccard(spark):
     p = plan_of(spark, "l02_ngram_jaccard_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """SCALING.md lever: pre-bucketing both join sides on the key
+    removes the Exchange entirely — the co-located join a 100 TB
+    pipeline relies on. Asserted on the actual plan, not claimed."""
+    import uuid
+
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    suffix = uuid.uuid4().hex[:8]
+    o = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    for df, name, key in ((o, f"o_b_{suffix}", "o_orderkey"), (li, f"l_b_{suffix}", "l_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    # Disable broadcast so the sort-merge path (the one bucketing
+    # helps) is chosen — at real scale neither side would broadcast.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(f"l_b_{suffix}")
+            .join(
+                spark.table(f"o_b_{suffix}"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in (f"l_b_{suffix}", f"o_b_{suffix}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # No Exchange may appear between the scans and the join itself.
+    join_part = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_part, join_part
