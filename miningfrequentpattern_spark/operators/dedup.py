@@ -92,19 +92,21 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.col(block_col).alias("_block"),
         shingles("tokens", n).alias("sh"),
-    ).cache()
+    )
     # Inverted-index formulation (the scalable exact set-similarity
     # join): explode to (shingle, doc), self-join on shingle within a
     # block, count common shingles per pair. Only pairs sharing ≥1
     # shingle ever exist — a threshold > 0 can't lose any — versus the
     # naive blocked cross join that materializes every O(block²) pair
     # and intersects arrays per pair (measured 40× slower at sf0.1).
-    sizes = s.select(
-        F.col(id_col), F.size("sh").alias("n_sh")
-    )
     inv = s.select(
         F.col(id_col), "_block", F.explode("sh").alias("shingle")
     )
+    # Shingle-set sizes derived from the SAME exploded relation
+    # (shingles are distinct per doc, so count == set size): one
+    # lineage, nothing cached across queries. Docs with zero shingles
+    # drop out, but they cannot share a shingle with anything anyway.
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
@@ -177,14 +179,47 @@ def simhash_neardup_pairs(
     block_col: str | None = "lang",
     max_hamming: int = 8,
 ) -> DataFrame:
-    """L2 (SimHash candidate pass): pairs within `max_hamming` bits.
-    Blocked self-join; at 100 TB block on the top-16 fingerprint bits
-    instead of (or in addition to) a metadata key so the join is
-    equi-key on fingerprint prefix."""
+    """L2 (SimHash candidate pass): pairs within `max_hamming` bits,
+    via banded fingerprint equi-join — EXACT, not approximate.
+
+    Pigeonhole: split the 63-bit fingerprint into (max_hamming + 1)
+    disjoint bands; two fingerprints differing in ≤ max_hamming bits
+    must agree exactly on at least one band. So an equi-join on
+    (band_index, band_value) generates every qualifying pair, and the
+    hamming filter afterwards discards false candidates. Result set is
+    identical to the all-pairs self-join (asserted in tests/test_llm.py)
+    but the join is equi-key: at 100 TB it shuffles on ~7-bit band
+    values instead of materializing O(block²) comparisons per metadata
+    block. `block_col` (if given) stays as an extra equi-key, bounding
+    candidates to same-block pairs exactly as before.
+
+    Each ≤-max_hamming pair can surface from several bands, so the
+    pair set is deduplicated before scoring (hamming is deterministic
+    per pair, so distinct() on the projected triple is exact).
+    """
+    bands = max_hamming + 1
+    bounds = [63 * b // bands for b in range(bands + 1)]
+    band_structs = []
+    for i in range(bands):
+        lo, width = bounds[i], bounds[i + 1] - bounds[i]
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(fp_col), lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
     cols = [id_col, fp_col] + ([block_col] if block_col else [])
-    s = docs_with_fp.select(*cols)
+    s = docs_with_fp.select(
+        *cols, F.explode(F.array(*band_structs)).alias("_bv")
+    ).select(*cols, F.col("_bv.band").alias("_band"), F.col("_bv.val").alias("_bval"))
     a, b = s.alias("a"), s.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    cond = (
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col("a._bval") == F.col("b._bval"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     d = hamming64(F.col(f"a.{fp_col}"), F.col(f"b.{fp_col}"))
@@ -196,6 +231,7 @@ def simhash_neardup_pairs(
             d.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -218,8 +254,12 @@ def minhash_neardup_pairs(
     """
     from pyspark.ml.feature import CountVectorizer, MinHashLSH, NGram, RegexTokenizer
 
+    # toLowercase=False: the exact anchor (ngram_jaccard_pairs) shingles
+    # raw case-sensitive tokens, so the MinHash estimate must target the
+    # same Jaccard — lowercasing here would silently estimate a
+    # different similarity on mixed-case corpora.
     tok = RegexTokenizer(
-        inputCol=text_col, outputCol="_toks", pattern=r"\s+"
+        inputCol=text_col, outputCol="_toks", pattern=r"\s+", toLowercase=False
     ).transform(docs)
     ng = NGram(n=3, inputCol="_toks", outputCol="_shingles").transform(tok)
     ng = ng.filter(F.size("_shingles") > 0)
@@ -251,74 +291,90 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
-    tile_size: int = 4096,
+    tile_size: int = 2048,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """L2 (embedding cosine): exact near-duplicate pairs by cosine.
 
-    Tiled matrix-multiply design: the corpus streams through
-    mapInPandas in Arrow batches while one TILE of vectors at a time is
-    broadcast as a dense numpy matrix; each batch computes
-    batch × tileᵀ with BLAS and emits only above-threshold pairs.
-    Exact (no candidate loss), and the per-pair cost is a GEMM cell
-    instead of an interpreted 64-element fold — measured ~50× faster
-    than the expression-tree cross join at sf0.1.
+    Distributed block-pair GEMM: every vector is hash-assigned to one
+    of B blocks (pmod(xxhash64(id), B) — uniform, skew-free), each row
+    is replicated to the block PAIRS it participates in via
+    explode(sequence(...)), and a cogrouped applyInPandas computes one
+    BLAS matmul per (block_i, block_j) group, emitting only
+    above-threshold pairs with id_a < id_b. Exact — every pair lands in
+    exactly one of the B(B+1)/2 groups.
 
-    At 100 TB: the driver loop runs n/tile_size passes over the corpus
-    (embarrassingly parallel per pass); memory per task is
-    |batch| × |tile| floats. LSH (ann_lsh_topk) remains the recall<1
-    shortcut when even n²/tile passes is too much.
+    Scale shape: ONE plan, two shuffles (one per cogroup side), no
+    driver-side data path (the previous design collected all ids plus
+    every tile's vectors to the driver and unioned n/tile separate
+    plans — a driver OOM at 100 TB). Replication factor is ~B/2 per
+    side, i.e. total shuffled volume n·B ≈ n²/tile_size rows — the
+    same aggregate I/O the tiled rescan paid, now borne by the cluster.
+    Task memory is two tile_size×dim float64 matrices plus a
+    tile_size² sims matrix (~2048² × 8 B = 34 MB). Exact all-pairs is
+    inherently O(n²) compute; at 100 TB use ann_lsh_topk / IVF for the
+    recall<1 shortcut and keep this for within-partition or candidate
+    verification duty.
+
+    The only driver-side action is a count() to size B (scalar, safe);
+    pass `num_blocks` to keep the plan fully lazy.
     """
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    src = emb.select(id_col, vec_col).cache()
-    ids = [r[0] for r in src.select(id_col).orderBy(id_col).collect()]
     out_schema = "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE"
-    results = []
-    for t0 in range(0, len(ids), tile_size):
-        tile_ids = ids[t0 : t0 + tile_size]
-        tile_rows = (
-            src.filter(F.col(id_col).isin(tile_ids))
-            .orderBy(id_col)
-            .collect()
+    src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    if num_blocks is None:
+        n = src.count()
+        if n == 0:
+            return emb.sparkSession.createDataFrame([], out_schema)
+        num_blocks = -(-n // tile_size)  # ceil
+    blk = F.pmod(F.xxhash64(F.col("_id")), F.lit(num_blocks)).cast("int")
+    # A side of group (i, j): block-i rows, replicated to every j >= i.
+    # B side of group (i, j): block-j rows, replicated to every i <= j.
+    a_side = src.withColumn("bi", blk).withColumn(
+        "bj", F.explode(F.sequence(F.col("bi"), F.lit(num_blocks - 1)))
+    )
+    b_side = src.withColumn("bj", blk).withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("bj")))
+    )
+
+    def block_pair_sims(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if not len(left) or not len(right):
+            return empty
+        ma = np.array(list(left["_vec"]), dtype=np.float64)
+        mb = np.array(list(right["_vec"]), dtype=np.float64)
+        ida = left["_id"].to_numpy(dtype=np.int64)
+        idb = right["_id"].to_numpy(dtype=np.int64)
+        sims = (ma @ mb.T) / np.outer(
+            np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
         )
-        t_ids = np.array([r[0] for r in tile_rows], dtype=np.int64)
-        t_mat = np.array([r[1] for r in tile_rows], dtype=np.float64)
-        t_norm = np.linalg.norm(t_mat, axis=1)
-        b_ids = spark.sparkContext.broadcast(t_ids)
-        b_mat = spark.sparkContext.broadcast(t_mat)
-        b_norm = spark.sparkContext.broadcast(t_norm)
+        mask = np.round(sims, 4) > threshold
+        if left["bi"].iat[0] == left["bj"].iat[0]:
+            # Diagonal group: both sides hold the same rows, so every
+            # pair appears as two mirrored cells — keep id_a < id_b.
+            mask &= ida[:, None] < idb[None, :]
+        rows, cols = np.where(mask)
+        if not len(rows):
+            return empty
+        # Cross-block ids are hash-assigned, not ordered between
+        # blocks: orient each emitted pair as (min, max).
+        lo = np.minimum(ida[rows], idb[cols])
+        hi = np.maximum(ida[rows], idb[cols])
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "cos_sim": np.round(sims[rows, cols], 4),
+            }
+        )
 
-        def tile_pairs(batches, _bi=b_ids, _bm=b_mat, _bn=b_norm):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
-                mid = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-                sims = (m @ _bm.value.T) / np.outer(
-                    np.linalg.norm(m, axis=1), _bn.value
-                )
-                rows, cols = np.where(
-                    (np.round(sims, 4) > threshold)
-                    & (mid[:, None] < _bi.value[None, :])
-                )
-                if len(rows):
-                    yield pd.DataFrame(
-                        {
-                            "id_a": mid[rows],
-                            "id_b": _bi.value[cols],
-                            "cos_sim": np.round(sims[rows, cols], 4),
-                        }
-                    )
-
-        results.append(src.mapInPandas(tile_pairs, schema=out_schema))
-    if not results:
-        return spark.createDataFrame([], out_schema)
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    return (
+        a_side.groupby("bi", "bj")
+        .cogroup(b_side.groupby("bi", "bj"))
+        .applyInPandas(block_pair_sims, schema=out_schema)
+    )
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -339,6 +395,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .agg(F.min("dst").alias("component"))
         .select("doc_id", F.least("component", "doc_id").alias("component"))
     ).cache()
+    converged = False
     for _ in range(max_iter):
         # propagate: my new label = min(my label, labels of my neighbors)
         prop = (
@@ -358,4 +415,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         old.unpersist()
         if converged:
             break
+    if not converged:
+        # Partial propagation is WRONG labels, not slow labels — a
+        # component wider than max_iter hops would silently split.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; raise max_iter (graph diameter exceeds it)"
+        )
     return labels

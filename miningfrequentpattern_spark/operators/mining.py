@@ -51,6 +51,9 @@ def item_supports_from_rows(df: DataFrame, key: str, item: str) -> DataFrame:
     mining pipeline needs the arrays anyway for FPGrowth."""
     return (
         df.select(key, item)
+        # collect_set in the basket path drops NULL items; mirror that
+        # here or the two forms diverge on null-bearing item columns.
+        .filter(F.col(item).isNotNull())
         .distinct()
         .groupBy(F.col(item).alias("item"))
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -185,61 +188,82 @@ def apriori_frequent_itemsets(
     per-k passes re-scan the baskets k times.
 
     Returns (items ARRAY, freq BIGINT) for all k <= max_k.
+
+    Cache lifecycle (same contract as fit_fpgrowth): the per-level
+    caches are load-bearing DURING construction — every level's
+    isEmpty() is an action, and level k's candidates derive from level
+    k-1 — but all of them are unpersisted before returning so a
+    long-lived session running many queries doesn't accumulate storage.
+    The returned plan recomputes the cascade lazily on first action;
+    callers consuming it repeatedly should cache the RESULT (small:
+    |frequent itemsets| rows), not the inputs.
     """
-    baskets = baskets.select(F.col(items_col).alias("items")).cache()
-    n = baskets.count()
-    threshold = int(-(-min_support * n // 1))  # ceil
+    cached: list[DataFrame] = []
+    try:
+        baskets = baskets.select(F.col(items_col).alias("items")).cache()
+        cached.append(baskets)
+        n = baskets.count()
+        threshold = int(-(-min_support * n // 1))  # ceil
 
-    # k=1
-    lk = (
-        baskets.select(F.explode("items").alias("i0"))
-        .groupBy("i0")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= threshold)
-        .cache()
-    )
-    results = [lk.select(F.array("i0").alias("items"), "freq")]
-    frequent_singletons = lk.select("i0")
-
-    # Prune each basket to frequent items once (the F-list projection —
-    # same trick FP-Growth uses) so later subset tests shrink.
-    with_id = baskets.withColumn("_bid", F.monotonically_increasing_id())
-    pruned = (
-        with_id.select("_bid", F.explode("items").alias("i0"))
-        .join(F.broadcast(frequent_singletons), "i0")
-        .groupBy("_bid")
-        .agg(F.sort_array(F.collect_set("i0")).alias("items"))
-        .cache()
-    )
-
-    prev = lk.select(F.array("i0").alias("itemset"))
-    for k in range(2, max_k + 1):
-        # Candidate generation: join L_{k-1} x L_1 keeping only
-        # lexicographically-extending items (classic F_{k-1} x F_1).
-        cands = (
-            prev.crossJoin(F.broadcast(frequent_singletons))
-            .filter(F.col("i0") > F.element_at("itemset", -1))
-            .select(F.concat("itemset", F.array("i0")).alias("itemset"))
-        )
-        counted = (
-            pruned.join(
-                F.broadcast(cands),
-                F.size(F.array_except(F.col("itemset"), F.col("items"))) == 0,
-            )
-            .groupBy("itemset")
+        # k=1
+        lk = (
+            baskets.select(F.explode("items").alias("i0"))
+            .groupBy("i0")
             .agg(F.count(F.lit(1)).alias("freq"))
             .filter(F.col("freq") >= threshold)
             .cache()
         )
-        if counted.isEmpty():
-            break
-        results.append(counted.select(F.col("itemset").alias("items"), "freq"))
-        prev = counted.select("itemset")
+        cached.append(lk)
+        results = [lk.select(F.array("i0").alias("items"), "freq")]
+        frequent_singletons = lk.select("i0")
 
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out.orderBy(F.desc("freq"), F.col("items"))
+        # Prune each basket to frequent items once (the F-list
+        # projection — same trick FP-Growth uses) so later subset
+        # tests shrink.
+        with_id = baskets.withColumn("_bid", F.monotonically_increasing_id())
+        pruned = (
+            with_id.select("_bid", F.explode("items").alias("i0"))
+            .join(F.broadcast(frequent_singletons), "i0")
+            .groupBy("_bid")
+            .agg(F.sort_array(F.collect_set("i0")).alias("items"))
+            .cache()
+        )
+        cached.append(pruned)
+
+        prev = lk.select(F.array("i0").alias("itemset"))
+        for k in range(2, max_k + 1):
+            # Candidate generation: join L_{k-1} x L_1 keeping only
+            # lexicographically-extending items (classic F_{k-1} x F_1).
+            cands = (
+                prev.crossJoin(F.broadcast(frequent_singletons))
+                .filter(F.col("i0") > F.element_at("itemset", -1))
+                .select(F.concat("itemset", F.array("i0")).alias("itemset"))
+            )
+            counted = (
+                pruned.join(
+                    F.broadcast(cands),
+                    F.size(F.array_except(F.col("itemset"), F.col("items"))) == 0,
+                )
+                .groupBy("itemset")
+                .agg(F.count(F.lit(1)).alias("freq"))
+                .filter(F.col("freq") >= threshold)
+                .cache()
+            )
+            cached.append(counted)
+            if counted.isEmpty():
+                break
+            results.append(
+                counted.select(F.col("itemset").alias("items"), "freq")
+            )
+            prev = counted.select("itemset")
+
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        return out.orderBy(F.desc("freq"), F.col("items"))
+    finally:
+        for c in cached:
+            c.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -151,11 +151,41 @@ def l02d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.35)
 
 
-@query("l02e_neardup_clusters")
+@query(
+    "l02e_neardup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+               FROM documents),
+    sh AS (SELECT doc_id, lang,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+               x -> x IS NOT NULL)) AS g
+           FROM t),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+            >= 0.2),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT a AS d FROM und),
+    reach AS (
+      SELECT d, d AS r FROM nodes
+      UNION
+      SELECT reach.d, und.b AS r FROM reach JOIN und ON und.a = reach.r)
+    SELECT d AS doc_id, min(r) AS component FROM reach GROUP BY d
+    """,
+)
 def l02e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (clustering): connected components over the exact-Jaccard
     edge set — smallest-id label propagation, no graph library.
-    Rows-only (iterative); invariants tested in tests/test_llm.py."""
+
+    Oracle: the same edge set (the l02 pair SQL) closed transitively
+    with a recursive CTE; min reachable id == the converged min-label
+    propagation, so the iterative Spark loop is checked against a
+    declarative fixpoint."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )

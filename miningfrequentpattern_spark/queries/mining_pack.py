@@ -469,10 +469,46 @@ def m09_prefixspan_1seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m09_prefixspan_full")
+@query(
+    "m09_prefixspan_full",
+    oracle="""
+    WITH n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    e AS (SELECT user_id, ts, event_id, event_type FROM events),
+    p1 AS (
+      SELECT event_type AS pattern, count(DISTINCT user_id) AS freq
+      FROM e GROUP BY 1),
+    s2 AS (
+      SELECT DISTINCT a.user_id, a.event_type AS x, b.event_type AS y
+      FROM e a JOIN e b ON b.user_id = a.user_id
+       AND (b.ts, b.event_id) > (a.ts, a.event_id)),
+    p2 AS (SELECT x || '>' || y AS pattern, count(*) AS freq
+           FROM s2 GROUP BY 1),
+    s3 AS (
+      SELECT DISTINCT a.user_id,
+             a.event_type AS x, b.event_type AS y, c.event_type AS z
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id
+       AND (b.ts, b.event_id) > (a.ts, a.event_id)
+      JOIN e c ON c.user_id = b.user_id
+       AND (c.ts, c.event_id) > (b.ts, b.event_id)),
+    p3 AS (SELECT x || '>' || y || '>' || z AS pattern, count(*) AS freq
+           FROM s3 GROUP BY 1),
+    allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             UNION ALL SELECT * FROM p3)
+    SELECT pattern, freq FROM allp
+    WHERE freq >= ceil(0.5 * (SELECT n_users FROM n))
+    """,
+)
 def m09_prefixspan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 (full): frequent sequential patterns up to length 3 over
-    per-user event sequences. Rows-only."""
+    per-user event sequences.
+
+    Oracle: a pattern's support is the number of users whose
+    (ts, event_id)-ordered event sequence contains it as a strict
+    subsequence — expressed as chained self-joins on row-value
+    comparisons, one DISTINCT-user count per pattern length. Exact
+    for max_pattern_length=3 (singleton itemsets make PrefixSpan's
+    subsequence semantics coincide with plain subsequence matching)."""
     seqs = event_sequences(load_table(spark, sf_dir, "events"))
     pats = prefix_span(seqs, min_support=0.5, max_pattern_length=3)
     return pats.select(

@@ -12,7 +12,9 @@ fails the hash match.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,8 +31,25 @@ from ..sources.io import (
 from .registry import query
 
 
+_SCRATCH_ROOT: str | None = None
+
+
 def _scratch(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"mfp_{tag}_")
+    """Per-tag scratch dir under ONE session-scoped temp root.
+
+    The returned DataFrames read these paths lazily, so they cannot be
+    deleted inside the query function; instead every round-trip query
+    reuses a fixed path (its writer runs mode=overwrite) and the whole
+    root is removed at interpreter exit — repeated bench/test runs no
+    longer accumulate lineitem-scale copies in /tmp.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="mfp_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = os.path.join(_SCRATCH_ROOT, tag)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 @query(
@@ -144,6 +163,41 @@ def s04_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(agg, path, partition_by=["l_returnflag"])
     back = spark.read.parquet(path)
     return back.select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+
+
+@query(
+    "s05_partitioned_pruning",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def s05_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 (partitioned directory): orders → hive-partitioned parquet
+    directory (partitionBy o_orderpriority) → directory scan with a
+    filter ON the partition column → aggregate.
+
+    This is the 100 TB table layout: the filter must resolve at
+    PLANNING time against directory names (PartitionFilters in the
+    scan node — asserted in tests/test_plans.py), so 3 of 5 partitions
+    are never opened. The oracle runs on the unpartitioned fixture,
+    proving the partitioned round trip loses nothing.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch("part_orders")
+    write_parquet(o, path, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
 
 
 @query(

@@ -141,6 +141,30 @@ def t05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t05b_stateful_user_counts_native",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def t05b_stateful_user_counts_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T5 (native twin of t05): the same per-user final state as the
+    grouped-map pandas form, expressed as groupBy().agg so the whole
+    query stays inside codegen — no Arrow transfer of every event row.
+    This is the form a 100 TB pipeline should run (partial aggregation
+    map-side, one shuffle on user_id); the pandas variant remains
+    registered as the U2 grouped-map surface proof."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+    )
+
+
 @query("t06_microbatch_mining")
 def t06_microbatch_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 (batch form): frequent event-type itemsets over per-user

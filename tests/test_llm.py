@@ -146,3 +146,80 @@ def test_ivf_recall_vs_exact(spark):
     assert len(hits) / len(exact) >= 0.4, f"ivf recall too low: {len(hits)}/{len(exact)}"
     for pair in hits:
         assert abs(exact[pair] - approx[pair]) < 1e-9
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    """The banded equi-join candidate pass is EXACT by pigeonhole
+    (max_hamming+1 disjoint bands): its pair set must equal the naive
+    all-pairs self-join it replaced, on the real fixture."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        hamming64,
+        simhash64,
+        simhash_neardup_pairs,
+    )
+
+    fp = (
+        _docs(spark)
+        .withColumn("tokens", T.tokens("text"))
+        .withColumn("simhash", simhash64("tokens"))
+    )
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_neardup_pairs(fp, block_col="lang", max_hamming=8).collect()
+    }
+    a, b = fp.alias("a"), fp.alias("b")
+    naive = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash"))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .collect()
+    }
+    assert naive, "fixture should contain simhash near-dups"
+    assert banded == naive
+
+
+def test_embedding_neardup_no_driver_path(spark):
+    """The block-pair GEMM must be one distributed plan: exactly one
+    cogrouped pandas operator, and pair results identical to a naive
+    quadratic check on a small slice."""
+    import numpy as np
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    small = emb.filter(F.col("vec_id") < 300)
+    from miningfrequentpattern_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_pairs(
+            small, threshold=0.35, tile_size=64
+        ).collect()
+    }
+    rows = small.orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    sims = (m @ m.T) / np.outer(
+        np.linalg.norm(m, axis=1), np.linalg.norm(m, axis=1)
+    )
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if np.round(sims[i, j], 4) > 0.35:
+                want[(ids[i], ids[j])] = float(np.round(sims[i, j], 4))
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9

@@ -125,3 +125,48 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
     join_part = plan.split("HashAggregate")[0]
     assert "SortMergeJoin" in plan
     assert "Exchange" not in join_part, join_part
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """s05 filters on the hive-partition column of a partitioned
+    directory: the predicate must resolve at planning time against
+    directory names (PartitionFilters), never as a row-level filter
+    over all partitions' data."""
+    p = plan_of(spark, "s05_partitioned_pruning")
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf, p
+    assert "o_orderpriority" in pf[0], pf[0]
+
+
+def test_native_stateful_counts_stay_in_codegen(spark):
+    """t05b (the bench headline form) must plan as partial+final hash
+    aggregation with NO Python/Arrow evaluation node."""
+    p = plan_of(spark, "t05b_stateful_user_counts_native")
+    assert "FlatMapGroupsInPandas" not in p
+    assert "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_simhash_join_is_equi_key(spark):
+    """The banded candidate pass must plan as a hash equi-join on
+    (band, value) — never a per-block nested-loop/cartesian."""
+    p = plan_of(spark, "l02c_simhash_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_neardup_single_plan(spark):
+    """The block-pair GEMM must be ONE distributed plan: a single
+    cogrouped pandas node fed by one shuffle per side — not a union of
+    per-tile subplans, and no driver-side data movement."""
+    p = plan_of(spark, "l02d_embedding_neardup")
+    import re
+
+    # Count detail-section node headers ("(13) FlatMapCoGroupsInPandas"),
+    # not the duplicated tree lines.
+    assert len(re.findall(r"\(\d+\) FlatMapCoGroupsInPandas\b", p)) == 1
+    assert "Union" not in p
+    # One Exchange per cogroup side (AQE may add reuse markers but not
+    # extra shuffles at this plan shape).
+    exchanges = re.findall(r"\(\d+\) Exchange\b", p)
+    assert len(exchanges) <= 2, p
