@@ -33,6 +33,41 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("_pn").alias(out))
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join for a hot fact key against a
+    non-broadcastable dim: the fact side gets a random salt, the dim
+    side is replicated once per salt value, and the join runs on
+    (key, salt) — the hot key's rows spread across `n_salts` tasks
+    instead of one straggler.
+
+    When to use: AQE's skew-join splitting already handles plain
+    shuffle joins at runtime, but it cannot split a join that avoids
+    the shuffle (bucketed / pre-partitioned inputs) or a stream-static
+    join. Cost: dim side is shuffled n_salts×; keep it for
+    medium-sized dims where broadcast is too big but n_salts copies
+    still fit comfortably.
+
+    Semantics: identical to `fact.join(dim, key, how)` for inner and
+    left joins with unique dim keys (asserted in tests) — each fact
+    row meets exactly the one dim row carrying its salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    f = fact.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")
+
+
 def salted_collect_set(
     df: DataFrame,
     key: str,

@@ -25,7 +25,9 @@ from ..sources.io import (
     load_table,
     read_csv,
     read_json,
+    read_orc,
     read_transactions_text,
+    write_orc,
     write_parquet,
 )
 from .registry import query
@@ -163,6 +165,30 @@ def s04_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(agg, path, partition_by=["l_returnflag"])
     back = spark.read.parquet(path)
     return back.select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+
+
+@query(
+    "s06_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           round(sum(p_retailprice), 4) AS total_price,
+           max(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def s06_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 (ORC): part → ORC → read back → aggregate. Proves the
+    bundled columnar alternative loses nothing; the oracle runs on the
+    originating parquet fixture."""
+    p = load_table(spark, sf_dir, "part")
+    path = _scratch("orc")
+    write_orc(p, path)
+    back = read_orc(spark, path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 4).alias("total_price"),
+        F.max("p_size").alias("max_size"),
+    )
 
 
 @query(

@@ -60,3 +60,29 @@ def test_salted_aggregates_match_plain(spark):
         for r in salted_collect_set(li, "l_orderkey", "l_partkey", 8).collect()
     }
     assert plain_s == salted_s
+
+
+def test_salted_join_matches_plain(spark):
+    """salted_join must return exactly the rows of the plain equi-join
+    (inner and left), including null-key fact rows on the left form."""
+    from miningfrequentpattern_spark.functions.skew import salted_join
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    for how in ("inner", "left"):
+        plain = {
+            tuple(r)
+            for r in o.join(c, "o_custkey", how)
+            .select("o_orderkey", "o_custkey", "c_mktsegment")
+            .collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join(o, c, "o_custkey", n_salts=8, how=how)
+            .select("o_orderkey", "o_custkey", "c_mktsegment")
+            .collect()
+        }
+        assert plain == salted, how
