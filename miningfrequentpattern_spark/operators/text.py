@@ -128,6 +128,81 @@ def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("predicted_lang", pred)
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L6 (repetition signals, Gopher-style): per-document repetition
+    features used to reject boilerplate/spam —
+    `top_token_ratio` (share of the most frequent token) and
+    `dup_bigram_ratio` (share of bigram occurrences that repeat).
+
+    Shape: the top-token count needs per-(doc, token) grouping, so it
+    runs explode → two hash aggregates (both with map-side partials,
+    keyed by doc_id — uniform, skew-free). Bigram stats stay fully
+    native per row (zip_with over a shifted slice — see
+    dedup.shingles for why NOT to index the outer array in a lambda).
+    One equi-join on doc_id stitches the two.
+    """
+    t = tokens(text_col)
+    per_token = (
+        docs.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_token.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_count"),
+    )
+    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(
+            t,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat_ws(" ", a, b)
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    big = docs.select(
+        "doc_id",
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+    return big.join(per_doc, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("top_count") / F.col("n_tokens"), 4).alias(
+            "top_token_ratio"
+        ),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4),
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+# PII patterns kept to syntax shared verbatim by Java regex and
+# DuckDB's RE2 so the oracle can run the identical expressions.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_DIGITS = r"[0-9]{6,}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L6 (PII scrubbing): replace email addresses and long digit runs
+    with typed placeholder tokens — the standard pre-training redaction
+    pass. Pure regexp_replace expressions: stays in codegen, no Python
+    in the per-document hot loop."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+        PII_LONG_DIGITS,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        (scrubbed != F.col(text_col)).alias("was_scrubbed"),
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L4 (fingerprinting): polynomial rolling hash over tokens —
     order-sensitive (unlike a bag-of-words digest), so reordered

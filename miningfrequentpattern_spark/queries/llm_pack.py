@@ -449,3 +449,104 @@ def l09_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "l06b_repetition_signals",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(l) AS tok FROM t),
+    per_tok AS (SELECT doc_id, tok, count(*) AS c
+                FROM tok GROUP BY doc_id, tok),
+    per_doc AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_count
+                FROM per_tok GROUP BY doc_id),
+    big AS (SELECT doc_id,
+              list_filter(list_transform(list_zip(l, l[2:]),
+                          s -> s[1] || ' ' || s[2]), x -> x IS NOT NULL) AS bg
+            FROM t)
+    SELECT b.doc_id,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           round(p.top_count * 1.0 / p.n_tokens, 4) AS top_token_ratio,
+           CASE WHEN len(b.bg) > 0
+                THEN round(1 - len(list_distinct(b.bg)) * 1.0 / len(b.bg), 4)
+           END AS dup_bigram_ratio
+    FROM big b JOIN per_doc p USING (doc_id)
+    """,
+)
+def l06b_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (repetition): Gopher-style boilerplate/spam signals —
+    top-token share and duplicate-bigram share per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repetition_signals(docs)
+
+
+@query(
+    "l10_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+               '@example.com id ' || CAST(doc_id * 7919 + 1000000 AS VARCHAR)
+               AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS scrubbed_text,
+           true AS was_scrubbed
+    FROM aug
+    """,
+)
+def l10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (PII scrubbing): redact emails and long digit runs with typed
+    placeholders. The synthetic corpus contains no PII, so the query
+    first INJECTS a deterministic fake email + numeric id derived from
+    doc_id — proving the scrubber actually fires on every row (the
+    oracle performs the identical injection, and `was_scrubbed` must
+    come back true everywhere)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id "),
+            (F.col("doc_id") * 7919 + 1000000).cast("string"),
+        ),
+    )
+    return T.pii_scrub(docs)
+
+
+@query(
+    "l11_stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents)
+    SELECT doc_id, source, bucket FROM b
+    WHERE CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                               'src5','src6','src7','src8','src9')
+               THEN bucket < '80' ELSE bucket < '40' END
+    """,
+)
+def l11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-pack (domain mixing): deterministic per-source downsampling —
+    50% of src0-src9, 25% of the rest — by comparing the first md5
+    byte of the id against a per-source hex threshold. Same stability
+    contract as l09: reproducible across engines/runs, and adding new
+    documents never reshuffles old keep/drop decisions. At 100 TB this
+    is a stateless filter fused into the scan (no shuffle, no sort, no
+    sampling state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    half = [f"src{i}" for i in range(10)]
+    keep = F.when(
+        F.col("source").isin(*half), bucket < "80"
+    ).otherwise(bucket < "40")
+    return docs.select(
+        "doc_id", "source", bucket.alias("bucket")
+    ).filter(keep)
