@@ -441,3 +441,74 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             "iterations; raise max_iter (graph diameter exceeds it)"
         )
     return labels
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word-n-gram with an evaluation/benchmark document.
+
+    The standard pre-training hygiene pass (the public C4/GPT-3/LLaMA
+    recipes all ship a variant): any train doc overlapping an eval
+    prompt inflates benchmark scores and must be dropped. Returns
+    (id, n_benchmark_hits) for CONTAMINATED train docs only — the
+    join is the filter; clean docs never leave the scan.
+
+    Scale shape: the benchmark side is tiny compared to the corpus
+    (eval suites are thousands of docs vs billions), so its exploded
+    shingle set is BROADCAST — the 100 TB corpus streams map-side
+    through the hash join with no shuffle at all; the only exchange
+    is the final per-doc aggregate over the (small) hit set. Both
+    legs reuse `shingles`, so the train side stays linear per row.
+    """
+    tr = train.select(
+        F.col(id_col), F.explode(shingles("tokens", n)).alias("shingle")
+    )
+    be = benchmark.select(
+        F.col(id_col).alias("_bench_id"),
+        F.explode(shingles("tokens", n)).alias("shingle"),
+    )
+    return (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_bench_id").alias("n_benchmark_hits"))
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Keep-best near-dup resolution: one representative per cluster.
+
+    `components` is connected_components() output — only docs that
+    appear in some near-dup pair; every other doc is its own singleton
+    cluster (coalesce to own id after a LEFT join). The winner per
+    cluster is the highest-`quality_col` doc, id-tiebroken, so the
+    choice is total and deterministic.
+
+    Scale shape: the component map is proportional to the DUPLICATED
+    subset, not the corpus, so it is broadcast and the corpus never
+    shuffles for the join. The row_number window partitions by
+    component — millions of tiny groups, uniform, skew-free (the
+    giant component that would skew this is exactly what near-dup
+    thresholds prevent).
+    """
+    lab = docs.join(F.broadcast(components), id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    return lab.select(
+        id_col,
+        "component",
+        quality_col,
+        (F.row_number().over(w) == 1).alias("is_representative"),
+    )

@@ -79,3 +79,62 @@ def top_k_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed total-order ranking: exact global row_number()
+    WITHOUT the single-partition window.
+
+    `row_number() OVER (ORDER BY ...)` in Spark collapses the whole
+    relation into ONE WindowExec partition — the canonical scale
+    cliff for global ranking. The classic two-phase fix:
+
+      1. range-shuffle on the order keys (`repartitionByRange`), so
+         partition i holds rows strictly before partition i+1;
+      2. count rows per partition (tiny aggregate, P rows);
+      3. prefix-sum the counts into per-partition offsets (a window
+         over P rows, not N);
+      4. broadcast-join the offsets back and rank within each
+         partition in parallel: global rank = local row_number + offset.
+
+    So the full-data cost is one range exchange plus one in-partition
+    sort — the same work a global sort would do — and the relation is
+    never funneled through one task. `spark_partition_id()` is stable
+    across the plan's two uses of the shuffled leg: the exchange is
+    planned once and reused (ReusedExchange, asserted in
+    tests/test_plans.py), and RangePartitioner's sampling is
+    seed-deterministic per input split besides.
+
+    `order_exprs` must include a unique tiebreak column so the total
+    order (and thus the rank) is well-defined.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_exprs)
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_local) + F.col("_offset")).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )

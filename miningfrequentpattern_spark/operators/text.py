@@ -10,7 +10,7 @@ dominates the whole job.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny english stopword list — enough for ratio features; a real
@@ -221,4 +221,62 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         F.sha2(F.concat_ws(" ", t), 256).alias("exact_digest"),
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing (concat-and-chunk): assign every document a
+    token offset inside fixed-`budget` training sequences.
+
+    The standard LLM pre-training packing scheme: documents are
+    concatenated in a deterministic order and sliced into
+    `budget`-token chunks (docs may span chunk boundaries — that is
+    the concat-and-chunk contract, as opposed to bin-packing which
+    wastes tail tokens). Emits per doc: its token count, its global
+    start offset within its pack group, the chunk it starts in, and
+    how many chunks it spans.
+
+    Scale shape: a running-sum window must see its whole partition,
+    so packing GLOBALLY would be a single-partition sort — the
+    classic window scale-killer. Instead docs are packed within
+    (group_col, shard) cells, where shard is the first md5 nibble of
+    the id: 16 × |groups| independent cells, each windowed in
+    parallel, deterministic and engine-portable (same split contract
+    as the l09 hash split). Chunks never cross cells, which is what a
+    real pipeline wants anyway — each cell is one writer task.
+    """
+    t = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1).alias("shard"),
+        F.size(t).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq_start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "seq_start"
+    )
+    out = base.select(id_col, group_col, "shard", "n_tokens", seq_start)
+    chunk_id = F.floor(F.col("seq_start") / budget)
+    last_chunk = F.floor(
+        (F.col("seq_start") + F.col("n_tokens") - 1) / budget
+    )
+    return out.select(
+        id_col,
+        group_col,
+        "shard",
+        "n_tokens",
+        "seq_start",
+        chunk_id.alias("chunk_id"),
+        (last_chunk - chunk_id + 1).cast("long").alias("n_chunks"),
     )

@@ -550,3 +550,122 @@ def l11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "source", bucket.alias("bucket")
     ).filter(keep)
+
+
+@query(
+    "l12_decontaminate",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+               x -> x IS NOT NULL)) AS g
+           FROM t),
+    ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+    b AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 40 = 0),
+    tr AS (SELECT doc_id, s FROM ex WHERE doc_id % 40 != 0)
+    SELECT tr.doc_id, count(DISTINCT b.bench_id) AS n_benchmark_hits
+    FROM tr JOIN b ON tr.s = b.s
+    GROUP BY tr.doc_id
+    """,
+)
+def l12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-pack (decontamination): flag training docs sharing any
+    word-3-gram with a benchmark doc. The fixtures carry no eval
+    suite, so every 40th doc_id plays the benchmark role — the planted
+    near-dup pairs guarantee hits. Broadcast inverted-index join: the
+    corpus side never shuffles."""
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    train = docs.filter(F.col("doc_id") % 40 != 0)
+    return decontaminate(train, bench, n=3)
+
+
+@query(
+    "l13_sequence_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents),
+    w AS (
+      SELECT *,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS BIGINT) AS seq_start
+      FROM t)
+    SELECT doc_id, source, shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           seq_start,
+           CAST(floor(seq_start / 2048.0) AS BIGINT) AS chunk_id,
+           CAST(floor((seq_start + n_tokens - 1) / 2048.0)
+                - floor(seq_start / 2048.0) + 1 AS BIGINT) AS n_chunks
+    FROM w
+    """,
+)
+def l13_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-pack (sequence packing): concat-and-chunk token offsets into
+    2048-token training sequences, packed within (source, md5-shard)
+    cells so no window ever sees more than one cell."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.sequence_pack(docs, budget=2048)
+
+
+@query(
+    "l14_neardup_keep_best",
+    oracle="""
+    WITH RECURSIVE t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+               FROM documents),
+    sh AS (SELECT doc_id, lang,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+               x -> x IS NOT NULL)) AS g
+           FROM t),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+            >= 0.2),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT a AS d FROM und),
+    reach AS (
+      SELECT d, d AS r FROM nodes
+      UNION
+      SELECT reach.d, und.b AS r FROM reach JOIN und ON und.a = reach.r),
+    comp AS (SELECT d AS doc_id, min(r) AS component FROM reach GROUP BY d)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           d.n_chars,
+           row_number() OVER (
+             PARTITION BY coalesce(c.component, d.doc_id)
+             ORDER BY d.n_chars DESC, d.doc_id) = 1 AS is_representative
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def l14_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (keep-best resolution): pick the highest-n_chars doc per
+    near-dup cluster (singletons represent themselves). Completes the
+    dedup pipeline: pairs (l02) → clusters (l02e) → survivors (l14).
+
+    Oracle: the l02e recursive-CTE fixpoint, LEFT-joined back to all
+    documents with the same quality ranking."""
+    from ..operators.dedup import cluster_representatives
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    edges = ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.2)
+    comp = connected_components(edges)
+    return cluster_representatives(
+        docs.drop("tokens"), comp, quality_col="n_chars"
+    )

@@ -1034,3 +1034,28 @@ def r25_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="attr",
         valueColumnName="val",
     )
+
+
+@query(
+    "r26_global_order_rank",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+             AS global_rank
+    FROM orders
+    """,
+)
+def r26_global_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R26: exact global ranking of every order by total price —
+    distributed two-phase form (range shuffle + per-partition offsets),
+    NOT the single-partition `row_number() OVER (ORDER BY ...)` the
+    oracle uses. Same answer, parallel plan; see
+    operators/relational.py::global_row_number."""
+    from ..operators.relational import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+    return global_row_number(
+        o, [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    )

@@ -170,3 +170,62 @@ def test_embedding_neardup_single_plan(spark):
     # extra shuffles at this plan shape).
     exchanges = re.findall(r"\(\d+\) Exchange\b", p)
     assert len(exchanges) <= 2, p
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """l12: the benchmark shingle leg must broadcast so the corpus
+    side streams map-side — no shuffle of the big side for the join
+    (the only Exchange allowed is the final per-doc aggregate)."""
+    p = plan_of(spark, "l12_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_keep_best_broadcasts_components(spark):
+    """l14: the component map joins back to the corpus via broadcast;
+    the corpus never shuffles for the label join."""
+    p = plan_of(spark, "l14_neardup_keep_best")
+    assert "BroadcastHashJoin" in p
+
+
+def test_sequence_pack_windows_are_sharded(spark):
+    """l13: the packing window must partition by (source, shard) —
+    a single-partition global window (empty partitionBy) would be the
+    scale cliff the operator exists to avoid."""
+    import re
+
+    p = plan_of(spark, "l13_sequence_pack")
+    w = [l for l in p.splitlines() if re.search(r"\(\d+\) Window", l) or "partitionBy" in l]
+    # Formatted plans show window partition spec in the Arguments line.
+    args = [l for l in p.splitlines() if "windowspecdefinition" in l.lower()]
+    assert args, p
+    assert all("source" in a and "shard" in a for a in args), args
+
+
+def test_global_rank_avoids_single_partition_window(spark):
+    """r26: the two-phase rank must (a) range-shuffle the data,
+    (b) reuse that exchange across the counts and rank legs, and
+    (c) never plan a window with an empty partition spec over the
+    full relation."""
+    p = plan_of(spark, "r26_global_order_rank")
+    assert "rangepartitioning" in p.lower(), p
+    # Exchange reuse is an AQE runtime decision: it appears only in the
+    # final adaptive plan, so materialize before asserting it.
+    df = QUERIES["r26_global_order_rank"](spark, SF_ORACLE)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    final = buf.getvalue()
+    assert "ReusedExchange" in final, final
+    assert "isFinalPlan=true" in final, final
+    # Every windowspecdefinition must be keyed (by _pid) — an unkeyed
+    # spec starts directly with the order columns. The offsets window
+    # runs over P≈32 rows, which is fine; the DATA windows must carry
+    # the _pid key.
+    specs = [
+        l for l in p.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    data_specs = [s for s in specs if "_pid" in s or "o_totalprice" in s]
+    assert any("_pid" in s for s in data_specs), specs
