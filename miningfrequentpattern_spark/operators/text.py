@@ -280,3 +280,134 @@ def sequence_pack(
         chunk_id.alias("chunk_id"),
         (last_chunk - chunk_id + 1).cast("long").alias("n_chunks"),
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality score: per-document mean negative log2
+    probability under the corpus's own unigram language model. Low
+    scores = formulaic/repetitive text, high = rare-token soup; real
+    pipelines keep the middle band (CCNet buckets by LM perplexity).
+
+    Here the "LM" is the corpus unigram distribution itself, so the
+    whole operator is two aggregates and a join — no external model:
+      1. vocab: token → corpus count (hash agg, map-side partial);
+      2. per-token surprise: -log2(count / total);
+      3. per-doc mean over its tokens.
+
+    Scale shape: the exploded corpus joins the vocab on token, which
+    is Zipf-skewed — 'the' would own a shuffle partition — so the
+    vocab leg is BROADCAST (a real pipeline prunes to top-K tokens +
+    an OOV floor, which keeps it broadcastable at any corpus size;
+    the fixtures' synthetic vocab is ~2k tokens). The total-token
+    count rides along as a 1-row broadcast cross join, same pattern
+    as m03's threshold.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = tok.join(F.broadcast(vocab), "tok").crossJoin(
+        F.broadcast(total)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("c") / F.col("total"))), 4
+            ).alias("avg_neg_log2p"),
+        )
+    )
+
+
+def chunk_with_overlap(
+    docs: DataFrame,
+    chunk_size: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / long-context training
+    prep): split every document into `chunk_size`-token windows that
+    step by `chunk_size - overlap`, so consecutive chunks share
+    `overlap` tokens and no split point loses bridging context.
+
+    Start positions are emitted while start ≤ max(n - overlap, 1):
+    the final window may be short, but a window consisting ONLY of
+    already-covered overlap tokens is never produced.
+
+    Scale shape: pure native expressions — sequence() to generate the
+    start offsets, explode, slice() per chunk. No shuffle at all; the
+    output is the scan fanned out by the ~1/(1-overlap/size) blowup
+    every chunker pays. Fully parallel per input split.
+    """
+    step = chunk_size - overlap
+    t = tokens(text_col)
+    base = docs.select(
+        F.col(id_col), t.alias("_toks"), F.size(t).alias("_n")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("_n") - overlap, F.lit(1)),
+        F.lit(step),
+    )
+    ch = base.select(
+        F.col(id_col), "_toks", F.explode(starts).alias("start_token")
+    )
+    piece = F.slice(F.col("_toks"), F.col("start_token"), chunk_size)
+    return ch.select(
+        id_col,
+        ((F.col("start_token") - 1) / step).cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(piece).cast("long").alias("chunk_len"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (tfidf = tf · (ln((N+1)/(df+1)) + 1), the scikit-learn smoothing).
+
+    Scale shape: tf is a (doc, token) hash aggregate keyed by doc —
+    uniform. df is a distinct + token aggregate whose OUTPUT is
+    vocab-sized, so the join back to the tf relation broadcasts the
+    df leg rather than shuffling the corpus on Zipf-skewed tokens.
+    N rides as a 1-row broadcast. Top-k prunes inside WindowExec
+    (rank ≤ k) partitioned by doc — millions of tiny uniform groups.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(df_), "tok").crossJoin(F.broadcast(n_docs))
+    tfidf = F.round(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        4,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.select(
+            id_col,
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            tfidf.alias("tfidf"),
+        )
+        .withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+    )

@@ -669,3 +669,83 @@ def l14_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(
         docs.drop("tokens"), comp, quality_col="n_chars"
     )
+
+
+@query(
+    "l15_unigram_logprob",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM t)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-log2(v.c * 1.0 / n.total)), 4) AS avg_neg_log2p
+    FROM t JOIN v USING (tok) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+)
+def l15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (LM quality score, CCNet-style): per-doc mean unigram
+    surprise under the corpus's own token distribution — the
+    perplexity-bucket signal without an external model."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_logprob_score(docs)
+
+
+@query(
+    "l16_chunk_overlap",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l
+               FROM documents),
+    s AS (SELECT doc_id, l,
+                 unnest(generate_series(1, greatest(len(l) - 32, 1), 224))
+                   AS start_token
+          FROM t)
+    SELECT doc_id,
+           CAST((start_token - 1) / 224 AS BIGINT) AS chunk_idx,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(len(l[start_token:start_token + 255]) AS BIGINT)
+             AS chunk_len,
+           array_to_string(l[start_token:start_token + 255], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def l16_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (chunking): 256-token windows stepping by 224 (32-token
+    overlap) — RAG / long-context training prep. All native sequence/
+    slice expressions; zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_with_overlap(docs, chunk_size=256, overlap=32)
+
+
+@query(
+    "l17_tfidf_topterms",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf
+           FROM t GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1), 4)
+               AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS term_rank
+      FROM scored)
+    SELECT doc_id, tok, tf, df, tfidf, term_rank
+    FROM ranked WHERE term_rank <= 5
+    """,
+)
+def l17_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (keywords): per-doc top-5 terms by smoothed TF-IDF; the df
+    leg is vocab-sized and broadcast so the corpus never shuffles on
+    Zipf-skewed tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, k=5)

@@ -93,3 +93,41 @@ def dedup_events(events: DataFrame, keys: list[str], ts_col: str = "ts") -> Data
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T7: stream-stream interval join — purchases within `horizon`
+    after a click by the same user (the streaming twin of batch query
+    r06_click_to_purchase_10min).
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times against each other, which is what lets Structured
+    Streaming EVICT buffered state: a buffered click can be dropped
+    once the purchase watermark passes click.ts + horizon, so state is
+    O(events within the watermark window), not O(stream). Without the
+    time-interval condition the join would buffer both streams
+    forever — the stream-stream scale cliff.
+
+    The equi-key (user_id) carries the shuffle exactly as in the
+    batch plan; each side shuffles once.
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") > F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.round(
+            F.col("p.ts").cast("double") - F.col("c.ts").cast("double"), 4
+        ).alias("gap_sec"),
+    )

@@ -115,3 +115,45 @@ def test_stream_foreachbatch_mining(spark):
         for r in fit_fpgrowth(baskets, min_support=0.2).freqItemsets.collect()
     }
     assert mined == want
+
+
+def test_stream_stream_interval_join(spark):
+    """T7: stream-stream interval join over the replay == the batch
+    range join (r06 semantics). availableNow replay closes every
+    watermark, so the emitted pair set must be exactly the batch one."""
+    from miningfrequentpattern_spark.streaming.windows import (
+        click_purchase_join_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    _run_to_memory(
+        click_purchase_join_stream(clicks, purchases), "ss_join", "append"
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_sec)
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = ev.filter(F.col("event_type") == "click").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    want = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_sec)
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("click_id"),
+            F.col("b.event_id").alias("purchase_id"),
+            F.round(
+                F.col("b.ts").cast("double") - F.col("a.ts").cast("double"), 4
+            ).alias("gap_sec"),
+        )
+        .collect()
+    }
+    assert got == want
