@@ -749,3 +749,18 @@ def l17_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-skewed tokens."""
     docs = load_table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(docs, k=5)
+
+
+@query("l18_semantic_neardup")
+def l18_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (semantic, clustered): embedding near-dup pairs blocked by a
+    seeded KMeans coarse quantizer — Σ cluster² pair space with exact
+    cosine scoring inside clusters. Rows-only (MLlib KMeans centroids
+    are engine-specific); subset-of-exact and recall vs l02d are
+    asserted in tests/test_llm.py."""
+    from ..operators.dedup import semantic_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_neardup_pairs(
+        emb, threshold=0.35, n_clusters=16, seed=42
+    )

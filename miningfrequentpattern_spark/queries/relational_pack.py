@@ -1059,3 +1059,29 @@ def r26_global_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(
         o, [F.desc("o_totalprice"), F.asc("o_orderkey")]
     )
+
+
+@query(
+    "r27_variant_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events WHERE event_id < 2000
+    """,
+)
+def r27_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21-extension: semi-structured access through the VARIANT type
+    (Spark 4) — parse_json once into a binary variant, then typed
+    path extraction with try_variant_get. Unlike from_json (r21) no
+    schema is declared up front, which is the 100 TB posture for
+    heterogeneous JSON: parse once, push typed path probes down to
+    each consumer."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_mod"),
+    )

@@ -248,3 +248,82 @@ def u03_udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.token
         """
     )
+
+
+@query(
+    "s07_python_datasource",
+    oracle="""
+    WITH t AS (SELECT unnest(generate_series(0, 3999)) AS txn_id)
+    SELECT 'item' || CAST((txn_id * 7919) % 100 AS VARCHAR) AS item,
+           count(*) AS n_txns,
+           min(txn_id) AS first_txn
+    FROM t GROUP BY item
+    """,
+)
+def s07_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension: custom Python Data Source (Spark 4 DataSource API)
+    — a partition-parallel synthetic transaction generator, 4 splits ×
+    1000 rows, each split generated executor-side from its index. The
+    deterministic row formula lets DuckDB regenerate the identical
+    rows from generate_series, so even a connector with no files
+    behind it is hash-verified."""
+    from ..sources.pydatasource import SyntheticTxnDataSource
+
+    spark.dataSource.register(SyntheticTxnDataSource)
+    df = (
+        spark.read.format("synthetic_txns")
+        .option("partitions", "4")
+        .option("rowsPerPartition", "1000")
+        .load()
+    )
+    return df.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_txns"),
+        F.min("txn_id").alias("first_txn"),
+    )
+
+
+@query(
+    "u04_arrow_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS emb_dim,
+           round(sqrt(list_sum(list_transform(
+             CAST(embedding AS DOUBLE[]), x -> x*x))), 4) AS emb_norm
+    FROM embeddings
+    """,
+)
+def u04_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (mapInArrow): per-vector L2 norms computed at the Arrow
+    RecordBatch level — zero-copy offsets + np.add.reduceat over the
+    flattened values, never a per-row Python loop. The explicit Arrow
+    seam for numeric kernels that outgrow SQL expressions but don't
+    need pandas; oracle-checked against the native list-fold math."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batch_norms(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            lists = batch.column(1)
+            flat = lists.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            # value offsets give each row's [start, end) in the flat
+            # buffer; reduceat sums squares per row in one vector op.
+            offsets = lists.offsets.to_numpy()[:-1] - lists.offsets[0].as_py()
+            dims = np.diff(np.append(offsets, len(flat)))
+            norms = np.sqrt(np.add.reduceat(flat * flat, offsets))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(dims.astype("int64")),
+                    pa.array(np.round(norms, 4)),
+                ],
+                names=["vec_id", "emb_dim", "emb_norm"],
+            )
+
+    return emb.mapInArrow(
+        batch_norms, schema="vec_id BIGINT, emb_dim BIGINT, emb_norm DOUBLE"
+    )

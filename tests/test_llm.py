@@ -223,3 +223,36 @@ def test_embedding_neardup_no_driver_path(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_semantic_neardup_subset_and_recall(spark):
+    """Cluster-blocked pairs must be a SUBSET of the exact cosine
+    pairs (precision 1: true cosine, same threshold) and recall a
+    solid fraction of them (planted near-dups are ~parallel vectors,
+    so they co-cluster under any reasonable quantizer)."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        semantic_neardup_pairs,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs(
+            emb, threshold=0.35, n_clusters=16, seed=42
+        ).collect()
+    }
+    assert sem <= exact, f"false positives: {sorted(sem - exact)[:5]}"
+    assert exact, "fixture lost its planted near-dups"
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.5, f"semantic recall too low: {recall}"
