@@ -1085,3 +1085,43 @@ def r27_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_val"),
         (k % 10).alias("k_mod"),
     )
+
+
+# The SAME SQL text runs on both engines (Spark 4 recursive CTE and
+# DuckDB) — the strongest possible parity statement for the surface.
+# Spark restricts recursion to UNION ALL (no UNION-distinct), so the
+# walk must be acyclic: each step follows lead() to the strictly-next
+# order, terminating at the chain tail. Depth = max orders per
+# customer (25 on the fixtures, limit 100 via
+# spark.sql.cteRecursionLevelLimit).
+_R28_SQL = """
+    WITH RECURSIVE nxt AS (
+      SELECT o_custkey, o_orderkey,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS next_key,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    chain(o_custkey, o_orderkey, hop) AS (
+      SELECT o_custkey, o_orderkey, 1 AS hop FROM nxt WHERE rn = 1
+      UNION ALL
+      SELECT n.o_custkey, n.next_key, c.hop + 1
+      FROM chain c
+      JOIN nxt n ON n.o_orderkey = c.o_orderkey
+      WHERE n.next_key IS NOT NULL
+    )
+    SELECT o_custkey, o_orderkey, hop FROM chain
+"""
+
+
+@query("r28_recursive_order_chain", oracle=_R28_SQL)
+def r28_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R28 (recursive CTE, Spark 4): walk each customer's orders
+    date-forward hop by hop. Query and oracle are the IDENTICAL SQL
+    string — Spark's iterative UnionLoop vs DuckDB's recursive CTE
+    must converge to the same fixpoint."""
+    for t in ("orders",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_R28_SQL)

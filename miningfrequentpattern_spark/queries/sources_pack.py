@@ -327,3 +327,37 @@ def u04_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         batch_norms, schema="vec_id BIGINT, emb_dim BIGINT, emb_norm DOUBLE"
     )
+
+
+@query(
+    "s08_xml_roundtrip",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 4) AS total_balance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def s08_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 (XML, Spark 4 built-in source): supplier → XML → read
+    back (schema re-inferred from the documents) → join + aggregate.
+    The oracle runs on the originating parquet fixture, so the
+    round trip proves the XML reader loses nothing. XML parses
+    row-at-a-time with no pushdown — documented as ingestion-only;
+    the small supplier dim keeps the proof cheap."""
+    from ..sources.io import read_xml, write_xml
+
+    s = load_table(spark, sf_dir, "supplier")
+    path = _scratch("xml")
+    write_xml(s, path, row_tag="supplier")
+    back = read_xml(spark, path, row_tag="supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        back.join(n, back.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_balance"),
+        )
+    )

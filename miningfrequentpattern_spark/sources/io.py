@@ -155,3 +155,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return stream
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+    """S3 (XML, built into Spark 4): record-oriented XML ingestion.
+    XML is row-at-a-time parsed (no columnar pushdown) — at scale it
+    is an INGESTION format only: read once, convert to parquet, query
+    the parquet."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """S4 (XML sink): for handoff to XML-consuming systems only —
+    never as an analytic layout (text-encoded, unsplittable values,
+    no stats)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
