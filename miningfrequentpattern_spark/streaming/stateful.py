@@ -117,3 +117,71 @@ def mine_stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+try:  # Spark 4 transformWithState surface; absent on older runtimes.
+    from pyspark.sql.streaming import StatefulProcessor as _StatefulProcessor
+except ImportError:  # pragma: no cover
+    _StatefulProcessor = object
+
+
+class RunningCountsProcessor(_StatefulProcessor):
+    """T5 (Spark 4 transformWithStateInPandas): the same running
+    (events, purchases) per-user state as _update_user_counts, on the
+    modern StatefulProcessor API — typed state handles (getValueState)
+    instead of a raw tuple; the surface that also offers timers, TTL
+    and list/map state for richer operators. State remains O(#users).
+    """
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self._state = handle.getValueState(
+            "counts",
+            StructType(
+                [StructField("n", LongType()), StructField("p", LongType())]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, p = self._state.get()
+        else:
+            n, p = 0, 0
+        for pdf in rows:
+            n += len(pdf)
+            p += int((pdf["event_type"] == "purchase").sum())
+        self._state.update((n, p))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_purchases": [p]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_counts_tws(events_stream: DataFrame) -> DataFrame:
+    """T5 (modern form): arbitrary stateful processing via
+    transformWithStateInPandas — result-identical to
+    running_user_counts_stream (asserted in tests/test_streaming.py,
+    skipped where the runtime lacks TWS's protobuf dependency: the
+    state-server protocol needs google.protobuf, which this container
+    does not bundle; the applyInPandasWithState twin above is the
+    always-available path)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(pyspark[connect] extra); use running_user_counts_stream "
+            "on runtimes without it"
+        )
+    return (
+        events_stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningCountsProcessor(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -229,3 +229,12 @@ def test_global_rank_avoids_single_partition_window(spark):
     ]
     data_specs = [s for s in specs if "_pid" in s or "o_totalprice" in s]
     assert any("_pid" in s for s in data_specs), specs
+
+
+def test_lm_score_and_tfidf_broadcast_vocab(spark):
+    """l15/l17: the vocab/df legs must broadcast — a hash shuffle on
+    Zipf-skewed tokens would put 'the' on one task at scale."""
+    for q in ("l15_unigram_logprob", "l17_tfidf_topterms"):
+        p = plan_of(spark, q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q

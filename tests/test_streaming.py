@@ -157,3 +157,32 @@ def test_stream_stream_interval_join(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_transform_with_state(spark):
+    """T5 (Spark 4 transformWithStateInPandas): final per-user state
+    == batch group counts — same contract as the
+    applyInPandasWithState twin."""
+    import pytest
+
+    pytest.importorskip("google.protobuf", reason="TWS state protocol needs google.protobuf")
+    from miningfrequentpattern_spark.streaming.stateful import (
+        running_user_counts_tws,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(running_user_counts_tws(stream), "tws_counts")
+    got = {
+        r.user_id: (r.n_events, r.n_purchases)
+        for r in spark.sql("SELECT * FROM tws_counts").collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("p"),
+        )
+    )
+    want = {r.user_id: (r.n, r.p) for r in batch.collect()}
+    assert got == want
