@@ -45,6 +45,12 @@ HEADLINE = [
     "t01_tumbling_window",
     "t03_session_window",
     "t05b_stateful_user_counts_native",
+    # round-2 additions — one per new plan family
+    "l12_decontaminate",
+    "l13_sequence_pack",
+    "l15_unigram_logprob",
+    "l17_tfidf_topterms",
+    "r26_global_order_rank",
 ]
 
 
