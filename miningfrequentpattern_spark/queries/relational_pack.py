@@ -1125,3 +1125,25 @@ def r28_recursive_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders",):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_R28_SQL)
+
+
+@query("r29_hll_sketches")
+def r29_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10-extension (mergeable sketches, Spark 4 datasketches): per
+    return-flag HLL distinct-part estimates via
+    hll_sketch_agg/hll_sketch_estimate. The point at 100 TB is
+    MERGEABILITY: sketch partials combine across partitions/days in
+    the map-side aggregate, unlike exact COUNT(DISTINCT) whose shuffle
+    grows with cardinality. Rows-only (sketch binary is
+    engine-specific); accuracy vs exact is asserted in
+    tests/test_smoke.py (±3%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").alias(
+                "approx_parts"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -361,3 +361,32 @@ def s08_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 4).alias("total_balance"),
         )
     )
+
+
+from ..functions.zorder import morton2_sql as _m2sql
+
+_S09_ORACLE = f"""
+    SELECT event_id,
+           {_m2sql("user_id", "CAST(floor(epoch(ts) / 3600) AS BIGINT)")}
+             AS zval
+    FROM events WHERE event_id < 2000
+    """
+
+
+@query("s09_zorder_key", oracle=_S09_ORACLE)
+def s09_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension (layout): Morton z-order key over (user_id,
+    hour-bucket) for the events table — the multi-dimensional
+    clustering key that, with repartitionByRange(zval) + a sorted
+    write, bounds BOTH dimensions' min/max span per file so parquet
+    stats prune scans on either predicate (Delta/Iceberg's ZORDER BY,
+    as a plain expression). Oracle computes the identical bit-interleave
+    formula text in DuckDB."""
+    from ..functions.zorder import morton2
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    return ev.select(
+        "event_id",
+        morton2(F.col("user_id"), hour).alias("zval"),
+    )

@@ -86,3 +86,65 @@ def test_salted_join_matches_plain(spark):
             .collect()
         }
         assert plain == salted, how
+
+
+def test_hll_sketch_accuracy(spark):
+    """r29: HLL estimates must land within 3% of exact distinct counts
+    (lgConfigK default 12 -> ~1.6% RSE)."""
+    from miningfrequentpattern_spark.queries.registry import (
+        QUERIES,
+        load_all_packs,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_ORACLE
+
+    load_all_packs()
+    got = {
+        r.l_returnflag: r.approx_parts
+        for r in QUERIES["r29_hll_sketches"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r.l_returnflag: r.d
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.03, (k, est, exact[k])
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """s09's reason to exist: range-bucketing by the Morton key must
+    bound BOTH dimensions' span per bucket, where single-column
+    sorting bounds only its own. Checked on a synthetic 64×64 grid
+    split into 16 z-range buckets: every bucket's user-span AND
+    hour-span must be ≤ 1/2 of the full domain (z-order guarantees
+    ~sqrt tiling; a time-sorted layout gives full-domain user spans)."""
+    from miningfrequentpattern_spark.functions.zorder import morton2
+    from pyspark.sql import functions as F
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("user"),
+        (F.col("id") / 64).cast("long").alias("hour"),
+    )
+    z = grid.select(
+        "user", "hour", morton2(F.col("user"), F.col("hour")).alias("zval")
+    )
+    # 16 equal z-range buckets == 16 files of a range-partitioned write.
+    b = z.withColumn("bucket", F.floor(F.col("zval") / (64 * 64 / 16)))
+    spans = (
+        b.groupBy("bucket")
+        .agg(
+            (F.max("user") - F.min("user")).alias("user_span"),
+            (F.max("hour") - F.min("hour")).alias("hour_span"),
+        )
+        .collect()
+    )
+    assert len(spans) == 16
+    for r in spans:
+        assert r.user_span <= 32, r
+        assert r.hour_span <= 32, r
