@@ -106,3 +106,49 @@ def extract_media_features(media_df: DataFrame, batch_size: int | None = None) -
                 yield _decode_batch(pdf)
 
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_len BIGINT, frame_md5 STRING"
+
+
+def sample_frames(media_df: DataFrame, frame_bytes: int = 32) -> DataFrame:
+    """L7: frame sampling over a binary "video" column — the fan-out
+    twin of `extract_media_features` (one input row → many frames).
+
+    The stub treats the blob as a fixed-rate stream and cuts it into
+    consecutive `frame_bytes` windows (a real decoder would seek
+    keyframes with ffmpeg at this exact seam); each frame is emitted as
+    (index, byte length, md5). Deterministic by construction, so the
+    whole mapInPandas fan-out is oracle-checkable against SQL substring
+    math. Output size is len/frame_bytes rows per input — the Arrow
+    iterator shape keeps peak memory at one input batch regardless of
+    fan-out, and frames inherit the scan's partitioning (no shuffle).
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            digests: list[str] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                blob = bytes(blob)
+                for k in range(max(1, -(-len(blob) // frame_bytes))):
+                    frame = blob[k * frame_bytes : (k + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    lens.append(len(frame))
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -764,3 +764,148 @@ def l18_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_neardup_pairs(
         emb, threshold=0.35, n_clusters=16, seed=42
     )
+
+
+@query(
+    "l07c_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(range(0, greatest((length(text) + 31) // 32, 1)))
+               AS frame_idx
+      FROM documents)
+    SELECT f.doc_id,
+           frame_idx,
+           length(substr(d.text, frame_idx * 32 + 1, 32))::BIGINT
+             AS frame_len,
+           md5(substr(d.text, frame_idx * 32 + 1, 32)) AS frame_md5
+    FROM f JOIN documents d USING (doc_id)
+    """,
+)
+def l07c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 (frame sampling): cut each media blob into fixed-rate 32-byte
+    "frames" via a fan-out mapInPandas (one input row → many frame
+    rows) — the video-frame-sampling shape with the codec stubbed
+    deterministically (operators/multimodal.py::sample_frames). The
+    fixture media is the UTF-8 text bytes, so the Arrow-batched Python
+    fan-out is exactly reproducible by SQL substring math — the oracle
+    checks the whole plumbing (batch iteration, fan-out, hashing), not
+    a fake. Frames inherit the scan's partitioning; no shuffle."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_media(docs), frame_bytes=32)
+
+
+@query(
+    "l19_duplicate_ngram_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, len(l) - 6),
+                   i -> array_to_string(l[i:i+7], ' '))) AS spans
+          FROM t WHERE len(l) >= 8),
+    e AS (SELECT doc_id, unnest(spans) AS span FROM g)
+    SELECT span, count(*) AS n_docs
+    FROM e GROUP BY span HAVING count(*) >= 2
+    """,
+)
+def l19_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (substring-level dedup): 8-token spans occurring in more than
+    one document — the cross-document repeated-substring signal behind
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022), approximated at fixed n instead of suffix arrays.
+
+    Shape: sliding windows via native sequence/slice/transform (inside
+    codegen, no Python), array_distinct per doc so a span counts once
+    per document, then one hash aggregate keyed on the span. At 100 TB
+    the only change is shuffling on xxhash64(span) instead of the
+    span text (narrower shuffle rows) and pre-filtering singleton
+    spans with a count-min pass; the plan shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    spans = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(7)),
+            lambda i: F.array_join(F.slice(toks, i, 8), " "),
+        )
+    )
+    return (
+        docs.filter(F.size(toks) >= 8)
+        .select("doc_id", spans.alias("spans"))
+        .select("doc_id", F.explode("spans").alias("span"))
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "l20_quality_buckets",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM t),
+    s AS (
+      SELECT t.doc_id,
+             round(avg(-log2(v.c * 1.0 / n.total)), 4) AS avg_neg_log2p
+      FROM t JOIN v USING (tok) CROSS JOIN n
+      GROUP BY t.doc_id),
+    r AS (
+      SELECT doc_id, avg_neg_log2p,
+             row_number() OVER (ORDER BY avg_neg_log2p, doc_id) AS ppl_rank,
+             count(*) OVER () AS n_docs
+      FROM s)
+    SELECT doc_id, avg_neg_log2p, ppl_rank,
+           CAST(least(9, (ppl_rank - 1) * 10 // n_docs) + 1 AS BIGINT)
+             AS ppl_decile,
+           (least(9, (ppl_rank - 1) * 10 // n_docs) + 1) <= 8 AS is_kept
+    FROM r
+    """,
+)
+def l20_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (perplexity-bucket curation, CCNet-style): rank every doc by
+    its unigram LM surprise (l15's score), cut the corpus into 10
+    equal-width deciles, and keep the best 80% — the "bucket by
+    perplexity, drop the tail" curation step of CCNet/CC-pipeline
+    recipes.
+
+    The global rank uses the two-phase distributed form
+    (operators/relational.py::global_row_number) — never a
+    single-partition ORDER BY window — and the doc count rides in on a
+    broadcast 1-row cross join, so every stage stays parallel at any
+    corpus size. Decile = explicit width formula over (rank, N),
+    bit-identical on both engines."""
+    from ..operators.relational import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.unigram_logprob_score(docs).select("doc_id", "avg_neg_log2p")
+    ranked = global_row_number(
+        scored,
+        [F.asc("avg_neg_log2p"), F.asc("doc_id")],
+        rank_col="ppl_rank",
+    )
+    # One score row per document is guaranteed (split of even an empty
+    # trimmed text yields one token), so N comes from the raw scan — a
+    # pruned count, not a re-evaluation of the scoring pipeline.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    decile = (
+        F.least(
+            F.lit(9),
+            F.floor((F.col("ppl_rank") - 1) * 10 / F.col("n_docs")),
+        )
+        + 1
+    ).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "avg_neg_log2p",
+            "ppl_rank",
+            decile.alias("ppl_decile"),
+            (decile <= 8).alias("is_kept"),
+        )
+    )

@@ -1147,3 +1147,115 @@ def r29_hll_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R30/R31: subquery surfaces — correlated scalar + lateral join
+# ---------------------------------------------------------------------------
+
+# Identical SQL text on both engines (same posture as r28): the
+# correlated scalar subquery is the decorrelation test — Catalyst
+# rewrites it to an aggregate + join (never a per-row re-execution),
+# which is the only shape that survives 100 TB. The inner aggregate
+# groups on c_nationkey (25 keys) and broadcasts back.
+_R30_SQL = """
+    SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@query("r30_above_nation_avg", oracle=_R30_SQL)
+def r30_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R30 (correlated scalar subquery): customers above their own
+    nation's average balance. Query and oracle are the identical SQL
+    string; `.explain` shows the decorrelated Aggregate←BroadcastJoin,
+    not a nested-loop re-evaluation."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_R30_SQL)
+
+
+_R31_SQL = """
+    SELECT n_name, s_name, round(s_acctbal, 4) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT s_name, s_acctbal FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name LIMIT 2) top2
+"""
+
+
+@query("r31_lateral_top_suppliers", oracle=_R31_SQL)
+def r31_lateral_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R31 (lateral join): per-nation top-2 suppliers via a correlated
+    LATERAL subquery with ORDER BY + LIMIT (Spark 4 decorrelates it
+    into a partitioned window rank — the same physical plan as r12's
+    explicit formulation, proving the two surfaces converge). Identical
+    SQL text runs on DuckDB."""
+    for t in ("nation", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_R31_SQL)
+
+
+# ---------------------------------------------------------------------------
+# R32: incremental upsert / MERGE emulation (CDC shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "r32_incremental_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, round(sum(o_totalprice), 4) AS spend,
+             count(*) AS n_orders
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey),
+    delta AS (
+      SELECT o_custkey, round(sum(o_totalprice), 4) AS spend,
+             count(*) AS n_orders
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey)
+    SELECT coalesce(b.o_custkey, d.o_custkey) AS o_custkey,
+           round(coalesce(b.spend, 0) + coalesce(d.spend, 0), 4)
+             AS total_spend,
+           coalesce(b.n_orders, 0) + coalesce(d.n_orders, 0)
+             AS total_orders,
+           CASE WHEN b.o_custkey IS NULL THEN 'insert'
+                WHEN d.o_custkey IS NULL THEN 'unchanged'
+                ELSE 'update' END AS merge_op
+    FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+    """,
+)
+def r32_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R32 (MERGE/upsert emulation): fold a change-set (orders on or
+    after the cutover) into a base snapshot (orders before it) with
+    insert/update/unchanged disposition per key — the CDC merge shape
+    Delta's MERGE INTO performs, expressed as aggregate + full outer
+    join so it runs on plain parquet. Both legs pre-aggregate before
+    the join (partial map-side combine), so the shuffle carries one
+    row per customer per leg, not raw orders; at 100 TB both legs
+    would additionally bucket by key, making the merge shuffle-free."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def leg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = leg(orders.filter(F.col("o_orderdate") < cut))
+    delta = leg(orders.filter(F.col("o_orderdate") >= cut))
+    b, d = base.alias("b"), delta.alias("d")
+    return b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full").select(
+        F.coalesce("b.o_custkey", "d.o_custkey").alias("o_custkey"),
+        F.round(
+            F.coalesce("b.spend", F.lit(0)) + F.coalesce("d.spend", F.lit(0)), 4
+        ).alias("total_spend"),
+        (
+            F.coalesce("b.n_orders", F.lit(0)) + F.coalesce("d.n_orders", F.lit(0))
+        ).alias("total_orders"),
+        F.when(F.col("b.o_custkey").isNull(), "insert")
+        .when(F.col("d.o_custkey").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("merge_op"),
+    )

@@ -238,3 +238,63 @@ def test_lm_score_and_tfidf_broadcast_vocab(spark):
         p = plan_of(spark, q)
         assert "BroadcastHashJoin" in p, q
         assert "SortMergeJoin" not in p, q
+
+
+def test_correlated_subquery_decorrelates(spark):
+    # r30's scalar subquery must plan as aggregate + broadcast join,
+    # never a per-row nested-loop re-execution of the inner query.
+    p = plan_of(spark, "r30_above_nation_avg")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_lateral_limit_becomes_window_rank(spark):
+    # r31's LATERAL ... ORDER BY ... LIMIT decorrelates into a
+    # partitioned window rank (same physical family as r12), not a
+    # per-outer-row nested loop.
+    p = plan_of(spark, "r31_lateral_top_suppliers")
+    assert "Window" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_upsert_legs_preaggregate_before_join(spark):
+    # r32: both merge legs must combine map-side (partial+final hash
+    # aggregate) BEFORE the full outer join, so the join shuffle
+    # carries one row per key per leg.
+    p = plan_of(spark, "r32_incremental_upsert")
+    assert p.count("HashAggregate") >= 4  # partial+final on each leg
+
+
+def test_frame_sample_fanout_has_no_shuffle(spark):
+    # l07c: mapInPandas fan-out inherits the scan's partitioning;
+    # any Exchange here would mean frames are being shuffled for
+    # no reason.
+    p = plan_of(spark, "l07c_frame_sample")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_ngram_spans_single_shuffle_native_exprs(spark):
+    # l19: the sliding-window spans must be native codegen
+    # expressions (no Python eval) and the whole query one hash
+    # aggregate shuffle on the span key.
+    p = plan_of(spark, "l19_duplicate_ngram_spans")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("hashpartitioning(") == 1, p
+
+
+def test_quality_buckets_avoid_global_window(spark):
+    # l20: the decile rank must come from the two-phase distributed
+    # form — no ORDER-BY-only (unpartitioned) WindowExec over the
+    # corpus. Single-partition exchanges may appear only on tiny
+    # legs (per-partition offset counts, the 1-row doc count).
+    p = plan_of(spark, "l20_quality_buckets")
+    assert "rangepartitioning" in p.lower(), p
+    # Every windowspecdefinition touching data columns must be keyed
+    # by _pid (the per-partition rank); the only unkeyed window
+    # allowed is the offsets prefix-sum over P≈32 count rows.
+    specs = [
+        l for l in p.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    data_specs = [s for s in specs if "avg_neg_log2p" in s]
+    assert data_specs and all("_pid" in s for s in data_specs), specs
