@@ -1259,3 +1259,31 @@ def r32_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("merge_op"),
     )
+
+
+@query("r33_approx_topk")
+def r33_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10-extension (frequent-items sketch, Spark 4 datasketches):
+    per-return-flag top-5 parts via approx_top_k. Like r29's HLL, the
+    win at 100 TB is MERGEABILITY — sketch partials combine map-side,
+    so the shuffle carries one bounded sketch per group instead of a
+    (group × item) explosion; exact top-k would shuffle every distinct
+    pair. maxItemsTracked=8192 bounds executor memory regardless of
+    item cardinality. Rows-only (tie order and eviction are
+    engine-specific); count accuracy vs the exact aggregate is
+    asserted in tests/test_smoke.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("approx_top_k(l_partkey, 5, 8192)").alias("top_parts"))
+        .select(
+            "l_returnflag",
+            F.posexplode("top_parts").alias("pos", "entry"),
+        )
+        .select(
+            "l_returnflag",
+            (F.col("pos") + 1).alias("rank"),
+            F.col("entry.item").alias("l_partkey"),
+            F.col("entry.count").alias("approx_count"),
+        )
+    )

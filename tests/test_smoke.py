@@ -148,3 +148,37 @@ def test_zorder_bounds_both_dimensions(spark):
     for r in spans:
         assert r.user_span <= 32, r
         assert r.hour_span <= 32, r
+
+
+def test_approx_topk_matches_exact_counts(spark):
+    """r33: with maxItemsTracked far above the item cardinality the
+    sketch degenerates to exact counting — every reported (flag, part)
+    count must equal the exact aggregate, and each flag's top-5 counts
+    must be the 5 largest exact counts (item ties may reorder)."""
+    from miningfrequentpattern_spark.queries.registry import (
+        QUERIES,
+        load_all_packs,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_ORACLE
+
+    load_all_packs()
+    got = QUERIES["r33_approx_topk"](spark, SF_ORACLE).collect()
+    exact = {
+        (r.l_returnflag, r.l_partkey): r.c
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    by_flag: dict = {}
+    for r in got:
+        assert exact[(r.l_returnflag, r.l_partkey)] == r.approx_count, r
+        by_flag.setdefault(r.l_returnflag, []).append(r.approx_count)
+    for flag, counts in by_flag.items():
+        top5 = sorted(
+            (c for (f, _), c in exact.items() if f == flag), reverse=True
+        )[:5]
+        assert sorted(counts, reverse=True) == top5, (flag, counts, top5)
