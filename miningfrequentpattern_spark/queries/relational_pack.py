@@ -368,13 +368,21 @@ def r09_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("r10_approx_aggregates")
 def r10_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R10: approx_count_distinct + percentile_approx next to their
-    exact counterparts. Rows-only by design (sketches are
-    engine-specific); the exact columns anchor sanity in tests."""
+    """R10: approx_count_distinct + percentile_approx in ONE pass —
+    both are mergeable sketches, so the plan is a plain partial+final
+    hash aggregate with no Expand. Rows-only by design (sketches are
+    engine-specific); accuracy vs exact is asserted in tests.
+
+    Deliberately NOT combined with an exact COUNT(DISTINCT) (r09
+    covers that): mixing a true distinct aggregate in forces an
+    Expand that replicates every row per aggregate group, and the
+    percentile/HLL sketches then update over the multiplied rows —
+    measured 25-70x slower at sf0.1 (47-252 s vs 3.7 s) for identical
+    sketch outputs. At 100 TB that Expand is the difference between
+    one scan-shaped aggregate and a shuffle several times the input."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
     )
 

@@ -17,12 +17,28 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+
+def _txn_rows(start: int, end: int) -> Iterator[tuple]:
+    """The one deterministic row formula, shared by the batch reader,
+    the stream reader, and its replay path — identical ids always
+    yield identical rows, which is what makes exactly-once replay
+    (readBetweenOffsets) and the DuckDB oracle both possible."""
+    for txn_id in range(start, end):
+        yield txn_id, f"item{(txn_id * 7919) % 100}"
 
 
 class SyntheticTxnDataSource(DataSource):
     """`spark.read.format("synthetic_txns")` — options:
-    partitions (default 4), rowsperpartition (default 1000)."""
+    partitions (default 4), rowsperpartition (default 1000);
+    `spark.readStream.format("synthetic_txns")` — option
+    rowsperbatch (default 500)."""
 
     @classmethod
     def name(cls) -> str:
@@ -33,6 +49,9 @@ class SyntheticTxnDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticTxnReader":  # noqa: ANN001
         return SyntheticTxnReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticTxnStreamReader":  # noqa: ANN001
+        return SyntheticTxnStreamReader(self.options)
 
 
 class SyntheticTxnReader(DataSourceReader):
@@ -46,6 +65,36 @@ class SyntheticTxnReader(DataSourceReader):
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         base = partition.value * self.rows_per_partition
-        for i in range(self.rows_per_partition):
-            txn_id = base + i
-            yield txn_id, f"item{(txn_id * 7919) % 100}"
+        return _txn_rows(base, base + self.rows_per_partition)
+
+
+class SyntheticTxnStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch leg of the custom source (Spark 4 streaming Python
+    DataSource): the offset is simply the next txn_id to emit, so
+    progress tracking, recovery, and replay are all integer
+    arithmetic. `read` advances the offset by one batch;
+    `readBetweenOffsets` re-derives any committed batch from its
+    offset range — deterministic replay is what upgrades the source
+    from at-least-once to exactly-once under checkpoint recovery.
+    The simple-reader variant executes `read` on the driver (sized
+    for control-plane-scale feeds); a partition-parallel
+    `DataSourceStreamReader` is the upgrade path for data-plane
+    volumes."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rowsperbatch", 500))
+
+    def initialOffset(self) -> dict:
+        return {"next_txn": 0}
+
+    # Both row-returning hooks materialize to lists: the simple-reader
+    # protocol PICKLES the prefetched rows to ship them into the plan
+    # (generators aren't picklable, and the batch is driver-sized by
+    # contract anyway).
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        s = int(start["next_txn"])
+        e = s + self.rows_per_batch
+        return list(_txn_rows(s, e)), {"next_txn": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return list(_txn_rows(int(start["next_txn"]), int(end["next_txn"])))

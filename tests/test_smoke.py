@@ -182,3 +182,36 @@ def test_approx_topk_matches_exact_counts(spark):
             (c for (f, _), c in exact.items() if f == flag), reverse=True
         )[:5]
         assert sorted(counts, reverse=True) == top5, (flag, counts, top5)
+
+
+def test_approx_aggregates_accuracy(spark):
+    """r10: the single-pass sketches must track exact values — HLL++
+    distinct count within 3% (rsd=0.01), approx p50 within 1% of the
+    exact median."""
+    from miningfrequentpattern_spark.queries.registry import (
+        QUERIES,
+        load_all_packs,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_ORACLE
+
+    load_all_packs()
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["r10_approx_aggregates"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        assert abs(got[flag].approx_parts - e.parts) <= 0.03 * e.parts
+        assert abs(got[flag].approx_p50 - e.p50) <= 0.01 * e.p50

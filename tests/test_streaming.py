@@ -186,3 +186,48 @@ def test_stream_transform_with_state(spark):
     )
     want = {r.user_id: (r.n, r.p) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_python_datasource(spark):
+    """S7 streaming leg: the custom Python DataSource feeds a real
+    micro-batch query; offsets advance deterministically so the
+    collected prefix must be gapless, duplicate-free, and match the
+    row formula exactly (the exactly-once contract of
+    readBetweenOffsets replay)."""
+    import time
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        SyntheticTxnDataSource,
+    )
+
+    spark.dataSource.register(SyntheticTxnDataSource)
+    sdf = (
+        spark.readStream.format("synthetic_txns")
+        .option("rowsPerBatch", "250")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pyds_")
+        )
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS c FROM pyds_stream").collect()[0].c
+            if n >= 500:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = spark.sql("SELECT txn_id, item FROM pyds_stream").collect()
+    assert len(rows) >= 500
+    ids = sorted(r.txn_id for r in rows)
+    assert ids == list(range(len(ids)))
+    assert all(r.item == f"item{(r.txn_id * 7919) % 100}" for r in rows)
