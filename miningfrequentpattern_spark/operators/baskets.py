@@ -32,17 +32,41 @@ def basketize(
     *,
     items_col: str = "items",
     min_items: int = 1,
+    max_items: int | None = None,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """M1: rows -> one row per key with a sorted, deduplicated item set.
 
     Sorting makes downstream output deterministic (oracle-friendly);
     FPGrowth itself is order-insensitive on input items.
+
+    Skew guards (both off by default — the fixtures' baskets are
+    tiny, and the plain single-aggregate plan is the fastest when no
+    key is pathological):
+    - `n_salts`: build each set with the two-phase salted aggregate
+      (functions.skew.salted_collect_set) so a hot key's rows spread
+      over `n_salts` partial tasks during phase 1 instead of landing
+      on one reducer. Result-identical to the plain form (asserted in
+      tests/test_mining.py).
+    - `max_items`: drop baskets larger than the cap AFTER derivation —
+      a one-in-a-billion giant basket (a crawler session with 10⁶
+      events) is noise for support counting but would dominate
+      FP-tree conditional builds; capping is what production FIM
+      pipelines do. Applied post-aggregation so the filter sees true
+      basket sizes.
     """
-    out = df.groupBy(key).agg(
-        F.sort_array(F.collect_set(item)).alias(items_col)
-    )
+    if n_salts is not None:
+        from ..functions.skew import salted_collect_set
+
+        out = salted_collect_set(df, key, item, n_salts=n_salts, out=items_col)
+    else:
+        out = df.groupBy(key).agg(
+            F.sort_array(F.collect_set(item)).alias(items_col)
+        )
     if min_items > 1:
         out = out.filter(F.size(items_col) >= min_items)
+    if max_items is not None:
+        out = out.filter(F.size(items_col) <= max_items)
     return out
 
 
@@ -56,13 +80,14 @@ def token_baskets(documents: DataFrame) -> DataFrame:
 
     (doc_id, items ARRAY<STRING> of distinct tokens).
     """
+    from .text import tokens
+
     return documents.select(
         "doc_id",
-        F.sort_array(
-            # trim first: split('  a b ') would yield a '' item that
-            # FPGrowth happily mines (same trim+split as text.tokens)
-            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-        ).alias("items"),
+        # trim+split via the single repo-wide tokenizer contract
+        # (split('  a b ') would yield a '' item that FPGrowth
+        # happily mines; text.tokens trims first).
+        F.sort_array(F.array_distinct(tokens("text"))).alias("items"),
     ).filter(F.size("items") > 0)
 
 

@@ -81,6 +81,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """L2 (exact variant): pairwise n-gram Jaccard within blocks.
 
@@ -88,13 +89,30 @@ def ngram_jaccard_pairs(
     to a blocking key so the pair space is Σ block² not N². Fully
     native (array_intersect / size), so it doubles as the SQL-oracle
     anchor for the randomized MinHash path.
+
+    Hot-shingle guard (`max_shingle_df`, the prefix-filter lever from
+    SCALING.md): a shingle appearing in d documents contributes d²
+    candidate pairs to the self-join, so one boilerplate shingle in
+    10⁶ docs alone is 10¹² join rows. Shingles with document
+    frequency above the cap are dropped from BOTH legs of the
+    inverted index before the join (an anti-join against the df-over-
+    cap list, computed on the same (block, shingle) partitioning the
+    self-join needs, so the exchange is reused). A shingle that
+    common carries ~zero Jaccard evidence — it is the set-similarity
+    analogue of a stopword — but pairs whose ONLY overlap is hot
+    shingles are lost and surviving pairs' n_common excludes hot
+    shingles (denominators stay exact), so this is the documented
+    recall-for-scale trade, OFF via `max_shingle_df=None`. The
+    fixtures' max shingle df is 5 at sf0.1, far under the default
+    cap, so fixture output — and the SQL oracle — is unchanged while
+    the plan carries the guard (tests/test_plans.py).
     """
     if "tokens" not in docs.columns:
-        # Tokenize internally (same trim+split as operators.text.tokens)
-        # so callers may pass the raw documents table directly.
-        docs = docs.withColumn(
-            "tokens", F.split(F.trim(F.col("text")), r"\s+")
-        )
+        # Tokenize internally (the operators.text.tokens contract) so
+        # callers may pass the raw documents table directly.
+        from .text import tokens as _tokens
+
+        docs = docs.withColumn("tokens", _tokens("text"))
     s = docs.select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
@@ -119,6 +137,14 @@ def ngram_jaccard_pairs(
         F.size("sh").alias("n_sh"),
         F.explode("sh").alias("shingle"),
     )
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("_block", "shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_block", "shingle")
+        )
+        inv = inv.join(hot, ["_block", "shingle"], "left_anti")
     # shuffle_hash, not broadcast: the inverted index is corpus-sized
     # (one row per doc-shingle), so broadcasting it is wrong at any
     # real scale AND slower here — both legs hash-partition on the
@@ -601,19 +627,30 @@ def semantic_neardup_pairs(
         # measured 2.4x on the full operator. Task memory is one
         # block's matrix + its sims triangle; n_clusters is the lever
         # that bounds it (tune ∝ corpus size).
+        # The pair-id output type follows the INPUT id column (ids may
+        # be strings/UUIDs, not just BIGINT); ordering uses np.where
+        # over a comparison, which works for any comparable dtype
+        # (object arrays included), unlike np.minimum's ufunc path.
+        id_dt = emb.schema[id_col].dataType.simpleString()
+
         def _block(pdf):
             ids = pdf[id_col].to_numpy()
             if len(ids) < 2:
                 return pd.DataFrame(
-                    {"id_a": [], "id_b": [], "cos_sim": []}
-                ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+                    {
+                        "id_a": ids[:0],
+                        "id_b": ids[:0],
+                        "cos_sim": np.array([], dtype=np.float64),
+                    }
+                )
             m = np.array(pdf["_arr"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0] = 1.0
             sims = (m / norms[:, None]) @ (m / norms[:, None]).T
             iu, ju = np.triu_indices(len(ids), k=1)
-            id_a = np.minimum(ids[iu], ids[ju])
-            id_b = np.maximum(ids[iu], ids[ju])
+            lo_first = ids[iu] <= ids[ju]
+            id_a = np.where(lo_first, ids[iu], ids[ju])
+            id_b = np.where(lo_first, ids[ju], ids[iu])
             s = np.round(sims[iu, ju], 4)
             keep = s > threshold
             return pd.DataFrame(
@@ -623,7 +660,7 @@ def semantic_neardup_pairs(
         return (
             assigned.groupBy("_cid")
             .applyInPandas(
-                _block, schema="id_a BIGINT, id_b BIGINT, cos_sim DOUBLE"
+                _block, schema=f"id_a {id_dt}, id_b {id_dt}, cos_sim DOUBLE"
             )
             .distinct()
         )

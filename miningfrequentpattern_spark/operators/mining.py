@@ -190,14 +190,27 @@ def apriori_frequent_itemsets(
     Returns (items ARRAY, freq BIGINT) for all k <= max_k.
 
     Materialization contract (same as fit_fpgrowth, whose model holds
-    its freqItemsets eagerly): each level L_k is pinned with an eager
-    `localCheckpoint` — it is itemset-count-sized (tiny), it is read
+    its freqItemsets eagerly): each level L_k AND each per-k candidate
+    set (cands_id — pre-prune, so potentially larger than L_k) is
+    pinned with an eager `localCheckpoint` — itemset-count-sized, read
     several times during construction (candidate generation + the
-    k+1 prune semi-joins + the final union), and WITHOUT lineage
-    truncation the returned plan re-inlines every lower level once
-    per reader, turning a 13 s lattice into a 99 s re-execution
-    cascade (measured at sf0.1). The basket-sized inputs are plain
-    caches and are unpersisted before returning.
+    k+1 prune semi-joins + the counting join's id→array mapback + the
+    final union), and WITHOUT lineage truncation the returned plan
+    re-inlines every lower level once per reader, turning a 13 s
+    lattice into a 99 s re-execution cascade (measured at sf0.1).
+    The basket-sized inputs are plain caches and are unpersisted
+    before returning.
+
+    Fault-tolerance tradeoff: `localCheckpoint` truncates lineage by
+    storing blocks on executors WITHOUT a recomputation path — an
+    executor loss makes the returned DataFrame (and the pinned
+    intermediate levels, which live as long as the caller holds the
+    result) permanently unrecoverable. That is the right trade for
+    this operator's documented role — a single-session CROSS-CHECK of
+    FP-Growth at fixture scale, never the production path. If it were
+    ever run on a multi-executor cluster, switch the pins to reliable
+    `checkpoint()` against a checkpoint dir (or recompute-able
+    `persist(DISK_ONLY)`), at the cost of one HDFS write per level.
     """
     cached: list[DataFrame] = []
     try:

@@ -286,6 +286,7 @@ def unigram_logprob_score(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_size: int | None = 65536,
 ) -> DataFrame:
     """CCNet-style LM quality score: per-document mean negative log2
     probability under the corpus's own unigram language model. Low
@@ -300,18 +301,32 @@ def unigram_logprob_score(
 
     Scale shape: the exploded corpus joins the vocab on token, which
     is Zipf-skewed — 'the' would own a shuffle partition — so the
-    vocab leg is BROADCAST (a real pipeline prunes to top-K tokens +
-    an OOV floor, which keeps it broadcastable at any corpus size;
-    the fixtures' synthetic vocab is ~2k tokens). The total-token
-    count rides along as a 1-row broadcast cross join, same pattern
-    as m03's threshold.
+    vocab leg is BROADCAST. A raw corpus vocabulary grows without
+    bound at 100 TB (typos, code, UUIDs), so by DEFAULT the vocab leg
+    is pruned to the `vocab_size` most frequent tokens (CCNet keeps a
+    fixed LM vocabulary the same way) via orderBy+limit — Spark plans
+    that as TakeOrderedAndProject: per-partition partial top-K then a
+    single bounded merge, never a global sort. Tokens outside the
+    kept vocabulary take an OOV floor count of 1 (maximum surprise —
+    they are rarer than anything kept). The fixtures' synthetic vocab
+    (~2k tokens) is far below the default K, so no token is OOV and
+    the result is bit-identical to the exact model — which is what
+    keeps the SQL oracle green. `vocab_size=None` selects the exact
+    unbounded path. The total-token count (over ALL tokens, kept or
+    not, so probabilities stay a true distribution) rides along as a
+    1-row broadcast cross join, same pattern as m03's threshold.
     """
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("total"))
-    scored = tok.join(F.broadcast(vocab), "tok").crossJoin(
-        F.broadcast(total)
-    )
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    if vocab_size is None:
+        scored = tok.join(F.broadcast(vocab), "tok")
+    else:
+        kept = vocab.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
+        scored = tok.join(F.broadcast(kept), "tok", "left").withColumn(
+            "c", F.coalesce(F.col("c"), F.lit(1))
+        )
+    scored = scored.crossJoin(F.broadcast(total))
     return (
         scored.groupBy(id_col)
         .agg(
@@ -372,6 +387,7 @@ def tfidf_top_terms(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_size: int | None = 65536,
 ) -> DataFrame:
     """Per-document top-k keywords by smoothed TF-IDF
     (tfidf = tf · (ln((N+1)/(df+1)) + 1), the scikit-learn smoothing).
@@ -380,8 +396,18 @@ def tfidf_top_terms(
     uniform. df is a distinct + token aggregate whose OUTPUT is
     vocab-sized, so the join back to the tf relation broadcasts the
     df leg rather than shuffling the corpus on Zipf-skewed tokens.
-    N rides as a 1-row broadcast. Top-k prunes inside WindowExec
-    (rank ≤ k) partitioned by doc — millions of tiny uniform groups.
+    The raw vocabulary is unbounded at 100 TB, so by DEFAULT the df
+    leg keeps only the `vocab_size` highest-df tokens (orderBy+limit
+    → TakeOrderedAndProject, a bounded distributed top-K); dropped
+    tokens take the OOV floor df=1 — i.e. they are treated as
+    maximally rare, which for a KEYWORD extractor is the right bias
+    (exact df matters for frequent tokens, where it suppresses them;
+    a tail token's idf is near-max either way). The fixtures' ~2k
+    vocab never trips the limit, so output — and the SQL oracle —
+    is identical to the exact model; `vocab_size=None` is the exact
+    path. N rides as a 1-row broadcast. Top-k prunes inside
+    WindowExec (rank ≤ k) partitioned by doc — millions of tiny
+    uniform groups.
     """
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -391,7 +417,14 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = tf.join(F.broadcast(df_), "tok").crossJoin(F.broadcast(n_docs))
+    if vocab_size is None:
+        scored = tf.join(F.broadcast(df_), "tok")
+    else:
+        kept = df_.orderBy(F.desc("df"), F.asc("tok")).limit(vocab_size)
+        scored = tf.join(F.broadcast(kept), "tok", "left").withColumn(
+            "df", F.coalesce(F.col("df"), F.lit(1))
+        )
+    scored = scored.crossJoin(F.broadcast(n_docs))
     tfidf = F.round(
         F.col("tf")
         * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),

@@ -825,7 +825,10 @@ def l19_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span text (narrower shuffle rows) and pre-filtering singleton
     spans with a count-min pass; the plan shape is identical."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # One tokenizer contract repo-wide (operators.text.tokens): the
+    # oracle's string_split(trim(text), ' ') matches it only under the
+    # fixture invariant asserted in tests/test_fixture_invariants.py.
+    toks = T.tokens("text")
     spans = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - F.lit(7)),

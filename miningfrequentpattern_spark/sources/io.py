@@ -39,12 +39,21 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: parquet scan of one fixture table.
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader cannot
-    represent natively; with `spark.sql.legacy.parquet.nanosAsLong=true`
-    (set in session.RUNTIME_CONF) it arrives as epoch-nanos BIGINT and is
-    converted here to a microsecond TIMESTAMP — lossless on the fixtures
-    (zero sub-microsecond components, verified) and exactly what DuckDB's
-    `ts::TIMESTAMP` yields, keeping oracle parity.
+    Timestamp normalization: fixture generations have varied the
+    physical type of `events.ts` / `orders.o_orderdate` — TIMESTAMP
+    (NANOS) (readable only as epoch-nanos BIGINT under
+    `spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    session.RUNTIME_CONF) and, currently, TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ.
+    Every operator and SQL oracle in this repo was written against
+    session-local TIMESTAMP (the sessions run UTC), and NTZ rejects
+    numeric casts (`cast(ts as double)`), so both variants are
+    normalized here at the load boundary: BIGINT nanos →
+    timestamp_micros, TIMESTAMP_NTZ → TIMESTAMP. Under a UTC session
+    the NTZ cast is wall-clock-identity, exactly what DuckDB's naive
+    `ts::TIMESTAMP` yields, keeping oracle parity. Only affected
+    columns are wrapped, so pushdown/pruning on every other column is
+    untouched (verified in tests/test_plans.py).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -53,6 +62,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    for cname, ctype in df.dtypes:
+        if ctype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
 
 
@@ -154,6 +166,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    # Same NTZ normalization as load_table (watermarks and the batch
+    # twins both expect session-local TIMESTAMP).
+    for cname, ctype in stream.dtypes:
+        if ctype == "timestamp_ntz":
+            stream = stream.withColumn(cname, F.col(cname).cast("timestamp"))
     return stream
 
 

@@ -88,15 +88,18 @@ def windowed_counts_stream(
 
 def mine_stream_foreach_batch(
     events_stream: DataFrame,
-    sink: list,
+    sink_path: str,
     min_support: float = 0.2,
 ):
     """T6: per-micro-batch frequent-itemset mining.
 
     Each micro-batch is basketized (user -> distinct event types) and
-    re-mined with FPGrowth; results land in `sink` (a driver-side list
-    in tests; a real deployment writes a parquet/Delta snapshot per
-    batch). Returns the StreamingQuery.
+    re-mined with FPGrowth; each batch's itemsets are APPENDED to the
+    parquet sink at `sink_path` tagged with their batch_id — a model
+    snapshot per batch, fully distributed. No result ever rides
+    through the driver: itemset counts are exponential in the item
+    universe, so a driver-side collect here is the one place this
+    operator could fall over at scale. Returns the StreamingQuery.
     """
     from ..operators.mining import fit_fpgrowth
 
@@ -107,8 +110,14 @@ def mine_stream_foreach_batch(
             F.sort_array(F.collect_set("event_type")).alias("items")
         )
         model = fit_fpgrowth(baskets, min_support=min_support)
-        sink.append(
-            (batch_id, model.freqItemsets.orderBy(F.desc("freq")).collect())
+        (
+            model.freqItemsets.select(
+                F.lit(batch_id).alias("batch_id"),
+                F.sort_array("items").alias("items"),
+                "freq",
+            )
+            .write.mode("append")
+            .parquet(sink_path)
         )
 
     return (

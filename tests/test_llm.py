@@ -256,3 +256,52 @@ def test_semantic_neardup_subset_and_recall(spark):
     assert exact, "fixture lost its planted near-dups"
     recall = len(sem & exact) / len(exact)
     assert recall >= 0.5, f"semantic recall too low: {recall}"
+
+
+def test_semantic_neardup_string_ids(spark):
+    """The pair-id output type follows the input id column (ADVICE
+    r2): string ids must round-trip through the blocked scorer with
+    lexicographic id_a < id_b ordering, not fail at Arrow conversion."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        semantic_neardup_pairs,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("vec_id").cast("string"), 8, "0"))
+        .alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    pairs = semantic_neardup_pairs(
+        emb, threshold=0.35, n_clusters=16, seed=42
+    )
+    assert dict(pairs.dtypes)["id_a"] == "string"
+    rows = pairs.collect()
+    assert rows, "planted near-dups disappeared under string ids"
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_jaccard_hot_shingle_cap_drops_boilerplate(spark):
+    """max_shingle_df: a shingle in more docs than the cap must stop
+    generating candidate pairs (the d² fan-out guard), while pairs
+    sharing a below-cap shingle are untouched."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, "en", "common shingle words") for i in range(5)]
+    rows += [
+        (10, "en", "rare unique phrase here"),
+        (11, "en", "rare unique phrase there"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    full = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=None)
+    assert full.count() == 11  # C(5,2) boilerplate pairs + the rare pair
+    capped = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=4)
+    got = [(r.doc_a, r.doc_b) for r in capped.collect()]
+    assert got == [(10, 11)]

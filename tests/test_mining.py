@@ -156,3 +156,23 @@ def test_pair_form_equals_basket_form(spark):
         r.item: r.freq for r in item_supports(order_baskets(li)).collect()
     }
     assert via_pairs == via_baskets
+
+
+def test_salted_basketize_equals_plain(spark):
+    """The skew-guarded (two-phase salted) basketize must be
+    result-identical to the plain single-aggregate form — it is the
+    same set union, just sharded — and max_items must cap on TRUE
+    post-aggregation basket sizes."""
+    from miningfrequentpattern_spark.operators.baskets import basketize
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    plain = basketize(li, "l_orderkey", "l_partkey")
+    salted = basketize(li, "l_orderkey", "l_partkey", n_salts=4)
+    assert plain.exceptAll(salted).isEmpty()
+    assert salted.exceptAll(plain).isEmpty()
+
+    cap = 3
+    capped = basketize(li, "l_orderkey", "l_partkey", max_items=cap)
+    assert capped.filter(F.size("items") > cap).isEmpty()
+    want = plain.filter(F.size("items") <= cap).count()
+    assert capped.count() == want

@@ -75,9 +75,13 @@ def test_semi_join_stays_semi(spark):
 
 
 def test_no_cartesian_in_blocked_jaccard(spark):
-    # The inverted-index rewrite must not contain a cartesian product.
+    # The inverted-index rewrite must not contain a cartesian product,
+    # and the hot-shingle prefix filter (anti-join against the
+    # df-over-cap shingle list) must be in the plan — it is what
+    # bounds any posting list's d² pair fan-out at scale.
     p = plan_of(spark, "l02_ngram_jaccard_pairs")
     assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
 
 
@@ -233,11 +237,16 @@ def test_global_rank_avoids_single_partition_window(spark):
 
 def test_lm_score_and_tfidf_broadcast_vocab(spark):
     """l15/l17: the vocab/df legs must broadcast — a hash shuffle on
-    Zipf-skewed tokens would put 'the' on one task at scale."""
+    Zipf-skewed tokens would put 'the' on one task at scale — and the
+    broadcast build side must be BOUNDED: the default vocab_size path
+    caps it at K rows via TakeOrderedAndProject (distributed partial
+    top-K), so an unbounded 100 TB vocabulary can never OOM the
+    executors."""
     for q in ("l15_unigram_logprob", "l17_tfidf_topterms"):
         p = plan_of(spark, q)
         assert "BroadcastHashJoin" in p, q
         assert "SortMergeJoin" not in p, q
+        assert "TakeOrderedAndProject" in p, q
 
 
 def test_correlated_subquery_decorrelates(spark):

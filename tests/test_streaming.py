@@ -91,18 +91,20 @@ def test_stream_watermark_dedup(spark):
     assert n_stream == n_batch
 
 
-def test_stream_foreachbatch_mining(spark):
+def test_stream_foreachbatch_mining(spark, tmp_path):
     """foreachBatch re-mining: itemsets from the single availableNow
-    micro-batch == batch FPGrowth over the same baskets."""
+    micro-batch == batch FPGrowth over the same baskets. The sink is
+    a parquet directory (one append per batch) — nothing rides
+    through the driver."""
     stream = read_events_stream(spark, SF_SMOKE)
-    sink: list = []
-    q = mine_stream_foreach_batch(stream, sink, min_support=0.2)
+    sink_path = str(tmp_path / "t06_sink")
+    q = mine_stream_foreach_batch(stream, sink_path, min_support=0.2)
     q.awaitTermination(120)
-    assert sink, "no micro-batch processed"
+    snapshots = spark.read.parquet(sink_path)
+    assert snapshots.select("batch_id").distinct().count() >= 1
     mined = {
         (tuple(sorted(r["items"])), r["freq"])
-        for _, rows in sink
-        for r in rows
+        for r in snapshots.select("items", "freq").collect()
     }
     from miningfrequentpattern_spark.operators.mining import fit_fpgrowth
 
