@@ -82,12 +82,23 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
+    # min over N_RUNS executions per query: a single cold execution
+    # attributes one-off costs (whole-stage-codegen compile for that
+    # plan shape, Python-worker pool spawn for pandas-UDF queries,
+    # shuffle-file allocation) to whichever query pays them first, and
+    # those costs swing 2-4x run-to-run under noisy-neighbor CPU.
+    # min-of-N is the standard steady-state estimator; N=2 keeps the
+    # whole bench under ~2 min while removing the worst of the noise.
+    N_RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -139,12 +139,20 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_df is not None:
         hot = (
-            inv.groupBy("_block", "shingle")
+            inv.groupBy("shingle", "_block")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_shingle_df)
-            .select("_block", "shingle")
+            .select("shingle", "_block")
         )
-        inv = inv.join(hot, ["_block", "shingle"], "left_anti")
+        # The over-cap list is SMALL by construction (≤ |postings|/cap
+        # entries, Zipf makes it far fewer), so broadcast it: the anti
+        # join runs map-side over the exploded index with no extra
+        # corpus shuffle on that path; the df aggregate's exchange is
+        # the guard's one real cost (~0.7 s at sf0.1 — an explicit
+        # repartition-reuse formulation was tried and measured WORSE:
+        # the self-join re-shuffled anyway and the plan gained
+        # exchanges).
+        inv = inv.join(F.broadcast(hot), ["shingle", "_block"], "left_anti")
     # shuffle_hash, not broadcast: the inverted index is corpus-sized
     # (one row per doc-shingle), so broadcasting it is wrong at any
     # real scale AND slower here — both legs hash-partition on the

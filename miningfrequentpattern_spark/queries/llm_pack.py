@@ -17,7 +17,7 @@ Oracle-parity conventions specific to this pack:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as T
@@ -74,9 +74,7 @@ def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2: near-duplicate detection (4 methods + clustering)
 # ---------------------------------------------------------------------------
 
-@query(
-    "l02_ngram_jaccard_pairs",
-    oracle=f"""
+_L02_ORACLE = """
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
                FROM documents),
     sh AS (SELECT doc_id, lang,
@@ -93,11 +91,39 @@ def l01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
           >= 0.2
-    """,
-)
+    """
+
+
+@query("l02_ngram_jaccard_pairs", oracle=_L02_ORACLE)
 def l02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (exact): word-3-gram Jaccard near-dup pairs, lang-blocked.
-    The deterministic anchor for the randomized MinHash variant."""
+    The deterministic anchor for the randomized MinHash variant.
+
+    Registered with the hot-shingle guard OFF: the guard's broadcast
+    side re-derives the shingle relation (one extra corpus pass,
+    ~+1 s warm / +3 s cold at sf0.1) and the fixtures' max shingle df
+    is 5 — pure overhead at this scale. l02f is the guarded twin
+    (same oracle — the guard provably changes nothing below the cap);
+    at 100 TB the operator DEFAULT keeps the guard on."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    return ngram_jaccard_pairs(
+        docs, block_col="lang", n=3, threshold=0.2, max_shingle_df=None
+    )
+
+
+@query("l02f_ngram_jaccard_guarded", oracle=_L02_ORACLE)
+def l02f_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact, guarded): l02 with the hot-shingle prefix filter ON
+    (the operator default, max_shingle_df=1000) — the 100 TB form. A
+    shingle in d docs contributes d² join rows, so df-over-cap
+    shingles are anti-joined out of the inverted index before the
+    self-join. Carries the SAME oracle as l02: the fixtures' max
+    shingle df is 5, so the guard provably drops nothing here — the
+    driver row certifies the guarded plan end-to-end, and the
+    synthetic-boilerplate test (tests/test_llm.py) certifies the
+    dropping behavior itself."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
@@ -911,4 +937,105 @@ def l20_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             decile.alias("ppl_decile"),
             (decile <= 8).alias("is_kept"),
         )
+    )
+
+
+@query(
+    "l21_source_mixing",
+    oracle="""
+    WITH t AS (SELECT source, count(*) AS n_docs,
+                      sum(len(string_split(trim(text), ' '))) AS n_tokens
+               FROM documents GROUP BY source),
+    p AS (SELECT *, sqrt(n_tokens) AS w_raw FROM t),
+    s AS (SELECT sum(w_raw) AS tot FROM p)
+    SELECT source,
+           n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(w_raw / s.tot, 6) AS mix_weight,
+           CAST(floor(w_raw / s.tot * 1000000) AS BIGINT) AS alloc_tokens,
+           round(w_raw / s.tot * 1000000 / n_tokens, 4) AS oversample_epochs
+    FROM p CROSS JOIN s
+    """,
+)
+def l21_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (data mixing): temperature-scaled per-source sampling weights
+    for a fixed training-token budget — the multilingual/multi-source
+    rebalancing step (weights ∝ n_tokens^α with α=0.5, i.e. T=2;
+    the mBERT/XLM exponentiated-sampling recipe). Emits each source's
+    token count, normalized mix weight, allocated tokens of a 1M
+    budget, and the oversampling factor (epochs) that allocation
+    implies.
+
+    Shape: one hash aggregate keyed by source (map-side partials over
+    the corpus scan — the only corpus-sized stage), then a 1-row
+    broadcast cross join for the normalizer; output is |sources| rows.
+    α is fixed at 0.5 so the power is `sqrt` — exactly rounded under
+    IEEE 754 in both engines, keeping the oracle bit-stable (a libm
+    `pow` could differ in the last ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 1_000_000
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    p = t.withColumn("w_raw", F.sqrt(F.col("n_tokens")))
+    s = p.agg(F.sum("w_raw").alias("tot"))
+    w = F.col("w_raw") / F.col("tot")
+    return p.crossJoin(F.broadcast(s)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("mix_weight"),
+        F.floor(w * budget).cast("long").alias("alloc_tokens"),
+        F.round(w * budget / F.col("n_tokens"), 4).alias(
+            "oversample_epochs"
+        ),
+    )
+
+
+@query(
+    "l22_prefix_dup_rate",
+    oracle="""
+    WITH h AS (SELECT doc_id, source,
+                 array_to_string((string_split(trim(text), ' '))[1:8], ' ')
+                   AS prefix_fp
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY prefix_fp
+                                       ORDER BY doc_id) AS rk
+          FROM h)
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT prefix_fp) AS n_unique_prefixes,
+           count(*) FILTER (rk > 1) AS n_prefix_dupes,
+           round(count(*) FILTER (rk > 1) * 1.0 / count(*), 4)
+             AS prefix_dup_rate
+    FROM r GROUP BY source
+    """,
+)
+def l22_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L5 (curation diagnostic): per-source duplication rate under a
+    first-8-token prefix fingerprint — the cheap boilerplate-header
+    detector (shared headers/templates collide on their opening
+    tokens long before full-content hashes do; the fixtures carry 24
+    such collisions at sf0.01 where exact content dupes are zero).
+
+    Shape: one shuffle keyed by the prefix fingerprint for the
+    first-seen ranking (uniform unless one template dominates — the
+    hot-prefix case IS the signal being measured), then a per-source
+    hash aggregate; emits |sources| rows. At 100 TB swap the raw
+    prefix string for xxhash64(prefix) as the shuffle key (narrower
+    rows, same partitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.array_join(F.slice(T.tokens("text"), 1, 8), " ")
+    w = Window.partitionBy("prefix_fp").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "source", pfx.alias("prefix_fp")
+    ).withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("prefix_fp").alias("n_unique_prefixes"),
+        F.count_if(F.col("rk") > 1).alias("n_prefix_dupes"),
+        F.round(
+            F.count_if(F.col("rk") > 1) / F.count(F.lit(1)), 4
+        ).alias("prefix_dup_rate"),
     )

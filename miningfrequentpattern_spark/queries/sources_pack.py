@@ -390,3 +390,62 @@ def s09_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         morton2(F.col("user_id"), hour).alias("zval"),
     )
+
+
+@query(
+    "u05_arrow_grouped_centroids",
+    oracle="""
+    WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                      generate_subscripts(embedding, 1) AS dim
+               FROM embeddings),
+    c AS (SELECT label, dim, avg(x) AS m, count(*) AS nv
+          FROM e GROUP BY label, dim)
+    SELECT label, any_value(nv) AS n_vecs, count(*) AS n_dims,
+           round(sqrt(sum(m*m)), 4) AS centroid_norm
+    FROM c GROUP BY label
+    """,
+)
+def u05_arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/U2 (applyInArrow): per-label embedding centroids via the
+    Spark 4 Arrow-native grouped map — each label's vectors arrive as
+    ONE pyarrow.Table, the centroid is a single vectorized np.mean
+    over the stacked matrix, and no pandas conversion ever happens
+    (the difference from applyInPandas: no Series boxing, no object
+    dtype round trips).
+
+    Scale shape: one shuffle keyed by label (10 uniform groups on the
+    fixtures; at scale the per-group matrix is bounded by the label's
+    row count — for unbounded groups switch to the map-side partial
+    pattern, i.e. per-partition partial sums + a tiny final agg, which
+    is what the SQL oracle's two-level aggregate expresses). Output is
+    |labels| rows; oracle recomputes the centroid per (label, dim)
+    with plain SQL aggregates."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def centroid(table):
+        lists = table.column("emb")
+        flat = lists.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        m = flat.reshape(len(table), -1)
+        c = m.mean(axis=0)
+        return pa.table(
+            {
+                "label": pa.array(
+                    [table.column("label")[0].as_py()], type=pa.int32()
+                ),
+                "n_vecs": [len(table)],
+                "n_dims": [m.shape[1]],
+                "centroid_norm": [round(float(np.sqrt((c * c).sum())), 4)],
+            }
+        )
+
+    return emb.groupBy("label").applyInArrow(
+        centroid,
+        schema="label INT, n_vecs BIGINT, n_dims BIGINT, centroid_norm DOUBLE",
+    )

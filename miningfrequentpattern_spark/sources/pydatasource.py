@@ -16,12 +16,15 @@ with Spark handling distribution, retries, and AQE downstream.
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -98,3 +101,90 @@ class SyntheticTxnStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         return list(_txn_rows(int(start["next_txn"]), int(end["next_txn"])))
+
+
+# ---------------------------------------------------------------------------
+# Streaming SINK leg (DataSourceStreamWriter): transactional jsonl sink
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _FileCommitMessage(WriterCommitMessage):
+    """Per-partition commit message: the staged file and its row count."""
+
+    file: str
+    n_rows: int
+
+
+class JsonlStreamSink(DataSource):
+    """`df.writeStream.format("jsonl_sink").option("path", dir)` — the
+    WRITER leg of the Python DataSource API (Spark 4), completing the
+    custom-connector story: executors stage one jsonl file per
+    partition, and the driver-side `commit` publishes a per-batch
+    manifest (`_commit_<batchId>.json`) listing exactly the staged
+    files — readers that honor manifests get atomic-batch visibility,
+    and `abort` removes staged files so failed epochs leave nothing
+    visible. That staged-files-plus-manifest protocol is the same
+    commit shape the parquet/Delta sinks use.
+
+    Local-mode note: executors and driver share one filesystem here;
+    on a real cluster `path` must be shared storage (object store /
+    NFS) — which is exactly where this pattern is used in production
+    for systems Spark has no native sink for."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def streamWriter(self, schema, overwrite):  # noqa: ANN001
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        return JsonlStreamWriter(path)
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator) -> _FileCommitMessage:  # noqa: ANN001
+        """Executor-side: stage this partition's rows as one jsonl
+        file. Staged files are invisible until commit manifests them."""
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        staging = _os.path.join(self.path, "_staging")
+        _os.makedirs(staging, exist_ok=True)
+        fname = _os.path.join(staging, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommitMessage(file=fname, n_rows=n)
+
+    def commit(self, messages, batchId) -> None:  # noqa: ANN001, N803
+        """Driver-side, once per epoch: publish the manifest. A batch
+        is visible iff its manifest exists — the atomicity boundary."""
+        import json as _json
+        import os as _os
+
+        files = [m.file for m in messages if m is not None]
+        manifest = {
+            "batch_id": batchId,
+            "files": files,
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(
+            _os.path.join(self.path, f"_commit_{batchId}.json"), "w"
+        ) as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages, batchId) -> None:  # noqa: ANN001, N803
+        """Driver-side on epoch failure: drop staged files — nothing
+        of the failed batch ever becomes visible."""
+        import os as _os
+
+        for m in messages or []:
+            if m is not None and _os.path.exists(m.file):
+                _os.remove(m.file)

@@ -75,13 +75,19 @@ def test_semi_join_stays_semi(spark):
 
 
 def test_no_cartesian_in_blocked_jaccard(spark):
-    # The inverted-index rewrite must not contain a cartesian product,
-    # and the hot-shingle prefix filter (anti-join against the
-    # df-over-cap shingle list) must be in the plan — it is what
-    # bounds any posting list's d² pair fan-out at scale.
+    # The inverted-index rewrite must not contain a cartesian product.
+    # l02 registers the guard-off exact plan (no anti-join — at
+    # fixture scale the guard is pure overhead); l02f registers the
+    # guarded twin, whose plan must carry the hot-shingle prefix
+    # filter as a BROADCAST anti-join (map-side, no extra corpus
+    # shuffle on the probe path) — it is what bounds any posting
+    # list's d² pair fan-out at scale.
     p = plan_of(spark, "l02_ngram_jaccard_pairs")
     assert "CartesianProduct" not in p
-    assert "LeftAnti" in p
+    assert "LeftAnti" not in p
+    pg = plan_of(spark, "l02f_ngram_jaccard_guarded")
+    assert "CartesianProduct" not in pg
+    assert "BroadcastHashJoin LeftAnti" in pg
     assert "BroadcastNestedLoopJoin" not in p
 
 

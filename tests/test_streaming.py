@@ -233,3 +233,45 @@ def test_stream_python_datasource(spark):
     ids = sorted(r.txn_id for r in rows)
     assert ids == list(range(len(ids)))
     assert all(r.item == f"item{(r.txn_id * 7919) % 100}" for r in rows)
+
+
+def test_stream_python_datasource_sink(spark, tmp_path):
+    """S-extension (writer leg): the custom jsonl_sink must land every
+    replayed event exactly once, with per-batch commit manifests
+    listing exactly the staged files (atomic-batch visibility)."""
+    import glob
+    import json as jsonlib
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        JsonlStreamSink,
+    )
+
+    spark.dataSource.register(JsonlStreamSink)
+    out = str(tmp_path / "sink")
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type"
+    )
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    manifests = sorted(glob.glob(f"{out}/_commit_*.json"))
+    assert manifests, "no batch committed"
+    rows = []
+    n_manifested = 0
+    for mf in manifests:
+        m = jsonlib.load(open(mf))
+        n_manifested += m["n_rows"]
+        for fname in m["files"]:
+            with open(fname) as f:
+                rows.extend(jsonlib.loads(line) for line in f)
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert len(rows) == n_manifested == batch.count()
+    assert {r["event_id"] for r in rows} == {
+        r.event_id for r in batch.select("event_id").collect()
+    }
