@@ -1039,3 +1039,106 @@ def l22_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("rk") > 1) / F.count(F.lit(1)), 4
         ).alias("prefix_dup_rate"),
     )
+
+
+@query(
+    "l23_source_overlap",
+    oracle="""
+    WITH g AS (SELECT DISTINCT source,
+                 array_to_string((string_split(trim(text), ' '))[1:8], ' ')
+                   AS fp
+               FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def l23_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L5 (cross-source contamination matrix): for every source
+    pair, how many distinct first-8-token prefix fingerprints they
+    share — the "is dataset A leaking into dataset B" diagnostic run
+    before mixing corpora (same fingerprint family as l22).
+
+    Shape: the inverted-index self-join pattern of l02 keyed by the
+    fingerprint — only sources sharing a fingerprint ever meet, so
+    the pair space is Σ df² over fingerprints, not |sources|²·docs.
+    shuffle_hash-hinted like l02: the fingerprint index is
+    corpus-sized and must never broadcast; both legs share one
+    reused exchange. Output is ≤ |sources|² rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.array_join(F.slice(T.tokens("text"), 1, 8), " ").alias("fp"),
+    ).distinct()
+    a, b = fp.alias("a"), fp.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
+    "l24_embedding_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+    q AS (SELECT vec_id, scale,
+            list_transform(v, x -> round(x / scale)) AS qv, v
+          FROM s)
+    SELECT vec_id,
+           round(scale, 6) AS q_scale,
+           round(sqrt(list_sum(list_transform(list_zip(v, qv),
+                 p -> (p[1] - p[2]*scale) * (p[1] - p[2]*scale))) / len(v))
+                 / scale, 4) AS rel_rmse
+    FROM q
+    """,
+)
+def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (scalar int8 quantization): per-vector symmetric int8
+    quantization (scale = max|x|/127, q = round(x/scale)) with the
+    reconstruction error reported as RMSE relative to the scale — the
+    memory-shrinking step in front of any large ANN index (IVF-PQ's
+    simpler cousin; 4x smaller vectors, measurable recall cost).
+
+    Shape: pure per-row native expressions (array_max / transform /
+    zip_with / aggregate) — no shuffle, no Python; the scan's
+    partitioning is the plan. Rounding parity: x/scale is an exactly
+    rounded IEEE division on both engines and both round() halves
+    away from zero, so the oracle is bit-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    s = e.select("vec_id", "v", scale.alias("scale"))
+    qv = F.transform("v", lambda x: F.round(x / F.col("scale")))
+    q = s.select("vec_id", "v", "scale", qv.alias("qv"))
+    sq_err = F.aggregate(
+        F.zip_with(
+            "v",
+            "qv",
+            lambda x, qx: (x - qx * F.col("scale"))
+            * (x - qx * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("q_scale"),
+        F.round(
+            F.sqrt(sq_err / F.size("v")) / F.col("scale"), 4
+        ).alias("rel_rmse"),
+    )

@@ -313,3 +313,43 @@ def test_quality_buckets_avoid_global_window(spark):
     ]
     data_specs = [s for s in specs if "avg_neg_log2p" in s]
     assert data_specs and all("_pid" in s for s in data_specs), specs
+
+
+def test_source_mixing_broadcasts_normalizer(spark):
+    """l21: the Σ(w_raw) normalizer is a 1-row broadcast cross join —
+    the corpus-sized aggregate never re-shuffles to meet it."""
+    p = plan_of(spark, "l21_source_mixing")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_prefix_dup_rate_no_global_window(spark):
+    """l22: the first-seen ranking windows by prefix fingerprint
+    (millions of tiny groups at scale) — never a single-partition
+    global window."""
+    p = plan_of(spark, "l22_prefix_dup_rate")
+    assert "SinglePartition" not in p
+
+
+def test_source_overlap_is_indexed_join(spark):
+    """l23: the cross-source overlap matrix joins on the fingerprint
+    (inverted-index pattern) — never a cartesian over source pairs,
+    and never a broadcast of the corpus-sized fingerprint index."""
+    p = plan_of(spark, "l23_source_overlap")
+    assert "CartesianProduct" not in p
+    assert "ShuffledHashJoin" in p
+
+
+def test_embedding_quantize_is_shuffle_free(spark):
+    """l24: int8 quantization is a pure per-row map — the plan must
+    contain no exchange at all (the scan's partitioning IS the plan)."""
+    p = plan_of(spark, "l24_embedding_quantize")
+    assert "Exchange" not in p
+
+
+def test_arrow_grouped_centroids_single_shuffle(spark):
+    """u05: applyInArrow groups on label — exactly one exchange (the
+    group shuffle), nothing upstream or downstream."""
+    p = plan_of(spark, "u05_arrow_grouped_centroids")
+    assert p.count("Exchange") <= 2  # the hash exchange (+AQE read)
+    assert "SortMergeJoin" not in p
