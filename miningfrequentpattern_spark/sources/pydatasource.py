@@ -126,6 +126,14 @@ class JsonlStreamSink(DataSource):
     visible. That staged-files-plus-manifest protocol is the same
     commit shape the parquet/Delta sinks use.
 
+    Exactly-once on restart: manifests are named by batchId, so a
+    re-delivered epoch (crash between sink commit and checkpoint
+    commit) OVERWRITES its manifest rather than adding one — readers
+    following manifests see each batch's file set exactly once
+    (orphaned staged files from the superseded attempt are
+    unreferenced; a vacuum pass may remove them). Verified by the
+    stop/restart test in tests/test_streaming.py.
+
     Local-mode note: executors and driver share one filesystem here;
     on a real cluster `path` must be shared storage (object store /
     NFS) — which is exactly where this pattern is used in production

@@ -1,0 +1,46 @@
+"""Source/sink & file-layout maintenance tests (SURVEY.md §2.1)."""
+
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_SMOKE
+
+def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: a 64-file write compacts to the computed
+    target count, content survives exactly, and range clustering gives
+    disjoint per-file key ranges (the min/max skipping precondition)."""
+    from miningfrequentpattern_spark.functions.layout import (
+        compact_parquet,
+        dir_parquet_bytes,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    src = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    target = max(1, dir_parquet_bytes(src) // 4)
+    n = compact_parquet(spark, src, dst, target_file_bytes=target,
+                        sort_cols=["l_orderkey"])
+    import glob
+
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n <= 8
+    back = spark.read.parquet(dst)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).isEmpty() and li.exceptAll(back).isEmpty()
+    # Range clustering: per-file [min,max] of the sort key must not
+    # overlap across files.
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["l_orderkey"])
+        col = t.column(0)
+        if len(col):
+            import pyarrow.compute as pc
+
+            ranges.append(
+                (pc.min(col).as_py(), pc.max(col).as_py())
+            )
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges overlap"

@@ -275,3 +275,68 @@ def test_stream_python_datasource_sink(spark, tmp_path):
     assert {r["event_id"] for r in rows} == {
         r.event_id for r in batch.select("event_id").collect()
     }
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Exactly-once across a restart: replay events as FOUR single-file
+    micro-batches into the custom jsonl_sink, stop the query after the
+    first batches commit, then restart from the SAME checkpoint — the
+    union of manifested batches must contain every event exactly once
+    (no re-delivery of committed batches, no gaps from the handoff)."""
+    import glob
+    import json as jsonlib
+    import time
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        JsonlStreamSink,
+    )
+
+    spark.dataSource.register(JsonlStreamSink)
+    # Four-file copy of the events fixture so maxFilesPerTrigger=1
+    # yields four distinct micro-batches.
+    src = str(tmp_path / "events_split")
+    batch = load_table(spark, SF_SMOKE, "events")
+    batch.repartition(4).write.parquet(src)
+    schema = batch.schema
+    out, cp = str(tmp_path / "sink"), str(tmp_path / "cp")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id", "event_type")
+        )
+        return (
+            stream.writeStream.format("jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # Let at least one batch commit, then stop mid-run.
+    deadline = time.time() + 60
+    while not glob.glob(f"{out}/_commit_*.json") and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+    n_first = len(glob.glob(f"{out}/_commit_*.json"))
+    assert n_first >= 1, "no batch committed before the stop"
+
+    # Restart from the same checkpoint; availableNow drains the rest.
+    q2 = start()
+    q2.awaitTermination(120)
+
+    rows = []
+    for mf in sorted(glob.glob(f"{out}/_commit_*.json")):
+        m = jsonlib.load(open(mf))
+        for fname in m["files"]:
+            with open(fname) as f:
+                rows.extend(jsonlib.loads(line) for line in f)
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "restart re-delivered a committed batch"
+    assert set(ids) == {
+        r.event_id for r in batch.select("event_id").collect()
+    }, "handoff lost events"
