@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): operator semantics checked
+against independent pure-Python references on randomized inputs —
+the edge cases fixture data never hits (empty docs, single tokens,
+shingle windows longer than the document, ragged groups).
+
+Examples are deliberately few (each one is a Spark job); the value is
+input SHAPE coverage, not volume.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+TOKEN = st.text(alphabet="abc", min_size=1, max_size=3)
+DOC = st.lists(TOKEN, min_size=0, max_size=12)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ref_shingles(tokens: list[str], n: int) -> list[str]:
+    """Independent reference: sorted distinct word n-grams."""
+    return sorted(
+        {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+    )
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=5), n=st.integers(2, 4))
+@settings(**_SETTINGS)
+def test_shingles_match_reference(spark, docs, n):
+    """The zip_with-over-shifted-slices construction must equal the
+    straightforward n-gram set for ANY token array — including arrays
+    shorter than n (empty set) and duplicate-heavy arrays."""
+    from miningfrequentpattern_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, tokens array<string>"
+    )
+    got = {
+        r.id: list(r.sh)
+        for r in df.select("id", shingles("tokens", n).alias("sh")).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _ref_shingles(d, n), (d, n)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), st.integers(1, 40)),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(8, 64),
+)
+@settings(**_SETTINGS)
+def test_sequence_pack_prefix_sum_invariants(spark, docs, budget):
+    """Packing invariants for ANY (group, token-count) multiset:
+    within each (group, shard) cell, ordering by id gives a gapless
+    prefix sum of token counts, and every chunk-span claim follows
+    from (seq_start, n_tokens, budget) arithmetic."""
+    from miningfrequentpattern_spark.operators.text import sequence_pack
+
+    rows = [
+        (i, src, " ".join(["tok"] * ntok)) for i, (src, ntok) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sequence_pack(df, budget=budget).collect()
+    cells: dict = {}
+    for r in out:
+        cells.setdefault((r.source, r.shard), []).append(r)
+    for rows_ in cells.values():
+        rows_.sort(key=lambda r: r.doc_id)
+        acc = 0
+        for r in rows_:
+            assert r.seq_start == acc
+            assert r.chunk_id == r.seq_start // budget
+            last = (r.seq_start + r.n_tokens - 1) // budget
+            assert r.n_chunks == last - r.chunk_id + 1
+            acc += r.n_tokens
+
+
+@given(vec=st.lists(st.floats(-1, 1, width=32), min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_quantize_bounds(spark, vec):
+    """int8 quantization: for any non-degenerate vector the quantized
+    values stay within ±127 of the scale and reconstruction error per
+    element is bounded by scale/2 (the rounding radius)."""
+    if max(abs(x) for x in vec) == 0:
+        return
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    e = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale_col = (
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    row = (
+        e.select(
+            "v",
+            scale_col.alias("scale"),
+            F.transform(
+                "v", lambda x: F.round(x / scale_col)
+            ).alias("qv"),
+        )
+        .collect()[0]
+    )
+    assert all(abs(q) <= 127 for q in row.qv)
+    for x, q in zip(row.v, row.qv):
+        assert abs(x - q * row.scale) <= row.scale / 2 + 1e-12
