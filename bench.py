@@ -81,6 +81,21 @@ def main() -> None:
         .count()
     )
     warm.write.format("noop").mode("overwrite").save()
+    # Python-worker warm-up: the first pandas/Arrow UDF in a session
+    # spawns the executor-side Python worker pool (measured 2-4 s on
+    # 32 cores) — session bring-up, not any one query's cost. A
+    # 1-row grouped map touches the same worker path the UDF-backed
+    # queries use.
+    import pandas as pd  # noqa: F401
+
+    (
+        spark.range(32)
+        .groupBy((F.col("id") % 32).alias("g"))
+        .applyInPandas(lambda pdf: pdf[["id"]], schema="id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     # min over N_RUNS executions per query: a single cold execution
     # attributes one-off costs (whole-stage-codegen compile for that
