@@ -1295,3 +1295,43 @@ def r33_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("entry.count").alias("approx_count"),
         )
     )
+
+
+@query(
+    "r34_rolling_7day_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+             AS spend_7d
+    FROM orders
+    """,
+)
+def r34_rolling_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14-extension (time-RANGE window frame): per-customer rolling
+    7-day spend — the frame is a VALUE range over event time ([t-6d,
+    t]), not a row count, so bursty days aggregate correctly however
+    many orders share a date (the frame family r14's rowsBetween
+    cannot express).
+
+    Spark's rangeBetween needs a numeric ordering key, so the frame
+    runs over epoch seconds (cast to long) with a ±6-day offset in
+    seconds — semantically identical to the oracle's INTERVAL frame
+    because o_orderdate is day-aligned (asserted by construction:
+    both engines see the same instants). Scale shape: windows
+    partition by customer — millions of small uniform groups, no
+    global sort; frame evaluation is the standard sliding-sum scan
+    within each sorted partition."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.col("o_orderdate").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
+    )
