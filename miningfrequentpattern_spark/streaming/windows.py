@@ -131,3 +131,28 @@ def click_purchase_join_stream(
             F.col("p.ts").cast("double") - F.col("c.ts").cast("double"), 4
         ).alias("gap_sec"),
     )
+
+
+def enrich_events_stream(
+    events_stream: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """T8: stream-STATIC join — enrich each event with its customer's
+    market segment, the standard streaming dimension-join.
+
+    The static side is explicitly broadcast: a stream-static join
+    re-evaluates the static plan per micro-batch, so a shuffle join
+    would re-shuffle the dim every batch; the broadcast ships it to
+    executors once per batch and keeps the stream side's partitioning
+    untouched (no state store involved at all — unlike stream-stream,
+    a static row can't be late). At 100 TB the dim must stay
+    broadcast-sized or become a pre-bucketed static table."""
+    dim = customer.select(
+        F.col("c_custkey"), F.col("c_mktsegment"), F.col("c_name")
+    )
+    return events_stream.join(
+        F.broadcast(dim),
+        events_stream["user_id"] == dim["c_custkey"],
+        "left",
+    ).select(
+        "event_id", "user_id", "event_type", "ts", "c_mktsegment", "c_name"
+    )

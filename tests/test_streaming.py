@@ -340,3 +340,31 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert set(ids) == {
         r.event_id for r in batch.select("event_id").collect()
     }, "handoff lost events"
+
+
+def test_stream_static_broadcast_join(spark):
+    """T8: the stream-static enrichment over the full replay must
+    equal the batch left join, and the static dim side must ride a
+    broadcast (no per-batch shuffle of the dim)."""
+    from miningfrequentpattern_spark.streaming.windows import (
+        enrich_events_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    cust = load_table(spark, SF_SMOKE, "customer")
+    enriched = enrich_events_stream(stream, cust)
+    _run_to_memory(enriched, "enriched", "append")
+    got = {
+        (r.event_id, r.c_mktsegment)
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r.event_id, r.c_mktsegment)
+        for r in ev.join(
+            cust, ev["user_id"] == cust["c_custkey"], "left"
+        )
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == want
