@@ -71,11 +71,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # against environment drift. Queries outside the window stay covered
 # by the local oracle mirror (tests/test_oracle_parity.py).
 #
-# ROUND 4 ROTATION TODO: promote the seven round-3 additions that
+# ROUND 4 ROTATION TODO: promote the nine round-3 additions that
 # have no driver row yet — l02f_ngram_jaccard_guarded,
 # l21_source_mixing, l22_prefix_dup_rate, l23_source_overlap,
 # l24_embedding_quantize, u05_arrow_grouped_centroids,
-# r34_rolling_7day_spend (all oracle-bearing) — plus any query whose
+# r34_rolling_7day_spend, r35_unpivot_part_metrics,
+# u06_grouped_agg_geomean (all oracle-bearing) — plus any query whose
 # CORRECTNESS_r03 row failed; backfill with canaries.
 PRIORITY: tuple[str, ...] = (
     # canaries — proven in r1+r2, kept to detect driver-env drift

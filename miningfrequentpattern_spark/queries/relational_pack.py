@@ -1335,3 +1335,30 @@ def r34_rolling_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
     )
+
+
+@query(
+    "r35_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+)
+def r35_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24's inverse (UNPIVOT / melt): wide part metrics to long
+    (key, metric, value) rows via the native `unpivot` operator —
+    planned as a single Expand over the scan (each input row emits one
+    row per value column in the same task), so the melt is shuffle-free
+    and the 2x row fan-out is the entire cost at any scale. Oracle is
+    the portable UNION ALL formulation of the same relation."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
+    )

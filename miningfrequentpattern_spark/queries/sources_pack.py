@@ -449,3 +449,41 @@ def u05_arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid,
         schema="label INT, n_vecs BIGINT, n_dims BIGINT, centroid_norm DOUBLE",
     )
+
+
+@query(
+    "u06_grouped_agg_geomean",
+    oracle="""
+    SELECT o_orderstatus,
+           round(exp(avg(ln(o_totalprice))), 2) AS geomean_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def u06_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (grouped-agg pandas UDF / UDAF): geometric mean of order
+    value per status — an aggregate Spark has no builtin for,
+    expressed as a vectorized GROUPED_AGG pandas UDF (one Arrow batch
+    per group, scalar out; the UDAF extension surface, distinct from
+    the grouped-MAP form t05 exercises).
+
+    Scale note: a GROUPED_AGG UDF has no partial aggregation — every
+    group's values ship to one task, so it is for bounded groups
+    (here: 3 statuses x 5k values). The oracle's exp(avg(ln x))
+    identity IS the map-side-combinable rewrite a production pipeline
+    would use at unbounded scale; registering both forms documents
+    the trade."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Explicit GROUPED_AGG functionType: this module uses
+    # `from __future__ import annotations`, which stringifies inline
+    # hints and breaks the hint-based UDF-type inference (same note
+    # as operators/dedup.py).
+    geomean = pandas_udf(_geomean, "double", PandasUDFType.GROUPED_AGG)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(geomean("o_totalprice"), 2).alias("geomean_price")
+    )
