@@ -82,6 +82,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    guard_sample: float = 0.1,
 ) -> DataFrame:
     """L2 (exact variant): pairwise n-gram Jaccard within blocks.
 
@@ -95,17 +96,20 @@ def ngram_jaccard_pairs(
     candidate pairs to the self-join, so one boilerplate shingle in
     10⁶ docs alone is 10¹² join rows. Shingles with document
     frequency above the cap are dropped from BOTH legs of the
-    inverted index before the join (an anti-join against the df-over-
-    cap list, computed on the same (block, shingle) partitioning the
-    self-join needs, so the exchange is reused). A shingle that
-    common carries ~zero Jaccard evidence — it is the set-similarity
-    analogue of a stopword — but pairs whose ONLY overlap is hot
-    shingles are lost and surviving pairs' n_common excludes hot
-    shingles (denominators stay exact), so this is the documented
-    recall-for-scale trade, OFF via `max_shingle_df=None`. The
-    fixtures' max shingle df is 5 at sf0.1, far under the default
-    cap, so fixture output — and the SQL oracle — is unchanged while
-    the plan carries the guard (tests/test_plans.py).
+    inverted index before the join via a broadcast anti-join against
+    the over-cap list. The df is estimated from a seeded
+    `guard_sample` document fraction (sampled df > cap·fraction ⇒
+    hot) because the estimate's full-corpus twin re-shingles the
+    corpus — measured costlier at sf0.1 than the d² rows it saves;
+    caps too small for a sampled estimate (cap·fraction < 10) fall
+    back to exact df. A shingle that common carries ~zero Jaccard
+    evidence — the set-similarity analogue of a stopword — but pairs
+    whose ONLY overlap is hot shingles are lost and surviving pairs'
+    n_common excludes hot shingles (denominators stay exact): the
+    documented recall-for-scale trade, OFF via `max_shingle_df=None`.
+    The fixtures' max shingle df is 5 at sf0.1, far under every
+    boundary here, so fixture output — and the SQL oracle — is
+    unchanged while the plan carries the guard (tests/test_plans.py).
     """
     if "tokens" not in docs.columns:
         # Tokenize internally (the operators.text.tokens contract) so
@@ -138,20 +142,48 @@ def ngram_jaccard_pairs(
         F.explode("sh").alias("shingle"),
     )
     if max_shingle_df is not None:
+        # The guard's dominant cost is NOT the d² join rows it saves at
+        # fixture scale — it is recomputing the shingle relation on the
+        # hot-list leg (Catalyst cannot share the exchange across the
+        # anti-join boundary; measured: a df=2180 planted boilerplate
+        # shingle costs the unguarded join ~38M extra rows ≈ cheaper
+        # than one extra corpus shingling pass at sf0.1). So the df is
+        # ESTIMATED from a seeded `guard_sample` fraction of documents:
+        # observed sample-df > cap·fraction ⇒ hot (the unbiased
+        # boundary; borderline shingles resolve either way, which is
+        # fine — they are borderline). Cost drops to ~fraction × one
+        # shingling pass. A truly-hot web-scale shingle (df ≫ cap/f)
+        # is flagged with overwhelming probability; the fixtures' max
+        # df of 5 can never be flagged (sample threshold ≥ 100 docs).
+        # guard_sample=1.0 gives the exact-df guard.
+        f = guard_sample
+        if max_shingle_df * f < 10:
+            # Too few expected observations at the cap boundary for a
+            # usable estimate (any sampled occurrence would flag hot):
+            # fall back to the exact-df guard.
+            f = 1.0
+        if f >= 1.0:
+            src = s
+        else:
+            # Sample the DOCUMENTS, then shingle — sampling the
+            # shingled relation would still shingle every row before
+            # discarding (Sample sits above the Project and Catalyst
+            # does not push it down).
+            src = docs.sample(fraction=f, seed=42).select(
+                F.col(block_col).alias("_block"),
+                shingles("tokens", n).alias("sh"),
+            )
         hot = (
-            inv.groupBy("shingle", "_block")
+            src.select("_block", F.explode("sh").alias("shingle"))
+            .groupBy("shingle", "_block")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
+            .filter(F.col("_df") > max_shingle_df * min(f, 1.0))
             .select("shingle", "_block")
         )
-        # The over-cap list is SMALL by construction (≤ |postings|/cap
-        # entries, Zipf makes it far fewer), so broadcast it: the anti
-        # join runs map-side over the exploded index with no extra
-        # corpus shuffle on that path; the df aggregate's exchange is
-        # the guard's one real cost (~0.7 s at sf0.1 — an explicit
-        # repartition-reuse formulation was tried and measured WORSE:
-        # the self-join re-shuffled anyway and the plan gained
-        # exchanges).
+        # The over-cap list is SMALL (≤ |postings|/cap entries; Zipf
+        # makes it far fewer), so it broadcasts: the anti-join runs
+        # map-side over the exploded index — no extra corpus shuffle
+        # on the probe path.
         inv = inv.join(F.broadcast(hot), ["shingle", "_block"], "left_anti")
     # shuffle_hash, not broadcast: the inverted index is corpus-sized
     # (one row per doc-shingle), so broadcasting it is wrong at any
