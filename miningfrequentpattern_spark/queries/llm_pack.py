@@ -215,7 +215,13 @@ def l02e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
-    edges = ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.2)
+    edges = ngram_jaccard_pairs(
+        # Guard OFF for the same reason as l02: the edge plan is
+        # re-evaluated per label-propagation iteration, so the
+        # guard's extra cost would multiply by the cluster
+        # diameter while dropping nothing at fixture df <= 5.
+        docs, block_col="lang", n=3, threshold=0.2, max_shingle_df=None
+    )
     return connected_components(edges).orderBy("doc_id")
 
 
@@ -690,7 +696,13 @@ def l14_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
-    edges = ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.2)
+    edges = ngram_jaccard_pairs(
+        # Guard OFF for the same reason as l02: the edge plan is
+        # re-evaluated per label-propagation iteration, so the
+        # guard's extra cost would multiply by the cluster
+        # diameter while dropping nothing at fixture df <= 5.
+        docs, block_col="lang", n=3, threshold=0.2, max_shingle_df=None
+    )
     comp = connected_components(edges)
     return cluster_representatives(
         docs.drop("tokens"), comp, quality_col="n_chars"

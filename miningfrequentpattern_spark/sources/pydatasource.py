@@ -183,10 +183,14 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             "files": files,
             "n_rows": sum(m.n_rows for m in messages if m is not None),
         }
-        with open(
-            _os.path.join(self.path, f"_commit_{batchId}.json"), "w"
-        ) as f:
+        # Write-then-rename: rename is atomic on a POSIX filesystem,
+        # so a reader can never observe a truncated manifest — the
+        # property the visibility contract above depends on.
+        final = _os.path.join(self.path, f"_commit_{batchId}.json")
+        tmp = final + ".inprogress"
+        with open(tmp, "w") as f:
             _json.dump(manifest, f)
+        _os.replace(tmp, final)
 
     def abort(self, messages, batchId) -> None:  # noqa: ANN001, N803
         """Driver-side on epoch failure: drop staged files — nothing

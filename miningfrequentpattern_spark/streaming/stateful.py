@@ -94,10 +94,14 @@ def mine_stream_foreach_batch(
     """T6: per-micro-batch frequent-itemset mining.
 
     Each micro-batch is basketized (user -> distinct event types) and
-    re-mined with FPGrowth; each batch's itemsets are APPENDED to the
-    parquet sink at `sink_path` tagged with their batch_id — a model
-    snapshot per batch, fully distributed. No result ever rides
-    through the driver: itemset counts are exponential in the item
+    re-mined with FPGrowth; each batch's itemsets land in the parquet
+    sink at `sink_path` under a `batch_id=<id>` partition via DYNAMIC
+    partition overwrite — foreachBatch is at-least-once, so a
+    re-delivered batch must replace its own partition, not append a
+    duplicate row set (the idempotent-write contract the Structured
+    Streaming guide prescribes for foreachBatch sinks). A model
+    snapshot per batch, fully distributed: no result ever rides
+    through the driver — itemset counts are exponential in the item
     universe, so a driver-side collect here is the one place this
     operator could fall over at scale. Returns the StreamingQuery.
     """
@@ -116,7 +120,9 @@ def mine_stream_foreach_batch(
                 F.sort_array("items").alias("items"),
                 "freq",
             )
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(sink_path)
         )
 

@@ -305,3 +305,33 @@ def test_jaccard_hot_shingle_cap_drops_boilerplate(spark):
     capped = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=4)
     got = [(r.doc_a, r.doc_b) for r in capped.collect()]
     assert got == [(10, 11)]
+
+
+def test_jaccard_sampled_guard_drops_hot_keeps_rare(spark):
+    """The SAMPLED df-estimate branch (cap*fraction >= 10, so no exact
+    fallback): 60 docs sharing boilerplate shingles (df=60, sampled
+    df ~30 > cap*f=10) must stop pairing, while a rare below-cap pair
+    survives with its exact Jaccard."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (i, "en", f"standard legal header applies w{i} x{i} y{i} z{i}")
+        for i in range(60)
+    ]
+    rows += [
+        (100, "en", "rare unique phrase here"),
+        (101, "en", "rare unique phrase there"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    capped = ngram_jaccard_pairs(
+        docs, threshold=0.1, max_shingle_df=20, guard_sample=0.5
+    )
+    got = [(r.doc_a, r.doc_b) for r in capped.collect()]
+    assert got == [(100, 101)]
+    # Same corpus, guard off: the boilerplate docs all pair up.
+    full = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=None)
+    assert full.count() > 1000

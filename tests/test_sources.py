@@ -23,7 +23,10 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     import glob
 
     files = glob.glob(f"{dst}/*.parquet")
-    assert len(files) == n <= 8
+    # repartitionByRange samples boundaries, so it may produce FEWER
+    # non-empty partitions than requested — assert the contract it
+    # actually gives (bounded above by the computed count).
+    assert 1 <= len(files) <= n <= 8
     back = spark.read.parquet(dst)
     assert back.count() == li.count()
     assert back.exceptAll(li).isEmpty() and li.exceptAll(back).isEmpty()
