@@ -471,42 +471,55 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     converges in 2-3 rounds. Each round: one groupBy shuffle.
     """
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Cache the symmetrized edge list: it is duplicated-pairs-sized
+    # (tiny next to the corpus) but its LINEAGE is the full
+    # set-similarity join — without the cache every propagation
+    # iteration re-executes that join (measured: l02e paid the
+    # Jaccard plan once per round). Unpersisted before returning;
+    # the returned labels are themselves cached and materialized.
     sym = fwd.union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = (
-        sym.groupBy(F.col("src").alias("doc_id"))
-        .agg(F.min("dst").alias("component"))
-        .select("doc_id", F.least("component", "doc_id").alias("component"))
     ).cache()
-    converged = False
-    for _ in range(max_iter):
-        # propagate: my new label = min(my label, labels of my neighbors)
-        prop = (
-            sym.join(labels, sym.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "component")
-            .union(labels)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
+    try:
+        labels = (
+            sym.groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("dst").alias("component"))
+            .select(
+                "doc_id", F.least("component", "doc_id").alias("component")
+            )
         ).cache()
-        converged = (
-            prop.join(labels.withColumnRenamed("component", "_old"), "doc_id")
-            .filter(F.col("component") != F.col("_old"))
-            .isEmpty()
-        )
-        old = labels
-        labels = prop
-        old.unpersist()
-        if converged:
-            break
-    if not converged:
-        # Partial propagation is WRONG labels, not slow labels — a
-        # component wider than max_iter hops would silently split.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            "iterations; raise max_iter (graph diameter exceeds it)"
-        )
-    return labels
+        converged = False
+        for _ in range(max_iter):
+            # propagate: my new label = min(my label, neighbors' labels)
+            prop = (
+                sym.join(labels, sym.src == labels.doc_id)
+                .select(F.col("dst").alias("doc_id"), "component")
+                .union(labels)
+                .groupBy("doc_id")
+                .agg(F.min("component").alias("component"))
+            ).cache()
+            converged = (
+                prop.join(
+                    labels.withColumnRenamed("component", "_old"), "doc_id"
+                )
+                .filter(F.col("component") != F.col("_old"))
+                .isEmpty()
+            )
+            old = labels
+            labels = prop
+            old.unpersist()
+            if converged:
+                break
+        if not converged:
+            # Partial propagation is WRONG labels, not slow labels — a
+            # component wider than max_iter hops would silently split.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations; raise max_iter (graph diameter exceeds it)"
+            )
+        return labels
+    finally:
+        sym.unpersist()
 
 
 def decontaminate(
