@@ -98,11 +98,13 @@ def ngram_jaccard_pairs(
     frequency above the cap are dropped from BOTH legs of the
     inverted index before the join via a broadcast anti-join against
     the over-cap list. The df is estimated from a seeded
-    `guard_sample` document fraction (sampled df > cap·fraction ⇒
-    hot) because the estimate's full-corpus twin re-shingles the
-    corpus — measured costlier at sf0.1 than the d² rows it saves;
-    caps too small for a sampled estimate (cap·fraction < 10) fall
-    back to exact df. A shingle that common carries ~zero Jaccard
+    `guard_sample` document fraction (hot ⇔ sampled df clears the
+    cap boundary with one-sided 3σ slack, so sub-cap shingles are
+    false-dropped with probability < ~0.1%) because the estimate's
+    full-corpus twin re-shingles the corpus — measured costlier at
+    sf0.1 than the d² rows it saves; caps too small for a sampled
+    estimate (cap·fraction < 20) fall back to exact df, which never
+    drops a sub-cap shingle. A shingle that common carries ~zero Jaccard
     evidence — the set-similarity analogue of a stopword — but pairs
     whose ONLY overlap is hot shingles are lost and surviving pairs'
     n_common excludes hot shingles (denominators stay exact): the
@@ -157,13 +159,15 @@ def ngram_jaccard_pairs(
         # df of 5 can never be flagged (sample threshold ≥ 100 docs).
         # guard_sample=1.0 gives the exact-df guard.
         f = guard_sample
-        if max_shingle_df * f < 10:
+        if max_shingle_df * f < 20:
             # Too few expected observations at the cap boundary for a
-            # usable estimate (any sampled occurrence would flag hot):
-            # fall back to the exact-df guard.
+            # usable estimate: fall back to the exact-df guard.
             f = 1.0
         if f >= 1.0:
             src = s
+            # Exact path: the old guarantee — sub-cap shingles are
+            # never dropped.
+            cutoff = F.lit(max_shingle_df)
         else:
             # Sample the DOCUMENTS, then shingle — sampling the
             # shingled relation would still shingle every row before
@@ -173,11 +177,20 @@ def ngram_jaccard_pairs(
                 F.col(block_col).alias("_block"),
                 shingles("tokens", n).alias("sh"),
             )
+            # One-sided 3σ slack above the cap boundary: a sub-cap
+            # shingle's sampled df is ~Binomial(df, f) with σ ≈
+            # sqrt(cap·f) at the boundary, so requiring sampled df >
+            # cap·f + 3σ holds the false-drop probability for ANY
+            # sub-cap shingle below ~0.1% — the sampled guard only
+            # ever fires on genuinely over-cap shingles, which at web
+            # scale sit orders of magnitude above the cap anyway.
+            m = max_shingle_df * f
+            cutoff = F.lit(m + 3.0 * m ** 0.5)
         hot = (
             src.select("_block", F.explode("sh").alias("shingle"))
             .groupBy("shingle", "_block")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_df * min(f, 1.0))
+            .filter(F.col("_df") > cutoff)
             .select("shingle", "_block")
         )
         # The over-cap list is SMALL (≤ |postings|/cap entries; Zipf
@@ -513,6 +526,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if not converged:
             # Partial propagation is WRONG labels, not slow labels — a
             # component wider than max_iter hops would silently split.
+            # Drop the last iteration's cache too: nothing useful is
+            # returned, so nothing may stay pinned.
+            labels.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 "iterations; raise max_iter (graph diameter exceeds it)"

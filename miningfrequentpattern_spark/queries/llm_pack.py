@@ -216,10 +216,10 @@ def l02e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens", T.tokens("text")
     )
     edges = ngram_jaccard_pairs(
-        # Guard OFF for the same reason as l02: the edge plan is
-        # re-evaluated per label-propagation iteration, so the
-        # guard's extra cost would multiply by the cluster
-        # diameter while dropping nothing at fixture df <= 5.
+        # Guard OFF for the same reason as l02: at fixture df <= 5 the
+        # guard's sampled hot-list pass is pure overhead and can never
+        # drop anything (connected_components caches the edge list, so
+        # the cost is paid once, but once is still overhead here).
         docs, block_col="lang", n=3, threshold=0.2, max_shingle_df=None
     )
     return connected_components(edges).orderBy("doc_id")
@@ -697,10 +697,10 @@ def l14_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens", T.tokens("text")
     )
     edges = ngram_jaccard_pairs(
-        # Guard OFF for the same reason as l02: the edge plan is
-        # re-evaluated per label-propagation iteration, so the
-        # guard's extra cost would multiply by the cluster
-        # diameter while dropping nothing at fixture df <= 5.
+        # Guard OFF for the same reason as l02: at fixture df <= 5 the
+        # guard's sampled hot-list pass is pure overhead and can never
+        # drop anything (connected_components caches the edge list, so
+        # the cost is paid once, but once is still overhead here).
         docs, block_col="lang", n=3, threshold=0.2, max_shingle_df=None
     )
     comp = connected_components(edges)

@@ -265,18 +265,21 @@ def m04_itemsets_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonicity k≤2 is the complete lattice. Pair items compare
     numerically (BIGINT partkeys) on both sides.
 
-    The PFP group count is pinned to the session's defaultParallelism
-    (the core count — 32 on the bench machine, whatever the cluster
-    gives elsewhere): AQE coalesces the small basketize shuffle, and
-    FPGrowth's default group count inherits that coalesced (too-low)
-    parallelism for the conditional-tree stage — measured 1.3 s vs
-    2.4 s at sf0.1 (SCALING.md curve; token-basket fits prefer the
-    default)."""
+    The PFP group count is pinned to the session's configured
+    shuffle parallelism (spark.sql.shuffle.partitions — 32 in this
+    repo's sessions, the knob a cluster deployment tunes to its
+    size): AQE coalesces the small basketize shuffle, and FPGrowth's
+    default group count inherits that coalesced (too-low) parallelism
+    for the conditional-tree stage — measured 1.3 s vs 2.4 s at sf0.1
+    (SCALING.md curve; token-basket fits prefer the default). The
+    conf is stable at call time, unlike defaultParallelism, which on
+    dynamic-allocation clusters reads a degenerate value before
+    executors register."""
     li = load_table(spark, sf_dir, "lineitem")
     model = fit_fpgrowth(
         order_baskets(li),
         min_support=0.002,
-        num_partitions=spark.sparkContext.defaultParallelism,
+        num_partitions=int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
     )
     return _itemset_str(freq_itemsets(model)).select("itemset", "freq")
 

@@ -99,7 +99,11 @@ def mine_stream_foreach_batch(
     partition overwrite — foreachBatch is at-least-once, so a
     re-delivered batch must replace its own partition, not append a
     duplicate row set (the idempotent-write contract the Structured
-    Streaming guide prescribes for foreachBatch sinks). A model
+    Streaming guide prescribes for foreachBatch sinks). `sink_path`
+    must be a fresh directory or one already in this hive-partitioned
+    layout — flat-file parquet dirs from other writers cannot be
+    mixed in (partition discovery would see conflicting depths). A
+    model
     snapshot per batch, fully distributed: no result ever rides
     through the driver — itemset counts are exponential in the item
     universe, so a driver-side collect here is the one place this

@@ -308,30 +308,30 @@ def test_jaccard_hot_shingle_cap_drops_boilerplate(spark):
 
 
 def test_jaccard_sampled_guard_drops_hot_keeps_rare(spark):
-    """The SAMPLED df-estimate branch (cap*fraction >= 10, so no exact
-    fallback): 60 docs sharing boilerplate shingles (df=60, sampled
-    df ~30 > cap*f=10) must stop pairing, while a rare below-cap pair
-    survives with its exact Jaccard."""
+    """The SAMPLED df-estimate branch (cap*fraction >= 20, so no exact
+    fallback): 300 docs sharing boilerplate shingles (df=300, sampled
+    df ~150 >> the 3-sigma cutoff ~33) must stop pairing, while a
+    rare below-cap pair survives with its exact Jaccard."""
     from miningfrequentpattern_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
 
     rows = [
         (i, "en", f"standard legal header applies w{i} x{i} y{i} z{i}")
-        for i in range(60)
+        for i in range(300)
     ]
     rows += [
-        (100, "en", "rare unique phrase here"),
-        (101, "en", "rare unique phrase there"),
+        (1000, "en", "rare unique phrase here"),
+        (1001, "en", "rare unique phrase there"),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, lang string, text string"
     )
     capped = ngram_jaccard_pairs(
-        docs, threshold=0.1, max_shingle_df=20, guard_sample=0.5
+        docs, threshold=0.1, max_shingle_df=40, guard_sample=0.5
     )
     got = [(r.doc_a, r.doc_b) for r in capped.collect()]
-    assert got == [(100, 101)]
+    assert got == [(1000, 1001)]
     # Same corpus, guard off: the boilerplate docs all pair up.
     full = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=None)
     assert full.count() > 1000
