@@ -353,3 +353,15 @@ def test_arrow_grouped_centroids_single_shuffle(spark):
     p = plan_of(spark, "u05_arrow_grouped_centroids")
     assert p.count("Exchange") <= 2  # the hash exchange (+AQE read)
     assert "SortMergeJoin" not in p
+
+
+def test_timestamp_filter_pushdown_survives_ntz_cast(spark):
+    """load_table casts TIMESTAMP_NTZ fixture columns to session-local
+    TIMESTAMP; Catalyst must UNWRAP that cast around comparison
+    literals so o_orderdate range predicates still reach the parquet
+    scan — losing this silently turns date-bounded queries into full
+    scans at 100 TB."""
+    p = plan_of(spark, "r16_repeat_customers_y2k")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed, p
+    assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed), pushed
