@@ -576,3 +576,104 @@ def m10_maximal_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit_fpgrowth(token_baskets(docs), min_support=0.5)
     out = maximal_itemsets(model.freqItemsets)
     return _itemset_str(out).select("itemset", "freq")
+
+
+@query(
+    "m11_rule_interest",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         k1 AS (SELECT item, count(*) AS freq FROM tok GROUP BY item),
+         k2 AS (SELECT a.item AS x, b.item AS y, count(*) AS freq
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.item < b.item
+                GROUP BY a.item, b.item),
+         pairs AS (SELECT x, y, freq FROM k2
+                   WHERE freq >= ceil(0.45 * (SELECT n_docs FROM n))),
+         both_dirs AS (
+           SELECT x AS antecedent, y AS consequent, freq FROM pairs
+           UNION ALL
+           SELECT y AS antecedent, x AS consequent, freq FROM pairs)
+    SELECT r.antecedent, r.consequent,
+           round(r.freq * 1.0 / fa.freq, 4) AS confidence,
+           CASE WHEN r.freq * 1.0 / fa.freq < 1 THEN
+             round((1 - fc.freq * 1.0 / n.n_docs)
+                   / (1 - r.freq * 1.0 / fa.freq), 4)
+           END AS conviction,
+           round(r.freq * 1.0 / n.n_docs
+                 - (fa.freq * 1.0 / n.n_docs) * (fc.freq * 1.0 / n.n_docs),
+                 4) AS leverage
+    FROM both_dirs r
+    JOIN k1 fa ON fa.item = r.antecedent
+    JOIN k1 fc ON fc.item = r.consequent
+    CROSS JOIN n
+    WHERE r.freq * 1.0 / fa.freq >= 0.6
+    """,
+)
+def m11_rule_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5-extension (rule interest measures): conviction and leverage
+    for the 1-to-1 token rule base — the standard measures beyond
+    MLlib's confidence/lift (Brin 1997 conviction: how much more often
+    X appears without Y than expected under independence; leverage:
+    supp(XY) − supp(X)·supp(Y)). conviction is NULL at confidence 1
+    (division by zero — an always-fires rule has infinite conviction).
+
+    Computed natively from the same count relations as the oracle
+    (item counts broadcast — vocabulary-sized, same boundedness
+    argument as l15's vocab leg) with the identical FP operation
+    order, so 4-dp rounding is bit-stable. Counts, not MLlib doubles:
+    deriving supp(X)/supp(Y) back out of MLlib's confidence/lift
+    columns would round-trip divisions and drift in the last ulp."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
+            "item"
+        ),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    k1 = tok.groupBy("item").agg(F.count(F.lit(1)).alias("freq"))
+    a, b = tok.alias("a"), tok.alias("b")
+    k2 = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = k2.crossJoin(F.broadcast(n)).filter(
+        F.col("freq") >= F.ceil(0.45 * F.col("n_docs"))
+    ).select("x", "y", "freq")
+    both = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "freq"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "freq",
+        )
+    )
+    fa = k1.select(F.col("item").alias("antecedent"), F.col("freq").alias("fa"))
+    fc = k1.select(F.col("item").alias("consequent"), F.col("freq").alias("fc"))
+    conf = F.col("freq") / F.col("fa")
+    supp_y = F.col("fc") / F.col("n_docs")
+    return (
+        both.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .filter(conf >= 0.6)
+        .select(
+            "antecedent",
+            "consequent",
+            F.round(conf, 4).alias("confidence"),
+            F.when(
+                conf < 1, F.round((1 - supp_y) / (1 - conf), 4)
+            ).alias("conviction"),
+            F.round(
+                F.col("freq") / F.col("n_docs")
+                - (F.col("fa") / F.col("n_docs")) * supp_y,
+                4,
+            ).alias("leverage"),
+        )
+    )

@@ -76,8 +76,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # l21_source_mixing, l22_prefix_dup_rate, l23_source_overlap,
 # l24_embedding_quantize, u05_arrow_grouped_centroids,
 # r34_rolling_7day_spend, r35_unpivot_part_metrics,
-# u06_grouped_agg_geomean (all oracle-bearing) — plus any query whose
-# CORRECTNESS_r03 row failed; backfill with canaries.
+# u06_grouped_agg_geomean, m11_rule_interest (all oracle-bearing) —
+# plus any query whose CORRECTNESS_r03 row failed; backfill with
+# canaries.
 PRIORITY: tuple[str, ...] = (
     # canaries — proven in r1+r2, kept to detect driver-env drift
     "m01_basketize_orders",
