@@ -25,12 +25,27 @@ from pyspark.sql import DataFrame, SparkSession
 def dir_parquet_bytes(path: str) -> int:
     """Total bytes of parquet data files under `path` (local walk; on
     an object store swap in the Hadoop FileSystem listing — same
-    number, different API)."""
+    number, different API).
+
+    Raises if no parquet files are found: `os.walk` yields nothing for
+    non-local URIs (s3://, hdfs://), and silently returning 0 would
+    make `compact_parquet` rewrite an arbitrarily large dataset into
+    ONE partition — a single-task rewrite is strictly worse than
+    failing fast with the remote-path instruction.
+    """
     total = 0
+    found = False
     for root, _dirs, files in os.walk(path):
         for f in files:
             if f.endswith(".parquet"):
+                found = True
                 total += os.path.getsize(os.path.join(root, f))
+    if not found:
+        raise FileNotFoundError(
+            f"no .parquet files found under {path!r} via local walk — "
+            "for non-local URIs (s3://, hdfs://) size the source with "
+            "the Hadoop FileSystem listing instead of os.walk"
+        )
     return total
 
 

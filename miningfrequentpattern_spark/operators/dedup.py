@@ -106,9 +106,16 @@ def ngram_jaccard_pairs(
     estimate (cap·fraction < 20) fall back to exact df, which never
     drops a sub-cap shingle. A shingle that common carries ~zero Jaccard
     evidence — the set-similarity analogue of a stopword — but pairs
-    whose ONLY overlap is hot shingles are lost and surviving pairs'
-    n_common excludes hot shingles (denominators stay exact): the
-    documented recall-for-scale trade, OFF via `max_shingle_df=None`.
+    whose ONLY overlap is hot shingles are lost: the documented
+    recall-for-scale trade, OFF via `max_shingle_df=None`. Surviving
+    pairs are scored as the TRUE Jaccard of the filtered shingle sets:
+    numerator and denominators use the same post-guard universe
+    (per-doc sizes are reduced by that doc's exact count of flagged
+    shingles — counted from the full postings against the flagged
+    list, so the sampled estimator can never make numerator and
+    denominator disagree). Without this, denominators would keep hot
+    shingles the numerator can no longer see, biasing guarded Jaccard
+    downward and dropping borderline TRUE pairs.
     The fixtures' max shingle df is 5 at sf0.1, far under every
     boundary here, so fixture output — and the SQL oracle — is
     unchanged while the plan carries the guard (tests/test_plans.py).
@@ -143,6 +150,7 @@ def ngram_jaccard_pairs(
         F.size("sh").alias("n_sh"),
         F.explode("sh").alias("shingle"),
     )
+    hot_counts = None
     if max_shingle_df is not None:
         # The guard's dominant cost is NOT the d² join rows it saves at
         # fixture scale — it is recomputing the shingle relation on the
@@ -197,6 +205,16 @@ def ngram_jaccard_pairs(
         # makes it far fewer), so it broadcasts: the anti-join runs
         # map-side over the exploded index — no extra corpus shuffle
         # on the probe path.
+        # Per-doc count of FLAGGED shingles, from the exact postings
+        # (inner join against the same broadcast list — map-side), so
+        # denominators can be moved onto the post-guard universe. The
+        # groupBy shuffles only the hot postings (exactly the rows the
+        # anti-join is about to discard), never the corpus index.
+        hot_counts = (
+            inv.join(F.broadcast(hot), ["shingle", "_block"], "inner")
+            .groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("_n_hot"))
+        )
         inv = inv.join(F.broadcast(hot), ["shingle", "_block"], "left_anti")
     # shuffle_hash, not broadcast: the inverted index is corpus-sized
     # (one row per doc-shingle), so broadcasting it is wrong at any
@@ -220,6 +238,31 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if hot_counts is not None:
+        # Move denominators onto the post-guard universe: subtract each
+        # doc's flagged-shingle count from its carried set size. These
+        # joins run on the PAIRS relation (post-aggregation — orders of
+        # magnitude smaller than the postings index); hot_counts holds
+        # one row per doc that contains ≥1 flagged shingle, so AQE
+        # broadcasts it whenever the flagged list is genuinely small.
+        # Docs whose every shingle was flagged have no surviving
+        # postings and never reach `common`, so n_a/n_b stay ≥ 1.
+        ha = hot_counts.select(
+            F.col(id_col).alias("doc_a"), F.col("_n_hot").alias("_hot_a")
+        )
+        hb = hot_counts.select(
+            F.col(id_col).alias("doc_b"), F.col("_n_hot").alias("_hot_b")
+        )
+        common = (
+            common.join(ha, "doc_a", "left")
+            .join(hb, "doc_b", "left")
+            .withColumn(
+                "n_a", F.col("n_a") - F.coalesce(F.col("_hot_a"), F.lit(0))
+            )
+            .withColumn(
+                "n_b", F.col("n_b") - F.coalesce(F.col("_hot_b"), F.lit(0))
+            )
+        )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return common.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")

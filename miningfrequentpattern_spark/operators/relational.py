@@ -9,6 +9,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_BUCKET_UNITS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def _bucket_seconds(bucket: str) -> int:
+    """Parse '1 hour' / '30 minutes' / '2 days' into seconds."""
+    parts = bucket.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _BUCKET_UNITS:
+        raise ValueError(
+            f"bucket must look like '1 hour' / '30 minutes', got {bucket!r}"
+        )
+    return int(parts[0]) * _BUCKET_UNITS[parts[1].lower()]
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -18,6 +40,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_expr: Column | None = None,
     right_cols: list[str] | None = None,
+    bucket: str | None = None,
 ) -> DataFrame:
     """R8: as-of join — for each left row, the single nearest right row
     at or before (backward) / at or after (forward) its timestamp,
@@ -27,8 +50,23 @@ def asof_join(
     range join + per-left-row rank-1 window. The range join shuffles
     both sides by `on` (plus AQE skew splitting); the window reuses the
     same partitioning, so the whole operator costs ONE shuffle of each
-    input. At 100 TB add a coarse time-bucket equi-key to the join
-    condition to bound the range-join fan-out.
+    input.
+
+    `bucket` is the 100 TB lever: with a long-history right side, the
+    plain key-equality join fans every left row out to the key's ENTIRE
+    right history before the inequality filters it. Passing e.g.
+    `bucket="1 hour"` adds a coarse time-bucket EQUI-key to the join
+    condition — each right row is registered under its own bucket and
+    the one adjacent bucket in the match direction, the left side joins
+    on exact bucket equality, and the fan-out drops from |key history|
+    to ~2 buckets of rows. Exactness requires a `tolerance_expr` that
+    is ≤ the bucket width — a match is then at most one bucket away —
+    so `bucket` without `tolerance_expr` raises, and the caller owns
+    the ≤ guarantee (tolerance is an arbitrary Column with no static
+    seconds value to check). Result set is IDENTICAL to the unbucketed
+    operator under that precondition (equivalence asserted in tests on
+    the fixture workload); the 2× right-side duplication is the
+    standard price of turning a range probe into an equi-join.
     """
     lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     if direction == "backward":
@@ -43,10 +81,32 @@ def asof_join(
         cond = cond & (delta <= tolerance_expr)
 
     out_cols = list(left.columns)
-    l = left.withColumn("_lid", F.monotonically_increasing_id()).alias("l")
-    r = right.alias("r")
+    l = left.withColumn("_lid", F.monotonically_increasing_id())
+    r = right
     keep = right_cols or [c for c in right.columns if c != on]
-    joined = l.join(r, (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond, "left")
+    if bucket is not None:
+        if tolerance_expr is None:
+            raise ValueError(
+                "asof_join: bucket requires tolerance_expr <= bucket width "
+                "(an unbounded as-of can match arbitrarily far back, which "
+                "no finite bucket neighborhood covers)"
+            )
+        secs = _bucket_seconds(bucket)
+        l = l.withColumn(
+            "_bk", F.floor(F.unix_timestamp(F.col(left_ts)) / secs)
+        )
+        rb = F.floor(F.unix_timestamp(F.col(right_ts)) / secs)
+        # Register each right row under its own bucket plus the one
+        # adjacent bucket a within-tolerance match could reach:
+        # backward ⇒ a left row in bucket k matches rights in k-1..k,
+        # so rights also enroll at rb+1; forward ⇒ at rb-1.
+        neighbor = rb + (1 if direction == "backward" else -1)
+        r = r.withColumn("_bk", F.explode(F.array(rb, neighbor)))
+    l, r = l.alias("l"), r.alias("r")
+    join_cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & cond
+    if bucket is not None:
+        join_cond = join_cond & (F.col("l._bk") == F.col("r._bk"))
+    joined = l.join(r, join_cond, "left")
     # Tiebreak beyond delta: right rows can share a timestamp (equal
     # delta), so order further by the kept right columns — without this
     # the rank-1 pick is nondeterministic on ties.

@@ -33,14 +33,30 @@ def cosine_topk_exact(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Excludes self-matches (same id). Deterministic tiebreak on
     neighbor id. The corpus side is broadcast only if Spark deems it
-    small; the join is a crossJoin so AQE cannot help — keep |queries|
-    bounded (that's the operator's contract, documented here).
+    small; the join is a crossJoin so AQE cannot help — |queries| must
+    stay bounded. That contract is ENFORCED, not just documented:
+    the query side is probed with a `limit(max_queries+1).count()`
+    (a bounded action — the scan stops after max_queries+1 rows, it
+    never counts the full side) and an oversized query side raises
+    with a pointer at the ANN operators, instead of silently planning
+    an |Q|×|corpus| cartesian. `max_queries=None` opts out for callers
+    that have their own bound.
     """
+    if max_queries is not None:
+        probed = queries.limit(max_queries + 1).count()
+        if probed > max_queries:
+            raise ValueError(
+                f"cosine_topk_exact: query side exceeds max_queries="
+                f"{max_queries}; the crossJoin would be |Q|x|corpus|. "
+                "Use ann_lsh_topk / ivf_topk for large query sets, or "
+                "pass max_queries=None if the size is externally bounded."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import text as T
 from ..operators.baskets import event_sequences, order_baskets, token_baskets
 from ..operators.mining import (
     apriori_frequent_itemsets,
@@ -626,9 +627,7 @@ def m11_rule_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias(
-            "item"
-        ),
+        F.explode(F.array_distinct(T.tokens("text"))).alias("item"),
     )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     k1 = tok.groupBy("item").agg(F.count(F.lit(1)).alias("freq"))

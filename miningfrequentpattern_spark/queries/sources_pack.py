@@ -473,16 +473,18 @@ def u06_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use at unbounded scale; registering both forms documents
     the trade."""
     import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     def _geomean(v):
         return float(np.exp(np.log(v.to_numpy()).mean()))
 
-    # Explicit GROUPED_AGG functionType: this module uses
-    # `from __future__ import annotations`, which stringifies inline
-    # hints and breaks the hint-based UDF-type inference (same note
-    # as operators/dedup.py).
-    geomean = pandas_udf(_geomean, "double", PandasUDFType.GROUPED_AGG)
+    # Type-hint form (Series -> scalar ≡ GROUPED_AGG). This module uses
+    # `from __future__ import annotations`, which stringifies INLINE
+    # hints and breaks hint inference — so the hints are attached as
+    # real objects post-hoc, which `typing.get_type_hints` resolves.
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(geomean("o_totalprice"), 2).alias("geomean_price")

@@ -129,10 +129,16 @@ class JsonlStreamSink(DataSource):
     Exactly-once on restart: manifests are named by batchId, so a
     re-delivered epoch (crash between sink commit and checkpoint
     commit) OVERWRITES its manifest rather than adding one — readers
-    following manifests see each batch's file set exactly once
-    (orphaned staged files from the superseded attempt are
-    unreferenced; a vacuum pass may remove them). Verified by the
-    stop/restart test in tests/test_streaming.py.
+    following manifests see each batch's file set exactly once.
+    Readers MUST follow manifests: listing `_staging` directly can
+    observe files whose epoch never committed. Staged files orphaned
+    by a superseded commit attempt or by a driver crash between
+    staging and commit are vacuumed by the NEXT commit (every commit
+    deletes staged files referenced by no manifest — safe because the
+    micro-batch engine serializes epochs per query, so no other
+    epoch's files can be mid-staging while commit runs), bounding
+    `_staging` to referenced files plus at most one crashed epoch.
+    Verified by the stop/restart test in tests/test_streaming.py.
 
     Local-mode note: executors and driver share one filesystem here;
     on a real cluster `path` must be shared storage (object store /
@@ -191,6 +197,30 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
         _os.replace(tmp, final)
+        # Vacuum: drop staged files no manifest references — orphans
+        # from a superseded attempt of a re-delivered epoch, or from a
+        # driver crash between staging and commit. Epochs are
+        # serialized per query, so nothing else is mid-staging here.
+        # Cost: one manifest-directory read per epoch — O(batches)
+        # small JSON files; at production epoch counts, roll manifests
+        # up or track the referenced set incrementally.
+        referenced: set[str] = set()
+        for entry in _os.listdir(self.path):
+            if entry.startswith("_commit_") and entry.endswith(".json"):
+                try:
+                    with open(_os.path.join(self.path, entry)) as mf:
+                        referenced.update(_json.load(mf).get("files", []))
+                except (OSError, ValueError):
+                    continue
+        staging = _os.path.join(self.path, "_staging")
+        if _os.path.isdir(staging):
+            for fname in _os.listdir(staging):
+                full = _os.path.join(staging, fname)
+                if full not in referenced:
+                    try:
+                        _os.remove(full)
+                    except OSError:
+                        pass
 
     def abort(self, messages, batchId) -> None:  # noqa: ANN001, N803
         """Driver-side on epoch failure: drop staged files — nothing

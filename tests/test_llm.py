@@ -335,3 +335,45 @@ def test_jaccard_sampled_guard_drops_hot_keeps_rare(spark):
     # Same corpus, guard off: the boilerplate docs all pair up.
     full = ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=None)
     assert full.count() > 1000
+
+
+def test_cosine_topk_exact_enforces_query_bound(spark):
+    """The crossJoin contract is enforced, not just documented: a
+    query side larger than max_queries raises with an ANN pointer
+    instead of planning an |Q|x|corpus| cartesian."""
+    import pytest
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="ann_lsh_topk"):
+        cosine_topk_exact(emb, emb, k=3, max_queries=50)
+    # Within the bound (and with the opt-out) the operator still runs.
+    q = emb.limit(5)
+    assert cosine_topk_exact(q, emb, k=3, max_queries=50).count() == 15
+    assert cosine_topk_exact(q, emb, k=3, max_queries=None).count() == 15
+
+
+def test_jaccard_guard_scores_filtered_universe(spark):
+    """Guarded Jaccard must be the TRUE Jaccard of the post-guard
+    shingle sets: denominators exclude flagged shingles exactly like
+    the numerator does. Docs 10/11 share one hot shingle (df=8 > cap)
+    and one rare shingle; over the filtered universe their Jaccard is
+    1/3, so they survive a 0.3 threshold — the pre-fix biased score
+    1/(3+3-1)=0.2 (hot shingles still in the denominators) would have
+    silently dropped this borderline TRUE pair."""
+    rows = [(i, "en", "common boiler plate") for i in range(6)]
+    rows += [
+        (10, "en", "common boiler plate alpha beta"),
+        (11, "en", "common boiler plate alpha gamma"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    got = ngram_jaccard_pairs(
+        docs, threshold=0.3, max_shingle_df=4
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(10, 11, 0.3333)]
+    # Unguarded cross-check: shared = {common-boiler-plate,
+    # boiler-plate-alpha} of 4 total distinct shingles -> 0.5.
+    full = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=None)
+    pair = [r for r in full.collect() if r.doc_a == 10]
+    assert [(r.doc_b, r.jaccard) for r in pair] == [(11, 0.5)]

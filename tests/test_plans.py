@@ -365,3 +365,35 @@ def test_timestamp_filter_pushdown_survives_ntz_cast(spark):
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert pushed, p
     assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed), pushed
+
+
+def test_asof_bucket_adds_equi_key_and_preserves_results(spark):
+    """R8 at scale: with bucket set, the as-of range join must carry
+    the coarse time-bucket EQUI-key (visible as _bk in the join
+    condition — what bounds fan-out to ~2 buckets of right rows
+    instead of the key's whole history), and under tolerance <= bucket
+    width the result must be IDENTICAL to the unbucketed operator."""
+    from miningfrequentpattern_spark.operators.relational import asof_join
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    tol = F.lit(3600.0)  # 1 hour, == the bucket width
+    bucketed = asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_ts",
+        right_ts="click_ts", tolerance_expr=tol, bucket="1 hour",
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "_bk" in plan, plan
+    plain = asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_ts",
+        right_ts="click_ts", tolerance_expr=tol,
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -47,3 +47,22 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file key ranges overlap"
+
+
+def test_dir_parquet_bytes_raises_on_no_files(tmp_path):
+    """A path with no locally-visible parquet files (empty dir, or any
+    non-local URI os.walk can't see) must raise instead of returning 0
+    — a 0-byte estimate would make compact_parquet plan a single-task
+    rewrite of an arbitrarily large dataset."""
+    import pytest
+
+    from miningfrequentpattern_spark.functions.layout import (
+        dir_parquet_bytes,
+    )
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no .parquet files"):
+        dir_parquet_bytes(str(empty))
+    with pytest.raises(FileNotFoundError):
+        dir_parquet_bytes("s3://bucket/prefix")

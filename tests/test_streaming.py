@@ -368,3 +368,45 @@ def test_stream_static_broadcast_join(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_sink_vacuums_orphaned_staging_files(spark, tmp_path):
+    """Commit-time vacuum: staged files no manifest references (left by
+    a superseded commit attempt or a crash between staging and commit)
+    must be deleted by the next commit, while every manifested file
+    survives — _staging stays bounded to referenced files."""
+    import glob
+    import json as jsonlib
+    import os
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        JsonlStreamSink,
+    )
+
+    spark.dataSource.register(JsonlStreamSink)
+    out = str(tmp_path / "sink")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+    orphan = os.path.join(staging, "part-deadbeef-orphan.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"event_id": -1}\n')
+
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type"
+    )
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert not os.path.exists(orphan), "orphaned staged file not vacuumed"
+    manifested = set()
+    for mf in glob.glob(f"{out}/_commit_*.json"):
+        manifested.update(jsonlib.load(open(mf))["files"])
+    assert manifested and all(os.path.exists(f) for f in manifested)
+    # Nothing in _staging beyond what manifests reference.
+    assert set(glob.glob(f"{staging}/*")) <= manifested
