@@ -130,6 +130,54 @@ def l02f_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, block_col="lang", n=3, threshold=0.2)
 
 
+@query(
+    "l02g_ngram_jaccard_capped",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+               FROM documents),
+    sh0 AS (SELECT doc_id, lang,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+               x -> x IS NOT NULL)) AS g
+           FROM t),
+    posts AS (SELECT doc_id, lang, unnest(g) AS shingle FROM sh0),
+    hot AS (SELECT lang, shingle FROM posts
+            GROUP BY lang, shingle HAVING count(*) > 2),
+    keep AS (SELECT p.* FROM posts p ANTI JOIN hot h USING (lang, shingle)),
+    sets AS (SELECT doc_id, lang, list(shingle) AS g
+             FROM keep GROUP BY doc_id, lang)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.g, b.g)) * 1.0 /
+                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+             AS jaccard
+    FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.g, b.g)) * 1.0 /
+                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4)
+          >= 0.1
+    """,
+)
+def l02g_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (exact, guard FIRING): unlike l02f — where the cap sits above
+    the fixtures' max shingle df and the guard provably drops nothing —
+    this twin pins the cap at 2, UNDER the fixture df ceiling of 5, so
+    the hot-shingle filter genuinely removes ~340 shingles at sf0.01
+    and the surviving pairs are scored on the filtered universe. The
+    oracle recomputes the identical semantics in SQL (df > cap →
+    drop postings → rebuild per-doc sets → Jaccard over the survivors),
+    which hash-certifies the guard END-TO-END in the driver env:
+    both the dropping behavior and the post-guard denominators
+    (numerator and denominator from the same shingle universe).
+    cap·guard_sample < 20 ⇒ the exact-df fallback runs, so the flagged
+    set is deterministic."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    return ngram_jaccard_pairs(
+        docs, block_col="lang", n=3, threshold=0.1, max_shingle_df=2
+    )
+
+
 @query("l02b_minhash_lsh_pairs")
 def l02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (MinHash LSH, seeded): candidate near-dup pairs at estimated

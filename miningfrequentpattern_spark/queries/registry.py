@@ -63,81 +63,80 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration-order positions 1-50). The window ROTATES each round so
 # that, cumulatively, every registered query earns a driver row.
 #
-# Rounds 1+2 hash-proved 59 queries (union of CORRECTNESS_r01/r02
-# hash_match=true rows). Round 3's window therefore promotes the 47
-# queries that have never had a driver row — 36 oracle-bearing (full
-# hash check) + 11 rows-only-by-design (weaker rows check, still a
-# driver-environment proof) — plus 3 long-proven canaries that guard
-# against environment drift. Queries outside the window stay covered
-# by the local oracle mirror (tests/test_oracle_parity.py).
+# Cumulative driver proof through round 3: 95/105 oracle-bearing
+# queries hash-proven, all 11 rows-only-by-design queries run-proven;
+# zero failures anywhere. Round 4's window therefore promotes the 13
+# queries with no driver row yet — the 10 round-3 additions plus the
+# 3 new round-4 queries (l02g guard-firing twin, r08b bucketed as-of,
+# r36 salted join) — behind the 3 drift canaries, and backfills with
+# proven queries chosen to RE-certify operators whose code changed
+# this round (asof_join bucketing refactor → r08; cosine_topk_exact
+# query-bound guard → l03; guarded-Jaccard denominators → l02f/l02g)
+# plus a cross-pack spread of round-1/2-proven queries. Queries
+# outside the window stay covered by the local oracle mirror
+# (tests/test_oracle_parity.py).
 #
-# ROUND 4 ROTATION TODO: promote the nine round-3 additions that
-# have no driver row yet — l02f_ngram_jaccard_guarded,
-# l21_source_mixing, l22_prefix_dup_rate, l23_source_overlap,
-# l24_embedding_quantize, u05_arrow_grouped_centroids,
-# r34_rolling_7day_spend, r35_unpivot_part_metrics,
-# u06_grouped_agg_geomean, m11_rule_interest (all oracle-bearing) —
-# plus any query whose CORRECTNESS_r03 row failed; backfill with
-# canaries.
+# ROUND 5 ROTATION TODO: every oracle-bearing query registered
+# through round 4 will then have a driver hash row; rotate any
+# round-4 failures back in, re-promote the rows-only set for a fresh
+# run-proof, and promote whatever round 5 adds.
 PRIORITY: tuple[str, ...] = (
-    # canaries — proven in r1+r2, kept to detect driver-env drift
+    # canaries — proven every round, kept to detect driver-env drift
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    # mining variants — oracle-bearing, never driver-checked
-    "m04_itemsets_full_tokens",
-    "m04_itemsets_market",
-    "m05_rules_full_tokens",
-    "m07_topk_itemsets",
-    "m09_prefixspan_full",
-    "m10_maximal_itemsets",
-    # relational round-2 additions — oracle-bearing
-    "r26_global_order_rank",
-    "r27_variant_props",
-    "r28_recursive_order_chain",
-    "r30_above_nation_avg",
-    "r31_lateral_top_suppliers",
-    "r32_incremental_upsert",
-    # LLM pack round-2 additions — oracle-bearing
-    "l02e_neardup_clusters",
-    "l04b_top_bigrams",
-    "l06b_repetition_signals",
-    "l07c_frame_sample",
-    "l10_pii_scrub",
-    "l11_stratified_sample",
-    "l12_decontaminate",
-    "l13_sequence_pack",
-    "l14_neardup_keep_best",
-    "l15_unigram_logprob",
-    "l16_chunk_overlap",
-    "l17_tfidf_topterms",
-    "l19_duplicate_ngram_spans",
-    "l20_quality_buckets",
-    # streaming — oracle-bearing, never driver-checked
-    "t02_sliding_window",
-    "t05b_stateful_user_counts_native",
-    "t06_microbatch_mining",
-    # sources / interchange — oracle-bearing
-    "s03b_json_roundtrip",
-    "s05_partitioned_pruning",
-    "s06_orc_roundtrip",
-    "s07_python_datasource",
-    "s08_xml_roundtrip",
-    "s09_zorder_key",
-    "u04_arrow_vector_norms",
-    # rows-only-by-design (randomized/engine-specific per SURVEY §2
-    # oracle policy) — driver rows prove they run in the driver env
-    "r10_approx_aggregates",
-    "r29_hll_sketches",
-    "r33_approx_topk",
-    "l02b_minhash_lsh_pairs",
-    "l02c_simhash_pairs",
-    "l03b_ann_lsh_topk",
-    "l03c_ivf_topk",
-    "l04c_doc_fingerprints",
-    "l07b_media_features",
-    "l08_langid_heuristic",
-    "l18_semantic_neardup",
+    # round-3 additions — oracle-bearing, never driver-checked
+    "l02f_ngram_jaccard_guarded",
+    "l21_source_mixing",
+    "l22_prefix_dup_rate",
+    "l23_source_overlap",
+    "l24_embedding_quantize",
+    "m11_rule_interest",
+    "r34_rolling_7day_spend",
+    "r35_unpivot_part_metrics",
+    "u05_arrow_grouped_centroids",
+    "u06_grouped_agg_geomean",
+    # round-4 additions — oracle-bearing, never driver-checked
+    "l02g_ngram_jaccard_capped",
+    "r08b_asof_bucketed",
+    "r36_salted_join_segments",
+    # re-certification — operators whose code changed this round
+    "r08_asof_last_click_before_purchase",
+    "l03_cosine_topk",
+    "l02_ngram_jaccard_pairs",
+    # backfill — round-1/2-proven spread across every pack
+    "m02_item_support",
+    "m03_frequent_items",
+    "m04_itemsets_k2_tokens",
+    "m05_rules_1to1_tokens",
+    "m06_rule_transform",
+    "m07_topk_items",
+    "m08_apriori_tokens",
+    "m09_prefixspan_1seq",
+    "m10_closed_itemsets",
+    "r02_pricing_summary",
+    "r03_local_supplier_volume",
+    "r04_customer_order_counts",
+    "r05_customers_without_orders",
+    "r06_click_to_purchase_10min",
+    "r07_region_segment_grid",
+    "r09_distinct_aggregates",
+    "r10b_exact_percentiles",
+    "r11_rollup_status_priority",
+    "r12_top3_parts_per_brand",
+    "r13_order_gaps",
+    "r14_running_customer_spend",
+    "r15_top25_orders",
+    "r16_repeat_customers_y2k",
+    "r17_string_functions",
+    "r18_monthly_order_stats",
+    "r19_math_functions",
+    "r20_array_functions",
+    "r21_json_props",
+    "r22_content_hashes",
+    "l04_token_stats",
+    "l05_corpus_profile",
+    "l06_quality_filter",
 )
 
 

@@ -1362,3 +1362,91 @@ def r35_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unpivot(
         ["p_partkey"], ["p_size", "p_retailprice"], "metric", "value"
     )
+
+
+@query(
+    "r08b_asof_bucketed",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.user_id, p.event_id AS purchase_id,
+             c.event_id AS asof_event_id,
+             row_number() OVER (
+               PARTITION BY p.user_id, p.event_id
+               ORDER BY (epoch_us(p.ts) - epoch_us(c.ts)) ASC NULLS LAST,
+                        c.event_id) AS rn
+      FROM purchases p
+      LEFT JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000)
+    SELECT user_id, purchase_id, asof_event_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def r08b_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 (bucketed twin): r08 with a 1-hour tolerance AND the coarse
+    time-bucket equi-key (`bucket="1 hour"`) in the join condition —
+    the 100 TB form. Each click registers under its own hour-bucket
+    plus the next, purchases join on exact bucket equality, and the
+    per-user fan-out drops from the whole click history to ~2 hours
+    of clicks. tolerance (3600 s) == bucket width, so results are
+    provably identical to the unbucketed range join; the oracle states
+    the same tolerance-bounded as-of in plain SQL, hash-certifying the
+    bucketed plan end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        tolerance_expr=F.lit(3600.0),
+        right_cols=["event_id"],
+        bucket="1 hour",
+    )
+    return out.select("user_id", "purchase_id", "asof_event_id")
+
+
+@query(
+    "r36_salted_join_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def r36_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew lever (functions/skew.py): order revenue by customer
+    segment through `salted_join` — the fact side carries a random
+    salt, the dim side is replicated once per salt value, and the join
+    runs on (key, salt), spreading any hot customer across n_salts
+    tasks. The tool for joins AQE's runtime skew splitting cannot
+    reach (bucketed / pre-partitioned / stream-static joins avoid the
+    shuffle AQE would split). Semantics are identical to the plain
+    equi-join — the oracle IS the plain join, so the driver
+    hash-certifies the equivalence, not just a test fixture."""
+    from ..functions.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, key="custkey", n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
