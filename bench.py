@@ -51,6 +51,10 @@ HEADLINE = [
     "l15_unigram_logprob",
     "l17_tfidf_topterms",
     "r26_global_order_rank",
+    # round-4 additions — guard-firing inverted-index join with
+    # denominator adjustment; bucketed as-of (equi-key + 2x explode)
+    "l02g_ngram_jaccard_capped",
+    "r08b_asof_bucketed",
 ]
 
 
