@@ -1202,3 +1202,91 @@ def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(sq_err / F.size("v")) / F.col("scale"), 4
         ).alias("rel_rmse"),
     )
+
+
+@query(
+    "l25_curation_pipeline",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars, text,
+             row_number() OVER (
+               PARTITION BY sha256(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents),
+    kept AS (SELECT doc_id, lang, n_chars, text FROM h WHERE rn = 1),
+    t AS (SELECT doc_id, lang, n_chars,
+                 string_split(text, ' ') AS l FROM kept),
+    f AS (SELECT doc_id, lang, n_chars, len(l) AS n_tokens,
+                 round(list_sum(list_transform(l, x -> len(x) * 1.0))
+                       / len(l), 4) AS mean_word_len,
+                 round(len(list_distinct(l)) * 1.0 / len(l), 4)
+                   AS distinct_ratio
+          FROM t),
+    good AS (SELECT doc_id, lang, n_tokens FROM f
+             WHERE n_tokens >= 5 AND n_chars BETWEEN 20 AND 10000
+               AND mean_word_len BETWEEN 2 AND 12
+               AND distinct_ratio > 0.1),
+    sh AS (SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+               x -> x IS NOT NULL)) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS l
+                 FROM documents)),
+    ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+    bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 40 = 0),
+    train AS (SELECT e.doc_id, e.s FROM ex e
+              JOIN good g ON g.doc_id = e.doc_id
+              WHERE e.doc_id % 40 != 0),
+    contaminated AS (SELECT DISTINCT tr.doc_id
+                     FROM train tr JOIN bench b ON tr.s = b.s),
+    clean AS (SELECT g.* FROM good g
+              WHERE g.doc_id % 40 != 0
+                AND g.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM clean GROUP BY lang
+    """,
+)
+def l25_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-pack capstone: the operators COMPOSED as one curation
+    pipeline — exact dedup (keep lowest doc_id per normalized digest)
+    → Gopher/C4 quality gate → benchmark decontamination (every 40th
+    doc_id plays the eval suite, as in l12) → per-language corpus
+    summary. Each stage is the same operator its standalone query
+    certifies; this query certifies that they compose (the id-set
+    plumbing between stages is where real pipelines silently lose or
+    double-count documents — the oracle rebuilds all four stages in
+    one SQL and the hash match pins the whole lattice of survivors).
+
+    Scale shape: dedup is one digest-keyed shuffle; the quality gate
+    is a per-row map; stage plumbing is doc_id equi-joins (semi/anti),
+    all AQE-planable; decontamination broadcasts only the benchmark
+    shingles, so the corpus never shuffles for it; the output is
+    |langs| rows."""
+    from ..operators.dedup import decontaminate, exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs).filter(F.col("is_kept")).drop(
+        "content_hash", "dup_rank", "is_kept"
+    )
+    feats = T.quality_features(deduped)
+    good = feats.filter(F.col("quality_pass"))
+    train_docs = (
+        deduped.join(good.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("doc_id") % 40 != 0)
+        .withColumn("tokens", T.tokens("text"))
+    )
+    bench = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+        "tokens", T.tokens("text")
+    )
+    contaminated = decontaminate(train_docs, bench).select("doc_id")
+    clean = (
+        good.filter(F.col("doc_id") % 40 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

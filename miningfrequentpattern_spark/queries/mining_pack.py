@@ -676,3 +676,88 @@ def m11_rule_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leverage"),
         )
     )
+
+
+@query(
+    "m12_sequence_rules",
+    oracle="""
+    WITH n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    e AS (SELECT user_id, ts, event_id, event_type FROM events),
+    p1 AS (
+      SELECT event_type AS pattern, count(DISTINCT user_id) AS freq
+      FROM e GROUP BY 1),
+    s2 AS (
+      SELECT DISTINCT a.user_id, a.event_type AS x, b.event_type AS y
+      FROM e a JOIN e b ON b.user_id = a.user_id
+       AND (b.ts, b.event_id) > (a.ts, a.event_id)),
+    p2 AS (SELECT x || '>' || y AS pattern, count(*) AS freq
+           FROM s2 GROUP BY 1),
+    s3 AS (
+      SELECT DISTINCT a.user_id,
+             a.event_type AS x, b.event_type AS y, c.event_type AS z
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id
+       AND (b.ts, b.event_id) > (a.ts, a.event_id)
+      JOIN e c ON c.user_id = b.user_id
+       AND (c.ts, c.event_id) > (b.ts, b.event_id)),
+    p3 AS (SELECT x || '>' || y || '>' || z AS pattern, count(*) AS freq
+           FROM s3 GROUP BY 1),
+    allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             UNION ALL SELECT * FROM p3),
+    freqp AS (SELECT pattern, freq FROM allp
+              WHERE freq >= ceil(0.5 * (SELECT n_users FROM n))),
+    r AS (SELECT regexp_replace(pattern, '>[^>]*$', '') AS antecedent,
+                 regexp_extract(pattern, '([^>]+)$', 1) AS consequent,
+                 freq
+          FROM freqp WHERE pattern LIKE '%>%')
+    SELECT r.antecedent, r.consequent,
+           round(r.freq * 1.0 / p.freq, 4) AS confidence,
+           r.freq AS seq_support
+    FROM r JOIN freqp p ON p.pattern = r.antecedent
+    WHERE r.freq * 1.0 / p.freq >= 0.4
+    """,
+)
+def m12_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9-extension (sequential association rules): from the frequent
+    sequential patterns PrefixSpan finds (m09), derive prefix ⇒ next
+    rules — "users who did x then y go on to do z" — with
+    confidence = supp(prefix+[next]) / supp(prefix). MLlib mines the
+    patterns but ships no sequential-rule stage (AssociationRules is
+    itemset-only), so this is the standard post-pass from the
+    sequential-mining literature, expressed as one DataFrame join:
+    split each length≥2 pattern into (prefix, last), equi-join the
+    prefix string back to the pattern table for its support —
+    anti-monotonicity guarantees every frequent pattern's prefix is
+    frequent, so the inner join can't drop a rule. The pattern lattice
+    is bounded by |event-type vocab|^maxlen, so the prefix side
+    broadcasts at any corpus scale; confidences round to 4dp on both
+    sides. Oracle: the m09 bounded-lattice SQL extended with the same
+    prefix split + self-join."""
+    pats = prefix_span(
+        event_sequences(load_table(spark, sf_dir, "events")),
+        min_support=0.5,
+        max_pattern_length=3,
+    )
+    flat = pats.select(F.flatten("sequence").alias("seq"), "freq")
+    rules = flat.filter(F.size("seq") >= 2).select(
+        F.array_join(
+            F.slice(F.col("seq"), F.lit(1), F.size("seq") - 1), ">"
+        ).alias("antecedent"),
+        F.element_at("seq", -1).alias("consequent"),
+        F.col("freq").alias("seq_support"),
+    )
+    prefixes = flat.select(
+        F.array_join("seq", ">").alias("antecedent"),
+        F.col("freq").alias("_pfreq"),
+    )
+    conf = F.col("seq_support") / F.col("_pfreq")
+    return (
+        rules.join(F.broadcast(prefixes), "antecedent")
+        .filter(conf >= 0.4)
+        .select(
+            "antecedent",
+            "consequent",
+            F.round(conf, 4).alias("confidence"),
+            "seq_support",
+        )
+    )

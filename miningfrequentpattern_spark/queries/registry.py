@@ -100,6 +100,9 @@ PRIORITY: tuple[str, ...] = (
     "l02g_ngram_jaccard_capped",
     "r08b_asof_bucketed",
     "r36_salted_join_segments",
+    "m12_sequence_rules",
+    "l25_curation_pipeline",
+    "s10_compact_roundtrip",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -128,11 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "r14_running_customer_spend",
     "r15_top25_orders",
     "r16_repeat_customers_y2k",
-    "r17_string_functions",
-    "r18_monthly_order_stats",
-    "r19_math_functions",
     "r20_array_functions",
-    "r21_json_props",
     "r22_content_hashes",
     "l04_token_stats",
     "l05_corpus_profile",

@@ -489,3 +489,42 @@ def u06_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.round(geomean("o_totalprice"), 2).alias("geomean_price")
     )
+
+
+@query(
+    "s10_compact_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events GROUP BY event_type
+    """,
+)
+def s10_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-extension (layout maintenance, functions/layout.py): events
+    written as 32 fragment files, compacted to ~quarter-of-source
+    target files with range clustering on ts, read back and
+    aggregated. The oracle runs on the ORIGINATING fixture, so the
+    hash match certifies that the fragment → compact → scan cycle
+    loses and duplicates nothing — the row-preservation contract of
+    compaction, proven in the driver env (file-count and
+    range-disjointness assertions live in tests/test_sources.py).
+    Compaction itself is the small-file killer at 100 TB: one
+    self-tuned repartitionByRange exchange sized from the source's
+    real on-disk bytes."""
+    from ..functions.layout import compact_parquet, dir_parquet_bytes
+
+    ev = load_table(spark, sf_dir, "events")
+    src = _scratch("compact_src")
+    dst = _scratch("compact_dst")
+    ev.repartition(32).write.mode("overwrite").parquet(src)
+    target = max(1, dir_parquet_bytes(src) // 4)
+    compact_parquet(
+        spark, src, dst, target_file_bytes=target, sort_cols=["ts"]
+    )
+    back = spark.read.parquet(dst)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("user_id").alias("sum_user"),
+    )

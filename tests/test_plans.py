@@ -397,3 +397,21 @@ def test_asof_bucket_adds_equi_key_and_preserves_results(spark):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_sequence_rules_broadcast_prefix_lattice(spark):
+    """m12: the prefix-support lookup joins the (vocab^maxlen-bounded)
+    pattern lattice — it must broadcast, and nothing in the rule
+    derivation may plan a cartesian."""
+    p = plan_of(spark, "m12_sequence_rules")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_curation_pipeline_broadcasts_benchmark_only(spark):
+    """l25: the composed pipeline must keep decontamination's
+    benchmark-shingle side broadcast (corpus streams map-side) and
+    plan no cartesian anywhere across the four stages."""
+    p = plan_of(spark, "l25_curation_pipeline")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
