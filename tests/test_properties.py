@@ -110,3 +110,42 @@ def test_quantize_bounds(spark, vec):
     assert all(abs(q) <= 127 for q in row.qv)
     for x, q in zip(row.v, row.qv):
         assert abs(x - q * row.scale) <= row.scale / 2 + 1e-12
+
+
+@given(
+    lefts=st.lists(st.integers(0, 500), min_size=1, max_size=8),
+    rights=st.lists(st.integers(0, 500), min_size=0, max_size=8),
+    tol=st.integers(1, 60),
+    bucket_mult=st.integers(1, 3),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(**_SETTINGS)
+def test_asof_bucket_equivalence_property(
+    spark, lefts, rights, tol, bucket_mult, direction
+):
+    """For ANY event times, direction, and tolerance <= bucket width,
+    the bucketed as-of join must return exactly the unbucketed result —
+    including ties, matches straddling a bucket boundary, and left rows
+    with no match at all. Bucket width = tol * mult rounded up to whole
+    minutes (the string-parameter granularity)."""
+    from miningfrequentpattern_spark.operators.relational import asof_join
+
+    bucket_secs = ((tol * bucket_mult + 59) // 60) * 60
+    l = spark.createDataFrame(
+        [(1, float(t)) for t in lefts], "k int, lt double"
+    ).select("k", F.timestamp_seconds("lt").alias("lt"))
+    r = spark.createDataFrame(
+        [(1, float(t), i) for i, t in enumerate(rights)],
+        "k int, rt double, rid int",
+    ).select("k", F.timestamp_seconds("rt").alias("rt"), "rid")
+    kw = dict(
+        on="k", left_ts="lt", right_ts="rt", direction=direction,
+        tolerance_expr=F.lit(float(tol)),
+    )
+    plain = asof_join(l, r, **kw)
+    bucketed = asof_join(
+        l, r, bucket=f"{bucket_secs // 60} minutes", **kw
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
