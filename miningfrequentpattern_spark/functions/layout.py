@@ -27,24 +27,29 @@ def dir_parquet_bytes(path: str) -> int:
     an object store swap in the Hadoop FileSystem listing — same
     number, different API).
 
-    Raises if no parquet files are found: `os.walk` yields nothing for
-    non-local URIs (s3://, hdfs://), and silently returning 0 would
-    make `compact_parquet` rewrite an arbitrarily large dataset into
-    ONE partition — a single-task rewrite is strictly worse than
-    failing fast with the remote-path instruction.
+    Counts every non-hidden data file (not just `*.parquet` — engines
+    like Hive write extensionless part files, and compressed size is
+    what matters regardless of suffix), skipping `_SUCCESS`/metadata
+    sidecars and dotfiles. Raises if no data files are found at all:
+    `os.walk` yields nothing for non-local URIs (s3://, hdfs://), and
+    silently returning 0 would make `compact_parquet` rewrite an
+    arbitrarily large dataset into ONE partition — a single-task
+    rewrite is strictly worse than failing fast.
     """
     total = 0
     found = False
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith(".parquet"):
-                found = True
-                total += os.path.getsize(os.path.join(root, f))
+            if f.startswith((".", "_")):
+                continue
+            found = True
+            total += os.path.getsize(os.path.join(root, f))
     if not found:
         raise FileNotFoundError(
-            f"no .parquet files found under {path!r} via local walk — "
-            "for non-local URIs (s3://, hdfs://) size the source with "
-            "the Hadoop FileSystem listing instead of os.walk"
+            f"no data files found under {path!r} via local walk — "
+            "either the directory is empty, or this is a non-local URI "
+            "(s3://, hdfs://): size those with the Hadoop FileSystem "
+            "listing instead of os.walk"
         )
     return total
 

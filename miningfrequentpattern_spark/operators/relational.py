@@ -22,11 +22,25 @@ _BUCKET_UNITS = {
 
 
 def _bucket_seconds(bucket: str) -> int:
-    """Parse '1 hour' / '30 minutes' / '2 days' into seconds."""
+    """Parse '1 hour' / '30 minutes' / '2 days' into seconds.
+
+    The count must be a positive integer: zero would divide the
+    bucket-id expression by 0 (NULL under the engine's non-ANSI conf —
+    every join silently empty), negatives produce garbage buckets, and
+    fractions aren't representable at the whole-unit granularity this
+    API offers — all rejected loudly instead.
+    """
     parts = bucket.strip().split()
-    if len(parts) != 2 or parts[1].lower() not in _BUCKET_UNITS:
+    if (
+        len(parts) != 2
+        or not parts[0].isdigit()
+        or int(parts[0]) < 1
+        or parts[1].lower() not in _BUCKET_UNITS
+    ):
         raise ValueError(
-            f"bucket must look like '1 hour' / '30 minutes', got {bucket!r}"
+            "bucket must be '<positive integer> "
+            "<second[s]|minute[s]|hour[s]|day[s]>' like '1 hour' / "
+            f"'30 minutes', got {bucket!r}"
         )
     return int(parts[0]) * _BUCKET_UNITS[parts[1].lower()]
 

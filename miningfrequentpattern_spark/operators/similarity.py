@@ -45,8 +45,11 @@ def cosine_topk_exact(
     (a bounded action — the scan stops after max_queries+1 rows, it
     never counts the full side) and an oversized query side raises
     with a pointer at the ANN operators, instead of silently planning
-    an |Q|×|corpus| cartesian. `max_queries=None` opts out for callers
-    that have their own bound.
+    an |Q|×|corpus| cartesian. Note the probe is EAGER: building the
+    result DataFrame runs one small job and evaluates the query-side
+    lineage once before the join does — the deliberate price of
+    failing fast instead of launching the cartesian. `max_queries=None`
+    opts out (no probe, fully lazy) for callers with their own bound.
     """
     if max_queries is not None:
         probed = queries.limit(max_queries + 1).count()

@@ -65,10 +65,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Cumulative driver proof through round 3: 95/105 oracle-bearing
 # queries hash-proven, all 11 rows-only-by-design queries run-proven;
-# zero failures anywhere. Round 4's window therefore promotes the 13
+# zero failures anywhere. Round 4's window therefore promotes the 16
 # queries with no driver row yet — the 10 round-3 additions plus the
-# 3 new round-4 queries (l02g guard-firing twin, r08b bucketed as-of,
-# r36 salted join) — behind the 3 drift canaries, and backfills with
+# 6 new round-4 queries (l02g guard-firing twin, r08b bucketed as-of,
+# r36 salted join, m12 sequential rules, l25 curation pipeline, s10
+# compaction round-trip) — behind the 3 drift canaries, and backfills with
 # proven queries chosen to RE-certify operators whose code changed
 # this round (asof_join bucketing refactor → r08; cosine_topk_exact
 # query-bound guard → l03; guarded-Jaccard denominators → l02f/l02g)

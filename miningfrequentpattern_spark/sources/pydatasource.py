@@ -131,13 +131,16 @@ class JsonlStreamSink(DataSource):
     commit) OVERWRITES its manifest rather than adding one — readers
     following manifests see each batch's file set exactly once.
     Readers MUST follow manifests: listing `_staging` directly can
-    observe files whose epoch never committed. Staged files orphaned
-    by a superseded commit attempt or by a driver crash between
-    staging and commit are vacuumed by the NEXT commit (every commit
-    deletes staged files referenced by no manifest — safe because the
-    micro-batch engine serializes epochs per query, so no other
-    epoch's files can be mid-staging while commit runs), bounding
-    `_staging` to referenced files plus at most one crashed epoch.
+    observe files whose epoch never committed. Each writer instance
+    stages under its own `_staging/<writer_id>/` subdir; files
+    orphaned by a superseded commit attempt or by a driver crash
+    between staging and commit are vacuumed by that writer's NEXT
+    commit (each commit deletes ITS OWN subdir's files referenced by
+    no manifest — safe because one writer's epochs are serialized,
+    and scoped so a second writer sharing the sink path can never
+    lose mid-epoch files to another's vacuum). `_staging` is thus
+    bounded to referenced files plus at most one crashed epoch per
+    writer restart; crashed instances' subdirs are swept offline.
     Verified by the stop/restart test in tests/test_streaming.py.
 
     Local-mode note: executors and driver share one filesystem here;
@@ -158,7 +161,18 @@ class JsonlStreamSink(DataSource):
 
 class JsonlStreamWriter(DataSourceStreamWriter):
     def __init__(self, path: str) -> None:
+        import uuid as _uuid
+
         self.path = path
+        # Per-writer-instance staging namespace: this writer stages
+        # under _staging/<writer_id>/ and its vacuum scans ONLY that
+        # subdir, so a second writer sharing the sink path (a backfill
+        # beside a live stream) can never have its mid-epoch files
+        # deleted by this writer's commit. Orphans left by a CRASHED
+        # previous writer instance live in that instance's subdir and
+        # are bounded (≤ one epoch per crash); sweep them offline by
+        # deleting subdirs whose files no manifest references.
+        self.writer_id = _uuid.uuid4().hex
 
     def write(self, iterator) -> _FileCommitMessage:  # noqa: ANN001
         """Executor-side: stage this partition's rows as one jsonl
@@ -167,7 +181,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         import os as _os
         import uuid as _uuid
 
-        staging = _os.path.join(self.path, "_staging")
+        staging = _os.path.join(self.path, "_staging", self.writer_id)
         _os.makedirs(staging, exist_ok=True)
         fname = _os.path.join(staging, f"part-{_uuid.uuid4().hex}.jsonl")
         n = 0
@@ -199,11 +213,13 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         _os.replace(tmp, final)
         # Vacuum: drop staged files no manifest references — orphans
         # from a superseded attempt of a re-delivered epoch, or from a
-        # driver crash between staging and commit. Epochs are
-        # serialized per query, so nothing else is mid-staging here.
-        # Cost: one manifest-directory read per epoch — O(batches)
-        # small JSON files; at production epoch counts, roll manifests
-        # up or track the referenced set incrementally.
+        # driver crash between staging and commit. Scoped to THIS
+        # writer instance's staging subdir: within one writer, epochs
+        # are serialized, so nothing of its own can be mid-staging
+        # here, and other writers' subdirs are never touched. Cost:
+        # one manifest-directory read per epoch — O(batches) small
+        # JSON files; at production epoch counts, roll manifests up or
+        # track the referenced set incrementally.
         referenced: set[str] = set()
         for entry in _os.listdir(self.path):
             if entry.startswith("_commit_") and entry.endswith(".json"):
@@ -212,7 +228,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
                         referenced.update(_json.load(mf).get("files", []))
                 except (OSError, ValueError):
                     continue
-        staging = _os.path.join(self.path, "_staging")
+        staging = _os.path.join(self.path, "_staging", self.writer_id)
         if _os.path.isdir(staging):
             for fname in _os.listdir(staging):
                 full = _os.path.join(staging, fname)

@@ -28,12 +28,17 @@ def test_documents_text_is_ascii_single_spaced():
             FROM read_parquet('{sf}/documents.parquet')
             WHERE length(text) != octet_length(text::BLOB)
                OR text LIKE '%  %'
+               OR text != trim(text)
                OR contains(text, chr(9))
                OR contains(text, chr(10))
                OR contains(text, chr(13))
             """
         ).fetchone()[0]
         assert bad == 0, (
-            f"{sf}/documents.parquet violates the ASCII/single-space "
-            "invariant that l07c/l19/l20 oracle parity depends on"
+            f"{sf}/documents.parquet violates the ASCII/single-space/"
+            "trimmed invariant that oracle parity depends on: every "
+            "trim-normalizing Spark tokenizer (operators/text.tokens) "
+            "is paired with an untrimmed string_split oracle, so a "
+            "leading/trailing space would surface as an opaque driver "
+            "hash mismatch — this test exists to fail loudly instead"
         )

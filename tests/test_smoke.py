@@ -215,3 +215,20 @@ def test_approx_aggregates_accuracy(spark):
     for flag, e in exact.items():
         assert abs(got[flag].approx_parts - e.parts) <= 0.03 * e.parts
         assert abs(got[flag].approx_p50 - e.p50) <= 0.01 * e.p50
+
+
+def test_asof_bucket_rejects_bad_widths():
+    """Zero-width buckets would divide by zero (NULL bucket ids under
+    non-ANSI conf → silently empty joins); zero/negative/fractional
+    counts and unknown units must all raise the format error."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.relational import (
+        _bucket_seconds,
+    )
+
+    assert _bucket_seconds("1 hour") == 3600
+    assert _bucket_seconds("30 minutes") == 1800
+    for bad in ("0 hours", "-1 hour", "1.5 hours", "1 fortnight", "hour"):
+        with pytest.raises(ValueError, match="bucket must be"):
+            _bucket_seconds(bad)

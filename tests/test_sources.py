@@ -50,10 +50,11 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
 
 
 def test_dir_parquet_bytes_raises_on_no_files(tmp_path):
-    """A path with no locally-visible parquet files (empty dir, or any
-    non-local URI os.walk can't see) must raise instead of returning 0
-    — a 0-byte estimate would make compact_parquet plan a single-task
-    rewrite of an arbitrarily large dataset."""
+    """A path with no locally-visible data files (empty dir, sidecar
+    -only dir, or any non-local URI os.walk can't see) must raise
+    instead of returning 0 — a 0-byte estimate would make
+    compact_parquet plan a single-task rewrite of an arbitrarily large
+    dataset. Extensionless part files (Hive-style) DO count."""
     import pytest
 
     from miningfrequentpattern_spark.functions.layout import (
@@ -62,7 +63,13 @@ def test_dir_parquet_bytes_raises_on_no_files(tmp_path):
 
     empty = tmp_path / "nothing"
     empty.mkdir()
-    with pytest.raises(FileNotFoundError, match="no .parquet files"):
+    (empty / "_SUCCESS").write_text("")
+    (empty / ".hidden.crc").write_text("x")
+    with pytest.raises(FileNotFoundError, match="no data files"):
         dir_parquet_bytes(str(empty))
     with pytest.raises(FileNotFoundError):
         dir_parquet_bytes("s3://bucket/prefix")
+    hive = tmp_path / "hive"
+    hive.mkdir()
+    (hive / "part-00000").write_bytes(b"x" * 128)
+    assert dir_parquet_bytes(str(hive)) == 128

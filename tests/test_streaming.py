@@ -370,11 +370,50 @@ def test_stream_static_broadcast_join(spark):
     assert got == want
 
 
-def test_stream_sink_vacuums_orphaned_staging_files(spark, tmp_path):
-    """Commit-time vacuum: staged files no manifest references (left by
-    a superseded commit attempt or a crash between staging and commit)
-    must be deleted by the next commit, while every manifested file
-    survives — _staging stays bounded to referenced files."""
+def test_stream_sink_vacuums_own_orphans_only(spark, tmp_path):
+    """Commit-time vacuum, both halves of the contract: staged files in
+    THIS writer's subdir that no manifest references (superseded
+    attempt / staging-time crash) are deleted by its next commit and
+    manifested files survive — while another writer's mid-epoch staged
+    files are NEVER touched (the multi-writer data-loss hazard a
+    path-global vacuum would create)."""
+    import json as jsonlib
+    import os
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        JsonlStreamWriter,
+        _FileCommitMessage,
+    )
+
+    out = str(tmp_path / "sink")
+    w = JsonlStreamWriter(out)
+    own = os.path.join(out, "_staging", w.writer_id)
+    os.makedirs(own)
+    committed = os.path.join(own, "part-real.jsonl")
+    orphan = os.path.join(own, "part-superseded-attempt.jsonl")
+    for f in (committed, orphan):
+        with open(f, "w") as fh:
+            fh.write('{"event_id": 1}\n')
+    foreign = os.path.join(out, "_staging", "otherwriter")
+    os.makedirs(foreign)
+    foreign_file = os.path.join(foreign, "part-inflight.jsonl")
+    with open(foreign_file, "w") as fh:
+        fh.write('{"event_id": 2}\n')
+
+    w.commit([_FileCommitMessage(file=committed, n_rows=1)], batchId=0)
+
+    manifest = jsonlib.load(open(os.path.join(out, "_commit_0.json")))
+    assert manifest["files"] == [committed]
+    assert os.path.exists(committed), "manifested file must survive"
+    assert not os.path.exists(orphan), "own orphan not vacuumed"
+    assert os.path.exists(foreign_file), (
+        "another writer's mid-epoch staged file was deleted"
+    )
+
+
+def test_stream_sink_staging_bounded_after_run(spark, tmp_path):
+    """End-to-end: after a full availableNow run, _staging holds
+    nothing beyond manifest-referenced files."""
     import glob
     import json as jsonlib
     import os
@@ -385,12 +424,6 @@ def test_stream_sink_vacuums_orphaned_staging_files(spark, tmp_path):
 
     spark.dataSource.register(JsonlStreamSink)
     out = str(tmp_path / "sink")
-    staging = os.path.join(out, "_staging")
-    os.makedirs(staging)
-    orphan = os.path.join(staging, "part-deadbeef-orphan.jsonl")
-    with open(orphan, "w") as f:
-        f.write('{"event_id": -1}\n')
-
     stream = read_events_stream(spark, SF_SMOKE).select(
         "event_id", "event_type"
     )
@@ -403,10 +436,9 @@ def test_stream_sink_vacuums_orphaned_staging_files(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    assert not os.path.exists(orphan), "orphaned staged file not vacuumed"
     manifested = set()
     for mf in glob.glob(f"{out}/_commit_*.json"):
         manifested.update(jsonlib.load(open(mf))["files"])
     assert manifested and all(os.path.exists(f) for f in manifested)
-    # Nothing in _staging beyond what manifests reference.
-    assert set(glob.glob(f"{staging}/*")) <= manifested
+    staged = set(glob.glob(os.path.join(out, "_staging", "*", "*")))
+    assert staged <= manifested
