@@ -415,3 +415,20 @@ def test_curation_pipeline_broadcasts_benchmark_only(spark):
     p = plan_of(spark, "l25_curation_pipeline")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_salted_join_carries_salt_key(spark):
+    """r36: the join must run on (key, salt) — the salt column in the
+    join condition is what spreads a hot fact key over n_salts tasks —
+    and the dim replication must come from an explode, not a cartesian."""
+    p = plan_of(spark, "r36_salted_join_segments")
+    assert "_salt" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_compact_roundtrip_aggregates_partial_final(spark):
+    """s10: the post-compaction scan must aggregate partial-then-final
+    (map-side combine) like any other scan — compaction changes the
+    file layout, never the plan shape above it."""
+    p = plan_of(spark, "s10_compact_roundtrip")
+    assert p.count("HashAggregate") >= 2, p
