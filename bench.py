@@ -120,6 +120,13 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Like-for-like subtotal over the 24-query set every prior round
+    # measured (BASELINE.md's committed gate denominator) — the
+    # round-4 additions extend coverage, not the comparison basis.
+    r4_additions = {"l02g_ngram_jaccard_capped", "r08b_asof_bucketed"}
+    like_for_like = round(
+        sum(v for k, v in timings.items() if k not in r4_additions), 3
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -127,6 +134,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "value_like_for_like_24q": like_for_like,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
