@@ -36,13 +36,22 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity (safe on zero vectors → NULL via 0-division
-    semantics of ANSI-off Spark)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity. Zero vectors score 0.0 (not NULL): under
+    ANSI-off Spark the raw division would yield NULL, which every
+    downstream comparison silently filters — a zero embedding would
+    vanish from top-k results with no trace. Defining cos(0, x) = 0
+    matches the numpy-side guard the GEMM operators use."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def l2_normalize(a: Column | str) -> Column:
-    """Unit-normalize an array<float> column."""
+    """Unit-normalize an array<float> column. A zero vector divides by
+    1 instead of 0 and stays all-zeros — NULL elements would crash
+    array_to_vector at the MLlib boundary (LSH fit/transform); the
+    same convention as the numpy norms[norms == 0] = 1 guard in
+    dedup.semantic_neardup_pairs."""
     a = F.col(a) if isinstance(a, str) else a
     n = norm(a)
-    return F.transform(a, lambda x: x / n)
+    safe = F.when(n == 0, F.lit(1.0)).otherwise(n)
+    return F.transform(a, lambda x: x / safe)

@@ -63,7 +63,11 @@ def basketize(
         out = df.groupBy(key).agg(
             F.sort_array(F.collect_set(item)).alias(items_col)
         )
-    if min_items > 1:
+    if min_items > 0:
+        # Applied at min_items=1 too: a key whose item values are all
+        # NULL collects an EMPTY set, and an items=[] basket would both
+        # violate the contract and inflate the basket count N that
+        # frequent_items' ceil(s*N) threshold divides by.
         out = out.filter(F.size(items_col) >= min_items)
     if max_items is not None:
         out = out.filter(F.size(items_col) <= max_items)

@@ -413,8 +413,13 @@ def minhash_neardup_pairs(
     lsh = MinHashLSH(
         inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
     ).fit(vec)
+    # approxSimilarityJoin filters distCol STRICTLY below the
+    # threshold; the epsilon makes the boundary inclusive so a pair at
+    # estimated Jaccard == jaccard_threshold is kept, matching the
+    # exact anchor's `jaccard >= threshold` semantics.
     joined = lsh.approxSimilarityJoin(
-        vec, vec, threshold=1.0 - jaccard_threshold, distCol="jaccard_dist"
+        vec, vec, threshold=1.0 - jaccard_threshold + 1e-9,
+        distCol="jaccard_dist",
     )
     return (
         joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
@@ -487,9 +492,15 @@ def embedding_neardup_pairs(
         mb = np.array(list(right["_vec"]), dtype=np.float64)
         ida = left["_id"].to_numpy(dtype=np.int64)
         idb = right["_id"].to_numpy(dtype=np.int64)
-        sims = (ma @ mb.T) / np.outer(
-            np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
-        )
+        # Zero-norm guard (same convention as semantic_neardup_pairs):
+        # a zero vector would make its whole row/column NaN, and
+        # NaN > threshold is False — pairs silently vanish instead of
+        # scoring 0. Dividing by 1 keeps the dot product 0 == cos 0.
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        sims = (ma @ mb.T) / np.outer(na, nb)
         mask = np.round(sims, 4) > threshold
         if left["bi"].iat[0] == left["bj"].iat[0]:
             # Diagonal group: both sides hold the same rows, so every

@@ -97,7 +97,14 @@ def asof_join(
     out_cols = list(left.columns)
     l = left.withColumn("_lid", F.monotonically_increasing_id())
     r = right
-    keep = right_cols or [c for c in right.columns if c != on]
+    # `is not None`, not truthiness: right_cols=[] is a legitimate
+    # "attach no right columns, just rank-filter" request and must not
+    # silently fall back to every column.
+    keep = (
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c != on]
+    )
     if bucket is not None:
         if tolerance_expr is None:
             raise ValueError(
@@ -124,7 +131,19 @@ def asof_join(
     # Tiebreak beyond delta: right rows can share a timestamp (equal
     # delta), so order further by the kept right columns — without this
     # the rank-1 pick is nondeterministic on ties.
-    w = Window.partitionBy(F.col("l._lid")).orderBy(
+    # The window is partitioned by the JOIN keys plus _lid, not _lid
+    # alone: the join's output already hash-partitions on its equi
+    # keys, and HashPartitioning(keys) satisfies ClusteredDistribution
+    # (keys + _lid) — with only _lid, EnsureRequirements would insert
+    # a SECOND full exchange of the fanned-out join output (the
+    # largest relation in the plan), breaking the documented
+    # one-shuffle-per-input cost. Grouping is unchanged: _lid is
+    # unique, so each partition key still identifies one left row.
+    win_keys = [F.col(f"l.{on}")]
+    if bucket is not None:
+        win_keys.append(F.col("l._bk"))
+    win_keys.append(F.col("l._lid"))
+    w = Window.partitionBy(*win_keys).orderBy(
         delta.asc_nulls_last(), *[F.col(f"r.{c}") for c in keep]
     )
     return (
@@ -169,30 +188,44 @@ def global_row_number(
     cliff for global ranking. The classic two-phase fix:
 
       1. range-shuffle on the order keys (`repartitionByRange`), so
-         partition i holds rows strictly before partition i+1;
-      2. count rows per partition (tiny aggregate, P rows);
-      3. prefix-sum the counts into per-partition offsets (a window
-         over P rows, not N);
-      4. broadcast-join the offsets back and rank within each
-         partition in parallel: global rank = local row_number + offset.
+         partition i holds rows strictly before partition i+1, then
+         sort WITHIN partitions (partition-local, no exchange);
+      2. assign `monotonically_increasing_id()` over the sorted rows —
+         its layout is (partitionId << 33) | rowIndex, so BOTH the
+         partition id and the local 1-based rank fall out of one
+         column with shift arithmetic, no window over the data at all
+         (a Window.partitionBy(_pid) would demand hash clustering on
+         _pid, which range partitioning does not satisfy — Spark
+         would silently re-shuffle the ENTIRE relation a second
+         time);
+      3. count rows per partition (partial-agg to ≤P rows per task,
+         tiny exchange) and prefix-sum into per-partition offsets
+         (a window over P rows, not N);
+      4. broadcast-join the offsets back: global rank = local index
+         + offset, fully parallel.
 
-    So the full-data cost is one range exchange plus one in-partition
-    sort — the same work a global sort would do — and the relation is
-    never funneled through one task. `spark_partition_id()` is stable
-    across the plan's two uses of the shuffled leg: the exchange is
-    planned once and reused (ReusedExchange, asserted in
-    tests/test_plans.py), and RangePartitioner's sampling is
-    seed-deterministic per input split besides.
-
-    `order_exprs` must include a unique tiebreak column so the total
-    order (and thus the rank) is well-defined.
+    So the full-data cost is exactly one range exchange plus one
+    in-partition sort — the same work a global sort would do — and
+    the relation is never funneled through one task nor shuffled
+    twice. Determinism across the plan's two uses of the shuffled
+    leg: the range exchange is planned once and reused
+    (ReusedExchange, asserted in tests/test_plans.py), the
+    within-partition sort is total because `order_exprs` must include
+    a unique tiebreak column, and the id assignment reads that sorted
+    order — so both consumers see identical (_pid, local index)
+    values. Per-partition row counts are capped at 2^33 by the id
+    layout (~8.6 B rows per partition — size num_partitions so
+    partitions stay far under that, which memory demands anyway).
     """
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), 33).cast("int"))
     )
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = (
@@ -203,12 +236,11 @@ def global_row_number(
         "_pid",
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset"),
     )
-    w_local = Window.partitionBy("_pid").orderBy(*order_exprs)
+    local_rank = F.col("_mid") - F.shiftleft(
+        F.col("_pid").cast("long"), 33
+    ) + 1
     return (
         part.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            rank_col,
-            (F.row_number().over(w_local) + F.col("_offset")).cast("long"),
-        )
-        .drop("_pid", "_offset")
+        .withColumn(rank_col, (local_rank + F.col("_offset")).cast("long"))
+        .drop("_pid", "_mid", "_offset")
     )

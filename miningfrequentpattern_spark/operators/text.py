@@ -25,8 +25,15 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(col: str = "text") -> Column:
-    """Whitespace tokens."""
-    return F.split(F.trim(F.col(col)), r"\s+")
+    """Whitespace tokens; empty/whitespace-only text yields [].
+
+    Spark's `split('', pattern)` returns `['']`, so without the filter
+    an empty document would contribute a phantom '' token — mined by
+    FPGrowth as an item, counted in vocabularies, scored by TF-IDF.
+    The filter is a no-op on any text with real tokens."""
+    return F.filter(
+        F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != F.lit("")
+    )
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -359,6 +366,13 @@ def chunk_with_overlap(
     output is the scan fanned out by the ~1/(1-overlap/size) blowup
     every chunker pays. Fully parallel per input split.
     """
+    if chunk_size < 1 or overlap < 0 or overlap >= chunk_size:
+        raise ValueError(
+            "chunk_with_overlap needs chunk_size >= 1 and "
+            f"0 <= overlap < chunk_size, got chunk_size={chunk_size} "
+            f"overlap={overlap} (step would be <= 0 — F.sequence would "
+            "fail deep inside task execution instead of here)"
+        )
     step = chunk_size - overlap
     t = tokens(text_col)
     base = docs.select(

@@ -214,12 +214,20 @@ def test_sequence_pack_windows_are_sharded(spark):
 
 
 def test_global_rank_avoids_single_partition_window(spark):
-    """r26: the two-phase rank must (a) range-shuffle the data,
-    (b) reuse that exchange across the counts and rank legs, and
-    (c) never plan a window with an empty partition spec over the
-    full relation."""
+    """r26: the two-phase rank must (a) range-shuffle the data once,
+    (b) reuse that exchange across the counts and rank legs, (c) join
+    the offsets back by BROADCAST (a shuffle join would re-exchange
+    the relation on _pid), and (d) plan NO window over the data at
+    all — local ranks come from monotonically_increasing_id shift
+    arithmetic over the partition-sorted rows; the only window is the
+    offsets prefix-sum over P≈32 count rows."""
     p = plan_of(spark, "r26_global_order_rank")
     assert "rangepartitioning" in p.lower(), p
+    assert "BroadcastHashJoin" in p, p
+    specs = [
+        l for l in p.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert not any("o_totalprice" in s for s in specs), specs
     # Exchange reuse is an AQE runtime decision: it appears only in the
     # final adaptive plan, so materialize before asserting it.
     df = QUERIES["r26_global_order_rank"](spark, SF_ORACLE)
@@ -230,15 +238,6 @@ def test_global_rank_avoids_single_partition_window(spark):
     final = buf.getvalue()
     assert "ReusedExchange" in final, final
     assert "isFinalPlan=true" in final, final
-    # Every windowspecdefinition must be keyed (by _pid) — an unkeyed
-    # spec starts directly with the order columns. The offsets window
-    # runs over P≈32 rows, which is fine; the DATA windows must carry
-    # the _pid key.
-    specs = [
-        l for l in p.splitlines() if "windowspecdefinition" in l.lower()
-    ]
-    data_specs = [s for s in specs if "_pid" in s or "o_totalprice" in s]
-    assert any("_pid" in s for s in data_specs), specs
 
 
 def test_lm_score_and_tfidf_broadcast_vocab(spark):
@@ -305,14 +304,16 @@ def test_quality_buckets_avoid_global_window(spark):
     # legs (per-partition offset counts, the 1-row doc count).
     p = plan_of(spark, "l20_quality_buckets")
     assert "rangepartitioning" in p.lower(), p
-    # Every windowspecdefinition touching data columns must be keyed
-    # by _pid (the per-partition rank); the only unkeyed window
-    # allowed is the offsets prefix-sum over P≈32 count rows.
+    # Since the round-4 redesign, the rank comes from shift arithmetic
+    # on monotonically_increasing_id over partition-sorted rows: NO
+    # windowspecdefinition may touch the data columns at all; the only
+    # window left is the offsets prefix-sum over P≈32 count rows, and
+    # the offsets come back via broadcast join.
     specs = [
         l for l in p.splitlines() if "windowspecdefinition" in l.lower()
     ]
-    data_specs = [s for s in specs if "avg_neg_log2p" in s]
-    assert data_specs and all("_pid" in s for s in data_specs), specs
+    assert not any("avg_neg_log2p" in s for s in specs), specs
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_source_mixing_broadcasts_normalizer(spark):
@@ -390,6 +391,11 @@ def test_asof_bucket_adds_equi_key_and_preserves_results(spark):
     )
     plan = bucketed._jdf.queryExecution().executedPlan().toString()
     assert "_bk" in plan, plan
+    # One exchange PER INPUT and none after the join: the rank window
+    # is partitioned by the join keys + _lid, so the join's output
+    # partitioning satisfies it — with _lid alone, Spark would
+    # re-shuffle the fanned-out join output (the largest relation).
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
     plain = asof_join(
         purchases, clicks, on="user_id", left_ts="purchase_ts",
         right_ts="click_ts", tolerance_expr=tol,
