@@ -96,26 +96,42 @@ def ngram_jaccard_pairs(
     candidate pairs to the self-join, so one boilerplate shingle in
     10⁶ docs alone is 10¹² join rows. Shingles with document
     frequency above the cap are dropped from BOTH legs of the
-    inverted index before the join via a broadcast anti-join against
-    the over-cap list. The df is estimated from a seeded
-    `guard_sample` document fraction (hot ⇔ sampled df clears the
-    cap boundary with one-sided 3σ slack, so sub-cap shingles are
-    false-dropped with probability < ~0.1%) because the estimate's
-    full-corpus twin re-shingles the corpus — measured costlier at
-    sf0.1 than the d² rows it saves; caps too small for a sampled
-    estimate (cap·fraction < 20) fall back to exact df, which never
-    drops a sub-cap shingle. A shingle that common carries ~zero Jaccard
-    evidence — the set-similarity analogue of a stopword — but pairs
-    whose ONLY overlap is hot shingles are lost: the documented
-    recall-for-scale trade, OFF via `max_shingle_df=None`. Surviving
-    pairs are scored as the TRUE Jaccard of the filtered shingle sets:
-    numerator and denominators use the same post-guard universe
-    (per-doc sizes are reduced by that doc's exact count of flagged
-    shingles — counted from the full postings against the flagged
-    list, so the sampled estimator can never make numerator and
-    denominator disagree). Without this, denominators would keep hot
-    shingles the numerator can no longer see, biasing guarded Jaccard
-    downward and dropping borderline TRUE pairs.
+    inverted index before the join, and surviving pairs are scored as
+    the TRUE Jaccard of the filtered shingle sets — numerator and
+    denominators always use the same post-guard universe (without
+    this, denominators would keep hot shingles the numerator can no
+    longer see, biasing guarded Jaccard downward and dropping
+    borderline TRUE pairs). Pairs whose ONLY overlap is hot shingles
+    are lost: the documented recall-for-scale trade, OFF via
+    `max_shingle_df=None`. Two regimes, chosen by whether the df can
+    be affordably estimated from a seeded `guard_sample` document
+    fraction:
+
+    - SAMPLED (cap·fraction ≥ 20 — the web-scale configuration, big
+      cap): hot ⇔ sampled df clears the cap boundary with one-sided
+      3σ slack, so sub-cap shingles are false-dropped with
+      probability < ~0.1% (the full-corpus df twin re-shingles the
+      corpus — measured costlier at sf0.1 than the d² rows it
+      saves). Zipf makes the over-cap list tiny at a big cap, so it
+      is collapsed to one row per block (collect_set) and applied to
+      the per-doc shingle ARRAYS via a broadcast join +
+      array_except BEFORE the explode: hot postings never enter any
+      shuffle, and the carried set sizes are post-guard by
+      construction — zero extra corpus passes, zero denominator
+      joins.
+    - EXACT (cap·fraction < 20, or guard_sample=1.0): a small cap
+      can flag a large fraction of the vocabulary, so a broadcast
+      hot list is the wrong shape. The df is computed as a COUNT
+      window over (shingle, block) — the exact partitioning the
+      self-join needs anyway, so the window, both join legs, and the
+      denominator adjustment all reuse ONE corpus exchange (one
+      shingling pass, no broadcast). Hot postings do reach that
+      shuffle (O(d) rows on one key — bounded skew, vs the d² pair
+      blowup they'd cause downstream), which is why the sampled
+      regime, which drops them map-side, is the configuration for
+      genuinely web-scale boilerplate. Sub-cap shingles are never
+      dropped here.
+
     The fixtures' max shingle df is 5 at sf0.1, far under every
     boundary here, so fixture output — and the SQL oracle — is
     unchanged while the plan carries the guard (tests/test_plans.py).
@@ -144,78 +160,99 @@ def ngram_jaccard_pairs(
     # from ONE aggregation — no size-lookup joins, no cached shingle
     # relation kept alive across queries (the round-1 version cached
     # `s` and joined sizes back twice; this plan is strictly smaller).
+    hot_counts = None
+    f = guard_sample
+    if max_shingle_df is not None and max_shingle_df * f < 20:
+        # Too few expected observations at the cap boundary for a
+        # usable estimate: fall back to the exact-df guard.
+        f = 1.0
+    if max_shingle_df is not None and f < 1.0:
+        # SAMPLED regime. Sample the DOCUMENTS, then shingle —
+        # sampling the shingled relation would still shingle every row
+        # before discarding (Sample sits above the Project and
+        # Catalyst does not push it down). Observed sample-df >
+        # cap·fraction ⇒ hot, with one-sided 3σ slack above the
+        # boundary: a sub-cap shingle's sampled df is ~Binomial(df, f)
+        # with σ ≈ sqrt(cap·f) at the boundary, so requiring sampled
+        # df > cap·f + 3σ holds the false-drop probability for ANY
+        # sub-cap shingle below ~0.1% — the sampled guard only ever
+        # fires on genuinely over-cap shingles, which at web scale sit
+        # orders of magnitude above the cap anyway. The fixtures' max
+        # df of 5 can never be flagged (sample threshold ≥ 100 docs).
+        src = docs.sample(fraction=f, seed=42).select(
+            F.col(block_col).alias("_block"),
+            shingles("tokens", n).alias("sh"),
+        )
+        m = max_shingle_df * f
+        hot = (
+            src.select("_block", F.explode("sh").alias("shingle"))
+            .groupBy("shingle", "_block")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > F.lit(m + 3.0 * m ** 0.5))
+            .select("shingle", "_block")
+        )
+        # The over-cap list is SMALL at a big cap (≤ |postings|/cap
+        # entries; Zipf makes it far fewer), so collapse it to one
+        # array per block and subtract it from the per-doc shingle
+        # ARRAYS before the explode: one broadcast left join +
+        # array_except on the corpus scan — hot postings never enter
+        # any shuffle, carried sizes are post-guard by construction,
+        # and the hot-list leg costs ~fraction × one shingling pass.
+        hot_sets = hot.groupBy("_block").agg(
+            F.collect_set("shingle").alias("_hot_set")
+        )
+        s = (
+            s.join(F.broadcast(hot_sets), "_block", "left")
+            .withColumn(
+                "sh",
+                F.when(
+                    F.col("_hot_set").isNull(), F.col("sh")
+                ).otherwise(F.array_except("sh", "_hot_set")),
+            )
+            .drop("_hot_set")
+        )
     inv = s.select(
         F.col(id_col),
         "_block",
         F.size("sh").alias("n_sh"),
         F.explode("sh").alias("shingle"),
+    ).filter(
+        F.col("shingle").isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col("_block").isNotNull()
     )
-    hot_counts = None
-    if max_shingle_df is not None:
-        # The guard's dominant cost is NOT the d² join rows it saves at
-        # fixture scale — it is recomputing the shingle relation on the
-        # hot-list leg (Catalyst cannot share the exchange across the
-        # anti-join boundary; measured: a df=2180 planted boilerplate
-        # shingle costs the unguarded join ~38M extra rows ≈ cheaper
-        # than one extra corpus shingling pass at sf0.1). So the df is
-        # ESTIMATED from a seeded `guard_sample` fraction of documents:
-        # observed sample-df > cap·fraction ⇒ hot (the unbiased
-        # boundary; borderline shingles resolve either way, which is
-        # fine — they are borderline). Cost drops to ~fraction × one
-        # shingling pass. A truly-hot web-scale shingle (df ≫ cap/f)
-        # is flagged with overwhelming probability; the fixtures' max
-        # df of 5 can never be flagged (sample threshold ≥ 100 docs).
-        # guard_sample=1.0 gives the exact-df guard.
-        f = guard_sample
-        if max_shingle_df * f < 20:
-            # Too few expected observations at the cap boundary for a
-            # usable estimate: fall back to the exact-df guard.
-            f = 1.0
-        if f >= 1.0:
-            src = s
-            # Exact path: the old guarantee — sub-cap shingles are
-            # never dropped.
-            cutoff = F.lit(max_shingle_df)
-        else:
-            # Sample the DOCUMENTS, then shingle — sampling the
-            # shingled relation would still shingle every row before
-            # discarding (Sample sits above the Project and Catalyst
-            # does not push it down).
-            src = docs.sample(fraction=f, seed=42).select(
-                F.col(block_col).alias("_block"),
-                shingles("tokens", n).alias("sh"),
-            )
-            # One-sided 3σ slack above the cap boundary: a sub-cap
-            # shingle's sampled df is ~Binomial(df, f) with σ ≈
-            # sqrt(cap·f) at the boundary, so requiring sampled df >
-            # cap·f + 3σ holds the false-drop probability for ANY
-            # sub-cap shingle below ~0.1% — the sampled guard only
-            # ever fires on genuinely over-cap shingles, which at web
-            # scale sit orders of magnitude above the cap anyway.
-            m = max_shingle_df * f
-            cutoff = F.lit(m + 3.0 * m ** 0.5)
-        hot = (
-            src.select("_block", F.explode("sh").alias("shingle"))
-            .groupBy("shingle", "_block")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > cutoff)
-            .select("shingle", "_block")
-        )
-        # The over-cap list is SMALL (≤ |postings|/cap entries; Zipf
-        # makes it far fewer), so it broadcasts: the anti-join runs
-        # map-side over the exploded index — no extra corpus shuffle
-        # on the probe path.
-        # Per-doc count of FLAGGED shingles, from the exact postings
-        # (inner join against the same broadcast list — map-side), so
-        # denominators can be moved onto the post-guard universe. The
-        # groupBy shuffles only the hot postings (exactly the rows the
-        # anti-join is about to discard), never the corpus index.
+    # ^ shingles() never emits nulls and ids/blocks are non-null in
+    # every fixture, so the filter drops nothing — but the self-join
+    # infers exactly these IsNotNulls onto its two legs (shingle and
+    # _block from the equi-keys, id from the `<` predicate), and in
+    # the exact-guard regime the denominator leg must stay canonically
+    # IDENTICAL below the exchange or AQE plans a third corpus
+    # shingling stage instead of reusing the join legs' one.
+    if max_shingle_df is not None and f >= 1.0:
+        # EXACT regime (small cap, or guard_sample=1.0): the over-cap
+        # list can be a large slice of the vocabulary, so no broadcast
+        # — compute the exact df as a count window over
+        # (shingle, block), the very partitioning the self-join
+        # requires, so the window exchange is the join exchange
+        # (computed once, reused by both legs AND the denominator
+        # leg). Sub-cap shingles are never dropped here.
+        wdf = Window.partitionBy("shingle", "_block")
+        invw = inv.withColumn("_df", F.count(F.lit(1)).over(wdf))
+        # Per-doc count of flagged shingles, reusing the same
+        # exchange; shuffles only the hot postings (the rows the
+        # filter below discards), never the corpus index. n_sh is
+        # functionally dependent on the doc id but kept in the
+        # grouping key ON PURPOSE: without it, column pruning strips
+        # n_sh from this leg's scan, the exchange no longer
+        # canonicalizes equal to the join legs', and the corpus gets
+        # shingled+shuffled a second time instead of reused.
         hot_counts = (
-            inv.join(F.broadcast(hot), ["shingle", "_block"], "inner")
-            .groupBy(F.col(id_col))
+            invw.filter(F.col("_df") > max_shingle_df)
+            .groupBy(F.col(id_col), F.col("n_sh"))
             .agg(F.count(F.lit(1)).alias("_n_hot"))
+            .drop("n_sh")
         )
-        inv = inv.join(F.broadcast(hot), ["shingle", "_block"], "left_anti")
+        inv = invw.filter(F.col("_df") <= max_shingle_df).drop("_df")
     # shuffle_hash, not broadcast: the inverted index is corpus-sized
     # (one row per doc-shingle), so broadcasting it is wrong at any
     # real scale AND slower here — both legs hash-partition on the

@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, l2_normalize
 
 
+def _static_max_rows(df: DataFrame) -> int | None:
+    """Catalyst's static row-count upper bound for a plan, or None.
+
+    `LogicalPlan.maxRows` is defined (e.g.) when the lineage carries a
+    LIMIT — the common way a bounded query side is built — making the
+    bound check free: no job, no scan. Accessed through the private
+    `_jdf` seam (py4j, Spark classic); any failure (Connect, API
+    drift) degrades to None, i.e. "unknown", never to a wrong bound.
+    """
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan().maxRows()
+        return int(opt.get()) if opt.isDefined() else None
+    except Exception:
+        return None
+
+
 def cosine_topk_exact(
     queries: DataFrame,
     corpus: DataFrame,
@@ -40,26 +56,41 @@ def cosine_topk_exact(
     Excludes self-matches (same id). Deterministic tiebreak on
     neighbor id. The corpus side is broadcast only if Spark deems it
     small; the join is a crossJoin so AQE cannot help — |queries| must
-    stay bounded. That contract is ENFORCED, not just documented:
-    the query side is probed with a `limit(max_queries+1).count()`
-    (a bounded action — the scan stops after max_queries+1 rows, it
-    never counts the full side) and an oversized query side raises
-    with a pointer at the ANN operators, instead of silently planning
-    an |Q|×|corpus| cartesian. Note the probe is EAGER: building the
-    result DataFrame runs one small job and evaluates the query-side
-    lineage once before the join does — the deliberate price of
-    failing fast instead of launching the cartesian. `max_queries=None`
-    opts out (no probe, fully lazy) for callers with their own bound.
+    stay bounded. That contract is ENFORCED, not just documented, in
+    two tiers: first a FREE static check — Catalyst's
+    `LogicalPlan.maxRows` on the optimized query-side plan, which is
+    defined whenever the lineage carries a LIMIT (so `df.limit(k)`
+    query sides pay nothing) — and only when the static bound is
+    unknown, a runtime probe `limit(max_queries+1).count()` (a bounded
+    action — the scan stops after max_queries+1 rows, it never counts
+    the full side). An oversized query side raises with a pointer at
+    the ANN operators, instead of silently planning an |Q|×|corpus|
+    cartesian. Note the probe is EAGER: building the result DataFrame
+    runs one small job and evaluates the query-side lineage once
+    before the join does — the deliberate price of failing fast
+    instead of launching the cartesian. `max_queries=None` opts out
+    (no probe, fully lazy) for callers with their own bound.
     """
     if max_queries is not None:
-        probed = queries.limit(max_queries + 1).count()
-        if probed > max_queries:
+        static_bound = _static_max_rows(queries)
+        if static_bound is not None and static_bound > max_queries:
             raise ValueError(
-                f"cosine_topk_exact: query side exceeds max_queries="
-                f"{max_queries}; the crossJoin would be |Q|x|corpus|. "
-                "Use ann_lsh_topk / ivf_topk for large query sets, or "
-                "pass max_queries=None if the size is externally bounded."
+                f"cosine_topk_exact: query side is statically bounded "
+                f"at {static_bound} rows > max_queries={max_queries}; "
+                "the crossJoin would be |Q|x|corpus|. Use ann_lsh_topk "
+                "/ ivf_topk for large query sets, or pass "
+                "max_queries=None if the size is externally bounded."
             )
+        if static_bound is None:
+            probed = queries.limit(max_queries + 1).count()
+            if probed > max_queries:
+                raise ValueError(
+                    f"cosine_topk_exact: query side exceeds max_queries="
+                    f"{max_queries}; the crossJoin would be |Q|x|corpus|. "
+                    "Use ann_lsh_topk / ivf_topk for large query sets, or "
+                    "pass max_queries=None if the size is externally "
+                    "bounded."
+                )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )

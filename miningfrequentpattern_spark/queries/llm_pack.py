@@ -305,7 +305,11 @@ def l03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    queries_df = emb.filter(F.col("vec_id") < 20)
+    # The limit(20) drops nothing (vec_id is unique, so the filter
+    # already yields ≤ 20 rows) but gives the plan a static maxRows,
+    # letting cosine_topk_exact's query-bound guard pass for FREE
+    # instead of running its eager count probe.
+    queries_df = emb.filter(F.col("vec_id") < 20).limit(20)
     return cosine_topk_exact(queries_df, emb, k=5)
 
 

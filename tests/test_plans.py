@@ -76,19 +76,55 @@ def test_semi_join_stays_semi(spark):
 
 def test_no_cartesian_in_blocked_jaccard(spark):
     # The inverted-index rewrite must not contain a cartesian product.
-    # l02 registers the guard-off exact plan (no anti-join — at
-    # fixture scale the guard is pure overhead); l02f registers the
-    # guarded twin, whose plan must carry the hot-shingle prefix
-    # filter as a BROADCAST anti-join (map-side, no extra corpus
-    # shuffle on the probe path) — it is what bounds any posting
-    # list's d² pair fan-out at scale.
+    # l02 registers the guard-off exact plan (no guard operators — at
+    # fixture scale the guard is pure overhead). l02f registers the
+    # SAMPLED-regime guarded twin: the hot-shingle prefix filter must
+    # appear as a broadcast join of the per-block hot SETS applied to
+    # the document arrays via array_except BEFORE the explode —
+    # map-side, hot postings never enter any shuffle, and the carried
+    # set sizes are post-guard by construction (no denominator joins).
     p = plan_of(spark, "l02_ngram_jaccard_pairs")
     assert "CartesianProduct" not in p
-    assert "LeftAnti" not in p
+    assert "array_except" not in p
+    assert "BroadcastNestedLoopJoin" not in p
     pg = plan_of(spark, "l02f_ngram_jaccard_guarded")
     assert "CartesianProduct" not in pg
-    assert "BroadcastHashJoin LeftAnti" in pg
-    assert "BroadcastNestedLoopJoin" not in p
+    assert "array_except" in pg
+    assert "BroadcastHashJoin" in pg
+    # Sampled estimate feeds the hot list — the plan must carry the
+    # document Sample, not a second full-corpus shingling pass.
+    assert "Sample" in pg
+
+
+def test_exact_guard_reuses_single_corpus_exchange(spark):
+    # l02g pins the cap under the fixture df ceiling, forcing the
+    # EXACT guard regime: df computed as a count window over
+    # (shingle, block) — the self-join's own partitioning — so the
+    # window, both join legs, and the denominator leg must all hang
+    # off ONE corpus exchange at runtime. Asserted on the executed
+    # adaptive plan: exactly one non-reused shingle exchange.
+    from miningfrequentpattern_spark.queries.registry import QUERIES
+
+    df = QUERIES["l02g_ngram_jaccard_capped"](spark, SF_ORACLE)
+    # collect(), not a noop write: the writer executes a CLONE of the
+    # plan, leaving this df's own queryExecution un-finalized
+    # (isFinalPlan=false) — AQE stage reuse is only visible in the
+    # finalized adaptive plan.
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # The finalized adaptive string appends the pre-AQE "Initial
+    # Plan" section, which still shows every un-reused exchange —
+    # count only the final plan.
+    p = p.split("== Initial Plan ==")[0]
+    assert "Window" in p
+    n_shingle_exchanges = sum(
+        1
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning(shingle" in ln and "Reused" not in ln
+    )
+    assert n_shingle_exchanges == 1, p
+    # And the denominator/second-leg reuse is real, not incidental.
+    assert p.count("ReusedExchange") >= 3, p
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
