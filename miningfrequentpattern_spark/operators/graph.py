@@ -1,0 +1,104 @@
+"""Graph analytics over edge-list DataFrames (beyond SURVEY.md §2:
+an iterative-algorithm family alongside dedup.connected_components).
+
+PageRank is the canonical "iterate a join until done" workload and a
+standard co-occurrence-graph ranking (product graphs, citation
+graphs, web link graphs). No GraphFrames/GraphX dependency — the
+whole loop is DataFrame joins, so Catalyst/AQE plan every step.
+
+Scale posture: per iteration the rank vector (|V| rows) joins the
+static (edge, out-degree) relation on src — a shuffle of the SMALL
+rank relation against a cached, already-partitioned edge list — then
+one groupBy(dst) shuffle. 2 shuffles × iterations, edges scanned from
+cache, never recomputed. Fixed iteration count (the common production
+choice — convergence checks cost an action per round; rank ORDER
+stabilizes long before values do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (id, pagerank) where pagerank is SCALED BY |V| (mean 1.0):
+    raw ranks are ~1/|V| and vanish under the house 4-dp rounding;
+    the scaled form keeps full discrimination at any graph size and
+    is the form PageRank is usually reported in anyway.
+
+    Recurrence (classic, teleport mass spread uniformly):
+
+        r_{k+1}(v) = (1-d)/N + d * Σ_{u→v} r_k(u) / outdeg(u)
+
+    Dangling nodes (out-degree 0) leak their mass — this operator
+    does NOT redistribute it (the usual simplification; PageRank on a
+    SYMMETRIZED graph, the common co-occurrence case, has no dangling
+    nodes at all). Nodes with no in-edges stay at the teleport floor
+    via the left join below, so no node ever drops out of the result.
+
+    The edge×degree relation is cached: it is iterated `iterations`
+    times and its lineage may be an expensive upstream join (same
+    rationale as dedup.connected_components' edge cache). The loop
+    builds ONE composite plan — ranks are never cached or collected,
+    so the full recurrence stays a single lazy DAG over the cached
+    edges. The cache is released before returning; callers get a
+    result whose lineage re-reads only the (small) cached-unpersisted
+    edge relation if recomputed.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    contribs = e.join(deg, "_src").cache()
+    nodes = (
+        e.select(F.col("_src").alias("id"))
+        .union(e.select(F.col("_dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    try:
+        # Scalar sizing action (documented eager step, like the
+        # guard probes elsewhere): N parameterizes the teleport term.
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                "id", F.lit(0.0).alias("pagerank")
+            )
+        teleport = (1.0 - damping) / n
+        ranks = nodes.select("id", F.lit(1.0 / n).alias("_rank"))
+        for _ in range(iterations):
+            inflow = (
+                contribs.join(
+                    ranks, contribs["_src"] == ranks["id"]
+                )
+                .select(
+                    F.col("_dst").alias("id"),
+                    (F.col("_rank") / F.col("_deg")).alias("_c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("_c").alias("_in"))
+            )
+            # Left join keeps no-inbound nodes at the teleport floor.
+            ranks = nodes.join(inflow, "id", "left").select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("_rank"),
+            )
+        out = ranks.select(
+            "id", F.round(F.col("_rank") * n, 4).alias("pagerank")
+        )
+        # Materialize before dropping the caches the plan leans on.
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        contribs.unpersist()
+        nodes.unpersist()

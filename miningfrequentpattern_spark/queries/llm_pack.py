@@ -117,13 +117,14 @@ def l02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l02f_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (exact, guarded): l02 with the hot-shingle prefix filter ON
     (the operator default, max_shingle_df=1000) — the 100 TB form. A
-    shingle in d docs contributes d² join rows, so df-over-cap
-    shingles are anti-joined out of the inverted index before the
-    self-join. Carries the SAME oracle as l02: the fixtures' max
-    shingle df is 5, so the guard provably drops nothing here — the
-    driver row certifies the guarded plan end-to-end, and the
-    synthetic-boilerplate test (tests/test_llm.py) certifies the
-    dropping behavior itself."""
+    shingle in d docs contributes d² join rows, so sampled-df-over-cap
+    shingles are removed from the per-doc shingle arrays (broadcast
+    per-block hot sets + array_except, BEFORE the explode) so they
+    never enter the self-join's shuffle. Carries the SAME oracle as
+    l02: the fixtures' max shingle df is 5, so the guard provably
+    drops nothing here — the driver row certifies the guarded plan
+    end-to-end, and the synthetic-boilerplate test (tests/test_llm.py)
+    certifies the dropping behavior itself."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
@@ -1293,4 +1294,58 @@ def l25_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+@query(
+    "l26_source_kl_drift",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    cs AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    ts AS (SELECT source, sum(c) AS t FROM cs GROUP BY 1),
+    cw AS (SELECT w, sum(c) AS cg FROM cs GROUP BY 1),
+    tg AS (SELECT sum(c) AS g FROM cs)
+    SELECT cs.source,
+           round(sum((cs.c * 1.0 / ts.t)
+                     * ln((cs.c * 1.0 / ts.t)
+                          / (cw.cg * 1.0 / (SELECT g FROM tg)))), 4)
+             AS kl_divergence,
+           max(ts.t)::BIGINT AS n_tokens
+    FROM cs JOIN ts USING (source) JOIN cw USING (w)
+    GROUP BY cs.source
+    """,
+)
+def l26_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6-extension (mixture monitoring): KL divergence of each
+    source's unigram distribution from the whole-corpus distribution
+    — the standard drift/skew metric a data-mixing pipeline tracks
+    per source (and per snapshot) to catch a feed whose content
+    shifted. KL(P_source ‖ P_corpus) = Σ_w P(w)·ln(P(w)/Q(w)); every
+    source token is by construction in the corpus vocabulary, so no
+    zero-denominator smoothing is needed.
+
+    Shape: one explode + (source, w) hash agg, a vocabulary-keyed
+    equi-join of per-source counts to corpus counts (both
+    vocabulary-sized — shuffled, NOT broadcast: at web scale the
+    vocabulary is unbounded, unlike l15's capped-vocab LM leg), and a
+    per-source scalar agg. Token totals ride the same aggregations;
+    nothing rescans the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("w"))
+    cs = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    ts = cs.groupBy("source").agg(F.sum("c").alias("t"))
+    cw = cs.groupBy("w").agg(F.sum("c").alias("cg"))
+    tg = cs.agg(F.sum("c").alias("g"))
+    p = F.col("c") / F.col("t")
+    q = F.col("cg") / F.col("g")
+    return (
+        cs.join(F.broadcast(ts), "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tg))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 4).alias("kl_divergence"),
+            F.max("t").alias("n_tokens"),
+        )
     )

@@ -761,3 +761,77 @@ def m12_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq_support",
         )
     )
+
+
+@query(
+    "m13_part_pagerank",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    p AS (SELECT a.pk AS s, b.pk AS d FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+    e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+    deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS id FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    r1 AS (SELECT nd.id,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(f.c, 0) AS r
+           FROM nodes nd LEFT JOIN (
+             SELECT e.d AS id, sum(r0.r / deg.dg) AS c
+             FROM e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s
+             GROUP BY e.d) f USING (id)),
+    r2 AS (SELECT nd.id,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(f.c, 0) AS r
+           FROM nodes nd LEFT JOIN (
+             SELECT e.d AS id, sum(r1.r / deg.dg) AS c
+             FROM e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s
+             GROUP BY e.d) f USING (id)),
+    r3 AS (SELECT nd.id,
+                  0.15 / (SELECT n FROM nn) + 0.85 * coalesce(f.c, 0) AS r
+           FROM nodes nd LEFT JOIN (
+             SELECT e.d AS id, sum(r2.r / deg.dg) AS c
+             FROM e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s
+             GROUP BY e.d) f USING (id))
+    SELECT id AS part_id,
+           round(r * (SELECT n FROM nn), 4) AS pagerank
+    FROM r3
+    """,
+)
+def m13_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension (iterative algorithms beyond label
+    propagation): 3-iteration PageRank over the part CO-PURCHASE
+    graph — parts are linked when they appear in the same order, the
+    classic market-basket item graph that complements FP-Growth's
+    itemset view with a global importance ranking.
+
+    The graph is symmetrized (co-purchase is undirected), so it has
+    no dangling nodes and the operator's simple recurrence is the
+    full PageRank. Fixed iterations make the recurrence expressible
+    as chained SQL CTEs, so this ITERATIVE operator still gets a
+    value-hash oracle (same trick as l02e's recursive-CTE fixpoint).
+    Ranks are |V|-scaled (mean 1.0) before the house 4-dp rounding —
+    raw 1/|V|-scale ranks would collapse to one rounded value.
+
+    Scale posture: pair generation is Σ per-order-basket² (bounded:
+    max 17 parts/order in the fixtures — the same giant-basket guard
+    arguments as basketize apply); each iteration is 2 shuffles over
+    a cached edge relation (operators/graph.py docstring)."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("id").alias("part_id"), "pagerank"
+    )

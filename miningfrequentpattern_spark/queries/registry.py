@@ -65,11 +65,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Cumulative driver proof through round 3: 95/105 oracle-bearing
 # queries hash-proven, all 11 rows-only-by-design queries run-proven;
-# zero failures anywhere. Round 4's window therefore promotes the 16
+# zero failures anywhere. Round 4's window therefore promotes the 18
 # queries with no driver row yet — the 10 round-3 additions plus the
-# 6 new round-4 queries (l02g guard-firing twin, r08b bucketed as-of,
+# 8 new round-4 queries (l02g guard-firing twin, r08b bucketed as-of,
 # r36 salted join, m12 sequential rules, l25 curation pipeline, s10
-# compaction round-trip) — behind the 3 drift canaries, and backfills with
+# compaction round-trip, m13 co-purchase PageRank, l26 source KL
+# drift) — behind the 3 drift canaries, and backfills with
 # proven queries chosen to RE-certify operators whose code changed
 # this round (asof_join bucketing refactor → r08; cosine_topk_exact
 # query-bound guard → l03; guarded-Jaccard denominators → l02f/l02g)
@@ -104,6 +105,8 @@ PRIORITY: tuple[str, ...] = (
     "m12_sequence_rules",
     "l25_curation_pipeline",
     "s10_compact_roundtrip",
+    "m13_part_pagerank",
+    "l26_source_kl_drift",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -135,8 +138,6 @@ PRIORITY: tuple[str, ...] = (
     "r20_array_functions",
     "r22_content_hashes",
     "l04_token_stats",
-    "l05_corpus_profile",
-    "l06_quality_filter",
 )
 
 

@@ -176,3 +176,54 @@ def test_salted_basketize_equals_plain(spark):
     assert capped.filter(F.size("items") > cap).isEmpty()
     want = plain.filter(F.size("items") <= cap).count()
     assert capped.count() == want
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """operators/graph.py pagerank vs a dense numpy power iteration on
+    a small asymmetric graph (star + tail), same fixed iterations."""
+    import numpy as np
+
+    from miningfrequentpattern_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2), (2, 1),
+        (1, 3), (3, 1),
+        (1, 4), (4, 1),
+        (4, 5), (5, 4),
+        (5, 6),  # directed tail: 6 has no out-edges (dangling)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(df, iterations=4, damping=0.85).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        nxt = np.full(n, 0.15 / n)
+        for s, d in edges:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / out[idx[s]]
+        r = nxt
+    want = {m: round(r[idx[m]] * n, 4) for m in nodes}
+    assert got == want
+
+
+def test_pagerank_keeps_no_inbound_nodes_at_teleport_floor(spark):
+    """A source-only node must survive every iteration at the teleport
+    value, not silently drop out of the result."""
+    from miningfrequentpattern_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(df, iterations=3, damping=0.85).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # node 1: no in-edges -> rank stays (1-d)/N each round; scaled = 1-d
+    assert got[1] == round(0.15, 4)
