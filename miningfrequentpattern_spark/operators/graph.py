@@ -27,6 +27,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    _materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -102,9 +103,16 @@ def pagerank(
         out = ranks.select(
             "id", F.round(F.col("_rank") * n, 4).alias("pagerank")
         )
+        if not _materialize:
+            # Test seam: return the LAZY composite plan with the
+            # caches still alive so plan audits can see the per-
+            # iteration InMemoryTableScans. The caller owns cache
+            # cleanup (spark.catalog.clearCache()).
+            return out
         # Materialize before dropping the caches the plan leans on.
         out = out.localCheckpoint(eager=True)
         return out
     finally:
-        contribs.unpersist()
-        nodes.unpersist()
+        if _materialize:
+            contribs.unpersist()
+            nodes.unpersist()

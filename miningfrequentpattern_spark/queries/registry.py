@@ -65,12 +65,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Cumulative driver proof through round 3: 95/105 oracle-bearing
 # queries hash-proven, all 11 rows-only-by-design queries run-proven;
-# zero failures anywhere. Round 4's window therefore promotes the 18
+# zero failures anywhere. Round 4's window therefore promotes the 20
 # queries with no driver row yet — the 10 round-3 additions plus the
-# 8 new round-4 queries (l02g guard-firing twin, r08b bucketed as-of,
-# r36 salted join, m12 sequential rules, l25 curation pipeline, s10
-# compaction round-trip, m13 co-purchase PageRank, l26 source KL
-# drift) — behind the 3 drift canaries, and backfills with
+# 10 new round-4 queries (l02g guard-firing twin, r08b bucketed
+# as-of, r36 salted join, m12 sequential rules, l25 curation
+# pipeline, s10 compaction round-trip, m13 co-purchase PageRank, l26
+# source KL drift, r37 snapshot diff, s11 binaryFile scan) — behind
+# the 3 drift canaries, and backfills with
 # proven queries chosen to RE-certify operators whose code changed
 # this round (asof_join bucketing refactor → r08; cosine_topk_exact
 # query-bound guard → l03; guarded-Jaccard denominators → l02f/l02g)
@@ -107,6 +108,8 @@ PRIORITY: tuple[str, ...] = (
     "s10_compact_roundtrip",
     "m13_part_pagerank",
     "l26_source_kl_drift",
+    "r37_snapshot_diff",
+    "s11_binaryfile_scan",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -136,8 +139,6 @@ PRIORITY: tuple[str, ...] = (
     "r15_top25_orders",
     "r16_repeat_customers_y2k",
     "r20_array_functions",
-    "r22_content_hashes",
-    "l04_token_stats",
 )
 
 

@@ -1450,3 +1450,75 @@ def r36_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "r37_snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 13 != 0),
+    v2 AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0
+                       THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 11 != 0)
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           v1.o_totalprice AS old_price,
+           v2.o_totalprice AS new_price
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice != v2.o_totalprice
+    """,
+)
+def r37_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the DERIVE side of CDC, complementing
+    r32's MERGE apply side): given two table versions, emit the
+    added / removed / changed row set — the audit diff every
+    ingestion pipeline runs when a source re-delivers a full dump
+    instead of a changelog. The two versions are carved
+    deterministically out of `orders` (key-mod drops on each side, a
+    price bump on every 7th key) so the diff has all three change
+    types and the oracle rebuilds the identical versions. The bump is
+    ADDITIVE (+1000.0, exact in IEEE doubles both engines) — a
+    multiplicative round(x*1.1, 2) was tried first and diverged on
+    decimal-tie rounding between engines.
+
+    Shape: one full-outer shuffle join on the snapshot key, filtered
+    to differences. At 100 TB the join key is the natural primary
+    key, so both sides partition evenly; bucketed snapshots make it
+    exchange-free (tests/test_plans.py bucketed-join evidence), and
+    comparing a row-hash instead of each column keeps the diff
+    predicate cheap at wide schemas."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("o_totalprice") + 1000.0,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    return (
+        j.filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("old_price").isNull(), F.lit("added"))
+            .when(F.col("new_price").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            "old_price",
+            "new_price",
+        )
+    )

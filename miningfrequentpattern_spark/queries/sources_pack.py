@@ -528,3 +528,42 @@ def s10_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum("user_id").alias("sum_user"),
     )
+
+
+@query(
+    "s11_binaryfile_scan",
+    oracle="""
+    SELECT sum(strlen(text) + 1)::BIGINT AS total_bytes,
+           count(*)::BIGINT AS n_docs
+    FROM documents
+    """,
+)
+def s11_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/L7 (binary ingestion): documents → newline-terminated text
+    files → re-ingested through the `binaryFile` source as opaque
+    BLOBs — the same scan a media pipeline uses for image/audio
+    shards (multimodal.py consumes pre-loaded binary COLUMNS; this is
+    the missing step that produces them from files).
+
+    The aggregate is deliberately partition-invariant: Spark chooses
+    how rows split across part files, so per-file facts (name, size)
+    are not stable — but total content bytes and total newline count
+    are exact regardless of file boundaries, giving a binary-source
+    query a full value-hash oracle (text is ASCII in the fixtures, so
+    UTF-8 bytes == characters; the writer adds one LF per row).
+
+    Shape: binaryFile scans parallelize per-file (one row per file,
+    content as a single BLOB cell) — at 100 TB the lever is file
+    SIZING (functions/layout.py compaction arguments apply: many
+    ~128 MB shards, never one giant blob that pins a task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch("binfiles")
+    docs.select("text").repartition(8).write.mode("overwrite").text(path)
+    blobs = spark.read.format("binaryFile").load(path)
+    nl = F.lit(b"\n".decode())
+    return blobs.agg(
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.sum(
+            F.size(F.split(F.col("content").cast("string"), nl)) - 1
+        ).alias("n_docs"),
+    )

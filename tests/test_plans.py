@@ -474,3 +474,45 @@ def test_compact_roundtrip_aggregates_partial_final(spark):
     file layout, never the plan shape above it."""
     p = plan_of(spark, "s10_compact_roundtrip")
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark):
+    """Every PageRank iteration must read the edge relation from the
+    in-memory cache — InMemoryTableScan at least once per iteration —
+    and nothing may plan a cartesian. Audited through the operator's
+    lazy-plan seam: the registered m13 materializes via an eager
+    localCheckpoint (so its public plan is just the checkpoint scan),
+    which is itself asserted here."""
+    from miningfrequentpattern_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    lazy = pagerank(edges, iterations=3, _materialize=False)
+    p = lazy._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in p
+    assert p.count("InMemoryTableScan") >= 3, p
+    # The registered query's public plan is the materialized scan.
+    pub = plan_of(spark, "m13_part_pagerank")
+    assert "ExistingRDD" in pub or "LocalTableScan" in pub, pub
+
+
+def test_kl_drift_aggregates_partially(spark):
+    """l26: the per-(source, token) count must partially aggregate
+    map-side before its shuffle (vocabulary-sized combine), and the
+    scalar/per-source legs must broadcast — the corpus is never
+    cartesian-joined."""
+    p = plan_of(spark, "l26_source_kl_drift")
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial count" in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_snapshot_diff_is_single_full_outer_join(spark):
+    """r37: the diff is ONE full-outer equi-join on the snapshot key;
+    both version filters must push into the (shared) parquet scan's
+    data filters rather than materializing either snapshot."""
+    p = plan_of(spark, "r37_snapshot_diff")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
