@@ -149,3 +149,31 @@ def test_asof_bucket_equivalence_property(
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, bucketed.collect())
     )
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    iters=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_pagerank_conserves_mass_on_symmetrized_graphs(spark, edges, iters):
+    """On a symmetrized multigraph-free edge set there are no dangling
+    nodes, so total rank mass is conserved exactly: Σ scaled ranks =
+    |V| (up to FP + the 4-dp output rounding), every node appears in
+    the result, and every rank ≥ the scaled teleport floor (1-d)."""
+    from miningfrequentpattern_spark.operators.graph import pagerank
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    rows = pagerank(df, iterations=iters, damping=0.85).collect()
+    nodes = {n for e in sym for n in e}
+    assert {r["id"] for r in rows} == nodes
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - len(nodes)) < 1e-3 * len(nodes) + 1e-6
+    assert all(r["pagerank"] >= 0.15 - 1e-4 for r in rows)
