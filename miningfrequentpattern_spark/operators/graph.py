@@ -110,6 +110,11 @@ def pagerank(
             # cleanup (spark.catalog.clearCache()).
             return out
         # Materialize before dropping the caches the plan leans on.
+        # Same trade as mining.apriori_frequent_itemsets' documented
+        # localCheckpoint: the (|V|-row) result is pinned to executor
+        # storage and unrecoverable on executor loss — callers
+        # needing lineage durability should write the result to a
+        # sink instead of holding this handle long-term.
         out = out.localCheckpoint(eager=True)
         return out
     finally:
