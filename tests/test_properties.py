@@ -177,3 +177,57 @@ def test_pagerank_conserves_mass_on_symmetrized_graphs(spark, edges, iters):
     total = sum(r["pagerank"] for r in rows)
     assert abs(total - len(nodes)) < 1e-3 * len(nodes) + 1e-6
     assert all(r["pagerank"] >= 0.15 - 1e-4 for r in rows)
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 99)),
+        min_size=0, max_size=15,
+    ),
+    dim=st.lists(st.integers(0, 6), min_size=0, max_size=6, unique=True),
+    n_salts=st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, fact, dim, n_salts):
+    """functions/skew.py salted_join must be row-for-row identical to
+    the plain equi-join for ANY fact/dim multiset — including missing
+    keys on either side and duplicate fact keys."""
+    from miningfrequentpattern_spark.functions.skew import salted_join
+
+    f = spark.createDataFrame(
+        fact or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    d = spark.createDataFrame(
+        [(k, k * 10) for k in dim] or [(None, None)], "k long, w long"
+    ).filter(F.col("k").isNotNull())
+    got = sorted(map(tuple, salted_join(f, d, key="k", n_salts=n_salts)
+                     .select("k", "v", "w").collect()))
+    want = sorted(map(tuple, f.join(d, "k").select("k", "v", "w").collect()))
+    assert got == want
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_jaccard_guard_is_neutral_above_max_df(spark, docs):
+    """With the cap above every shingle's document frequency, BOTH
+    guard regimes (sampled estimate and exact window df) must return
+    exactly the guard-off pair set — the guard may only ever remove
+    genuinely over-cap shingles."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x", d) for i, d in enumerate(docs)],
+        "doc_id long, lang string, tokens array<string>",
+    )
+    kw = dict(block_col="lang", n=2, threshold=0.1)
+    cap = len(docs) + 1  # no shingle can exceed df == len(docs)
+    base = sorted(map(tuple, ngram_jaccard_pairs(
+        df, max_shingle_df=None, **kw).collect()))
+    sampled = sorted(map(tuple, ngram_jaccard_pairs(
+        df, max_shingle_df=cap * 100, guard_sample=0.5, **kw).collect()))
+    exact = sorted(map(tuple, ngram_jaccard_pairs(
+        df, max_shingle_df=cap, guard_sample=1.0, **kw).collect()))
+    assert sampled == base
+    assert exact == base
