@@ -113,14 +113,17 @@ def main() -> None:
     # min-of-N is the standard steady-state estimator; N=2 keeps the
     # whole bench under ~2 min while removing the worst of the noise.
     N_RUNS = 2
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        runs: list[float] = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        runs = [run_once(name) for _ in range(N_RUNS)]
         # Noise guard: this box shows 2-4x noisy-neighbor swings on
         # individual executions (BASELINE.md round-4 note). When the
         # two runs disagree by >3x, BOTH may have been hit, so take
@@ -129,11 +132,7 @@ def main() -> None:
         # fires only under demonstrated interference — quiet runs
         # measure exactly the committed min-of-2 methodology.
         if max(runs) > 3.0 * min(runs):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
+            runs.append(run_once(name))
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)

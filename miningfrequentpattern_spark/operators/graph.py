@@ -75,9 +75,11 @@ def pagerank(
         # guard probes elsewhere): N parameterizes the teleport term.
         n = nodes.count()
         if n == 0:
-            return nodes.select(
-                "id", F.lit(0.0).alias("pagerank")
-            )
+            # Same materialize contract as the main path (the empty
+            # relation still pins, cheaply, so no caller ever holds a
+            # lineage into the unpersisted caches).
+            out = nodes.select("id", F.lit(0.0).alias("pagerank"))
+            return out.localCheckpoint(eager=True) if _materialize else out
         teleport = (1.0 - damping) / n
         ranks = nodes.select("id", F.lit(1.0 / n).alias("_rank"))
         for _ in range(iterations):

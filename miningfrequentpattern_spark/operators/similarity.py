@@ -60,10 +60,12 @@ def cosine_topk_exact(
     two tiers: first a FREE static check — Catalyst's
     `LogicalPlan.maxRows` on the optimized query-side plan, which is
     defined whenever the lineage carries a LIMIT (so `df.limit(k)`
-    query sides pay nothing) — and only when the static bound is
-    unknown, a runtime probe `limit(max_queries+1).count()` (a bounded
-    action — the scan stops after max_queries+1 rows, it never counts
-    the full side). An oversized query side raises with a pointer at
+    query sides pay nothing) — and when that upper bound is unknown
+    or not small enough to prove fitness, a runtime probe
+    `limit(max_queries+1).count()` (a bounded action — the scan stops
+    after max_queries+1 rows, it never counts the full side; a big
+    static bound alone never rejects, since actual rows may be far
+    fewer). An oversized query side raises with a pointer at
     the ANN operators, instead of silently planning an |Q|×|corpus|
     cartesian. Note the probe is EAGER: building the result DataFrame
     runs one small job and evaluates the query-side lineage once
@@ -72,16 +74,12 @@ def cosine_topk_exact(
     (no probe, fully lazy) for callers with their own bound.
     """
     if max_queries is not None:
+        # maxRows is an UPPER bound: a small static bound proves the
+        # side fits (skip the probe for free), but a large one proves
+        # nothing about actual size — fall through to the probe, never
+        # reject on the bound alone.
         static_bound = _static_max_rows(queries)
-        if static_bound is not None and static_bound > max_queries:
-            raise ValueError(
-                f"cosine_topk_exact: query side is statically bounded "
-                f"at {static_bound} rows > max_queries={max_queries}; "
-                "the crossJoin would be |Q|x|corpus|. Use ann_lsh_topk "
-                "/ ivf_topk for large query sets, or pass "
-                "max_queries=None if the size is externally bounded."
-            )
-        if static_bound is None:
+        if static_bound is None or static_bound > max_queries:
             probed = queries.limit(max_queries + 1).count()
             if probed > max_queries:
                 raise ValueError(

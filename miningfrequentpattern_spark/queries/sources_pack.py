@@ -560,10 +560,11 @@ def s11_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("binfiles")
     docs.select("text").repartition(8).write.mode("overwrite").text(path)
     blobs = spark.read.format("binaryFile").load(path)
-    nl = F.lit(b"\n".decode())
+    # split() takes a Java REGEX; "\n" has no metacharacter meaning,
+    # but keep that in mind before ever changing the delimiter.
     return blobs.agg(
         F.sum(F.length("content")).alias("total_bytes"),
         F.sum(
-            F.size(F.split(F.col("content").cast("string"), nl)) - 1
+            F.size(F.split(F.col("content").cast("string"), "\n")) - 1
         ).alias("n_docs"),
     )

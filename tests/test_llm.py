@@ -350,6 +350,13 @@ def test_cosine_topk_exact_enforces_query_bound(spark):
     q = emb.limit(5)
     assert cosine_topk_exact(q, emb, k=3, max_queries=50).count() == 15
     assert cosine_topk_exact(q, emb, k=3, max_queries=None).count() == 15
+    # A LARGE static maxRows (limit above the cap) must NOT reject on
+    # its own — it is only an upper bound; the runtime probe measures
+    # the actual 5 rows and lets the join run.
+    q_loose = emb.filter(F.col("vec_id") < 5).limit(10_000_000)
+    assert (
+        cosine_topk_exact(q_loose, emb, k=3, max_queries=50).count() == 15
+    )
 
 
 def test_jaccard_guard_scores_filtered_universe(spark):
