@@ -123,3 +123,74 @@ def pagerank(
         if _materialize:
             contribs.unpersist()
             nodes.unpersist()
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph given as any
+    edge list (direction, duplicates, and self-loops are normalized
+    away). Returns (id, n_triangles) for every node in ≥1 triangle.
+
+    Algorithm: compact-forward / node-iterator++ — orient each
+    undirected edge from its LOWER-(degree, id) endpoint to its
+    higher one, enumerate wedges a→b, b→c by joining the oriented
+    list with itself, and close them against a third oriented edge
+    a→c. Each triangle is found exactly once, and per-node credit is
+    an explode over its three corners.
+
+    Why degree ordering instead of plain id ordering: the wedge
+    volume is Σ outdeg(v)², and orienting toward the higher-degree
+    endpoint caps every out-degree at O(√E) — the classic bound that
+    keeps a power-law hub (a part in every order, a follower-magnet
+    account) from generating deg² wedge rows in one task. Triangle
+    COUNTS are invariant to the orientation chosen, which is what
+    lets the id-oriented SQL oracle hash-match this degree-oriented
+    plan. Three equi-joins + one explode aggregate; no caching needed
+    (each relation is consumed once — this is a DAG, not a loop)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("d"),
+        )
+        .filter(F.col("s") < F.col("d"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("s").alias("v"))
+        .unionAll(und.select(F.col("d").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ds = deg.select(F.col("v").alias("s"), F.col("deg").alias("_dg_s"))
+    dd = deg.select(F.col("v").alias("d"), F.col("deg").alias("_dg_d"))
+    lower_first = (F.col("_dg_s") < F.col("_dg_d")) | (
+        (F.col("_dg_s") == F.col("_dg_d")) & (F.col("s") < F.col("d"))
+    )
+    oriented = (
+        und.join(ds, "s")
+        .join(dd, "d")
+        .select(
+            F.when(lower_first, F.col("s")).otherwise(F.col("d")).alias("a"),
+            F.when(lower_first, F.col("d")).otherwise(F.col("s")).alias("b"),
+        )
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(o2, F.col("o2.a") == F.col("o1.b"))
+        .join(
+            o3,
+            (F.col("o3.a") == F.col("o1.a"))
+            & (F.col("o3.b") == F.col("o2.b")),
+        )
+        .select(
+            F.col("o1.a").alias("x"),
+            F.col("o1.b").alias("y"),
+            F.col("o2.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

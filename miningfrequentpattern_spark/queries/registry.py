@@ -67,11 +67,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries hash-proven, all 11 rows-only-by-design queries run-proven;
 # zero failures anywhere. Round 4's window therefore promotes the 20
 # queries with no driver row yet — the 10 round-3 additions plus the
-# 10 new round-4 queries (l02g guard-firing twin, r08b bucketed
+# 11 new round-4 queries (l02g guard-firing twin, r08b bucketed
 # as-of, r36 salted join, m12 sequential rules, l25 curation
 # pipeline, s10 compaction round-trip, m13 co-purchase PageRank, l26
-# source KL drift, r37 snapshot diff, s11 binaryFile scan) — behind
-# the 3 drift canaries, and backfills with
+# source KL drift, r37 snapshot diff, s11 binaryFile scan, m14
+# co-purchase triangles) — behind the 3 drift canaries, and backfills with
 # proven queries chosen to RE-certify operators whose code changed
 # this round (asof_join bucketing refactor → r08; cosine_topk_exact
 # query-bound guard → l03; guarded-Jaccard denominators → l02f/l02g)
@@ -110,12 +110,12 @@ PRIORITY: tuple[str, ...] = (
     "l26_source_kl_drift",
     "r37_snapshot_diff",
     "s11_binaryfile_scan",
+    "m14_part_triangles",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
     "l02_ngram_jaccard_pairs",
     # backfill — round-1/2-proven spread across every pack
-    "m02_item_support",
     "m03_frequent_items",
     "m04_itemsets_k2_tokens",
     "m05_rules_1to1_tokens",

@@ -231,3 +231,34 @@ def test_jaccard_guard_is_neutral_above_max_df(spark, docs):
         df, max_shingle_df=cap, guard_sample=1.0, **kw).collect()))
     assert sampled == base
     assert exact == base
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0, max_size=16,
+    ),
+)
+@settings(**_SETTINGS)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """Degree-oriented triangle enumeration vs an itertools reference
+    on arbitrary messy edge lists (self-loops, duplicates, both
+    directions present) — per-node counts must agree exactly."""
+    from itertools import combinations
+
+    from miningfrequentpattern_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        edges or [(None, None)], "src long, dst long"
+    ).filter(F.col("src").isNotNull())
+    got = {
+        r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if all(frozenset(p) in und for p in ((a, b), (b, c), (a, c))):
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
