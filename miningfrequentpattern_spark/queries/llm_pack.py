@@ -26,6 +26,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
+    shingles,
     simhash64,
     simhash_neardup_pairs,
     connected_components,
@@ -1348,4 +1349,151 @@ def l26_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 4).alias("kl_divergence"),
             F.max("t").alias("n_tokens"),
         )
+    )
+
+
+@query(
+    "l27_importance_resample",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, lang = 'en' AS is_tgt,
+                        unnest(string_split(trim(text), ' ')) AS tok
+                 FROM documents),
+    raw AS (SELECT tok, count(*) AS c_raw,
+                   count(*) FILTER (is_tgt) AS c_tgt
+            FROM tok GROUP BY tok),
+    scal AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt,
+                    count(*) AS v
+             FROM raw),
+    perdoc AS (SELECT t.doc_id,
+                      count(*) AS n_tokens,
+                      round(avg(log2((r.c_tgt + 1.0) / (r.c_raw + 1.0)))
+                            + log2((s.n_raw + s.v) * 1.0
+                                   / (s.n_tgt + s.v)), 4) AS llr_score
+               FROM tok t JOIN raw r USING (tok) CROSS JOIN scal s
+               GROUP BY t.doc_id, s.n_raw, s.n_tgt, s.v),
+    ranked AS (SELECT d.doc_id, d.source, p.n_tokens, p.llr_score,
+                      row_number() OVER (PARTITION BY d.source
+                                         ORDER BY p.llr_score DESC,
+                                                  d.doc_id) AS src_rank
+               FROM perdoc p JOIN documents d USING (doc_id))
+    SELECT doc_id, source, n_tokens, llr_score,
+           CAST(src_rank AS BIGINT) AS src_rank,
+           src_rank <= 10 AS is_kept
+    FROM ranked
+    """,
+)
+def l27_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6-extension (targeted data selection): DSIR-style importance
+    resampling — score every document by the log-likelihood ratio
+    between a target-domain unigram LM (here: the English slice,
+    `lang = 'en'`) and the raw-corpus LM, then keep the top 10 per
+    source (per-source quotas preserve the mixture l21 budgets; a
+    global cut would let one domain-adjacent source crowd out the
+    rest). The real pipeline (Xie et al. 2023) samples ∝ weight;
+    the deterministic top-slice variant here keeps the oracle exact.
+
+    Shape: `importance_llr_score` is one corpus explode + a broadcast
+    vocab join (Zipf-skewed key — never shuffled; vocab bounded at
+    `vocab_size` with an OOV floor at web scale, exact on the
+    fixtures); the per-source ranking is ONE shuffle keyed by source
+    (uniform by construction — sources are feeds, not Zipf tokens).
+    Ranking reads the ROUNDED score (both engines) so a last-ulp
+    difference in the float mean can never flip the kept set."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.importance_llr_score(docs, target=F.col("lang") == "en")
+    ranked = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "src_rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("llr_score"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "llr_score",
+        F.col("src_rank").cast("long").alias("src_rank"),
+        (F.col("src_rank") <= 10).alias("is_kept"),
+    )
+
+
+@query(
+    "l28_ngram_novelty",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS l
+               FROM documents),
+    sh AS (SELECT doc_id, source,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:], l[4:], l[5:]),
+                 s -> s[1] || ' ' || s[2] || ' ' || s[3] || ' '
+                      || s[4] || ' ' || s[5]),
+               x -> x IS NOT NULL)) AS g
+           FROM t),
+    post AS (SELECT doc_id, source, unnest(g) AS sh FROM sh),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM post GROUP BY sh),
+    perdoc AS (SELECT p.doc_id, p.source,
+                      count(*) AS n_shingles,
+                      count(*) FILTER (f.first_doc = p.doc_id) AS n_novel
+               FROM post p JOIN firsts f USING (sh)
+               GROUP BY p.doc_id, p.source)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           round(sum(n_novel) * 1.0 / sum(n_shingles), 4) AS novelty_rate
+    FROM perdoc GROUP BY source
+    """,
+)
+def l28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5-extension (redundancy curve): per-source 5-gram novelty rate
+    — the fraction of each document's distinct 5-gram shingles whose
+    corpus-wide FIRST occurrence (lowest doc_id, i.e. ingestion
+    order) is that document. The aggregate curve of this number over
+    time is the standard "is this feed still contributing new
+    content?" monitor in corpus curation (the RefinedWeb/C4 line of
+    work tracks exactly this redundancy signal when deciding how
+    deep to crawl a source).
+
+    Shape: one corpus explode into (shingle, doc) postings, a
+    shingle-keyed hash aggregate for first-seen (map-side partials),
+    then the one-row-per-shingle firsts relation joins BACK to the
+    postings by equi-key. Below the broadcast threshold (this SF)
+    the build side is firsts, so the corpus-sized postings leg never
+    shuffles for the join at all; above it AQE falls back to a
+    shuffle join where both sides hash on the same shingle key (the
+    postings exchange shared with the aggregate). Hot boilerplate
+    shingles skew the postings side only (firsts stays one row per
+    shingle); AQE's skew-join split covers that at scale, and a
+    df-cap prefilter (l02f's guard) is the stronger lever if one
+    shingle dominates. Per-doc then per-source aggregates collapse
+    to |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    post = docs.select(
+        "doc_id", "source", F.explode(shingles("tokens", 5)).alias("sh")
+    )
+    firsts = post.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    perdoc = (
+        post.join(firsts, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_shingles").cast("long").alias("n_shingles"),
+        F.sum("n_novel").cast("long").alias("n_novel"),
+        F.round(F.sum("n_novel") / F.sum("n_shingles"), 4).alias(
+            "novelty_rate"
+        ),
     )

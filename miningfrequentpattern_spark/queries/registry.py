@@ -67,11 +67,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # queries hash-proven, all 11 rows-only-by-design queries run-proven;
 # zero failures anywhere. Round 4's window therefore promotes the 20
 # queries with no driver row yet — the 10 round-3 additions plus the
-# 11 new round-4 queries (l02g guard-firing twin, r08b bucketed
+# 13 new round-4 queries (l02g guard-firing twin, r08b bucketed
 # as-of, r36 salted join, m12 sequential rules, l25 curation
 # pipeline, s10 compaction round-trip, m13 co-purchase PageRank, l26
 # source KL drift, r37 snapshot diff, s11 binaryFile scan, m14
-# co-purchase triangles) — behind the 3 drift canaries, and backfills with
+# co-purchase triangles, l27 DSIR importance resampling, l28 n-gram
+# novelty rate) — behind the 3 drift canaries, and backfills with
 # proven queries chosen to RE-certify operators whose code changed
 # this round (asof_join bucketing refactor → r08; cosine_topk_exact
 # query-bound guard → l03; guarded-Jaccard denominators → l02f/l02g)
@@ -111,6 +112,8 @@ PRIORITY: tuple[str, ...] = (
     "r37_snapshot_diff",
     "s11_binaryfile_scan",
     "m14_part_triangles",
+    "l27_importance_resample",
+    "l28_ngram_novelty",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -137,8 +140,6 @@ PRIORITY: tuple[str, ...] = (
     "r13_order_gaps",
     "r14_running_customer_spend",
     "r15_top25_orders",
-    "r16_repeat_customers_y2k",
-    "r20_array_functions",
 )
 
 

@@ -516,3 +516,40 @@ def test_snapshot_diff_is_single_full_outer_join(spark):
     p = plan_of(spark, "r37_snapshot_diff")
     assert "FullOuter" in p
     assert "CartesianProduct" not in p
+
+
+def test_importance_resample_broadcasts_vocab(spark):
+    """l27: the Zipf-skewed token join must BROADCAST the (bounded)
+    vocab leg — a shuffle keyed by raw tokens would put 'the' in one
+    partition; the vocab bound must plan as TakeOrderedAndProject
+    (partial top-K + bounded merge), never a global Sort; and the
+    per-source ranking window is the only full-width exchange."""
+    p = plan_of(spark, "l27_importance_resample")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # exactly one window (the per-source rank); no global (empty
+    # partition-spec) window anywhere
+    assert "Window" in p
+    assert "partial_count" in p or "partial count" in p, p
+
+
+def test_ngram_novelty_reuses_postings_exchange(spark):
+    """l28: the first-seen leg must be the AGGREGATED (one row per
+    shingle) relation, joined back to postings by equi-key — at this
+    SF it fits the broadcast threshold so the corpus-sized postings
+    side never shuffles for the join at all (BroadcastHashJoin,
+    build = firsts); above the threshold AQE falls back to a shuffle
+    join where both sides hash on the same shingle key. Either way:
+    no cartesian, no broadcast of the RAW postings, and every
+    aggregate runs map-side partials first."""
+    p = plan_of(spark, "l28_ngram_novelty")
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial count" in p, p
+    assert "BroadcastHashJoin" in p or "ReusedExchange" in p, p
+    if "BroadcastHashJoin" in p:
+        # the broadcast subtree must contain the min(doc_id) aggregate
+        # (firsts), i.e. the build side is the deduplicated leg, not
+        # the exploded corpus
+        bcast = p[p.index("BroadcastExchange"):]
+        assert "min(doc_id" in bcast, p
