@@ -72,7 +72,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # pipeline, s10 compaction round-trip, m13 co-purchase PageRank, l26
 # source KL drift, r37 snapshot diff, s11 binaryFile scan, m14
 # co-purchase triangles, l27 DSIR importance resampling, l28 n-gram
-# novelty rate) — behind the 3 drift canaries, and backfills with
+# novelty rate, s12 bucketed co-located join) — behind the 3 drift
+# canaries, and backfills with
 # proven queries chosen to RE-certify operators whose code changed
 # this round (asof_join bucketing refactor → r08; cosine_topk_exact
 # query-bound guard → l03; guarded-Jaccard denominators → l02f/l02g)
@@ -114,6 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "m14_part_triangles",
     "l27_importance_resample",
     "l28_ngram_novelty",
+    "s12_bucketed_join",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -139,7 +141,6 @@ PRIORITY: tuple[str, ...] = (
     "r12_top3_parts_per_brand",
     "r13_order_gaps",
     "r14_running_customer_spend",
-    "r15_top25_orders",
 )
 
 

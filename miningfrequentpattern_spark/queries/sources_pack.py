@@ -568,3 +568,59 @@ def s11_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("content").cast("string"), "\n")) - 1
         ).alias("n_docs"),
     )
+
+
+@query(
+    "s12_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def s12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-extension (co-located layout): orders and customer written
+    as BUCKETED tables on their join key (8 buckets, sorted within
+    bucket), then joined table-to-table — the classic 100 TB lever
+    this pack had not yet demonstrated: when both sides are bucketed
+    identically on the join key, the sort-merge join reads co-located
+    buckets and needs NO exchange on either side (the only shuffle
+    left in the plan is the final per-segment aggregate's). At fact×
+    fact scale — two tables too big to broadcast, joined repeatedly —
+    pre-bucketing pays the shuffle once at write time and amortizes
+    it over every subsequent join; this is Spark's equivalent of the
+    co-partitioned-table strategy every warehouse engine ships.
+
+    Mechanics certified here: external bucketed tables (data under
+    the scratch root, metadata in the session's in-memory catalog),
+    `hint("merge")` pinning the sort-merge strategy so the
+    demonstration can't silently degrade to a broadcast join at this
+    tiny SF, and the oracle running on the ORIGINATING fixtures — the
+    hash match proves the bucketed write/read cycle loses nothing.
+    The bucketed-scan shape (`Bucketed: true`, zero join-side
+    exchange) is asserted in tests/test_plans.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    for name, df, key in (
+        ("mfp_orders_bucketed", orders, "o_custkey"),
+        ("mfp_customer_bucketed", cust, "c_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", _scratch(name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    ob = spark.table("mfp_orders_bucketed")
+    cb = spark.table("mfp_customer_bucketed")
+    j = ob.hint("merge").join(cb, ob["o_custkey"] == cb["c_custkey"])
+    return j.groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -518,6 +518,19 @@ def test_snapshot_diff_is_single_full_outer_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """s12: both bucketed-table scans must read co-located buckets
+    (`Bucketed: true`), the join must be the pinned SortMergeJoin,
+    and NEITHER join input may shuffle — no Exchange keyed on either
+    join key; the only exchange in the plan is the final aggregate's
+    (keyed on the segment column)."""
+    p = plan_of(spark, "s12_bucketed_join")
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2, p
+    assert "hashpartitioning(o_custkey" not in p, p
+    assert "hashpartitioning(c_custkey" not in p, p
+
+
 def test_importance_resample_broadcasts_vocab(spark):
     """l27: the Zipf-skewed token join must BROADCAST the (bounded)
     vocab leg — a shuffle keyed by raw tokens would put 'the' in one
