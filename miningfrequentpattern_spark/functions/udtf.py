@@ -28,6 +28,42 @@ class TokenizeUDTF:
             yield tok, len(tok)
 
 
+@udtf
+class NgramWideUDTF:
+    """POLYMORPHIC UDTF (Spark 4 `analyze` surface): emit one row per
+    word n-gram of the input text, as n separate columns w1..wn —
+    the OUTPUT SCHEMA is computed at plan time from the constant
+    second argument, the capability a fixed `returnType` cannot
+    express. `analyze` runs on the DRIVER during resolution (type
+    checks raise as AnalysisException before any task launches);
+    `eval` then runs row-at-a-time on executors like any UDTF."""
+
+    @staticmethod
+    def analyze(text, n):  # noqa: D102
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not isinstance(n.value, int) or isinstance(n.value, bool) or not (
+            1 <= n.value <= 16
+        ):
+            raise ValueError(
+                "ngram_wide(text, n): n must be a constant integer in "
+                f"[1, 16], got {n.value!r}"
+            )
+        schema = StructType()
+        for i in range(n.value):
+            schema = schema.add(f"w{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, n: int):  # noqa: D102
+        if text is None:
+            return
+        toks = text.split()
+        for i in range(len(toks) - n + 1):
+            yield tuple(toks[i : i + n])
+
+
 def register_udtfs(spark) -> None:
     """Register all engine UDTFs for SQL use (idempotent)."""
     spark.udtf.register("tokenize", TokenizeUDTF)
+    spark.udtf.register("ngram_wide", NgramWideUDTF)

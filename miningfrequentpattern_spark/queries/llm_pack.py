@@ -1497,3 +1497,94 @@ def l28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_rate"
         ),
     )
+
+
+@query(
+    "l29_embedding_dim_stats",
+    oracle="""
+    WITH d AS (SELECT e.vec_id, e.label, t.dim,
+                      e.embedding[t.dim]::DOUBLE AS x
+               FROM embeddings e,
+                    unnest(generate_series(1, len(e.embedding)))
+                      AS t(dim)),
+    per AS (SELECT dim, count(*) AS n,
+                   avg(x) AS mean, avg(x * x) - avg(x) * avg(x) AS var
+            FROM d GROUP BY dim),
+    cls AS (SELECT dim, label, count(*) AS n_l, avg(x) AS mean_l
+            FROM d GROUP BY dim, label),
+    btw AS (SELECT c.dim,
+                   sum(c.n_l * (c.mean_l - p.mean) * (c.mean_l - p.mean))
+                     / sum(c.n_l) AS between_var
+            FROM cls c JOIN per p USING (dim) GROUP BY c.dim)
+    SELECT CAST(p.dim AS INT) AS dim,
+           CAST(p.n AS BIGINT) AS n_vecs,
+           round(p.mean, 4) AS mean,
+           round(sqrt(p.var), 4) AS std,
+           round(b.between_var / p.var, 4) AS fisher_ratio
+    FROM per p JOIN btw b USING (dim)
+    """,
+)
+def l29_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3-extension (embedding-space monitoring): per-DIMENSION
+    statistics over the embedding corpus — mean, std, and the Fisher
+    discriminant ratio (between-class variance of the label-wise
+    means over total variance). The standard embedding-health panel:
+    collapsed dimensions show std ≈ 0, scale drift shows in the
+    means, and the Fisher ratio ranks which dimensions actually
+    separate the labels (anisotropy/feature-collapse monitoring for
+    a retrieval or clustering pipeline).
+
+    Variance is computed as avg(x²) − avg(x)² with IDENTICAL
+    expression shape in both engines (not var_pop, whose streaming
+    merge order could differ in the last ulp between engines before
+    the 4-dp rounding); embedding means sit near 0, so the naive
+    formula's cancellation risk doesn't apply.
+
+    Shape: one posexplode of the corpus into (dim, value) rows, two
+    hash aggregates over it — keyed by dim and by (dim, label), both
+    with map-side partials (d and d×|labels| groups: tiny, uniform —
+    dimensions are the anti-skew key) — and a d-row broadcast join.
+    The corpus is scanned once; nothing per-vector ever reaches the
+    driver. At 100 TB this is the cheapest query in the L3 family:
+    its shuffle volume is O(partitions × d), not O(rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select((F.col("dim0") + 1).alias("dim"), "label", "x")
+    per = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mean"),
+        (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias(
+            "var"
+        ),
+    )
+    cls = d.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).alias("n_l"), F.avg("x").alias("mean_l")
+    )
+    btw = (
+        cls.join(F.broadcast(per.select("dim", "mean")), "dim")
+        .groupBy("dim")
+        .agg(
+            (
+                F.sum(
+                    F.col("n_l")
+                    * (F.col("mean_l") - F.col("mean"))
+                    * (F.col("mean_l") - F.col("mean"))
+                )
+                / F.sum("n_l")
+            ).alias("between_var")
+        )
+    )
+    return per.join(F.broadcast(btw), "dim").select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round("mean", 4).alias("mean"),
+        F.round(F.sqrt("var"), 4).alias("std"),
+        F.round(F.col("between_var") / F.col("var"), 4).alias(
+            "fisher_ratio"
+        ),
+    )

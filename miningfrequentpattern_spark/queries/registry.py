@@ -116,6 +116,8 @@ PRIORITY: tuple[str, ...] = (
     "l27_importance_resample",
     "l28_ngram_novelty",
     "s12_bucketed_join",
+    "l29_embedding_dim_stats",
+    "u07_udtf_polymorphic_ngrams",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -139,8 +141,6 @@ PRIORITY: tuple[str, ...] = (
     "r10b_exact_percentiles",
     "r11_rollup_status_priority",
     "r12_top3_parts_per_brand",
-    "r13_order_gaps",
-    "r14_running_customer_spend",
 )
 
 

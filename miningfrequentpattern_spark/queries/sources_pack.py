@@ -251,6 +251,45 @@ def u03_udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u07_udtf_polymorphic_ngrams",
+    oracle="""
+    WITH t AS (SELECT string_split(trim(text), ' ') AS l FROM documents),
+    z AS (SELECT unnest(list_zip(l, l[2:], l[3:])) AS s FROM t)
+    SELECT s[1] AS w1, s[2] AS w2, s[3] AS w3, count(*) AS n_occ
+    FROM z WHERE s[3] IS NOT NULL
+    GROUP BY 1, 2, 3 HAVING count(*) >= 5
+    """,
+)
+def u07_udtf_polymorphic_ngrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U3-extension: POLYMORPHIC Python UDTF — `ngram_wide(text, 3)`
+    computes its output schema (w1, w2, w3) at plan time inside the
+    UDTF's `analyze` method from the constant n argument, the Spark 4
+    capability a fixed returnType cannot express (u03 proves the
+    static surface; this proves the analyze-time one). The lateral
+    join fans each document into its trigrams as real COLUMNS, then a
+    native aggregate keeps repeated trigrams.
+
+    Row-at-a-time Python by design (§2.6 policy: UDTFs prove the
+    extension point; explode(shingles()) is the production path —
+    tests assert the two agree). The aggregate after the fan-out is
+    native, so the Python cost is the eval loop only."""
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_u7"
+    )
+    return spark.sql(
+        """
+        SELECT t.w1, t.w2, t.w3, count(*) AS n_occ
+        FROM docs_u7, LATERAL ngram_wide(text, 3) t
+        GROUP BY t.w1, t.w2, t.w3
+        HAVING count(*) >= 5
+        """
+    )
+
+
+@query(
     "s07_python_datasource",
     oracle="""
     WITH t AS (SELECT unnest(generate_series(0, 3999)) AS txn_id)

@@ -518,6 +518,18 @@ def test_snapshot_diff_is_single_full_outer_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_embedding_dim_stats_shuffles_only_dim_keys(spark):
+    """l29: both aggregates over the exploded corpus must run
+    map-side partials (shuffle volume O(partitions × d), never
+    O(rows)), the d-row legs must broadcast, and nothing may
+    cartesian-join."""
+    p = plan_of(spark, "l29_embedding_dim_stats")
+    assert "partial_count" in p or "partial count" in p, p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
 def test_bucketed_join_has_no_join_side_exchange(spark):
     """s12: both bucketed-table scans must read co-located buckets
     (`Bucketed: true`), the join must be the pinned SortMergeJoin,

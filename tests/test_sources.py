@@ -73,3 +73,51 @@ def test_dir_parquet_bytes_raises_on_no_files(tmp_path):
     hive.mkdir()
     (hive / "part-00000").write_bytes(b"x" * 128)
     assert dir_parquet_bytes(str(hive)) == 128
+
+
+def test_polymorphic_udtf_matches_native_shingles(spark):
+    """ngram_wide's analyze-time schema and eval fan-out must agree
+    with the native explode(shingles(n=3)) path on occurrence counts
+    (the UDTF is the extension-point proof; shingles is production —
+    shingles() deduplicates per doc, so compare on the distinct
+    per-doc trigram sets)."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.functions.udtf import register_udtfs
+    from miningfrequentpattern_spark.operators.dedup import shingles
+    from miningfrequentpattern_spark.operators.text import tokens
+
+    register_udtfs(spark)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.createOrReplaceTempView("docs_udtf_test")
+    via_udtf = spark.sql(
+        """
+        SELECT DISTINCT d.doc_id, concat_ws(' ', t.w1, t.w2, t.w3) AS sh
+        FROM docs_udtf_test d, LATERAL ngram_wide(d.text, 3) t
+        """
+    )
+    via_native = (
+        docs.withColumn("toks", tokens("text"))
+        .select("doc_id", F.explode(shingles("toks", 3)).alias("sh"))
+    )
+    assert via_udtf.exceptAll(via_native).count() == 0
+    assert via_native.exceptAll(via_udtf).count() == 0
+
+
+def test_polymorphic_udtf_rejects_bad_n(spark):
+    """analyze() must reject a non-constant or out-of-range n at PLAN
+    time (AnalysisException on the driver), before any task runs."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from miningfrequentpattern_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.range(1).selectExpr("'a b c' AS text").createOrReplaceTempView(
+        "one_doc_udtf_test"
+    )
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT * FROM one_doc_udtf_test, "
+            "LATERAL ngram_wide(text, 0) t"
+        ).collect()
