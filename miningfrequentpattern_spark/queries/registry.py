@@ -118,6 +118,7 @@ PRIORITY: tuple[str, ...] = (
     "s12_bucketed_join",
     "l29_embedding_dim_stats",
     "u07_udtf_polymorphic_ngrams",
+    "r38_incremental_agg_refresh",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -140,7 +141,6 @@ PRIORITY: tuple[str, ...] = (
     "r09_distinct_aggregates",
     "r10b_exact_percentiles",
     "r11_rollup_status_priority",
-    "r12_top3_parts_per_brand",
 )
 
 

@@ -1522,3 +1522,68 @@ def r37_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_price",
         )
     )
+
+
+@query(
+    "r38_incremental_agg_refresh",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def r38_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9-extension (incremental view maintenance): refresh a
+    per-customer order aggregate by MERGING a previously-computed
+    base aggregate with the aggregate of only the delta rows —
+    count/sum/max combine algebraically (count+count, sum+sum,
+    greatest(max,max)), so the refresh never rescans the base data.
+    This is the derive-side complement of r32's MERGE apply and r37's
+    snapshot diff: at 100 TB a daily refresh aggregates ONLY the new
+    partition (the delta leg's date filter prunes at the scan) and
+    full-outer-joins it against the stored aggregate table (|keys|
+    rows, not |rows|). The oracle aggregates the WHOLE table
+    directly, so the hash match proves the merge algebra is exact —
+    including customers present in only one leg.
+
+    Cutoff 1995-01-01 splits the fixtures roughly in half; both legs
+    push their date predicate into the parquet scan (one scan per
+    leg here; in production the base leg is a stored table, not a
+    rescan — the point certified is the MERGE, not the base's
+    provenance)."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("date")
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.max("o_totalprice").alias("m"),
+        )
+    base = agg_of(o.filter(F.col("o_orderdate") < cutoff))
+    delta = agg_of(o.filter(F.col("o_orderdate") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"),
+                    "full_outer")
+    return merged.select(
+        F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias(
+            "o_custkey"
+        ),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("b.s"), F.lit(0.0))
+            + F.coalesce(F.col("d.s"), F.lit(0.0)),
+            2,
+        ).alias("sum_price"),
+        F.round(
+            F.greatest(
+                F.coalesce(F.col("b.m"), F.col("d.m")),
+                F.coalesce(F.col("d.m"), F.col("b.m")),
+            ),
+            2,
+        ).alias("max_price"),
+    )

@@ -518,6 +518,20 @@ def test_snapshot_diff_is_single_full_outer_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_incremental_refresh_prunes_both_legs(spark):
+    """r38: each leg's date predicate must push into its parquet scan
+    (a delta refresh reads only the new partition at scale), both
+    legs aggregate with map-side partials BEFORE the merge join, and
+    the merge is one full-outer equi-join over |keys|-sized inputs."""
+    p = plan_of(spark, "r38_incremental_agg_refresh")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial count" in p, p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("LessThan(o_orderdate" in l for l in pushed), p
+    assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed), p
+
+
 def test_embedding_dim_stats_shuffles_only_dim_keys(spark):
     """l29: both aggregates over the exploded corpus must run
     map-side partials (shuffle volume O(partitions × d), never
