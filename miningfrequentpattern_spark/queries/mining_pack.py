@@ -888,3 +888,67 @@ def m14_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs).select(
         F.col("id").alias("part_id"), "n_triangles"
     )
+
+
+@query(
+    "m15_pair_utility",
+    oracle="""
+    WITH lu AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+                       sum(l_extendedprice * (1 - l_discount)) AS util
+                FROM lineitem GROUP BY 1, 2),
+    pu AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                  count(*) AS n_orders,
+                  round(sum(a.util + b.util), 2) AS pair_utility
+           FROM lu a JOIN lu b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2)
+    SELECT part_a, part_b, n_orders, pair_utility
+    FROM pu
+    ORDER BY pair_utility DESC, part_a, part_b LIMIT 25
+    """,
+)
+def m15_pair_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining extension (high-utility itemset mining, the
+    utility-weighted axis of the FIM literature — Two-Phase/EFIM
+    family): top-25 co-purchased part PAIRS ranked by total utility
+    (revenue: Σ extendedprice·(1−discount) of both parts' lines in
+    each shared order) rather than by raw support. Frequency and
+    value disagree exactly where merchandising cares: a pair bought
+    twice at 90k outranks one bought 40 times at 40.
+
+    Shape: per-(order, part) utilities are ONE hash aggregate over
+    the lineitem scan (map-side partials; also collapses duplicate
+    part lines so the pair join is over distinct basket items —
+    §1.3's duplicate trap); the pair self-join shuffles both legs on
+    the SAME order key (one exchange, reused — the join is pinned
+    shuffle_hash per the l02 house rule: the utility relation is
+    CORPUS-sized, one row per (order, part), so broadcasting it is
+    exactly the anti-pattern AQE would pick at a tiny SF and could
+    never pick at 100 TB); the top-25 is a TakeOrderedAndProject,
+    never a global sort. The basket-squared fan-out bound is the
+    same giant-basket argument as basketize (max 17 parts/order in
+    the fixtures; salting is the escape hatch at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lu = li.groupBy(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("util")
+    ).hint("shuffle_hash")
+    a, b = lu.alias("a"), lu.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("a.util") + F.col("b.util")), 2).alias(
+                "pair_utility"
+            ),
+        )
+    )
+    return pairs.orderBy(
+        F.desc("pair_utility"), F.asc("part_a"), F.asc("part_b")
+    ).limit(25)

@@ -119,6 +119,7 @@ PRIORITY: tuple[str, ...] = (
     "l29_embedding_dim_stats",
     "u07_udtf_polymorphic_ngrams",
     "r38_incremental_agg_refresh",
+    "m15_pair_utility",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -140,7 +141,6 @@ PRIORITY: tuple[str, ...] = (
     "r07_region_segment_grid",
     "r09_distinct_aggregates",
     "r10b_exact_percentiles",
-    "r11_rollup_status_priority",
 )
 
 

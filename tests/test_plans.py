@@ -518,6 +518,26 @@ def test_snapshot_diff_is_single_full_outer_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_pair_utility_bounded_topk_and_reused_exchange(spark):
+    """m15: the top-25 must plan as TakeOrderedAndProject (bounded
+    per-partition heaps, no global sort), the join must be the pinned
+    ShuffledHashJoin (the utility relation is corpus-sized — never
+    broadcast), and at runtime the self-join's second leg must REUSE
+    the first's exchange (same relation, same order key) rather than
+    shuffle lineitem twice — AQE stage reuse, visible only in the
+    finalized adaptive plan (the l02g pattern)."""
+    p = plan_of(spark, "m15_pair_utility")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" not in p, p
+    assert "partial_count" in p or "partial count" in p, p
+    df = QUERIES["m15_pair_utility"](spark, SF_ORACLE)
+    df.collect()
+    fp = df._jdf.queryExecution().executedPlan().toString()
+    fp = fp.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in fp, fp
+
+
 def test_incremental_refresh_prunes_both_legs(spark):
     """r38: each leg's date predicate must push into its parquet scan
     (a delta refresh reads only the new partition at scale), both
