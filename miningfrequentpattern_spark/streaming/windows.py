@@ -100,6 +100,7 @@ def click_purchase_join_stream(
     purchases: DataFrame,
     horizon: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """T7: stream-stream interval join — purchases within `horizon`
     after a click by the same user (the streaming twin of batch query
@@ -113,6 +114,16 @@ def click_purchase_join_stream(
     time-interval condition the join would buffer both streams
     forever — the stream-stream scale cliff.
 
+    `how="left_outer"` adds the abandoned-click rows (no purchase
+    within the horizon → NULL purchase columns). Outer semantics
+    change WHEN rows emit, not just which: a matched pair emits as
+    soon as both sides arrive, but an unmatched click can only emit
+    once the watermark proves no qualifying purchase can still
+    arrive (purchase watermark > click.ts + horizon) — so outer
+    results trail the watermark by design, and clicks near the head
+    of a replay stay buffered, not dropped, until later input closes
+    them (asserted in tests/test_streaming.py).
+
     The equi-key (user_id) carries the shuffle exactly as in the
     batch plan; each side shuffles once.
     """
@@ -123,6 +134,7 @@ def click_purchase_join_stream(
         (F.col("c.user_id") == F.col("p.user_id"))
         & (F.col("p.ts") > F.col("c.ts"))
         & (F.col("p.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(
         F.col("c.user_id").alias("user_id"),
         F.col("c.event_id").alias("click_id"),

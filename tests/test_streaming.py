@@ -161,6 +161,89 @@ def test_stream_stream_interval_join(spark):
     assert got == want
 
 
+def test_stream_stream_left_outer_join(spark):
+    """T7 (outer): the left-outer interval join must emit every
+    matched pair immediately PLUS a NULL-purchase row for each
+    abandoned click — but only once the purchase watermark proves no
+    qualifying purchase can still arrive (watermark > click.ts +
+    horizon). Asserted three ways: everything emitted matches the
+    batch left join, the inner subset emits completely, and every
+    abandoned click old enough for the final watermark emits its
+    NULL row (clicks newer than watermark+horizon may legitimately
+    still be buffered when the replay ends)."""
+    import datetime
+
+    from miningfrequentpattern_spark.streaming.windows import (
+        click_purchase_join_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    _run_to_memory(
+        click_purchase_join_stream(clicks, purchases, how="left_outer"),
+        "ss_ljoin",
+        "append",
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_sec)
+        for r in spark.sql("SELECT * FROM ss_ljoin").collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = ev.filter(F.col("event_type") == "click").alias("a")
+    b = ev.filter(F.col("event_type") == "purchase").alias("b")
+    batch = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (
+                F.col("b.ts")
+                <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")
+            ),
+            "left",
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("click_id"),
+            F.col("b.event_id").alias("purchase_id"),
+            F.round(
+                F.col("b.ts").cast("double") - F.col("a.ts").cast("double"),
+                4,
+            ).alias("gap_sec"),
+            F.col("a.ts").alias("click_ts"),
+        )
+        .collect()
+    )
+    want_full = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_sec) for r in batch
+    }
+    inner_want = {t for t in want_full if t[2] is not None}
+    assert got <= want_full, got - want_full
+    assert inner_want <= got, inner_want - got
+    # The query's GLOBAL watermark is the MIN across both sides'
+    # watermark nodes (each = its own max event ts - 30 min) — the
+    # latest click itself can therefore never close, because the
+    # click side's watermark is gated on it. An abandoned click is
+    # provably closed once global watermark > click.ts + 10 min
+    # horizon; 5 min slack for the discrete watermark update.
+    maxes = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    )
+    wm_base = min(r.m for r in maxes)
+    cutoff = wm_base - datetime.timedelta(minutes=45)
+    closed_nulls = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_sec)
+        for r in batch
+        if r.purchase_id is None and r.click_ts < cutoff
+    }
+    assert closed_nulls, "fixture has no closeable abandoned clicks"
+    assert closed_nulls <= got, closed_nulls - got
+
+
 def test_stream_transform_with_state(spark):
     """T5 (Spark 4 transformWithStateInPandas): final per-user state
     == batch group counts — same contract as the
