@@ -120,6 +120,8 @@ PRIORITY: tuple[str, ...] = (
     "u07_udtf_polymorphic_ngrams",
     "r38_incremental_agg_refresh",
     "m15_pair_utility",
+    "r39_funnel_conversion",
+    "r40_cohort_retention",
     # re-certification — operators whose code changed this round
     "r08_asof_last_click_before_purchase",
     "l03_cosine_topk",
@@ -140,7 +142,6 @@ PRIORITY: tuple[str, ...] = (
     "r06_click_to_purchase_10min",
     "r07_region_segment_grid",
     "r09_distinct_aggregates",
-    "r10b_exact_percentiles",
 )
 
 

@@ -1587,3 +1587,137 @@ def r38_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("max_price"),
     )
+
+
+@query(
+    "r39_funnel_conversion",
+    oracle="""
+    WITH c AS (SELECT user_id, min(ts) AS click_ts
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+    v AS (SELECT c.user_id, min(e.ts) AS view_ts
+          FROM c JOIN events e
+            ON e.user_id = c.user_id AND e.event_type = 'view'
+           AND e.ts > c.click_ts
+           AND e.ts <= c.click_ts + INTERVAL 2 HOUR
+          GROUP BY 1),
+    p AS (SELECT v.user_id, min(e.ts) AS purchase_ts
+          FROM v JOIN events e
+            ON e.user_id = v.user_id AND e.event_type = 'purchase'
+           AND e.ts > v.view_ts
+           AND e.ts <= v.view_ts + INTERVAL 2 HOUR
+          GROUP BY 1)
+    SELECT 'l1_click' AS stage, count(*) AS n_users FROM c
+    UNION ALL SELECT 'l2_view', count(*) FROM v
+    UNION ALL SELECT 'l3_purchase', count(*) FROM p
+    """,
+)
+def r39_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-analytics extension (complex event sequencing): a
+    3-stage conversion funnel — first click, then first view within
+    2 h of it, then first purchase within 2 h of THAT — counting
+    users surviving each stage. The sequential dependency (each
+    stage's window anchors on the previous stage's event) is what
+    separates a funnel from three independent counts, and it is the
+    relational mirror of what PrefixSpan mines as sequences.
+
+    Shape: three passes, each an event_type-filtered scan (predicate
+    pushed — at scale each stage reads only its event partition), a
+    user-keyed min-aggregate with map-side partials, and a user-keyed
+    equi-join against the previous stage (|users|-sized left leg —
+    broadcastable until user counts outgrow the threshold, then a
+    plain shuffled equi-join; either is skew-safe since user_id is
+    the natural partition key). Stage outputs are 1-row counts
+    union'd together."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(
+        prev: DataFrame, ts_col: str, etype: str, out_col: str
+    ) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).alias("e")
+        pv = prev.alias("pv")
+        return (
+            pv.join(
+                e,
+                (F.col("e.user_id") == F.col("pv.user_id"))
+                & (F.col("e.ts") > F.col(f"pv.{ts_col}"))
+                & (
+                    F.col("e.ts")
+                    <= F.col(f"pv.{ts_col}") + F.expr("INTERVAL 2 HOURS")
+                ),
+            )
+            .groupBy(F.col("pv.user_id").alias("user_id"))
+            .agg(F.min(F.col("e.ts")).alias(out_col))
+        )
+
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    v = first_after(c, "click_ts", "view", "view_ts")
+    p = first_after(v, "view_ts", "purchase", "purchase_ts")
+    one = F.count(F.lit(1)).alias("n_users")
+    return (
+        c.agg(one).select(F.lit("l1_click").alias("stage"), "n_users")
+        .unionAll(
+            v.agg(one).select(F.lit("l2_view").alias("stage"), "n_users")
+        )
+        .unionAll(
+            p.agg(one).select(
+                F.lit("l3_purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+@query(
+    "r40_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events)
+    SELECT f.cohort_week,
+           CAST(datediff('day', CAST(f.cohort_week AS DATE),
+                         CAST(a.week AS DATE)) / 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def r40_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-analytics extension (cohort retention): users grouped
+    by first-seen ISO week, counted in each subsequent activity week
+    — the retention triangle every product-analytics stack computes.
+    Week truncation is ISO-Monday in BOTH engines and offsets are
+    exact day-diffs of truncated weeks divided by 7, so the oracle is
+    integer-exact.
+
+    Shape: the cohort leg is one user-keyed min-aggregate; the
+    activity leg is a distinct over (user, week) — both map-side
+    partial; the user-keyed equi-join then a (cohort, offset) hash
+    aggregate. All keys are natural and uniform; nothing global."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

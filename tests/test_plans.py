@@ -518,6 +518,29 @@ def test_snapshot_diff_is_single_full_outer_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_funnel_pushes_stage_filters(spark):
+    """r39: every stage's event_type filter must push into its scan
+    (at scale each stage reads only its event partition), stage
+    aggregates combine map-side, and no stage join is a cartesian."""
+    p = plan_of(spark, "r39_funnel_conversion")
+    assert "CartesianProduct" not in p
+    pushed = " ".join(
+        l for l in p.splitlines() if "PushedFilters" in l
+    ).replace(" ", "")
+    for etype in ("click", "view", "purchase"):
+        assert f"EqualTo(event_type,{etype})" in pushed, (etype, pushed)
+    assert "partial_min" in p or "partial min" in p, p
+
+
+def test_cohort_retention_partial_aggregates(spark):
+    """r40: cohort and activity legs must both partially aggregate
+    map-side before their user-keyed join; no cartesian."""
+    p = plan_of(spark, "r40_cohort_retention")
+    assert "CartesianProduct" not in p
+    assert "partial_min" in p or "partial min" in p, p
+    assert "partial_count" in p or "partial count" in p, p
+
+
 def test_pair_utility_bounded_topk_and_reused_exchange(spark):
     """m15: the top-25 must plan as TakeOrderedAndProject (bounded
     per-partition heaps, no global sort), the join must be the pinned
