@@ -384,3 +384,79 @@ def test_jaccard_guard_scores_filtered_universe(spark):
     full = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=None)
     pair = [r for r in full.collect() if r.doc_a == 10]
     assert [(r.doc_b, r.jaccard) for r in pair] == [(11, 0.5)]
+
+
+def test_importance_llr_identities(spark):
+    """importance_llr_score invariants: (1) target == whole corpus →
+    every per-token ratio and the normalizer are log2(1) = 0, so all
+    scores are exactly 0.0; (2) with a proper subset target, documents
+    INSIDE the target must average a strictly higher score than those
+    outside (the selection signal the operator exists to produce)."""
+    docs = _docs(spark)
+    all_tgt = T.importance_llr_score(docs, target=F.lit(True))
+    assert all_tgt.filter(F.col("llr_score") != 0.0).count() == 0
+
+    scored = T.importance_llr_score(docs, target=F.col("lang") == "en")
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.is_tgt: r.m
+        for r in j.groupBy((F.col("lang") == "en").alias("is_tgt"))
+        .agg(F.avg("llr_score").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_importance_llr_bounded_vocab_oov_floor(spark):
+    """With vocab_size below the corpus vocabulary, OOV tokens take
+    the maximum-surprise floor (c_raw=1, c_tgt=0 → ratio log2(1/2))
+    — scores must stay finite and every document still scores."""
+    docs = _docs(spark)
+    exact = T.importance_llr_score(
+        docs, target=F.col("lang") == "en", vocab_size=None
+    )
+    bounded = T.importance_llr_score(
+        docs, target=F.col("lang") == "en", vocab_size=50
+    )
+    assert bounded.count() == exact.count()
+    assert (
+        bounded.filter(
+            F.col("llr_score").isNull() | F.isnan("llr_score")
+        ).count()
+        == 0
+    )
+
+
+def test_ngram_novelty_identical_docs(spark):
+    """Novelty semantics on a corpus of identical documents: ALL
+    shingle first-occurrence credit lands on the lowest doc_id —
+    per-source novelty equals (shingles of one doc) / (sum over its
+    docs), and a corpus of unique docs scores 1.0 everywhere."""
+    from miningfrequentpattern_spark.queries.llm_pack import (
+        l28_ngram_novelty,
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="novelty_fixture_")
+    text = "a b c d e f g h i j"  # 10 tokens -> 6 distinct 5-grams
+    rows = [(i, text, "en", "dup_src", len(text)) for i in range(4)] + [
+        (
+            10 + i,
+            " ".join(f"tok{i}_{k}" for k in range(10)),
+            "en",
+            "uniq_src",
+            42,
+        )
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = {
+        r.source: (r.n_docs, r.n_shingles, r.n_novel, r.novelty_rate)
+        for r in l28_ngram_novelty(spark, tmp).collect()
+    }
+    # dup_src: 4 docs x 6 shingles; only doc 0's 6 are novel.
+    assert out["dup_src"] == (4, 24, 6, 0.25)
+    # uniq_src: every doc's shingles are corpus-unique.
+    assert out["uniq_src"] == (3, 18, 18, 1.0)
