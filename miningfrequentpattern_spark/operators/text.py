@@ -370,18 +370,24 @@ def importance_llr_score(
     (the normalizer is constant per corpus, so it hoists out of the
     per-token mean — one broadcast scalar instead of per-row work).
 
-    Scale shape mirrors `unigram_logprob_score`: the corpus explodes
-    once; both count legs are hash aggregates with map-side partials
-    over that ONE exploded relation (the target leg is a filtered
-    partial of the same scan, not a second pass); the per-token score
-    table is Zipf-skewed on the join key so it travels by BROADCAST,
-    pruned to the `vocab_size` most frequent raw tokens
-    (TakeOrderedAndProject — bounded merge, no global sort). OOV
-    tokens take the maximum-surprise floor (c_raw=1, c_tgt=0). The
-    three scalars (N_raw, N_tgt, |V|) ride one 1-row broadcast. The
-    fixtures' vocabulary sits far under the default bound, so results
-    are bit-identical to the exact model — which keeps the SQL oracle
-    green; `vocab_size=None` selects the exact unbounded path.
+    Scale shape mirrors `unigram_logprob_score`: TWO passes over the
+    corpus — a model built FROM the data cannot also score it in one
+    pass without pinning corpus-scale state. Pass 1 explodes and
+    hash-aggregates tokens ONCE for BOTH count legs (the target leg
+    is a count_if partial of the same aggregate, not a separate
+    scan). Pass 2 re-explodes to score each token against the
+    per-token score table, which is Zipf-skewed on the join key so
+    it travels by BROADCAST, pruned to the `vocab_size` most
+    frequent raw tokens (TakeOrderedAndProject — bounded merge, no
+    global sort). Each pass reads only (id, target, text) columns
+    off parquet; at 100 TB the second read is the honest cost of the
+    broadcast-model design, far cheaper than caching the exploded
+    corpus. OOV tokens take the maximum-surprise floor (c_raw=1,
+    c_tgt=0). The three scalars (N_raw, N_tgt, |V|) ride one 1-row
+    broadcast. The fixtures' vocabulary sits far under the default
+    bound, so results are bit-identical to the exact model — which
+    keeps the SQL oracle green; `vocab_size=None` selects the exact
+    unbounded path.
     """
     tok = docs.select(
         F.col(id_col), target.alias("_is_tgt"), F.explode(tokens(text_col)).alias("tok")

@@ -1392,13 +1392,16 @@ def l27_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest). The real pipeline (Xie et al. 2023) samples ∝ weight;
     the deterministic top-slice variant here keeps the oracle exact.
 
-    Shape: `importance_llr_score` is one corpus explode + a broadcast
-    vocab join (Zipf-skewed key — never shuffled; vocab bounded at
-    `vocab_size` with an OOV floor at web scale, exact on the
-    fixtures); the per-source ranking is ONE shuffle keyed by source
-    (uniform by construction — sources are feeds, not Zipf tokens).
-    Ranking reads the ROUNDED score (both engines) so a last-ulp
-    difference in the float mean can never flip the kept set."""
+    Shape: `importance_llr_score` is two corpus passes — build the
+    LM counts in one aggregate, then re-scan to score against the
+    BROADCAST score table (Zipf-skewed key — never shuffled; vocab
+    bounded at `vocab_size` with an OOV floor at web scale, exact on
+    the fixtures; see the operator docstring for why two passes beat
+    caching the exploded corpus); the per-source ranking is ONE
+    shuffle keyed by source (uniform by construction — sources are
+    feeds, not Zipf tokens). Ranking reads the ROUNDED score (both
+    engines) so a last-ulp difference in the float mean can never
+    flip the kept set."""
     docs = load_table(spark, sf_dir, "documents")
     scored = T.importance_llr_score(docs, target=F.col("lang") == "en")
     ranked = (
@@ -1502,26 +1505,34 @@ def l28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l29_embedding_dim_stats",
     oracle="""
-    WITH d AS (SELECT e.vec_id, e.label, t.dim,
+    WITH d AS (SELECT e.label, t.dim,
                       e.embedding[t.dim]::DOUBLE AS x
                FROM embeddings e,
                     unnest(generate_series(1, len(e.embedding)))
                       AS t(dim)),
-    per AS (SELECT dim, count(*) AS n,
-                   avg(x) AS mean, avg(x * x) - avg(x) * avg(x) AS var
-            FROM d GROUP BY dim),
-    cls AS (SELECT dim, label, count(*) AS n_l, avg(x) AS mean_l
+    cls AS (SELECT dim, label, count(*) AS n_l,
+                   sum(x) AS sx, sum(x * x) AS sx2
             FROM d GROUP BY dim, label),
-    btw AS (SELECT c.dim,
-                   sum(c.n_l * (c.mean_l - p.mean) * (c.mean_l - p.mean))
-                     / sum(c.n_l) AS between_var
-            FROM cls c JOIN per p USING (dim) GROUP BY c.dim)
-    SELECT CAST(p.dim AS INT) AS dim,
-           CAST(p.n AS BIGINT) AS n_vecs,
-           round(p.mean, 4) AS mean,
-           round(sqrt(p.var), 4) AS std,
-           round(b.between_var / p.var, 4) AS fisher_ratio
-    FROM per p JOIN btw b USING (dim)
+    enr AS (SELECT *,
+                   sum(n_l) OVER (PARTITION BY dim) AS n,
+                   sum(sx) OVER (PARTITION BY dim) AS sxt,
+                   sum(sx2) OVER (PARTITION BY dim) AS sx2t
+            FROM cls),
+    per AS (SELECT dim, max(n) AS n,
+                   max(sxt) / max(n) AS mean,
+                   max(sx2t) / max(n)
+                     - (max(sxt) / max(n)) * (max(sxt) / max(n)) AS var,
+                   sum(n_l * (sx / n_l - sxt / n)
+                           * (sx / n_l - sxt / n)) / max(n)
+                     AS between_var
+            FROM enr GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(n AS BIGINT) AS n_vecs,
+           round(mean, 4) AS mean,
+           round(sqrt(greatest(var, 0)), 4) AS std,
+           CASE WHEN var > 0 THEN round(between_var / var, 4) END
+             AS fisher_ratio
+    FROM per
     """,
 )
 def l29_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1534,57 +1545,74 @@ def l29_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate the labels (anisotropy/feature-collapse monitoring for
     a retrieval or clustering pipeline).
 
-    Variance is computed as avg(x²) − avg(x)² with IDENTICAL
-    expression shape in both engines (not var_pop, whose streaming
-    merge order could differ in the last ulp between engines before
-    the 4-dp rounding); embedding means sit near 0, so the naive
-    formula's cancellation risk doesn't apply.
+    All moments derive from ONE (dim, label) aggregate of sufficient
+    statistics (n, Σx, Σx²) over the exploded corpus — per-dim
+    totals and the between-class variance are algebra over those
+    d×|labels| rows, so the corpus is genuinely scanned and exploded
+    ONCE (asserted on the plan: one parquet scan, one Generate).
+    Both engines compute the same formulas over the same sums,
+    keeping the 4-dp rounding bit-stable (no var_pop, whose
+    streaming merge order could differ in the last ulp). Degenerate
+    dimensions are first-class: var is clamped at 0 before sqrt (FP
+    cancellation can leave a collapsed dimension's var a hair
+    negative) and fisher_ratio is NULL when var == 0 (Spark's
+    non-ANSI divide and DuckDB's IEEE divide disagree on x/0, so the
+    guard is explicit in BOTH engines — collapsed dimensions are
+    exactly what this panel exists to surface, they must not crash
+    or hash-mismatch on it).
 
-    Shape: one posexplode of the corpus into (dim, value) rows, two
-    hash aggregates over it — keyed by dim and by (dim, label), both
-    with map-side partials (d and d×|labels| groups: tiny, uniform —
-    dimensions are the anti-skew key) — and a d-row broadcast join.
-    The corpus is scanned once; nothing per-vector ever reaches the
-    driver. At 100 TB this is the cheapest query in the L3 family:
-    its shuffle volume is O(partitions × d), not O(rows)."""
+    Shape: one posexplode, ONE corpus-sized hash aggregate keyed
+    (dim, label) with map-side partials (d×|labels| groups: tiny,
+    uniform — dimensions are the anti-skew key); everything after is
+    algebra over d×|labels| rows via a dim-partitioned window + one
+    final dim aggregate on the SAME key (no join, no further
+    exchange). At 100 TB this is the cheapest query in the L3
+    family: shuffle volume is O(partitions × d×|labels|), not
+    O(rows)."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = emb.select(
-        "vec_id",
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "dim0", "x"
         ),
     ).select((F.col("dim0") + 1).alias("dim"), "label", "x")
-    per = d.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("x").alias("mean"),
-        (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias(
-            "var"
-        ),
-    )
     cls = d.groupBy("dim", "label").agg(
-        F.count(F.lit(1)).alias("n_l"), F.avg("x").alias("mean_l")
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
     )
-    btw = (
-        cls.join(F.broadcast(per.select("dim", "mean")), "dim")
-        .groupBy("dim")
-        .agg(
-            (
-                F.sum(
-                    F.col("n_l")
-                    * (F.col("mean_l") - F.col("mean"))
-                    * (F.col("mean_l") - F.col("mean"))
-                )
-                / F.sum("n_l")
-            ).alias("between_var")
-        )
+    w = Window.partitionBy("dim")
+    enr = (
+        cls.withColumn("n", F.sum("n_l").over(w))
+        .withColumn("sxt", F.sum("sx").over(w))
+        .withColumn("sx2t", F.sum("sx2").over(w))
     )
-    return per.join(F.broadcast(btw), "dim").select(
+    lbl_mean = F.col("sx") / F.col("n_l")
+    glob_mean = F.max("sxt") / F.max("n")
+    per = enr.groupBy("dim").agg(
+        F.max("n").alias("n"),
+        glob_mean.alias("mean"),
+        (
+            F.max("sx2t") / F.max("n") - glob_mean * glob_mean
+        ).alias("var"),
+        (
+            F.sum(
+                F.col("n_l")
+                * (lbl_mean - F.col("sxt") / F.col("n"))
+                * (lbl_mean - F.col("sxt") / F.col("n"))
+            )
+            / F.max("n")
+        ).alias("between_var"),
+    )
+    return per.select(
         F.col("dim").cast("int").alias("dim"),
         F.col("n").cast("long").alias("n_vecs"),
         F.round("mean", 4).alias("mean"),
-        F.round(F.sqrt("var"), 4).alias("std"),
-        F.round(F.col("between_var") / F.col("var"), 4).alias(
-            "fisher_ratio"
+        F.round(F.sqrt(F.greatest(F.col("var"), F.lit(0.0))), 4).alias(
+            "std"
         ),
+        F.when(
+            F.col("var") > 0,
+            F.round(F.col("between_var") / F.col("var"), 4),
+        ).alias("fisher_ratio"),
     )

@@ -65,20 +65,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Cumulative driver proof through round 3: 95/105 oracle-bearing
 # queries hash-proven, all 11 rows-only-by-design queries run-proven;
-# zero failures anywhere. Round 4's window therefore promotes the 20
-# queries with no driver row yet — the 10 round-3 additions plus the
-# 13 new round-4 queries (l02g guard-firing twin, r08b bucketed
-# as-of, r36 salted join, m12 sequential rules, l25 curation
-# pipeline, s10 compaction round-trip, m13 co-purchase PageRank, l26
-# source KL drift, r37 snapshot diff, s11 binaryFile scan, m14
-# co-purchase triangles, l27 DSIR importance resampling, l28 n-gram
-# novelty rate, s12 bucketed co-located join) — behind the 3 drift
-# canaries, and backfills with
-# proven queries chosen to RE-certify operators whose code changed
-# this round (asof_join bucketing refactor → r08; cosine_topk_exact
-# query-bound guard → l03; guarded-Jaccard denominators → l02f/l02g)
-# plus a cross-pack spread of round-1/2-proven queries. Queries
-# outside the window stay covered by the local oracle mirror
+# zero failures anywhere. Round 4's window therefore promotes the 30
+# queries with no driver row yet — the 10 round-3 additions (l02f,
+# l21–l24, m11, r34, r35, u05, u06) plus the 20 round-4 additions
+# (l02g guard-firing twin, r08b bucketed as-of, r36 salted join, m12
+# sequential rules, l25 curation pipeline, s10 compaction
+# round-trip, m13 co-purchase PageRank, l26 source KL drift, r37
+# snapshot diff, s11 binaryFile scan, m14 co-purchase triangles, l27
+# DSIR importance resampling, l28 n-gram novelty, s12 bucketed
+# co-located join, l29 embedding dim stats, u07 polymorphic UDTF,
+# r38 incremental agg refresh, m15 pair utility, r39 funnel, r40
+# cohort retention) — behind the 3 drift canaries, then 3
+# re-certification slots for operators whose code changed this round
+# (asof_join bucketing refactor → r08; cosine_topk_exact query-bound
+# guard → l03; guarded-Jaccard denominators → l02), and backfills
+# the remaining 14 slots with a cross-pack spread of
+# round-1/2-proven queries. 3+10+20+3+14 = 50 exactly
+# (tests/test_rotation.py asserts the window size mechanically).
+# Queries outside the window stay covered by the local oracle mirror
 # (tests/test_oracle_parity.py).
 #
 # ROUND 5 ROTATION TODO: every oracle-bearing query registered
@@ -141,7 +145,6 @@ PRIORITY: tuple[str, ...] = (
     "r05_customers_without_orders",
     "r06_click_to_purchase_10min",
     "r07_region_segment_grid",
-    "r09_distinct_aggregates",
 )
 
 

@@ -460,3 +460,27 @@ def test_ngram_novelty_identical_docs(spark):
     assert out["dup_src"] == (4, 24, 6, 0.25)
     # uniq_src: every doc's shingles are corpus-unique.
     assert out["uniq_src"] == (3, 18, 18, 1.0)
+
+
+def test_embedding_dim_stats_collapsed_dimension(spark):
+    """A constant (collapsed) dimension — exactly what the panel
+    exists to surface — must yield std 0.0 and NULL fisher_ratio,
+    not a crash, NaN, or engine-dependent x/0 result."""
+    import tempfile
+
+    from miningfrequentpattern_spark.queries.llm_pack import (
+        l29_embedding_dim_stats,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dimstats_fixture_")
+    rows = [
+        (i, [5.0, float(i % 3)], i % 2) for i in range(12)
+    ]  # dim 1 constant, dim 2 varies
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    out = {r.dim: r for r in l29_embedding_dim_stats(spark, tmp).collect()}
+    assert out[1].std == 0.0
+    assert out[1].fisher_ratio is None
+    assert out[2].std > 0
+    assert out[2].fisher_ratio is not None

@@ -575,16 +575,20 @@ def test_incremental_refresh_prunes_both_legs(spark):
     assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed), p
 
 
-def test_embedding_dim_stats_shuffles_only_dim_keys(spark):
-    """l29: both aggregates over the exploded corpus must run
-    map-side partials (shuffle volume O(partitions × d), never
-    O(rows)), the d-row legs must broadcast, and nothing may
-    cartesian-join."""
+def test_embedding_dim_stats_single_scan(spark):
+    """l29: the corpus must be scanned and exploded exactly ONCE —
+    every moment derives from the one (dim, label)
+    sufficient-statistics aggregate (map-side partials); the
+    d-sized legs broadcast; nothing cartesian-joins. (The first cut
+    of this query scanned the parquet 6× — one subtree per
+    aggregate; this pins the fix.)"""
     p = plan_of(spark, "l29_embedding_dim_stats")
+    # formatted plans mention each node twice (tree + details)
+    assert p.count("Scan parquet") <= 2, p
+    assert p.count("Generate") <= 2, p
     assert "partial_count" in p or "partial count" in p, p
-    assert "BroadcastHashJoin" in p
+    assert "Join" not in p, p
     assert "CartesianProduct" not in p
-    assert "SortMergeJoin" not in p
 
 
 def test_bucketed_join_has_no_join_side_exchange(spark):

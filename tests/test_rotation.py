@@ -33,6 +33,19 @@ def _driver_proven() -> tuple[set, set]:
     return hashed, ran
 
 
+def test_priority_fits_the_window():
+    """Every PRIORITY name must actually land inside the driver's
+    50-row window — a 51st entry is a silently dead slot (this
+    caught a real overflow in round 4)."""
+    from miningfrequentpattern_spark.queries.registry import PRIORITY
+
+    assert len(PRIORITY) <= WINDOW, (
+        f"PRIORITY has {len(PRIORITY)} entries; the driver checks "
+        f"only the first {WINDOW} — trailing entries are dead slots: "
+        f"{PRIORITY[WINDOW:]}"
+    )
+
+
 def test_window_is_all_oracle_bearing():
     """Wasting a window slot on a rows-only query is only justified
     when that query has never been run-proven; every slot must at
