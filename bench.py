@@ -59,6 +59,13 @@ HEADLINE = [
     "r08b_asof_bucketed",
     "m13_part_pagerank",
     "l26_source_kl_drift",
+    # round-4 later additions — two-pass LM scoring with broadcast
+    # vocab; shingle-keyed firsts join-back; corpus-sized utility
+    # self-join (pinned shuffle_hash); sequential funnel joins
+    "l27_importance_resample",
+    "l28_ngram_novelty",
+    "m15_pair_utility",
+    "r39_funnel_conversion",
 ]
 
 
@@ -144,6 +151,10 @@ def main() -> None:
         "r08b_asof_bucketed",
         "m13_part_pagerank",
         "l26_source_kl_drift",
+        "l27_importance_resample",
+        "l28_ngram_novelty",
+        "m15_pair_utility",
+        "r39_funnel_conversion",
     }
     like_for_like = round(
         sum(v for k, v in timings.items() if k not in r4_additions), 3

@@ -85,10 +85,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Queries outside the window stay covered by the local oracle mirror
 # (tests/test_oracle_parity.py).
 #
-# ROUND 5 ROTATION TODO: every oracle-bearing query registered
-# through round 4 will then have a driver hash row; rotate any
-# round-4 failures back in, re-promote the rows-only set for a fresh
-# run-proof, and promote whatever round 5 adds.
+# ROUND 5 ROTATION TODO: after CORRECTNESS_r04 lands, every
+# oracle-bearing query registered through round 4 should have a
+# driver hash row (125 oracle-bearing + 11 rows-only registered at
+# round-4 end). Rotate any round-4 failures back in, re-promote the
+# 11 rows-only queries for a fresh run-proof, promote whatever
+# round 5 adds, and backfill with proven queries re-certifying any
+# operator whose code changes. tests/test_rotation.py enforces the
+# window mechanics (size ≤ 50, no unproven query outside it).
 PRIORITY: tuple[str, ...] = (
     # canaries — proven every round, kept to detect driver-env drift
     "m01_basketize_orders",

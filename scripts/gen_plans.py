@@ -94,6 +94,18 @@ SECTIONS = [
     ("s12_bucketed_join",
      "bucketed co-located join: both scans Bucketed: true, "
      "sort-merge join with zero join-side exchange"),
+    ("l29_embedding_dim_stats",
+     "embedding dim stats: ONE corpus scan + explode, one "
+     "(dim,label) sufficient-stats aggregate, same-key window"),
+    ("r38_incremental_agg_refresh",
+     "incremental refresh: date predicates pushed on both legs, "
+     "partial aggs before the |keys|-sized full-outer merge"),
+    ("m15_pair_utility",
+     "pair utility: pinned shuffle_hash self-join (corpus-sized "
+     "legs), bounded TakeOrderedAndProject top-25"),
+    ("r39_funnel_conversion",
+     "funnel: per-stage event_type filters pushed to each scan, "
+     "user-keyed min-aggregates and equi-joins"),
 ]
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)
