@@ -754,6 +754,15 @@ def semantic_neardup_pairs(
     )
     c = c.cache()
     try:
+        # KMeans.fit throws on an empty dataset; an empty corpus has
+        # no near-dup pairs — return the empty contract instead of
+        # crashing the pipeline stage (the fit is already eager, so
+        # the bounded isEmpty probe adds one trivial job).
+        if c.isEmpty():
+            id_dt0 = emb.schema[id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"id_a {id_dt0}, id_b {id_dt0}, cos_sim double"
+            )
         model = KMeans(
             k=n_clusters,
             seed=seed,

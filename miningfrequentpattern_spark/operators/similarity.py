@@ -27,6 +27,28 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, l2_normalize
 
 
+def _empty_topk_result(corpus: DataFrame, id_col: str) -> DataFrame:
+    """Empty (query_id, neighbor_id, cos_sim, rank) result matching
+    the operators' output contract, with id types taken from the
+    input. The ANN operators short-circuit to this when the corpus
+    is empty: MLlib's LSH/KMeans `.fit` THROWS on an empty dataset,
+    but "no corpus → no neighbors" is the correct semantics for a
+    pipeline stage (an upstream filter legitimately matches nothing;
+    the 100 TB failure mode is a crashed job, not an empty join)."""
+    from pyspark.sql import types as ST
+
+    idt = corpus.schema[id_col].dataType
+    schema = ST.StructType(
+        [
+            ST.StructField("query_id", idt),
+            ST.StructField("neighbor_id", idt),
+            ST.StructField("cos_sim", ST.DoubleType()),
+            ST.StructField("rank", ST.LongType()),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame([], schema)
+
+
 def _static_max_rows(df: DataFrame) -> int | None:
     """Catalyst's static row-count upper bound for a plan, or None.
 
@@ -136,6 +158,11 @@ def ann_lsh_topk(
 
     q = prep(queries, "query_id")
     c = prep(corpus, "neighbor_id")
+    # MLlib fit throws on empty input; empty corpus → empty result
+    # (the fit below is already eager, so the bounded probe adds one
+    # trivial job, not a new eagerness).
+    if c.isEmpty():
+        return _empty_topk_result(corpus, id_col)
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v",
         outputCol="_h",
@@ -198,6 +225,10 @@ def ivf_topk(
     c_vec = corpus.select(
         F.col(id_col), F.col(vec_col).alias("_arr")
     ).withColumn("_v", array_to_vector("_arr"))
+    # KMeans.fit throws on empty input; empty corpus → empty result
+    # (fit is already eager — see _empty_topk_result).
+    if c_vec.isEmpty():
+        return _empty_topk_result(corpus, id_col)
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cid")
     model = km.fit(c_vec)
     postings = model.transform(c_vec).select(

@@ -163,7 +163,11 @@ def s04_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _scratch("sink")
     write_parquet(agg, path, partition_by=["l_returnflag"])
-    back = spark.read.parquet(path)
+    # Explicit schema on the read-back: an EMPTY aggregate writes no
+    # part files, and a schema-inferred read of a fileless directory
+    # throws instead of returning the empty relation the round-trip
+    # contract owes (the writer's schema is the source of truth).
+    back = spark.read.schema(agg.schema).parquet(path)
     return back.select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
 
 
@@ -215,7 +219,10 @@ def s05_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     path = _scratch("part_orders")
     write_parquet(o, path, partition_by=["o_orderpriority"])
-    back = spark.read.parquet(path)
+    # Explicit schema: survives an empty source (no part files to
+    # infer from) — see s04. Partition pruning is unaffected: the
+    # partition column still resolves from directory names.
+    back = spark.read.schema(o.schema).parquet(path)
     return (
         back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy("o_orderpriority")
@@ -380,17 +387,22 @@ def u04_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s08_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S4 (XML, Spark 4 built-in source): supplier → XML → read
-    back (schema re-inferred from the documents) → join + aggregate.
-    The oracle runs on the originating parquet fixture, so the
-    round trip proves the XML reader loses nothing. XML parses
-    row-at-a-time with no pushdown — documented as ingestion-only;
-    the small supplier dim keeps the proof cheap."""
+    back (writer schema supplied — inference has nothing to read on
+    an empty write, and type fidelity is proven by the oracle hash
+    either way) → join + aggregate. The oracle runs on the
+    originating parquet fixture, so the round trip proves the XML
+    reader loses nothing. XML parses row-at-a-time with no pushdown
+    — documented as ingestion-only; the small supplier dim keeps
+    the proof cheap."""
     from ..sources.io import read_xml, write_xml
 
     s = load_table(spark, sf_dir, "supplier")
     path = _scratch("xml")
     write_xml(s, path, row_tag="supplier")
-    back = read_xml(spark, path, row_tag="supplier")
+    # Writer schema passed through: an empty XML write leaves nothing
+    # to infer from, and inference is also what the round trip must
+    # NOT depend on for type fidelity (see read_xml docstring).
+    back = read_xml(spark, path, row_tag="supplier", schema=s.schema)
     n = load_table(spark, sf_dir, "nation")
     return (
         back.join(n, back.s_nationkey == n.n_nationkey)

@@ -174,12 +174,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def read_xml(spark: SparkSession, path: str, row_tag: str = "row") -> DataFrame:
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema=None,
+) -> DataFrame:
     """S3 (XML, built into Spark 4): record-oriented XML ingestion.
     XML is row-at-a-time parsed (no columnar pushdown) — at scale it
     is an INGESTION format only: read once, convert to parquet, query
-    the parquet."""
-    return spark.read.format("xml").option("rowTag", row_tag).load(path)
+    the parquet. Pass `schema` for round trips that must survive an
+    EMPTY write: with zero records there is nothing to infer from,
+    so an inferred read comes back column-less."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
 
 
 def write_xml(
