@@ -435,6 +435,11 @@ def minhash_neardup_pairs(
     # raw case-sensitive tokens, so the MinHash estimate must target the
     # same Jaccard — lowercasing here would silently estimate a
     # different similarity on mixed-case corpora.
+    # NULL text cannot shingle, and MLlib transformers throw on null
+    # inputs rather than propagating them — drop such rows at the
+    # boundary (they can have no near-duplicates; same contract as
+    # the empty-shingles filter below).
+    docs = docs.filter(F.col(text_col).isNotNull())
     tok = RegexTokenizer(
         inputCol=text_col, outputCol="_toks", pattern=r"\s+", toLowercase=False
     ).transform(docs)
@@ -505,7 +510,12 @@ def embedding_neardup_pairs(
     import pandas as pd
 
     out_schema = "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE"
-    src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    # NULL vectors cannot participate in cosine similarity (np.array
+    # over a batch containing None degrades to object dtype and the
+    # GEMM throws) — drop them at the boundary.
+    src = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).filter(F.col("_vec").isNotNull())
     if num_blocks is None:
         n = src.count()
         if n == 0:
@@ -517,7 +527,17 @@ def embedding_neardup_pairs(
     a_side = src.withColumn("bi", blk).withColumn(
         "bj", F.explode(F.sequence(F.col("bi"), F.lit(num_blocks - 1)))
     )
-    b_side = src.withColumn("bj", blk).withColumn(
+    # The b side re-aliases every column so its attributes get FRESH
+    # expression ids: both cogroup children otherwise descend from the
+    # same `src` projection and share ids, and with a filter in the
+    # shared lineage Catalyst's pruning mis-resolved the right child's
+    # columns against the left's, handing the UDF a right-side frame
+    # with only the grouping keys (observed under the null-vector
+    # filter; self-cogroup + duplicate ids is the trigger).
+    b_src = src.select(
+        F.col("_id").alias("_id"), F.col("_vec").alias("_vec")
+    )
+    b_side = b_src.withColumn("bj", blk).withColumn(
         "bi", F.explode(F.sequence(F.lit(0), F.col("bj")))
     )
 
@@ -745,6 +765,8 @@ def semantic_neardup_pairs(
     # — the standard IVF recipe trains the coarse quantizer on ≪ the
     # corpus) keeps the fit cheap; the ASSIGNMENT below stays fully
     # distributed over the original partitioning.
+    # NULL vectors can't cluster or score — drop at the boundary.
+    emb = emb.filter(F.col(vec_col).isNotNull())
     c = (
         emb.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_arr")

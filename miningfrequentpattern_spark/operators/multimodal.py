@@ -58,6 +58,11 @@ def attach_media(documents: DataFrame) -> DataFrame:
     deterministic stand-in for an image/audio payload) with typed
     metadata, mirroring how a real pipeline lands media next to text."""
     media = F.encode("text", "UTF-8")
+    # A document with NULL text has no payload — no media row (the
+    # decode seam and frame sampler operate on bytes; None is not a
+    # blob, and real pipelines drop or dead-letter payload-less rows
+    # before decode).
+    documents = documents.filter(F.col("text").isNotNull())
     return documents.select(
         "doc_id",
         media.alias("media"),

@@ -151,13 +151,43 @@ def ann_lsh_topk(
     from pyspark.ml.functions import array_to_vector
 
     def prep(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            l2_normalize(vec_col).alias("_arr"),
-        ).withColumn("_v", array_to_vector("_arr"))
+        # NULL vectors can't hash or score — drop at the boundary.
+        # Belt AND suspenders: array_to_vector THROWS on null instead
+        # of propagating it, and a side filter alone can be lost when
+        # the two join children share scan lineage (relation dedup
+        # rewrites expression ids) — so the conversion is additionally
+        # wrapped in a row-local WHEN that can never evaluate it on a
+        # null array, and the null rows are dropped by the filter on
+        # the guarded result.
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias(out_id),
+                l2_normalize(vec_col).alias("_arr"),
+            )
+            .withColumn(
+                "_v",
+                F.when(
+                    F.col("_arr").isNotNull(), array_to_vector("_arr")
+                ),
+            )
+            .filter(F.col("_v").isNotNull())
+        )
 
-    q = prep(queries, "query_id")
-    c = prep(corpus, "neighbor_id")
+    # The lazy localCheckpoint is an OPTIMIZER BARRIER, not a cache:
+    # approxSimilarityJoin's equi-join on exploded hash values makes
+    # Catalyst infer `isnotnull(hash_udf(_v))` and push it below the
+    # null filters, where MLlib's hash UDF — which is not
+    # null-tolerant — then evaluates on rows the filters would have
+    # dropped (NPE on any corpus containing null vectors). Behind a
+    # LogicalRDD boundary nothing can be pushed into the prepped
+    # sides, so the filters run first, as written. Lazy (eager=False)
+    # adds no extra job; the trade is the usual localCheckpoint one —
+    # recomputation on executor loss restarts from the checkpoint's
+    # partitions (acceptable for an operator whose fit is already a
+    # single-session eager step).
+    q = prep(queries, "query_id").localCheckpoint(eager=False)
+    c = prep(corpus, "neighbor_id").localCheckpoint(eager=False)
     # MLlib fit throws on empty input; empty corpus → empty result
     # (the fit below is already eager, so the bounded probe adds one
     # trivial job, not a new eagerness).
@@ -222,9 +252,20 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     spark = corpus.sparkSession
-    c_vec = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("_arr")
-    ).withColumn("_v", array_to_vector("_arr"))
+    # NULL vectors can't quantize or score — drop at the boundary on
+    # both sides (array_to_vector and the pandas probe throw on null;
+    # the WHEN guard keeps the conversion row-local so it can never
+    # run on a null even if a side filter is lost to relation dedup —
+    # see ann_lsh_topk.prep).
+    c_vec = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_arr"))
+        .withColumn(
+            "_v",
+            F.when(F.col("_arr").isNotNull(), array_to_vector("_arr")),
+        )
+        .filter(F.col("_v").isNotNull())
+    )
+    queries = queries.filter(F.col(vec_col).isNotNull())
     # KMeans.fit throws on empty input; empty corpus → empty result
     # (fit is already eager — see _empty_topk_result).
     if c_vec.isEmpty():

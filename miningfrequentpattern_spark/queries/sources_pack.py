@@ -474,8 +474,15 @@ def u05_arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.col("embedding").cast("array<double>").alias("emb")
+    # NULL vectors can't average (a null list breaks the flatten/
+    # reshape alignment in the Arrow kernel) — same boundary filter
+    # as the similarity operators.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
 
     def centroid(table):
