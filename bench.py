@@ -25,7 +25,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # Headline set: spans mining / relational / LLM / streaming packs and
 # every physical-plan family (scan+agg, broadcast star join, window,
 # range+asof join, LSH, crossJoin topk, session windows, FPGrowth).
-HEADLINE = [
+# The LIKE_FOR_LIKE prefix is the committed 24-query gate basis
+# (BASELINE.md denominator); later additions extend coverage without
+# shifting the comparison — new queries go in ADDITIONS, never here.
+LIKE_FOR_LIKE = [
     "m03_frequent_items",
     "m04_itemsets_market",
     "m04_itemsets_full_tokens",
@@ -51,22 +54,29 @@ HEADLINE = [
     "l15_unigram_logprob",
     "l17_tfidf_topterms",
     "r26_global_order_rank",
-    # round-4 additions — guard-firing inverted-index join with
-    # denominator adjustment; bucketed as-of (equi-key + 2x explode);
-    # iterative PageRank (cached-edge join loop); vocabulary-keyed
+]
+
+# Post-denominator additions (excluded from the like-for-like
+# subtotal automatically — one list, no hand-synced twin).
+ADDITIONS = [
+    # round-4 — guard-firing inverted-index join with denominator
+    # adjustment; bucketed as-of (equi-key + 2x explode); iterative
+    # PageRank (cached-edge join loop); vocabulary-keyed
     # distribution-divergence aggregation
     "l02g_ngram_jaccard_capped",
     "r08b_asof_bucketed",
     "m13_part_pagerank",
     "l26_source_kl_drift",
-    # round-4 later additions — two-pass LM scoring with broadcast
-    # vocab; shingle-keyed firsts join-back; corpus-sized utility
-    # self-join (pinned shuffle_hash); sequential funnel joins
+    # round-4 later — two-pass LM scoring with broadcast vocab;
+    # shingle-keyed firsts join-back; corpus-sized utility self-join
+    # (pinned shuffle_hash); sequential funnel joins
     "l27_importance_resample",
     "l28_ngram_novelty",
     "m15_pair_utility",
     "r39_funnel_conversion",
 ]
+
+HEADLINE = LIKE_FOR_LIKE + ADDITIONS
 
 
 def main() -> None:
@@ -145,19 +155,9 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # Like-for-like subtotal over the 24-query set every prior round
     # measured (BASELINE.md's committed gate denominator) — the
-    # round-4 additions extend coverage, not the comparison basis.
-    r4_additions = {
-        "l02g_ngram_jaccard_capped",
-        "r08b_asof_bucketed",
-        "m13_part_pagerank",
-        "l26_source_kl_drift",
-        "l27_importance_resample",
-        "l28_ngram_novelty",
-        "m15_pair_utility",
-        "r39_funnel_conversion",
-    }
+    # ADDITIONS extend coverage, not the comparison basis.
     like_for_like = round(
-        sum(v for k, v in timings.items() if k not in r4_additions), 3
+        sum(timings[k] for k in LIKE_FOR_LIKE), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

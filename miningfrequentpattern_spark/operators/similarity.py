@@ -285,10 +285,25 @@ def ivf_topk(
         # NOTE: no inline type hints — `from __future__ import
         # annotations` stringifies them, which pandas_udf's hint
         # inference can't resolve; the explicit returnType suffices.
-        m = np.array(list(vecs), dtype=np.float64)
-        d = ((m[:, None, :] - b_centers.value[None, :, :]) ** 2).sum(axis=2)
-        idx = np.argsort(d, axis=1)[:, :n_probes]
-        return pd.Series(list(idx.astype("int32")))
+        # Defense in depth for null vectors: the queries-side filter
+        # above drops them, but a lost/reordered filter (the hazard
+        # ann_lsh_topk documents for shared-lineage joins) would hand
+        # this batch a None — emit an EMPTY probe list for such rows
+        # so the downstream explode drops them (null vectors can't
+        # participate), instead of np.array degrading to object
+        # dtype and crashing the whole task.
+        arrs = list(vecs)
+        valid_idx = [i for i, a in enumerate(arrs) if a is not None]
+        out = [[] for _ in arrs]
+        if valid_idx:
+            m = np.array([arrs[i] for i in valid_idx], dtype=np.float64)
+            d = ((m[:, None, :] - b_centers.value[None, :, :]) ** 2).sum(
+                axis=2
+            )
+            idx = np.argsort(d, axis=1)[:, :n_probes].astype("int32")
+            for row, i in enumerate(valid_idx):
+                out[i] = list(idx[row])
+        return pd.Series(out)
 
     probe_cids = pandas_udf(_probe, returnType="array<int>")
 
