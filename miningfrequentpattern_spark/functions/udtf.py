@@ -58,6 +58,13 @@ class NgramWideUDTF:
     def eval(self, text: str, n: int):  # noqa: D102
         if text is None:
             return
+        # str.split() splits on \s+ runs; the u07 oracle splits on
+        # single spaces. They agree ONLY under the fixture invariant
+        # (ASCII, single-spaced, trimmed) asserted loudly in
+        # tests/test_fixture_invariants.py — same contract every
+        # string_split-based oracle in llm_pack leans on. A fixture
+        # regeneration with tabs/double spaces fails THERE, not as an
+        # opaque u07 hash mismatch.
         toks = text.split()
         for i in range(len(toks) - n + 1):
             yield tuple(toks[i : i + n])

@@ -27,21 +27,26 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, l2_normalize
 
 
-def _empty_topk_result(corpus: DataFrame, id_col: str) -> DataFrame:
+def _empty_topk_result(
+    queries: DataFrame, corpus: DataFrame, id_col: str
+) -> DataFrame:
     """Empty (query_id, neighbor_id, cos_sim, rank) result matching
-    the operators' output contract, with id types taken from the
-    input. The ANN operators short-circuit to this when the corpus
-    is empty: MLlib's LSH/KMeans `.fit` THROWS on an empty dataset,
-    but "no corpus → no neighbors" is the correct semantics for a
-    pipeline stage (an upstream filter legitimately matches nothing;
-    the 100 TB failure mode is a crashed job, not an empty join)."""
+    the operators' output contract. query_id takes the QUERIES side's
+    id type and neighbor_id the CORPUS side's — exactly as the
+    populated path types them — so the empty-corpus schema never
+    diverges when the two sides' id columns differ (e.g. int queries
+    against bigint corpus; ADVICE r4). The ANN operators
+    short-circuit to this when the corpus is empty: MLlib's
+    LSH/KMeans `.fit` THROWS on an empty dataset, but "no corpus →
+    no neighbors" is the correct semantics for a pipeline stage (an
+    upstream filter legitimately matches nothing; the 100 TB failure
+    mode is a crashed job, not an empty join)."""
     from pyspark.sql import types as ST
 
-    idt = corpus.schema[id_col].dataType
     schema = ST.StructType(
         [
-            ST.StructField("query_id", idt),
-            ST.StructField("neighbor_id", idt),
+            ST.StructField("query_id", queries.schema[id_col].dataType),
+            ST.StructField("neighbor_id", corpus.schema[id_col].dataType),
             ST.StructField("cos_sim", ST.DoubleType()),
             ST.StructField("rank", ST.LongType()),
         ]
@@ -183,16 +188,27 @@ def ann_lsh_topk(
     # LogicalRDD boundary nothing can be pushed into the prepped
     # sides, so the filters run first, as written. Lazy (eager=False)
     # adds no extra job; the trade is the usual localCheckpoint one —
-    # recomputation on executor loss restarts from the checkpoint's
-    # partitions (acceptable for an operator whose fit is already a
-    # single-session eager step).
-    q = prep(queries, "query_id").localCheckpoint(eager=False)
-    c = prep(corpus, "neighbor_id").localCheckpoint(eager=False)
+    # checkpointed partitions cannot be recomputed on executor loss
+    # (see SCALING.md "ANN fault tolerance"). The barrier is SCOPED
+    # (ADVICE r4): it only defends the null filters, so a side whose
+    # vector column is statically NON-nullable — where no null can
+    # exist for a pushed `isnotnull(hash_udf(_v))` to crash on —
+    # skips it and keeps full lineage recoverability. Parquet scans
+    # are usually nullable, so the common path still pays the
+    # (documented) barrier; pipelines that can assert non-null
+    # schemas get resilience back for free.
+    def barrier(df: DataFrame, side: DataFrame) -> DataFrame:
+        if not side.schema[vec_col].nullable:
+            return df
+        return df.localCheckpoint(eager=False)
+
+    q = barrier(prep(queries, "query_id"), queries)
+    c = barrier(prep(corpus, "neighbor_id"), corpus)
     # MLlib fit throws on empty input; empty corpus → empty result
     # (the fit below is already eager, so the bounded probe adds one
     # trivial job, not a new eagerness).
     if c.isEmpty():
-        return _empty_topk_result(corpus, id_col)
+        return _empty_topk_result(queries, corpus, id_col)
     lsh = BucketedRandomProjectionLSH(
         inputCol="_v",
         outputCol="_h",
@@ -269,7 +285,7 @@ def ivf_topk(
     # KMeans.fit throws on empty input; empty corpus → empty result
     # (fit is already eager — see _empty_topk_result).
     if c_vec.isEmpty():
-        return _empty_topk_result(corpus, id_col)
+        return _empty_topk_result(queries, corpus, id_col)
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cid")
     model = km.fit(c_vec)
     postings = model.transform(c_vec).select(

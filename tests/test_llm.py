@@ -484,3 +484,24 @@ def test_embedding_dim_stats_collapsed_dimension(spark):
     assert out[1].fisher_ratio is None
     assert out[2].std > 0
     assert out[2].fisher_ratio is not None
+
+
+def test_empty_corpus_topk_schema_takes_each_sides_id_type(spark):
+    """ADVICE r4: with an INT-id query side against an empty
+    BIGINT-id corpus, the short-circuit empty result must type
+    query_id from the QUERIES side and neighbor_id from the CORPUS
+    side — exactly as the populated path would — for both ANN tiers."""
+    from miningfrequentpattern_spark.operators.similarity import ivf_topk
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    for op in (ann_lsh_topk, ivf_topk):
+        out = op(q, c, k=3)
+        assert out.count() == 0
+        got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert got["query_id"] == "int", (op.__name__, got)
+        assert got["neighbor_id"] == "bigint", (op.__name__, got)

@@ -614,9 +614,14 @@ def test_importance_resample_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
-    # exactly one window (the per-source rank); no global (empty
-    # partition-spec) window anywhere
-    assert "Window" in p
+    # exactly one Window NODE (the per-source rank; formatted plans
+    # name each node once in the tree and once in the details, so a
+    # second window would push the count past 2), and its spec must
+    # partition by `source` — `windowspecdefinition(source#...` —
+    # so a regression to a GLOBAL (empty partition-spec) window,
+    # which single-partitions the corpus, fails here (ADVICE r4).
+    assert p.count("Window") == 2, p
+    assert "windowspecdefinition(source#" in p, p
     assert "partial_count" in p or "partial count" in p, p
 
 
