@@ -17,7 +17,7 @@ stabilizes long before values do).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,7 +44,8 @@ def pagerank(
     does NOT redistribute it (the usual simplification; PageRank on a
     SYMMETRIZED graph, the common co-occurrence case, has no dangling
     nodes at all). Nodes with no in-edges stay at the teleport floor
-    via the left join below, so no node ever drops out of the result.
+    via the zero-contribution union leg below, so no node ever drops
+    out of the result.
 
     The edge×degree relation is cached: it is iterated `iterations`
     times and its lineage may be an expensive upstream join (same
@@ -56,21 +57,35 @@ def pagerank(
     edge relation if recomputed.
     """
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # Build the (edge, out-degree) relation with ONE shuffle: hash the
+    # edges on _src, then attach out-degree as a count window over the
+    # same partitioning — Catalyst plans zero additional exchanges for
+    # the window. The previous formulation (groupBy(_src) degree agg +
+    # join + repartition) spent three exchanges reaching the identical
+    # cached relation and AQE broadcast the degree side, which forced
+    # the explicit repartition to restore _src-hashing for the cache
+    # (interleaved A/B at sf0.1, 2.4 M edges: prelude 3.3 s → 2.1 s,
+    # identical results; round-5 session, recorded in BASELINE.md).
     # Repartition BEFORE caching: every iteration joins this relation
     # on _src, and a cache preserves whatever partitioning it was
     # materialized with — pre-hashing on the join key means only the
     # (|V|-sized) rank vector shuffles per iteration, never the
     # (|E|-sized) edge relation (measured ~2× on the sf0.1
     # co-purchase graph; the win grows with |E|/|V|).
-    contribs = e.join(deg, "_src").repartition("_src").cache()
+    contribs = (
+        e.repartition("_src")
+        .withColumn(
+            "_deg", F.count(F.lit(1)).over(Window.partitionBy("_src"))
+        )
+        .cache()
+    )
     # Node set derived from the CACHED contribs, not from `e`: the
-    # join on _src keeps every edge row (deg covers every _src by
-    # construction), so src∪dst over contribs is exactly src∪dst
-    # over e — but reading it from the cache means the (possibly
-    # expensive — e.g. a basket self-join) edge lineage materializes
-    # ONCE, for the cache, instead of once more for nodes.count()
-    # below (measured ~2 s of the m13 co-purchase graph's ~7 s).
+    # window attaches _deg to every edge row without dropping any, so
+    # src∪dst over contribs is exactly src∪dst over e — but reading
+    # it from the cache means the (possibly expensive — e.g. a basket
+    # self-join) edge lineage materializes ONCE, for the cache,
+    # instead of once more for nodes.count() below (measured ~2 s of
+    # the m13 co-purchase graph's ~7 s).
     nodes = (
         contribs.select(F.col("_src").alias("id"))
         .union(contribs.select(F.col("_dst").alias("id")))
@@ -88,26 +103,32 @@ def pagerank(
             out = nodes.select("id", F.lit(0.0).alias("pagerank"))
             return out.localCheckpoint(eager=True) if _materialize else out
         teleport = (1.0 - damping) / n
+        # The teleport floor for no-inbound nodes is folded INTO the
+        # inflow aggregate: union one zero-contribution row per node
+        # (read from the nodes cache) into each iteration's inflow, so
+        # groupBy(id) emits every node — sum 0.0 for the inbound-less
+        # ones — and the per-iteration nodes LEFT JOIN the old plan
+        # ran is gone. One fewer join per iteration at identical
+        # results (A/B'd at sf0.01+sf0.1, round-5 session); the union
+        # leg costs |V| cached rows through the existing exchange.
+        zeros = nodes.select("id", F.lit(0.0).alias("_c"))
         ranks = nodes.select("id", F.lit(1.0 / n).alias("_rank"))
         for _ in range(iterations):
-            inflow = (
-                contribs.join(
-                    ranks, contribs["_src"] == ranks["id"]
-                )
+            ranks = (
+                contribs.join(ranks, contribs["_src"] == ranks["id"])
                 .select(
                     F.col("_dst").alias("id"),
                     (F.col("_rank") / F.col("_deg")).alias("_c"),
                 )
+                .unionByName(zeros)
                 .groupBy("id")
                 .agg(F.sum("_c").alias("_in"))
-            )
-            # Left join keeps no-inbound nodes at the teleport floor.
-            ranks = nodes.join(inflow, "id", "left").select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("_rank"),
+                .select(
+                    "id",
+                    (
+                        F.lit(teleport) + F.lit(damping) * F.col("_in")
+                    ).alias("_rank"),
+                )
             )
         out = ranks.select(
             "id", F.round(F.col("_rank") * n, 4).alias("pagerank")
