@@ -78,6 +78,32 @@ ADDITIONS = [
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS
 
+# Scaling-curve tripwire (round 5): queries whose wall-time is EXPECTED
+# to grow super-linearly in input rows, with the documented reason —
+# these never count as flags. Everything else that grows faster than
+# SUPERLINEAR_EXP between sf0.01 and sf0.1 is reported in
+# "scaling.flagged": the mechanical catch for an accidental O(n²)
+# that a single-SF bench cannot see.
+EXPECTED_SUPERLINEAR = {
+    "l02d_embedding_neardup": (
+        "exact all-pairs block GEMM by design (O(n^2) compute, "
+        "documented in operators/dedup.py); the ANN/semantic tiers "
+        "are the at-scale path"
+    ),
+    "l03_cosine_topk": (
+        "exact topk is |Q|x|corpus| by contract; both sides grow "
+        "with SF here so compute is O(SF^2) — the enforced "
+        "max_queries bound plus the ANN tiers are the at-scale path"
+    ),
+}
+# Exponent threshold: time ratio t(sf0.1)/t(sf0.01) > 10^1.4 ≈ 25x
+# for a 10x row growth. Generous on purpose: planning constants and
+# noisy-neighbor swings (2-4x, BASELINE.md) sit in the numerator, and
+# sub-second queries are skipped entirely (MIN_FLAG_SEC) — a true
+# O(n^2) operator shows ~100x and clears this by a wide margin.
+SUPERLINEAR_EXP = 1.4
+MIN_FLAG_SEC = 1.0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,16 +157,15 @@ def main() -> None:
     # whole bench under ~2 min while removing the worst of the noise.
     N_RUNS = 2
 
-    def run_once(name: str) -> float:
+    def run_once(name: str, at_dir: str) -> float:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode(
+        qs[name](spark, at_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = [run_once(name) for _ in range(N_RUNS)]
+    def time_query(name: str, at_dir: str) -> float:
+        runs = [run_once(name, at_dir) for _ in range(N_RUNS)]
         # Noise guard: this box shows 2-4x noisy-neighbor swings on
         # individual executions (BASELINE.md round-4 note). When the
         # two runs disagree by >3x, BOTH may have been hit, so take
@@ -149,8 +174,12 @@ def main() -> None:
         # fires only under demonstrated interference — quiet runs
         # measure exactly the committed min-of-2 methodology.
         if max(runs) > 3.0 * min(runs):
-            runs.append(run_once(name))
-        timings[name] = round(min(runs), 3)
+            runs.append(run_once(name, at_dir))
+        return round(min(runs), 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = time_query(name, sf_dir)
 
     total = round(sum(timings.values()), 3)
     # Like-for-like subtotal over the 24-query set every prior round
@@ -160,18 +189,64 @@ def main() -> None:
         sum(timings[k] for k in LIKE_FOR_LIKE), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "value_like_for_like_24q": like_for_like,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # Per-query scaling curve (round 5): re-time the headline at the
+    # two smaller SF fixtures and compute growth exponents
+    # alpha = log10(t_hi / t_lo) per decade of rows. A query that is
+    # linear-or-better shows alpha <= 1 (usually well below — planning
+    # constants dominate small SFs); an accidental O(n^2) shows ~2.
+    # Flags exclude the documented EXPECTED_SUPERLINEAR operators and
+    # anything under MIN_FLAG_SEC at the large SF (constant-dominated
+    # ratios are meaningless). Opt out with SPARK_GRAFT_SCALING=0.
+    scaling: dict[str, object] | None = None
+    base = os.path.dirname(sf_dir.rstrip("/"))
+    small_dirs = [
+        d
+        for d in (os.path.join(base, "sf0.001"), os.path.join(base, "sf0.01"))
+        if os.path.isdir(d) and d != sf_dir.rstrip("/")
+    ]
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0" and len(
+        small_dirs
+    ) == 2:
+        per_sf: dict[str, dict[str, float]] = {n: {} for n in HEADLINE}
+        for d in small_dirs:
+            tag = d.rsplit("sf", 1)[-1]
+            for name in HEADLINE:
+                per_sf[name][tag] = time_query(name, d)
+        flagged: dict[str, float] = {}
+        explained: dict[str, str] = {}
+        per_query: dict[str, dict[str, float]] = {}
+        for name in HEADLINE:
+            t_hi, t_mid = timings[name], per_sf[name]["0.01"]
+            curve = dict(per_sf[name])
+            curve[sf] = t_hi
+            import math
+
+            exp = round(math.log10(max(t_hi, 1e-3) / max(t_mid, 1e-3)), 3)
+            per_query[name] = {"sec_by_sf": curve, "exp_last_decade": exp}
+            if exp > SUPERLINEAR_EXP and t_hi >= MIN_FLAG_SEC:
+                if name in EXPECTED_SUPERLINEAR:
+                    explained[name] = EXPECTED_SUPERLINEAR[name]
+                else:
+                    flagged[name] = exp
+        scaling = {
+            "sf_grid": [d.rsplit("sf", 1)[-1] for d in small_dirs] + [sf],
+            "per_query": per_query,
+            "flagged": flagged,
+            "explained_superlinear": explained,
+        }
+
+    out: dict[str, object] = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "value_like_for_like_24q": like_for_like,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
