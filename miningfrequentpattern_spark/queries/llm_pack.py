@@ -1428,6 +1428,10 @@ def l27_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l28_ngram_novelty",
     oracle="""
+    -- Depends on DuckDB list_zip NULL-PADDING to the longest input
+    -- (tail shingles collapse to NULL via `NULL || x` and are
+    -- list_filter'ed) and 1-based slicing l[2:]; pinned by the
+    -- dialect canary in tests/test_fixture_invariants.py.
     WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS l
                FROM documents),
     sh AS (SELECT doc_id, source,
@@ -1505,6 +1509,9 @@ def l28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l29_embedding_dim_stats",
     oracle="""
+    -- Depends on DuckDB 1-BASED list indexing (embedding[1] = first
+    -- element) + INCLUSIVE generate_series; pinned by the dialect
+    -- canary in tests/test_fixture_invariants.py.
     WITH d AS (SELECT e.label, t.dim,
                       e.embedding[t.dim]::DOUBLE AS x
                FROM embeddings e,

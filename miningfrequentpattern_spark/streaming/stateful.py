@@ -185,7 +185,7 @@ def running_user_counts_tws(events_stream: DataFrame) -> DataFrame:
     running_user_counts_stream (asserted in tests/test_streaming.py,
     skipped where the runtime lacks TWS's protobuf dependency: the
     state-server protocol needs google.protobuf, which this container
-    does not bundle — re-probed and still absent 2026-08-14 round 4;
+    does not bundle — re-probed and still absent 2026-08-14 round 5;
     the applyInPandasWithState twin above is the always-available
     path)."""
     try:

@@ -42,3 +42,54 @@ def test_documents_text_is_ascii_single_spaced():
             "leading/trailing space would surface as an opaque driver "
             "hash mismatch — this test exists to fail loudly instead"
         )
+
+
+def test_duckdb_list_dialect_semantics_are_pinned():
+    """DuckDB dialect seams the oracles lean on (VERDICT r4 task 6):
+    several oracle/Spark parities hold only because DuckDB 1.x list
+    semantics are what they are today —
+
+    - 1-BASED indexing: `l[1]` is the first element (l29 reads
+      `embedding[t.dim]` with dims generated from 1; every
+      `list_zip ... s -> s[1]` shingle lambda) while Spark's
+      `element_at` is also 1-based but `getItem`/`[]` is 0-based —
+      the oracles were written against the 1-based form;
+    - 1-based SLICING: `l[2:]` drops exactly the first element (the
+      n-gram shingle construction in l02/l16/l22/l28);
+    - `list_zip` pads to the LONGEST input with NULLs (it does NOT
+      truncate like Python zip), and `NULL || 'x'` is NULL — the
+      shingle transforms rely on the tail entries collapsing to NULL
+      so a downstream filter/unnest can drop them;
+    - `generate_series(a, b)` is INCLUSIVE of b; `range(a, b)` is
+      exclusive (l29 vs l07c use one each);
+    - `unnest([])` emits ZERO rows (empty-document safety in every
+      exploding oracle).
+
+    A DuckDB upgrade that changes any of these would surface as an
+    opaque driver hash mismatch; this canary fails loudly instead,
+    naming the changed behavior."""
+    con = duckdb.connect()
+    one = con.execute(
+        """
+        SELECT [10,20,30][1]          AS first_elem,
+               [10,20,30][2:]          AS tail_slice,
+               list_zip([1,2,3],[9,8]) AS zip_padded,
+               list_transform(list_zip(['a','b','c'],['b','c']),
+                              s -> s[1] || ' ' || s[2]) AS shingles,
+               generate_series(1,3)    AS gs,
+               range(0,3)              AS rg,
+               (SELECT count(*) FROM (SELECT unnest(CAST([] AS INT[]))))
+                                       AS unnest_empty
+        """
+    ).fetchone()
+    assert one[0] == 10, f"list indexing no longer 1-based: {one[0]}"
+    assert one[1] == [20, 30], f"1-based slicing changed: {one[1]}"
+    assert one[2] == [(1, 9), (2, 8), (3, None)], (
+        f"list_zip no longer NULL-pads to longest: {one[2]}"
+    )
+    assert one[3] == ["a b", "b c", None], (
+        f"shingle-lambda NULL collapse changed: {one[3]}"
+    )
+    assert one[4] == [1, 2, 3], f"generate_series bounds changed: {one[4]}"
+    assert one[5] == [0, 1, 2], f"range bounds changed: {one[5]}"
+    assert one[6] == 0, f"unnest of empty list emits rows: {one[6]}"

@@ -1,0 +1,147 @@
+"""Hot-key skew stress (VERDICT r4 task 5): the 100×-scale claims lean
+on the salted/bucketed guards, but until this file they were
+property-checked on UNIFORM data only. Here a pathological key — one
+order/user carrying ~10⁴ rows while every other key has a handful —
+runs through each guard and its plain twin, asserting (a) result
+equality row-for-row and (b) the plan shape that makes the guard work
+(the salt in the shuffle key, the two-phase aggregate, the bucket
+equi-key in the join) — so a regression that silently drops the guard
+while keeping the API fails here, on the data shape the guard exists
+for."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+HOT = 10_000  # rows on the hot key
+TAIL = 50  # uniform keys
+ITEMS = 400  # distinct items cycled through the hot key
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _skewed_rows(spark):
+    """(k, item): key 0 holds HOT rows cycling ITEMS distinct items
+    (with heavy duplication — collect_set must dedup); keys 1..TAIL
+    hold 3 rows each. Generated engine-side from range() so the
+    fixture scales without a driver-side list."""
+    hot = spark.range(HOT).select(
+        F.lit(0).alias("k"), (F.col("id") % ITEMS).alias("item")
+    )
+    tail = spark.range(3 * TAIL).select(
+        (F.col("id") % TAIL + 1).alias("k"),
+        (F.col("id") + 1000).alias("item"),
+    )
+    return hot.unionByName(tail)
+
+
+def test_salted_basketize_equals_plain_on_hot_key(spark):
+    from miningfrequentpattern_spark.operators.baskets import basketize
+
+    df = _skewed_rows(spark)
+    plain = {
+        r["k"]: tuple(r["items"])
+        for r in basketize(df, "k", "item").collect()
+    }
+    salted_df = basketize(df, "k", "item", n_salts=16)
+    salted = {r["k"]: tuple(r["items"]) for r in salted_df.collect()}
+    assert salted == plain
+    assert len(plain[0]) == ITEMS  # hot basket fully deduplicated
+    # Plan shape: phase-1 partials shuffle on (k, _salt) — the hot
+    # key spread over 16 shards — then the merge shuffles on k alone.
+    p = _plan(salted_df)
+    assert "hashpartitioning(k" in p, p
+    assert "_salt" in p, p
+    assert p.count("HashAggregate") >= 4, p  # partial+final × 2 phases
+
+
+def test_salted_join_equals_plain_on_hot_key(spark):
+    from miningfrequentpattern_spark.functions.skew import salted_join
+
+    fact = _skewed_rows(spark)
+    dim = spark.range(TAIL + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+    )
+    plain = sorted(
+        map(tuple, fact.join(dim, "k").select("k", "item", "attr").collect())
+    )
+    salted_out = salted_join(fact, dim, key="k", n_salts=8).select(
+        "k", "item", "attr"
+    )
+    assert sorted(map(tuple, salted_out.collect())) == plain
+    assert len(plain) == HOT + 3 * TAIL
+    # Plan shape: the join's shuffle key must include the salt (that
+    # IS the guard — without it the hot key lands on one task), and
+    # the dim side must carry the explode that replicates it per salt.
+    p = _plan(salted_out)
+    assert "_salt" in p, p
+    assert "Generate explode" in p or "explode(" in p, p
+
+
+def test_bucketed_asof_equals_plain_on_hot_key(spark):
+    """One user with 10⁴ right-side events: the plain as-of fans each
+    left row out to the full 10⁴-row history before the range filter;
+    the bucketed form must produce the IDENTICAL matches while joining
+    on the coarse time-bucket equi-key (tolerance ≤ bucket width)."""
+    from miningfrequentpattern_spark.operators.relational import asof_join
+
+    # Right: hot user 0 gets HOT events 1s apart; users 1..TAIL get 3.
+    right = (
+        spark.range(HOT)
+        .select(
+            F.lit(0).alias("uid"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("_t0"),
+            F.col("id").alias("_off"),
+        )
+        .unionByName(
+            spark.range(3 * TAIL).select(
+                (F.col("id") % TAIL + 1).alias("uid"),
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("_t0"),
+                (F.col("id") * 97).alias("_off"),
+            )
+        )
+        .select(
+            "uid",
+            (F.col("_t0") + F.make_interval(secs=F.col("_off"))).alias(
+                "ev_ts"
+            ),
+            (F.col("_off") * 3).alias("payload"),
+        )
+    )
+    # Left: 40 probe rows per stripe across hot and tail users, offset
+    # so matches straddle bucket boundaries.
+    left = spark.range(200).select(
+        (F.col("id") % (TAIL + 1)).alias("uid"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id") * 53 + 1)
+        ).alias("probe_ts"),
+    )
+    tol = F.lit(600.0)  # 10 min ≤ 1 hour bucket
+    kw = dict(
+        on="uid",
+        left_ts="probe_ts",
+        right_ts="ev_ts",
+        direction="backward",
+        tolerance_expr=tol,
+        right_cols=["ev_ts", "payload"],
+    )
+    plain = sorted(
+        map(tuple, asof_join(left, right, **kw).collect())
+    )
+    bucketed_df = asof_join(left, right, bucket="1 hour", **kw)
+    assert sorted(map(tuple, bucketed_df.collect())) == plain
+    assert len(plain) > 0
+    # Plan shape: the bucketed join must be an EQUI-join carrying the
+    # bucket key (_bk) — not a pure range/cartesian probe.
+    p = _plan(bucketed_df)
+    assert "_bk" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
