@@ -74,6 +74,10 @@ ADDITIONS = [
     "l28_ngram_novelty",
     "m15_pair_utility",
     "r39_funnel_conversion",
+    # round-5 — rules-relation self-join over an FPGrowth fit;
+    # map-side WindowGroupLimit rank-1 dedup
+    "m16_rule_chains",
+    "l30_prefix_dedup_keep_longest",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS

@@ -1623,3 +1623,50 @@ def l29_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("between_var") / F.col("var"), 4),
         ).alias("fisher_ratio"),
     )
+
+
+@query(
+    "l30_prefix_dedup_keep_longest",
+    oracle="""
+    WITH h AS (SELECT doc_id, source, lang, n_chars,
+                 array_to_string((string_split(trim(text), ' '))[1:8], ' ')
+                   AS prefix_fp
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY prefix_fp
+                                       ORDER BY n_chars DESC, doc_id)
+                      AS rk
+          FROM h)
+    SELECT doc_id, source, lang,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM r WHERE rk = 1
+    """,
+)
+def l30_prefix_dedup_keep_longest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L2-extension (materialized prefix dedup): keep ONE document per
+    first-8-token prefix fingerprint, preferring the LONGEST content
+    (n_chars DESC, doc_id tiebreak) — the keep-best companion to
+    l22's diagnostic rate: l22 measures how much boilerplate-header
+    duplication exists; this produces the deduplicated corpus a
+    curation pipeline actually ships, keeping the most complete
+    variant of each template instead of whichever arrived first
+    (the RefinedWeb-style cheap pass that runs BEFORE MinHash).
+
+    Shape: one shuffle keyed by the prefix fingerprint, rank-1 window
+    inside it — no self-join, no candidate explosion; emits ≤ |docs|
+    rows. Same skew posture as l22 (a hot template IS the thing being
+    removed; at 100 TB key the shuffle on xxhash64(prefix) for
+    narrower rows). The window never has an empty partition spec, so
+    no single-partition global sort exists at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.array_join(F.slice(T.tokens("text"), 1, 8), " ")
+    w = Window.partitionBy("prefix_fp").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars", pfx.alias("prefix_fp"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )

@@ -952,3 +952,79 @@ def m15_pair_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("pair_utility"), F.asc("part_a"), F.asc("part_b")
     ).limit(25)
+
+
+@query(
+    "m16_rule_chains",
+    oracle=f"""
+    WITH tok AS ({_TOK}),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         k1 AS (SELECT item, count(*) AS freq FROM tok GROUP BY item),
+         k2 AS (SELECT a.item AS x, b.item AS y, count(*) AS freq
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.item < b.item
+                GROUP BY a.item, b.item),
+         pairs AS (SELECT x, y, freq FROM k2
+                   WHERE freq >= ceil(0.45 * (SELECT n_docs FROM n))),
+         both_dirs AS (
+           SELECT x AS antecedent, y AS consequent, freq FROM pairs
+           UNION ALL
+           SELECT y AS antecedent, x AS consequent, freq FROM pairs),
+         rules AS (SELECT r.antecedent, r.consequent,
+                          r.freq * 1.0 / fa.freq AS conf
+                   FROM both_dirs r
+                   JOIN k1 fa ON fa.item = r.antecedent
+                   WHERE r.freq * 1.0 / fa.freq >= 0.6)
+    SELECT r1.antecedent,
+           r1.consequent AS via,
+           r2.consequent,
+           round(r1.conf, 4) AS conf_hop1,
+           round(r2.conf, 4) AS conf_hop2,
+           round(r1.conf * r2.conf, 4) AS chain_conf
+    FROM rules r1
+    JOIN rules r2 ON r2.antecedent = r1.consequent
+    WHERE r1.antecedent != r2.consequent
+    """,
+)
+def m16_rule_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5-extension (rule composition): 2-hop chains A→B→C over the
+    single-item association rules (same minSupport=0.45 /
+    minConfidence=0.6 slice as m05), excluding trivial A→B→A
+    round-trips. `chain_conf` is the confidence product — the usual
+    upper-bound heuristic for transitive recommendations ("viewers of
+    A buy B; buyers of B buy C").
+
+    Shape: the rule set is TINY relative to the corpus that produced
+    it (support/confidence thresholds are exactly the bound that
+    makes it so), so the hop join is a self-equi-join on consequent =
+    antecedent that AQE broadcasts; the expensive part — mining the
+    rules — is one FPGrowth fit, shared by both sides of the join.
+    The rounding seam matters: the chain product is computed on the
+    UNROUNDED confidences in both engines and rounded once at the
+    end (rounding per-hop first would compound to off-by-1e-4
+    disagreements)."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_fpgrowth(
+        token_baskets(docs), min_support=0.45, min_confidence=0.6
+    )
+    r = model.associationRules.filter(
+        (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+    ).select(
+        F.element_at("antecedent", 1).alias("a"),
+        F.element_at("consequent", 1).alias("c"),
+        F.col("confidence").alias("conf"),
+    )
+    r1, r2 = r.alias("r1"), r.alias("r2")
+    return (
+        r1.join(r2, F.col("r2.a") == F.col("r1.c"))
+        .filter(F.col("r1.a") != F.col("r2.c"))
+        .select(
+            F.col("r1.a").alias("antecedent"),
+            F.col("r1.c").alias("via"),
+            F.col("r2.c").alias("consequent"),
+            F.round(F.col("r1.conf"), 4).alias("conf_hop1"),
+            F.round(F.col("r2.conf"), 4).alias("conf_hop2"),
+            F.round(F.col("r1.conf") * F.col("r2.conf"), 4).alias(
+                "chain_conf"
+            ),
+        )
+    )

@@ -85,70 +85,99 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Queries outside the window stay covered by the local oracle mirror
 # (tests/test_oracle_parity.py).
 #
-# ROUND 5 ROTATION TODO: after CORRECTNESS_r04 lands, every
-# oracle-bearing query registered through round 4 should have a
-# driver hash row (125 oracle-bearing + 11 rows-only registered at
-# round-4 end). Rotate any round-4 failures back in, re-promote the
-# 11 rows-only queries for a fresh run-proof, promote whatever
-# round 5 adds, and backfill with proven queries re-certifying any
-# operator whose code changes. tests/test_rotation.py enforces the
-# window mechanics (size ≤ 50, no unproven query outside it).
+# ROUND 5 ROTATION (executed per the r4 verdict): through round 4,
+# every oracle-bearing query has a driver hash row (125/125) and
+# every rows-only query a run row — zero failures anywhere. This
+# round's window therefore: keeps the 3 canaries; RE-PROMOTES all 11
+# rows-only queries for a fresh run-proof (their last driver rows are
+# r3 — listed in ROWS_ONLY_REFRESH so tests/test_rotation.py can tell
+# a deliberate refresh from a wasted slot); promotes the 4 round-5
+# additions (s13 schema-merge scan, m16 rule chains, l30 prefix
+# dedup, t07 stream-static enrich twin); re-certifies the 3 queries
+# whose code or oracle text changed this round (m13 — pagerank
+# prelude/iteration rework; l28/l29 — dialect-pinning comments INSIDE
+# the oracle SQL the driver executes); and backfills the remaining 29
+# slots with the OLDEST-proven (round-1/2) queries across every pack.
+# 3+11+4+3+29 = 50 exactly.
+#
+# ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
+# round-5 failures, promote round-6 additions, re-certify changed
+# operators, and backfill with whatever has the OLDEST driver proof
+# (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
+# set will then be the freshest — prefer re-proving round-1/2 rows
+# not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
+# r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04).
+ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
+    {
+        "r10_approx_aggregates",
+        "r29_hll_sketches",
+        "r33_approx_topk",
+        "l02b_minhash_lsh_pairs",
+        "l02c_simhash_pairs",
+        "l03b_ann_lsh_topk",
+        "l03c_ivf_topk",
+        "l04c_doc_fingerprints",
+        "l07b_media_features",
+        "l08_langid_heuristic",
+        "l18_semantic_neardup",
+    }
+)
 PRIORITY: tuple[str, ...] = (
     # canaries — proven every round, kept to detect driver-env drift
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    # round-3 additions — oracle-bearing, never driver-checked
-    "l02f_ngram_jaccard_guarded",
-    "l21_source_mixing",
-    "l22_prefix_dup_rate",
-    "l23_source_overlap",
-    "l24_embedding_quantize",
-    "m11_rule_interest",
-    "r34_rolling_7day_spend",
-    "r35_unpivot_part_metrics",
-    "u05_arrow_grouped_centroids",
-    "u06_grouped_agg_geomean",
-    # round-4 additions — oracle-bearing, never driver-checked
-    "l02g_ngram_jaccard_capped",
-    "r08b_asof_bucketed",
-    "r36_salted_join_segments",
-    "m12_sequence_rules",
-    "l25_curation_pipeline",
-    "s10_compact_roundtrip",
+    # rows-only refresh — fresh r5 run-proof (last driver rows: r3)
+    "r10_approx_aggregates",
+    "r29_hll_sketches",
+    "r33_approx_topk",
+    "l02b_minhash_lsh_pairs",
+    "l02c_simhash_pairs",
+    "l03b_ann_lsh_topk",
+    "l03c_ivf_topk",
+    "l04c_doc_fingerprints",
+    "l07b_media_features",
+    "l08_langid_heuristic",
+    "l18_semantic_neardup",
+    # round-5 additions — oracle-bearing, never driver-checked
+    "s13_merge_schema_scan",
+    "m16_rule_chains",
+    "l30_prefix_dedup_keep_longest",
+    "t07_stream_enrich",
+    # re-certification — code or oracle text changed this round
     "m13_part_pagerank",
-    "l26_source_kl_drift",
-    "r37_snapshot_diff",
-    "s11_binaryfile_scan",
-    "m14_part_triangles",
-    "l27_importance_resample",
     "l28_ngram_novelty",
-    "s12_bucketed_join",
     "l29_embedding_dim_stats",
-    "u07_udtf_polymorphic_ngrams",
-    "r38_incremental_agg_refresh",
-    "m15_pair_utility",
-    "r39_funnel_conversion",
-    "r40_cohort_retention",
-    # re-certification — operators whose code changed this round
-    "r08_asof_last_click_before_purchase",
-    "l03_cosine_topk",
-    "l02_ngram_jaccard_pairs",
-    # backfill — round-1/2-proven spread across every pack
-    "m03_frequent_items",
-    "m04_itemsets_k2_tokens",
-    "m05_rules_1to1_tokens",
-    "m06_rule_transform",
-    "m07_topk_items",
-    "m08_apriori_tokens",
-    "m09_prefixspan_1seq",
-    "m10_closed_itemsets",
-    "r02_pricing_summary",
-    "r03_local_supplier_volume",
-    "r04_customer_order_counts",
-    "r05_customers_without_orders",
-    "r06_click_to_purchase_10min",
-    "r07_region_segment_grid",
+    # backfill — oldest (round-1/2) driver proofs, every pack
+    "s02_text_transactions",
+    "s04_parquet_sink_roundtrip",
+    "s05_partitioned_pruning",
+    "s07_python_datasource",
+    "s09_zorder_key",
+    "m02_item_support",
+    "r09_distinct_aggregates",
+    "r10b_exact_percentiles",
+    "r11_rollup_status_priority",
+    "r12_top3_parts_per_brand",
+    "r13_order_gaps",
+    "r14_running_customer_spend",
+    "r15_top25_orders",
+    "r16_repeat_customers_y2k",
+    "r17_string_functions",
+    "r18_monthly_order_stats",
+    "r19_math_functions",
+    "r20_array_functions",
+    "r21_json_props",
+    "r22_content_hashes",
+    "l04_token_stats",
+    "l05_corpus_profile",
+    "l06_quality_filter",
+    "l09_hash_split",
+    "t01_tumbling_window",
+    "t02_sliding_window",
+    "t03_session_window",
+    "t04_dedup_first_event",
+    "t05_stateful_user_counts",
 )
 
 

@@ -682,3 +682,51 @@ def s12_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "s13_merge_schema_scan",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_with_lang,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+)
+def s13_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-extension (schema evolution): two parquet snapshots of the
+    same logical table written with DIFFERENT schemas — the even-doc_id
+    half before a `lang` column existed, the odd half after — read
+    back as one DataFrame via `mergeSchema=true`, the standard
+    grown-a-column data-lake situation. Rows from the old snapshot
+    surface `lang` as NULL; the oracle recomputes the same
+    half-has-lang semantics from the originating fixture, so the hash
+    match certifies both row preservation ACROSS schemas and the
+    NULL-fill of the missing column.
+
+    Scale shape: schema merge is a FOOTER-level operation — Spark
+    reconciles the struct per file at planning time; the scan itself
+    stays a plain columnar read with pushdown intact (missing columns
+    materialize as nulls for those row groups, no row-level rewrite).
+    At 100 TB prefer declaring the superset schema explicitly
+    (`spark.read.schema(...)`) over mergeSchema's all-footers listing;
+    the read semantics certified here are identical either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch("merge_schema")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "text", "n_chars", "lang"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "v1"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "v1"), os.path.join(path, "v2")
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("lang").alias("n_with_lang"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

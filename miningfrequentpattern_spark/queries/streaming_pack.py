@@ -217,3 +217,31 @@ def t06_microbatch_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.freqItemsets.select(
         F.array_join(F.sort_array("items"), " ").alias("itemset"), "freq"
     ).orderBy(F.desc("freq"), "itemset")
+
+
+@query(
+    "t07_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.ts,
+           c.c_mktsegment, c.c_name
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def t07_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 (stream-static dimension join, batch twin): every event
+    enriched with its customer's market segment via
+    streaming/windows.enrich_events_stream — the SAME function the
+    true-stream test drives with readStream+availableNow
+    (tests/test_streaming.py asserts batch/stream equality), applied
+    here to the batch relation so the join itself gets a full
+    value-hash oracle. The static side is explicitly broadcast in the
+    operator: a stream-static join re-evaluates the static plan per
+    micro-batch, so broadcasting is what keeps the stream side's
+    partitioning untouched batch after batch (plan asserted in
+    tests/test_plans.py)."""
+    from ..streaming.windows import enrich_events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return enrich_events_stream(ev, cust)

@@ -644,3 +644,55 @@ def test_ngram_novelty_reuses_postings_exchange(spark):
         # the exploded corpus
         bcast = p[p.index("BroadcastExchange"):]
         assert "min(doc_id" in bcast, p
+
+
+def test_merge_schema_scan_stays_single_scan(spark):
+    """s13: the two different-schema snapshots must plan as ONE
+    columnar parquet scan (schema reconciliation is a footer-level
+    planning concern, never a join/union of per-snapshot subplans),
+    feeding a partial-then-final aggregate with pruned ReadSchema."""
+    p = plan_of(spark, "s13_merge_schema_scan")
+    assert p.count("Scan parquet") <= 2, p  # tree + details of ONE node
+    assert "Union" not in p and "Join" not in p, p
+    assert "partial_count" in p or "partial count" in p, p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" not in read_schema[0], p
+
+
+def test_rule_chains_join_is_equi_never_cartesian(spark):
+    """m16: the 2-hop chain must be an EQUI self-join of the (tiny)
+    rules relation on consequent = antecedent — never a cartesian /
+    nested-loop over the rule set; the A != C exclusion stays a
+    post-join filter or join condition, not the join itself."""
+    p = plan_of(spark, "m16_rule_chains")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # both legs read the FPGrowth rules relation, not the corpus
+    assert "Scan parquet" not in p, p
+
+
+def test_prefix_dedup_uses_group_limit_and_keyed_window(spark):
+    """l30: rank-1-per-fingerprint must plan with WindowGroupLimit
+    (partial map-side top-1 BEFORE the shuffle — only candidate rows
+    travel, the reason this scales to a hot template) and the single
+    Window node must partition by prefix_fp (no global window)."""
+    p = plan_of(spark, "l30_prefix_dedup_keep_longest")
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p and "Final" in p, p
+    assert "windowspecdefinition(prefix_fp#" in p, p
+    assert p.count("Window (") == 1, p
+    assert "Join" not in p, p
+
+
+def test_stream_enrich_broadcasts_dim_and_never_shuffles_stream(spark):
+    """t07: the customer dim must BROADCAST (column-pruned to the 3
+    join/output columns) and the events side must reach the join with
+    ZERO exchanges — the property that makes the same plan safe to
+    re-evaluate per micro-batch in the true streaming form."""
+    p = plan_of(spark, "t07_stream_enrich")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastExchange" in p, p
+    assert p.count("Exchange") - p.count("BroadcastExchange") * 2 <= 0, p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    cust_line = [l for l in read_schema if "c_custkey" in l]
+    assert cust_line and "c_acctbal" not in cust_line[0], p

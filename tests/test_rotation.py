@@ -48,15 +48,29 @@ def test_priority_fits_the_window():
 
 def test_window_is_all_oracle_bearing():
     """Wasting a window slot on a rows-only query is only justified
-    when that query has never been run-proven; every slot must at
-    least be SOME kind of driver proof. Current policy: the window
-    holds oracle-bearing queries (full hash proof) unless a rows-only
-    query still lacks its run-proof."""
+    when that query has never been run-proven, OR when the rotation
+    deliberately re-promotes it for a FRESH run-proof and says so in
+    registry.ROWS_ONLY_REFRESH (round-5 policy: the 11 rows-only
+    queries' last driver rows were r3). Anything else is an
+    accidental wasted slot and fails here."""
+    from miningfrequentpattern_spark.queries.registry import (
+        ROWS_ONLY_REFRESH,
+    )
+
     _, ran = _driver_proven()
     window = list(QUERIES)[:WINDOW]
-    weak = [n for n in window if n not in ORACLES and n in ran]
+    weak = [
+        n
+        for n in window
+        if n not in ORACLES and n in ran and n not in ROWS_ONLY_REFRESH
+    ]
     assert not weak, (
         f"window slots spent on rows-only queries already run-proven: {weak}"
+    )
+    # The refresh list must itself be honest: only rows-only names.
+    assert not (ROWS_ONLY_REFRESH & set(ORACLES)), (
+        "ROWS_ONLY_REFRESH contains oracle-bearing queries: "
+        f"{sorted(ROWS_ONLY_REFRESH & set(ORACLES))}"
     )
 
 
