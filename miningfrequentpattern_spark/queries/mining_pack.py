@@ -817,14 +817,17 @@ def m13_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     max 17 parts/order in the fixtures — the same giant-basket guard
     arguments as basketize apply); each iteration is 2 shuffles over
     a cached, pre-partitioned edge relation (operators/graph.py
-    docstring). Measured honestly at sf0.1: ~7 s on local[32] vs
-    ~2.8 s for the chained-CTE oracle in single-process DuckDB — a
-    2.4M-edge graph is BELOW Spark's per-stage overhead crossover;
-    the distributed formulation pays off only when edges outgrow one
-    machine, which is the regime this engine targets. Probed
-    alternatives that did NOT help at this scale (all within noise):
-    adjacency-list caching, broadcast rank vectors (driver
-    round-trips per iteration), shuffle_hash iteration joins."""
+    docstring; round 5 cut the prelude to one exchange and folded
+    the teleport floor into the inflow aggregate). Measured honestly
+    at sf0.1: ~4.6 s warm on local[32] vs ~2.8 s for the chained-CTE
+    oracle in single-process DuckDB — a 2.4M-edge graph is BELOW
+    Spark's per-stage overhead crossover; the distributed
+    formulation pays off only when edges outgrow one machine, which
+    is the regime this engine targets. Probed alternatives that did
+    NOT help at this scale (all within noise): adjacency-list
+    caching, broadcast rank vectors (driver round-trips per
+    iteration), shuffle_hash iteration joins, AQE cached-plan
+    repartitioning (BASELINE.md round-5 note)."""
     from ..operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select(
