@@ -388,12 +388,51 @@ def l04c_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.rolling_fingerprint(docs)
 
 
-@query("l08_langid_heuristic")
+@query(
+    "l08_langid_heuristic",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang AS label_lang,
+                      list_distinct(string_split(trim(text), ' ')) AS toks
+               FROM documents),
+    s AS (SELECT doc_id, label_lang,
+            len(list_intersect(toks, ['the','and','fast','query','table']))
+              AS score_en,
+            len(list_intersect(toks, ['el','la','de','que','rapido']))
+              AS score_es,
+            len(list_intersect(toks, ['der','die','und','schnell','tabelle']))
+              AS score_de,
+            len(list_intersect(toks, ['le','la','et','rapide','requete']))
+              AS score_fr,
+            len(list_intersect(toks, ['de5','shi4','kuai4','biao3','cha2']))
+              AS score_zh
+          FROM t),
+    g AS (SELECT *, greatest(score_en, score_es, score_de, score_fr,
+                             score_zh) AS best
+          FROM s)
+    SELECT doc_id, label_lang,
+           CAST(score_en AS INT) AS score_en,
+           CAST(score_es AS INT) AS score_es,
+           CAST(score_de AS INT) AS score_de,
+           CAST(score_fr AS INT) AS score_fr,
+           CAST(score_zh AS INT) AS score_zh,
+           CASE WHEN best = 0 THEN 'unknown'
+                WHEN score_en = best THEN 'en'
+                WHEN score_es = best THEN 'es'
+                WHEN score_de = best THEN 'de'
+                WHEN score_fr = best THEN 'fr'
+                ELSE 'zh' END AS predicted_lang
+    FROM g
+    """,
+)
 def l08_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: marker-token language-ID scores + argmax prediction.
-    Deterministic native expressions; rows-only because the per-language
-    CASE cascade has no value as SQL — accuracy vs the label column is
-    the real check (tests/test_llm.py)."""
+    Deterministic native expressions — UPGRADED round 5 from
+    rows-only to a full value-hash oracle: the per-language score
+    columns are list-intersection sizes and the argmax is a CASE
+    cascade whose tie-break order (en, es, de, fr, zh — profile
+    declaration order) is pinned IDENTICALLY in the Spark coalesce
+    chain and the SQL; accuracy vs the label column is additionally
+    measured in tests/test_llm.py."""
     docs = load_table(spark, sf_dir, "documents")
     return T.langid_scores(docs)
 
