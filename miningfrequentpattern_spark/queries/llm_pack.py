@@ -524,12 +524,39 @@ def l07_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l07b_media_features")
+@query(
+    "l07b_media_features",
+    oracle="""
+    -- Recomputes the stub decoder's byte arithmetic in SQL: valid
+    -- because fixture text is ASCII (1 char == 1 UTF-8 byte, pinned
+    -- in tests/test_fixture_invariants.py) and DuckDB string/list
+    -- indexing is 1-based (pinned by the dialect canary there).
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_sum(list_transform(
+                  generate_series(1, length(text)),
+                  i -> i * ascii(text[i]))), 0) % 2147483648 AS BIGINT)
+             AS checksum,
+           CAST(CASE WHEN length(text) > 0 THEN ascii(text[1])
+                     ELSE -1 END AS INT) AS head_byte,
+           CAST(CASE WHEN length(text) > 0
+                     THEN ascii(text[length(text)])
+                     ELSE -1 END AS INT) AS tail_byte
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
 def l07b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: BinaryType media column → Arrow-batched mapInPandas feature
     extraction (deterministic stand-in decoder; real codecs plug into
-    operators/multimodal._decode_batch). Rows-only: the binary column
-    and pandas seam have no DuckDB equivalent worth faking."""
+    operators/multimodal._decode_batch). UPGRADED round 5 from
+    rows-only to a full value-hash oracle: the stub features are pure
+    byte arithmetic (positional checksum mod 2³¹, head/tail byte), so
+    DuckDB can recompute them from the originating text under the
+    ASCII fixture invariant — certifying the WHOLE pandas seam
+    (encode → Arrow batches → mapInPandas → schema) value-for-value,
+    the strongest check a Python-UDF-backed operator can carry. A
+    real-codec replacement of _decode_batch naturally reverts this
+    query to rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_features(attach_media(docs))
 

@@ -91,16 +91,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round's window therefore: keeps the 3 canaries; RE-PROMOTES the
 # rows-only queries for a fresh run-proof (their last driver rows are
 # r3 — listed in ROWS_ONLY_REFRESH so tests/test_rotation.py can tell
-# a deliberate refresh from a wasted slot; l08 was UPGRADED to a full
-# oracle this round, so it rides the same slot as a first
-# hash-certification instead); promotes the 4 round-5
+# a deliberate refresh from a wasted slot; l08 and l07b were
+# UPGRADED to full oracles this round, so they ride the same slots
+# as first hash-certifications instead); promotes the 4 round-5
 # additions (s13 schema-merge scan, m16 rule chains, l30 prefix
 # dedup, t07 stream-static enrich twin); re-certifies the 3 queries
 # whose code or oracle text changed this round (m13 — pagerank
 # prelude/iteration rework; l28/l29 — dialect-pinning comments INSIDE
 # the oracle SQL the driver executes); and backfills the remaining 29
 # slots with the OLDEST-proven (round-1/2) queries across every pack.
-# 3+(10+1)+4+3+29 = 50 exactly.
+# 3+(9+2)+4+3+29 = 50 exactly.
 #
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
 # round-5 failures, promote round-6 additions, re-certify changed
@@ -119,7 +119,6 @@ ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
         "l03b_ann_lsh_topk",
         "l03c_ivf_topk",
         "l04c_doc_fingerprints",
-        "l07b_media_features",
         "l18_semantic_neardup",
     }
 )
@@ -128,7 +127,7 @@ PRIORITY: tuple[str, ...] = (
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    # rows-only refresh (+ l08, upgraded to oracle-bearing r5)
+    # rows-only refresh (+ l07b/l08, upgraded to oracle-bearing r5)
     "r10_approx_aggregates",
     "r29_hll_sketches",
     "r33_approx_topk",
