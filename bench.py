@@ -209,9 +209,22 @@ def main() -> None:
         for d in (os.path.join(base, "sf0.001"), os.path.join(base, "sf0.01"))
         if os.path.isdir(d) and d != sf_dir.rstrip("/")
     ]
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0" and len(
-        small_dirs
-    ) == 2:
+    import math
+
+    # The exponent is normalized by the ACTUAL decade gap between the
+    # headline SF and sf0.01 — hardcoding 1 decade would falsely flag
+    # a linear query as O(n^2) when SPARK_GRAFT_SF_DIR is e.g. sf1
+    # (2 decades above sf0.01). Non-numeric or ≤ sf0.01 headline SFs
+    # have no usable gap: skip the curve (and its runs) entirely.
+    try:
+        decades = math.log10(float(sf) / 0.01)
+    except ValueError:
+        decades = 0.0
+    if (
+        os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+        and len(small_dirs) == 2
+        and decades > 0
+    ):
         per_sf: dict[str, dict[str, float]] = {n: {} for n in HEADLINE}
         for d in small_dirs:
             tag = d.rsplit("sf", 1)[-1]
@@ -224,9 +237,9 @@ def main() -> None:
             t_hi, t_mid = timings[name], per_sf[name]["0.01"]
             curve = dict(per_sf[name])
             curve[sf] = t_hi
-            import math
-
-            exp = round(math.log10(max(t_hi, 1e-3) / max(t_mid, 1e-3)), 3)
+            exp = round(
+                math.log10(max(t_hi, 1e-3) / max(t_mid, 1e-3)) / decades, 3
+            )
             per_query[name] = {"sec_by_sf": curve, "exp_last_decade": exp}
             if exp > SUPERLINEAR_EXP and t_hi >= MIN_FLAG_SEC:
                 if name in EXPECTED_SUPERLINEAR:

@@ -42,6 +42,24 @@ from .registry import query
 
 _STOPLIST_SQL = "', '".join(T.STOPWORDS)
 
+# First-N-token prefix fingerprint shared by l22 (diagnostic dup rate),
+# l23 (cross-source overlap), and l30 (materialized keep-best dedup) —
+# ONE constant + one expression pair so the companion queries can never
+# drift onto different fingerprints (self-review r5). The SQL fragment
+# interpolates into each oracle; the column builder is its exact Spark
+# twin (both depend on the single-space fixture invariant pinned in
+# tests/test_fixture_invariants.py).
+PREFIX_FP_TOKENS = 8
+PREFIX_FP_SQL = (
+    "array_to_string((string_split(trim(text), ' '))"
+    f"[1:{PREFIX_FP_TOKENS}], ' ')"
+)
+
+
+def _prefix_fp() -> F.Column:
+    return F.array_join(F.slice(T.tokens("text"), 1, PREFIX_FP_TOKENS), " ")
+
+
 
 # ---------------------------------------------------------------------------
 # L1: exact dedup
@@ -391,20 +409,26 @@ def l04c_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "l08_langid_heuristic",
     oracle="""
+    -- NULL-text rows keep parity with Spark's non-ANSI semantics:
+    -- size(array_intersect(NULL, ...)) is -1 there, so every score
+    -- coalesces NULL -> -1 here and best <= 0 -> 'unknown' (matching
+    -- the Spark argmax's best > 0 gate). Without this a fixture
+    -- regeneration with NULL text would fall through the CASE to
+    -- 'zh' and surface as an opaque hash mismatch (self-review r5).
     WITH t AS (SELECT doc_id, lang AS label_lang,
                       list_distinct(string_split(trim(text), ' ')) AS toks
                FROM documents),
     s AS (SELECT doc_id, label_lang,
-            len(list_intersect(toks, ['the','and','fast','query','table']))
-              AS score_en,
-            len(list_intersect(toks, ['el','la','de','que','rapido']))
-              AS score_es,
-            len(list_intersect(toks, ['der','die','und','schnell','tabelle']))
-              AS score_de,
-            len(list_intersect(toks, ['le','la','et','rapide','requete']))
-              AS score_fr,
-            len(list_intersect(toks, ['de5','shi4','kuai4','biao3','cha2']))
-              AS score_zh
+            coalesce(len(list_intersect(toks,
+              ['the','and','fast','query','table'])), -1) AS score_en,
+            coalesce(len(list_intersect(toks,
+              ['el','la','de','que','rapido'])), -1) AS score_es,
+            coalesce(len(list_intersect(toks,
+              ['der','die','und','schnell','tabelle'])), -1) AS score_de,
+            coalesce(len(list_intersect(toks,
+              ['le','la','et','rapide','requete'])), -1) AS score_fr,
+            coalesce(len(list_intersect(toks,
+              ['de5','shi4','kuai4','biao3','cha2'])), -1) AS score_zh
           FROM t),
     g AS (SELECT *, greatest(score_en, score_es, score_de, score_fr,
                              score_zh) AS best
@@ -415,7 +439,7 @@ def l04c_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(score_de AS INT) AS score_de,
            CAST(score_fr AS INT) AS score_fr,
            CAST(score_zh AS INT) AS score_zh,
-           CASE WHEN best = 0 THEN 'unknown'
+           CASE WHEN best <= 0 THEN 'unknown'
                 WHEN score_en = best THEN 'en'
                 WHEN score_es = best THEN 'es'
                 WHEN score_de = best THEN 'de'
@@ -1127,9 +1151,9 @@ def l21_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l22_prefix_dup_rate",
-    oracle="""
+    oracle=f"""
     WITH h AS (SELECT doc_id, source,
-                 array_to_string((string_split(trim(text), ' '))[1:8], ' ')
+                 {PREFIX_FP_SQL}
                    AS prefix_fp
                FROM documents),
     r AS (SELECT *, row_number() OVER (PARTITION BY prefix_fp
@@ -1158,7 +1182,7 @@ def l22_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix string for xxhash64(prefix) as the shuffle key (narrower
     rows, same partitioning)."""
     docs = load_table(spark, sf_dir, "documents")
-    pfx = F.array_join(F.slice(T.tokens("text"), 1, 8), " ")
+    pfx = _prefix_fp()
     w = Window.partitionBy("prefix_fp").orderBy("doc_id")
     ranked = docs.select(
         "doc_id", "source", pfx.alias("prefix_fp")
@@ -1175,9 +1199,9 @@ def l22_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l23_source_overlap",
-    oracle="""
+    oracle=f"""
     WITH g AS (SELECT DISTINCT source,
-                 array_to_string((string_split(trim(text), ' '))[1:8], ' ')
+                 {PREFIX_FP_SQL}
                    AS fp
                FROM documents)
     SELECT a.source AS source_a, b.source AS source_b,
@@ -1199,10 +1223,7 @@ def l23_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized and must never broadcast; both legs share one
     reused exchange. Output is ≤ |sources|² rows."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(
-        "source",
-        F.array_join(F.slice(T.tokens("text"), 1, 8), " ").alias("fp"),
-    ).distinct()
+    fp = docs.select("source", _prefix_fp().alias("fp")).distinct()
     a, b = fp.alias("a"), fp.hint("shuffle_hash").alias("b")
     return (
         a.join(
@@ -1693,9 +1714,9 @@ def l29_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l30_prefix_dedup_keep_longest",
-    oracle="""
+    oracle=f"""
     WITH h AS (SELECT doc_id, source, lang, n_chars,
-                 array_to_string((string_split(trim(text), ' '))[1:8], ' ')
+                 {PREFIX_FP_SQL}
                    AS prefix_fp
                FROM documents),
     r AS (SELECT *, row_number() OVER (PARTITION BY prefix_fp
@@ -1726,7 +1747,7 @@ def l30_prefix_dedup_keep_longest(
     narrower rows). The window never has an empty partition spec, so
     no single-partition global sort exists at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    pfx = F.array_join(F.slice(T.tokens("text"), 1, 8), " ")
+    pfx = _prefix_fp()
     w = Window.partitionBy("prefix_fp").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )

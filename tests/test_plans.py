@@ -692,7 +692,11 @@ def test_stream_enrich_broadcasts_dim_and_never_shuffles_stream(spark):
     p = plan_of(spark, "t07_stream_enrich")
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastExchange" in p, p
-    assert p.count("Exchange") - p.count("BroadcastExchange") * 2 <= 0, p
+    # Every "Exchange" substring must belong to a BroadcastExchange
+    # occurrence — ANY plain shuffle Exchange node adds extra counts
+    # and fails (self-review r5: the previous *2 form tolerated one
+    # full shuffle node, verified by injecting a repartition).
+    assert p.count("Exchange") == p.count("BroadcastExchange"), p
     read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
     cust_line = [l for l in read_schema if "c_custkey" in l]
     assert cust_line and "c_acctbal" not in cust_line[0], p

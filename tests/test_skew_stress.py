@@ -145,3 +145,20 @@ def test_bucketed_asof_equals_plain_on_hot_key(spark):
     assert "_bk" in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_salted_count_equals_plain_on_hot_key(spark):
+    from miningfrequentpattern_spark.functions.skew import salted_count
+
+    df = _skewed_rows(spark)
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r["k"]: r["n"] for r in salted_count(df, ["k"], n_salts=16).collect()
+    }
+    assert salted == plain
+    assert plain[0] == HOT  # the hot key's full count survives both phases
