@@ -106,6 +106,20 @@ SECTIONS = [
     ("r39_funnel_conversion",
      "funnel: per-stage event_type filters pushed to each scan, "
      "user-keyed min-aggregates and equi-joins"),
+    # round-5 additions
+    ("s13_merge_schema_scan",
+     "schema-evolution read: ONE parquet scan over both snapshots "
+     "(footer-level merge, no union/join), partial+final aggregate"),
+    ("m16_rule_chains",
+     "rule chains: native Apriori-k2 pair derivation (equi self-join "
+     "+ hash aggregate), then a tiny rules self-equi-join — no "
+     "FPGrowth lattice fit for a k=2 problem"),
+    ("l30_prefix_dedup_keep_longest",
+     "prefix dedup: WindowGroupLimit partial+final rank-1 — only "
+     "candidate rows travel the fingerprint shuffle"),
+    ("t07_stream_enrich",
+     "stream-static enrich twin: dim broadcast + column-pruned, "
+     "stream side reaches the join with zero exchanges"),
 ]
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)
