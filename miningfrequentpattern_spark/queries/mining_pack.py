@@ -1053,3 +1053,60 @@ def m16_rule_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "m17_part_clustering",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    p AS (SELECT a.pk AS s, b.pk AS d FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+    deg AS (SELECT v AS part_id, count(*) AS degree
+            FROM (SELECT s AS v FROM p UNION ALL SELECT d AS v FROM p)
+            GROUP BY v),
+    tri AS (SELECT e1.s AS x, e1.d AS y, e2.d AS z
+            FROM p e1
+            JOIN p e2 ON e2.s = e1.d
+            JOIN p e3 ON e3.s = e1.s AND e3.d = e2.d),
+    tc AS (SELECT part_id, count(*) AS n_triangles
+           FROM (SELECT unnest(list_value(x, y, z)) AS part_id FROM tri)
+           GROUP BY part_id)
+    SELECT d.part_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(tc.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 4) AS clustering_coeff
+    FROM deg d LEFT JOIN tc USING (part_id)
+    WHERE d.degree >= 2
+    """,
+)
+def m17_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension #3 (local density): per-part clustering
+    coefficient in the co-purchase graph — 2·T(v)/(deg·(deg−1)), the
+    fraction of a part's co-purchase neighbors that are themselves
+    co-purchased. High coefficient = tight product communities
+    (bundles); low coefficient at high degree = hub/staple parts.
+    Composes the m14 triangle enumeration with one degree aggregate;
+    the stitch joins two |V|-sized relations, so the edge list is
+    scanned exactly as often as m14 scans it. Orientation invariance
+    (degree-oriented plan vs id-oriented oracle) is certified by the
+    hash match exactly as in m14."""
+    from ..operators.graph import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return clustering_coefficient(pairs).select(
+        F.col("id").alias("part_id"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        "clustering_coeff",
+    )

@@ -95,19 +95,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # UPGRADED to full oracles this round, so they ride the same slots
 # as first hash-certifications instead); promotes the 4 round-5
 # additions (s13 schema-merge scan, m16 rule chains, l30 prefix
-# dedup, t07 stream-static enrich twin); re-certifies the 3 queries
+# dedup, t07 stream-static enrich twin, m17 clustering coefficient); re-certifies the 3 queries
 # whose code or oracle text changed this round (m13 — pagerank
 # prelude/iteration rework; l28/l29 — dialect-pinning comments INSIDE
 # the oracle SQL the driver executes); and backfills the remaining 29
 # slots with the OLDEST-proven (round-1/2) queries across every pack.
-# 3+(9+2)+4+3+29 = 50 exactly.
+# 3+(9+2)+5+3+28 = 50 exactly (r22 deferred to round 6 to make room
+# for m17, the late round-5 clustering-coefficient addition).
 #
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
 # round-5 failures, promote round-6 additions, re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
 # set will then be the freshest — prefer re-proving round-1/2 rows
-# not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
+# not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b, r22,
 # r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04).
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
@@ -144,6 +145,7 @@ PRIORITY: tuple[str, ...] = (
     "m16_rule_chains",
     "l30_prefix_dedup_keep_longest",
     "t07_stream_enrich",
+    "m17_part_clustering",
     # re-certification — code or oracle text changed this round
     "m13_part_pagerank",
     "l28_ngram_novelty",
@@ -168,7 +170,6 @@ PRIORITY: tuple[str, ...] = (
     "r19_math_functions",
     "r20_array_functions",
     "r21_json_props",
-    "r22_content_hashes",
     "l04_token_stats",
     "l05_corpus_profile",
     "l06_quality_filter",

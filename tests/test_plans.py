@@ -700,3 +700,13 @@ def test_stream_enrich_broadcasts_dim_and_never_shuffles_stream(spark):
     read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
     cust_line = [l for l in read_schema if "c_custkey" in l]
     assert cust_line and "c_acctbal" not in cust_line[0], p
+
+
+def test_clustering_coeff_is_equi_joins_with_partials(spark):
+    """m17: triangle enumeration + degree aggregate + |V|-sized
+    stitch — every join equi, every aggregate partial-then-final,
+    no cartesian/nested-loop anywhere."""
+    p = plan_of(spark, "m17_part_clustering")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_count" in p or "partial count" in p, p
