@@ -599,19 +599,28 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # (tiny next to the corpus) but its LINEAGE is the full
     # set-similarity join — without the cache every propagation
     # iteration re-executes that join (measured: l02e paid the
-    # Jaccard plan once per round). Unpersisted before returning;
-    # the returned labels are themselves cached and materialized.
+    # Jaccard plan once per round). Unpersisted before returning.
     sym = fwd.union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).cache()
     try:
+        # Per-round labels use localCheckpoint, NOT cache: each round's
+        # plan references the previous labels twice (propagate + union),
+        # so a cache-only loop doubles the analyzed logical plan every
+        # round and Catalyst analysis itself goes exponential — ~2^k
+        # plan nodes by round k, measured minutes of pure planning by
+        # round 16 on a 40-edge path (round-5 session). Truncating
+        # lineage keeps planning O(1) per round; the trade is the usual
+        # one (checkpointed partitions are not recomputable on executor
+        # loss — same documented trade as pagerank's result pin), paid
+        # on a |V|-sized relation for diameter-many rounds.
         labels = (
             sym.groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("dst").alias("component"))
             .select(
                 "doc_id", F.least("component", "doc_id").alias("component")
             )
-        ).cache()
+        ).localCheckpoint(eager=True)
         converged = False
         for _ in range(max_iter):
             # propagate: my new label = min(my label, neighbors' labels)
@@ -621,7 +630,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 .union(labels)
                 .groupBy("doc_id")
                 .agg(F.min("component").alias("component"))
-            ).cache()
+            ).localCheckpoint(eager=True)
             converged = (
                 prop.join(
                     labels.withColumnRenamed("component", "_old"), "doc_id"
@@ -629,24 +638,128 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 .filter(F.col("component") != F.col("_old"))
                 .isEmpty()
             )
-            old = labels
             labels = prop
-            old.unpersist()
             if converged:
                 break
         if not converged:
             # Partial propagation is WRONG labels, not slow labels — a
             # component wider than max_iter hops would silently split.
-            # Drop the last iteration's cache too: nothing useful is
-            # returned, so nothing may stay pinned.
-            labels.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
-                "iterations; raise max_iter (graph diameter exceeds it)"
+                "iterations; raise max_iter (graph diameter exceeds it), "
+                "or use connected_components_star (O(log n) rounds, "
+                "diameter-independent) for long-chain graphs"
             )
         return labels
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    ACM SoCC 2014) — the O(log n)-round escape hatch for the one
+    documented cliff in `connected_components`: label propagation
+    needs one round per hop of graph DIAMETER, so a long near-dup
+    CHAIN (page-1 ~ page-2 ~ ... ~ page-k, each adjacent pair just
+    over threshold) exhausts max_iter and raises. Star contraction's
+    round count depends only logarithmically on component SIZE, never
+    on diameter — a 10⁶-node path converges in ~20 rounds where label
+    propagation would need 10⁶.
+
+    Same contract as `connected_components`: edges (doc_a, doc_b) →
+    (doc_id, component = min reachable id); equivalence on every
+    graph shape is asserted in tests (vs the recursive-CTE-oracle-
+    certified operator). Per round: each star op is one groupBy
+    shuffle (neighborhood min) + one equi-join back — all hash-keyed
+    by node id, no driver data path; the edge relation strictly
+    shrinks toward the star fixpoint (every node pointing at its
+    component min), so late rounds are cheap. Convergence is checked
+    with a bounded isEmpty probe per round, and the default max_iter
+    of 50 covers components of ~2^25 nodes with margin — hitting it
+    still RAISES rather than returning split components.
+    """
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over {u} ∪ neighbors(u); emitted edges connect
+        # the selected neighbors of u directly to m(u).
+        m = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", "u").alias("m"))
+        )
+        sel = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = (
+            e.join(m, "u")
+            .filter(sel)
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        if not large:
+            # small-star also re-links u itself to its neighborhood
+            # min so the u → m chain survives the contraction.
+            out = out.union(
+                m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    # Per-round lineage TRUNCATION, not caching: each round references
+    # the previous edge relation four times (two symmetrize unions),
+    # so a cache-only loop leaves an analyzed logical plan that grows
+    # ~4× per round — Catalyst analysis itself goes exponential (the
+    # pitfall measured at 2 min/round by round 3 on a 40-edge path).
+    # localCheckpoint(eager) pins each round's ~|E| rows and gives the
+    # next round an O(1)-size plan; with O(log n) rounds the usual
+    # executor-loss trade (same as pagerank's documented result pin)
+    # is bounded and acceptable for an operator whose convergence
+    # probe is eager anyway.
+    cur = (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        cur.select(F.col("a").alias("doc_id"))
+        .union(cur.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        after_large = star(sym, large=True)
+        sym2 = after_large.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(
+            after_large.select(
+                F.col("b").alias("u"), F.col("a").alias("v")
+            )
+        )
+        nxt = star(sym2, large=False).localCheckpoint(eager=True)
+        # Fixpoint: the edge SET is unchanged (order-insensitive).
+        changed = not (
+            nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
+        )
+        cur = nxt
+        if not changed:
+            # At the fixpoint every edge is (node → component min):
+            # the labels are the edge list itself, plus a self-label
+            # for each component-min node (they carry no out-edge).
+            labels = cur.select(
+                F.col("a").alias("doc_id"), F.col("b").alias("component")
+            )
+            roots = nodes.join(
+                labels.select("doc_id"), "doc_id", "left_anti"
+            ).select("doc_id", F.col("doc_id").alias("component"))
+            return labels.union(roots).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} "
+        "rounds; this bounds components of ~2^(max_iter/2) nodes — "
+        "raise max_iter"
+    )
 
 
 def decontaminate(

@@ -98,17 +98,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # dedup, t07 stream-static enrich twin, m17 clustering coefficient); re-certifies the 3 queries
 # whose code or oracle text changed this round (m13 — pagerank
 # prelude/iteration rework; l28/l29 — dialect-pinning comments INSIDE
-# the oracle SQL the driver executes); and backfills the remaining 29
+# the oracle SQL the driver executes; l02e/l14 — connected_components'
+# per-round lineage truncation); and backfills the remaining 26
 # slots with the OLDEST-proven (round-1/2) queries across every pack.
-# 3+(9+2)+5+3+28 = 50 exactly (r22 deferred to round 6 to make room
-# for m17, the late round-5 clustering-coefficient addition).
+# 3+(9+2)+5+5+26 = 50 exactly (r20/r21/r22 deferred to round 6 to
+# make room for m17 and the l02e/l14 re-certifications, all late
+# round-5 changes).
 #
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
 # round-5 failures, promote round-6 additions, re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
 # set will then be the freshest — prefer re-proving round-1/2 rows
-# not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b, r22,
+# not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
+# r20, r21, r22,
 # r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04).
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
@@ -150,6 +153,8 @@ PRIORITY: tuple[str, ...] = (
     "m13_part_pagerank",
     "l28_ngram_novelty",
     "l29_embedding_dim_stats",
+    "l02e_neardup_clusters",
+    "l14_neardup_keep_best",
     # backfill — oldest (round-1/2) driver proofs, every pack
     "s02_text_transactions",
     "s04_parquet_sink_roundtrip",
@@ -168,8 +173,6 @@ PRIORITY: tuple[str, ...] = (
     "r17_string_functions",
     "r18_monthly_order_stats",
     "r19_math_functions",
-    "r20_array_functions",
-    "r21_json_props",
     "l04_token_stats",
     "l05_corpus_profile",
     "l06_quality_filter",

@@ -505,3 +505,70 @@ def test_empty_corpus_topk_schema_takes_each_sides_id_type(spark):
         got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
         assert got["query_id"] == "int", (op.__name__, got)
         assert got["neighbor_id"] == "bigint", (op.__name__, got)
+
+
+def _cc_maps(spark, pairs):
+    """(label-propagation map, star map) for a list of (a, b) pairs."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    lp = {
+        r.doc_id: r.component
+        for r in connected_components(df, max_iter=200).collect()
+    }
+    st = {
+        r.doc_id: r.component
+        for r in connected_components_star(df).collect()
+    }
+    return lp, st
+
+
+def test_star_components_equal_label_propagation(spark):
+    """connected_components_star must agree with the recursive-CTE-
+    oracle-certified label-propagation operator on adversarial
+    shapes: cliques, a long path, a star, two components, and a
+    random graph (seeded)."""
+    import random
+
+    rng = random.Random(7)
+    shapes = {
+        "cliques": [(a, b) for base in (0, 10) for a in range(base, base + 5)
+                    for b in range(a + 1, base + 5)],
+        "path": [(i, i + 1) for i in range(16)],
+        "star": [(0, i) for i in range(1, 20)],
+        "two_comps": [(1, 2), (2, 3), (10, 11)],
+        "random": list({(min(a, b), max(a, b))
+                        for a, b in (sorted(rng.sample(range(40), 2))
+                                     for _ in range(50))}),
+    }
+    for name, pairs in shapes.items():
+        lp, st = _cc_maps(spark, pairs)
+        assert st == lp, (name, {k: (lp[k], st[k]) for k in lp
+                                 if lp[k] != st.get(k)})
+
+
+def test_star_components_survive_chain_that_breaks_propagation(spark):
+    """The cliff the star variant exists for: a 40-hop path exhausts
+    label propagation at max_iter=20 (it RAISES — partial labels
+    would be wrong), while star contraction converges in O(log n)
+    rounds and labels every node with the path minimum."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+    got = {
+        r.doc_id: r.component
+        for r in connected_components_star(chain).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
