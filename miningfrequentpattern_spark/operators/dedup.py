@@ -798,6 +798,56 @@ def decontaminate(
     )
 
 
+def decontaminate_frac(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Thresholded decontamination: flag training documents whose
+    DISTINCT word-n-gram overlap with the benchmark set reaches
+    `min_frac` of the document's own shingles — the graded companion
+    to `decontaminate`'s any-hit filter. Real recipes use both: any-
+    hit for short eval prompts (one leaked answer string is fatal),
+    a fraction threshold for long-document benchmarks where a single
+    common phrase is noise but majority overlap is a leaked document.
+
+    Returns, for every train doc with ≥1 hit:
+    (id, n_shingles, n_hit_shingles, hit_frac, is_contaminated).
+    Clean docs never leave the scan (the broadcast join IS the
+    filter, as in `decontaminate`); the per-doc shingle total rides
+    along from a row-local size() — no second corpus pass.
+
+    Scale shape identical to `decontaminate`: benchmark shingles
+    broadcast, corpus streams map-side, one per-doc aggregate.
+    """
+    tr = train.select(
+        F.col(id_col),
+        F.array_distinct(shingles("tokens", n)).alias("_sh"),
+    ).select(
+        F.col(id_col),
+        F.size("_sh").alias("n_shingles"),
+        F.explode("_sh").alias("shingle"),
+    )
+    be = benchmark.select(
+        F.explode(shingles("tokens", n)).alias("shingle")
+    ).distinct()
+    frac = F.col("n_hit_shingles") / F.col("n_shingles")
+    return (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.countDistinct("shingle").alias("n_hit_shingles"))
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_hit_shingles").cast("long").alias("n_hit_shingles"),
+            F.round(frac, 4).alias("hit_frac"),
+            (frac >= min_frac).alias("is_contaminated"),
+        )
+    )
+
+
 def cluster_representatives(
     docs: DataFrame,
     components: DataFrame,

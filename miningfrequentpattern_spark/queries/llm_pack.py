@@ -1757,3 +1757,92 @@ def l30_prefix_dedup_keep_longest(
         .filter(F.col("rk") == 1)
         .select("doc_id", "source", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+@query(
+    "l31_decontaminate_frac",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+               x -> x IS NOT NULL)) AS g
+           FROM t),
+    ex AS (SELECT doc_id, len(g) AS n_shingles, unnest(g) AS s FROM sh),
+    b AS (SELECT DISTINCT s FROM ex WHERE doc_id % 40 = 0),
+    tr AS (SELECT doc_id, n_shingles, s FROM ex WHERE doc_id % 40 != 0)
+    SELECT tr.doc_id,
+           CAST(tr.n_shingles AS BIGINT) AS n_shingles,
+           CAST(count(DISTINCT tr.s) AS BIGINT) AS n_hit_shingles,
+           round(count(DISTINCT tr.s) * 1.0 / tr.n_shingles, 4)
+             AS hit_frac,
+           count(DISTINCT tr.s) * 1.0 / tr.n_shingles >= 0.5
+             AS is_contaminated
+    FROM tr JOIN b ON tr.s = b.s
+    GROUP BY tr.doc_id, tr.n_shingles
+    """,
+)
+def l31_decontaminate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6-extension (graded decontamination): per-train-doc fraction
+    of distinct 3-gram shingles that appear anywhere in the benchmark
+    slice (every 40th doc_id, as in l12), thresholded at 50% — the
+    long-document companion to l12's any-hit filter: one shared
+    phrase is noise, majority overlap is a leaked document. Same
+    broadcast inverted-index shape as l12 (benchmark shingles
+    broadcast, corpus streams map-side, one per-doc aggregate); the
+    per-doc shingle total rides along row-locally, no second corpus
+    pass."""
+    from ..operators.dedup import decontaminate_frac
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    train = docs.filter(F.col("doc_id") % 40 != 0)
+    return decontaminate_frac(train, bench, n=3, min_frac=0.5)
+
+
+@query(
+    "l32_incremental_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, md5(text) AS dg FROM documents),
+    corpus AS (SELECT DISTINCT dg FROM d WHERE doc_id % 3 = 0),
+    batch AS (SELECT * FROM d WHERE doc_id % 3 != 0),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY dg
+                                            ORDER BY doc_id) AS rk
+               FROM batch)
+    SELECT r.doc_id, r.source
+    FROM ranked r
+    LEFT JOIN corpus c USING (dg)
+    WHERE r.rk = 1 AND c.dg IS NULL
+    """,
+)
+def l32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1-extension (incremental exact dedup): admit from a NEW batch
+    (doc_id % 3 != 0) only documents whose content digest is (a) not
+    already in the EXISTING corpus (doc_id % 3 = 0 plays the
+    historical index) and (b) first-within-batch — the daily-crawl
+    shape of l01: production dedup is never one static corpus, it is
+    a stream of batches against an accumulated digest index.
+
+    Shape: the corpus side reduces to a 1-column DISTINCT digest
+    relation BEFORE the anti-join (at 100 TB this is the persisted
+    dedup index, bucketed by digest; here it derives from the
+    fixture); within-batch first-wins is a rank-1 window keyed by
+    digest — both join and window share the digest-hash shuffle
+    family, and no text column survives past the scan projection.
+    md5 is used (not the house sha2) because BOTH engines ship it
+    with identical output — the digest choice is certified by the
+    hash match."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.md5("text").alias("dg"))
+    corpus = d.filter(F.col("doc_id") % 3 == 0).select("dg").distinct()
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    w = Window.partitionBy("dg").orderBy("doc_id")
+    return (
+        batch.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(corpus, "dg", "left_anti")
+        .select("doc_id", "source")
+    )

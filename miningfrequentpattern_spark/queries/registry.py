@@ -95,15 +95,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # UPGRADED to full oracles this round, so they ride the same slots
 # as first hash-certifications instead); promotes the 4 round-5
 # additions (s13 schema-merge scan, m16 rule chains, l30 prefix
-# dedup, t07 stream-static enrich twin, m17 clustering coefficient); re-certifies the 3 queries
+# dedup, t07 stream-static enrich twin, m17 clustering coefficient,
+# l31 graded decontamination, l32 incremental dedup, s14 dynamic
+# partition overwrite); re-certifies the 3 queries
 # whose code or oracle text changed this round (m13 — pagerank
 # prelude/iteration rework; l28/l29 — dialect-pinning comments INSIDE
 # the oracle SQL the driver executes; l02e/l14 — connected_components'
-# per-round lineage truncation); and backfills the remaining 26
+# per-round lineage truncation); and backfills the remaining 23
 # slots with the OLDEST-proven (round-1/2) queries across every pack.
-# 3+(9+2)+5+5+26 = 50 exactly (r20/r21/r22 deferred to round 6 to
-# make room for m17 and the l02e/l14 re-certifications, all late
-# round-5 changes).
+# 3+(9+2)+8+5+23 = 50 exactly (r17-r22 deferred to round 6 to make
+# room for the late round-5 additions and the l02e/l14
+# re-certifications).
 #
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
 # round-5 failures, promote round-6 additions, re-certify changed
@@ -111,7 +113,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
 # set will then be the freshest — prefer re-proving round-1/2 rows
 # not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
-# r20, r21, r22,
+# r17, r18, r19, r20, r21, r22,
 # r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04).
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
@@ -149,6 +151,9 @@ PRIORITY: tuple[str, ...] = (
     "l30_prefix_dedup_keep_longest",
     "t07_stream_enrich",
     "m17_part_clustering",
+    "l31_decontaminate_frac",
+    "l32_incremental_dedup",
+    "s14_dynamic_partition_overwrite",
     # re-certification — code or oracle text changed this round
     "m13_part_pagerank",
     "l28_ngram_novelty",
@@ -170,9 +175,6 @@ PRIORITY: tuple[str, ...] = (
     "r14_running_customer_spend",
     "r15_top25_orders",
     "r16_repeat_customers_y2k",
-    "r17_string_functions",
-    "r18_monthly_order_stats",
-    "r19_math_functions",
     "l04_token_stats",
     "l05_corpus_profile",
     "l06_quality_filter",

@@ -730,3 +730,59 @@ def s13_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("lang").alias("n_with_lang"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@query(
+    "s14_dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(CASE WHEN event_type = 'click' THEN value * 2
+                          ELSE value END), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def s14_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S4-extension (in-place partition maintenance): events written
+    partitioned by event_type, then ONE partition ('click') is
+    rewritten with restated values (value doubled) under
+    `partitionOverwriteMode=dynamic` — the lakehouse backfill
+    primitive: overwrite mode replaces ONLY the partitions present in
+    the incoming frame, leaving every other partition's files
+    untouched (static mode would truncate the whole table first).
+    The read-back aggregate hash-matches an oracle that restates
+    'click' from the ORIGINATING fixture, certifying both the
+    surgical replacement and the survival of the other partitions.
+
+    Scale shape: the rewrite's cost is proportional to the RESTATED
+    partitions, not the table — the entire point at 100 TB, where a
+    one-day backfill must not rewrite years of history. The conf is
+    set per-write and restored (it is session-wide; a durable
+    pipeline sets it once at session build)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch("dyn_overwrite")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    # Reads carry the WRITER's schema (s04/s05/s08 precedent): an
+    # empty input writes a fileless directory, and schema inference
+    # on it throws UNABLE_TO_INFER_SCHEMA — the degenerate-input
+    # sweep's exact catch.
+    restated = (
+        spark.read.schema(ev.schema).parquet(path)
+        .filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("event_type").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.schema(ev.schema).parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

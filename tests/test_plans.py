@@ -710,3 +710,37 @@ def test_clustering_coeff_is_equi_joins_with_partials(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "partial_count" in p or "partial count" in p, p
+
+
+def test_decontaminate_frac_broadcasts_benchmark(spark):
+    """l31: the benchmark shingle set must BROADCAST (the corpus side
+    streams map-side through the hash join with zero shuffles before
+    the per-doc aggregate), exactly like l12's any-hit form."""
+    p = plan_of(spark, "l31_decontaminate_frac")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "partial_count" in p or "partial count" in p, p
+
+
+def test_incremental_dedup_projects_digest_only(spark):
+    """l32: no text column may survive past the scan projection (the
+    digest is computed in the scan's project and everything downstream
+    — window, anti-join — carries 3 narrow columns), and the corpus
+    leg must reach the anti-join as a distinct digest relation."""
+    p = plan_of(spark, "l32_incremental_dedup")
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+    # the window/join carry (doc_id, source, dg) — text appears only
+    # inside the md5() projection expression, never as a carried column
+    win = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert win and "text" not in win[0], win
+
+
+def test_dynamic_overwrite_reads_back_partitioned(spark):
+    """s14: the read-back scan must be over the hive-partitioned
+    layout (event_type as a partition column, absent from ReadSchema)
+    with a partial-then-final aggregate above it."""
+    p = plan_of(spark, "s14_dynamic_partition_overwrite")
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema and "event_type" not in read_schema[0], p
+    assert "partial_count" in p or "partial count" in p, p
