@@ -262,3 +262,53 @@ def test_triangle_counts_match_brute_force(spark, edges):
             for v in (a, b, c):
                 want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_components_match_python_union_find(spark, edges):
+    """connected_components_star vs a pure-Python union-find on
+    arbitrary messy edge lists (self-loops, duplicates, both
+    directions) — component-min labels must agree exactly for every
+    non-isolated node."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    # reference: union-find, labels = min of each component
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    groups: dict[int, list[int]] = {}
+    for v in list(parent):
+        groups.setdefault(find(v), []).append(v)
+    want = {
+        v: min(members) for members in groups.values() for v in members
+    }
+    # star output covers only nodes touched by a non-self-loop edge
+    touched = {n for a, b in edges if a != b for n in (a, b)}
+    want = {v: c for v, c in want.items() if v in touched}
+    assert got == want
