@@ -120,6 +120,18 @@ SECTIONS = [
     ("t07_stream_enrich",
      "stream-static enrich twin: dim broadcast + column-pruned, "
      "stream side reaches the join with zero exchanges"),
+    ("m17_part_clustering",
+     "clustering coefficient: triangle enumeration + degree "
+     "aggregate, |V|-sized stitch — all equi, partial+final aggs"),
+    ("l31_decontaminate_frac",
+     "graded decontamination: benchmark shingles broadcast, per-doc "
+     "shingle totals ride row-locally, one per-doc aggregate"),
+    ("l32_incremental_dedup",
+     "incremental dedup: digest-only columns past the scan, rank-1 "
+     "window + anti-join on the same digest key family"),
+    ("s14_dynamic_partition_overwrite",
+     "dynamic partition overwrite round trip: partitioned read-back "
+     "(event_type out of ReadSchema), partial+final aggregate"),
 ]
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)
