@@ -585,6 +585,23 @@ def embedding_neardup_pairs(
     )
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed DataFrame's pinned blocks NOW instead
+    of waiting for GC + ContextCleaner: the analyzed plan of a
+    checkpointed DataFrame is a LogicalRDD whose rdd() IS the
+    persistent checkpoint RDD, so unpersisting it is exact — no
+    persistent-RDD-map diffing, no cross-query race. Best-effort via
+    the py4j seam (Spark classic); a failure means blocks linger
+    until GC — the pre-fix behavior — never a wrong result. Without
+    this, an iterative loop checkpointing each round accumulates
+    O(rounds × |state|) MEMORY_AND_DISK blocks that can evict live
+    caches (self-review r5)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Cluster near-dup pairs into groups by smallest-id label
     propagation (no GraphFrames dependency).
@@ -638,12 +655,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 .filter(F.col("component") != F.col("_old"))
                 .isEmpty()
             )
+            # The old generation's pinned blocks are dead once the
+            # convergence probe has read them — free them now (the
+            # loop would otherwise accumulate diameter × |V| blocks).
+            _release_checkpoint(labels)
             labels = prop
             if converged:
                 break
         if not converged:
             # Partial propagation is WRONG labels, not slow labels — a
             # component wider than max_iter hops would silently split.
+            _release_checkpoint(labels)
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 "iterations; raise max_iter (graph diameter exceeds it), "
@@ -714,15 +736,22 @@ def connected_components_star(
     # executor-loss trade (same as pagerank's documented result pin)
     # is bounded and acceptable for an operator whose convergence
     # probe is eager anyway.
+    raw = edges.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
     cur = (
-        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Node set from the RAW edges, BEFORE the self-loop filter: a node
+    # whose only edge is a self-pair is still its own singleton
+    # component in connected_components' output, and the "Same
+    # contract" promise above includes it (self-review r5 — deriving
+    # nodes from `cur` silently dropped such nodes).
     nodes = (
-        cur.select(F.col("a").alias("doc_id"))
-        .union(cur.select(F.col("b").alias("doc_id")))
+        raw.select(F.col("a").alias("doc_id"))
+        .union(raw.select(F.col("b").alias("doc_id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -743,6 +772,10 @@ def connected_components_star(
         changed = not (
             nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
         )
+        # Previous generation is dead after the fixpoint probe — free
+        # its pinned blocks (O(log n) rounds would otherwise stack
+        # that many |E|-sized block sets).
+        _release_checkpoint(cur)
         cur = nxt
         if not changed:
             # At the fixpoint every edge is (node → component min):
@@ -754,7 +787,12 @@ def connected_components_star(
             roots = nodes.join(
                 labels.select("doc_id"), "doc_id", "left_anti"
             ).select("doc_id", F.col("doc_id").alias("component"))
-            return labels.union(roots).localCheckpoint(eager=True)
+            out = labels.union(roots).localCheckpoint(eager=True)
+            _release_checkpoint(cur)
+            _release_checkpoint(nodes)
+            return out
+    _release_checkpoint(cur)
+    _release_checkpoint(nodes)
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} "
         "rounds; this bounds components of ~2^(max_iter/2) nodes — "
@@ -822,9 +860,11 @@ def decontaminate_frac(
     Scale shape identical to `decontaminate`: benchmark shingles
     broadcast, corpus streams map-side, one per-doc aggregate.
     """
+    # shingles() already returns a sorted DISTINCT array — no extra
+    # array_distinct pass (self-review r5).
     tr = train.select(
         F.col(id_col),
-        F.array_distinct(shingles("tokens", n)).alias("_sh"),
+        shingles("tokens", n).alias("_sh"),
     ).select(
         F.col(id_col),
         F.size("_sh").alias("n_shingles"),

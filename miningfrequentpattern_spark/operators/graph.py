@@ -153,6 +153,29 @@ def pagerank(
             nodes.unpersist()
 
 
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Normalize any edge list to canonical undirected form (s < d):
+    direction, duplicates, and self-loops removed."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("d"),
+        )
+        .filter(F.col("s") < F.col("d"))
+        .distinct()
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    """(v, deg) over a canonical undirected edge list."""
+    return (
+        und.select(F.col("s").alias("v"))
+        .unionAll(und.select(F.col("d").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -176,20 +199,17 @@ def triangle_counts(
     lets the id-oriented SQL oracle hash-match this degree-oriented
     plan. Three equi-joins + one explode aggregate; no caching needed
     (each relation is consumed once — this is a DAG, not a loop)."""
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("s"),
-            F.greatest(F.col(src), F.col(dst)).alias("d"),
-        )
-        .filter(F.col("s") < F.col("d"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("s").alias("v"))
-        .unionAll(und.select(F.col("d").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    und = _undirected(edges, src, dst)
+    return _triangle_counts_normalized(und, _degrees(und))
+
+
+def _triangle_counts_normalized(
+    und: DataFrame, deg: DataFrame
+) -> DataFrame:
+    """triangle_counts body over an ALREADY canonical (s < d,
+    deduplicated) edge list and its (v, deg) relation — the seam
+    clustering_coefficient reuses so the normalization shuffle and
+    degree aggregate are built once per plan, not twice."""
     ds = deg.select(F.col("v").alias("s"), F.col("deg").alias("_dg_s"))
     dd = deg.select(F.col("v").alias("d"), F.col("deg").alias("_dg_d"))
     lower_first = (F.col("_dg_s") < F.col("_dg_d")) | (
@@ -238,30 +258,21 @@ def clustering_coefficient(
     coefficient is undefined, and emitting NULL rows would just push
     the decision downstream); triangle-free nodes appear with 0.0.
 
-    Shape: degrees are one hash aggregate over the normalized edge
-    list; triangles come from `triangle_counts` (degree-oriented
-    compact-forward, O(√E) wedge bound); the stitch is a LEFT join of
-    the |V|-sized degree relation against the ≤|V|-sized triangle
-    relation — both tiny next to the edge list, so AQE broadcasts at
-    any realistic |V|/|E| ratio.
+    Shape: ONE normalization and ONE degree aggregate, shared between
+    the triangle enumeration and the coefficient stitch via the
+    `_triangle_counts_normalized` seam (self-review r5: calling the
+    public triangle_counts here re-normalized the same relation and
+    recomputed the identical degree aggregate); the stitch is a LEFT
+    join of the |V|-sized degree relation against the ≤|V|-sized
+    triangle relation — both tiny next to the edge list, so AQE
+    broadcasts at any realistic |V|/|E| ratio.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("s"),
-            F.greatest(F.col(src), F.col(dst)).alias("d"),
-        )
-        .filter(F.col("s") < F.col("d"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("s").alias("id"))
-        .unionAll(und.select(F.col("d").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    tri = triangle_counts(und, src="s", dst="d")
+    und = _undirected(edges, src, dst)
+    deg = _degrees(und)
+    tri = _triangle_counts_normalized(und, deg)
     return (
-        deg.filter(F.col("degree") >= 2)
+        deg.select(F.col("v").alias("id"), F.col("deg").alias("degree"))
+        .filter(F.col("degree") >= 2)
         .join(tri, "id", "left")
         .select(
             "id",

@@ -93,18 +93,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # r3 — listed in ROWS_ONLY_REFRESH so tests/test_rotation.py can tell
 # a deliberate refresh from a wasted slot; l08 and l07b were
 # UPGRADED to full oracles this round, so they ride the same slots
-# as first hash-certifications instead); promotes the 4 round-5
+# as first hash-certifications instead); promotes the 8 round-5
 # additions (s13 schema-merge scan, m16 rule chains, l30 prefix
 # dedup, t07 stream-static enrich twin, m17 clustering coefficient,
 # l31 graded decontamination, l32 incremental dedup, s14 dynamic
-# partition overwrite); re-certifies the 3 queries
+# partition overwrite); re-certifies the 6 queries
 # whose code or oracle text changed this round (m13 — pagerank
 # prelude/iteration rework; l28/l29 — dialect-pinning comments INSIDE
 # the oracle SQL the driver executes; l02e/l14 — connected_components'
-# per-round lineage truncation); and backfills the remaining 23
+# per-round lineage truncation; m14 — triangle_counts factored
+# through the shared normalization seam); and backfills the
+# remaining 22
 # slots with the OLDEST-proven (round-1/2) queries across every pack.
-# 3+(9+2)+8+5+23 = 50 exactly (r17-r22 deferred to round 6 to make
-# room for the late round-5 additions and the l02e/l14
+# 3+(9+2)+8+6+22 = 50 exactly (r16-r22 deferred to round 6 to make
+# room for the late round-5 additions and the l02e/l14/m14
 # re-certifications).
 #
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
@@ -113,7 +115,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
 # set will then be the freshest — prefer re-proving round-1/2 rows
 # not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
-# r17, r18, r19, r20, r21, r22,
+# r16, r17, r18, r19, r20, r21, r22,
 # r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04).
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
@@ -160,6 +162,7 @@ PRIORITY: tuple[str, ...] = (
     "l29_embedding_dim_stats",
     "l02e_neardup_clusters",
     "l14_neardup_keep_best",
+    "m14_part_triangles",
     # backfill — oldest (round-1/2) driver proofs, every pack
     "s02_text_transactions",
     "s04_parquet_sink_roundtrip",
@@ -174,7 +177,6 @@ PRIORITY: tuple[str, ...] = (
     "r13_order_gaps",
     "r14_running_customer_spend",
     "r15_top25_orders",
-    "r16_repeat_customers_y2k",
     "l04_token_stats",
     "l05_corpus_profile",
     "l06_quality_filter",

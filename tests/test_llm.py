@@ -572,3 +572,30 @@ def test_star_components_survive_chain_that_breaks_propagation(spark):
         for r in connected_components_star(chain).collect()
     }
     assert got == {i: 0 for i in range(41)}
+
+
+def test_cc_loops_release_per_round_checkpoints(spark):
+    """Self-review r5: the per-round localCheckpoints inside both CC
+    loops must be FREED as generations retire — only the returned
+    result's pinned blocks (plus pre-existing ones) may remain after
+    the operator returns, regardless of how many rounds ran."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "doc_a long, doc_b long"
+    )
+    base = n_persistent()
+    out1 = connected_components(chain, max_iter=40)
+    assert out1.count() == 25
+    # one pinned generation (the returned labels) + the baseline
+    assert n_persistent() <= base + 1, n_persistent()
+    base2 = n_persistent()
+    out2 = connected_components_star(chain)
+    assert out2.count() == 25
+    assert n_persistent() <= base2 + 1, n_persistent()

@@ -276,8 +276,8 @@ def test_triangle_counts_match_brute_force(spark, edges):
 def test_star_components_match_python_union_find(spark, edges):
     """connected_components_star vs a pure-Python union-find on
     arbitrary messy edge lists (self-loops, duplicates, both
-    directions) — component-min labels must agree exactly for every
-    non-isolated node."""
+    directions) — component-min labels must agree exactly for EVERY
+    edge endpoint, including self-loop-only singletons."""
     from miningfrequentpattern_spark.operators.dedup import (
         connected_components_star,
     )
@@ -298,6 +298,7 @@ def test_star_components_match_python_union_find(spark, edges):
         return x
 
     for a, b in edges:
+        find(a), find(b)  # register EVERY endpoint (self-loops too)
         if a != b:
             ra, rb = find(a), find(b)
             if ra != rb:
@@ -308,7 +309,7 @@ def test_star_components_match_python_union_find(spark, edges):
     want = {
         v: min(members) for members in groups.values() for v in members
     }
-    # star output covers only nodes touched by a non-self-loop edge
-    touched = {n for a, b in edges if a != b for n in (a, b)}
-    want = {v: c for v, c in want.items() if v in touched}
+    # EVERY endpoint gets a label — a self-loop-only node is its own
+    # singleton component, exactly as connected_components labels it
+    # (self-review r5: the first version of this test masked that).
     assert got == want
