@@ -116,7 +116,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # set will then be the freshest — prefer re-proving round-1/2 rows
 # not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
 # r16, r17, r18, r19, r20, r21, r22,
-# r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04).
+# r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04),
+# and promote the post-finalization round-5 additions (r41
+# correlation matrix, r42 data-quality report, r43 gap-fill, and any
+# later ones) for their first driver hash rows.
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
         "r10_approx_aggregates",

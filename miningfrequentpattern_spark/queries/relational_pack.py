@@ -1721,3 +1721,241 @@ def r40_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-§2: single-pass statistics, constraint checking, gap-fill
+# ---------------------------------------------------------------------------
+
+@query(
+    "r41_correlation_matrix",
+    oracle="""
+    WITH c AS (SELECT corr(l_quantity, l_extendedprice) AS c1,
+                      corr(l_quantity, l_discount)      AS c2,
+                      corr(l_quantity, l_tax)           AS c3,
+                      corr(l_extendedprice, l_discount) AS c4,
+                      corr(l_extendedprice, l_tax)      AS c5,
+                      corr(l_discount, l_tax)           AS c6
+               FROM lineitem)
+    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+           round(c1, 4) AS pearson_corr FROM c
+    UNION ALL SELECT 'l_quantity', 'l_discount', round(c2, 4) FROM c
+    UNION ALL SELECT 'l_quantity', 'l_tax', round(c3, 4) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c4, 4) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c5, 4) FROM c
+    UNION ALL SELECT 'l_discount', 'l_tax', round(c6, 4) FROM c
+    """,
+)
+def r41_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-§2 (profiling statistics): pairwise Pearson correlation
+    over lineitem's four numeric measures, computed in ONE aggregate
+    pass and unpivoted to a (col_x, col_y, corr) matrix — the standard
+    feature-screening step before any modeling/mixing decision.
+
+    Shape: a single full-width hash aggregate (map-side partials carry
+    the six streaming covariance states — constant size per partition,
+    independent of row count), then a 6-row `stack` over the 1-row
+    result. The corpus is scanned ONCE for all six pairs; adding
+    columns grows the aggregate state quadratically but the scan count
+    not at all. Both engines use streaming sample-covariance
+    accumulators; 4dp rounding absorbs summation-order ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    agg = li.agg(
+        *[
+            F.corr(x, y).alias(f"c{i}")
+            for i, (x, y) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{x}', '{y}', round(c{i}, 4)" for i, (x, y) in enumerate(pairs)
+    )
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, pearson_corr)"
+    )
+
+
+@query(
+    "r42_data_quality_report",
+    oracle="""
+    WITH li AS (SELECT count(*) AS n,
+                       count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                         AS pk_dupes,
+                       count(*) FILTER (l_discount < 0 OR l_discount > 0.1)
+                         AS disc_viol
+                FROM lineitem),
+    o AS (SELECT count(*) AS n,
+                 count(*) - count(DISTINCT o_orderkey) AS pk_dupes
+          FROM orders),
+    ev AS (SELECT count(*) AS n,
+                  count(*) FILTER (value IS NULL) AS null_value
+           FROM events),
+    li_orph AS (SELECT count(*) AS v FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)),
+    ev_orph AS (SELECT count(*) AS v FROM events e
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = e.user_id))
+    SELECT 'lineitem_pk_unique' AS check_name,
+           pk_dupes AS n_violations, n AS n_total,
+           round(pk_dupes * 1.0 / n, 6) AS violation_rate FROM li
+    UNION ALL SELECT 'lineitem_discount_range', disc_viol, n,
+           round(disc_viol * 1.0 / n, 6) FROM li
+    UNION ALL SELECT 'orders_pk_unique', pk_dupes, n,
+           round(pk_dupes * 1.0 / n, 6) FROM o
+    UNION ALL SELECT 'events_value_complete', null_value, n,
+           round(null_value * 1.0 / n, 6) FROM ev
+    UNION ALL SELECT 'lineitem_fk_orders', li_orph.v, li.n,
+           round(li_orph.v * 1.0 / li.n, 6) FROM li_orph, li
+    UNION ALL SELECT 'events_fk_customer', ev_orph.v, ev.n,
+           round(ev_orph.v * 1.0 / ev.n, 6) FROM ev_orph, ev
+    """,
+)
+def r42_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-§2 (constraint checking, Deequ-style): a declarative
+    data-quality report — primary-key uniqueness, value-range,
+    completeness, and referential-integrity checks — emitted as one
+    (check_name, n_violations, n_total, violation_rate) relation.
+    The fixtures genuinely fire `lineitem_pk_unique` (14,168 dupes at
+    sf0.01), so the report is certified on both firing and passing
+    checks.
+
+    Shape: each table's value/uniqueness checks share ONE conditional
+    aggregate over a single scan (count + countDistinct + FILTER
+    counts — all map-side partial); the two FK checks are left_anti
+    joins counting survivors. At 100 TB the anti joins shuffle on
+    their natural uniform keys (orderkey / custkey) — or broadcast
+    when the parent's key column fits — and the conditional-agg legs
+    stay one scan per table regardless of how many checks are added:
+    adding a rule costs an expression, not a pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("pk_dupes"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("disc_viol"),
+    )
+    o_agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "pk_dupes"
+        ),
+    )
+    ev_agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value").isNull()).alias("null_value"),
+    )
+    li_orph = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    ev_orph = (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+
+    def row(name: str, src: DataFrame, viol: str, tot: str = "n") -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"),
+            F.col(viol).alias("n_violations"),
+            F.col(tot).alias("n_total"),
+            F.round(F.col(viol) / F.col(tot), 6).alias("violation_rate"),
+        )
+
+    li_total = li_agg.select("n")
+    ev_total = ev_agg.select("n")
+    return (
+        row("lineitem_pk_unique", li_agg, "pk_dupes")
+        .unionAll(row("lineitem_discount_range", li_agg, "disc_viol"))
+        .unionAll(row("orders_pk_unique", o_agg, "pk_dupes"))
+        .unionAll(row("events_value_complete", ev_agg, "null_value"))
+        .unionAll(
+            row("lineitem_fk_orders", li_orph.crossJoin(li_total), "v")
+        )
+        .unionAll(
+            row("events_fk_customer", ev_orph.crossJoin(ev_total), "v")
+        )
+    )
+
+
+@query(
+    "r43_gapfill_daily",
+    oracle="""
+    WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn,
+                      max(CAST(ts AS DATE)) AS mx
+               FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    days AS (SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY))
+               AS d FROM b),
+    grid AS (SELECT t.event_type, CAST(days.d AS DATE) AS day
+             FROM types t CROSS JOIN days),
+    c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY 1, 2)
+    -- day is re-emitted as a midnight TIMESTAMP: the hash-compare layer
+    -- coerces DuckDB DATE through pandas (datetime64) while Spark dates
+    -- stay datetime.date, so DATE columns can never hash-match across
+    -- engines; midnight timestamps are identical on both.
+    SELECT g.event_type, CAST(g.day AS TIMESTAMP) AS day,
+           coalesce(c.n, 0) AS n_events,
+           (c.n IS NULL) AS is_gap
+    FROM grid g LEFT JOIN c USING (event_type, day)
+    """,
+)
+def r43_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-§2 (time-series gap-fill): the dense event_type × calendar
+    day grid with zero-filled missing days — the densification step
+    every downstream rolling window / forecast needs (a RANGE window
+    over sparse days silently skips absent dates; the grid makes gaps
+    explicit rows instead).
+
+    Shape: bounds are a 1-row global aggregate (broadcast), the type
+    dimension a distinct over a 5-value column; the grid is
+    |types| × |days| rows built by `sequence` + explode — generated,
+    never shuffled at corpus size. The counts leg is one map-side
+    partial hash aggregate on (type, day); the stitch joins
+    grid-to-counts on the same key. Grid size is bounded by
+    cardinality × date span, independent of event volume — at 100 TB
+    the only corpus-sized stage is still the single counts
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    b = ev.agg(
+        F.min(day).alias("mn"), F.max(day).alias("mx")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("day"),
+        )
+    )
+    c = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(c, ["event_type", "day"], "left").select(
+        "event_type",
+        # midnight timestamp, not DATE — see the oracle's dialect note
+        F.col("day").cast("timestamp").alias("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )

@@ -744,3 +744,37 @@ def test_dynamic_overwrite_reads_back_partitioned(spark):
     read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read_schema and "event_type" not in read_schema[0], p
     assert "partial_count" in p or "partial count" in p, p
+
+
+def test_correlation_matrix_is_one_scan_one_aggregate(spark):
+    # r41's six Pearson pairs must share ONE scan and ONE partial+final
+    # aggregate — adding a pair may never add a pass over lineitem.
+    p = plan_of(spark, "r41_correlation_matrix")
+    # formatted plans mention each node twice (tree + details)
+    assert p.count("Scan parquet") <= 2, p
+    assert p.count("HashAggregate") == 4, p  # ONE partial + ONE final
+    assert "partial_corr" in p, p
+
+
+def test_quality_report_value_checks_share_scans(spark):
+    # r42: the lineitem value/uniqueness checks ride one conditional
+    # aggregate; only the FK legs re-scan (anti joins), so lineitem
+    # appears at most twice and each anti join stays an anti join.
+    p = plan_of(spark, "r42_data_quality_report")
+    li_scans = [
+        l for l in p.splitlines() if "Scan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) <= 2, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_gapfill_grid_is_generated_not_shuffled(spark):
+    # r43: the dense grid comes from a broadcast 1-row bounds relation
+    # + sequence/explode — the only corpus-sized stage is the counts
+    # aggregate (partial+final), and the grid-side join input must not
+    # carry a corpus-sized exchange.
+    p = plan_of(spark, "r43_gapfill_daily")
+    assert "Generate explode" in p or "Generate" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p, p
