@@ -286,3 +286,88 @@ def clustering_coefficient(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition membership at a fixed k: iteratively peel
+    every node of degree < k until the remaining subgraph is stable
+    (Seidman's cores — the standard dense-substructure / graph
+    pruning primitive; the k-core is the maximal subgraph where every
+    node keeps ≥ k neighbors WITHIN the subgraph, strictly stronger
+    than a one-shot degree filter).
+
+    Returns (id, core_degree) for every k-core member, core_degree
+    being the node's degree inside the core (≥ k by definition). An
+    empty result is a valid answer (the graph has no k-core).
+
+    Shape per round: one degree aggregate (map-side partial union of
+    both endpoints, uniform node key) + two semi joins restricting the
+    edge list to surviving endpoints — all hash-keyed, no driver data
+    path except the convergence counter. The edge relation strictly
+    shrinks, so later rounds cost less than earlier ones. Round count
+    is bounded by the peel depth (the graph's degeneracy ordering
+    depth at k), NOT diameter; pathological chains peel one layer per
+    round, hence the max_iter guard RAISES rather than returning a
+    too-large pseudo-core (same partial-result-is-wrong-result stance
+    as connected_components). Per-round localCheckpoint truncates
+    lineage for the same measured reason as the CC loops: a
+    cache-only loop re-analyzes a plan that doubles every round.
+    """
+    from .dedup import _release_checkpoint
+
+    e = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    prev_nodes: int | None = None
+    try:
+        for _ in range(max_iter):
+            keep = _degrees(e).filter(F.col("deg") >= k).select("v")
+            n = keep.count()
+            if n == 0:
+                # Build the empty result from an explicit schema, NOT
+                # from e: e's blocks are about to be released and a
+                # lineage into a released checkpoint cannot recompute.
+                # id inherits the input's node type (cf. the r4 advice
+                # on _empty_topk_result's per-side typing).
+                from pyspark.sql import types as ST
+
+                id_type = e.schema["s"].dataType
+                empty = e.sparkSession.createDataFrame(
+                    [],
+                    ST.StructType(
+                        [
+                            ST.StructField("id", id_type),
+                            ST.StructField("core_degree", ST.LongType()),
+                        ]
+                    ),
+                )
+                _release_checkpoint(e)
+                return empty
+            if n == prev_nodes:
+                # No node fell below k this round — fixpoint reached.
+                deg = _degrees(e)
+                out = deg.select(
+                    F.col("v").alias("id"),
+                    F.col("deg").alias("core_degree"),
+                )
+                return out
+            prev_nodes = n
+            nxt = (
+                e.join(keep.withColumnRenamed("v", "s"), "s", "semi")
+                .join(keep.withColumnRenamed("v", "d"), "d", "semi")
+                .select("s", "d")
+            ).localCheckpoint(eager=True)
+            _release_checkpoint(e)
+            e = nxt
+        _release_checkpoint(e)
+        raise RuntimeError(
+            f"kcore(k={k}) did not stabilize in {max_iter} rounds; "
+            "raise max_iter (peel depth exceeds it)"
+        )
+    except Exception:
+        _release_checkpoint(e)
+        raise

@@ -1846,3 +1846,81 @@ def l32_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus, "dg", "left_anti")
         .select("doc_id", "source")
     )
+
+
+@query(
+    "l33_vocab_growth",
+    oracle="""
+    WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+               FROM documents),
+    d AS (SELECT CAST(floor((doc_id - b.mn) * 10.0 / (b.mx - b.mn + 1))
+                   AS BIGINT) AS decile,
+                 string_split(trim(text), ' ') AS toks
+          FROM documents, b),
+    t AS (SELECT decile, unnest(toks) AS tok FROM d),
+    f AS (SELECT tok, min(decile) AS first_decile FROM t GROUP BY tok),
+    newv AS (SELECT first_decile AS decile, count(*) AS n_new
+             FROM f GROUP BY 1),
+    occ AS (SELECT decile, count(*) AS n_occ FROM t GROUP BY 1)
+    -- sums over BIGINT widen to HUGEINT in DuckDB (then float via
+    -- pandas); CAST back to BIGINT for dtype parity with Spark.
+    SELECT o.decile,
+           coalesce(n.n_new, 0) AS n_new_tokens,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY o.decile)
+                AS BIGINT) AS cum_vocab,
+           o.n_occ AS n_token_occurrences,
+           CAST(sum(o.n_occ) OVER (ORDER BY o.decile) AS BIGINT)
+             AS cum_tokens
+    FROM occ o LEFT JOIN newv n USING (decile)
+    """,
+)
+def l33_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (corpus profiling: vocabulary growth / Heaps-law curve): the
+    cumulative distinct-vocabulary count as the corpus grows decile by
+    decile in ingestion order (doc_id) — the diagnostic that separates
+    a diverse crawl (vocab keeps growing sublinearly, Heaps' law) from
+    a templated/duplicated one (curve flattens immediately). Each
+    decile row carries the new-token count, cumulative vocabulary,
+    token occurrences, and cumulative corpus size in tokens.
+
+    Shape: the decile label is pure arithmetic against a broadcast
+    1-row bounds aggregate (NO global rank/window over the corpus —
+    ingestion order is the doc_id value itself); token first-sightings
+    are one explode + a token-keyed min-aggregate (map-side partial,
+    uniform key); both decile rollups are 10-group hash aggregates.
+    The only window runs over the ≤10-row decile relation — bounded by
+    construction, which is why this global window is acceptable where
+    a corpus-sized one never is (cf. the two-phase global ranks
+    elsewhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    d = docs.crossJoin(F.broadcast(b)).select(
+        F.floor(
+            (F.col("doc_id") - F.col("mn"))
+            * 10.0
+            / (F.col("mx") - F.col("mn") + 1)
+        ).alias("decile"),
+        "text",
+    )
+    t = d.select("decile", F.explode(T.tokens("text")).alias("tok"))
+    f = t.groupBy("tok").agg(F.min("decile").alias("decile"))
+    newv = f.groupBy("decile").agg(F.count(F.lit(1)).alias("n_new"))
+    occ = t.groupBy("decile").agg(F.count(F.lit(1)).alias("n_occ"))
+    w = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        occ.join(newv, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .alias("cum_vocab"),
+            F.col("n_occ").alias("n_token_occurrences"),
+            F.sum("n_occ").over(w).alias("cum_tokens"),
+        )
+    )

@@ -1110,3 +1110,90 @@ def m17_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_triangles").cast("long").alias("n_triangles"),
         "clustering_coeff",
     )
+
+
+# Chained-peel oracle for m18: a k-core fixpoint is iterative, but
+# peel rounds are IDEMPOTENT once stable, so a fixed chain of
+# _KCORE_ORACLE_ROUNDS peels equals the fixpoint whenever the fixture
+# converges within the chain (sf0.01 needs 10 rounds; the chain
+# carries 16 — tests/test_graph.py pins the slack so a regenerated
+# fixture that peels deeper fails loudly there, not as a silent
+# driver hash mismatch). Generated, not hand-unrolled, so the round
+# body exists exactly once. Every CTE is MATERIALIZED: each round
+# references its predecessor three times, and DuckDB's default CTE
+# inlining would expand the chain to 3^rounds scans (measured: fd
+# exhaustion at 16 rounds before the hint).
+_KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 16
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+    e0 AS MATERIALIZED (SELECT a.pk AS s, b.pk AS d FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for i in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT v, count(*) AS deg FROM
+             (SELECT s AS v FROM e{p} UNION ALL SELECT d FROM e{p})
+           GROUP BY v),
+    k{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE deg >= {_KCORE_K}),
+    e{i} AS MATERIALIZED (SELECT e.s, e.d FROM e{p} e
+             JOIN k{i} ks ON e.s = ks.v
+             JOIN k{i} kd ON e.d = kd.v)"""
+        )
+    last = f"e{_KCORE_ORACLE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v AS part_id, count(*) AS core_degree FROM
+      (SELECT s AS v FROM {last} UNION ALL SELECT d FROM {last})
+    GROUP BY v"""
+    )
+
+
+@query("m18_part_kcore", oracle=_kcore_oracle())
+def m18_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension #4 (dense substructure): the 3-core of the
+    SUPPORT-THRESHOLDED co-purchase graph (parts co-ordered in ≥2
+    orders) — every surviving part keeps ≥3 strong co-purchase
+    partners that themselves survive, the standard recursive
+    densification that a one-shot degree filter cannot express (at
+    sf0.01 the peel runs 10 genuine rounds: 1,880 nodes → 935). The
+    raw co-purchase graph is near-complete (min degree 42 at sf0.01),
+    so the support threshold is what gives the core structure —
+    thresholded co-occurrence is also the mining-correct graph (edge
+    = itemset of support ≥ 2, M2/M3's measure).
+
+    Iterative-op oracle strategy #2 (alongside m13's fixed-iteration
+    chained CTE): peel-until-stable on the Spark side vs a FIXED
+    16-round chained-CTE peel on the oracle side — equal because
+    stable rounds are no-ops; the hash match certifies the fixpoint
+    itself. Shape: see operators/graph.py::kcore (degree aggregate +
+    two semi joins per round, strictly shrinking edge relation,
+    per-round lineage truncation)."""
+    from ..operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("src"), F.col("b.pk").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(pairs, k=_KCORE_K).select(
+        F.col("id").alias("part_id"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    )

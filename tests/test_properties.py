@@ -313,3 +313,57 @@ def test_star_components_match_python_union_find(spark, edges):
     # singleton component, exactly as connected_components labels it
     # (self-review r5: the first version of this test masked that).
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=26,
+    ),
+    k=st.integers(2, 4),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_matches_python_peel(spark, edges, k):
+    """operators/graph.py kcore vs a pure-Python peel on arbitrary
+    messy edge lists (self-loops, duplicates, both directions) —
+    membership AND in-core degree must agree exactly, including the
+    all-peeled empty case."""
+    from miningfrequentpattern_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["core_degree"] for r in kcore(df, k=k).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = [v for v, ns in adj.items() if len(ns) < k]
+        if not drop:
+            break
+        for v in drop:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+    want = {v: len(ns) for v, ns in adj.items()}
+    assert got == want
+
+
+def test_kcore_raises_instead_of_returning_partial_peel(spark):
+    """A peel that has not stabilized within max_iter must RAISE —
+    a partially peeled graph is a WRONG k-core (too large), not a
+    slow one. A path graph peels exactly one layer per round at k=2
+    from each end, so max_iter=1 cannot finish it."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not stabilize"):
+        kcore(df, k=2, max_iter=1)
