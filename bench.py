@@ -78,6 +78,16 @@ ADDITIONS = [
     # map-side WindowGroupLimit rank-1 dedup
     "m16_rule_chains",
     "l30_prefix_dedup_keep_longest",
+    # round-5 continuation — single-pass multi-corr aggregate;
+    # multi-table conditional-agg + anti-join constraint report;
+    # generated calendar grid join; explode + min-agg vocab curve;
+    # iterative semi-join peel; 8-fit trained PQ index + ADC scan
+    "r41_correlation_matrix",
+    "r42_data_quality_report",
+    "r43_gapfill_daily",
+    "l33_vocab_growth",
+    "m18_part_kcore",
+    "l34_pq_topk",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS

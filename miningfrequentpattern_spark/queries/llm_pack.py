@@ -1932,10 +1932,11 @@ def l34_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     native ADC fold + 4× exact rerank for the same 20 queries as
     l03/l03b/l03c — the memory-compression ANN tier (8 code bytes per
     vector vs 256 raw): see operators/similarity.py::pq_topk.
-    rerank_factor=10 (2% of this corpus) measures recall@5 = 0.79 on
+    rerank_factor=10 (2% of this corpus) measures recall@5 = 0.72 on
     the synthetic near-uniform embeddings — PQ's worst case (no
-    cluster structure for the codebooks to exploit); real embedding
-    corpora sit far above this floor.
+    cluster structure for the codebooks to exploit; seeded random
+    init, see the operator's fit notes); real embedding corpora sit
+    far above this floor.
     Seeded and deterministic, but the codebooks are KMeans output —
     rows-only like every ANN variant; recall vs the exact operator is
     measured in tests/test_llm.py."""
@@ -1946,4 +1947,65 @@ def l34_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         queries_df, emb, k=5, n_subspaces=8, n_codes=16,
         rerank_factor=10, seed=42, dim=64
+    )
+
+
+@query(
+    "l36_weighted_sample",
+    oracle="""
+    WITH w AS (SELECT doc_id, source,
+                      len(string_split(trim(text), ' ')) AS n_tokens,
+                      (((doc_id * 2654435761) % 4294967296) + 1)
+                        / 4294967297.0 AS u
+               FROM documents),
+    k AS (SELECT doc_id, source, n_tokens,
+                 pow(u, 1.0 / n_tokens) AS key
+          FROM w WHERE n_tokens >= 1)
+    SELECT doc_id, source, n_tokens, round(key, 6) AS sample_key
+    FROM k
+    ORDER BY round(key, 12) DESC, doc_id
+    LIMIT 100
+    """,
+)
+def l36_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (weighted sampling): a token-weighted sample WITHOUT
+    replacement of 100 documents via A-ES keys (Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", IPL 2006:
+    key = u^(1/w); the global top-k by key IS an exact weighted
+    sample) — the one-pass distributed answer to "give me a
+    length-weighted subset" that naive per-row Bernoulli sampling
+    only approximates.
+
+    u is a seeded multiplicative hash of doc_id (Knuth's 2654435761
+    mod 2³², +1 so u>0) — pure integer arithmetic both engines
+    compute bit-identically, which is what makes a randomized-looking
+    operator ORACLE-ABLE: the randomness is a deterministic function
+    of the data. The ranking uses round(key, 12) with a doc_id
+    tiebreak so a last-ulp libm pow() divergence between JVM and C
+    cannot reorder the cutoff.
+
+    Shape: map-side key computation, then global top-100 compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort — the
+    r15 pattern); nothing but the 100 winners crosses the network."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        + 1
+    ) / F.lit(4294967297.0)
+    w = docs.select(
+        "doc_id",
+        "source",
+        F.size(T.tokens("text")).cast("long").alias("n_tokens"),
+        u.alias("u"),
+    ).filter(F.col("n_tokens") >= 1)
+    k = w.withColumn("key", F.pow(F.col("u"), 1.0 / F.col("n_tokens")))
+    return (
+        k.orderBy(F.round(F.col("key"), 12).desc(), F.col("doc_id"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("key"), 6).alias("sample_key"),
+        )
+        .limit(100)
     )

@@ -1959,3 +1959,51 @@ def r43_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "r44_daily_anomaly",
+    oracle="""
+    WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, avg(n) AS mu, stddev(n) AS sigma
+          FROM c GROUP BY 1)
+    SELECT c.event_type,
+           CAST(c.day AS TIMESTAMP) AS day,
+           c.n AS n_events,
+           round((c.n - s.mu) / s.sigma, 4) AS z_score,
+           (abs(c.n - s.mu) >= 2 * s.sigma) AS is_anomaly
+    FROM c JOIN s USING (event_type)
+    """,
+)
+def r44_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-§2 (monitoring): z-score anomaly flags on daily event
+    volumes per type — the volume-regression tripwire every ingestion
+    pipeline runs (a dropped feed or a crawler loop shows up as a
+    |z| ≥ 2 day long before downstream metrics move).
+
+    Shape: one (type, day) hash aggregate over the corpus (map-side
+    partial), a |types|-row moment aggregate on top of it, and a
+    broadcast join back — the corpus is scanned once and everything
+    after the first aggregate is dimension-sized. stddev is the
+    SAMPLE stddev in both engines (n-1); day is a midnight timestamp
+    per the r43 dialect note."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev("n").alias("sigma")
+    )
+    return c.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("n").alias("n_events"),
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias(
+            "z_score"
+        ),
+        (
+            F.abs(F.col("n") - F.col("mu")) >= 2 * F.col("sigma")
+        ).alias("is_anomaly"),
+    )

@@ -778,3 +778,24 @@ def test_gapfill_grid_is_generated_not_shuffled(spark):
     assert "Generate explode" in p or "Generate" in p, p
     assert p.count("HashAggregate") >= 2, p
     assert "CartesianProduct" not in p, p
+
+
+def test_daily_anomaly_single_corpus_scan_broadcast_stats(spark):
+    # r44: events scanned ONCE (the stats leg derives from the first
+    # aggregate, not a second scan); the stats join back is broadcast.
+    p = plan_of(spark, "r44_daily_anomaly")
+    ev_scans = [
+        l for l in p.splitlines() if "Scan parquet" in l and "events" in l
+    ]
+    assert len(ev_scans) <= 2, p  # tree + details of ONE node
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # l36: global top-100 by sample key must compile to
+    # TakeOrderedAndProject (per-partition heaps) — never a full
+    # Sort + GlobalLimit over the corpus.
+    p = plan_of(spark, "l36_weighted_sample")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
