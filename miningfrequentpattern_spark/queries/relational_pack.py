@@ -2007,3 +2007,121 @@ def r44_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n") - F.col("mu")) >= 2 * F.col("sigma")
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "r45_delta_join_refresh",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+           CASE WHEN o.o_orderdate <  DATE '1995-01-01'
+                 AND c.c_custkey % 10 != 0 THEN 'base'
+                WHEN o.o_orderdate >= DATE '1995-01-01'
+                 AND c.c_custkey % 10 != 0 THEN 'delta_orders'
+                WHEN o.o_orderdate <  DATE '1995-01-01'
+                 AND c.c_custkey % 10 =  0 THEN 'delta_customers'
+                ELSE 'delta_both' END AS leg
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def r45_delta_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-extension (incremental JOIN-view maintenance — the join-side
+    complement of r38's aggregate merge): maintain the materialized
+    join view orders⋈customer under INSERT-ONLY deltas on BOTH sides
+    via the standard delta-join expansion
+
+        (O ∪ ΔO) ⋈ (C ∪ ΔC)
+          = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC
+
+    — four terms, each tagged with its provenance leg. The oracle
+    recomputes the FULL join and re-derives each row's leg from the
+    split predicates, so the hash match certifies both the expansion
+    (no row lost, none duplicated across terms) and the tags.
+
+    ΔO = post-cutoff orders (a date predicate that prunes at the
+    scan), ΔC = custkey % 10 = 0 (stand-in for a batch of new
+    customers). Shape: the customer legs broadcast (dimension-sized
+    at every SF); at 100 TB the base term is the STORED view (never
+    recomputed — here it is derived only so one query can certify
+    the algebra end-to-end) and the three delta terms scan only a
+    delta plus one stored side; the expansion is what makes a daily
+    view refresh cost |Δ|-sized work instead of |O|×|C|-sized."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cutoff = F.lit("1995-01-01").cast("date")
+    o_old = o.filter(F.col("o_orderdate") < cutoff)
+    o_new = o.filter(F.col("o_orderdate") >= cutoff)
+    c_old = c.filter(F.col("c_custkey") % 10 != 0)
+    c_new = c.filter(F.col("c_custkey") % 10 == 0)
+
+    def term(ol: DataFrame, cl: DataFrame, tag: str) -> DataFrame:
+        return (
+            ol.join(
+                F.broadcast(cl), ol.o_custkey == cl.c_custkey
+            ).select(
+                "o_orderkey",
+                "o_custkey",
+                "c_mktsegment",
+                F.lit(tag).alias("leg"),
+            )
+        )
+
+    return (
+        term(o_old, c_old, "base")
+        .unionAll(term(o_new, c_old, "delta_orders"))
+        .unionAll(term(o_old, c_new, "delta_customers"))
+        .unionAll(term(o_new, c_new, "delta_both"))
+    )
+
+
+@query(
+    "r46_rolling_distinct_users",
+    oracle="""
+    WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id
+               FROM events),
+    f AS (SELECT event_type, user_id,
+                 CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                             INTERVAL 1 DAY)) AS DATE)
+                   AS window_end
+          FROM e)
+    SELECT event_type,
+           CAST(window_end AS TIMESTAMP) AS window_end,
+           count(DISTINCT user_id) AS n_distinct_users
+    FROM f GROUP BY 1, 2
+    """,
+)
+def r46_rolling_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """R-extension (sliding distinct): EXACT 7-day rolling distinct
+    user counts per event type — the metric a RANGE window cannot
+    compute at scale (distinct aggregates are unsupported over
+    window frames, and per-frame collect_set explodes memory on wide
+    frames). The scalable exact form: each event fans out to the ≤7
+    window-ends it can influence (bounded ×7, generated map-side),
+    then ONE (type, window_end)-keyed distinct-count aggregate —
+    shuffle volume is 7×|events| narrow rows, partials map-side, no
+    per-frame state. r29's HLL sketches are the approximate tier of
+    the same question; this is the exact tier. Windows at the right
+    edge are partial by design (they end after the last observed
+    day), identically on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    f = e.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_end"),
+    )
+    return f.groupBy(
+        "event_type",
+        F.col("window_end").cast("timestamp").alias("window_end"),
+    ).agg(F.count_distinct(F.col("user_id")).alias("n_distinct_users"))

@@ -799,3 +799,27 @@ def test_weighted_sample_is_take_ordered(spark):
     p = plan_of(spark, "l36_weighted_sample")
     assert "TakeOrderedAndProject" in p, p
     assert "Window" not in p, p
+
+
+def test_delta_join_refresh_broadcasts_all_customer_legs(spark):
+    # r45: all four terms broadcast the customer side; the union must
+    # not introduce a SortMergeJoin or cartesian anywhere.
+    p = plan_of(spark, "r45_delta_join_refresh")
+    assert p.count("BroadcastHashJoin") >= 4 or (
+        "BroadcastHashJoin" in p and "Union" in p
+    ), p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # Each term's date/parity predicate pushes into its scan.
+    assert "PushedFilters" in p, p
+
+
+def test_rolling_distinct_is_fanout_plus_single_aggregate(spark):
+    # r46: the 7-way fan-out is a Generate (map-side), followed by
+    # hash aggregation with partials; no Window node (the point is
+    # exactly that a frame-based form is avoided), no join.
+    p = plan_of(spark, "r46_rolling_distinct_users")
+    assert "Generate" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "Window" not in p, p
+    assert "Join" not in p, p
