@@ -132,6 +132,33 @@ SECTIONS = [
     ("s14_dynamic_partition_overwrite",
      "dynamic partition overwrite round trip: partitioned read-back "
      "(event_type out of ReadSchema), partial+final aggregate"),
+    ("r41_correlation_matrix",
+     "six Pearson pairs: ONE scan, ONE partial+final aggregate "
+     "(streaming covariance states), stack unpivot"),
+    ("r42_data_quality_report",
+     "constraint report: per-table conditional-agg scans + anti-join "
+     "FK checks, no cartesian"),
+    ("r43_gapfill_daily",
+     "calendar grid generated from a broadcast bounds row; only "
+     "corpus-sized stage is the counts aggregate"),
+    ("r44_daily_anomaly",
+     "one corpus aggregate, dimension-sized moments, broadcast join "
+     "back"),
+    ("r45_delta_join_refresh",
+     "4-term delta-join expansion, customer legs broadcast, "
+     "predicates pushed per term"),
+    ("r46_rolling_distinct_users",
+     "bounded x7 fan-out (Generate) + single keyed distinct-count "
+     "aggregate; no Window, no join"),
+    ("l33_vocab_growth",
+     "decile arithmetic on broadcast bounds (no corpus-wide rank); "
+     "explode + token-keyed min-agg; window only on <=10 rows"),
+    ("l36_weighted_sample",
+     "A-ES weighted sample: TakeOrderedAndProject top-100, no "
+     "Window, no full sort"),
+    ("l34_pq_topk",
+     "PQ ANN: native ADC fold in the |Q|x|C| scan (no Python), "
+     "windowed candidate cut, exact rerank equi-join"),
 ]
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)
