@@ -2009,3 +2009,94 @@ def l36_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@query(
+    "l37_collocations",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+                  FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    un AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM un),
+    big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(range(1, len(t))) AS u(i)),
+    bn AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    btot AS (SELECT sum(c12) AS nb FROM bn)
+    SELECT w1, w2, c12 AS n_pair,
+           round(ln((c12 * 1.0 / btot.nb)
+                    / ((u1.c * 1.0 / tot.n) * (u2.c * 1.0 / tot.n))),
+                 4) AS pmi
+    FROM bn
+    JOIN un u1 ON u1.w = bn.w1
+    JOIN un u2 ON u2.w = bn.w2
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 25
+    """,
+)
+def l37_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (collocation extraction): top-25 token bigrams by pointwise
+    mutual information (PMI = ln(p(xy)/(p(x)p(y))), min pair count 5)
+    — the classic corpus-linguistics collocation detector (Church &
+    Hanks 1990), and in an LLM pipeline the cheap multi-word-entity /
+    template-phrase surfacer.
+
+    Shape: unigram and bigram counts are each ONE explode + hash
+    aggregate (map-side partials; bigrams via the zip_with
+    shifted-slice idiom — see dedup.shingles for why never to index
+    the outer array in a transform lambda); the two totals are 1-row
+    broadcast legs; the unigram joins hang off the c12 >= 5 PRUNED
+    bigram relation (Zipf: the ≥5 survivors are a small fraction),
+    with the (bounded, vocabulary-sized) unigram relation on the
+    build side. Top-25 compiles to TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    toks = docs.select("doc_id", t.alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    un = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = un.agg(F.sum("c").alias("n"))
+    shifted = F.slice(
+        F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            F.col("t"),
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(),
+                F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    big = toks.select(F.explode(bigrams).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bn = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    btot = (
+        big.groupBy()
+        .agg(F.sum(F.lit(1)).alias("nb"))
+    )
+    u1 = un.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = un.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("nb"))
+            / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+        ),
+        4,
+    )
+    return (
+        bn.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", F.col("c12").alias("n_pair"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )

@@ -2125,3 +2125,57 @@ def r46_rolling_distinct_users(
         "event_type",
         F.col("window_end").cast("timestamp").alias("window_end"),
     ).agg(F.count_distinct(F.col("user_id")).alias("n_distinct_users"))
+
+
+@query(
+    "r47_event_transitions",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type, ts,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                        AS next_type
+               FROM events),
+    t AS (SELECT event_type AS from_type, next_type AS to_type,
+                 count(*) AS n
+          FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT from_type, sum(n) AS row_n FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n AS n_transitions,
+           round(t.n * 1.0 / r.row_n, 4) AS p_transition
+    FROM t JOIN r USING (from_type)
+    """,
+)
+def r47_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-extension (behavioral Markov matrix): the first-order
+    event-type transition matrix over per-user clickstreams —
+    counts and row-normalized probabilities of "after X, next comes
+    Y" — the navigation-model / next-event-prediction baseline and
+    the relational mirror of m09's ordered sequences.
+
+    Shape: ONE window shuffle keyed by user_id (uniform key; lead()
+    is frame-free so no per-row state beyond one lookahead), then a
+    |types|²-bounded hash aggregate and a dimension-sized
+    row-normalizer broadcast back. Ties in ts are broken by event_id
+    in BOTH engines — without the tiebreak, same-timestamp events
+    would make lead() nondeterministic and the hash unstable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    t = (
+        s.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = t.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return t.join(F.broadcast(r), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.round(F.col("n") / F.col("row_n"), 4).alias("p_transition"),
+    )

@@ -823,3 +823,28 @@ def test_rolling_distinct_is_fanout_plus_single_aggregate(spark):
     assert p.count("HashAggregate") >= 2, p
     assert "Window" not in p, p
     assert "Join" not in p, p
+
+
+def test_collocations_prune_before_unigram_joins(spark):
+    # l37: the c12 >= 5 prune must sit below the unigram joins (only
+    # survivors join); the unigram/total legs broadcast; top-25 is a
+    # bounded sort.
+    p = plan_of(spark, "l37_collocations")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_event_transitions_single_user_window(spark):
+    # r47: exactly one Window (user-keyed lead), never an empty
+    # partition spec; the row-normalizer joins back broadcast.
+    p = plan_of(spark, "r47_event_transitions")
+    n_windows = sum(
+        1 for ln in p.splitlines() if ln.strip().startswith("Window")
+    )
+    assert n_windows <= 2, p  # tree + details of ONE node
+    assert "user_id" in [
+        ln for ln in p.splitlines() if "Arguments" in ln and "lead" in ln
+    ][0], p
+    assert "BroadcastHashJoin" in p, p
