@@ -2100,3 +2100,60 @@ def l37_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(25)
     )
+
+
+@query(
+    "l38_fuzzy_join",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      array_to_string((string_split(trim(text), ' '))[1:2],
+                                      ' ') AS blk,
+                      substr(text, 1, 80) AS head
+               FROM documents)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           levenshtein(a.head, c.head) AS edit_distance
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.head, c.head) <= 10
+    """,
+)
+def l38_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (typo-tolerant near-dup / entity-resolution join): document
+    pairs whose 80-char heads are within Levenshtein distance 10,
+    candidate-generated by a first-2-token blocking key — the
+    classic blocked fuzzy join (never all-pairs: edit distance is
+    O(len²) per pair, so the block join must bound the pair space
+    first; 182 candidate pairs vs 124,750 all-pairs at sf0.01). The
+    fixtures separate cleanly: 24 template-prefix dupes at distance
+    0, one genuinely fuzzy pair at 4, then a gap to 40+ — the ≤10
+    threshold is calibrated inside that gap, so the hash certifies
+    both the blocking and the distance semantics (Spark and DuckDB
+    implement the same unit-cost Levenshtein).
+
+    Shape: one derived (doc, block-key, head) relation; self
+    equi-join on the block key with the shuffle_hash hint (the
+    relation is corpus-sized — it must never broadcast, the l02
+    convention); the distance predicate runs only on block-mates.
+    Hot blocks (a universally shared 2-token prefix) are the same
+    skew class as hot shingles — l02's df-cap guard generalizes; at
+    100 TB block on a longer prefix or (prefix, length-bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.array_join(F.slice(T.tokens("text"), 1, 2), " ").alias("blk"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    a, c = b.alias("a"), b.hint("shuffle_hash").alias("c")
+    dist = F.levenshtein(F.col("a.head"), F.col("c.head"))
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(dist <= 10)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            dist.alias("edit_distance"),
+        )
+    )

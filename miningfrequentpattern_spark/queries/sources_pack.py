@@ -786,3 +786,47 @@ def s14_dynamic_partition_overwrite(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "s15_metadata_scan",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders
+    """,
+)
+def s15_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extension (file-metadata column): per-file audit facts via
+    Spark's hidden `_metadata` struct — the lineage/debugging scan
+    every lake pipeline needs ("which file produced these rows",
+    row counts and key ranges per file for manifest reconciliation).
+    The oracle pins the KNOWN fixture basename as a literal (the
+    driver's oracles run against pre-registered table views, which
+    carry no file identity — DuckDB's filename=true is the
+    equivalent capability but needs the raw path): the hash matches
+    only if Spark's `_metadata.file_name` actually equals that
+    basename for every row, so the metadata column is certified
+    against the known single-file layout, alongside the exact
+    per-file row count and key range. Fixture tables are single
+    files; multi-file per-file facts would be partition-dependent
+    (the s11 note).
+
+    Shape: `_metadata` is populated at the scan from the reader's
+    split info — zero extra I/O, no join; the aggregate is one
+    partial+final hash agg keyed by file."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            "o_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

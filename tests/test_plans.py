@@ -848,3 +848,21 @@ def test_event_transitions_single_user_window(spark):
         ln for ln in p.splitlines() if "Arguments" in ln and "lead" in ln
     ][0], p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_fuzzy_join_blocks_before_distance(spark):
+    # l38: the join must be an equi join on the blocking key (never
+    # cartesian / nested-loop), with the corpus-sized relation on a
+    # shuffle plan, not broadcast.
+    p = plan_of(spark, "l38_fuzzy_join")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_metadata_scan_adds_no_join_or_extra_scan(spark):
+    # s15: _metadata rides the ONE scan; no join, partial+final agg.
+    p = plan_of(spark, "s15_metadata_scan")
+    assert p.count("Scan parquet") <= 2, p  # tree + details of ONE node
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
