@@ -109,6 +109,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # room for the late round-5 additions and the l02e/l14/m14
 # re-certifications).
 #
+# ROUND 5 CONTINUATION (same round, later session, still before the
+# driver run): 14 more queries landed (r41-r47, l33/l34/l36-l38, m18,
+# s15), so 14 of the 22 backfill slots — all holding r1/r2 proofs —
+# were handed to them for first driver rows. 3+(9+2)+8+6+14+8 = 50.
+#
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
 # round-5 failures, promote round-6 additions, re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
@@ -116,10 +121,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # set will then be the freshest — prefer re-proving round-1/2 rows
 # not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
 # r16, r17, r18, r19, r20, r21, r22,
-# r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04),
-# and promote the post-finalization round-5 additions (r41
-# correlation matrix, r42 data-quality report, r43 gap-fill, and any
-# later ones) for their first driver hash rows.
+# r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04,
+# plus the 14 backfills displaced by the round-5 continuation:
+# s05, s07, s09, r10b, r11, r12, r13, r14, r15, l06, l09, t02, t04,
+# t05).
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
         "r10_approx_aggregates",
@@ -166,29 +171,35 @@ PRIORITY: tuple[str, ...] = (
     "l02e_neardup_clusters",
     "l14_neardup_keep_best",
     "m14_part_triangles",
-    # backfill — oldest (round-1/2) driver proofs, every pack
+    # round-5 continuation additions — registered after the original
+    # round-5 window was drafted but BEFORE the driver run, so they
+    # take backfill slots (the displaced backfills all hold r1/r2
+    # proofs and stay covered by the local mirror): first driver hash
+    # rows for 13 oracle-bearing queries + a run row for l34 (ANN,
+    # rows-only by design).
+    "r41_correlation_matrix",
+    "r42_data_quality_report",
+    "r43_gapfill_daily",
+    "r44_daily_anomaly",
+    "r45_delta_join_refresh",
+    "r46_rolling_distinct_users",
+    "r47_event_transitions",
+    "l33_vocab_growth",
+    "l34_pq_topk",
+    "l36_weighted_sample",
+    "l37_collocations",
+    "l38_fuzzy_join",
+    "m18_part_kcore",
+    "s15_metadata_scan",
+    # backfill — oldest (round-1/2) driver proofs, cross-pack spread
     "s02_text_transactions",
     "s04_parquet_sink_roundtrip",
-    "s05_partitioned_pruning",
-    "s07_python_datasource",
-    "s09_zorder_key",
     "m02_item_support",
     "r09_distinct_aggregates",
-    "r10b_exact_percentiles",
-    "r11_rollup_status_priority",
-    "r12_top3_parts_per_brand",
-    "r13_order_gaps",
-    "r14_running_customer_spend",
-    "r15_top25_orders",
     "l04_token_stats",
     "l05_corpus_profile",
-    "l06_quality_filter",
-    "l09_hash_split",
     "t01_tumbling_window",
-    "t02_sliding_window",
     "t03_session_window",
-    "t04_dedup_first_event",
-    "t05_stateful_user_counts",
 )
 
 
