@@ -1197,3 +1197,94 @@ def m18_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("part_id"),
         F.col("core_degree").cast("long").alias("core_degree"),
     )
+
+
+@query(
+    "m19_negative_pairs",
+    oracle="""
+    WITH pres AS (SELECT DISTINCT doc_id, unnest(
+                    string_split(trim(text), ' ')) AS w
+                  FROM documents),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    df AS (SELECT w, count(*) AS df FROM pres GROUP BY w),
+    top AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 40),
+    grid AS (SELECT a.w AS w1, a.df AS df1, b.w AS w2, b.df AS df2
+             FROM top a JOIN top b ON a.w < b.w),
+    obs AS (SELECT p1.w AS w1, p2.w AS w2, count(*) AS c12
+            FROM pres p1
+            JOIN pres p2 ON p2.doc_id = p1.doc_id AND p1.w < p2.w
+            JOIN top t1 ON t1.w = p1.w
+            JOIN top t2 ON t2.w = p2.w
+            GROUP BY 1, 2)
+    SELECT g.w1, g.w2,
+           coalesce(o.c12, 0) AS n_both,
+           round((coalesce(o.c12, 0) * 1.0 / n.n_docs)
+                 / ((g.df1 * 1.0 / n.n_docs)
+                    * (g.df2 * 1.0 / n.n_docs)), 4) AS lift
+    FROM grid g LEFT JOIN obs o ON o.w1 = g.w1 AND o.w2 = g.w2
+    CROSS JOIN n
+    ORDER BY lift, g.w1, g.w2 LIMIT 25
+    """,
+)
+def m19_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5-extension (NEGATIVE associations): the 25 most
+    UNDER-co-occurring pairs among the 40 highest-document-frequency
+    tokens, ranked by lift — association mining's other tail
+    (lift ≪ 1 = substitution/cannibalization: items that avoid each
+    other), which frequent-itemset mining structurally cannot
+    surface because absent co-occurrences generate no candidate
+    rows. The mechanism this certifies, distinct from every m05/m11
+    rule query: a DENSE bounded grid (top-k × top-k) LEFT-joined
+    against the sparse observed pair counts with ZERO-FILL, so a
+    pair that never co-occurs still ranks (c12=0 → lift 0).
+
+    Shape: presence relation = one explode + distinct (doc, token);
+    the top-40 df leg is TakeOrderedAndProject and BROADCASTS into
+    both the per-doc pair self-join's filters (only top-token rows
+    enter the join — the grid bounds the pair space at 780, never
+    |vocab|²) and the 780-row grid itself; the observed leg shuffles
+    on doc_id (uniform). N (doc count) rides a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    pres = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("w")
+    ).distinct()
+    n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df = pres.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    top = df.orderBy(F.desc("df"), "w").limit(40)
+    ta = top.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    tb = top.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    grid = ta.join(F.broadcast(tb), F.col("w1") < F.col("w2"))
+    p1 = pres.select(F.col("doc_id"), F.col("w").alias("w1"))
+    p2 = pres.select(F.col("doc_id"), F.col("w").alias("w2"))
+    obs = (
+        p1.join(F.broadcast(top.select(F.col("w").alias("w1"))), "w1")
+        .join(
+            p2.join(
+                F.broadcast(top.select(F.col("w").alias("w2"))), "w2"
+            ),
+            "doc_id",
+        )
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    lift = F.round(
+        (F.coalesce(F.col("c12"), F.lit(0)) / F.col("n_docs"))
+        / (
+            (F.col("df1") / F.col("n_docs"))
+            * (F.col("df2") / F.col("n_docs"))
+        ),
+        4,
+    )
+    return (
+        grid.join(obs, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.coalesce(F.col("c12"), F.lit(0)).alias("n_both"),
+            lift.alias("lift"),
+        )
+        .orderBy("lift", "w1", "w2")
+        .limit(25)
+    )

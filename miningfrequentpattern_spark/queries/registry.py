@@ -112,7 +112,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROUND 5 CONTINUATION (same round, later session, still before the
 # driver run): 14 more queries landed (r41-r47, l33/l34/l36-l38, m18,
 # s15), so 14 of the 22 backfill slots — all holding r1/r2 proofs —
-# were handed to them for first driver rows. 3+(9+2)+8+6+14+8 = 50.
+# were handed to them for first driver rows (then m19 displaced the
+# r09 backfill the same way). 3+(9+2)+8+6+15+7 = 50.
 #
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
 # round-5 failures, promote round-6 additions, re-certify changed
@@ -190,12 +191,12 @@ PRIORITY: tuple[str, ...] = (
     "l37_collocations",
     "l38_fuzzy_join",
     "m18_part_kcore",
+    "m19_negative_pairs",
     "s15_metadata_scan",
     # backfill — oldest (round-1/2) driver proofs, cross-pack spread
     "s02_text_transactions",
     "s04_parquet_sink_roundtrip",
     "m02_item_support",
-    "r09_distinct_aggregates",
     "l04_token_stats",
     "l05_corpus_profile",
     "t01_tumbling_window",

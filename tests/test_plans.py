@@ -866,3 +866,18 @@ def test_metadata_scan_adds_no_join_or_extra_scan(spark):
     assert p.count("Scan parquet") <= 2, p  # tree + details of ONE node
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_negative_pairs_grid_is_bounded_and_obs_leg_equi(spark):
+    # m19: the only non-equi join allowed is the 40x40 top-token grid
+    # (bounded by the two TakeOrderedAndProject limits feeding it);
+    # the corpus-sized observed leg must join equi on doc_id, and the
+    # presence relation must be aggregated (distinct) before pairing.
+    p = plan_of(spark, "m19_negative_pairs")
+    assert "TakeOrderedAndProject" in p, p
+    # the doc_id equi-join of the two presence legs
+    assert "doc_id" in p and (
+        "ShuffledHashJoin" in p or "SortMergeJoin" in p
+        or "BroadcastHashJoin" in p
+    ), p
+    assert "CartesianProduct" not in p, p
