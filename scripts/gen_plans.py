@@ -159,6 +159,29 @@ SECTIONS = [
     ("l34_pq_topk",
      "PQ ANN: native ADC fold in the |Q|x|C| scan (no Python), "
      "windowed candidate cut, exact rerank equi-join"),
+    ("r44_daily_anomaly",
+     "one corpus aggregate -> dimension moments -> broadcast join "
+     "back"),
+    ("r45_delta_join_refresh",
+     "4-term delta-join expansion, broadcast customer legs, "
+     "per-term pushed predicates"),
+    ("r46_rolling_distinct_users",
+     "x7 window-end fan-out + single distinct-count aggregate; no "
+     "Window node"),
+    ("r47_event_transitions",
+     "one user-keyed lead() window, |types|^2 aggregate, broadcast "
+     "normalizer"),
+    ("l37_collocations",
+     "PMI: pruned bigram relation joins broadcast unigram legs, "
+     "TakeOrderedAndProject top-25"),
+    ("l38_fuzzy_join",
+     "blocked Levenshtein: equi join on blocking key, shuffle_hash, "
+     "distance filter on block-mates only"),
+    ("s15_metadata_scan",
+     "_metadata rides the single scan; no join; partial+final agg"),
+    ("m19_negative_pairs",
+     "dense bounded top-40 grid LEFT-joined to sparse observed "
+     "pairs with zero-fill; presence distinct before pairing"),
 ]
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)
