@@ -88,6 +88,19 @@ ADDITIONS = [
     "l33_vocab_growth",
     "m18_part_kcore",
     "l34_pq_topk",
+    # round-5 continuation, later batch — moment join-back; 4-term
+    # delta union; x7 fan-out distinct; lead() window matrix; A-ES
+    # TakeOrdered; PMI joins; blocked Levenshtein; metadata scan;
+    # dense-grid negative associations
+    "r44_daily_anomaly",
+    "r45_delta_join_refresh",
+    "r46_rolling_distinct_users",
+    "r47_event_transitions",
+    "l36_weighted_sample",
+    "l37_collocations",
+    "l38_fuzzy_join",
+    "s15_metadata_scan",
+    "m19_negative_pairs",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS

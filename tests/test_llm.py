@@ -645,3 +645,24 @@ def test_pq_rejects_indivisible_dim_and_unbounded_queries(spark):
         pq_topk(q, emb, n_subspaces=7, dim=64)
     with pytest.raises(ValueError, match="max_queries"):
         pq_topk(emb, emb, dim=64, max_queries=100)
+
+
+def test_pq_deterministic_across_invocations(spark):
+    """l34 is registered rows-only, so the driver's only signal is
+    rows+schema — but a rows-only query must still be DETERMINISTIC
+    under its seed or its recorded row counts go stale: two
+    independent invocations (fresh fits, fresh encodes) must return
+    the identical result set."""
+    from miningfrequentpattern_spark.queries.registry import (
+        QUERIES,
+        load_all_packs,
+    )
+
+    load_all_packs()
+    a = sorted(
+        map(tuple, QUERIES["l34_pq_topk"](spark, SF_ORACLE).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["l34_pq_topk"](spark, SF_ORACLE).collect())
+    )
+    assert a == b
