@@ -58,7 +58,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    carry: list[str] | None = None,
+) -> DataFrame:
     """L6: quality-filter features + verdict.
 
     Heuristics follow the public Gopher/C4-style rules: length bounds,
@@ -66,6 +70,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tokens). stopword_ratio is REPORTED but deliberately not gated —
     the stoplist is English-only and the corpus is multilingual, so a
     floor would mass-reject non-English documents.
+
+    `carry` appends pass-through columns (e.g. the text itself) so a
+    composed pipeline can gate ROW-LOCALLY instead of joining the
+    verdict back on doc_id — one projection, zero extra shuffles
+    (l40's shape).
     """
     t = tokens(text_col)
     n_tok = F.size(t)
@@ -84,6 +93,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(mean_wlen, 4).alias("mean_word_len"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
+        *(carry or []),
     )
     passes = (
         (F.col("n_tokens") >= 5)
@@ -94,7 +104,11 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_pass", passes)
 
 
-def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def langid_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    carry: list[str] | None = None,
+) -> DataFrame:
     """L5 (heuristic language-ID): score text against fixed per-language
     marker-token profiles and pick the argmax.
 
@@ -116,6 +130,7 @@ def langid_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scored = docs.select(
         "doc_id",
         F.col("lang").alias("label_lang"),
+        *(carry or []),
         *[
             F.size(
                 F.array_intersect(t, F.array(*[F.lit(w) for w in words]))

@@ -2157,3 +2157,125 @@ def l38_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_distance"),
         )
     )
+
+
+@query(
+    "l40_prep_pipeline2",
+    oracle=f"""
+    -- Stage 1: prefix dedup keep-longest (l30 semantics, verbatim)
+    WITH h AS (SELECT doc_id, source, lang, n_chars, text,
+                 {PREFIX_FP_SQL}
+                   AS prefix_fp
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY prefix_fp
+                                       ORDER BY n_chars DESC, doc_id)
+                      AS rk
+          FROM h),
+    d0 AS (SELECT doc_id, source, lang, n_chars, text FROM r
+           WHERE rk = 1),
+    -- Stage 2: quality gate (l06 semantics, verbatim incl. the
+    -- un-trimmed split)
+    t AS (SELECT doc_id, source, n_chars, text,
+                 string_split(text, ' ') AS l FROM d0),
+    f AS (SELECT doc_id, source, text,
+                 len(l) AS n_tokens,
+                 (len(l) >= 5 AND n_chars BETWEEN 20 AND 10000
+                  AND round(list_sum(list_transform(l, x -> len(x) * 1.0))
+                            / len(l), 4) BETWEEN 2 AND 12
+                  AND round(len(list_distinct(l)) * 1.0 / len(l), 4)
+                      > 0.1) AS quality_pass
+          FROM t),
+    q AS (SELECT doc_id, source, text FROM f WHERE quality_pass),
+    -- Stage 3: language-ID gate (l08 semantics: argmax > 0)
+    lt AS (SELECT doc_id, source, text,
+                  list_distinct(string_split(trim(text), ' ')) AS toks
+           FROM q),
+    ls AS (SELECT *,
+             coalesce(len(list_intersect(toks,
+               ['the','and','fast','query','table'])), -1) AS s_en,
+             coalesce(len(list_intersect(toks,
+               ['el','la','de','que','rapido'])), -1) AS s_es,
+             coalesce(len(list_intersect(toks,
+               ['der','die','und','schnell','tabelle'])), -1) AS s_de,
+             coalesce(len(list_intersect(toks,
+               ['le','la','et','rapide','requete'])), -1) AS s_fr,
+             coalesce(len(list_intersect(toks,
+               ['de5','shi4','kuai4','biao3','cha2'])), -1) AS s_zh
+           FROM lt),
+    keep AS (SELECT doc_id, source, text FROM ls
+             WHERE greatest(s_en, s_es, s_de, s_fr, s_zh) > 0),
+    -- Stage 4: temperature mixing over the SURVIVORS (l21 semantics)
+    m AS (SELECT source, count(*) AS n_docs,
+                 sum(len(string_split(trim(text), ' '))) AS n_tokens
+          FROM keep GROUP BY source),
+    p AS (SELECT *, sqrt(n_tokens) AS w_raw FROM m),
+    s AS (SELECT sum(w_raw) AS tot FROM p)
+    SELECT source,
+           n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(w_raw / s.tot, 6) AS mix_weight,
+           CAST(floor(w_raw / s.tot * 1000000) AS BIGINT)
+             AS alloc_tokens
+    FROM p CROSS JOIN s
+    """,
+)
+def l40_prep_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-pack flagship #2 (composed curation pipeline, the l25
+    companion): prefix-dedup (keep-longest, l30) → Gopher quality
+    gate (l06) → language-ID gate (l08 argmax, drop 'unknown') →
+    temperature-scaled source-mixing weights over the SURVIVORS
+    (l21, α=0.5, 1M-token budget) — four certified stages fused into
+    ONE lazy plan, the shape a production prep job actually ships
+    (each stage feeds the next; nothing materializes in between).
+    The oracle rebuilds all four stages in one SQL chain, reusing
+    each stage's certified fragment VERBATIM (including l06's
+    untrimmed split vs l08's trimmed one — semantic seams stay
+    exactly as individually certified), so the hash proves the
+    COMPOSITION, not just the parts.
+
+    Shape: one prefix-fp-keyed shuffle (rank-1 window), then every
+    gate is a row-local projection/filter over the survivor stream —
+    no joins at all until the final |sources|-row aggregate + 1-row
+    broadcast normalizer. Catalyst fuses the three gates into the
+    same stage as the dedup output; at 100 TB the whole pipeline is
+    TWO shuffles (prefix window, source aggregate) regardless of how
+    many row-local gates are added."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = _prefix_fp()
+    w = Window.partitionBy("prefix_fp").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    d0 = (
+        docs.select(
+            "doc_id", "source", "lang", "n_chars", "text",
+            pfx.alias("prefix_fp"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "lang", "n_chars", "text")
+    )
+    q = (
+        T.quality_features(d0, carry=["source", "text"])
+        .filter(F.col("quality_pass"))
+        .select("doc_id", "lang", "source", "text")
+    )
+    keep = (
+        T.langid_scores(q, carry=["source", "text"])
+        .filter(F.col("predicted_lang") != "unknown")
+        .select("doc_id", "source", "text")
+    )
+    budget = 1_000_000
+    m = keep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    p = m.withColumn("w_raw", F.sqrt(F.col("n_tokens")))
+    s = p.agg(F.sum("w_raw").alias("tot"))
+    wgt = F.col("w_raw") / F.col("tot")
+    return p.crossJoin(F.broadcast(s)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(wgt, 6).alias("mix_weight"),
+        F.floor(wgt * budget).cast("long").alias("alloc_tokens"),
+    )

@@ -881,3 +881,31 @@ def test_negative_pairs_grid_is_bounded_and_obs_leg_equi(spark):
         or "BroadcastHashJoin" in p
     ), p
     assert "CartesianProduct" not in p, p
+
+
+def test_prep_pipeline2_is_two_shuffles(spark):
+    """l40: the composed pipeline's docstring claims dedup window +
+    source aggregate are the ONLY corpus shuffles — every gate is a
+    row-local projection (the carry= refactor removed the doc_id
+    join-backs). The 1-row mixing normalizer duplicates the lineage
+    in the STATIC plan (its leg re-derives the survivors), so the
+    claim is asserted on the FINALIZED adaptive plan where exchange
+    reuse is visible (the l02g pattern): exactly one non-reused
+    prefix_fp exchange, no doc_id-keyed exchange, no shuffle join."""
+    from miningfrequentpattern_spark.queries.registry import QUERIES
+
+    df = QUERIES["l40_prep_pipeline2"](spark, SF_ORACLE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    fp_ex = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning(prefix_fp" in ln
+        and "Reused" not in ln
+    ]
+    assert len(fp_ex) == 1, p
+    assert "ReusedExchange" in p, p
+    assert not any(
+        "Exchange hashpartitioning(doc_id" in ln for ln in p.splitlines()
+    ), p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
