@@ -101,6 +101,8 @@ ADDITIONS = [
     "l38_fuzzy_join",
     "s15_metadata_scan",
     "m19_negative_pairs",
+    # composed flagship #2: fused dedup->quality->langid->mixing
+    "l40_prep_pipeline2",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS
