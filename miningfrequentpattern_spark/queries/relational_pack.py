@@ -2179,3 +2179,55 @@ def r47_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_transitions"),
         F.round(F.col("n") / F.col("row_n"), 4).alias("p_transition"),
     )
+
+
+@query("r48_hll_rollup_merge")
+def r48_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10-extension #2 (sketch RE-aggregation): the two-level HLL
+    rollup r29 stops short of — build per-(returnflag, ship-year)
+    part sketches (level 1, the granularity a pipeline PERSISTS),
+    then merge them per returnflag with `hll_union_agg` (level 2)
+    and estimate. This is the mechanism that makes stored sketches
+    useful: any coarser rollup (week→month→all-time) derives from
+    persisted fine-grained sketches WITHOUT rescanning the fact
+    table — re-aggregation cost is |stored sketches|, not |rows|.
+
+    Emits both the merged estimate and the direct single-level
+    estimate plus their relative difference. They are NOT bit-equal:
+    datasketches' union path promotes sketch target types, so the
+    merged estimate drifts slightly from direct aggregation
+    (measured ~1% here — union 1991 vs direct 2011 vs 2000 true) —
+    the honest mergeability statement is agreement WITHIN the
+    estimator's error envelope, which tests assert (≤2% relative,
+    and both within ±3% of the exact distinct count). Rows-only like
+    r29 (sketch binaries are engine-specific; DuckDB's
+    approx_count_distinct is a different estimator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lvl1 = li.groupBy(
+        "l_returnflag", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.expr("hll_sketch_agg(l_partkey)").alias("sk"))
+    merged = lvl1.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+            "approx_parts_merged"
+        ),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").alias(
+            "approx_parts_direct"
+        )
+    )
+    return merged.join(F.broadcast(direct), "l_returnflag").select(
+        "l_returnflag",
+        "n_sketches",
+        F.round("approx_parts_merged", 4).alias("approx_parts_merged"),
+        F.round("approx_parts_direct", 4).alias("approx_parts_direct"),
+        F.round(
+            F.abs(
+                F.col("approx_parts_merged")
+                - F.col("approx_parts_direct")
+            )
+            / F.col("approx_parts_direct"),
+            4,
+        ).alias("rel_diff"),
+    )

@@ -232,3 +232,31 @@ def test_asof_bucket_rejects_bad_widths():
     for bad in ("0 hours", "-1 hour", "1.5 hours", "1 fortnight", "hour"):
         with pytest.raises(ValueError, match="bucket must be"):
             _bucket_seconds(bad)
+
+
+def test_hll_rollup_merge_within_error_envelope(spark, duck):
+    """r48: re-aggregating persisted per-year sketches must agree
+    with direct aggregation within the estimator's envelope (the
+    union path promotes target types, so bit-equality does NOT hold
+    — measured ~1%), and BOTH must sit within ±3% of the exact
+    distinct count."""
+    import __spark_entry__ as e
+
+    SF = "/root/testdata/sf0.01"
+    rows = {
+        r["l_returnflag"]: r
+        for r in e.queries()["r48_hll_rollup_merge"](spark, SF).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT l_returnflag, count(DISTINCT l_partkey) "
+            f"FROM read_parquet('{SF}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert rows and set(rows) == set(exact)
+    for flag, r in rows.items():
+        assert r["rel_diff"] <= 0.02, (flag, r["rel_diff"])
+        for col in ("approx_parts_merged", "approx_parts_direct"):
+            assert abs(r[col] - exact[flag]) / exact[flag] <= 0.03, (
+                flag, col, r[col], exact[flag],
+            )
