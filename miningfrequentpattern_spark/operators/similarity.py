@@ -561,26 +561,36 @@ def pq_topk(
     wa = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.col("neighbor_id")
     )
+    # The |Q|x|C| scan and its candidate-cut window carry ONLY
+    # (query_id, neighbor_id, adc_dist) — raw vectors would multiply
+    # the window shuffle's width ~30x for rows that are about to be
+    # discarded (self-review: the first cut rode _qv/_cv through the
+    # scan). Survivors re-fetch vectors afterwards: queries-side by
+    # broadcast (bounded by contract), corpus-side by equi-join on
+    # neighbor id — |survivors| = k*rerank_factor*|Q| rows, not
+    # |Q|x|C|.
     cand = (
-        F.broadcast(q)
-        .crossJoin(codes_rel)
+        F.broadcast(q.select("query_id", "_tab"))
+        .crossJoin(codes_rel.select("neighbor_id", "_codes"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "_qv",
-            "neighbor_id",
-            "_cv",
-            adc.alias("adc_dist"),
-        )
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
         .withColumn("_arank", F.row_number().over(wa))
         .filter(F.col("_arank") <= k * rerank_factor)
+    )
+    qv = q.select("query_id", "_qv")
+    # vector re-fetch comes from the pre-encode relation: the rerank
+    # leg must not re-run the encode UDF just to read raw vectors
+    cv = c.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_arr").alias("_cv")
     )
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
     return (
-        cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

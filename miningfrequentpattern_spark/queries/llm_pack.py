@@ -2046,10 +2046,13 @@ def l37_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (map-side partials; bigrams via the zip_with
     shifted-slice idiom — see dedup.shingles for why never to index
     the outer array in a transform lambda); the two totals are 1-row
-    broadcast legs; the unigram joins hang off the c12 >= 5 PRUNED
-    bigram relation (Zipf: the ≥5 survivors are a small fraction),
-    with the (bounded, vocabulary-sized) unigram relation on the
-    build side. Top-25 compiles to TakeOrderedAndProject."""
+    broadcast legs. Join orientation is the scale decision: the
+    c12 >= 5 PRUNED bigram relation (Zipf: survivors are a small
+    fraction) is the BROADCAST side and the vocabulary-sized unigram
+    relation STREAMS — a vocabulary can be arbitrarily large at
+    100 TB, the pruned survivor set cannot (self-review: the first
+    cut broadcast the vocabulary side). Top-25 compiles to
+    TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     t = T.tokens("text")
     toks = docs.select("doc_id", t.alias("t"))
@@ -2091,10 +2094,10 @@ def l37_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
+    j1 = u1.join(F.broadcast(bn), "w1")
+    j2 = u2.join(F.broadcast(j1), "w2")
     return (
-        bn.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(tot))
+        j2.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(btot))
         .select("w1", "w2", F.col("c12").alias("n_pair"), pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "w1", "w2")
