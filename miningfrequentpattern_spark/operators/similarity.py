@@ -439,6 +439,17 @@ def pq_topk(
         c if fit_mod <= 1
         else c.filter(F.pmod(F.xxhash64(F.col(id_col)), fit_mod) == 0)
     )
+    if fit_mod > 1 and fit_src.isEmpty():
+        # The hash-mod sample can be empty on a small-but-nonempty
+        # corpus; KMeans.fit would then throw MLlib's opaque
+        # empty-dataset error. Raise the actionable message instead
+        # (falling back to the full corpus silently would defeat the
+        # bounded-fit contract the caller asked for).
+        raise ValueError(
+            f"pq_topk: fit_mod={fit_mod} selected no corpus rows to "
+            "fit codebooks on; lower fit_mod (the fit set should be "
+            ">= ~100x n_codes rows)"
+        )
     # A fixed, small number of seeded MLlib fits (n_subspaces is a
     # constant, not data-sized); clusterCenters() is the same
     # driver-side model API ivf_topk uses — not a data collect.

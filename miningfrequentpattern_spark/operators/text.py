@@ -36,6 +36,30 @@ def tokens(col: str = "text") -> Column:
     )
 
 
+def shifted_pairs(t: Column, combine) -> Column:
+    """Adjacent-element pairs of an array as an array, built by
+    zip_with over a shifted SLICE — never by indexing the outer array
+    inside a transform lambda, which re-inlines the array-producing
+    expression per element after projection collapse (the measured
+    10× trap documented at dedup.shingles). `combine(a, b)` builds
+    each pair value; the zip_with tail padding (b = NULL on the last
+    slot when lengths differ) and any null-sided pair are filtered
+    out. ONE definition for every bigram-shaped consumer
+    (repetition_signals, l04b, l37) so the invariant cannot drift
+    per-copy (code-review r5c)."""
+    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    return F.filter(
+        F.zip_with(
+            t,
+            shifted,
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), combine(a, b)
+            ),
+        ),
+        lambda p: p.isNotNull(),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L4: per-document token statistics (all native)."""
     t = tokens(text_col)
@@ -173,17 +197,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("c").alias("n_tokens"),
         F.max("c").alias("top_count"),
     )
-    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
-    bigrams = F.filter(
-        F.zip_with(
-            t,
-            shifted,
-            lambda a, b: F.when(
-                a.isNotNull() & b.isNotNull(), F.concat_ws(" ", a, b)
-            ),
-        ),
-        lambda s: s.isNotNull(),
-    )
+    bigrams = shifted_pairs(t, lambda a, b: F.concat_ws(" ", a, b))
     big = docs.select(
         "doc_id",
         F.size(bigrams).cast("long").alias("n_bigrams"),

@@ -383,11 +383,7 @@ def l04b_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike the shingle sets used for dedup)."""
     docs = load_table(spark, sf_dir, "documents")
     l = T.tokens("text")
-    bigrams = F.zip_with(
-        F.slice(l, 1, F.size(l) - 1),
-        F.slice(l, 2, F.size(l) - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    bigrams = T.shifted_pairs(l, lambda a, b: F.concat_ws(" ", a, b))
     return (
         docs.filter(F.size(l) >= 2)
         .select(F.explode(bigrams).alias("bigram"))
@@ -2059,19 +2055,8 @@ def l37_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = toks.select(F.explode("t").alias("w"))
     un = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = un.agg(F.sum("c").alias("n"))
-    shifted = F.slice(
-        F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
-    )
-    bigrams = F.filter(
-        F.zip_with(
-            F.col("t"),
-            shifted,
-            lambda a, b: F.when(
-                a.isNotNull() & b.isNotNull(),
-                F.struct(a.alias("w1"), b.alias("w2")),
-            ),
-        ),
-        lambda s: s.isNotNull(),
+    bigrams = T.shifted_pairs(
+        F.col("t"), lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
     )
     big = toks.select(F.explode(bigrams).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
@@ -2146,19 +2131,24 @@ def l38_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 80).alias("head"),
     )
     a, c = b.alias("a"), b.hint("shuffle_hash").alias("c")
-    dist = F.levenshtein(F.col("a.head"), F.col("c.head"))
+    # project the distance ONCE, filter on the alias: Catalyst does
+    # not CSE across Filter/Project, and the O(len^2) kernel is the
+    # dominant per-pair cost (self-review: the first cut evaluated
+    # it twice per surviving pair).
     return (
         a.join(
             c,
             (F.col("a.blk") == F.col("c.blk"))
             & (F.col("a.doc_id") < F.col("c.doc_id")),
         )
-        .filter(dist <= 10)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("c.doc_id").alias("doc_b"),
-            dist.alias("edit_distance"),
+            F.levenshtein(F.col("a.head"), F.col("c.head")).alias(
+                "edit_distance"
+            ),
         )
+        .filter(F.col("edit_distance") <= 10)
     )
 
 

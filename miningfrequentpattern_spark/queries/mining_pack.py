@@ -1116,9 +1116,10 @@ def m17_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 # peel rounds are IDEMPOTENT once stable, so a fixed chain of
 # _KCORE_ORACLE_ROUNDS peels equals the fixpoint whenever the fixture
 # converges within the chain (sf0.01 needs 10 rounds; the chain
-# carries 16 — tests/test_graph.py pins the slack so a regenerated
-# fixture that peels deeper fails loudly there, not as a silent
-# driver hash mismatch). Generated, not hand-unrolled, so the round
+# carries 16 — tests/test_mining.py::
+# test_kcore_oracle_chain_has_peel_depth_slack pins the slack so a
+# regenerated fixture that peels deeper fails loudly there, not as a
+# silent driver hash mismatch). Generated, not hand-unrolled, so the round
 # body exists exactly once. Every CTE is MATERIALIZED: each round
 # references its predecessor three times, and DuckDB's default CTE
 # inlining would expand the chain to 3^rounds scans (measured: fd

@@ -1969,11 +1969,17 @@ def r43_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events GROUP BY 1, 2),
     s AS (SELECT event_type, avg(n) AS mu, stddev(n) AS sigma
           FROM c GROUP BY 1)
+    -- sigma = 0 (flat series) is pinned on BOTH engines: z_score is
+    -- NULL (DuckDB's IEEE divide would give NaN where Spark's
+    -- non-ANSI Divide gives NULL — a latent hash split) and nothing
+    -- is an anomaly (>= would flag EVERY zero-deviation day).
     SELECT c.event_type,
            CAST(c.day AS TIMESTAMP) AS day,
            c.n AS n_events,
-           round((c.n - s.mu) / s.sigma, 4) AS z_score,
-           (abs(c.n - s.mu) >= 2 * s.sigma) AS is_anomaly
+           CASE WHEN s.sigma > 0
+                THEN round((c.n - s.mu) / s.sigma, 4) END AS z_score,
+           (s.sigma > 0 AND abs(c.n - s.mu) > 2 * s.sigma)
+             AS is_anomaly
     FROM c JOIN s USING (event_type)
     """,
 )
@@ -1988,7 +1994,10 @@ def r44_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join back — the corpus is scanned once and everything
     after the first aggregate is dimension-sized. stddev is the
     SAMPLE stddev in both engines (n-1); day is a midnight timestamp
-    per the r43 dialect note."""
+    per the r43 dialect note. A flat series (sigma = 0) yields NULL
+    z and no anomalies on BOTH engines — guarded explicitly, since
+    the engines' divide-by-zero semantics differ (NULL vs NaN) and
+    `>=` would have flagged every constant day."""
     ev = _t(spark, sf_dir, "events")
     c = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -2000,11 +2009,13 @@ def r44_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("day").cast("timestamp").alias("day"),
         F.col("n").alias("n_events"),
-        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias(
-            "z_score"
-        ),
+        F.when(
+            F.col("sigma") > 0,
+            F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4),
+        ).alias("z_score"),
         (
-            F.abs(F.col("n") - F.col("mu")) >= 2 * F.col("sigma")
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sigma"))
         ).alias("is_anomaly"),
     )
 

@@ -159,15 +159,6 @@ SECTIONS = [
     ("l34_pq_topk",
      "PQ ANN: native ADC fold in the |Q|x|C| scan (no Python), "
      "windowed candidate cut, exact rerank equi-join"),
-    ("r44_daily_anomaly",
-     "one corpus aggregate -> dimension moments -> broadcast join "
-     "back"),
-    ("r45_delta_join_refresh",
-     "4-term delta-join expansion, broadcast customer legs, "
-     "per-term pushed predicates"),
-    ("r46_rolling_distinct_users",
-     "x7 window-end fan-out + single distinct-count aggregate; no "
-     "Window node"),
     ("r47_event_transitions",
      "one user-keyed lead() window, |types|^2 aggregate, broadcast "
      "normalizer"),
@@ -182,7 +173,18 @@ SECTIONS = [
     ("m19_negative_pairs",
      "dense bounded top-40 grid LEFT-joined to sparse observed "
      "pairs with zero-fill; presence distinct before pairing"),
+    ("l40_prep_pipeline2",
+     "composed pipeline: one prefix_fp exchange + one source "
+     "aggregate; row-local gates (static plan shows the "
+     "normalizer's duplicated lineage; runtime reuses it — see "
+     "tests/test_plans.py::test_prep_pipeline2_is_two_shuffles)"),
+    ("r48_hll_rollup_merge",
+     "two-level sketch rollup: per-year hll_sketch_agg partials, "
+     "hll_union_agg re-aggregation, broadcast direct-leg compare"),
 ]
+
+# one section per query — a duplicated entry silently doubles PLANS.md
+assert len({n for n, _ in SECTIONS}) == len(SECTIONS), "duplicate SECTIONS"
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)
 

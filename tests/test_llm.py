@@ -645,6 +645,8 @@ def test_pq_rejects_indivisible_dim_and_unbounded_queries(spark):
         pq_topk(q, emb, n_subspaces=7, dim=64)
     with pytest.raises(ValueError, match="max_queries"):
         pq_topk(emb, emb, dim=64, max_queries=100)
+    with pytest.raises(ValueError, match="no corpus rows"):
+        pq_topk(q, emb, dim=64, fit_mod=10**9)
 
 
 def test_pq_deterministic_across_invocations(spark):

@@ -227,3 +227,48 @@ def test_pagerank_keeps_no_inbound_nodes_at_teleport_floor(spark):
     assert set(got) == {1, 2, 3}
     # node 1: no in-edges -> rank stays (1-d)/N each round; scaled = 1-d
     assert got[1] == round(0.15, 4)
+
+
+def test_kcore_oracle_chain_has_peel_depth_slack(duck):
+    """m18's oracle is a FIXED 16-round chained-CTE peel, equal to the
+    fixpoint only while the fixture converges within the chain. Pin
+    the slack with a pure-Python peel on the same thresholded edge
+    list: a regenerated fixture that peels deeper than
+    _KCORE_ORACLE_ROUNDS - 4 fails HERE with a readable message,
+    instead of as an opaque driver hash mismatch."""
+    from collections import defaultdict
+
+    from miningfrequentpattern_spark.queries.mining_pack import (
+        _KCORE_K,
+        _KCORE_ORACLE_ROUNDS,
+    )
+
+    edges = duck.execute(
+        """
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM read_parquet(
+                      '/root/testdata/sf0.01/lineitem.parquet'))
+        SELECT a.pk, b.pk FROM li a
+        JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s_, d_ in edges:
+        adj[s_].add(d_)
+        adj[d_].add(s_)
+    rounds = 0
+    while True:
+        drop = [v for v, ns in adj.items() if len(ns) < _KCORE_K]
+        if not drop:
+            break
+        rounds += 1
+        for v in drop:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+    assert rounds <= _KCORE_ORACLE_ROUNDS - 4, (
+        f"fixture 3-core peel depth {rounds} is within 4 rounds of the "
+        f"{_KCORE_ORACLE_ROUNDS}-round oracle chain — lengthen "
+        "_KCORE_ORACLE_ROUNDS before the driver hash silently diverges"
+    )
