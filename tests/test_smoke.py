@@ -260,3 +260,40 @@ def test_hll_rollup_merge_within_error_envelope(spark, duck):
             assert abs(r[col] - exact[flag]) / exact[flag] <= 0.03, (
                 flag, col, r[col], exact[flag],
             )
+
+
+def test_concurrent_queries_match_serial(spark):
+    """Registry queries must be thread-safe on one shared session —
+    a driver (or notebook user) running queries concurrently is
+    routine, and the hazards are real: harden() mutates session
+    conf, iterative operators cache/checkpoint/unpersist, and AQE
+    reuses exchanges. Run a cross-pack sample serially, then on 6
+    concurrent threads, and require identical result sets.
+    (Sink-writing queries are excluded: their scratch dirs are
+    per-tag, so the SAME query racing itself would collide — a
+    documented single-writer contract, not a thread-safety bug.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import __spark_entry__ as e
+
+    SF = "/root/testdata/sf0.01"
+    names = [
+        "r02_pricing_summary",
+        "r08_asof_last_click_before_purchase",
+        "m03_frequent_items",
+        "l21_source_mixing",
+        "r41_correlation_matrix",
+        "l33_vocab_growth",
+        "m18_part_kcore",
+        "l36_weighted_sample",
+    ]
+    qs = e.queries()
+
+    def run(name):
+        return sorted(map(tuple, qs[name](spark, SF).collect()))
+
+    serial = {n: run(n) for n in names}
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        concurrent = dict(zip(names, pool.map(run, names)))
+    for n in names:
+        assert concurrent[n] == serial[n], f"{n} diverged under concurrency"
