@@ -649,22 +649,34 @@ def test_pq_rejects_indivisible_dim_and_unbounded_queries(spark):
         pq_topk(q, emb, dim=64, fit_mod=10**9)
 
 
-def test_pq_deterministic_across_invocations(spark):
-    """l34 is registered rows-only, so the driver's only signal is
-    rows+schema — but a rows-only query must still be DETERMINISTIC
-    under its seed or its recorded row counts go stale: two
-    independent invocations (fresh fits, fresh encodes) must return
-    the identical result set."""
+import pytest as _pytest
+
+
+def _rows_only_names():
+    import __spark_entry__ as e
+
+    return sorted(set(e.queries()) - set(e.oracle_sql()))
+
+
+@_pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_queries_deterministic_across_invocations(spark, name):
+    """Rows-only queries are exactly the ones the driver can check
+    ONLY by row count and schema — so every one must be
+    DETERMINISTIC (seeded randomness, stable sketches) or its
+    recorded driver rows go stale between runs: two independent
+    invocations (fresh fits/encodes/sketches) must return identical
+    result sets. This generalizes the original l34-only check to the
+    whole rows-only family."""
     from miningfrequentpattern_spark.queries.registry import (
         QUERIES,
         load_all_packs,
     )
 
     load_all_packs()
-    a = sorted(
-        map(tuple, QUERIES["l34_pq_topk"](spark, SF_ORACLE).collect())
-    )
-    b = sorted(
-        map(tuple, QUERIES["l34_pq_topk"](spark, SF_ORACLE).collect())
-    )
-    assert a == b
+
+    def run():
+        return sorted(
+            map(tuple, QUERIES[name](spark, SF_ORACLE).collect())
+        )
+
+    assert run() == run(), f"{name} not deterministic across invocations"
