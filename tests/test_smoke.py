@@ -297,3 +297,50 @@ def test_concurrent_queries_match_serial(spark):
         concurrent = dict(zip(names, pool.map(run, names)))
     for n in names:
         assert concurrent[n] == serial[n], f"{n} diverged under concurrency"
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """functions/telemetry.observed: the quality counters must (a)
+    appear as a CollectMetrics node with NO extra exchange/scan in
+    the plan, and (b) equal a standalone aggregate over the same
+    relation — the zero-cost in-flight form of r42's audit."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.functions.telemetry import observed
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").filter(
+        F.col("l_quantity") >= 10
+    )
+    inst, obs = observed(
+        li,
+        "gate",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("disc_viol"),
+        F.min("l_shipdate").alias("min_ship"),
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        inst.explain("formatted")
+    p = buf.getvalue()
+    assert "CollectMetrics" in p, p
+    assert p.count("Scan parquet") <= 2, p  # tree + details of ONE node
+    assert "Exchange" not in p.split("CollectMetrics")[0], p
+
+    n_written = inst.count()  # the action the metrics ride
+    m = obs.get
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("disc_viol"),
+        F.min("l_shipdate").alias("min_ship"),
+    ).collect()[0]
+    assert m["n_rows"] == n_written == direct["n_rows"]
+    assert m["disc_viol"] == direct["disc_viol"]
+    assert m["min_ship"] == direct["min_ship"]

@@ -525,3 +525,40 @@ def test_stream_sink_staging_bounded_after_run(spark, tmp_path):
     assert manifested and all(os.path.exists(f) for f in manifested)
     staged = set(glob.glob(os.path.join(out, "_staging", "*", "*")))
     assert staged <= manifested
+
+
+def test_stream_observed_metrics(spark):
+    """functions/telemetry.observed in STREAMING form: the same
+    observe() expressions surface per-micro-batch on
+    StreamingQueryProgress.observedMetrics — summed over the
+    availableNow replay they must equal the batch aggregate over the
+    whole fixture (in-flight quality counters without a second
+    query, the streaming twin of the batch test in test_smoke)."""
+    from miningfrequentpattern_spark.functions.telemetry import observed
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    inst, _obs = observed(
+        stream,
+        "stream_gate",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("event_type") == "purchase").alias(
+            "n_purchases"
+        ),
+    )
+    q = _run_to_memory(
+        inst.groupBy("event_type").count(), "obs_sink", "complete"
+    )
+    total_rows = 0
+    total_purch = 0
+    for prog in q.recentProgress:
+        om = prog["observedMetrics"].get("stream_gate")
+        if om:
+            total_rows += om["n_rows"]
+            total_purch += om["n_purchases"]
+    batch = load_table(spark, SF_SMOKE, "events")
+    want = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("event_type") == "purchase").alias("p"),
+    ).collect()[0]
+    assert total_rows == want["n"], (total_rows, want["n"])
+    assert total_purch == want["p"], (total_purch, want["p"])
