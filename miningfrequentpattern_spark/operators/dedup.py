@@ -585,6 +585,9 @@ def embedding_neardup_pairs(
     )
 
 
+# The local/durable pin seam lives in operators/ckpt.py; the iterative
+# operators below take durable= and thread it through. This module's
+# original local-only helper remains for the release path.
 def _release_checkpoint(df: DataFrame) -> None:
     """Free a localCheckpoint'ed DataFrame's pinned blocks NOW instead
     of waiting for GC + ContextCleaner: the analyzed plan of a
@@ -602,7 +605,9 @@ def _release_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, durable: bool = False
+) -> DataFrame:
     """Cluster near-dup pairs into groups by smallest-id label
     propagation (no GraphFrames dependency).
 
@@ -610,7 +615,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     is the minimum doc id reachable. Iterations are bounded by graph
     diameter; near-dup graphs are overwhelmingly tiny cliques, so this
     converges in 2-3 rounds. Each round: one groupBy shuffle.
+
+    durable=True swaps the per-round localCheckpoint for a RELIABLE
+    checkpoint (operators/ckpt.py) — the executor-loss-recoverable
+    form long pipelines should use; the default stays the cheap
+    local pin (the documented trade).
     """
+    from .ckpt import pin, release
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # Cache the symmetrized edge list: it is duplicated-pairs-sized
     # (tiny next to the corpus) but its LINEAGE is the full
@@ -637,7 +648,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .select(
                 "doc_id", F.least("component", "doc_id").alias("component")
             )
-        ).localCheckpoint(eager=True)
+        )
+        labels = pin(labels, durable)
         converged = False
         for _ in range(max_iter):
             # propagate: my new label = min(my label, neighbors' labels)
@@ -647,7 +659,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 .union(labels)
                 .groupBy("doc_id")
                 .agg(F.min("component").alias("component"))
-            ).localCheckpoint(eager=True)
+            )
+            prop = pin(prop, durable)
             converged = (
                 prop.join(
                     labels.withColumnRenamed("component", "_old"), "doc_id"
@@ -658,14 +671,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             # The old generation's pinned blocks are dead once the
             # convergence probe has read them — free them now (the
             # loop would otherwise accumulate diameter × |V| blocks).
-            _release_checkpoint(labels)
+            release(labels, durable)
             labels = prop
             if converged:
                 break
         if not converged:
             # Partial propagation is WRONG labels, not slow labels — a
             # component wider than max_iter hops would silently split.
-            _release_checkpoint(labels)
+            release(labels, durable)
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 "iterations; raise max_iter (graph diameter exceeds it), "
@@ -678,7 +691,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def connected_components_star(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, durable: bool = False
 ) -> DataFrame:
     """Connected components by ALTERNATING large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -702,7 +715,10 @@ def connected_components_star(
     with a bounded isEmpty probe per round, and the default max_iter
     of 50 covers components of ~2^25 nodes with margin — hitting it
     still RAISES rather than returning split components.
+    durable=True uses reliable checkpoints per round instead of
+    local pins (operators/ckpt.py).
     """
+    from .ckpt import pin, release
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         # m(u) = min over {u} ∪ neighbors(u); emitted edges connect
@@ -739,21 +755,19 @@ def connected_components_star(
     raw = edges.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    cur = (
-        raw.filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    cur = pin(
+        raw.filter(F.col("a") != F.col("b")).distinct(), durable
     )
     # Node set from the RAW edges, BEFORE the self-loop filter: a node
     # whose only edge is a self-pair is still its own singleton
     # component in connected_components' output, and the "Same
     # contract" promise above includes it (self-review r5 — deriving
     # nodes from `cur` silently dropped such nodes).
-    nodes = (
+    nodes = pin(
         raw.select(F.col("a").alias("doc_id"))
         .union(raw.select(F.col("b").alias("doc_id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        durable,
     )
     for _ in range(max_iter):
         sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
@@ -767,7 +781,7 @@ def connected_components_star(
                 F.col("b").alias("u"), F.col("a").alias("v")
             )
         )
-        nxt = star(sym2, large=False).localCheckpoint(eager=True)
+        nxt = pin(star(sym2, large=False), durable)
         # Fixpoint: the edge SET is unchanged (order-insensitive).
         changed = not (
             nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
@@ -775,7 +789,7 @@ def connected_components_star(
         # Previous generation is dead after the fixpoint probe — free
         # its pinned blocks (O(log n) rounds would otherwise stack
         # that many |E|-sized block sets).
-        _release_checkpoint(cur)
+        release(cur, durable)
         cur = nxt
         if not changed:
             # At the fixpoint every edge is (node → component min):
@@ -787,12 +801,12 @@ def connected_components_star(
             roots = nodes.join(
                 labels.select("doc_id"), "doc_id", "left_anti"
             ).select("doc_id", F.col("doc_id").alias("component"))
-            out = labels.union(roots).localCheckpoint(eager=True)
-            _release_checkpoint(cur)
-            _release_checkpoint(nodes)
+            out = pin(labels.union(roots), durable)
+            release(cur, durable)
+            release(nodes, durable)
             return out
-    _release_checkpoint(cur)
-    _release_checkpoint(nodes)
+    release(cur, durable)
+    release(nodes, durable)
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} "
         "rounds; this bounds components of ~2^(max_iter/2) nodes — "

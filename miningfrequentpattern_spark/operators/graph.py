@@ -28,6 +28,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     _materialize: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -145,7 +146,11 @@ def pagerank(
         # storage and unrecoverable on executor loss — callers
         # needing lineage durability should write the result to a
         # sink instead of holding this handle long-term.
-        out = out.localCheckpoint(eager=True)
+        # durable=True pins the result with a reliable checkpoint
+        # instead (operators/ckpt.py) — recoverable on executor loss.
+        from .ckpt import pin
+
+        out = pin(out, durable)
         return out
     finally:
         if _materialize:
@@ -294,6 +299,7 @@ def kcore(
     max_iter: int = 50,
     src: str = "src",
     dst: str = "dst",
+    durable: bool = False,
 ) -> DataFrame:
     """k-core decomposition membership at a fixed k: iteratively peel
     every node of degree < k until the remaining subgraph is stable
@@ -317,11 +323,13 @@ def kcore(
     too-large pseudo-core (same partial-result-is-wrong-result stance
     as connected_components). Per-round localCheckpoint truncates
     lineage for the same measured reason as the CC loops: a
-    cache-only loop re-analyzes a plan that doubles every round.
+    cache-only loop re-analyzes a plan that doubles every round;
+    durable=True swaps it for the reliable-checkpoint form
+    (operators/ckpt.py).
     """
-    from .dedup import _release_checkpoint
+    from .ckpt import pin, release
 
-    e = _undirected(edges, src, dst).localCheckpoint(eager=True)
+    e = pin(_undirected(edges, src, dst), durable)
     prev_nodes: int | None = None
     try:
         for _ in range(max_iter):
@@ -345,7 +353,7 @@ def kcore(
                         ]
                     ),
                 )
-                _release_checkpoint(e)
+                release(e, durable)
                 return empty
             if n == prev_nodes:
                 # No node fell below k this round — fixpoint reached.
@@ -360,14 +368,15 @@ def kcore(
                 e.join(keep.withColumnRenamed("v", "s"), "s", "semi")
                 .join(keep.withColumnRenamed("v", "d"), "d", "semi")
                 .select("s", "d")
-            ).localCheckpoint(eager=True)
-            _release_checkpoint(e)
+            )
+            nxt = pin(nxt, durable)
+            release(e, durable)
             e = nxt
-        _release_checkpoint(e)
+        release(e, durable)
         raise RuntimeError(
             f"kcore(k={k}) did not stabilize in {max_iter} rounds; "
             "raise max_iter (peel depth exceeds it)"
         )
     except Exception:
-        _release_checkpoint(e)
+        release(e, durable)
         raise

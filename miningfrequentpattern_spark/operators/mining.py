@@ -174,6 +174,7 @@ def apriori_frequent_itemsets(
     min_support: float,
     max_k: int = 3,
     items_col: str = "items",
+    durable: bool = False,
 ) -> DataFrame:
     """M8: iterative Apriori on DataFrames — candidate generation via
     frequent-(k-1) self-join, support counting via array_contains
@@ -207,11 +208,13 @@ def apriori_frequent_itemsets(
     intermediate levels, which live as long as the caller holds the
     result) permanently unrecoverable. That is the right trade for
     this operator's documented role — a single-session CROSS-CHECK of
-    FP-Growth at fixture scale, never the production path. If it were
-    ever run on a multi-executor cluster, switch the pins to reliable
-    `checkpoint()` against a checkpoint dir (or recompute-able
-    `persist(DISK_ONLY)`), at the cost of one HDFS write per level.
+    FP-Growth at fixture scale, never the production path. For a
+    multi-executor run, pass durable=True: every pin becomes a
+    reliable `checkpoint()` against the context's checkpoint dir
+    (operators/ckpt.py), at the cost of one durable write per level.
     """
+    from .ckpt import pin
+
     cached: list[DataFrame] = []
     try:
         baskets = baskets.select(F.col(items_col).alias("items")).cache()
@@ -225,8 +228,8 @@ def apriori_frequent_itemsets(
             .groupBy("i0")
             .agg(F.count(F.lit(1)).alias("freq"))
             .filter(F.col("freq") >= threshold)
-            .localCheckpoint(eager=True)
         )
+        lk = pin(lk, durable)
         results = [lk.select(F.array("i0").alias("items"), "freq")]
         frequent_singletons = lk.select("i0")
 
@@ -291,9 +294,12 @@ def apriori_frequent_itemsets(
             # BIGINT) and mapping ids back to arrays afterwards via a
             # candidate-sized broadcast. The id assignment is pinned by
             # the eager checkpoint, so both readers see one assignment.
-            cands_id = cands.withColumn(
-                "_cid", F.monotonically_increasing_id()
-            ).localCheckpoint(eager=True)
+            cands_id = pin(
+                cands.withColumn(
+                    "_cid", F.monotonically_increasing_id()
+                ),
+                durable,
+            )
             cand_members = cands_id.select(
                 "_cid", F.explode("itemset").alias("i0")
             )
@@ -307,8 +313,8 @@ def apriori_frequent_itemsets(
                 .filter(F.col("freq") >= threshold)
                 .join(F.broadcast(cands_id), "_cid")
                 .select("itemset", "freq")
-                .localCheckpoint(eager=True)
             )
+            counted = pin(counted, durable)
             if counted.isEmpty():
                 break
             results.append(

@@ -51,6 +51,10 @@ RUNTIME_CONF: dict[str, str] = {
 
 BUILD_CONF: dict[str, str] = {
     "spark.driver.memory": "24g",
+    # Reliable-checkpoint files (operators/ckpt.py durable=True) are
+    # reclaimed when their RDD is GC'd instead of accumulating until
+    # the directory is deleted.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     # Broadcast anything under 64 MB — the fixture dims (region, nation,
     # supplier, part, customer) are all far below this at every SF we run;

@@ -367,3 +367,43 @@ def test_kcore_raises_instead_of_returning_partial_peel(spark):
     df = spark.createDataFrame(path, "src long, dst long")
     with pytest.raises(RuntimeError, match="did not stabilize"):
         kcore(df, k=2, max_iter=1)
+
+
+def test_durable_checkpoint_mode_matches_local(spark):
+    """operators/ckpt.py durable=True (reliable checkpoint — the
+    executor-loss-recoverable path the r4 advice asked for) must be a
+    pure fault-tolerance choice: identical results to the default
+    local pin for every iterative operator that takes it."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from miningfrequentpattern_spark.operators.graph import kcore, pagerank
+    from miningfrequentpattern_spark.operators.mining import (
+        apriori_frequent_itemsets,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (5, 5), (2, 3)],
+        "doc_a long, doc_b long",
+    )
+    g = edges.selectExpr("doc_a AS src", "doc_b AS dst")
+    baskets = spark.createDataFrame(
+        [(["a", "b", "c"],), (["a", "b"],), (["b", "c"],), (["a", "c"],)],
+        "items array<string>",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for fn in (
+        lambda d: connected_components(edges, durable=d),
+        lambda d: connected_components_star(edges, durable=d),
+        lambda d: kcore(g, k=2, durable=d),
+        lambda d: pagerank(g, iterations=3, durable=d),
+        lambda d: apriori_frequent_itemsets(
+            baskets, min_support=0.5, durable=d
+        ),
+    ):
+        assert rows(fn(False)) == rows(fn(True))
