@@ -42,11 +42,19 @@ def pin(df: DataFrame, durable: bool = False) -> DataFrame:
 
 
 def release(df: DataFrame, durable: bool = False) -> None:
-    """Free a pinned generation the loop no longer needs. Local pins
-    unpersist their executor blocks NOW (see dedup's original
-    rationale: O(rounds × |state|) blocks otherwise); reliable
-    checkpoints live as FILES — nothing to unpersist, reclamation is
-    the cleaner's/directory's job."""
+    """Free a pinned generation the loop no longer needs.
+
+    Local pins unpersist their executor blocks NOW instead of waiting
+    for GC + ContextCleaner: the analyzed plan of a checkpointed
+    DataFrame is a LogicalRDD whose rdd() IS the persistent
+    checkpoint RDD, so unpersisting it is exact — no
+    persistent-RDD-map diffing, no cross-query race. Best-effort via
+    the py4j seam (Spark classic); a failure means blocks linger
+    until GC, never a wrong result. Without this an iterative loop
+    accumulates O(rounds × |state|) MEMORY_AND_DISK blocks that can
+    evict live caches (measured, self-review r5). Reliable
+    checkpoints live as FILES — nothing to unpersist; reclamation is
+    the cleaner's (cleanCheckpoints) or the directory's job."""
     if durable:
         return
     try:

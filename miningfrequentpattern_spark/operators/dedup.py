@@ -585,24 +585,8 @@ def embedding_neardup_pairs(
     )
 
 
-# The local/durable pin seam lives in operators/ckpt.py; the iterative
-# operators below take durable= and thread it through. This module's
-# original local-only helper remains for the release path.
-def _release_checkpoint(df: DataFrame) -> None:
-    """Free a localCheckpoint'ed DataFrame's pinned blocks NOW instead
-    of waiting for GC + ContextCleaner: the analyzed plan of a
-    checkpointed DataFrame is a LogicalRDD whose rdd() IS the
-    persistent checkpoint RDD, so unpersisting it is exact — no
-    persistent-RDD-map diffing, no cross-query race. Best-effort via
-    the py4j seam (Spark classic); a failure means blocks linger
-    until GC — the pre-fix behavior — never a wrong result. Without
-    this, an iterative loop checkpointing each round accumulates
-    O(rounds × |state|) MEMORY_AND_DISK blocks that can evict live
-    caches (self-review r5)."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# The local/durable pin+release seam lives in operators/ckpt.py; the
+# iterative operators below take durable= and thread it through.
 
 
 def connected_components(
