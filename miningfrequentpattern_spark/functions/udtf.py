@@ -70,7 +70,54 @@ class NgramWideUDTF:
             yield tuple(toks[i : i + n])
 
 
+@udtf(
+    returnType=(
+        "user_id BIGINT, session_start TIMESTAMP, n_events BIGINT, "
+        "last_ts TIMESTAMP"
+    )
+)
+class SessionizeUDTF:
+    """TABLE-argument UDTF (Spark 4): per-user 30-minute-gap
+    sessionization driven by `PARTITION BY user_id ORDER BY ts` in
+    the call site — Spark hands each partition's rows, in order, to
+    a FRESH instance and calls terminate() at partition end, so the
+    running state below can never bleed across users. This is the
+    imperative-stateful surface a SQL window can only emulate with
+    gaps-and-islands; the u08 oracle IS that emulation (t03's SQL),
+    certifying the two formulations against each other. Gap semantics
+    match t03: a gap of EXACTLY the threshold starts a new session.
+    Row-at-a-time Python — the extension surface, not the hot path
+    (session_counts in streaming/windows.py is the native form)."""
+
+    GAP_S = 30 * 60
+
+    def __init__(self):  # noqa: D107
+        self._user = None
+        self._start = None
+        self._last = None
+        self._n = 0
+
+    def eval(self, row):  # noqa: D102
+        ts = row.ts
+        if self._start is None:
+            self._user, self._start, self._last, self._n = (
+                row.user_id, ts, ts, 1,
+            )
+            return
+        if (ts - self._last).total_seconds() >= self.GAP_S:
+            yield self._user, self._start, self._n, self._last
+            self._start, self._n = ts, 1
+        else:
+            self._n += 1
+        self._last = ts
+
+    def terminate(self):  # noqa: D102
+        if self._start is not None:
+            yield self._user, self._start, self._n, self._last
+
+
 def register_udtfs(spark) -> None:
     """Register all engine UDTFs for SQL use (idempotent)."""
     spark.udtf.register("tokenize", TokenizeUDTF)
     spark.udtf.register("ngram_wide", NgramWideUDTF)
+    spark.udtf.register("sessionize", SessionizeUDTF)

@@ -113,9 +113,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver run): 14 more queries landed (r41-r47, l33/l34/l36-l38, m18,
 # s15), so 14 of the 22 backfill slots — all holding r1/r2 proofs —
 # were handed to them for first driver rows (then m19, l40 — the
-# second composed-pipeline flagship — and r48 sketch re-aggregation
-# displaced the r09/l04/m02 backfills the same way).
-# 3+(9+2)+8+6+17+5 = 50.
+# second composed-pipeline flagship — r48 sketch re-aggregation, and
+# u08 table-argument UDTF displaced the r09/l04/m02/l05 backfills the
+# same way). 3+(9+2)+8+6+18+4 = 50.
 #
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
 # round-5 failures, promote round-6 additions, re-certify changed
@@ -126,8 +126,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # r16, r17, r18, r19, r20, r21, r22,
 # r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04,
 # plus the backfills displaced by the round-5 continuation:
-# s05, s07, s09, r09, r10b, r11, r12, r13, r14, r15, l04, l06, l09,
-# m02, t02, t04, t05).
+# s05, s07, s09, r09, r10b, r11, r12, r13, r14, r15, l04, l05, l06,
+# l09, m02, t02, t04, t05).
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
         "r10_approx_aggregates",
@@ -197,10 +197,10 @@ PRIORITY: tuple[str, ...] = (
     "s15_metadata_scan",
     "l40_prep_pipeline2",
     "r48_hll_rollup_merge",
+    "u08_udtf_table_args",
     # backfill — oldest (round-1/2) driver proofs, cross-pack spread
     "s02_text_transactions",
     "s04_parquet_sink_roundtrip",
-    "l05_corpus_profile",
     "t01_tumbling_window",
     "t03_session_window",
 )

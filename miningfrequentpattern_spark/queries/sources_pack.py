@@ -830,3 +830,56 @@ def s15_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@query(
+    "u08_udtf_table_args",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    y AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, max(ts) AS last_ts
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def u08_udtf_table_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3-extension #2: TABLE-ARGUMENT Python UDTF with
+    `PARTITION BY ... ORDER BY ...` — the third UDTF surface beside
+    u03 (static lateral) and u07 (polymorphic analyze): the UDTF
+    consumes a whole ordered partition as streamed rows with
+    per-partition instance lifetime, i.e. Spark 4's imperative
+    stateful-over-groups API in pure SQL. The workload is per-user
+    sessionization, and the oracle is t03's gaps-and-islands SQL —
+    the declarative emulation of exactly this state machine — so the
+    hash match certifies the table-argument protocol end-to-end
+    (fresh instance per partition, in-order delivery, terminate
+    flush), not just that some rows came back.
+
+    Shape: ONE shuffle on user_id (the PARTITION BY), per-partition
+    Python iteration (the deliberate slow-path surface; the native
+    session_window form is t03/streaming). Ties broken by event_id
+    in both the ORDER BY and the oracle's window."""
+    from ..functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_u8"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM sessionize(
+          TABLE(SELECT user_id, ts, event_id FROM events_u8)
+          PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
