@@ -103,6 +103,10 @@ ADDITIONS = [
     "m19_negative_pairs",
     # composed flagship #2: fused dedup->quality->langid->mixing
     "l40_prep_pipeline2",
+    # table-argument UDTF sessionizer — the DELIBERATE row-at-a-time
+    # Python surface (u03/u07/u08 family); timed so the slow path's
+    # cost is recorded, not hidden (native twin: t03)
+    "u08_udtf_table_args",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS
