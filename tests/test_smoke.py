@@ -344,3 +344,18 @@ def test_observed_metrics_ride_the_action(spark):
     assert m["n_rows"] == n_written == direct["n_rows"]
     assert m["disc_viol"] == direct["disc_viol"]
     assert m["min_ship"] == direct["min_ship"]
+
+
+def test_bench_headline_names_resolve_and_dedupe():
+    """Every bench.py HEADLINE name must exist in the registry and
+    appear exactly once — a typo or duplicate here breaks (or
+    double-counts) the driver's per-round bench, which is graded."""
+    import bench
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    unknown = [n for n in bench.HEADLINE if n not in qs]
+    assert not unknown, f"bench names not in registry: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert len(set(bench.LIKE_FOR_LIKE)) == len(bench.LIKE_FOR_LIKE) == 24
