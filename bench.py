@@ -107,6 +107,13 @@ ADDITIONS = [
     # Python surface (u03/u07/u08 family); timed so the slow path's
     # cost is recorded, not hidden (native twin: t03)
     "u08_udtf_table_args",
+    # round-5 final session — bucketed prefix-max skyline; dual-window
+    # single-exchange weighted median; rank-weighted concentration
+    # statistic; time-banded user-keyed pair mining
+    "r49_pareto_frontier",
+    "r50_weighted_median",
+    "l41_token_gini",
+    "m20_gap_sequential_pairs",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS

@@ -2272,3 +2272,64 @@ def l40_prep_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wgt, 6).alias("mix_weight"),
         F.floor(wgt * budget).cast("long").alias("alloc_tokens"),
     )
+
+
+@query(
+    "l41_token_gini",
+    oracle="""
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+    c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+    r AS (SELECT source, c,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY c, tok) AS rk
+          FROM c)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           round(2.0 * sum(rk * c) / (count(*) * sum(c))
+                 - (count(*) + 1.0) / count(*), 4) AS gini
+    FROM r GROUP BY source
+    """,
+)
+def l41_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5-extension (corpus-health monitor): per-source Gini
+    coefficient of the token-frequency distribution — 0 means every
+    vocabulary word is used equally, →1 means a few tokens dominate.
+    A collapsing or template-spammed source shows up as a Gini jump
+    long before perplexity moves; the natural companion to l26's
+    cross-source KL drift (this one is WITHIN-source concentration).
+
+    Formula (sorted-ascending rank form): G = 2·Σ(rank·count) /
+    (n·Σcount) − (n+1)/n, with ties broken by token so the rank
+    assignment is deterministic on both engines (tied counts permute
+    within equal values, leaving Σ(rank·count) unchanged — the
+    tiebreak is for determinism hygiene, not correctness).
+
+    Scale shape: explode → hash agg with map-side partials to the
+    (source, token) relation — bounded by |sources|·|vocab|, NOT by
+    corpus rows — then a window PARTITIONED by source over that
+    bounded relation (the per-partition width is the source's
+    vocabulary, the same bound every vocab leg in this pack leans
+    on), and a final per-source agg that reuses the window's
+    clustering. The oracle splits on single spaces per the fixture
+    invariant (tests/test_fixture_invariants.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    counts = (
+        docs.select("source", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("c", "tok")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    n, tot, s = F.count(F.lit(1)), F.sum("c"), F.sum(F.col("rk") * F.col("c"))
+    return ranked.groupBy("source").agg(
+        n.alias("vocab_size"),
+        tot.alias("total_tokens"),
+        F.round(
+            F.lit(2.0) * s / (n * tot) - (n + F.lit(1.0)) / n, 4
+        ).alias("gini"),
+    )

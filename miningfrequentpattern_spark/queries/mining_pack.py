@@ -1289,3 +1289,62 @@ def m19_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lift", "w1", "w2")
         .limit(25)
     )
+
+
+@query(
+    "m20_gap_sequential_pairs",
+    oracle="""
+    SELECT a.event_type AS antecedent, b.event_type AS consequent,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS support_users,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type IS NOT NULL AND b.event_type IS NOT NULL
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.user_id) >= 5
+    """,
+)
+def m20_gap_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9-extension (gap-constrained sequential pairs): mine A→B
+    event pairs where B strictly follows A for the same user within a
+    1-hour gap, with user-level support ≥ 5 — the time-bounded
+    variant PrefixSpan cannot express (m09's sequences are
+    order-only; a max-gap constraint is a TIME predicate, not a
+    position one). Occurrence counts ride along so downstream
+    confidence/interest scoring has both denominators.
+
+    Scale shape: an EQUI-join on user_id (one shuffle of each side,
+    AQE skew-split applies) with the time band as a post-join
+    predicate — per-user fan-out is bounded by events-per-user within
+    the gap window, never a cartesian. The distinct-user support is a
+    two-phase aggregate (partial distinct on the join's own user
+    clustering). For heavier tails, the r06/r08 time-bucket equi-key
+    composes directly; at the fixtures' densities the plain user key
+    is the faster plan."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (
+            F.col("b.ts")
+            <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("support_users"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("support_users") >= 5)
+    )

@@ -125,9 +125,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
 # r16, r17, r18, r19, r20, r21, r22,
 # r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04,
-# plus the backfills displaced by the round-5 continuation:
-# s05, s07, s09, r09, r10b, r11, r12, r13, r14, r15, l04, l05, l06,
-# l09, m02, t02, t04, t05).
+# plus the backfills displaced by the round-5 continuation and final
+# session: s02, s04, s05, s07, s09, r09, r10b, r11, r12, r13, r14,
+# r15, l04, l05, l06, l09, m02, t01, t02, t03, t04, t05).
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
         "r10_approx_aggregates",
@@ -198,11 +198,15 @@ PRIORITY: tuple[str, ...] = (
     "l40_prep_pipeline2",
     "r48_hll_rollup_merge",
     "u08_udtf_table_args",
-    # backfill — oldest (round-1/2) driver proofs, cross-pack spread
-    "s02_text_transactions",
-    "s04_parquet_sink_roundtrip",
-    "t01_tumbling_window",
-    "t03_session_window",
+    # round-5 final session — 4 more oracle-bearing additions take
+    # the last backfill slots (the displaced s02/s04/t01/t03 all hold
+    # r1/r2 proofs and stay covered by the local mirror): per-brand
+    # Pareto frontier, exact weighted median, per-source token Gini,
+    # gap-constrained sequential pairs.
+    "r49_pareto_frontier",
+    "r50_weighted_median",
+    "l41_token_gini",
+    "m20_gap_sequential_pairs",
 )
 
 

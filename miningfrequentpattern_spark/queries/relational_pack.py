@@ -2242,3 +2242,98 @@ def r48_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_diff"),
     )
+
+
+@query(
+    "r49_pareto_frontier",
+    oracle="""
+    WITH p AS (SELECT p_brand, p_partkey,
+                      round(p_retailprice, 4) AS p_retailprice, p_size
+               FROM part WHERE p_brand IS NOT NULL)
+    SELECT b.p_brand, b.p_partkey, b.p_retailprice, b.p_size
+    FROM p b WHERE NOT EXISTS (
+      SELECT 1 FROM p a
+      WHERE a.p_brand = b.p_brand
+        AND a.p_retailprice <= b.p_retailprice
+        AND a.p_size >= b.p_size
+        AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size))
+    """,
+)
+def r49_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-§2: exact per-brand 2-D skyline (Pareto frontier) —
+    the parts no same-brand part beats on BOTH price (lower-better)
+    and size (higher-better). The textbook formulations are a NOT
+    EXISTS self-join (O(n²) per brand — the oracle deliberately IS
+    that form) or a global-ORDER-BY running max (single-partition
+    WindowExec, the r26 cliff); this plans neither. See
+    operators/relational.py::pareto_frontier_2d for the two-level
+    bucketed prefix-max: every window is PARTITIONED (by brand+bucket
+    or by brand over ≤n_buckets rows), the dominance test runs on the
+    aggregated (brand, price)->max(size) relation, and the
+    frontier-sized survivors broadcast back to recover rows."""
+    from ..operators.relational import pareto_frontier_2d
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isNotNull())
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 4).alias("p_retailprice"),
+            "p_size",
+        )
+    )
+    return pareto_frontier_2d(
+        p, ["p_brand"], "p_retailprice", "p_size"
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+@query(
+    "r50_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_suppkey, l_extendedprice,
+             sum(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(l_quantity) OVER (PARTITION BY l_suppkey) AS tot
+      FROM lineitem)
+    SELECT l_suppkey,
+           round(min(l_extendedprice), 4) AS wmedian_price
+    FROM w WHERE cum >= tot / 2 GROUP BY l_suppkey
+    """,
+)
+def r50_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-§2 (R10-extension, EXACT weighted order statistic):
+    per-supplier quantity-weighted median price — the smallest price
+    whose cumulative quantity reaches half the supplier's total. No
+    sort-collapse: the cumulative and the total are two windows over
+    the SAME per-supplier partitioning, so the whole operator costs
+    ONE exchange (asserted in tests/test_plans.py — the follow-up
+    groupBy reuses that clustering too: one shuffle end to end).
+    Determinism: the running sum's frame is ROWS with a total
+    (price, orderkey, linenumber) order, and l_quantity is integral
+    on this schema (sums are exact in doubles), so the boundary row
+    is engine-independent — which is what lets an oracle certify a
+    cumulative-sum threshold at all."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_suppkey")
+    return (
+        li.withColumn("cum", F.sum("l_quantity").over(w_cum))
+        .withColumn("tot", F.sum("l_quantity").over(w_tot))
+        .filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.min("l_extendedprice"), 4).alias("wmedian_price"))
+    )

@@ -181,6 +181,17 @@ SECTIONS = [
     ("r48_hll_rollup_merge",
      "two-level sketch rollup: per-year hll_sketch_agg partials, "
      "hll_union_agg re-aggregation, broadcast direct-leg compare"),
+    ("r49_pareto_frontier",
+     "skyline via bucketed prefix-max: brand-partitioned windows "
+     "only, broadcast join-backs, no self-join / global window"),
+    ("r50_weighted_median",
+     "dual window + final aggregate all on ONE l_suppkey exchange"),
+    ("l41_token_gini",
+     "explode -> vocab-bounded agg -> source-partitioned rank "
+     "window; joinless"),
+    ("m20_gap_sequential_pairs",
+     "time band rides a user_id equi-join; two-phase distinct "
+     "support aggregate"),
 ]
 
 # one section per query — a duplicated entry silently doubles PLANS.md

@@ -909,3 +909,62 @@ def test_prep_pipeline2_is_two_shuffles(spark):
         "Exchange hashpartitioning(doc_id" in ln for ln in p.splitlines()
     ), p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_pareto_frontier_no_global_window_no_selfjoin(spark):
+    """r49: the skyline must plan with ONLY brand-partitioned windows
+    (the bucketed prefix-max — a global ORDER BY window would
+    single-partition the relation) and ONLY broadcast joins (the
+    frontier join-back; a SortMergeJoin or cartesian would mean the
+    NOT-EXISTS self-join shape leaked into the Spark side — that
+    formulation is the ORACLE's job)."""
+    import re
+
+    p = plan_of(spark, "r49_pareto_frontier")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and set(specs) == {"p_brand"}, specs
+
+
+def test_weighted_median_single_exchange(spark):
+    """r50: the cumulative window, the total window, and the final
+    per-supplier aggregate must ALL reuse one hashpartitioning
+    exchange on l_suppkey — the docstring's one-shuffle-end-to-end
+    claim (formatted plans mention each node twice: tree + details)."""
+    import re
+
+    p = plan_of(spark, "r50_weighted_median")
+    assert p.count("Exchange") == 2, p
+    assert "hashpartitioning(l_suppkey" in p, p
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and set(specs) == {"l_suppkey"}, specs
+
+
+def test_token_gini_windows_partition_by_source(spark):
+    """l41: the rank window must partition by source (its width is
+    the per-source vocabulary, never the corpus), aggregates must run
+    map-side partials, and nothing may plan a join at all — the Gini
+    is windows + aggs over one exploded relation."""
+    import re
+
+    p = plan_of(spark, "l41_token_gini")
+    assert "Join" not in p, p
+    assert "partial_count" in p or "partial count" in p, p
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and set(specs) == {"source"}, specs
+
+
+def test_gap_pairs_equi_join_never_cartesian(spark):
+    """m20: the time band must ride a user_id EQUI-join (broadcast at
+    this SF; a shuffle join keyed on user_id above the threshold) —
+    never a cartesian or nested-loop plan, which is what a naive
+    range-only self-join degenerates to."""
+    p = plan_of(spark, "m20_gap_sequential_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or (
+        "ShuffledHashJoin" in p
+    ), p

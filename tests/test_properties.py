@@ -407,3 +407,107 @@ def test_durable_checkpoint_mode_matches_local(spark):
         ),
     ):
         assert rows(fn(False)) == rows(fn(True))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),          # brand
+            st.integers(0, 12),                    # price grid
+            st.integers(0, 8),                     # size grid
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_buckets=st.sampled_from([1, 2, 7]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pareto_frontier_matches_brute_force(spark, rows, n_buckets):
+    """Bucketed prefix-max skyline vs the O(n²) dominance definition
+    on arbitrary small inputs — duplicates, single-value domains
+    (width-0 bucketing), ties on either axis, and degenerate bucket
+    counts must all return EXACTLY the non-dominated multiset."""
+    from miningfrequentpattern_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    df = spark.createDataFrame(
+        [(b, float(p), s) for b, p, s in rows],
+        "brand string, price double, size int",
+    )
+    got = sorted(
+        (r["brand"], r["price"], r["size"])
+        for r in pareto_frontier_2d(
+            df, ["brand"], "price", "size", n_buckets=n_buckets
+        ).collect()
+    )
+    want = sorted(
+        (b, float(p), s)
+        for b, p, s in rows
+        if not any(
+            b2 == b
+            and p2 <= p
+            and s2 >= s
+            and (p2 < p or s2 > s)
+            for b2, p2, s2 in rows
+        )
+    )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),     # group key
+            st.integers(0, 20),    # price
+            st.integers(1, 5),     # integral weight
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_median_matches_reference(spark, rows):
+    """The r50 dual-window formulation vs a Python reference of the
+    lower weighted median (smallest value whose cumulative weight
+    reaches half the total) — ties, single-row groups, and repeated
+    values must agree exactly."""
+    df = spark.createDataFrame(
+        [(g, float(p), float(w), i, 0) for i, (g, p, w) in enumerate(rows)],
+        "l_suppkey int, l_extendedprice double, l_quantity double, "
+        "l_orderkey long, l_linenumber int",
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["l_suppkey"]: r["wm"]
+        for r in (
+            df.withColumn("cum", F.sum("l_quantity").over(w_cum))
+            .withColumn(
+                "tot",
+                F.sum("l_quantity").over(Window.partitionBy("l_suppkey")),
+            )
+            .filter(F.col("cum") >= F.col("tot") / 2)
+            .groupBy("l_suppkey")
+            .agg(F.min("l_extendedprice").alias("wm"))
+            .collect()
+        )
+    }
+    want = {}
+    for g in {g for g, _, _ in rows}:
+        vals = sorted((p, w) for gg, p, w in rows if gg == g)
+        tot = sum(w for _, w in vals)
+        cum = 0
+        for p, w in vals:
+            cum += w
+            if cum >= tot / 2:
+                want[g] = float(p)
+                break
+    assert got == want
