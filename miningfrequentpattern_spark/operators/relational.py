@@ -348,3 +348,60 @@ def pareto_frontier_2d(
     cond = [df[min_col] == F.col("_fmin"), df[max_col] == F.col("_gmax")]
     cond += [df[k].eqNullSafe(F.col(f"_fk_{k}")) for k in key_cols]
     return df.join(F.broadcast(frontier_vals), cond).select(df["*"])
+
+
+def scd2_versions(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed change
+    log: collapse consecutive rows whose tracked attributes are
+    unchanged, emitting one row per VERSION with
+    `valid_from` (the version's first timestamp), `valid_to` (the
+    next version's start — half-open [from, to) interval, NULL while
+    current) and `is_current`. The CDC companion to r37's snapshot
+    diff: that one compares two STATES, this one compacts a full
+    change STREAM into queryable validity intervals (the "dimension
+    table build" step of a warehouse load).
+
+    Semantics: a row STARTS a version iff any attr differs null-safely
+    from the key's previous row in (ts, tiebreak) order — duplicates
+    of the current state are absorbed, a value that flips A→B→A
+    yields three versions (history, not distinct-states).
+    `tiebreak_col` must make the per-key order total or version
+    boundaries are nondeterministic (same contract as every ranked
+    operator here).
+
+    Scale shape: two window passes, BOTH partitioned by the key —
+    lag-based change detection over the raw log, lead-based interval
+    closing over the (much smaller) version rows — and the second
+    window's relation arrives already hash-clustered by key, so the
+    whole operator costs ONE shuffle of the log plus one
+    versions-sized exchange. No joins, no global window.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_log = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.lit(False)
+    for a in attr_cols:
+        prev = F.lag(F.col(a)).over(w_log)
+        changed = changed | ~F.col(a).eqNullSafe(prev)
+    # lag over the FIRST row of a key yields NULL for every attr; a
+    # genuinely-NULL first attr would then look unchanged (NULL <=>
+    # NULL), so anchor the first row explicitly on the tiebreak.
+    first = F.lag(F.col(tiebreak_col)).over(w_log).isNull()
+    versions = df.withColumn("_new_version", first | changed).filter(
+        F.col("_new_version")
+    )
+    w_ver = Window.partitionBy(*key_cols).orderBy(*order)
+    valid_to = F.lead(F.col(ts_col)).over(w_ver)
+    return versions.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        F.col(tiebreak_col).alias("version_id"),
+    )
