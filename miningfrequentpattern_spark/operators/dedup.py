@@ -75,21 +75,25 @@ def shingles(col: str, n: int = 3) -> F.Column:
     )
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_stats(
     docs: DataFrame,
-    block_col: str = "lang",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_shingle_df: int | None = 1000,
-    guard_sample: float = 0.1,
+    block_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_df: int | None,
+    guard_sample: float,
 ) -> DataFrame:
-    """L2 (exact variant): pairwise n-gram Jaccard within blocks.
+    """Shared inverted-index set-similarity core: the
+    (doc_a, doc_b, n_a, n_b, n_common) pair-statistics relation over
+    word-n-gram shingle sets, on the post-guard universe. Every
+    exact set-similarity operator here (ngram_jaccard_pairs,
+    ngram_containment_pairs) is a different FINAL SCORE over this one
+    relation — the join shape, the hot-shingle guard, and the
+    denominator semantics below are common to all of them.
 
-    |A∩B| / |A∪B| over word-3-gram shingle sets; self-join restricted
-    to a blocking key so the pair space is Σ block² not N². Fully
-    native (array_intersect / size), so it doubles as the SQL-oracle
-    anchor for the randomized MinHash path.
+    Self-join restricted to a blocking key so the pair space is
+    Σ block² not N². Fully native (explode / count), so it doubles
+    as the SQL-oracle anchor for the randomized MinHash path.
 
     Hot-shingle guard (`max_shingle_df`, the prefix-filter lever from
     SCALING.md): a shingle appearing in d documents contributes d²
@@ -300,10 +304,65 @@ def ngram_jaccard_pairs(
                 "n_b", F.col("n_b") - F.coalesce(F.col("_hot_b"), F.lit(0))
             )
         )
+    return common.select("doc_a", "doc_b", "n_a", "n_b", "n_common")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+    guard_sample: float = 0.1,
+) -> DataFrame:
+    """L2 (exact variant): pairwise n-gram Jaccard within blocks —
+    |A∩B| / |A∪B| ≥ threshold over the shared pair-statistics core
+    (see _ngram_pair_stats for the inverted-index join shape and the
+    two-regime hot-shingle guard; numerator and denominators are
+    post-guard by construction)."""
+    common = _ngram_pair_stats(
+        docs, block_col, id_col, n, max_shingle_df, guard_sample
+    )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return common.select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = 1000,
+    guard_sample: float = 0.1,
+) -> DataFrame:
+    """L2 (asymmetric variant): pairwise n-gram CONTAINMENT within
+    blocks — keep (a, b) iff max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold,
+    emitting both directional scores. This is the excerpt/quote
+    detector Jaccard structurally cannot be: a 10-shingle quote
+    inside a 1000-shingle document scores Jaccard ≈ 0.01 (invisible
+    at any usable symmetric threshold) but containment 1.0. Same
+    plan as ngram_jaccard_pairs — ONE inverted-index self-join via
+    _ngram_pair_stats, different final score; under the hot-shingle
+    guard both numerator and the |A|,|B| denominators are post-guard
+    (the l02f/l02g denominator contract, unchanged)."""
+    common = _ngram_pair_stats(
+        docs, block_col, id_col, n, max_shingle_df, guard_sample
+    )
+    c_ab = F.round(F.col("n_common") / F.col("n_a"), 4)
+    c_ba = F.round(F.col("n_common") / F.col("n_b"), 4)
+    return common.select(
+        "doc_a",
+        "doc_b",
+        c_ab.alias("cont_a_in_b"),
+        c_ba.alias("cont_b_in_a"),
+    ).filter(
+        F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+        >= threshold
+    )
 
 
 def simhash64(tokens_col: str = "tokens") -> F.Column:
