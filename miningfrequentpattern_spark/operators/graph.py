@@ -380,3 +380,85 @@ def kcore(
     except Exception:
         release(e, durable)
         raise
+
+
+def khop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    durable: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: min hop distance from any source node, out to
+    `max_hops`. Returns (id, dist) with dist ∈ [0, max_hops]; nodes
+    farther than max_hops (or unreachable) are absent. The k-hop
+    neighborhood primitive behind blast-radius analysis, recall
+    expansion over an item graph, and "related within N degrees"
+    queries — the traversal complement to pagerank's global ranking
+    and kcore's density peeling.
+
+    Semantics: edges are followed as DIRECTED (src → dst); callers
+    wanting undirected reach pass a symmetrized list, exactly as
+    m13's co-purchase usage does for pagerank. Source ids absent
+    from the graph still appear at dist 0 (a seed is trivially
+    reachable from itself). Frontier exhaustion short-circuits the
+    remaining hops, so a disconnected seed set never pays for empty
+    iterations.
+
+    Shape per hop (the kcore loop pattern, not pagerank's composite
+    plan): the frontier — pinned via the shared ckpt seam, so each
+    hop's plan starts from a LogicalRDD instead of re-deriving every
+    earlier frontier (the O(hops²) recomputation a lazy union-of-
+    anti-joins would pay) — equi-joins the CACHED, pre-partitioned
+    edge relation on the edge key (only the |frontier|-sized side
+    shuffles; the |E|-sized side never moves after the one prelude
+    exchange, same rationale as pagerank's contribs cache), then one
+    distinct on the discovered ids and one anti join against the
+    visited union (all prior pinned legs — id-keyed, reusing the
+    distinct's hashing). Per-hop driver traffic is a single isEmpty
+    probe on an already-materialized pin, never node data. The final
+    (≤|V|-row) result is pinned before the per-hop legs are released
+    — callers get a handle whose storage does not dangle into freed
+    blocks; durable=True swaps every pin for a reliable checkpoint
+    (recoverable on executor loss, see operators/ckpt.py).
+    """
+    from .ckpt import pin, release
+
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .repartition("_src")
+        .cache()
+    )
+    legs: list[DataFrame] = []
+    try:
+        frontier = pin(
+            sources.select(F.col(id_col).alias("id")).distinct(), durable
+        )
+        legs.append(frontier)
+        out_legs = [frontier.select("id", F.lit(0).alias("dist"))]
+        visited = frontier
+        for h in range(1, max_hops + 1):
+            if frontier.isEmpty():
+                break
+            frontier = pin(
+                e.join(
+                    frontier.withColumnRenamed("id", "_src"), "_src"
+                )
+                .select(F.col("_dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "anti"),
+                durable,
+            )
+            legs.append(frontier)
+            out_legs.append(frontier.select("id", F.lit(h).alias("dist")))
+            visited = visited.unionByName(frontier)
+        out = out_legs[0]
+        for leg in out_legs[1:]:
+            out = out.unionByName(leg)
+        return pin(out, durable)
+    finally:
+        e.unpersist()
+        for leg in legs:
+            release(leg, durable)

@@ -118,10 +118,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # same way). 3+(9+2)+8+6+18+4 = 50.
 #
 # ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
-# round-5 failures, promote round-6 additions (operators/relational.py
-# ::scd2_versions is implemented + locally DuckDB-certified and waits
-# for a slot — register it as r51_scd2_versions with the oracle in
-# tests/test_cdc.py), re-certify changed
+# round-5 failures, promote round-6 additions (implemented + locally
+# DuckDB-certified, waiting for slots: relational.py::scd2_versions →
+# r51_scd2_versions with the oracle in tests/test_cdc.py;
+# dedup.py::ngram_containment_pairs → l42_containment_pairs with the
+# oracle in tests/test_containment.py; graph.py::khop_distances →
+# m21_part_khop_reach with the oracle in tests/test_khop.py),
+# re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
 # set will then be the freshest — prefer re-proving round-1/2 rows
