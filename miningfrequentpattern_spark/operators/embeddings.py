@@ -1,0 +1,223 @@
+"""Embedding-matrix second-moment analytics: the d×d correlation
+structure and its eigen-spectrum — the collapse/anisotropy/redundancy
+monitors an embedding pipeline runs beside l29's per-dimension
+marginals (a pair of dimensions can be individually healthy and
+jointly redundant; only the cross-moments see it).
+
+Scale posture — sufficient statistics, never pairwise explosion: the
+naive relational form (explode to (vec, i, x), self-join on vec, agg
+by (i, j)) shuffles N·d(d+1)/2 rows — a 2000× blow-up of the input
+at d = 64 and the plan that dies first at 100 TB. Instead each Arrow
+batch is reduced IN PLACE to one partial-row of sufficient stats
+(n, Σx, Σxxᵀ as a d²-array — one numpy GEMM per batch), so the only
+shuffled relation is #batches × (d² + d + 1) doubles, independent of
+N; the partials combine with a native posexplode + hash aggregate
+and everything after is d²-sized (broadcast joins). Same
+partial-then-combine shape as the engine's two-level HLL rollup
+(r48). The DuckDB oracle for the correlation output USES the naive
+pairwise form — fine single-process at sf0.01, and exactly the
+contrast the docstring above is about.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """One row of (n, s[d], ss[d²]) per Arrow batch. Null vectors are
+    filtered upfront (documented: a null embedding has no moments); a
+    RAGGED vector raises — silently padding/truncating would corrupt
+    every downstream moment (the multimodal stub's
+    partial-result-is-wrong-result stance)."""
+    vecs = df.select(F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            try:
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    f"ragged {vec_col!r}: expected uniform dim {dim}"
+                ) from exc
+            if m.shape[1] != dim:
+                raise ValueError(
+                    f"{vec_col!r} has dim {m.shape[1]}, expected {dim}"
+                )
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0)],
+                    "ss": [(m.T @ m).ravel()],
+                }
+            )
+
+    return vecs.mapInPandas(
+        gen, schema="n long, s array<double>, ss array<double>"
+    )
+
+
+def _combined_moments(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Combine the per-batch partials into the three tiny relations
+    every second-moment consumer needs: a 1-row count, a d-row
+    (i, mu, sd) marginal relation (population sd), and a d²-row
+    (i, j, exy) raw-cross-moment relation — 1-based indices so SQL
+    twins read embedding[i] directly."""
+    parts = _moment_partials(df, vec_col, dim)
+    n_row = parts.agg(F.sum("n").alias("_n"))
+    s_sum = (
+        parts.select(F.posexplode("s").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    ss_sum = (
+        parts.select(F.posexplode("ss").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("ss"))
+    )
+    exy = (
+        ss_sum.crossJoin(F.broadcast(n_row))
+        .select(
+            (F.floor(F.col("pos") / dim) + 1).alias("i"),
+            (F.col("pos") % dim + 1).alias("j"),
+            (F.col("ss") / F.col("_n")).alias("exy"),
+        )
+    )
+    mom = (
+        s_sum.crossJoin(F.broadcast(n_row))
+        .select(
+            (F.col("pos") + 1).alias("i"),
+            (F.col("s") / F.col("_n")).alias("mu"),
+        )
+        .join(
+            exy.filter(F.col("i") == F.col("j")).select("i", "exy"), "i"
+        )
+        .select(
+            "i",
+            "mu",
+            F.sqrt(F.col("exy") - F.col("mu") ** 2).alias("sd"),
+        )
+    )
+    return n_row, mom, exy
+
+
+def embedding_correlation(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Upper-triangle (i ≤ j, 1-based) Pearson correlation matrix of
+    the embedding dimensions, population moments:
+
+        corr_ij = (E[x_i x_j] − μ_i μ_j) / (σ_i σ_j)
+
+    Returns (i, j, corr) with corr NULL when either σ is 0 (a
+    constant dimension has no correlation; the explicit guard keeps
+    Spark's NULL divide and a SQL engine's IEEE divide from hashing
+    apart — the r44 flat-series pin)."""
+    _, mom, exy = _combined_moments(df, vec_col, dim)
+    dm = F.broadcast(mom)
+    a = dm.select("i", F.col("mu").alias("_mu_i"), F.col("sd").alias("_sd_i"))
+    b = dm.select(
+        F.col("i").alias("j"),
+        F.col("mu").alias("_mu_j"),
+        F.col("sd").alias("_sd_j"),
+    )
+    return (
+        exy.filter(F.col("i") <= F.col("j"))
+        .join(a, "i")
+        .join(b, "j")
+        .select(
+            "i",
+            "j",
+            F.when(
+                (F.col("_sd_i") > 0) & (F.col("_sd_j") > 0),
+                F.round(
+                    (F.col("exy") - F.col("_mu_i") * F.col("_mu_j"))
+                    / (F.col("_sd_i") * F.col("_sd_j")),
+                    4,
+                ),
+            ).alias("corr"),
+        )
+    )
+
+
+def embedding_spectrum(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """One-row eigen-spectrum summary of the embedding covariance:
+    (n_vectors, total_var, top1_share, effective_rank,
+    n_components_90) — trace, anisotropy (λ₁/Σλ), participation
+    ratio ((Σλ)²/Σλ², the continuous effective dimensionality), and
+    the component count covering 90% variance. The collapse metrics
+    from the representation-degeneration literature, on the
+    POPULATION covariance.
+
+    Not SQL-expressible (eigendecomposition), so a registration would
+    be rows-only by design — certified instead against a local numpy
+    eigh on the same input (tests/test_embeddings.py). Shape: the
+    same sufficient-stats seam, then ONE grouped-map over the d²-row
+    (i, j, cov) relation (bounded by d², never by N) runs the d×d
+    eigh — numpy on a 64×64 matrix inside an executor task, not a
+    driver collect."""
+    n_row, mom, exy = _combined_moments(df, vec_col, dim)
+    a = F.broadcast(mom).select("i", F.col("mu").alias("_mu_i"))
+    b = F.broadcast(mom).select(
+        F.col("i").alias("j"), F.col("mu").alias("_mu_j")
+    )
+    cov = (
+        exy.join(a, "i")
+        .join(b, "j")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.lit(1).alias("_g"),
+            "i",
+            "j",
+            (F.col("exy") - F.col("_mu_i") * F.col("_mu_j")).alias("cov"),
+            F.col("_n").alias("n"),
+        )
+    )
+
+    def spec(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["n"].iloc[0])
+        m = np.zeros((dim, dim))
+        m[pdf["i"].to_numpy() - 1, pdf["j"].to_numpy() - 1] = pdf[
+            "cov"
+        ].to_numpy()
+        lam = np.linalg.eigvalsh(m)[::-1]
+        lam = np.clip(lam, 0.0, None)  # fp jitter below 0
+        tot = float(lam.sum())
+        share = float(lam[0] / tot) if tot > 0 else None
+        erank = float(tot**2 / (lam @ lam)) if tot > 0 else None
+        cum = np.cumsum(lam) / tot if tot > 0 else np.ones(dim)
+        return pd.DataFrame(
+            {
+                "n_vectors": [n],
+                "total_var": [round(tot, 4)],
+                "top1_share": [None if share is None else round(share, 4)],
+                "effective_rank": [
+                    None if erank is None else round(erank, 4)
+                ],
+                "n_components_90": [int(np.searchsorted(cum, 0.9) + 1)],
+            }
+        )
+
+    return cov.groupBy("_g").applyInPandas(
+        spec,
+        schema=(
+            "n_vectors long, total_var double, top1_share double, "
+            "effective_rank double, n_components_90 int"
+        ),
+    )

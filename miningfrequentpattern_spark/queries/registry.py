@@ -123,7 +123,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # r51_scd2_versions with the oracle in tests/test_cdc.py;
 # dedup.py::ngram_containment_pairs → l42_containment_pairs with the
 # oracle in tests/test_containment.py; graph.py::khop_distances →
-# m21_part_khop_reach with the oracle in tests/test_khop.py),
+# m21_part_khop_reach with the oracle in tests/test_khop.py;
+# timeseries.py::ewma → r52_ewma_daily_revenue with the
+# recursive-CTE oracle in tests/test_ewma.py;
+# embeddings.py::embedding_correlation → l43_embedding_corr_matrix
+# with the oracle in tests/test_embeddings.py, and
+# embeddings.py::embedding_spectrum → l44_embedding_spectrum,
+# rows-only by design — eigendecomposition has no SQL twin; its
+# numpy-parity certification lives in the same test file),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

@@ -1,0 +1,109 @@
+"""Embedding second-moment analytics (operators/embeddings.py) —
+round-6 window candidates, locally certified NOW: the DuckDB oracle
+below is the exact SQL a future l43_embedding_corr_matrix
+registration will carry; embedding_spectrum (eigendecomposition, not
+SQL-expressible → rows-only by design if registered) is certified
+against a local numpy eigh on the same parquet instead. Plus the
+guards the fixture can't exercise: constant-dimension NULL pin,
+ragged-vector raise."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from miningfrequentpattern_spark.operators.embeddings import (
+    embedding_correlation,
+    embedding_spectrum,
+)
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future l43 oracle, verbatim. Dialect pins: embedding[i] is DuckDB's
+# 1-BASED list indexing (the l29 convention, asserted by
+# test_fixture_invariants' dialect canary); the sd > 0 guard mirrors
+# the operator's NULL-on-constant-dimension pin (r44 divide
+# semantics); population moments on both sides. The pairwise
+# self-join form here is the naive O(N·d²) shape the operator's
+# sufficient-stats seam exists to avoid — fine single-process at
+# sf0.01, wrong at scale.
+L43_ORACLE = """
+WITH x AS (SELECT vec_id, r.i::INT AS i, embedding[r.i]::DOUBLE AS v
+           FROM embeddings, range(1, 65) r(i)
+           WHERE embedding IS NOT NULL),
+m AS (SELECT i, avg(v) AS mu, stddev_pop(v) AS sd FROM x GROUP BY i),
+c AS (SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2)
+SELECT c.i, c.j,
+       CASE WHEN ma.sd > 0 AND mb.sd > 0
+            THEN round((c.exy - ma.mu * mb.mu) / (ma.sd * mb.sd), 4)
+       END AS corr
+FROM c JOIN m ma ON c.i = ma.i JOIN m mb ON c.j = mb.i
+"""
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_embedding_correlation_matches_duckdb_oracle(spark, duck):
+    got = embedding_correlation(_emb(spark, SF_ORACLE), dim=64)
+    compare(got, duck, L43_ORACLE)
+
+
+def test_embedding_spectrum_matches_numpy_eigh(spark):
+    """The grouped-map eigh must reproduce a single-process numpy
+    reference bit-for-bit at the 4dp contract: same population
+    covariance, same participation-ratio definition."""
+    row = embedding_spectrum(_emb(spark, SF_ORACLE), dim=64).collect()
+    assert len(row) == 1
+    got = row[0]
+
+    m = np.stack(
+        duckdb.sql(
+            "SELECT embedding FROM "
+            f"read_parquet('{SF_ORACLE}/embeddings.parquet') "
+            "WHERE embedding IS NOT NULL"
+        ).fetchnumpy()["embedding"]
+    ).astype(np.float64)
+    cov = (m.T @ m) / len(m) - np.outer(m.mean(0), m.mean(0))
+    lam = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
+    tot = lam.sum()
+    assert got["n_vectors"] == len(m)
+    assert got["total_var"] == pytest.approx(round(float(tot), 4), abs=1e-4)
+    assert got["top1_share"] == pytest.approx(
+        round(float(lam[0] / tot), 4), abs=1e-4
+    )
+    assert got["effective_rank"] == pytest.approx(
+        round(float(tot**2 / (lam @ lam)), 4), abs=1e-4
+    )
+    assert got["n_components_90"] == int(
+        np.searchsorted(np.cumsum(lam) / tot, 0.9) + 1
+    )
+
+
+def test_constant_dimension_yields_null_corr(spark):
+    """A constant dimension (sd = 0) must produce NULL correlations —
+    never NaN, never a crash (the r44 divide-semantics pin)."""
+    rows = [(i, [float(i), 5.0, float(i % 3)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["i"], r["j"]): r["corr"]
+        for r in embedding_correlation(df, dim=3).collect()
+    }
+    assert len(got) == 6
+    assert got[(2, 2)] is None and got[(1, 2)] is None and got[(2, 3)] is None
+    assert got[(1, 1)] == 1.0 and got[(3, 3)] == 1.0
+
+
+def test_ragged_vectors_raise(spark):
+    """Mixed-dim vectors must fail loudly, not silently corrupt the
+    moments (partial-result-is-wrong-result stance)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged|dim"):
+        embedding_correlation(df, dim=2).collect()

@@ -968,3 +968,113 @@ def test_gap_pairs_equi_join_never_cartesian(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or (
         "ShuffledHashJoin" in p
     ), p
+
+
+# ---------------------------------------------------------------------------
+# Staged round-6 candidates (unregistered — audited by building the
+# DataFrame directly; switch to plan_of(name) on promotion). Plan
+# audits land WITH the operator, same standard as the window set.
+
+
+def _staged_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_staged_containment_inherits_jaccard_join_shape(spark):
+    """l42 candidate: the containment score must ride the SAME
+    inverted-index shuffle_hash self-join as the certified Jaccard
+    path (shared _ngram_pair_stats core) — no cartesian, no
+    broadcast of the corpus-sized inverted index."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    p = _staged_plan(ngram_containment_pairs(docs, max_shingle_df=None))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ShuffledHashJoin" in p
+
+
+def test_staged_ewma_one_series_shuffle_no_window(spark):
+    """r52 candidate: the recurrence is ONE grouped-map over the
+    series key — a FlatMapGroupsInPandas fed by the daily aggregate,
+    never a Window (the O(len²) windowed-convolution shape the
+    operator exists to avoid). Exactly two exchanges: the (priority,
+    day) aggregate and the series-key grouping."""
+    from miningfrequentpattern_spark.operators.timeseries import ewma
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    daily = (
+        load_table(spark, SF_ORACLE, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    p = _staged_plan(ewma(daily, ["priority"], "day", "rev", alpha=0.2))
+    assert "FlatMapGroupsInPandas" in p
+    assert "Window" not in p
+    assert sum(
+        1 for ln in p.splitlines() if ln.strip().startswith("Exchange")
+    ) <= 2, p
+
+
+def test_staged_embedding_corr_no_pairwise_join(spark):
+    """l43 candidate: the d×d moments come from the sufficient-stats
+    seam (one MapInPandas over the scan), NEVER the naive explode +
+    vec_id self-join — the scan must read ONLY the embedding column,
+    no sort-merge join anywhere, and the post-seam stitches stay
+    broadcast."""
+    from miningfrequentpattern_spark.operators.embeddings import (
+        embedding_correlation,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    p = _staged_plan(embedding_correlation(emb, dim=64))
+    assert "MapInPandas" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "vec_id" not in read_schema[0], p
+
+
+def test_staged_embedding_spectrum_is_seam_plus_grouped_map(spark):
+    """l44 candidate: same seam, then ONE grouped-map (the d²-row
+    eigh task) — both pandas nodes present, still no corpus-sized
+    join."""
+    from miningfrequentpattern_spark.operators.embeddings import (
+        embedding_spectrum,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    p = _staged_plan(embedding_spectrum(emb, dim=64))
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_staged_khop_returns_materialized_handle(spark):
+    """m21 candidate: the returned DataFrame must be a pinned
+    LogicalRDD scan — no joins or exchanges dangling into the
+    released per-hop pins (the pagerank materialize contract)."""
+    from miningfrequentpattern_spark.operators.graph import khop_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    out = khop_distances(
+        edges, spark.createDataFrame([(1,)], "id long"), 2
+    )
+    p = _staged_plan(out)
+    assert "Scan ExistingRDD" in p
+    assert "Join" not in p and "Exchange" not in p, p
