@@ -90,3 +90,58 @@ def salted_collect_set(
             F.array_distinct(F.flatten(F.collect_list("_ps")))
         ).alias(out)
     )
+
+
+def key_skew_profile(
+    df: DataFrame, keys: list[str], top_k: int = 5
+) -> DataFrame:
+    """Skew DIAGNOSTIC: the measurement that tells you when the
+    salted operators above (or a broadcast/bucketing change) are
+    worth their cost, instead of guessing from a straggler task in
+    the UI. Returns the `top_k` heaviest keys (count DESC, then key
+    ASC — deterministic under ties) annotated with their share of
+    all rows plus corpus-level distribution stats repeated per row:
+
+        (keys…, n_rows_key, share, n_keys, mean_per_key,
+         p50_per_key, p99_per_key, skew_factor = max/mean)
+
+    A skew_factor near 1 says the key is uniform (salting is pure
+    overhead); p99 ≫ p50 with a big top-1 share says ONE hot key —
+    salt or isolate it; a heavy p99 across many keys says the
+    distribution itself is Zipfian — raise shuffle partitions or
+    pre-aggregate.
+
+    Shape note (the diagnostic must not itself fall to the skew it
+    measures): the per-key count is a hash aggregate with MAP-SIDE
+    partials, so a 10⁹-row hot key arrives at its reducer as one
+    partial per map task, never as raw rows — counting is the one
+    aggregate shape that is skew-immune by construction. Everything
+    downstream is |keys|-sized: exact interpolated percentiles over
+    the counts relation (Spark `percentile` == DuckDB
+    `quantile_cont`, the r10b pin), a 1-row stats aggregate
+    broadcast back, and a bounded TakeOrderedAndProject for the
+    top-k — never a global sort."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows_key"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows_key").alias("_n_rows"),
+        F.avg("n_rows_key").alias("_mean"),
+        F.round(F.expr("percentile(n_rows_key, 0.5)"), 4).alias(
+            "p50_per_key"
+        ),
+        F.round(F.expr("percentile(n_rows_key, 0.99)"), 4).alias(
+            "p99_per_key"
+        ),
+        F.max("n_rows_key").alias("_max_n"),
+    )
+    top = counts.orderBy(F.desc("n_rows_key"), *keys).limit(top_k)
+    return top.crossJoin(F.broadcast(stats)).select(
+        *keys,
+        "n_rows_key",
+        F.round(F.col("n_rows_key") / F.col("_n_rows"), 4).alias("share"),
+        "n_keys",
+        F.round(F.col("_mean"), 4).alias("mean_per_key"),
+        "p50_per_key",
+        "p99_per_key",
+        F.round(F.col("_max_n") / F.col("_mean"), 4).alias("skew_factor"),
+    )

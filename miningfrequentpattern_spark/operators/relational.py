@@ -405,3 +405,94 @@ def scd2_versions(
         valid_to.isNull().alias("is_current"),
         F.col(tiebreak_col).alias("version_id"),
     )
+
+
+def binned_quantile_rollup(
+    df: DataFrame,
+    groups: list[str],
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 200,
+    partial_grain: list[str] | None = None,
+) -> DataFrame:
+    """MERGEABLE quantile estimation via fixed-width histogram
+    sketches — the quantile companion to r48's two-level HLL rollup.
+    Spark's `percentile_approx` sketch has no re-aggregatable
+    intermediate on the public surface, so a stored daily sketch
+    cannot roll up to monthly quantiles; fixed-bin histograms merge
+    by construction (bin counts ADD), at the price of a bounded,
+    known error: any quantile estimate is within one bin width
+    (hi−lo)/n_bins of the exact value — asserted, not assumed, in
+    tests/test_histogram_rollup.py.
+
+    Returns (groups…, q, n_rows, est) per requested quantile, where
+
+        est = lo + w · (bin + (q·n − cum_below) / cnt_bin)
+
+    — the first bin whose cumulative count reaches q·n, linearly
+    interpolated. Values are clamped into [lo, hi] (an out-of-range
+    value lands in the first/last bin; pick bounds from domain
+    knowledge or a prior min/max pass). All arithmetic is plain
+    float64 in a fixed written order, so a SQL twin evaluating the
+    same expressions hash-matches exactly — no cross-engine sketch
+    internals to align (the reason this is oracle-able and
+    percentile_approx is rows-only).
+
+    Shape: one corpus-sized hash aggregate to (groups, partial_grain,
+    bin) — the PARTIAL level a pipeline would persist per day/file —
+    then the MERGE aggregate to (groups, bin) (at scale this second
+    step reads stored sketch rows, not the corpus), a per-group
+    cumulative window over ≤ n_bins rows (bounded partitions, never
+    a global window), and a broadcast join against the |qs|-row
+    literal relation. Corpus is scanned once; everything after is
+    sketch-sized (|groups| × n_bins).
+    """
+    w = (hi - lo) / n_bins
+    binc = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    partial = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, *(partial_grain or []), binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = partial.groupBy(*groups, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    win = Window.partitionBy(*groups).orderBy("bin")
+    cum = merged.select(
+        *groups,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(win).alias("cum"),
+        F.sum("cnt")
+        .over(win.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("_cum_below"),
+        F.sum("cnt").over(Window.partitionBy(*groups)).alias("n_rows"),
+    ).withColumn("_cum_below", F.coalesce(F.col("_cum_below"), F.lit(0)))
+    qdf = df.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    target = F.col("q") * F.col("n_rows")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter((F.col("cum") >= target) & (F.col("_cum_below") < target))
+        .select(
+            *groups,
+            "q",
+            "n_rows",
+            F.round(
+                F.lit(lo)
+                + F.lit(w)
+                * (
+                    F.col("bin")
+                    + (target - F.col("_cum_below")) / F.col("cnt")
+                ),
+                4,
+            ).alias("est"),
+        )
+    )

@@ -130,7 +130,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # with the oracle in tests/test_embeddings.py, and
 # embeddings.py::embedding_spectrum → l44_embedding_spectrum,
 # rows-only by design — eigendecomposition has no SQL twin; its
-# numpy-parity certification lives in the same test file),
+# numpy-parity certification lives in the same test file;
+# functions/skew.py::key_skew_profile → r53_skew_advisor with the
+# oracle in tests/test_skew_profile.py;
+# relational.py::binned_quantile_rollup → r54_histogram_quantiles
+# with the oracle in tests/test_histogram_rollup.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

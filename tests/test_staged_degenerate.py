@@ -1,0 +1,100 @@
+"""Degenerate-input sweep for the round-6 STAGED operators — the
+same empty/NULL contract test_empty_inputs.py enforces for every
+registered query, applied at the operator level before the
+registrations exist. Empty relations and NULL payloads are routine
+at 100 TB (a filter matching nothing, a new partition before data
+lands); the guarded failure mode is a crashed stage, not a wrong
+answer."""
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.functions.skew import key_skew_profile
+from miningfrequentpattern_spark.operators.dedup import (
+    ngram_containment_pairs,
+)
+from miningfrequentpattern_spark.operators.embeddings import (
+    embedding_correlation,
+    embedding_spectrum,
+)
+from miningfrequentpattern_spark.operators.graph import khop_distances
+from miningfrequentpattern_spark.operators.relational import (
+    binned_quantile_rollup,
+    scd2_versions,
+)
+from miningfrequentpattern_spark.operators.timeseries import ewma
+
+
+def test_containment_empty_and_null_docs(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, lang string, text string"
+    )
+    assert ngram_containment_pairs(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None, "a b c d"), (2, "en", None), (3, None, None)],
+        "doc_id long, lang string, text string",
+    )
+    # NULL lang/text rows simply contribute no shingles — no crash,
+    # no pairs (callers filter; the operator must still survive).
+    assert ngram_containment_pairs(nulls).count() == 0
+
+
+def test_khop_empty_edges_and_empty_seeds(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = khop_distances(edges, seeds, 3).collect()
+    assert [(r["id"], r["dist"]) for r in got] == [(1, 0)]
+    no_seeds = spark.createDataFrame([], "id long")
+    some_edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert khop_distances(some_edges, no_seeds, 3).count() == 0
+
+
+def test_ewma_empty_and_null_values(spark):
+    empty = spark.createDataFrame([], "k string, t int, x double")
+    assert ewma(empty, ["k"], "t", "x", 0.5).count() == 0
+    # NULL values propagate pandas' ewm NaN-skipping: the row is
+    # emitted (its ewma carries the last non-null state), never
+    # dropped or crashed.
+    nulls = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, 30.0)],
+        "k string, t int, x double",
+    )
+    out = {r["t"]: r["ewma"] for r in ewma(nulls, ["k"], "t", "x", 0.5).collect()}
+    assert len(out) == 3 and out[1] == 10.0
+
+
+def test_embedding_moments_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_correlation(empty, dim=4).count() == 0
+    assert embedding_spectrum(empty, dim=4).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert embedding_correlation(nulls, dim=4).count() == 0
+    assert embedding_spectrum(nulls, dim=4).count() == 0
+
+
+def test_skew_profile_empty(spark):
+    empty = spark.createDataFrame([], "k long, v long")
+    assert key_skew_profile(empty, ["k"]).count() == 0
+
+
+def test_histogram_rollup_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], "g string, v double")
+    assert binned_quantile_rollup(
+        empty, ["g"], "v", [0.5], 0.0, 1.0, 4
+    ).count() == 0
+    nulls = spark.createDataFrame(
+        [("a", None), ("b", None)], "g string, v double"
+    )
+    assert binned_quantile_rollup(
+        nulls, ["g"], "v", [0.5], 0.0, 1.0, 4
+    ).count() == 0
+
+
+def test_scd2_empty(spark):
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    assert scd2_versions(
+        empty, ["user_id"], ["event_type"], "ts", "event_id"
+    ).count() == 0
