@@ -56,6 +56,18 @@ def _moment_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
                 raise ValueError(
                     f"{vec_col!r} has dim {m.shape[1]}, expected {dim}"
                 )
+            # A NULL/NaN ELEMENT inside a vector would flow into the
+            # partial sums as NaN, which Arrow hands back as NULL and
+            # F.sum then silently SKIPS — corrupting every moment in a
+            # partition-dependent way while n still counts the row
+            # (review r5, confirmed by execution). Same stance as
+            # ragged: raise, never partially compute.
+            if np.isnan(m).any():
+                raise ValueError(
+                    f"null/NaN element inside {vec_col!r}: filter or "
+                    "impute upstream; moments over partial vectors "
+                    "would be silently wrong"
+                )
             yield pd.DataFrame(
                 {
                     "n": [len(m)],
@@ -76,40 +88,81 @@ def _combined_moments(
     every second-moment consumer needs: a 1-row count, a d-row
     (i, mu, sd) marginal relation (population sd), and a d²-row
     (i, j, exy) raw-cross-moment relation — 1-based indices so SQL
-    twins read embedding[i] directly."""
+    twins read embedding[i] directly.
+
+    ONE combined (pos, Σv) aggregate carries all of it: pos 0 is n,
+    1..d the per-dim sums, d+1..d+d² the raveled cross products.
+    Every downstream relation FILTERS this single (≤ 1+d+d²-row)
+    aggregate behind a LAZY localCheckpoint barrier: the branch
+    filters are all keyed on `pos`, so without the barrier Catalyst
+    pushes each one below the aggregate's exchange, the subtrees
+    stop being identical, exchange reuse dies, and the corpus-sized
+    MapInPandas pass re-runs once per branch (review r5: 10
+    MapInPandas nodes in the old plan, measured; still 4 with a
+    shared aggregate and no barrier). Behind the barrier all
+    branches reference ONE RDD, computed once, persisted — the
+    ann_lsh_topk barrier idiom, with the same documented
+    executor-loss trade scoped to a d²-sized relation (recompute =
+    one corpus pass)."""
     parts = _moment_partials(df, vec_col, dim)
-    n_row = parts.agg(F.sum("n").alias("_n"))
-    s_sum = (
-        parts.select(F.posexplode("s").alias("pos", "v"))
+    stats = (
+        parts.select(
+            F.posexplode(
+                F.concat(
+                    F.array(F.col("n").cast("double")),
+                    F.col("s"),
+                    F.col("ss"),
+                )
+            ).alias("pos", "v")
+        )
         .groupBy("pos")
-        .agg(F.sum("v").alias("s"))
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=False)
     )
-    ss_sum = (
-        parts.select(F.posexplode("ss").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.sum("v").alias("ss"))
-    )
+    n_row = stats.filter(F.col("pos") == 0).select(F.col("v").alias("_n"))
     exy = (
-        ss_sum.crossJoin(F.broadcast(n_row))
+        stats.filter(F.col("pos") > dim)
+        .crossJoin(F.broadcast(n_row))
         .select(
-            (F.floor(F.col("pos") / dim) + 1).alias("i"),
-            (F.col("pos") % dim + 1).alias("j"),
-            (F.col("ss") / F.col("_n")).alias("exy"),
+            (F.floor((F.col("pos") - dim - 1) / dim) + 1).alias("i"),
+            ((F.col("pos") - dim - 1) % dim + 1).alias("j"),
+            (F.col("v") / F.col("_n")).alias("exy"),
         )
     )
+    # One-pass E[x²] − μ² cancels catastrophically on an fp-constant
+    # dimension (variance ~ ±1e−18): a negative residue would make
+    # sqrt return NaN, and Spark's NaN > 0 = TRUE would wave it
+    # through the sd guard (review r5, confirmed by execution). Clamp
+    # variance below a RELATIVE floor to exactly 0, so sd = 0 → NULL
+    # corr — matching the SQL twin, whose Welford stddev is an exact
+    # 0 on a constant column. Residual seam, documented: a dimension
+    # whose TRUE relative variance is below 1e−12 of E[x²] also
+    # clamps; real embedding dims sit many orders above that.
+    var = F.col("exy") - F.col("mu") ** 2
     mom = (
-        s_sum.crossJoin(F.broadcast(n_row))
+        stats.filter((F.col("pos") >= 1) & (F.col("pos") <= dim))
+        .crossJoin(F.broadcast(n_row))
         .select(
-            (F.col("pos") + 1).alias("i"),
-            (F.col("s") / F.col("_n")).alias("mu"),
+            F.col("pos").alias("i"),
+            (F.col("v") / F.col("_n")).alias("mu"),
         )
         .join(
-            exy.filter(F.col("i") == F.col("j")).select("i", "exy"), "i"
+            # Explicit broadcast: behind the checkpoint barrier the
+            # RDD scan carries no size stats, so Catalyst would plan
+            # a corpus-agnostic SortMergeJoin for this d-row stitch.
+            F.broadcast(
+                exy.filter(F.col("i") == F.col("j")).select("i", "exy")
+            ),
+            "i",
         )
         .select(
             "i",
             "mu",
-            F.sqrt(F.col("exy") - F.col("mu") ** 2).alias("sd"),
+            F.sqrt(
+                F.when(
+                    var > F.col("exy") * F.lit(1e-12), var
+                ).otherwise(F.lit(0.0))
+            ).alias("sd"),
         )
     )
     return n_row, mom, exy

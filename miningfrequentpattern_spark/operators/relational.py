@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 
 _BUCKET_UNITS = {
@@ -423,18 +424,28 @@ def binned_quantile_rollup(
     intermediate on the public surface, so a stored daily sketch
     cannot roll up to monthly quantiles; fixed-bin histograms merge
     by construction (bin counts ADD), at the price of a bounded,
-    known error: any quantile estimate is within one bin width
-    (hi−lo)/n_bins of the exact value — asserted, not assumed, in
-    tests/test_histogram_rollup.py.
+    known error: the estimate lies inside the bin containing the
+    ⌈q·n⌉-th smallest value, so it is within one bin width
+    (hi−lo)/n_bins of that ORDER STATISTIC. (Against an
+    interpolated-quantile definition like quantile_cont the gap can
+    exceed a bin width when the data is sparse around the quantile —
+    the <1-rank definitional difference can cross an arbitrarily
+    wide value gap; on dense groups the two coincide to within a bin
+    width, asserted in tests/test_histogram_rollup.py.)
 
     Returns (groups…, q, n_rows, est) per requested quantile, where
 
         est = lo + w · (bin + (q·n − cum_below) / cnt_bin)
 
     — the first bin whose cumulative count reaches q·n, linearly
-    interpolated. Values are clamped into [lo, hi] (an out-of-range
-    value lands in the first/last bin; pick bounds from domain
-    knowledge or a prior min/max pass). All arithmetic is plain
+    interpolated. Each q must be in (0, 1] (q = 0 has no crossing
+    bin — the row would silently vanish, so it is rejected up
+    front). Values are clamped into [lo, hi] (an out-of-range value
+    lands in the first/last bin; pick bounds from domain knowledge
+    or a prior min/max pass); NULL **and NaN** values are excluded —
+    floor(NaN) casts to bin 0 in Spark, which would count phantom
+    observations at `lo` (review r5, confirmed by execution). All
+    arithmetic is plain
     float64 in a fixed written order, so a SQL twin evaluating the
     same expressions hash-matches exactly — no cross-engine sketch
     internals to align (the reason this is oracle-able and
@@ -449,6 +460,9 @@ def binned_quantile_rollup(
     literal relation. Corpus is scanned once; everything after is
     sketch-sized (|groups| × n_bins).
     """
+    bad = [q for q in qs if not 0.0 < q <= 1.0]
+    if bad:
+        raise ValueError(f"qs must be in (0, 1], got {bad}")
     w = (hi - lo) / n_bins
     binc = F.least(
         F.greatest(
@@ -457,8 +471,11 @@ def binned_quantile_rollup(
         ),
         F.lit(n_bins - 1),
     )
+    keep = F.col(value_col).isNotNull()
+    if isinstance(df.schema[value_col].dataType, (DoubleType, FloatType)):
+        keep = keep & ~F.isnan(F.col(value_col))
     partial = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(keep)
         .groupBy(*groups, *(partial_grain or []), binc.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -39,6 +39,7 @@ def ewma(
     value_col: str,
     alpha: float,
     out_col: str = "ewma",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per series:
 
@@ -53,7 +54,12 @@ def ewma(
     Arrow transfer hands pandas a float64 block (a decimal column
     would arrive as object dtype and fall off the vectorized path).
     Rows within a series are ordered by `order_col` inside the UDF —
-    shuffle order is not meaningful input order. float64 parity with
+    shuffle order is not meaningful input order. DUPLICATE order
+    values within a series make the recurrence ambiguous (tied rows
+    would be sequenced by shuffle arrival — run-to-run
+    nondeterminism, review r5): pass `tiebreak_col` to resolve ties
+    deterministically, or leave it None and the operator RAISES on
+    the first tied series. float64 parity with
     a SQL engine's literal recurrence holds bitwise when alpha and
     1−alpha round-trip exactly (pandas applies old·(1−a) + new·a per
     step, the same two multiplies and one add as the SQL form; see
@@ -61,15 +67,28 @@ def ewma(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    extra = [tiebreak_col] if tiebreak_col else []
     base = df.select(
-        *keys, order_col, F.col(value_col).cast("double").alias(value_col)
+        *keys,
+        order_col,
+        *extra,
+        F.col(value_col).cast("double").alias(value_col),
     )
     schema = ST.StructType(
         list(base.schema.fields) + [ST.StructField(out_col, ST.DoubleType())]
     )
+    sort_cols = [order_col, *extra]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        # kind="mergesort" = stable; with a tiebreak the order is
+        # fully determined, without one any tie is ambiguous → raise.
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        if pdf.duplicated(sort_cols).any():
+            raise ValueError(
+                f"duplicate {sort_cols} within a series: the EWMA "
+                "recurrence is order-ambiguous; pass tiebreak_col or "
+                "pre-aggregate to a unique grain"
+            )
         pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf
 

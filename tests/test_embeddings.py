@@ -107,3 +107,32 @@ def test_ragged_vectors_raise(spark):
     )
     with pytest.raises(Exception, match="ragged|dim"):
         embedding_correlation(df, dim=2).collect()
+
+
+def test_fp_constant_dimension_yields_null_not_nan(spark):
+    """A dimension constant at 0.1 (NOT fp-exact: E[x²]−μ² ≈ −1e−18)
+    must still produce NULL — the one-pass cancellation residue used
+    to reach sqrt() as a negative, return NaN, and sail through the
+    sd guard because Spark orders NaN above every number (review r5,
+    confirmed by execution). The relative variance floor clamps it."""
+    rows = [(i, [0.1, float(i), 5.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["i"], r["j"]): r["corr"]
+        for r in embedding_correlation(df, dim=3).collect()
+    }
+    assert got[(1, 1)] is None and got[(1, 2)] is None
+    assert got[(2, 2)] == 1.0
+
+
+def test_nan_element_inside_vector_raises(spark):
+    """A NULL element inside a vector becomes NaN in the batch
+    matrix; its partial sums would come back as Arrow NULLs that
+    F.sum silently SKIPS while n still counts the row —
+    partition-dependent silent corruption (review r5). Must raise."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [None, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="[Nn]a[Nn]|null"):
+        embedding_correlation(df, dim=2).collect()

@@ -106,3 +106,26 @@ def test_ewma_rejects_bad_alpha(spark):
             raise AssertionError(f"alpha={bad} accepted")
         except ValueError:
             pass
+
+
+def test_duplicate_order_values_raise_without_tiebreak(spark):
+    """Tied order values make the recurrence order-ambiguous (tied
+    rows would sequence by shuffle arrival — run-to-run
+    nondeterminism, review r5): without a tiebreak the operator must
+    raise, and with one the result is deterministic."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, 1, 10.0), ("a", 1, 2, 30.0), ("a", 2, 3, 20.0)],
+        "k string, t int, seq int, x double",
+    )
+    with pytest.raises(Exception, match="order-ambiguous|duplicate"):
+        ewma(df, ["k"], "t", "x", 0.5).collect()
+    got = {
+        r["seq"]: r["ewma"]
+        for r in ewma(
+            df, ["k"], "t", "x", 0.5, tiebreak_col="seq"
+        ).collect()
+    }
+    # Deterministic sequence 10, 30, 20 under alpha=0.5:
+    assert got[1] == 10.0 and got[2] == 20.0 and got[3] == 20.0

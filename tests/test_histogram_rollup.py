@@ -134,3 +134,33 @@ def test_out_of_range_values_clamp(spark):
     # crosses in bin 2 → est = 2 + (2.5−2)/1 = 2.5. Without the clamp
     # the −50 row would vanish and the median would shift.
     assert out[0]["est"] == 2.5
+
+
+def test_nan_values_are_excluded_like_nulls(spark):
+    """floor(NaN) casts to bin 0 in Spark, so an unguarded NaN would
+    count as a phantom observation at `lo` and shift every quantile
+    (review r5, confirmed by execution). NaN rows must be excluded
+    exactly like NULLs."""
+    df = spark.createDataFrame(
+        [("a", float("nan")), ("a", 8.0), ("a", 9.0)],
+        "g string, v double",
+    )
+    out = binned_quantile_rollup(
+        df, ["g"], "v", [0.5], 0.0, 10.0, 10
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 2
+    # target 0.5·2 = 1.0 fully traverses bin 8 → est = its upper
+    # edge, 9.0. With the NaN counted, n_rows would be 3 and the
+    # median would shift into bin 8's interior.
+    assert out[0]["est"] == 9.0
+
+
+def test_q_zero_is_rejected_not_silently_dropped(spark):
+    """q = 0 has no crossing bin — the row would vanish from the
+    output with no error (review r5). The operator must reject it."""
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    import pytest
+
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        binned_quantile_rollup(df, ["g"], "v", [0.0, 0.5], 0.0, 1.0, 4)

@@ -1027,30 +1027,40 @@ def test_staged_ewma_one_series_shuffle_no_window(spark):
     ) <= 2, p
 
 
-def test_staged_embedding_corr_no_pairwise_join(spark):
-    """l43 candidate: the d×d moments come from the sufficient-stats
-    seam (one MapInPandas over the scan), NEVER the naive explode +
-    vec_id self-join — the scan must read ONLY the embedding column,
-    no sort-merge join anywhere, and the post-seam stitches stay
-    broadcast."""
+def test_staged_embedding_corr_single_corpus_pass(spark):
+    """l43 candidate, two layers. (1) The PRE-BARRIER seam: one
+    MapInPandas over a scan that reads ONLY the embedding column,
+    never the naive explode + vec_id self-join. (2) The POST-BARRIER
+    consumer: every branch reads the shared checkpointed RDD (zero
+    MapInPandas in the final plan — without the barrier the
+    pos-keyed branch filters push below the exchange and the corpus
+    pass replicates per branch: 10 copies measured, review r5), and
+    the d²-sized stitches stay broadcast."""
     from miningfrequentpattern_spark.operators.embeddings import (
+        _moment_partials,
         embedding_correlation,
     )
     from miningfrequentpattern_spark.sources.io import load_table
 
     emb = load_table(spark, SF_ORACLE, "embeddings")
+    seam = _staged_plan(_moment_partials(emb, "embedding", 64))
+    # formatted explain prints each node twice (tree line
+    # "MapInPandas (5)" + detail line "(5) MapInPandas") — count the
+    # tree form only.
+    assert seam.count("MapInPandas (") == 1, seam
+    read_schema = [ln for ln in seam.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "vec_id" not in read_schema[0], seam
     p = _staged_plan(embedding_correlation(emb, dim=64))
-    assert "MapInPandas" in p
+    assert "MapInPandas" not in p, p
+    assert "Scan ExistingRDD" in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
-    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
-    assert read_schema and "vec_id" not in read_schema[0], p
 
 
 def test_staged_embedding_spectrum_is_seam_plus_grouped_map(spark):
-    """l44 candidate: same seam, then ONE grouped-map (the d²-row
-    eigh task) — both pandas nodes present, still no corpus-sized
-    join."""
+    """l44 candidate: same barriered seam, then ONE grouped-map (the
+    d²-row eigh task) — no corpus-sized join, no replicated corpus
+    pass."""
     from miningfrequentpattern_spark.operators.embeddings import (
         embedding_spectrum,
     )
@@ -1058,8 +1068,9 @@ def test_staged_embedding_spectrum_is_seam_plus_grouped_map(spark):
 
     emb = load_table(spark, SF_ORACLE, "embeddings")
     p = _staged_plan(embedding_spectrum(emb, dim=64))
-    assert "MapInPandas" in p
-    assert "FlatMapGroupsInPandas" in p
+    assert "MapInPandas" not in p, p
+    assert "Scan ExistingRDD" in p
+    assert p.count("FlatMapGroupsInPandas (") == 1  # tree form; see above
     assert "SortMergeJoin" not in p
 
 
