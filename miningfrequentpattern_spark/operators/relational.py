@@ -513,3 +513,108 @@ def binned_quantile_rollup(
             ).alias("est"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    groups: list[str],
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized summary — (groups…, n_obs, lo_val, hi_val,
+    win_mean): the [p_lo, p_hi] exact percentile bounds and the mean
+    with every value CLAMPED into them. The robust-mean alternative
+    to dropping outliers: heavy tails stop dominating the mean but
+    every row still counts once (no silent row loss to explain in a
+    reconciliation).
+
+    Two-aggregate shape: (1) one exact-percentile aggregate per group
+    — Spark's `percentile` is the same (n−1)·p linear interpolation
+    as SQL `quantile_cont`, which is what makes this hash-oracle-able
+    cross-engine; (2) the bounds relation (|groups| rows) BROADCASTS
+    back onto the corpus for the clamped mean — group-cardinality
+    sized, never corpus sized. The exact percentile buffers each
+    group's values in its aggregate state, the documented r10-family
+    trade: at 100 TB with huge groups, swap leg (1) to
+    approx_percentile (same plan shape, bounded state, loses the
+    exact-hash oracle) — the clamp/mean leg is unchanged. NULLs are
+    excluded from both legs (percentile and avg both skip them;
+    made explicit with a filter so n_obs counts exactly the rows
+    the mean saw).
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(*groups, v.alias("_v"))
+    bounds = base.groupBy(*groups).agg(
+        F.percentile("_v", F.lit(p_lo)).alias("lo_val"),
+        F.percentile("_v", F.lit(p_hi)).alias("hi_val"),
+    )
+    clamped = F.least(F.greatest(F.col("_v"), F.col("lo_val")), F.col("hi_val"))
+    return (
+        base.join(F.broadcast(bounds), list(groups))
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.first("lo_val"), 4).alias("lo_val"),
+            F.round(F.first("hi_val"), 4).alias("hi_val"),
+            F.round(F.avg(clamped), 4).alias("win_mean"),
+        )
+    )
+
+
+def referential_orphan_audit(
+    specs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit across table pairs: for each
+    (name, child, child_key, parent, parent_key) spec, one row
+    (relationship, n_child, n_orphans, orphan_rate) counting child
+    rows whose key matches NO parent — the first thing a pipeline
+    intake checks and the thing a silent upstream truncation breaks.
+    NULL child keys count as orphans (a row that cannot join its
+    parent is broken regardless of why); parent keys are
+    de-duplicated so a non-PK parent column can't multiply counts.
+
+    Shape per spec: one equi-key LEFT join of child keys against the
+    distinct parent keys (broadcast when the parent side is small,
+    shuffle otherwise — Catalyst/AQE's call), then a 1-row map-side-
+    partial aggregate; the union of specs is a union of 1-row
+    relations. Never a crossJoin, never a collect.
+    """
+    legs = []
+    for name, child, child_key, parent, parent_key in specs:
+        pk = (
+            parent.select(F.col(parent_key).alias("_pk"))
+            .filter(F.col("_pk").isNotNull())
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        leg = (
+            child.select(F.col(child_key).alias("_ck"))
+            .join(pk, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                # sum over zero rows is NULL — an EMPTY child table
+                # has 0 orphans, not NULL orphans (and a NULL rate,
+                # not a 0/0).
+                F.coalesce(
+                    F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_orphans",
+                F.when(
+                    F.col("n_child") > 0,
+                    F.round(F.col("n_orphans") / F.col("n_child"), 4),
+                ).alias("orphan_rate"),
+            )
+        )
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

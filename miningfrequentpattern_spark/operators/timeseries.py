@@ -27,7 +27,7 @@ from collections.abc import Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 
@@ -93,3 +93,218 @@ def ewma(
         return pdf
 
     return base.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def interval_merge(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Consolidate overlapping-or-touching intervals per key into
+    maximal disjoint spans (gaps-and-islands): two intervals merge
+    when `start ≤ running-max(end)` of everything earlier in the
+    series — so [1,3] + [3,5] is ONE span (touching counts as
+    connected; half-open callers who want strict overlap can shrink
+    `end` by an epsilon upstream). Returns one row per span:
+    (keys…, span_start, span_end, n_intervals).
+
+    The classic uses: activity/uptime spans from heartbeat windows,
+    coverage consolidation before a range join, dedup of re-delivered
+    bookings. Shape: ONE shuffle — both windows partition by the
+    series keys, and the closing groupBy clusters on (keys…, island)
+    for which the window's hashpartitioning(keys) already satisfies
+    ClusteredDistribution (keys is a subset), so Spark adds NO second
+    exchange (asserted in tests/test_plans.py). Per-task memory is
+    one running max, not the series — no collect_list anywhere.
+
+    NULL starts/ends are rejected up front with a filter-side raise
+    avoided deliberately: a NULL boundary has no interval semantics,
+    and silently sorting NULLS FIRST would glue unrelated rows into
+    one span — so rows with NULL boundaries are dropped and counted
+    against no span (same stance as the histogram rollup's NULL
+    exclusion; document the drop, never corrupt the merge).
+    """
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prior_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prior_max_end.isNull() | (F.col(start_col) > prior_max_end),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.filter(
+            F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+        )
+        .select(*keys, start_col, end_col, island.alias("_island"))
+        .groupBy(*keys, "_island")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("_island")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Step-interpolated time-weighted mean per series: each
+    observation holds its value until the NEXT observation, so
+
+        twa = Σ value_i · (t_{i+1} − t_i)  /  (t_last − t_first)
+
+    — the standard aggregate for irregularly sampled gauges (position
+    value, queue depth, price) where a plain mean over-weights bursts
+    of dense ticks. Returns (keys…, twa, n_obs); a series with fewer
+    than two distinct timestamps has zero covered duration and yields
+    twa = NULL (never a divide-by-zero NaN — the r44 flat-series
+    stance). The LAST observation contributes no duration by
+    construction (nothing after it to hold until). TIED timestamps
+    are step-ambiguous (which tied value "holds" until the next
+    distinct tick?); the window orders by (ts, value) so the answer
+    is at least DETERMINISTIC — the largest tied value holds, the
+    rest contribute dt = 0 — and cross-engine reproducible (an
+    oracle ordering only by ts would let each engine pick a
+    different tied row as the segment holder). Pre-aggregate to a
+    unique-timestamp grain upstream when ties are meaningful.
+
+    Shape: one window shuffle on the series keys (lead over event
+    time), then a hash aggregate whose ClusteredDistribution(keys) is
+    already satisfied by the window's partitioning — no second
+    exchange, no per-series materialization.
+    """
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = df.filter(t.isNotNull() & v.isNotNull()).select(
+        *keys, t.alias("_t"), v.alias("_v")
+    )
+    w = Window.partitionBy(*keys).orderBy("_t", "_v")
+    dt = F.lead("_t").over(w) - F.col("_t")
+    weighted = base.select(*keys, "_v", dt.alias("_dt"))
+    tot = F.sum("_dt")
+    return weighted.groupBy(*keys).agg(
+        F.when(
+            tot > 0, F.sum(F.col("_v") * F.col("_dt")) / tot
+        ).alias("twa"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def series_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series OLS line fit — (keys…, n_obs, slope, intercept, r2)
+    with slope = cov_pop(t, x)/var_pop(t), intercept = μ_x − slope·μ_t,
+    r2 = corr(t, x)² — the cheap "is this series going up" monitor
+    behind drift dashboards and alert pre-filters.
+
+    Entirely native aggregates: ONE map-side-partial hash aggregate,
+    no window, no UDF — the co-moment updates run inside whole-stage
+    codegen and merge associatively, so the plan is a textbook
+    partial/final aggregate pair at any scale. Degenerate series
+    follow SQL semantics, guarded explicitly: var_pop(t) = 0 (single
+    point, or all observations at one t) yields NULL slope/intercept/
+    r2 rather than an IEEE ±inf — and a CONSTANT x over varying t is
+    a genuine fit (slope 0, r2 NULL since corr is undefined at zero
+    variance). Both engines' single-pass co-moment algorithms agree
+    to far beyond the 4dp the oracle rounds to (this is why the
+    operator rounds: cross-engine fp parity on merged co-moments is
+    relative-1e-12, not bitwise).
+    """
+    t = F.col(t_col).cast("double")
+    x = F.col(value_col).cast("double")
+    base = df.filter(t.isNotNull() & x.isNotNull()).select(
+        *keys, t.alias("_t"), x.alias("_x")
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.covar_pop("_t", "_x").alias("_cov"),
+        F.var_pop("_t").alias("_var"),
+        F.avg("_t").alias("_mt"),
+        F.avg("_x").alias("_mx"),
+        # Spark's corr yields NaN at zero variance where SQL engines
+        # yield NULL — normalize to NULL (the r44 flat-series pin).
+        F.corr("_t", "_x").alias("_rawr"),
+    ).withColumn(
+        "_r", F.when(~F.isnan(F.col("_rawr")), F.col("_rawr"))
+    )
+    slope = F.when(F.col("_var") > 0, F.col("_cov") / F.col("_var"))
+    return agg.select(
+        *keys,
+        "n_obs",
+        F.round(slope, 4).alias("slope"),
+        F.round(F.col("_mx") - slope * F.col("_mt"), 4).alias("intercept"),
+        F.round(F.col("_r") ** 2, 4).alias("r2"),
+    )
+
+
+def cusum_drift(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+) -> DataFrame:
+    """One-sided (upper) CUSUM drift statistic per series — the
+    classic change-point monitor: with d_t = x_t − target − slack,
+
+        S_0 = max(0, d_0);  S_t = max(0, S_{t−1} + d_t)
+
+    Returns every input row plus `cusum` (S_t) and, when `threshold`
+    is given, a boolean `drifted` (S_t > threshold) — the "this
+    series' mean has shifted up" alarm for metric monitoring and
+    data-drift gates.
+
+    NOT a grouped-map recurrence: the max(0, ·) recursion has the
+    closed form S_t = P_t − min(0, min_{j≤t} P_j) with P the running
+    sum of d — i.e. a cumulative sum and a running minimum over the
+    SAME window frame, both native, both in one Window node sharing
+    one shuffle (asserted in tests/test_plans.py). That identity is
+    what makes the operator SQL-oracle-able with plain window
+    functions where the textbook recurrence form would need a
+    recursive CTE. Ordering pins: rows order by (order_col, value)
+    so tied order keys resolve identically across engines — same
+    stance as time_weighted_avg; pre-aggregate to a unique grain
+    when ties are meaningful.
+    """
+    t = F.col(order_col)
+    x = F.col(value_col).cast("double")
+    base = df.filter(t.isNotNull() & x.isNotNull()).select(
+        *keys, t.alias(order_col), x.alias("_x")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col, "_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum(F.col("_x") - F.lit(float(target)) - F.lit(float(slack))).over(w)
+    runmin = F.min(
+        F.sum(
+            F.col("_x") - F.lit(float(target)) - F.lit(float(slack))
+        ).over(w)
+    )
+    out = base.select(
+        *keys,
+        order_col,
+        F.col("_x").alias(value_col),
+        (p - F.least(F.lit(0.0), runmin.over(w))).alias("cusum"),
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            "drifted", F.col("cusum") > F.lit(float(threshold))
+        )
+    return out

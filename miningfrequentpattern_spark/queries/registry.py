@@ -134,7 +134,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # functions/skew.py::key_skew_profile → r53_skew_advisor with the
 # oracle in tests/test_skew_profile.py;
 # relational.py::binned_quantile_rollup → r54_histogram_quantiles
-# with the oracle in tests/test_histogram_rollup.py),
+# with the oracle in tests/test_histogram_rollup.py;
+# timeseries.py::interval_merge → r55_activity_spans with the
+# gaps-and-islands oracle in tests/test_interval_merge.py;
+# timeseries.py::time_weighted_avg → r56_time_weighted_value with
+# the oracle in tests/test_twa.py;
+# timeseries.py::series_trend → r57_daily_revenue_trend with the
+# oracle in tests/test_series_trend.py;
+# timeseries.py::cusum_drift → r58_value_drift with the closed-form
+# window oracle in tests/test_cusum.py;
+# relational.py::referential_orphan_audit → r59_fk_audit with the
+# oracle in tests/test_fk_audit.py;
+# relational.py::winsorized_stats → r60_winsorized_price with the
+# quantile_cont oracle in tests/test_winsorize.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

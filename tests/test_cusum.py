@@ -1,0 +1,90 @@
+"""One-sided CUSUM drift (operators/timeseries.py::cusum_drift) —
+round-6 window candidate, locally certified NOW: the DuckDB oracle
+below is the exact SQL a future r58_value_drift registration will
+carry, plus a hand-computed recurrence check proving the
+cumsum−running-min closed form equals the textbook max(0, ·)
+recursion."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.timeseries import cusum_drift
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future r58 oracle, verbatim. The SAME closed form as the operator:
+# S_t = P_t − least(0, min_{j≤t} P_j) over identical (ts, value)
+# ordering — both engines evaluate the identical float64 running sum
+# in the identical order, so 4dp rounding compares identical streams.
+# Dialect pins: the 50.0 target literal is already DOUBLE on both
+# sides; ordering ties resolve by (ts, x) in both engines.
+R58_ORACLE = """
+WITH base AS (
+  SELECT event_type, ts, value AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+pre AS (
+  SELECT event_type, ts, x,
+         sum(x - 50.0) OVER (PARTITION BY event_type ORDER BY ts, x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+  FROM base),
+p AS (
+  SELECT event_type, ts, x, pp,
+         min(pp) OVER (PARTITION BY event_type ORDER BY ts, x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS runmin
+  FROM pre)
+SELECT event_type, ts, round(x, 4) AS value,
+       round(pp - least(0.0, runmin), 4) AS cusum,
+       (pp - least(0.0, runmin)) > 2000.0 AS drifted
+FROM p
+"""
+
+
+def _r58(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_drift(
+        ev, ["event_type"], "ts", "value", target=50.0, threshold=2000.0
+    ).select(
+        "event_type",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.round("cusum", 4).alias("cusum"),
+        "drifted",
+    )
+
+
+def test_cusum_matches_duckdb_oracle(spark, duck):
+    compare(_r58(spark, SF_ORACLE), duck, R58_ORACLE)
+
+
+def test_cusum_hand_computed_recurrence(spark):
+    """target 1, x = [1, 1, 5, 5, 1, 0] → d = [0, 0, 4, 4, 0, −1],
+    S = [0, 0, 4, 8, 8, 7]; and a negative prefix is clipped at 0
+    (x = [0, 5]: S = [0, 4], NOT [−1, 3] — the closed form's
+    least(0, runmin) term doing the recurrence's max(0, ·))."""
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([1.0, 1.0, 5.0, 5.0, 1.0, 0.0])]
+        + [("b", 0, 0.0), ("b", 1, 5.0)],
+        "k string, t int, x double",
+    )
+    out = cusum_drift(df, ["k"], "t", "x", target=1.0, threshold=6.0)
+    got = {(r["k"], r["t"]): (r["cusum"], r["drifted"]) for r in out.collect()}
+    want_a = [0.0, 0.0, 4.0, 8.0, 8.0, 7.0]
+    for t, s in enumerate(want_a):
+        assert math.isclose(got[("a", t)][0], s), (t, got[("a", t)])
+        assert got[("a", t)][1] is (s > 6.0)
+    assert got[("b", 0)][0] == 0.0 and math.isclose(got[("b", 1)][0], 4.0)
+
+
+def test_cusum_empty_and_null(spark):
+    empty = spark.createDataFrame([], "k string, t int, x double")
+    assert cusum_drift(empty, ["k"], "t", "x", target=0.0).count() == 0
+    nulls = spark.createDataFrame(
+        [("a", None, 1.0), ("a", 1, None), ("a", 2, 3.0)],
+        "k string, t int, x double",
+    )
+    out = cusum_drift(nulls, ["k"], "t", "x", target=1.0).collect()
+    assert len(out) == 1 and math.isclose(out[0]["cusum"], 2.0)

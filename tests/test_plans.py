@@ -3,6 +3,7 @@ must be visible in the actual plans (.explain formatted), not just
 asserted in prose. These are the checks that catch a silent
 regression to SortMergeJoin or a lost filter pushdown."""
 
+import re
 import io
 from contextlib import redirect_stdout
 
@@ -976,6 +977,14 @@ def test_gap_pairs_equi_join_never_cartesian(spark):
 # audits land WITH the operator, same standard as the window set.
 
 
+def _n_exchanges(p: str) -> int:
+    """Count Exchange NODES in a formatted plan via their detail
+    headers "(5) Exchange" — tree lines render as "+- Exchange (5)"
+    so a startswith() count silently returns 0 (vacuously passing
+    any <= bound; review r5). ReusedExchange headers don't match."""
+    return len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
+
+
 def _staged_plan(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -1022,9 +1031,7 @@ def test_staged_ewma_one_series_shuffle_no_window(spark):
     p = _staged_plan(ewma(daily, ["priority"], "day", "rev", alpha=0.2))
     assert "FlatMapGroupsInPandas" in p
     assert "Window" not in p
-    assert sum(
-        1 for ln in p.splitlines() if ln.strip().startswith("Exchange")
-    ) <= 2, p
+    assert _n_exchanges(p) <= 2, p
 
 
 def test_staged_embedding_corr_single_corpus_pass(spark):
@@ -1089,3 +1096,145 @@ def test_staged_khop_returns_materialized_handle(spark):
     p = _staged_plan(out)
     assert "Scan ExistingRDD" in p
     assert "Join" not in p and "Exchange" not in p, p
+
+
+def test_staged_interval_merge_single_exchange(spark):
+    """r55 candidate: one shuffle total — both gaps-and-islands
+    windows partition by the series key and the closing groupBy on
+    (key, island) is satisfied by the SAME hashpartitioning (key is
+    a subset of the cluster keys), so Spark adds NO second exchange;
+    the aggregate keeps its map-side partials and the ts null filter
+    reaches the scan."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_merge,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    iv = load_table(spark, SF_ORACLE, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    p = _staged_plan(interval_merge(iv, ["user_id"], "s", "e"))
+    assert _n_exchanges(p) == 1, p
+    assert p.count("Window (") == 2, p
+    assert "partial_min" in p and "partial_count" in p, p
+    assert "PushedFilters: [IsNotNull(ts)]" in p, p
+
+
+def test_staged_twa_single_exchange(spark):
+    """r56 candidate: the lead() window and the closing per-key
+    aggregate share ONE hashpartitioning(user_id) exchange; both
+    null filters push to the scan; no UDF anywhere (the whole
+    operator is native)."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    p = _staged_plan(time_weighted_avg(ev, ["user_id"], "ts", "value"))
+    assert _n_exchanges(p) == 1, p
+    assert p.count("Window (") == 1, p
+    assert "IsNotNull(value)" in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_series_trend_pure_aggregate(spark):
+    """r57 candidate: NO window, NO UDF — the whole fit is two
+    partial/final hash-aggregate pairs (the daily rollup + the
+    co-moment fit), every aggregate running map-side partials; the
+    scan reads only the three needed order columns."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        series_trend,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    daily = (
+        load_table(spark, SF_ORACLE, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .withColumn("t", F.datediff("day", F.lit("1970-01-01")))
+    )
+    p = _staged_plan(series_trend(daily, ["priority"], "t", "rev"))
+    assert "Window" not in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+    assert "partial_covar_pop" in p and "partial_corr" in p, p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all(
+        "o_custkey" not in ln and "o_orderstatus" not in ln
+        for ln in read_schema
+    ), p
+
+
+def test_staged_cusum_single_exchange_two_windows(spark):
+    """r58 candidate: the cumsum−running-min closed form is TWO
+    Window nodes over ONE hashpartitioning(series key) exchange —
+    never a grouped-map recurrence, never a second shuffle; both
+    null filters reach the scan."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        cusum_drift,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    p = _staged_plan(
+        cusum_drift(
+            ev, ["event_type"], "ts", "value", target=50.0, threshold=2000.0
+        )
+    )
+    assert _n_exchanges(p) == 1, p
+    assert p.count("Window (") == 2, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+    assert "IsNotNull(value)" in p, p
+
+
+def test_staged_winsorize_broadcasts_bounds(spark):
+    """r60 candidate: the per-group exact-percentile bounds relation
+    (|groups| rows) joins back via BROADCAST — the corpus never
+    reshuffles for the clamp leg; no cartesian; the value null
+    filter reaches the scan."""
+    from miningfrequentpattern_spark.operators.relational import (
+        winsorized_stats,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    p = _staged_plan(
+        winsorized_stats(li, ["l_returnflag"], "l_extendedprice", 0.05, 0.95)
+    )
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "IsNotNull(l_extendedprice)" in p.split("PushedFilters", 1)[1], p
+
+
+def test_staged_fk_audit_no_cartesian_all_equi(spark):
+    """r59 candidate: every leg is an equi-key LEFT join (broadcast
+    or shuffle — AQE's call at this SF) followed by a 1-row
+    map-side-partial aggregate; the union never multiplies plans
+    into a cartesian."""
+    from miningfrequentpattern_spark.operators.relational import (
+        referential_orphan_audit,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    o = load_table(spark, SF_ORACLE, "orders")
+    cu = load_table(spark, SF_ORACLE, "customer")
+    p = _staged_plan(
+        referential_orphan_audit(
+            [
+                ("li->o", li, "l_orderkey", o, "o_orderkey"),
+                ("o->c", o, "o_custkey", cu, "c_custkey"),
+            ]
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p, p
+    assert "Union" in p, p

@@ -98,3 +98,44 @@ def test_scd2_empty(spark):
     assert scd2_versions(
         empty, ["user_id"], ["event_type"], "ts", "event_id"
     ).count() == 0
+
+
+def test_interval_merge_empty(spark):
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_merge,
+    )
+
+    empty = spark.createDataFrame([], "k string, s int, e int")
+    assert interval_merge(empty, ["k"], "s", "e").count() == 0
+    all_null = spark.createDataFrame(
+        [("a", None, None)], "k string, s int, e int"
+    )
+    assert interval_merge(all_null, ["k"], "s", "e").count() == 0
+
+
+def test_twa_empty_and_all_null(spark):
+    from miningfrequentpattern_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    empty = spark.createDataFrame([], "k string, t double, x double")
+    assert time_weighted_avg(empty, ["k"], "t", "x").count() == 0
+    nulls = spark.createDataFrame(
+        [("a", None, 1.0), ("a", 2.0, None)],
+        "k string, t double, x double",
+    )
+    assert time_weighted_avg(nulls, ["k"], "t", "x").count() == 0
+
+
+def test_series_trend_empty_and_all_null(spark):
+    from miningfrequentpattern_spark.operators.timeseries import (
+        series_trend,
+    )
+
+    empty = spark.createDataFrame([], "k string, t double, x double")
+    assert series_trend(empty, ["k"], "t", "x").count() == 0
+    nulls = spark.createDataFrame(
+        [("a", None, 1.0), ("a", 2.0, None)],
+        "k string, t double, x double",
+    )
+    assert series_trend(nulls, ["k"], "t", "x").count() == 0
