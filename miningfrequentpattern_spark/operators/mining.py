@@ -388,3 +388,89 @@ def maximal_itemsets(itemsets: DataFrame) -> DataFrame:
         "left_semi",
     )
     return itemsets.exceptAll(non_maximal).orderBy(F.desc("freq"), F.col("items"))
+
+
+# ---------------------------------------------------------------------------
+# M-extension: item-item cosine co-occurrence (collaborative filtering)
+# ---------------------------------------------------------------------------
+
+def item_cosine_pairs(
+    df: DataFrame,
+    basket_key: str,
+    item_key: str,
+    min_shared: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k item PAIRS by co-occurrence cosine — the item-item
+    collaborative-filtering similarity over implicit baskets:
+
+        cosine(a, b) = n_ab / sqrt(n_a · n_b)
+
+    with n_a = #baskets containing a and n_ab = #baskets containing
+    both. Where raw pair support (m15's axis) favors popular items,
+    the cosine normalization surfaces NICHE items that co-occur
+    reliably — the "users who bought X also bought Y" ranker.
+    Returns (item_a, item_b, n_shared, cosine), item_a < item_b,
+    ordered by (cosine desc, item_a, item_b) — a total order, so the
+    LIMIT boundary is deterministic.
+
+    Shape (the m15 house pattern): the distinct (basket, item)
+    relation is ONE hash aggregate; the pair leg self-joins it on the
+    basket key as a pinned shuffle_hash (corpus-sized legs — the
+    broadcast AQE would pick at a toy SF is exactly what cannot
+    happen at 100 TB) with ONE reused exchange across both legs; the
+    per-item counts relation is item-dimension-sized and BROADCASTS
+    onto the pair aggregate twice; top-k is TakeOrderedAndProject.
+    The basket-squared fan-out is bounded by max basket size
+    (basketize's giant-basket argument; salt upstream if a basket is
+    pathological). `min_shared` prunes the singleton-pair tail
+    BEFORE the count joins.
+    """
+    iu = (
+        df.select(
+            F.col(basket_key).alias("_bk"), F.col(item_key).alias("_it")
+        )
+        .filter(F.col("_bk").isNotNull() & F.col("_it").isNotNull())
+        .distinct()
+        .hint("shuffle_hash")
+    )
+    counts = iu.groupBy(F.col("_it").alias("_ci")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    a, b = iu.alias("a"), iu.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._bk") == F.col("b._bk"))
+            & (F.col("a._it") < F.col("b._it")),
+        )
+        .groupBy(
+            F.col("a._it").alias("item_a"), F.col("b._it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    # Both count legs derive from the SAME relation — rename the key
+    # per leg so the double join is never an ambiguous self-reference.
+    ca = F.broadcast(
+        counts.select(F.col("_ci").alias("_ia"), F.col("_n").alias("_na"))
+    )
+    cb = F.broadcast(
+        counts.select(F.col("_ci").alias("_ib"), F.col("_n").alias("_nb"))
+    )
+    return (
+        pairs.join(ca, F.col("item_a") == F.col("_ia"))
+        .join(cb, F.col("item_b") == F.col("_ib"))
+        .select(
+            "item_a",
+            "item_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.sqrt(F.col("_na") * F.col("_nb")),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
+        .limit(int(k))
+    )

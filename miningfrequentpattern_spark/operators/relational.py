@@ -618,3 +618,45 @@ def referential_orphan_audit(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def cdc_apply(
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize the CURRENT snapshot from a CDC change feed by
+    last-writer-wins: for each key, keep the change with the highest
+    (seq_cols…) position; if that final change is a delete, the key
+    is absent from the snapshot. The batch half of every
+    upsert-stream → table pipeline (Debezium-style feeds, the MERGE
+    r32 applies incrementally — this one replays a whole log).
+
+    Returns the winning rows with all input columns (op included, so
+    a caller can audit which op produced each surviving row).
+
+    Contract: (keys…, seq_cols…) must uniquely identify a change —
+    true of any real CDC log (LSN/offset) — otherwise last-writer is
+    ambiguous; rows with a NULL seq component are dropped up front
+    (a change that cannot be ordered cannot be applied; same
+    documented-drop stance as interval_merge's NULL boundaries).
+
+    Shape: ONE shuffle — a row_number window partitioned by the key
+    ordered by seq DESC, filtered to rn = 1 and op != delete_op. No
+    self-join against a "latest seq" aggregate (the two-pass form
+    pays a second exchange and a join for nothing).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    keep = F.lit(True)
+    for c in seq_cols:
+        keep = keep & F.col(c).isNotNull()
+    return (
+        changes.filter(keep)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        .drop("_rn")
+    )

@@ -146,7 +146,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # relational.py::referential_orphan_audit → r59_fk_audit with the
 # oracle in tests/test_fk_audit.py;
 # relational.py::winsorized_stats → r60_winsorized_price with the
-# quantile_cont oracle in tests/test_winsorize.py),
+# quantile_cont oracle in tests/test_winsorize.py;
+# mining.py::item_cosine_pairs → m22_item_cosine with the oracle in
+# tests/test_item_cosine.py;
+# relational.py::cdc_apply → r61_cdc_snapshot with the oracle in
+# tests/test_cdc_apply.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

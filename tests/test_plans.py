@@ -1238,3 +1238,50 @@ def test_staged_fk_audit_no_cartesian_all_equi(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p, p
     assert "Union" in p, p
+
+
+def test_staged_item_cosine_shuffle_hash_and_broadcast_counts(spark):
+    """m22 candidate (the m15 house pattern): the corpus-sized
+    basket-item legs self-join as pinned shuffle_hash with ONE
+    reused exchange; the item-dimension count legs BROADCAST; top-k
+    is TakeOrderedAndProject, never a global Sort."""
+    from miningfrequentpattern_spark.operators.mining import (
+        item_cosine_pairs,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    df = item_cosine_pairs(li, "l_orderkey", "l_partkey")
+    p = _staged_plan(df)
+    assert "ShuffledHashJoin" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+    # Exchange reuse across the self-join legs is an AQE runtime
+    # property (alias() re-IDs the subtrees, so planning-time reuse
+    # can't fire) — assert it on the finalized adaptive plan, the
+    # l02g precedent.
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    ep = ep.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in ep, ep
+
+
+def test_staged_cdc_apply_one_shuffle(spark):
+    """r61 candidate: last-writer-wins is ONE row_number window over
+    ONE key exchange — no self-join against a max-seq aggregate, no
+    second shuffle; the seq null filters reach the scan."""
+    from miningfrequentpattern_spark.operators.relational import cdc_apply
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    p = _staged_plan(cdc_apply(ev, ["user_id"], ["ts", "event_id"], "op"))
+    assert _n_exchanges(p) == 1, p
+    assert p.count("Window (") == 1, p
+    assert "Join" not in p, p
+    assert "IsNotNull(event_id)" in p.split("PushedFilters", 1)[1], p
