@@ -511,3 +511,184 @@ def test_weighted_median_matches_reference(spark, rows):
                 want[g] = float(p)
                 break
     assert got == want
+
+
+def _ref_merge(intervals: list[tuple[int, int]]) -> list[tuple[int, int, int]]:
+    """Independent reference: sort + linear sweep interval merge."""
+    out: list[list[int]] = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return [tuple(x) for x in out]
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 15)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_interval_merge_matches_linear_sweep(spark, iv):
+    """The windowed gaps-and-islands construction must equal a plain
+    sorted sweep for ANY interval set — nested, duplicate, touching,
+    zero-length."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_merge,
+    )
+
+    rows = [("k", s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = sorted(
+        (r["span_start"], r["span_end"], r["n_intervals"])
+        for r in interval_merge(df, ["k"], "s", "e").collect()
+    )
+    assert got == _ref_merge([(s, s + d) for s, d in iv]), iv
+
+
+@given(
+    xs=st.lists(
+        st.floats(-50, 50).map(lambda v: round(v, 2)),
+        min_size=1,
+        max_size=15,
+    ),
+    target=st.floats(-5, 5).map(lambda v: round(v, 1)),
+)
+@settings(**_SETTINGS)
+def test_cusum_closed_form_equals_recurrence(spark, xs, target):
+    """S_t = P_t − min(0, min P_j) must equal the literal
+    max(0, S_{t−1} + d_t) recursion for ANY series — the identity the
+    operator's oracle-ability rests on."""
+    import math
+
+    from miningfrequentpattern_spark.operators.timeseries import cusum_drift
+
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)],
+        "k string, t int, x double",
+    )
+    got = {
+        r["t"]: r["cusum"]
+        for r in cusum_drift(df, ["k"], "t", "x", target=target).collect()
+    }
+    s = 0.0
+    for i, x in enumerate(xs):
+        s = max(0.0, s + (x - target))
+        assert math.isclose(got[i], s, abs_tol=1e-9), (i, xs, target)
+
+
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(1, 3),      # key
+            st.integers(0, 20),     # seq
+            st.sampled_from("IUD"),  # op
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_cdc_apply_matches_reference_replay(spark, changes):
+    """Last-writer-wins must equal a literal per-key replay for ANY
+    feed (duplicate (key, seq) pairs deduped to keep the contract)."""
+    from miningfrequentpattern_spark.operators.relational import cdc_apply
+
+    uniq = {(k, s): op for k, s, op in changes}
+    rows = [(k, s, op) for (k, s), op in uniq.items()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, seq int, op string")
+    got = {
+        r["k"]: (r["seq"], r["op"])
+        for r in cdc_apply(df, ["k"], ["seq"], "op").collect()
+    }
+    ref: dict[int, tuple[int, str]] = {}
+    for k, s in sorted(uniq):
+        ref[k] = (s, uniq[(k, s)])
+    ref = {k: v for k, v in ref.items() if v[1] != "D"}
+    assert got == ref, rows
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 20),
+            st.floats(-10, 10).map(lambda v: round(v, 2)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_twa_matches_step_integration(spark, obs):
+    """TWA must equal a literal step integration over the (t, x)
+    ordering for ANY series, including tied timestamps (the pinned
+    largest-tied-value-holds semantics) and single-point series
+    (NULL)."""
+    import math
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [("k", float(t), float(x)) for t, x in obs],
+        "k string, t double, x double",
+    )
+    got = time_weighted_avg(df, ["k"], "t", "x").collect()[0]
+    pts = sorted((float(t), float(x)) for t, x in obs)
+    num = sum(
+        pts[i][1] * (pts[i + 1][0] - pts[i][0]) for i in range(len(pts) - 1)
+    )
+    den = pts[-1][0] - pts[0][0]
+    assert got["n_obs"] == len(obs)
+    if den > 0:
+        assert math.isclose(got["twa"], num / den, abs_tol=1e-9), obs
+    else:
+        assert got["twa"] is None, obs
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 5)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_item_cosine_matches_brute_force(spark, baskets):
+    """Pair cosines must equal a brute-force set computation for ANY
+    basket multiset (duplicates collapse; min_shared=1 keeps every
+    co-occurring pair)."""
+    import math
+    from itertools import combinations
+
+    from miningfrequentpattern_spark.operators.mining import (
+        item_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(baskets, "bk long, it long")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_shared"], r["cosine"])
+        for r in item_cosine_pairs(df, "bk", "it", 1, 1000).collect()
+    }
+    sets: dict[int, set[int]] = {}
+    for bk, it in baskets:
+        sets.setdefault(bk, set()).add(it)
+    counts: dict[int, int] = {}
+    pairs: dict[tuple[int, int], int] = {}
+    for s in sets.values():
+        for it in s:
+            counts[it] = counts.get(it, 0) + 1
+        for a, b in combinations(sorted(s), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    assert set(got) == set(pairs), baskets
+    for (a, b), n in pairs.items():
+        assert got[(a, b)][0] == n
+        want = round(n / math.sqrt(counts[a] * counts[b]), 4)
+        assert math.isclose(got[(a, b)][1], want), (a, b, baskets)
