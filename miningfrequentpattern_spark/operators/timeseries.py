@@ -308,3 +308,100 @@ def cusum_drift(
             "drifted", F.col("cusum") > F.lit(float(threshold))
         )
     return out
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    max_age: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Last-touch conversion attribution: for every conversion event,
+    the most recent PRECEDING touch event (same key) and its age —
+    the marketing/growth classic ("which click gets credit for this
+    purchase"). Returns one row per conversion: (keys…, ts, touch_ts,
+    touch_type, age_seconds) with NULLs when no touch precedes (an
+    organic conversion — kept, never dropped: the unattributed rate
+    IS the metric people monitor). `max_age` (e.g. "7 days") voids
+    credit for touches older than the window, as campaign reporting
+    requires.
+
+    Shape: ONE shuffle — a last(…, ignorenulls) window over the
+    series key carries the latest touch forward past every
+    conversion; no self-join of conversions against touches (the
+    join form fans each conversion out to the key's whole touch
+    history before a rank prunes it — exactly the as-of fan-out
+    asof_join's bucket lever exists to kill, unnecessary here
+    because the window form never materializes the pairs at all).
+    A touch and conversion at the SAME timestamp: the touch counts
+    only if it sorts BEFORE the conversion — pass `tiebreak_col`
+    (e.g. an event id) to make that order deterministic; ties in
+    (ts) without a tiebreak keep whatever order the sort produced,
+    so cross-engine runs need the tiebreak (the oracle pins it).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(*touch_types)
+    touch_ts = F.last(
+        F.when(is_touch, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    touch_type = F.last(
+        F.when(is_touch, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    # For TIMESTAMP ts, subtract in the exact integer MICROS domain
+    # and divide once: a/1e6 − b/1e6 differs from (a−b)/1e6 in the
+    # last float64 bit, which straddles 4dp rounding boundaries
+    # against a SQL twin computing epoch_us(a−b)/1e6 (observed on
+    # the fixture feed). Numeric ts subtracts directly (exact).
+    if isinstance(df.schema[ts_col].dataType, (ST.TimestampType,
+                                               ST.TimestampNTZType)):
+        age = (
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.col("touch_ts"))
+        ) / F.lit(1_000_000.0)
+    else:
+        age = F.col(ts_col).cast("double") - F.col("touch_ts").cast("double")
+    out = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            *keys,
+            ts_col,
+            *([tiebreak_col] if tiebreak_col else []),
+            F.col(type_col),
+            touch_ts.alias("touch_ts"),
+            touch_type.alias("touch_type"),
+        )
+        .filter(F.col(type_col) == F.lit(conversion_type))
+        .withColumn("age_seconds", age)
+    )
+    if max_age is not None:
+        # Seconds-domain comparison so the horizon works identically
+        # for TIMESTAMP ts (cast = exact epoch micros / 1e6) and
+        # plain numeric ts columns; '7 days' parses via the shared
+        # relational bucket grammar.
+        from .relational import _bucket_seconds
+
+        secs = _bucket_seconds(max_age)
+        keep = F.col("touch_ts").cast("double") >= (
+            F.col(ts_col).cast("double") - F.lit(float(secs))
+        )
+        out = out.select(
+            *keys,
+            ts_col,
+            *([tiebreak_col] if tiebreak_col else []),
+            type_col,
+            F.when(keep, F.col("touch_ts")).alias("touch_ts"),
+            F.when(keep, F.col("touch_type")).alias("touch_type"),
+            F.when(keep, F.col("age_seconds")).alias("age_seconds"),
+        )
+    return out.drop(type_col)

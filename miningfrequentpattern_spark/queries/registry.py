@@ -150,7 +150,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # mining.py::item_cosine_pairs → m22_item_cosine with the oracle in
 # tests/test_item_cosine.py;
 # relational.py::cdc_apply → r61_cdc_snapshot with the oracle in
-# tests/test_cdc_apply.py),
+# tests/test_cdc_apply.py, plus its true-stream twin
+# streaming/stateful.py::cdc_snapshot_stream proven against the
+# batch operator in tests/test_streaming.py (tests-only by design,
+# like every streaming op);
+# timeseries.py::last_touch_attribution → r62_attribution with the
+# IGNORE-NULLS-window oracle in tests/test_attribution.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

@@ -205,3 +205,70 @@ def running_user_counts_tws(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+CDC_OUT_SCHEMA = (
+    "user_id BIGINT, last_ts_us BIGINT, last_event_id BIGINT, "
+    "last_type STRING, last_value DOUBLE, is_deleted BOOLEAN"
+)
+CDC_STATE_SCHEMA = "ts_us BIGINT, eid BIGINT, et STRING, val DOUBLE"
+
+
+def _update_cdc_snapshot(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming last-writer-wins (the cdc_apply twin): state is the
+    single winning change per key — (ts_us, event_id, type, value),
+    constant size, O(#keys) store. Per micro-batch only the batch's
+    own maximum competes with the stored winner; max is associative,
+    so the final state is independent of how the feed splits into
+    batches (asserted against the batch operator in tests)."""
+    best = tuple(state.get) if state.exists else None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        row = pdf.iloc[-1]
+        cand = (
+            int(row["ts"].value // 1_000),  # pandas ns -> micros
+            int(row["event_id"]),
+            str(row["event_type"]),
+            float(row["value"]) if pd.notna(row["value"]) else None,
+        )
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    if best is None:  # no usable rows in any batch
+        return
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_ts_us": [best[0]],
+            "last_event_id": [best[1]],
+            "last_type": [best[2]],
+            "last_value": [best[3]],
+            "is_deleted": [best[2] == "error"],
+        }
+    )
+
+
+def cdc_snapshot_stream(events_stream: DataFrame) -> DataFrame:
+    """T5-extension: the events feed replayed as a CDC stream — every
+    event upserts its user's state, an 'error' event tombstones it
+    (the same op mapping as the batch r61 oracle). Update-mode
+    emission: the LAST row emitted per user is the current snapshot,
+    with deletes visible as is_deleted=true rather than silently
+    absent (a streaming sink needs the tombstone row to propagate
+    the delete downstream — the Debezium convention)."""
+    changes = events_stream.filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
+    return changes.groupBy("user_id").applyInPandasWithState(
+        _update_cdc_snapshot,
+        outputStructType=CDC_OUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

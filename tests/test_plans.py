@@ -1285,3 +1285,31 @@ def test_staged_cdc_apply_one_shuffle(spark):
     assert p.count("Window (") == 1, p
     assert "Join" not in p, p
     assert "IsNotNull(event_id)" in p.split("PushedFilters", 1)[1], p
+
+
+def test_staged_attribution_one_shuffle_no_join(spark):
+    """r62 candidate: attribution is ONE last(ignorenulls) window
+    over ONE key exchange — never a conversions×touches self-join
+    (the as-of fan-out this operator exists to avoid); the
+    conversion filter stays ABOVE the window (pushing it below would
+    hide touches); the ts null filter reaches the scan."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    p = _staged_plan(
+        last_touch_attribution(
+            ev, ["user_id"], "ts", "event_type",
+            conversion_type="purchase", touch_types=("click", "view"),
+            max_age="7 days", tiebreak_col="event_id",
+        )
+    )
+    assert _n_exchanges(p) == 1, p
+    assert p.count("Window (") == 1, p
+    assert "Join" not in p, p
+    assert "IsNotNull(ts)" in p.split("PushedFilters", 1)[1], p
+    # the conversion filter must NOT be pushed into the scan — the
+    # window needs every row of the series.
+    assert "purchase" not in p.split("PushedFilters", 1)[1].split("\n")[0], p

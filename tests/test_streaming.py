@@ -562,3 +562,53 @@ def test_stream_observed_metrics(spark):
     ).collect()[0]
     assert total_rows == want["n"], (total_rows, want["n"])
     assert total_purch == want["p"], (total_purch, want["p"])
+
+
+def test_stream_cdc_snapshot_equals_batch_apply(spark):
+    """Streaming last-writer-wins == batch cdc_apply over the full
+    replay: every non-deleted user matches the batch snapshot's
+    (ts, event_id, type); deleted users appear ONLY as tombstones
+    (is_deleted=true), mirroring the batch operator's absence."""
+    from miningfrequentpattern_spark.operators.relational import cdc_apply
+    from miningfrequentpattern_spark.streaming.stateful import (
+        cdc_snapshot_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(cdc_snapshot_stream(stream), "cdc_snap")
+    # update mode: the LAST emitted row per user is the final state —
+    # order within the memory sink follows emission order, so take
+    # the max-seq row per user.
+    emitted = {}
+    for r in spark.sql("SELECT * FROM cdc_snap").collect():
+        cur = emitted.get(r.user_id)
+        if cur is None or (r.last_ts_us, r.last_event_id) > (
+            cur.last_ts_us,
+            cur.last_event_id,
+        ):
+            emitted[r.user_id] = r
+    batch = load_table(spark, SF_SMOKE, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["event_type"])
+        for r in cdc_apply(
+            batch, ["user_id"], ["ts", "event_id"], "op"
+        ).collect()
+    }
+    assert emitted, "stream emitted nothing"
+    live = {u: r for u, r in emitted.items() if not r.is_deleted}
+    assert set(live) == set(want)
+    for u, r in live.items():
+        ts, eid, et = want[u]
+        assert r.last_event_id == eid and r.last_type == et, u
+        assert r.last_ts_us == int(ts.timestamp() * 1_000_000), u
+    # every user in the feed is accounted for: live snapshot or
+    # tombstone
+    n_users = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    ).select("user_id").distinct().count()
+    assert len(emitted) == n_users
