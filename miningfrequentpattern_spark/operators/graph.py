@@ -462,3 +462,103 @@ def khop_distances(
         e.unpersist()
         for leg in legs:
             release(leg, durable)
+
+
+def sssp_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    id_col: str = "id",
+    require_converged: bool = False,
+    durable: bool = False,
+) -> DataFrame:
+    """Weighted multi-source shortest paths by frontier Bellman-Ford:
+    after round h, `dist` is EXACTLY the cheapest path cost using at
+    most h edges — so with bounded `max_rounds` the result is the
+    well-defined "cheapest within k hops" relation (the khop
+    semantics, weighted), and with `require_converged=True` the
+    operator RAISES if the last round still improved anything (the
+    connected_components raise-don't-truncate stance) — converged
+    output is the true unbounded shortest path. Returns (id, dist)
+    for reached nodes; unreachable nodes are absent; seeds are 0.
+
+    Negative weights are accepted (Bellman-Ford's advantage over
+    Dijkstra); a negative CYCLE never converges and is exactly what
+    require_converged turns into a loud failure instead of a
+    silently-wrong fixpoint claim. NULL-weight edges are dropped up
+    front (an unpriceable edge can't participate in a cheapest
+    path; the interval_merge documented-drop stance).
+
+    Shape per round (the khop loop): only the improved-frontier side
+    shuffles against the CACHED pre-partitioned edges; candidate
+    relaxations min-combine per node (map-side partials) and join
+    the pinned dist relation id-keyed; `improved` keeps strictly
+    cheaper entries only, so the frontier shrinks to ∅ on
+    convergence and each round's plan starts from pinned LogicalRDDs
+    (no O(rounds²) lineage re-derivation). Per-round driver traffic
+    is one isEmpty probe.
+    """
+    from .ckpt import pin, release
+
+    e = (
+        edges.select(
+            F.col(src).alias("_src"),
+            F.col(dst).alias("_dst"),
+            F.col(weight).cast("double").alias("_w"),
+        )
+        .filter(F.col("_w").isNotNull())
+        .repartition("_src")
+        .cache()
+    )
+    legs: list[DataFrame] = []
+    try:
+        dist = pin(
+            sources.select(F.col(id_col).alias("id"))
+            .distinct()
+            .select("id", F.lit(0.0).alias("dist")),
+            durable,
+        )
+        legs.append(dist)
+        frontier = dist
+        for _ in range(max_rounds):
+            if frontier.isEmpty():
+                break
+            cand = (
+                e.join(frontier.withColumnRenamed("id", "_src"), "_src")
+                .select(
+                    F.col("_dst").alias("id"),
+                    (F.col("dist") + F.col("_w")).alias("_nd"),
+                )
+                .groupBy("id")
+                .agg(F.min("_nd").alias("_nd"))
+            )
+            improved = pin(
+                cand.join(dist.withColumnRenamed("dist", "_cur"), "id", "left")
+                .filter(
+                    F.col("_cur").isNull() | (F.col("_nd") < F.col("_cur"))
+                )
+                .select("id", F.col("_nd").alias("dist")),
+                durable,
+            )
+            legs.append(improved)
+            dist = pin(
+                dist.join(improved, "id", "anti").unionByName(improved),
+                durable,
+            )
+            legs.append(dist)
+            frontier = improved
+        if require_converged and not frontier.isEmpty():
+            raise RuntimeError(
+                f"sssp_distances: still improving after {max_rounds} "
+                "rounds — raise max_rounds (or a negative cycle exists); "
+                "refusing to return a truncated relation as the fixpoint"
+            )
+        out = pin(dist, durable)
+        return out
+    finally:
+        e.unpersist()
+        for leg in legs:
+            release(leg, durable)

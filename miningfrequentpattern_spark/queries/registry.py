@@ -155,7 +155,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # batch operator in tests/test_streaming.py (tests-only by design,
 # like every streaming op);
 # timeseries.py::last_touch_attribution → r62_attribution with the
-# IGNORE-NULLS-window oracle in tests/test_attribution.py),
+# IGNORE-NULLS-window oracle in tests/test_attribution.py;
+# graph.py::sssp_distances → m23_part_cheapest_reach with the
+# chained-relaxation oracle in tests/test_sssp.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

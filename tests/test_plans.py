@@ -1313,3 +1313,21 @@ def test_staged_attribution_one_shuffle_no_join(spark):
     # the conversion filter must NOT be pushed into the scan — the
     # window needs every row of the series.
     assert "purchase" not in p.split("PushedFilters", 1)[1].split("\n")[0], p
+
+
+def test_staged_sssp_returns_materialized_handle(spark):
+    """m23 candidate: like khop, the returned relation must be a
+    pinned LogicalRDD — no joins/exchanges dangling into released
+    per-round pins."""
+    from miningfrequentpattern_spark.operators.graph import sssp_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, 6)],
+        "src long, dst long, weight double",
+    )
+    out = sssp_distances(
+        edges, spark.createDataFrame([(1,)], "id long"), 2
+    )
+    p = _staged_plan(out)
+    assert "Scan ExistingRDD" in p
+    assert "Join" not in p and "Exchange" not in p, p

@@ -1,0 +1,166 @@
+"""Weighted multi-source shortest paths
+(operators/graph.py::sssp_distances) — round-6 window candidate,
+locally certified NOW: the DuckDB oracle below is the exact SQL a
+future m23_part_cheapest_reach registration will carry (3 chained
+full-relaxation rounds over the co-purchase graph with
+1/shared-orders edge costs — after round k both forms equal "cheapest
+path using ≤ k edges", the operator's bounded semantics), plus
+synthetic-graph checks: a cheaper 2-hop route beating a direct edge,
+convergence raising, and negative-cycle refusal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.graph import sssp_distances
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future m23 oracle, verbatim. Float parity: each round computes
+# d_prev + w with IDENTICAL accumulation order in both engines
+# (round-chained additions), so the min() compares bitwise-equal
+# doubles; 1.0/n division is correctly rounded from exact integers.
+M23_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+p AS (SELECT a.pk AS s, b.pk AS d, count(*) AS n FROM li a
+      JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+e AS (SELECT s, d, 1.0 / n AS w FROM p
+      UNION ALL SELECT d, s, 1.0 / n FROM p),
+deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+d0 AS (SELECT s AS id, 0.0 AS dist FROM deg ORDER BY dg DESC, s LIMIT 3),
+r1 AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d0
+    UNION ALL
+    SELECT e.d, pd.dist + e.w FROM e JOIN d0 pd ON e.s = pd.id
+  ) GROUP BY id),
+r2 AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM r1
+    UNION ALL
+    SELECT e.d, pd.dist + e.w FROM e JOIN r1 pd ON e.s = pd.id
+  ) GROUP BY id),
+r3 AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM r2
+    UNION ALL
+    SELECT e.d, pd.dist + e.w FROM e JOIN r2 pd ON e.s = pd.id
+  ) GROUP BY id)
+SELECT id AS part_id, round(dist, 4) AS dist FROM r3
+"""
+
+
+def _weighted_copurchase_edges(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("weight"))
+    )
+    return pairs.unionAll(
+        pairs.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "weight",
+        )
+    )
+
+
+def _m23(spark, sf_dir):
+    edges = _weighted_copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.desc("dg"), "src")
+        .limit(3)
+        .select(F.col("src").alias("id"))
+    )
+    return sssp_distances(edges, seeds, max_rounds=3).select(
+        F.col("id").alias("part_id"), F.round("dist", 4).alias("dist")
+    )
+
+
+def test_sssp_matches_duckdb_oracle(spark, duck):
+    compare(_m23(spark, SF_ORACLE), duck, M23_ORACLE)
+
+
+def test_sssp_cheaper_multihop_beats_direct_edge(spark):
+    """1→3 direct costs 10; 1→2→3 costs 1+2=3 — round 2 must take the
+    cheaper 2-hop route, and round 1 (bounded semantics) must still
+    report the ≤1-edge cost 10."""
+    edges = spark.createDataFrame(
+        [(1, 3, 10.0), (1, 2, 1.0), (2, 3, 2.0)],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    one = {
+        r["id"]: r["dist"]
+        for r in sssp_distances(edges, seeds, max_rounds=1).collect()
+    }
+    assert one[3] == 10.0
+    two = {
+        r["id"]: r["dist"]
+        for r in sssp_distances(edges, seeds, max_rounds=2).collect()
+    }
+    assert math.isclose(two[3], 3.0) and two[2] == 1.0 and two[1] == 0.0
+
+
+def test_sssp_require_converged_raises_on_truncation(spark):
+    """A 3-edge chain cannot converge in 1 round; require_converged
+    must refuse the truncated relation — and accept once rounds
+    cover the chain (frontier drains → no raise)."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(RuntimeError, match="still improving"):
+        sssp_distances(edges, seeds, max_rounds=1, require_converged=True)
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp_distances(
+            edges, seeds, max_rounds=4, require_converged=True
+        ).collect()
+    }
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_sssp_negative_cycle_refuses_fixpoint_claim(spark):
+    """A negative cycle improves forever: require_converged must
+    raise rather than return any round's relation as 'the' shortest
+    paths."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, -3.0)],
+        "src long, dst long, weight double",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(RuntimeError, match="still improving|negative"):
+        sssp_distances(edges, seeds, max_rounds=4, require_converged=True)
+
+
+def test_sssp_empty_and_null_weight_edges(spark):
+    no_edges = spark.createDataFrame([], "src long, dst long, weight double")
+    seeds = spark.createDataFrame([(7,)], "id long")
+    got = sssp_distances(no_edges, seeds, max_rounds=2).collect()
+    assert [(r["id"], r["dist"]) for r in got] == [(7, 0.0)]
+    nulls = spark.createDataFrame(
+        [(1, 2, None), (1, 3, 5.0)], "src long, dst long, weight double"
+    )
+    seeds1 = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp_distances(nulls, seeds1, max_rounds=2).collect()
+    }
+    assert got == {1: 0.0, 3: 5.0}  # the unpriceable edge is dropped
