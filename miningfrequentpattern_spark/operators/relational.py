@@ -660,3 +660,98 @@ def cdc_apply(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
         .drop("_rn")
     )
+
+
+def topn_with_others(
+    df: DataFrame,
+    group_col: str,
+    measure: Column,
+    n: int,
+    others_label: str = "OTHER",
+    label_col: str = "label",
+    measure_col: str = "total",
+) -> DataFrame:
+    """The BI staple "top-N categories + an OTHER bucket": aggregate
+    `measure` per `group_col`, keep the N largest contributors as
+    named rows, and collapse the tail into one `others_label` row so
+    the report always has N+1 rows and the parts still sum to the
+    grand total (the invariant dashboards reconcile against; a plain
+    top-N silently drops the tail mass). Ties at the boundary break
+    by group value ascending — a total order, so the N cut is
+    deterministic and cross-engine stable.
+
+    Shape: one partial/final hash aggregate to category cardinality,
+    then the rank and the OTHER re-aggregate run on the
+    |categories|-sized relation — the corpus is scanned ONCE and
+    everything after is dimension-sized. No global sort: the rank
+    window orders the aggregate relation, not the corpus.
+    """
+    agg = df.groupBy(F.col(group_col).alias(label_col)).agg(
+        measure.alias(measure_col)
+    )
+    w = Window.orderBy(F.desc(measure_col), F.asc(label_col))
+    ranked = agg.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("_rn") <= n, F.col(label_col))
+            .otherwise(F.lit(others_label))
+            .alias(label_col),
+            F.col(measure_col),
+        )
+        .groupBy(label_col)
+        .agg(F.round(F.sum(measure_col), 4).alias(measure_col))
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    measure: Column,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto contribution analysis per group: items are ranked
+    by contribution within their group; an item is class A while the
+    RUNNING share (including itself) is ≤ `a_cut`, B until `b_cut`,
+    else C — "which 20% of parts carry 80% of revenue". Returns
+    (groups…, item, total, share, cum_share, abc_class). The first
+    item of a group is always A even when it alone exceeds a_cut
+    (the class of the item that CROSSES the boundary is the classic
+    ambiguity; this operator pins crosses-boundary → the higher
+    class via strict ordering on the PREVIOUS row's cumulative —
+    i.e. class is decided by cum_share_before < cut — documented so
+    the oracle can mirror it exactly).
+
+    Shape: one corpus aggregate to (group, item) grain, then ONE
+    window partitioned by the group over the aggregate relation (no
+    global window, no second corpus pass); share arithmetic is
+    dimension-sized.
+    """
+    agg = df.groupBy(*group_cols, F.col(item_col).alias("item")).agg(
+        measure.alias("total")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("total"), F.asc("item")
+    )
+    cum_before = F.coalesce(
+        F.sum("total").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0.0),
+    )
+    grand = F.sum("total").over(
+        Window.partitionBy(*group_cols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    share_before = cum_before / grand
+    return agg.select(
+        *group_cols,
+        "item",
+        F.round("total", 4).alias("total"),
+        F.round(F.col("total") / grand, 4).alias("share"),
+        F.round((cum_before + F.col("total")) / grand, 4).alias("cum_share"),
+        F.when(share_before < a_cut, F.lit("A"))
+        .when(share_before < b_cut, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -605,3 +605,54 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality metrics per query: recall@k and MRR of a
+    candidate ranking against a ground-truth ranking — the evaluation
+    harness every ANN tier in this module reports through in tests,
+    promoted to a first-class distributed operator so recall can be
+    monitored IN the pipeline (e.g. nightly: quantized index vs exact
+    on a probe set), not just in CI.
+
+    Returns (query_id, n_relevant, n_hits, recall_at_k, mrr): truth
+    rows at rank ≤ k define the relevant set; recall divides by the
+    ACTUAL per-query relevant count (= k normally, fewer when the
+    corpus is small); MRR is 1/rank of the first relevant hit in the
+    candidate list, 0 when nothing relevant was retrieved. Queries
+    present in truth but absent from results score 0 — silent
+    drop-outs are exactly what the monitor must surface.
+
+    Shape: one equi-key LEFT join on (query, item) — both sides
+    pre-filtered to rank ≤ k, so the join carries ≤ k rows per query
+    per side regardless of corpus size — then one per-query hash
+    aggregate. Nothing scales with the corpus; everything scales
+    with |probe queries| × k.
+    """
+    t = truth.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(item_col).alias("_item"),
+    )
+    r = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(item_col).alias("_item"),
+        F.col(rank_col).alias("_rrank"),
+    )
+    joined = t.join(r, ["query_id", "_item"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant"),
+        F.count("_rrank").alias("n_hits"),
+        F.round(F.count("_rrank") / F.count(F.lit(1)), 4).alias(
+            "recall_at_k"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.min("_rrank"), F.lit(0.0)), 4
+        ).alias("mrr"),
+    )

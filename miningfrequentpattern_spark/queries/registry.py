@@ -157,7 +157,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # timeseries.py::last_touch_attribution → r62_attribution with the
 # IGNORE-NULLS-window oracle in tests/test_attribution.py;
 # graph.py::sssp_distances → m23_part_cheapest_reach with the
-# chained-relaxation oracle in tests/test_sssp.py),
+# chained-relaxation oracle in tests/test_sssp.py;
+# relational.py::topn_with_others → r63_brand_topn_others and
+# relational.py::abc_classification → r64_brand_abc with oracles in
+# tests/test_topn_abc.py;
+# similarity.py::ranking_metrics → l46_quantized_recall with the
+# exact-vs-int8-reconstruction oracle in tests/test_ranking_metrics.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

@@ -1331,3 +1331,61 @@ def test_staged_sssp_returns_materialized_handle(spark):
     p = _staged_plan(out)
     assert "Scan ExistingRDD" in p
     assert "Join" not in p and "Exchange" not in p, p
+
+
+def test_staged_topn_others_window_is_dimension_sized(spark):
+    """r63 candidate: the corpus is scanned ONCE into a partial/final
+    category aggregate; the rank window and the OTHER re-aggregate
+    run on the |categories| relation (window input = the aggregate,
+    never the corpus); the part dim joins broadcast."""
+    import importlib
+
+    t = importlib.import_module("tests.test_topn_abc")
+    p = _staged_plan(t._r63(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_sum" in p, p
+    assert p.count("Window (") == 1, p
+    # the window must consume the aggregated relation: in the tree
+    # the Window node sits ABOVE the final HashAggregate of the
+    # category rollup.
+    tree = p.split("\n\n")[0]
+    wpos = tree.index("Window")
+    assert "HashAggregate" in tree[wpos:], p
+
+
+def test_staged_abc_single_group_window(spark):
+    """r64 candidate: one corpus aggregate, then BOTH window passes
+    (cumulative + grand total) partition by the group — no global
+    (empty partition-spec) window anywhere."""
+    import importlib
+
+    t = importlib.import_module("tests.test_topn_abc")
+    p = _staged_plan(t._r64(spark, SF_ORACLE))
+    assert "partial_sum" in p, p
+    assert "windowspecdefinition(returnflag" in p, p
+    # every windowspec carries the partition column — a bare
+    # "windowspecdefinition(total" / global spec would betray a
+    # full-relation single-partition window.
+    specs = re.findall(r"windowspecdefinition\((\w+)", p)
+    assert specs and all(s == "returnflag" for s in specs), specs
+
+
+def test_staged_ranking_metrics_scales_with_probe_not_corpus(spark):
+    """l46 candidate: the metrics join carries ≤ k rows per query per
+    side (both legs rank-filtered BEFORE the join) into one per-query
+    aggregate — no cartesian, no corpus-sized leg past the topk
+    operators themselves."""
+    from miningfrequentpattern_spark.operators.similarity import (
+        ranking_metrics,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, "a", 1)], "query_id long, neighbor_id string, rank long"
+    )
+    cand = spark.createDataFrame(
+        [(1, "a", 1)], "query_id long, neighbor_id string, rank long"
+    )
+    p = _staged_plan(ranking_metrics(cand, truth, k=5))
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p, p
+    assert "(rank" in p and "<= 5" in p, p  # rank filters below the join

@@ -162,3 +162,89 @@ def test_salted_count_equals_plain_on_hot_key(spark):
     }
     assert salted == plain
     assert plain[0] == HOT  # the hot key's full count survives both phases
+
+
+def test_cdc_apply_correct_on_hot_entity(spark):
+    """One entity carrying 10⁴ changes while the tail has 3 each:
+    last-writer-wins must still pick the single max-seq change for
+    the hot key (the window sorts one partition's worth of that key —
+    the documented skew exposure, measurable via r53 — but the RESULT
+    is exact)."""
+    from miningfrequentpattern_spark.operators.relational import cdc_apply
+
+    hot = spark.range(HOT).select(
+        F.lit(0).alias("k"),
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias(
+            "op"
+        ),
+    )
+    tail = spark.range(3 * TAIL).select(
+        (F.col("id") % TAIL + 1).alias("k"),
+        (F.col("id") / TAIL).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    got = {
+        r["k"]: r["seq"]
+        for r in cdc_apply(
+            hot.unionByName(tail), ["k"], ["seq"], "op"
+        ).collect()
+    }
+    # hot key's max seq is HOT-1 = 9999; 9999 % 7 != 0 so it's an
+    # upsert and must survive with exactly that seq.
+    assert got[0] == HOT - 1
+    assert len(got) == TAIL + 1
+
+
+def test_interval_merge_correct_on_hot_series(spark):
+    """10⁴ unit intervals on one key at stride 2 (all disjoint) must
+    yield 10⁴ spans, while an overlapping tail key still merges to
+    one — gaps-and-islands stays exact under series-length skew."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_merge,
+    )
+
+    hot = spark.range(HOT).select(
+        F.lit("hot").alias("k"),
+        (F.col("id") * 2).alias("s"),
+        (F.col("id") * 2 + 1).alias("e"),
+    )
+    tail = spark.range(10).select(
+        F.lit("t").alias("k"),
+        F.col("id").alias("s"),
+        (F.col("id") + 2).alias("e"),
+    )
+    out = interval_merge(hot.unionByName(tail), ["k"], "s", "e")
+    counts = {
+        r["k"]: r["n"]
+        for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"hot": HOT, "t": 1}
+
+
+def test_cusum_correct_on_hot_series(spark):
+    """A 10⁴-step flat series at exactly the target must hold S ≡ 0
+    at every step (no fp drift into phantom drift flags), while a
+    step-change tail series still alarms."""
+    from miningfrequentpattern_spark.operators.timeseries import cusum_drift
+
+    hot = spark.range(HOT).select(
+        F.lit("flat").alias("k"), F.col("id").alias("t"), F.lit(5.0).alias("x")
+    )
+    tail = spark.range(20).select(
+        F.lit("step").alias("k"),
+        F.col("id").alias("t"),
+        F.when(F.col("id") >= 10, F.lit(9.0)).otherwise(F.lit(5.0)).alias("x"),
+    )
+    out = cusum_drift(
+        hot.unionByName(tail), ["k"], "t", "x", target=5.0, threshold=10.0
+    )
+    agg = {
+        (r["k"], r["drifted"]): r["n"]
+        for r in out.groupBy("k", "drifted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert agg[("flat", False)] == HOT and ("flat", True) not in agg
+    # step series: S after t>=10 grows by 4/step; crosses 10 at t=12.
+    assert agg[("step", True)] == 8

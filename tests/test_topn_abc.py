@@ -1,0 +1,138 @@
+"""Top-N-plus-OTHER rollup and ABC contribution analysis
+(operators/relational.py::topn_with_others / ::abc_classification) —
+round-6 window candidates, locally certified NOW: the DuckDB oracles
+below are the exact SQL future r63/r64 registrations will carry, plus
+boundary-semantics hand checks (the crossing-item class pin, the
+mass-conservation invariant)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.relational import (
+    abc_classification,
+    topn_with_others,
+)
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future r63 oracle, verbatim. Boundary ties break (total DESC,
+# label ASC) on both sides — a total order, deterministic N cut.
+R63_ORACLE = """
+WITH rev AS (
+  SELECT p.p_brand AS label,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS total
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1),
+rk AS (SELECT label, total,
+              row_number() OVER (ORDER BY total DESC, label) AS rn
+       FROM rev)
+SELECT CASE WHEN rn <= 10 THEN label ELSE 'OTHER' END AS label,
+       round(sum(total), 4) AS total
+FROM rk GROUP BY 1
+"""
+
+# Future r64 oracle, verbatim. Class is decided by the share BEFORE
+# the item (cum_share_before < cut → the crossing item takes the
+# HIGHER class) — the documented pin the operator mirrors.
+R64_ORACLE = """
+WITH agg AS (
+  SELECT l.l_returnflag AS returnflag, p.p_brand AS item,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS total
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+w AS (
+  SELECT returnflag, item, total,
+         coalesce(sum(total) OVER (PARTITION BY returnflag
+               ORDER BY total DESC, item
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0.0) AS cumb,
+         sum(total) OVER (PARTITION BY returnflag) AS grand
+  FROM agg)
+SELECT returnflag, item, round(total, 4) AS total,
+       round(total / grand, 4) AS share,
+       round((cumb + total) / grand, 4) AS cum_share,
+       CASE WHEN cumb / grand < 0.8 THEN 'A'
+            WHEN cumb / grand < 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM w
+"""
+
+
+def _brand_rev(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    return li.join(
+        F.broadcast(pa.select("p_partkey", "p_brand")),
+        li["l_partkey"] == pa["p_partkey"],
+    )
+
+
+def _r63(spark, sf_dir):
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return topn_with_others(_brand_rev(spark, sf_dir), "p_brand", rev, 10)
+
+
+def _r64(spark, sf_dir):
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return abc_classification(
+        _brand_rev(spark, sf_dir).withColumnRenamed(
+            "l_returnflag", "returnflag"
+        ),
+        ["returnflag"],
+        "p_brand",
+        rev,
+    )
+
+
+def test_topn_with_others_matches_duckdb_oracle(spark, duck):
+    compare(_r63(spark, SF_ORACLE), duck, R63_ORACLE)
+
+
+def test_abc_matches_duckdb_oracle(spark, duck):
+    compare(_r64(spark, SF_ORACLE), duck, R64_ORACLE)
+
+
+def test_topn_conserves_mass_and_cuts_deterministically(spark):
+    """5 categories, n=2: exactly 3 output rows (2 named + OTHER) and
+    the parts sum to the grand total; the boundary tie (b vs c, both
+    20) cuts by label ascending — b stays named, c folds into
+    OTHER."""
+    rows = [("a", 50.0), ("b", 20.0), ("c", 20.0), ("d", 7.0), ("e", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["label"]: r["total"]
+        for r in topn_with_others(df, "g", F.sum("v"), 2).collect()
+    }
+    assert set(got) == {"a", "b", "OTHER"}
+    assert got["OTHER"] == 30.0
+    assert math.isclose(sum(got.values()), 100.0)
+
+
+def test_abc_boundary_item_takes_higher_class(spark):
+    """Shares 0.5 / 0.3 / 0.15 / 0.05: the 0.3 item CROSSES 0.8
+    (cum 0.5 → 0.8) and must be A (decided by the share BEFORE it);
+    the 0.15 item crosses 0.95 and must be B; the last is C. A
+    single-item group is always A."""
+    rows = [("g", "w", 50.0), ("g", "x", 30.0), ("g", "y", 15.0),
+            ("g", "z", 5.0), ("h", "solo", 1.0)]
+    df = spark.createDataFrame(rows, "grp string, item string, v double")
+    got = {
+        (r["grp"], r["item"]): (r["abc_class"], r["cum_share"])
+        for r in abc_classification(
+            df, ["grp"], "item", F.sum("v")
+        ).collect()
+    }
+    assert got[("g", "w")][0] == "A"
+    assert got[("g", "x")] == ("A", 0.8)
+    assert got[("g", "y")] == ("B", 0.95)
+    assert got[("g", "z")][0] == "C"
+    assert got[("h", "solo")] == ("A", 1.0)
+
+
+def test_topn_abc_empty(spark):
+    empty = spark.createDataFrame([], "g string, v double")
+    assert topn_with_others(empty, "g", F.sum("v"), 3).count() == 0
+    assert abc_classification(empty, [], "g", F.sum("v")).count() == 0
