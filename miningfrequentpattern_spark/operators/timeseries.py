@@ -258,6 +258,7 @@ def cusum_drift(
     target: float,
     slack: float = 0.0,
     threshold: float | None = None,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """One-sided (upper) CUSUM drift statistic per series — the
     classic change-point monitor: with d_t = x_t − target − slack,
@@ -283,8 +284,11 @@ def cusum_drift(
     """
     t = F.col(order_col)
     x = F.col(value_col).cast("double")
+    # `carry` columns ride through untouched (the l40 pass-through
+    # convention) so compositions don't need a join-back on the
+    # series key to recover companion measures.
     base = df.filter(t.isNotNull() & x.isNotNull()).select(
-        *keys, t.alias(order_col), x.alias("_x")
+        *keys, t.alias(order_col), *carry, x.alias("_x")
     )
     w = (
         Window.partitionBy(*keys)
@@ -300,6 +304,7 @@ def cusum_drift(
     out = base.select(
         *keys,
         order_col,
+        *carry,
         F.col("_x").alias(value_col),
         (p - F.least(F.lit(0.0), runmin.over(w))).alias("cusum"),
     )

@@ -162,7 +162,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # relational.py::abc_classification → r64_brand_abc with oracles in
 # tests/test_topn_abc.py;
 # similarity.py::ranking_metrics → l46_quantized_recall with the
-# exact-vs-int8-reconstruction oracle in tests/test_ranking_metrics.py),
+# exact-vs-int8-reconstruction oracle in tests/test_ranking_metrics.py;
+# the composed monitoring flagship (daily volumes → series_trend +
+# mean-centered cusum_drift in ONE plan) → r65_ops_monitor with the
+# stage-fragment oracle in tests/test_ops_monitor.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
