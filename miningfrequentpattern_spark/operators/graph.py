@@ -490,7 +490,11 @@ def sssp_distances(
     require_converged turns into a loud failure instead of a
     silently-wrong fixpoint claim. NULL-weight edges are dropped up
     front (an unpriceable edge can't participate in a cheapest
-    path; the interval_merge documented-drop stance).
+    path; the interval_merge documented-drop stance), and so are
+    NULL-endpoint edges — a NULL dst would otherwise survive the
+    improved-filter's left join (NULL never equi-joins) and emit a
+    spurious id=NULL distance row (review r5, confirmed by
+    execution).
 
     Shape per round (the khop loop): only the improved-frontier side
     shuffles against the CACHED pre-partitioned edges; candidate
@@ -509,7 +513,11 @@ def sssp_distances(
             F.col(dst).alias("_dst"),
             F.col(weight).cast("double").alias("_w"),
         )
-        .filter(F.col("_w").isNotNull())
+        .filter(
+            F.col("_w").isNotNull()
+            & F.col("_src").isNotNull()
+            & F.col("_dst").isNotNull()
+        )
         .repartition("_src")
         .cache()
     )

@@ -541,7 +541,10 @@ def winsorized_stats(
     exact-hash oracle) — the clamp/mean leg is unchanged. NULLs are
     excluded from both legs (percentile and avg both skip them;
     made explicit with a filter so n_obs counts exactly the rows
-    the mean saw).
+    the mean saw). A NULL group VALUE is a group like any other —
+    the bounds join back is null-safe, so NULL-group rows clamp and
+    count instead of vanishing through a NULL != NULL equi-join
+    (review r5, confirmed by execution).
     """
     if not 0.0 <= p_lo < p_hi <= 1.0:
         raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
@@ -551,9 +554,15 @@ def winsorized_stats(
         F.percentile("_v", F.lit(p_lo)).alias("lo_val"),
         F.percentile("_v", F.lit(p_hi)).alias("hi_val"),
     )
+    for g in groups:
+        bounds = bounds.withColumnRenamed(g, f"_b_{g}")
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"_b_{g}"))
+        cond = c if cond is None else cond & c
     clamped = F.least(F.greatest(F.col("_v"), F.col("lo_val")), F.col("hi_val"))
     return (
-        base.join(F.broadcast(bounds), list(groups))
+        base.join(F.broadcast(bounds), cond)
         .groupBy(*groups)
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
@@ -582,6 +591,12 @@ def referential_orphan_audit(
     partial aggregate; the union of specs is a union of 1-row
     relations. Never a crossJoin, never a collect.
     """
+    if not specs:
+        raise ValueError(
+            "referential_orphan_audit: empty specs list — a "
+            "dynamically-built audit that filtered to zero FK pairs "
+            "should skip the call, not request an audit of nothing"
+        )
     legs = []
     for name, child, child_key, parent, parent_key in specs:
         pk = (
@@ -647,6 +662,13 @@ def cdc_apply(
     ordered by seq DESC, filtered to rn = 1 and op != delete_op. No
     self-join against a "latest seq" aggregate (the two-pass form
     pays a second exchange and a join for nothing).
+
+    A winning change with a NULL op is kept, not deleted: only an
+    EXPLICIT delete_op tombstones a key (a plain `op != 'D'` filter
+    would silently drop NULL-op winners — NULL != 'D' is NULL — so
+    the comparison is null-safe; review r5, confirmed by execution).
+    The op column rides through, so unclassifiable survivors are
+    visible to the caller.
     """
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in seq_cols]
@@ -657,7 +679,10 @@ def cdc_apply(
     return (
         changes.filter(keep)
         .withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        .filter(
+            (F.col("_rn") == 1)
+            & ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+        )
         .drop("_rn")
     )
 
@@ -674,11 +699,15 @@ def topn_with_others(
     """The BI staple "top-N categories + an OTHER bucket": aggregate
     `measure` per `group_col`, keep the N largest contributors as
     named rows, and collapse the tail into one `others_label` row so
-    the report always has N+1 rows and the parts still sum to the
+    the report always has ≤ N+1 rows and the parts still sum to the
     grand total (the invariant dashboards reconcile against; a plain
     top-N silently drops the tail mass). Ties at the boundary break
     by group value ascending — a total order, so the N cut is
-    deterministic and cross-engine stable.
+    deterministic and cross-engine stable. The output carries an
+    `is_other` flag AND groups by it, so a real category that
+    happens to be named `others_label` can never be silently merged
+    with the tail bucket (review r5, confirmed by execution — the
+    flag, not the label, is the bucket identity).
 
     Shape: one partial/final hash aggregate to category cardinality,
     then the rank and the OTHER re-aggregate run on the
@@ -696,9 +725,10 @@ def topn_with_others(
             F.when(F.col("_rn") <= n, F.col(label_col))
             .otherwise(F.lit(others_label))
             .alias(label_col),
+            (F.col("_rn") > n).alias("is_other"),
             F.col(measure_col),
         )
-        .groupBy(label_col)
+        .groupBy(label_col, "is_other")
         .agg(F.round(F.sum(measure_col), 4).alias(measure_col))
     )
 
@@ -727,6 +757,13 @@ def abc_classification(
     window partitioned by the group over the aggregate relation (no
     global window, no second corpus pass); share arithmetic is
     dimension-sized.
+
+    A group whose grand total is exactly 0 (a net-zero measure —
+    returns offsetting sales) has NO contribution structure: shares
+    and classes come back NULL rather than every item silently
+    classing 'C' through a NULL-comparison fall-through, and the
+    guarded division never runs under ANSI mode (review r5,
+    confirmed by execution).
     """
     agg = df.groupBy(*group_cols, F.col(item_col).alias("item")).agg(
         measure.alias("total")
@@ -743,15 +780,18 @@ def abc_classification(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
     )
-    share_before = cum_before / grand
+    nz = grand != 0
+    share_before = F.when(nz, cum_before / grand)
     return agg.select(
         *group_cols,
         "item",
         F.round("total", 4).alias("total"),
-        F.round(F.col("total") / grand, 4).alias("share"),
-        F.round((cum_before + F.col("total")) / grand, 4).alias("cum_share"),
+        F.round(F.when(nz, F.col("total") / grand), 4).alias("share"),
+        F.round(
+            F.when(nz, (cum_before + F.col("total")) / grand), 4
+        ).alias("cum_share"),
         F.when(share_before < a_cut, F.lit("A"))
         .when(share_before < b_cut, F.lit("B"))
-        .otherwise(F.lit("C"))
+        .when(share_before >= b_cut, F.lit("C"))
         .alias("abc_class"),
     )

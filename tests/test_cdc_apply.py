@@ -76,3 +76,16 @@ def test_cdc_apply_last_writer_wins_and_tombstone(spark):
 def test_cdc_apply_empty(spark):
     empty = spark.createDataFrame([], "k long, seq int, op string")
     assert cdc_apply(empty, ["k"], ["seq"], "op").count() == 0
+
+
+def test_cdc_apply_null_op_winner_is_kept_not_deleted(spark):
+    """Only an EXPLICIT delete tombstones: a NULL-op winner must
+    survive (review r5: a plain != filter silently dropped it —
+    NULL != 'D' is NULL)."""
+    df = spark.createDataFrame(
+        [(1, 1, "I", "a"), (1, 2, None, "b")],
+        "k long, seq int, op string, v string",
+    )
+    got = cdc_apply(df, ["k"], ["seq"], "op").collect()
+    assert len(got) == 1
+    assert got[0]["seq"] == 2 and got[0]["op"] is None

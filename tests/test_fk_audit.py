@@ -97,3 +97,10 @@ def test_fk_audit_empty_child(spark):
         [("c->p", child, "k", parent, "k")]
     ).collect()[0]
     assert tuple(got) == ("c->p", 0, 0, None)
+
+
+def test_fk_audit_empty_specs_raise(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="empty specs"):
+        referential_orphan_audit([])

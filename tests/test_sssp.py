@@ -164,3 +164,14 @@ def test_sssp_empty_and_null_weight_edges(spark):
         for r in sssp_distances(nulls, seeds1, max_rounds=2).collect()
     }
     assert got == {1: 0.0, 3: 5.0}  # the unpriceable edge is dropped
+    endp = spark.createDataFrame(
+        [(1, None, 2.0), (None, 4, 1.0), (1, 5, 3.0)],
+        "src long, dst long, weight double",
+    )
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp_distances(endp, seeds1, max_rounds=2).collect()
+    }
+    # NULL-endpoint edges drop too — no spurious id=NULL row
+    # (review r5).
+    assert got == {1: 0.0, 5: 3.0}

@@ -30,8 +30,9 @@ rk AS (SELECT label, total,
               row_number() OVER (ORDER BY total DESC, label) AS rn
        FROM rev)
 SELECT CASE WHEN rn <= 10 THEN label ELSE 'OTHER' END AS label,
+       (rn > 10) AS is_other,
        round(sum(total), 4) AS total
-FROM rk GROUP BY 1
+FROM rk GROUP BY 1, 2
 """
 
 # Future r64 oracle, verbatim. Class is decided by the share BEFORE
@@ -103,11 +104,11 @@ def test_topn_conserves_mass_and_cuts_deterministically(spark):
     rows = [("a", 50.0), ("b", 20.0), ("c", 20.0), ("d", 7.0), ("e", 3.0)]
     df = spark.createDataFrame(rows, "g string, v double")
     got = {
-        r["label"]: r["total"]
+        (r["label"], r["is_other"]): r["total"]
         for r in topn_with_others(df, "g", F.sum("v"), 2).collect()
     }
-    assert set(got) == {"a", "b", "OTHER"}
-    assert got["OTHER"] == 30.0
+    assert set(got) == {("a", False), ("b", False), ("OTHER", True)}
+    assert got[("OTHER", True)] == 30.0
     assert math.isclose(sum(got.values()), 100.0)
 
 
@@ -136,3 +137,33 @@ def test_topn_abc_empty(spark):
     empty = spark.createDataFrame([], "g string, v double")
     assert topn_with_others(empty, "g", F.sum("v"), 3).count() == 0
     assert abc_classification(empty, [], "g", F.sum("v")).count() == 0
+
+
+def test_topn_real_category_named_other_stays_separate(spark):
+    """A REAL category named OTHER must never merge with the tail
+    bucket: the is_other flag, not the label, is the bucket identity
+    (review r5)."""
+    rows = [("OTHER", 100.0), ("b", 50.0), ("c", 10.0), ("d", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["label"], r["is_other"]): r["total"]
+        for r in topn_with_others(df, "g", F.sum("v"), 2).collect()
+    }
+    assert got[("OTHER", False)] == 100.0
+    assert got[("OTHER", True)] == 15.0
+    assert got[("b", False)] == 50.0
+
+
+def test_abc_zero_grand_total_yields_nulls_not_c(spark):
+    """A net-zero group has no contribution structure: NULL shares
+    and classes, never a silent all-C fall-through (review r5)."""
+    df = spark.createDataFrame(
+        [("g", "a", 5.0), ("g", "b", -5.0)],
+        "grp string, item string, v double",
+    )
+    got = {
+        r["item"]: (r["share"], r["cum_share"], r["abc_class"])
+        for r in abc_classification(df, ["grp"], "item", F.sum("v")).collect()
+    }
+    assert got["a"] == (None, None, None)
+    assert got["b"] == (None, None, None)

@@ -79,3 +79,19 @@ def test_winsorize_nulls_excluded_and_bad_bounds_raise(spark):
     for lo, hi in ((0.5, 0.5), (-0.1, 0.9), (0.2, 1.1)):
         with pytest.raises(ValueError):
             winsorized_stats(df, ["g"], "v", lo, hi)
+
+
+def test_winsorize_null_group_counts(spark):
+    """A NULL group value is a group like any other — the null-safe
+    bounds join must keep it (review r5: the plain equi-join dropped
+    the whole NULL partition)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0)],
+        "g string, v double",
+    )
+    got = {
+        r["g"]: (r["n_obs"], r["win_mean"])
+        for r in winsorized_stats(df, ["g"], "v", 0.0, 1.0).collect()
+    }
+    assert got["a"] == (2, 1.5)
+    assert got[None] == (2, 6.0)
