@@ -10,6 +10,8 @@ dominates the whole job.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -560,4 +562,45 @@ def tfidf_top_terms(
         )
         .withColumn("term_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("term_rank") <= k)
+    )
+
+
+def rank_calibrated_gate(
+    docs: DataFrame,
+    by: Sequence[str],
+    score_col: str,
+    keep_frac: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-stratum rank-calibrated quality gate: keep the top
+    `keep_frac` of EACH stratum (source, language, shard) by score,
+    rather than applying one global threshold — the calibration that
+    stops a uniformly-scored gate from gutting a strict-but-valuable
+    source whose raw scores run low (the cross-source counterpart of
+    l20's global perplexity deciles; both gates exist because both
+    failure modes do). Returns every input row plus
+    (pct_rank, is_kept): pct_rank is percent_rank within the stratum
+    ordered BEST-FIRST (score DESC, tiebreak ASC) — 0 = the
+    stratum's best row, identical (rank−1)/(n−1) semantics in Spark
+    and SQL engines, tiebreak-deterministic — and is_kept ⇔
+    pct_rank ≤ keep_frac. The best-first orientation is what makes
+    the edge cases land right: a single-row stratum has pct_rank 0
+    and is KEPT for any keep_frac (its only doc IS its top
+    fraction), and keep_frac = 1.0 keeps everything (the ASC
+    mirror-image formulation fails both — review r5, caught by its
+    own test). keep_frac values landing exactly on the (rank−1)/
+    (n−1) grid include the boundary row.
+
+    Shape: ONE window shuffle keyed by the strata — never a global
+    rank (strata counts are the skew bound, measurable with r53);
+    everything else is row-local projection.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    w = Window.partitionBy(*by).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    pct = F.percent_rank().over(w)
+    return docs.withColumn("pct_rank", F.round(pct, 4)).withColumn(
+        "is_kept", pct <= F.lit(keep_frac)
     )

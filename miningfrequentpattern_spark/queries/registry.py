@@ -165,7 +165,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exact-vs-int8-reconstruction oracle in tests/test_ranking_metrics.py;
 # the composed monitoring flagship (daily volumes → series_trend +
 # mean-centered cusum_drift in ONE plan) → r65_ops_monitor with the
-# stage-fragment oracle in tests/test_ops_monitor.py),
+# stage-fragment oracle in tests/test_ops_monitor.py;
+# text.py::rank_calibrated_gate → l47_calibrated_gate with the
+# per-source percent_rank oracle in tests/test_calibrated_gate.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

@@ -1389,3 +1389,17 @@ def test_staged_ranking_metrics_scales_with_probe_not_corpus(spark):
     assert "CartesianProduct" not in p
     assert "partial_count" in p, p
     assert "(rank" in p and "<= 5" in p, p  # rank filters below the join
+
+
+def test_staged_calibrated_gate_stratum_window_only(spark):
+    """l47 candidate: ONE window, partitioned by the stratum — never
+    a global rank; everything else row-local (no joins, no second
+    corpus pass)."""
+    import importlib
+
+    t = importlib.import_module("tests.test_calibrated_gate")
+    p = _staged_plan(t._l47(spark, SF_ORACLE))
+    assert p.count("Window (") == 1, p
+    assert "Join" not in p, p
+    specs = re.findall(r"windowspecdefinition\((\w+)", p)
+    assert specs and all(s == "source" for s in specs), specs
