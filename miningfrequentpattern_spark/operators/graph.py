@@ -570,3 +570,51 @@ def sssp_distances(
         e.unpersist()
         for leg in legs:
             release(leg, durable)
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph — ONE row
+    (n_nodes, n_edges, assortativity) with the Newman coefficient:
+    the Pearson correlation of (deg(u), deg(v)) over all directed
+    stubs (each undirected edge contributes BOTH orientations, the
+    standard symmetrization — without it the s < d canonical order
+    biases the correlation toward whichever endpoint sorts lower).
+    Positive = hubs link to hubs (social nets), negative = hub-and-
+    spoke (catalogs, the co-purchase graph here) — the one-number
+    graph-health monitor that catches a degree-structure shift after
+    an ingestion change, next to m13's importance ranking and m14's
+    local density.
+
+    Shape: canonical-undirected normalize + the stub-count degree
+    aggregate (both the m14-certified seams), two equi-joins of the
+    NODE-sized degree relation onto the edge list, one 1-row moment
+    aggregate — no window, no UDF, nothing corpus². Degenerate pins:
+    a REGULAR graph (every degree equal — zero variance) and a
+    single-edge graph yield NULL assortativity, never NaN (the r44
+    flat-series pin); an empty edge list yields (0, 0, NULL) rather
+    than no row, so monitors always see a line.
+    """
+    und = _undirected(edges, src, dst)
+    deg = _degrees(und)
+    stubs = und.select(F.col("s").alias("u"), F.col("d").alias("v")).unionAll(
+        und.select(F.col("d").alias("u"), F.col("s").alias("v"))
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("v").alias("v"), F.col("deg").alias("deg_v"))
+    paired = stubs.join(du, "u").join(dv, "v")
+    agg = paired.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.corr(
+            F.col("deg_u").cast("double"), F.col("deg_v").cast("double")
+        ).alias("_rawr"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return nodes.crossJoin(F.broadcast(agg)).select(
+        "n_nodes",
+        "n_edges",
+        F.round(
+            F.when(~F.isnan(F.col("_rawr")), F.col("_rawr")), 4
+        ).alias("assortativity"),
+    )

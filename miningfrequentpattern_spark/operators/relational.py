@@ -795,3 +795,175 @@ def abc_classification(
         .when(share_before >= b_cut, F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    groups: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Per-group robust outlier flags via the median/MAD rule —
+    every input row plus (robust_z, is_outlier) with
+    robust_z = 0.6745 · (x − median) / MAD and
+    is_outlier ⇔ |robust_z| > threshold (3.5 is the classic
+    Iglewicz–Hoaglin cut). The robust twin of r44's z-score monitor:
+    mean/stddev move WITH the outliers they're supposed to catch
+    (one 10⁶× bad row inflates σ until nothing flags), median/MAD
+    barely budge — the right default for sensor values, payment
+    amounts, crawler latencies.
+
+    Shape: two exact-percentile hash aggregates (median, then median
+    of |x − median|) are the ONLY exchanges — each group-cardinality
+    sized, map-side partial — and both dimension relations BROADCAST
+    back onto the corpus, which is never reshuffled on the group key
+    (the winsorized_stats posture; same documented approx_percentile
+    swap for huge groups, same (n−1)·p ≡ quantile_cont interpolation
+    pin that makes this hash-oracle-able). The median relation is
+    computed ONCE and its join-back REUSED by both the MAD aggregate
+    and the scoring projection — NULL-value rows never need it
+    (their outputs are constants), so they ride a separate union leg
+    instead of forcing a second median subtree into the plan.
+    Degenerate pins: MAD = 0 (≥ half the group at the median — flat
+    series, integer-quantized values) yields NULL robust_z and
+    is_outlier = false, never an IEEE ±inf or an everything-flags
+    storm (the r44 sigma pin); NULL values pass through with NULL
+    robust_z / false, never dropped — including groups whose values
+    are ALL NULL; NULL group values join null-safely (the winsorize
+    review-r5 pin).
+    """
+    v = F.col(value_col).cast("double")
+    carry = list(carry or ())
+    base = df.select(*groups, *carry, v.alias("_v"))
+    vals = base.filter(F.col("_v").isNotNull())
+    meds = vals.groupBy(*groups).agg(
+        F.percentile("_v", F.lit(0.5)).alias("_med")
+    )
+
+    def _back(onto: DataFrame, dim: DataFrame) -> DataFrame:
+        for g in groups:
+            dim = dim.withColumnRenamed(g, f"_d_{g}")
+        cond = None
+        for g in groups:
+            c = F.col(g).eqNullSafe(F.col(f"_d_{g}"))
+            cond = c if cond is None else cond & c
+        return onto.join(F.broadcast(dim), cond).drop(
+            *[f"_d_{g}" for g in groups]
+        )
+
+    vals_med = _back(vals, meds)
+    mads = vals_med.groupBy(*groups).agg(
+        F.percentile(F.abs(F.col("_v") - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    z = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (F.col("_v") - F.col("_med")) / F.col("_mad"),
+    )
+    scored = _back(vals_med, mads).select(
+        *groups,
+        *carry,
+        F.col("_v").alias(value_col),
+        F.round(z, 4).alias("robust_z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(threshold)), F.lit(False)
+        ).alias("is_outlier"),
+    )
+    nulls = base.filter(F.col("_v").isNull()).select(
+        *groups,
+        *carry,
+        F.col("_v").alias(value_col),
+        F.lit(None).cast("double").alias("robust_z"),
+        F.lit(False).alias("is_outlier"),
+    )
+    return scored.unionByName(nulls)
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Pre-flight join-cardinality audit — one row per join-key value
+    on EITHER side: (keys…, n_left, n_right, out_rows, is_mtm) with
+    out_rows = n_left · n_right (this key's exact contribution to the
+    inner-join result) and is_mtm flagging many-to-many keys. SUM
+    (out_rows) is the exact inner-join cardinality; the companion
+    measurement to r53's key_skew_profile — skew says which TASKS
+    blow up, this says whether the JOIN ITSELF explodes (the
+    accidental m:n fan-out that turns a 100 TB join into a 10 PB
+    shuffle write long before any task OOMs).
+
+    Shape: one map-side-partial count aggregate per side, then a
+    full-outer join of the two KEY-CARDINALITY-sized count relations
+    — the corpus-sized inputs are each scanned once and never joined
+    to each other; everything after the partial aggregates is
+    dimension-sized. NULL-key pin: USING-style equality means a NULL
+    key never matches across sides — exactly like the real join
+    being audited — so NULL-key groups surface as unmatched rows
+    with the other side's count 0, making "NULL keys silently drop
+    from the join" a visible line item instead of a surprise.
+    """
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    both = lc.join(rc, on=keys, how="full_outer")
+    nl = F.coalesce(F.col("n_left"), F.lit(0))
+    nr = F.coalesce(F.col("n_right"), F.lit(0))
+    return both.select(
+        *keys,
+        nl.alias("n_left"),
+        nr.alias("n_right"),
+        (nl * nr).alias("out_rows"),
+        ((nl > 1) & (nr > 1)).alias("is_mtm"),
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    groups: list[str],
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit (Benford) distribution audit per group
+    — one row per (groups…, digit 1..9): observed count and share,
+    the Benford expectation log10(1 + 1/d), the deviation, and the
+    group's chi-square contribution n·(share − p)²/p — the classic
+    fabricated-or-truncated-numbers tripwire for financial columns
+    and sensor feeds (organically generated multiplicative data
+    follows Benford; capped, defaulted, or invented data doesn't).
+    SUM(chi2_part) per group against a χ²₈ critical value is the
+    caller's test statistic; the per-digit grain is returned so the
+    offending digit is visible, not just the aggregate alarm.
+
+    Shape: digit extraction is row-local arithmetic
+    (floor(|x| / 10^floor(log10|x|)) — no string cast, stays in
+    whole-stage codegen), then ONE (groups, digit) hash aggregate
+    (map-side partial) and a ≤9-row-per-group window for the group
+    total — grain-bounded, never corpus-sized. Pins: zero/NULL
+    values carry no first digit and are excluded (log10(0) is
+    -inf, and Benford is a statement about nonzero magnitudes);
+    digits observed zero times simply have no row (callers
+    left-join the 1..9 spine if they need explicit zeros —
+    emitting absent digits would require a per-group grid join the
+    audit itself doesn't need).
+    """
+    x = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    base = df.filter(x.isNotNull() & (x > 0)).select(
+        *groups, digit.alias("digit")
+    )
+    counts = base.groupBy(*groups, "digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w = Window.partitionBy(*groups)
+    total = F.sum("n_obs").over(w)
+    share = F.col("n_obs") / total
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        *groups,
+        "digit",
+        "n_obs",
+        F.round(share, 4).alias("obs_share"),
+        F.round(p, 4).alias("benford_p"),
+        F.round(share - p, 4).alias("deviation"),
+        F.round(total * (share - p) ** 2 / p, 4).alias("chi2_part"),
+    )

@@ -21,6 +21,8 @@ Two tiers, same output contract (query_id, neighbor_id, cos_sim, rank):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -655,4 +657,60 @@ def ranking_metrics(
         F.round(
             F.coalesce(F.lit(1.0) / F.min("_rrank"), F.lit(0.0)), 4
         ).alias("mrr"),
+    )
+
+
+def rrf_fuse(
+    runs: Sequence[DataFrame],
+    keys: Sequence[str],
+    id_col: str,
+    score_col: str,
+    k: int = 60,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings — (keys…, id, n_runs,
+    rrf_score) with rrf_score = Σ_runs 1/(k + rank_run) — the
+    standard score-free way to combine heterogeneous retrieval
+    signals (BM25 + embedding cosine + freshness) without
+    normalizing their incomparable score scales; k = 60 is the
+    Cormack/Clarke default that damps rank-1 dominance. An item
+    missing from a run simply contributes nothing (the classic RRF
+    convention), so n_runs doubles as a "how many signals agree"
+    confidence column.
+
+    Shape: one row_number window per run — partitioned by the query
+    keys, NEVER global (pass the query/stratum columns; a truly
+    global fusion should pre-limit each run to its top-N first) —
+    then a union (no shuffle) and one (keys, id) hash aggregate
+    which the window partitioning already clusters. Determinism:
+    ranks order by (score DESC, tiebreak ASC); tie-break defaults to
+    the id column so equal scores fuse identically run-to-run and
+    engine-to-engine (the calibrated-gate stance).
+    """
+    if len(runs) < 2:
+        raise ValueError(f"rrf_fuse needs >= 2 runs, got {len(runs)}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tb = tiebreak_col or id_col
+    legs = []
+    for run in runs:
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(score_col).desc(), F.col(tb).asc()
+        )
+        legs.append(
+            run.filter(F.col(score_col).isNotNull()).select(
+                *keys,
+                id_col,
+                (
+                    F.lit(1.0)
+                    / (F.lit(float(k)) + F.row_number().over(w))
+                ).alias("_contrib"),
+            )
+        )
+    stacked = legs[0]
+    for leg in legs[1:]:
+        stacked = stacked.unionByName(leg)
+    return stacked.groupBy(*keys, id_col).agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.round(F.sum("_contrib"), 4).alias("rrf_score"),
     )

@@ -604,3 +604,84 @@ def rank_calibrated_gate(
     return docs.withColumn("pct_rank", F.round(pct, 4)).withColumn(
         "is_kept", pct <= F.lit(keep_frac)
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — (id, n_terms_matched, score) with the Lucene-form
+    smoothed idf, ln((N − df + 0.5)/(df + 0.5) + 1), and the
+    (k1 + 1)-numerator tf saturation — the lexical-retrieval ranker
+    that pairs with l03's embedding top-k for hybrid search, and the
+    relevance weight retrieval-aware data curation mixes into
+    quality gates. Terms match exactly and case-sensitively
+    (normalize upstream — the tokens() helper lowercases if asked);
+    documents matching NO query term are omitted (their score is
+    identically 0, and at 100 TB emitting every zero row means
+    materializing the corpus to say nothing).
+
+    Shape: the query-term filter lands DIRECTLY on the exploded
+    tokens, so everything downstream of the corpus scan is
+    (matched tokens)-sized, not corpus-sized; df(term) is a
+    ≤|terms|-row aggregate and the (N, avgdl) corpus moments are a
+    1-row aggregate — both BROADCAST back (the house 1-row-scalar
+    crossJoin pattern); the per-(doc, term) tf aggregate is map-side
+    partial on data already shrunk by the term filter. No UDF, no
+    window, nothing corpus². Ties in ln/fp across engines are
+    absorbed by the 4dp round (the series_trend co-moment stance).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("_toks"),
+    )
+    withlen = toks.select("_id", "_toks", F.size("_toks").alias("_dl"))
+    # 1-row corpus moments: N docs, mean doc length.
+    moments = withlen.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    hits = withlen.select(
+        "_id",
+        "_dl",
+        F.explode("_toks").alias("_term"),
+    ).filter(F.array_contains(terms, F.col("_term")))
+    # df(term): docs containing the term at least once.
+    dfreq = hits.select("_id", "_term").distinct().groupBy("_term").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    tf = hits.groupBy("_id", "_dl", "_term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    joined = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(moments))
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    sat = (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+    )
+    return (
+        joined.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum(idf * sat), 4).alias("score"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )

@@ -410,3 +410,125 @@ def last_touch_attribution(
             F.when(keep, F.col("age_seconds")).alias("age_seconds"),
         )
     return out.drop(type_col)
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Per-series lag-k sample autocorrelation for k = 1..max_lag —
+    (keys…, lag, n_pairs, acf) with acf = Pearson corr(x_t, x_{t−k})
+    over the pairs both sides of which exist. The seasonality /
+    short-memory probe behind cache-TTL tuning, forecast-model
+    selection, and "is this metric self-similar day-over-day"
+    dashboards; max_lag bounds the fan-out explicitly.
+
+    Shape: all max_lag lag() columns share ONE window spec, so
+    Catalyst plans a single Window node over a single series-key
+    exchange; the per-row (lag, x_lag) stack is a row-local
+    array+explode (fan-out max_lag, bounded by the argument, no
+    shuffle); the closing (keys, lag) hash aggregate is map-side
+    partial. Nothing is corpus² and no series is ever collected to
+    one task beyond the window's own per-key run. Ordering pins:
+    rows order by (order_col, value) so tied order keys resolve
+    identically across engines — the cusum_drift stance;
+    pre-aggregate to a unique grain when ties are meaningful.
+    Degenerate pins: a flat series (zero variance on either leg) and
+    a single-pair lag both yield NULL acf, never NaN/±inf — Spark's
+    corr NaN is normalized to NULL (the r44 flat-series pin), which
+    is where DuckDB's sample-corr lands on its own.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    t = F.col(order_col)
+    x = F.col(value_col).cast("double")
+    base = df.filter(t.isNotNull() & x.isNotNull()).select(
+        *keys, t.alias("_t"), x.alias("_x")
+    )
+    w = Window.partitionBy(*keys).orderBy("_t", "_x")
+    # Window expressions cannot sit inside a generator: materialize
+    # the max_lag lag() columns first (one Window node — identical
+    # spec), then stack them with a row-local explode.
+    shifted = base.select(
+        *keys,
+        "_x",
+        *[F.lag("_x", k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    lagged = shifted.select(
+        *keys,
+        "_x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"_l{k}").alias("_xl"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select(*keys, "_x", F.col("_p.lag").alias("lag"), F.col("_p._xl").alias("_xl"))
+    agg = lagged.groupBy(*keys, "lag").agg(
+        F.count("_xl").alias("n_pairs"),
+        F.corr("_x", "_xl").alias("_rawr"),
+    )
+    return agg.select(
+        *keys,
+        "lag",
+        "n_pairs",
+        F.round(
+            F.when(~F.isnan(F.col("_rawr")), F.col("_rawr")), 4
+        ).alias("acf"),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week seasonal decomposition of a daily-grain series —
+    every input row plus (dow, dow_mean, residual, ratio): the
+    per-(series, weekday) mean, the additive residual x − dow_mean,
+    and the multiplicative ratio x / dow_mean. The missing piece
+    between r44's anomaly z-score and r58's CUSUM: both fire on
+    every weekend of a weekday-heavy metric until the weekly cycle
+    is subtracted — monitor the RESIDUAL of this operator instead
+    and the seasonal false-positive storm disappears (r57's trend
+    fits the residual too, for deseasonalized drift).
+
+    Shape: ONE window over (keys, dow) — an avg with an unbounded
+    frame, group-partitioned (never global), grain-bounded skew —
+    and row-local arithmetic after it; no join-back, no UDF. Pins:
+    dow follows ISO-1=Monday..7=Sunday via dayofweek's documented
+    1=Sunday convention shifted ((dayofweek + 5) % 7 + 1) so the
+    oracle's isodow matches exactly; a dow_mean of 0 (all-zero
+    weekday) yields NULL ratio, never an IEEE ±inf (the r44 pin);
+    NULL timestamps or values pass through with NULL profile
+    columns, never dropped.
+    """
+    t = F.col(t_col)
+    x = F.col(value_col).cast("double")
+    dow = F.when(
+        t.isNotNull(), ((F.dayofweek(t) + 5) % 7 + 1).cast("int")
+    )
+    w = Window.partitionBy(*keys, "_dow")
+    base = df.withColumn("_dow", dow)
+    mean = F.avg(F.when(F.col("_dow").isNotNull(), x)).over(w)
+    prof_mean = F.when(t.isNotNull() & x.isNotNull(), mean)
+    return base.select(
+        *keys,
+        t_col,
+        value_col,
+        F.col("_dow").alias("dow"),
+        F.round(prof_mean, 4).alias("dow_mean"),
+        F.round(x - prof_mean, 4).alias("residual"),
+        F.round(
+            F.when(prof_mean != 0, x / prof_mean), 4
+        ).alias("ratio"),
+    )

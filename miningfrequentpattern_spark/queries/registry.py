@@ -167,7 +167,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # mean-centered cusum_drift in ONE plan) → r65_ops_monitor with the
 # stage-fragment oracle in tests/test_ops_monitor.py;
 # text.py::rank_calibrated_gate → l47_calibrated_gate with the
-# per-source percent_rank oracle in tests/test_calibrated_gate.py),
+# per-source percent_rank oracle in tests/test_calibrated_gate.py;
+# timeseries.py::autocorrelation → r66_volume_acf with the
+# row_number-self-join lag oracle in tests/test_acf.py;
+# relational.py::mad_outliers → r67_value_outliers with the
+# quantile_cont median/MAD oracle in tests/test_mad_outliers.py;
+# relational.py::join_cardinality_audit → r68_join_fanout_audit with
+# the full-outer count-join oracle in tests/test_join_audit.py;
+# text.py::bm25_scores → l48_bm25_scores with the unnest/ln oracle
+# in tests/test_bm25.py;
+# graph.py::degree_assortativity → m24_part_assortativity with the
+# stub-symmetrized corr oracle in tests/test_assortativity.py;
+# timeseries.py::seasonal_profile → r69_weekly_seasonality with the
+# isodow window oracle in tests/test_seasonal_profile.py;
+# similarity.py::rrf_fuse → l49_hybrid_rrf with the two-run
+# row_number fusion oracle in tests/test_rrf.py;
+# relational.py::benford_audit → r70_price_benford with the
+# digit-arithmetic window oracle in tests/test_benford.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

@@ -1,0 +1,100 @@
+"""First-significant-digit Benford audit
+(operators/relational.py::benford_audit) — round-6 window candidate,
+locally certified NOW: the DuckDB oracle below is the exact SQL a
+future r70_price_benford registration will carry (order totals per
+priority class), plus closed-form digit extraction, chi-square, and
+exclusion hand pins."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.relational import benford_audit
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future r70 oracle, verbatim. Dialect pins: digit extraction is the
+# identical double-arithmetic chain (abs → log10 → floor → pow →
+# divide → floor) in both engines — no string cast; the only inputs
+# whose digit could split across engines are values within 1 ulp of
+# a power of 10, which exact powers (the only 2-decimal candidates)
+# are not: both log10 implementations are exact there. Zero/NULL
+# carry no first digit and are excluded on both sides.
+R70_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(abs(o_totalprice)
+              / pow(10, floor(log10(abs(o_totalprice))))) AS INT)
+           AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0),
+c AS (SELECT grp, digit, count(*) AS n_obs FROM b GROUP BY 1, 2)
+SELECT grp, digit, n_obs,
+       round(n_obs / sum(n_obs) OVER w, 4) AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
+       round(n_obs / sum(n_obs) OVER w - log10(1.0 + 1.0 / digit), 4)
+         AS deviation,
+       round(sum(n_obs) OVER w
+             * pow(n_obs / sum(n_obs) OVER w
+                   - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 4) AS chi2_part
+FROM c
+WINDOW w AS (PARTITION BY grp)
+"""
+
+
+def _r70(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    return benford_audit(orders, ["grp"], "o_totalprice")
+
+
+def test_benford_matches_duckdb_oracle(spark, duck):
+    compare(_r70(spark, SF_ORACLE), duck, R70_ORACLE)
+
+
+def test_benford_digit_extraction_closed_form(spark):
+    """Digits across magnitudes: 1.5→1, 19→1, 0.12→1, 950→9,
+    0.07→7, 1000→1 (exact power of 10), -230→2 (sign ignored)."""
+    vals = [1.5, 19.0, 0.12, 950.0, 0.07, 1000.0, -230.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    got = {
+        r["digit"]: r["n_obs"]
+        for r in benford_audit(df, ["g"], "v").collect()
+    }
+    assert got == {1: 4, 9: 1, 7: 1, 2: 1}
+
+
+def test_benford_chi2_closed_form(spark):
+    """Four 1xx values and one 9xx: shares 0.8/0.2; chi-square parts
+    n·(share−p)²/p with n=5."""
+    df = spark.createDataFrame(
+        [("g", v) for v in [10.0, 11.0, 12.0, 13.0, 90.0]],
+        "g string, v double",
+    )
+    rows = {
+        r["digit"]: r for r in benford_audit(df, ["g"], "v").collect()
+    }
+    p1 = math.log10(2.0)
+    p9 = math.log10(1 + 1 / 9)
+    assert rows[1]["obs_share"] == 0.8
+    assert rows[1]["benford_p"] == round(p1, 4)
+    assert rows[1]["chi2_part"] == round(5 * (0.8 - p1) ** 2 / p1, 4)
+    assert rows[9]["chi2_part"] == round(5 * (0.2 - p9) ** 2 / p9, 4)
+    # absent digits have no row (callers join the 1..9 spine)
+    assert set(rows) == {1, 9}
+
+
+def test_benford_excludes_zero_and_null(spark):
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", None), ("g", 5.0)], "g string, v double"
+    )
+    rows = benford_audit(df, ["g"], "v").collect()
+    assert len(rows) == 1
+    assert rows[0]["digit"] == 5 and rows[0]["n_obs"] == 1
+    assert rows[0]["obs_share"] == 1.0

@@ -1,0 +1,96 @@
+"""Okapi BM25 lexical retrieval scoring
+(operators/text.py::bm25_scores) — round-6 window candidate, locally
+certified NOW: the DuckDB oracle below is the exact SQL a future
+l48_bm25_scores registration will carry (a 4-term query over the
+documents table), plus a closed-form hand check and the no-match /
+duplicate-term pins."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.text import bm25_scores
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future l48 oracle, verbatim. Dialect pins: ln() is the natural log
+# in both engines (Spark F.log one-arg form); tokenization is the
+# certified l06-family string_split arithmetic under the
+# single-space fixture invariant; docs matching no query term are
+# omitted by construction (the term filter precedes every join).
+L48_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+m AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+h AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+q AS (
+  SELECT doc_id, dl, term FROM h
+  WHERE term IN ('scan', 'merge', 'window', 'stream')),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS dfreq FROM q GROUP BY 1),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM q GROUP BY 1, 2, 3)
+SELECT tf.doc_id, count(*) AS n_terms_matched,
+       -- parenthesization matches the operator's idf * (sat) shape
+       -- exactly: (idf * a) / b differs in the last ulp from
+       -- idf * (a / b), and 4dp rounding shouldn't be asked to
+       -- absorb an avoidable associativity seam
+       round(sum(
+         ln((m.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+         * ((tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / m.avgdl)))
+       ), 4) AS score
+FROM tf JOIN df USING (term) CROSS JOIN m
+GROUP BY 1
+"""
+
+QUERY_TERMS = ["scan", "merge", "window", "stream"]
+
+
+def _l48(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
+
+
+def test_bm25_matches_duckdb_oracle(spark, duck):
+    compare(_l48(spark, SF_ORACLE), duck, L48_ORACLE)
+
+
+def test_bm25_closed_form_hand_check(spark):
+    """3-doc corpus, query {a, c}: every idf/tf/length term is small
+    enough to evaluate the Robertson/Lucene formula directly."""
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b d"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_scores(df, "doc_id", "text", ["a", "c"]).collect()
+    }
+    n, avgdl = 3, 3.0
+    idf_a = math.log((n - 1 + 0.5) / (1 + 0.5) + 1.0)
+    idf_c = math.log((n - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def sat(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    want1 = round(idf_a * sat(2, 4) + idf_c * sat(1, 4), 4)
+    want3 = round(idf_c * sat(3, 3), 4)
+    assert got[1] == (2, want1)
+    assert got[3] == (1, want3)
+    assert 2 not in got  # no query term: omitted, not scored 0
+
+
+def test_bm25_rejects_bad_query_terms(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        bm25_scores(df, "doc_id", "text", ["a", "a"])

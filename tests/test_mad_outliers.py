@@ -1,0 +1,98 @@
+"""Robust median/MAD outlier flags
+(operators/relational.py::mad_outliers) — round-6 window candidate,
+locally certified NOW: the DuckDB oracle below is the exact SQL a
+future r67_value_outliers registration will carry (robust z on event
+values per type), plus the MAD=0, all-NULL-group, and
+known-outlier hand pins."""
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.relational import mad_outliers
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future r67 oracle, verbatim. Dialect pins: quantile_cont ≡ Spark
+# percentile ((n−1)·p interpolation — the winsorize pin); MAD = 0
+# yields NULL robust_z and false, never ±inf (the r44 sigma pin);
+# LEFT joins keep rows from groups with no non-NULL value at all.
+R67_ORACLE = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
+d AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN m USING (event_type)
+  WHERE e.value IS NOT NULL GROUP BY 1)
+SELECT e.event_type, e.event_id, e.value,
+       CASE WHEN d.mad > 0
+            THEN round(0.6745 * (e.value - m.med) / d.mad, 4)
+       END AS robust_z,
+       coalesce(
+         CASE WHEN d.mad > 0
+              THEN abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+         END, false) AS is_outlier
+FROM events e
+LEFT JOIN m USING (event_type)
+LEFT JOIN d USING (event_type)
+"""
+
+
+def _r67(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return mad_outliers(ev, ["event_type"], "value", carry=["event_id"])
+
+
+def test_mad_outliers_matches_duckdb_oracle(spark, duck):
+    compare(_r67(spark, SF_ORACLE), duck, R67_ORACLE)
+
+
+def test_mad_outliers_flags_known_outlier(spark):
+    """Values 1..9 plus 1000: median 5.5, MAD 2.5 — the 1000 flags
+    (robust_z ≈ 268), nothing else does. The same series through a
+    mean/stddev z-score flags NOTHING at |z| > 3.5 (σ is inflated by
+    the outlier itself) — the whole point of the robust rule."""
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)],
+        "g string, i int, v double",
+    )
+    got = {
+        r["i"]: (r["robust_z"], r["is_outlier"])
+        for r in mad_outliers(df, ["g"], "v", carry=["i"]).collect()
+    }
+    assert got[9][1] is True and got[9][0] > 100
+    assert all(not got[i][1] for i in range(9))
+    import statistics
+
+    mu, sigma = statistics.mean(vals), statistics.stdev(vals)
+    assert all(abs((v - mu) / sigma) < 3.5 for v in vals)  # naive z misses
+
+
+def test_mad_outliers_zero_mad_is_null_not_storm(spark):
+    """≥ half the group at the median ⇒ MAD 0 ⇒ NULL robust_z and
+    false for EVERY row — not an everything-flags storm."""
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([5.0, 5.0, 5.0, 9.0])],
+        "g string, i int, v double",
+    )
+    rows = mad_outliers(df, ["g"], "v", carry=["i"]).collect()
+    assert all(r["robust_z"] is None and r["is_outlier"] is False for r in rows)
+    assert len(rows) == 4
+
+
+def test_mad_outliers_all_null_group_passes_through(spark):
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, None), ("b", 2, 1.0), ("b", 3, 2.0)],
+        "g string, i int, v double",
+    )
+    rows = {
+        r["i"]: (r["v"], r["robust_z"], r["is_outlier"])
+        for r in mad_outliers(df, ["g"], "v", carry=["i"]).collect()
+    }
+    assert len(rows) == 4
+    assert rows[0] == (None, None, False)
+    assert rows[1] == (None, None, False)

@@ -1403,3 +1403,181 @@ def test_staged_calibrated_gate_stratum_window_only(spark):
     assert "Join" not in p, p
     specs = re.findall(r"windowspecdefinition\((\w+)", p)
     assert specs and all(s == "source" for s in specs), specs
+
+
+def test_staged_acf_single_window_single_exchange(spark):
+    """r66 candidate: all max_lag lag() columns share ONE window spec
+    → ONE Window node over ONE series-key exchange; the closing
+    (keys, lag) aggregate is satisfied by the same partitioning
+    (keys ⊆ grouping), so no second exchange; the stack is a
+    row-local Generate; no UDF anywhere."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 3)) for i in range(10)],
+        "k string, t int, x double",
+    )
+    p = _staged_plan(autocorrelation(df, ["k"], "t", "x", 7))
+    assert _n_exchanges(p) == 1, p
+    assert p.count("Window (") == 1, p
+    # detail-header count (the tree line "+- Generate (8)" would
+    # double-count — the _n_exchanges lesson)
+    assert len(re.findall(r"^\(\d+\) Generate$", p, flags=re.M)) == 1, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_mad_outliers_corpus_never_reshuffles(spark):
+    """r67 candidate: the corpus is never repartitioned on the group
+    key — every Exchange in the plan is a group-keyed percentile
+    aggregate and every join-back of a group-sized median/MAD
+    relation is a BroadcastHashJoin. The printed tree shows THREE
+    exchanges because the shared vals⋈meds relation is referenced
+    twice (by the MAD aggregate and the scoring projection) and
+    explain expands the DAG into a tree — the two median subtrees
+    are canonically identical, so AQE's stage cache executes the
+    broadcast stage once at runtime (the same dedup the
+    ReusedExchange rule performs for shuffle stages)."""
+    from miningfrequentpattern_spark.operators.relational import (
+        mad_outliers,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type", "event_id", "value"
+    )
+    p = _staged_plan(
+        mad_outliers(ev, ["event_type"], "value", carry=["event_id"])
+    )
+    assert _n_exchanges(p) == 3, p
+    assert "SortMergeJoin" not in p, p
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, flags=re.M)) == 3, p
+    # 3 partial/final percentile pairs printed (meds ×2 — the DAG
+    # expansion — plus mads); every one is group-keyed, none corpus-wide
+    assert len(re.findall(r"^\(\d+\) ObjectHashAggregate$", p, flags=re.M)) == 6, p
+
+
+def test_staged_join_audit_joins_counts_not_corpora(spark):
+    """r68 candidate: exactly TWO exchanges — one partial/final count
+    aggregate per side — and the full-outer join runs on the two
+    KEY-CARDINALITY-sized count relations, which arrive already
+    hashpartitioned by the key, so it adds NO exchange of its own;
+    the corpus-sized inputs are never joined to each other."""
+    from miningfrequentpattern_spark.operators.relational import (
+        join_cardinality_audit,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    cust = load_table(spark, SF_ORACLE, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    p = _staged_plan(join_cardinality_audit(orders, cust, ["custkey"]))
+    assert _n_exchanges(p) == 2, p
+    assert p.count("HashAggregate") >= 4, p  # partial+final per side
+    assert "ReadSchema: struct<o_custkey:bigint>" in p, p
+    assert "ReadSchema: struct<c_custkey:bigint>" in p, p
+
+
+def test_staged_bm25_broadcasts_every_dimension_leg(spark):
+    """l48 candidate: the corpus is scanned once with the projection
+    pruned to (doc_id, text); df(term) joins back as a
+    BroadcastHashJoin and the 1-row (N, avgdl) moments as the house
+    broadcast nested-loop scalar; no row-at-a-time Python, no
+    corpus-to-corpus join."""
+    from miningfrequentpattern_spark.operators.text import bm25_scores
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    p = _staged_plan(
+        bm25_scores(docs, "doc_id", "text", ["scan", "merge", "window"])
+    )
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_assortativity_joins_node_sized_degrees(spark):
+    """m24 candidate: the degree relation is NODE-sized and joins
+    onto the stub list as plain equi-joins; the closing moment
+    aggregate is 1-row and crossJoins back as the house broadcast
+    scalar; no window, no UDF."""
+    from miningfrequentpattern_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    p = _staged_plan(degree_assortativity(edges))
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row scalar leg
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+    assert "Window" not in p, p
+
+
+def test_staged_seasonal_profile_one_grouped_window(spark):
+    """r69 candidate: ONE Window node partitioned by
+    (keys, dow) — never global — and row-local arithmetic after it;
+    no join-back, no UDF."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    daily = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    p = _staged_plan(seasonal_profile(daily, ["event_type"], "day", "n"))
+    assert p.count("Window (") == 1, p
+    assert "PartitionBy: [event_type" in p or "event_type" in p, p
+    assert not re.search(r"Window \[.*windowspecdefinition\(\s*\)", p), p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_rrf_windows_are_query_keyed(spark):
+    """l49 candidate: one row_number window PER RUN, each partitioned
+    by the query keys (never global); the union adds no shuffle and
+    the closing (keys, id) aggregate clusters on a superset of the
+    window keys."""
+    from miningfrequentpattern_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", "x", 1.0)], "k string, id string, score double"
+    )
+    b = spark.createDataFrame(
+        [("q", "y", 2.0)], "k string, id string, score double"
+    )
+    p = _staged_plan(rrf_fuse([a, b], ["k"], "id", "score"))
+    assert p.count("Window (") == 2, p
+    assert "Union" in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_benford_grain_bounded_after_one_aggregate(spark):
+    """r70 candidate: digit extraction is row-local codegen
+    arithmetic (no string cast, no UDF); ONE corpus exchange for the
+    (groups, digit) count aggregate. The group-total window needs
+    clustering on (groups) alone, which hashpartitioning(groups,
+    digit) does NOT provide (satisfies only supersets), so a second
+    exchange exists — but it moves the ≤9-rows-per-group AGGREGATE,
+    not the corpus: 2 exchanges total, only the first corpus-sized."""
+    from miningfrequentpattern_spark.operators.relational import (
+        benford_audit,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    p = _staged_plan(benford_audit(orders, ["grp"], "o_totalprice"))
+    assert _n_exchanges(p) == 2, p
+    assert p.count("Window (") == 1, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+    assert "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>" in p, p

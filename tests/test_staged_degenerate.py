@@ -139,3 +139,93 @@ def test_series_trend_empty_and_all_null(spark):
         "k string, t double, x double",
     )
     assert series_trend(nulls, ["k"], "t", "x").count() == 0
+
+
+def test_acf_empty_and_single_row(spark):
+    from miningfrequentpattern_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    empty = spark.createDataFrame([], "k string, t int, x double")
+    assert autocorrelation(empty, ["k"], "t", "x", 3).count() == 0
+    one = spark.createDataFrame([("a", 0, 1.0)], "k string, t int, x double")
+    rows = autocorrelation(one, ["k"], "t", "x", 2).collect()
+    # one row still yields a (lag, 0 pairs, NULL) line per lag
+    assert {(r["lag"], r["n_pairs"], r["acf"]) for r in rows} == {
+        (1, 0, None),
+        (2, 0, None),
+    }
+
+
+def test_mad_outliers_empty(spark):
+    from miningfrequentpattern_spark.operators.relational import (
+        mad_outliers,
+    )
+
+    empty = spark.createDataFrame([], "g string, i int, v double")
+    assert mad_outliers(empty, ["g"], "v", carry=["i"]).count() == 0
+
+
+def test_join_audit_empty_sides(spark):
+    from miningfrequentpattern_spark.operators.relational import (
+        join_cardinality_audit,
+    )
+
+    empty = spark.createDataFrame([], "k int")
+    some = spark.createDataFrame([(1,), (1,)], "k int")
+    got = join_cardinality_audit(empty, some, ["k"]).collect()
+    assert [(r["k"], r["n_left"], r["n_right"], r["out_rows"]) for r in got] == [
+        (1, 0, 2, 0)
+    ]
+    assert join_cardinality_audit(empty, empty, ["k"]).count() == 0
+
+
+def test_bm25_empty_and_null_text(spark):
+    from miningfrequentpattern_spark.operators.text import bm25_scores
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_scores(empty, "doc_id", "text", ["a"]).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "b c")], "doc_id long, text string"
+    )
+    # NULL text contributes nothing; no query term matches → empty
+    assert bm25_scores(nulls, "doc_id", "text", ["a"]).count() == 0
+
+
+def test_seasonal_profile_empty(spark):
+    from miningfrequentpattern_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    empty = spark.createDataFrame([], "k string, day timestamp, n double")
+    assert seasonal_profile(empty, ["k"], "day", "n").count() == 0
+
+
+def test_rrf_empty_runs(spark):
+    from miningfrequentpattern_spark.operators.similarity import rrf_fuse
+
+    empty = spark.createDataFrame([], "k string, id string, score double")
+    some = spark.createDataFrame(
+        [("q", "a", 1.0)], "k string, id string, score double"
+    )
+    got = rrf_fuse([empty, some], ["k"], "id", "score").collect()
+    assert [(r["id"], r["n_runs"]) for r in got] == [("a", 1)]
+    assert rrf_fuse([empty, empty], ["k"], "id", "score").count() == 0
+    # NULL scores are unrankable and drop from that run only
+    nulls = spark.createDataFrame(
+        [("q", "a", None)], "k string, id string, score double"
+    )
+    assert rrf_fuse([nulls, some], ["k"], "id", "score").count() == 1
+
+
+def test_benford_empty_and_all_excluded(spark):
+    from miningfrequentpattern_spark.operators.relational import (
+        benford_audit,
+    )
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert benford_audit(empty, ["g"], "v").count() == 0
+    zeros = spark.createDataFrame(
+        [("g", 0.0), ("g", None)], "g string, v double"
+    )
+    assert benford_audit(zeros, ["g"], "v").count() == 0
