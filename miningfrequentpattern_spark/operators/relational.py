@@ -967,3 +967,62 @@ def benford_audit(
         F.round(share - p, 4).alias("deviation"),
         F.round(total * (share - p) ** 2 / p, 4).alias("chi2_part"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_cols: list[str],
+    target_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Smoothed target encoding of a categorical key — the CATEGORY
+    DIMENSION (cats…, n_obs, raw_mean, encoded) with
+
+        encoded = (n·raw_mean + m·global_mean) / (n + m)
+
+    (m = `smoothing`): the Bayesian-shrunk category mean that ML
+    feature pipelines join back onto training rows — rare categories
+    pull toward the global prior instead of memorizing their handful
+    of labels (the leakage-prone raw mean is returned alongside for
+    auditing, not for use). Returning the dimension rather than the
+    encoded corpus is deliberate: it is category-cardinality sized,
+    broadcastable, reusable across train/serve, and the join-back is
+    the caller's one-liner.
+
+    Shape: one (cats) hash aggregate over the corpus (map-side
+    partial) plus the house 1-row global-moment crossJoin — nothing
+    else touches corpus scale. Pins: NULL targets are excluded from
+    BOTH means (and from n — the shrinkage weight must count only
+    the rows that informed raw_mean); a NULL category is a category
+    like any other (groupBy keeps it; the caller's join-back should
+    be null-safe, the winsorize stance); an all-NULL-target input
+    yields an empty dimension and NULL global mean rather than a
+    crash.
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    y = F.col(target_col).cast("double")
+    base = df.filter(y.isNotNull()).select(*category_cols, y.alias("_y"))
+    # encoded is computed from the 4dp-ROUNDED means, not the raw
+    # aggregates: the published (raw_mean, encoded) pair stays
+    # self-consistent, and the shrinkage arithmetic runs on doubles
+    # that are bitwise identical across engines — partial-aggregate
+    # summation order perturbs an unrounded mean in the last ulp,
+    # which flips the final 4dp round often enough to matter at
+    # thousands of categories (found by the oracle, not by eye).
+    cats = base.groupBy(*category_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg("_y"), 4).alias("_raw"),
+    )
+    glob = base.agg(F.round(F.avg("_y"), 4).alias("_gmean"))
+    m = F.lit(float(smoothing))
+    return cats.crossJoin(F.broadcast(glob)).select(
+        *category_cols,
+        "n_obs",
+        F.col("_raw").alias("raw_mean"),
+        F.round(
+            (F.col("n_obs") * F.col("_raw") + m * F.col("_gmean"))
+            / (F.col("n_obs") + m),
+            4,
+        ).alias("encoded"),
+    )

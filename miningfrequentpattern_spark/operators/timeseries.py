@@ -532,3 +532,55 @@ def seasonal_profile(
             F.when(prof_mean != 0, x / prof_mean), 4
         ).alias("ratio"),
     )
+
+
+def cadence_audit(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Per-series arrival-cadence audit — ONE row per series:
+    (keys…, n_obs, first_seen, last_seen, n_gaps, median_gap_s,
+    p95_gap_s, max_gap_s) over the inter-arrival gaps in seconds.
+    The data-freshness monitor every ingestion pipeline needs: a
+    feed that silently halves its rate, develops a daily stall, or
+    stops entirely shows up in the gap percentiles (and in last_seen
+    against the caller's clock) long before a volume z-score fires —
+    the arrival-time complement of r44/r58's volume monitors.
+    Staleness POLICY stays with the caller (compare last_seen to the
+    pipeline clock, or max_gap to k·median) — the audit reports, it
+    doesn't decide, so one pass serves every threshold.
+
+    Shape: one lag() window and one closing aggregate sharing ONE
+    series-key exchange (keys ⊆ grouping — the TWA posture); gaps
+    are exact-epoch double arithmetic (cast preserves micros); the
+    gap percentiles are exact (the winsorize buffering trade,
+    approx_percentile swap documented there). Pins: NULL timestamps
+    are excluded up front (a NULL arrival has no cadence meaning);
+    a single-observation series reports n_gaps 0 and NULL gap stats
+    — never a crash or a fake zero gap; tied timestamps produce
+    genuine 0-second gaps (duplicate delivery IS a cadence fact,
+    not noise to dedup here).
+    """
+    t = F.col(ts_col)
+    # the min/max legs keep the ORIGINAL timestamp (no
+    # double-epoch round-trip — a tz seam across engines); the gap
+    # arithmetic runs in the exact epoch-seconds double domain
+    base = df.filter(t.isNotNull()).select(
+        *keys, t.alias("_ts"), t.cast("double").alias("_t")
+    )
+    w = Window.partitionBy(*keys).orderBy("_t")
+    gapped = base.select(
+        *keys,
+        "_ts",
+        (F.col("_t") - F.lag("_t", 1).over(w)).alias("_gap"),
+    )
+    return gapped.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min("_ts").alias("first_seen"),
+        F.max("_ts").alias("last_seen"),
+        F.count("_gap").alias("n_gaps"),
+        F.round(F.percentile("_gap", F.lit(0.5)), 4).alias("median_gap_s"),
+        F.round(F.percentile("_gap", F.lit(0.95)), 4).alias("p95_gap_s"),
+        F.round(F.max("_gap"), 4).alias("max_gap_s"),
+    )

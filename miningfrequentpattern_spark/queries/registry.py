@@ -183,7 +183,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # similarity.py::rrf_fuse → l49_hybrid_rrf with the two-run
 # row_number fusion oracle in tests/test_rrf.py;
 # relational.py::benford_audit → r70_price_benford with the
-# digit-arithmetic window oracle in tests/test_benford.py),
+# digit-arithmetic window oracle in tests/test_benford.py;
+# timeseries.py::cadence_audit → r71_feed_cadence with the
+# epoch_us lag/quantile oracle in tests/test_cadence_audit.py;
+# relational.py::target_encode → r72_custkey_encoding with the
+# integer-cents shrinkage oracle in tests/test_target_encode.py;
+# the composed deseasonalized-outlier flagship (daily volumes →
+# seasonal_profile → mad_outliers on the residual in ONE plan) →
+# r73_deseasonal_outliers with the stage-fragment oracle in
+# tests/test_deseasonal_outliers.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

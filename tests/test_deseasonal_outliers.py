@@ -1,0 +1,105 @@
+"""Composed deseasonalized-outlier pipeline — round-6 window
+candidate (future r73_deseasonal_outliers), locally certified NOW:
+daily per-type volumes → day-of-week seasonal_profile → median/MAD
+mad_outliers on the RESIDUAL, fused in ONE plan — the monitoring
+composition that stops weekday cycles from masquerading as
+anomalies (r44's raw z-score fires on every weekend of a
+weekday-heavy feed; the residual doesn't). The oracle reuses the
+r69/r67 certified fragment shapes stage by stage, proving the
+COMPOSITION, not just the parts (the r65 stance)."""
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.relational import mad_outliers
+from miningfrequentpattern_spark.operators.timeseries import seasonal_profile
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future r73 oracle, verbatim. Stage fragments: daily (shared scan),
+# prof (r69's isodow window — residual ROUNDED to 4dp, which is what
+# the downstream median/MAD consume on BOTH sides, so the
+# percentile inputs are bitwise identical), med/mad (r67's
+# quantile_cont pair with the MAD=0 → NULL/false pin).
+R73_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+prof AS MATERIALIZED (
+  SELECT event_type, day, n, CAST(isodow(day) AS INT) AS dow,
+         round(avg(n) OVER w, 4) AS dow_mean,
+         round(n - avg(n) OVER w, 4) AS residual
+  FROM daily WINDOW w AS (PARTITION BY event_type, isodow(day))),
+med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
+        FROM prof GROUP BY 1),
+mad AS (SELECT p.event_type,
+               quantile_cont(abs(p.residual - m.med), 0.5) AS mad
+        FROM prof p JOIN med m USING (event_type) GROUP BY 1)
+SELECT p.event_type, p.day, p.n, p.dow, p.dow_mean, p.residual,
+       CASE WHEN d.mad > 0
+            THEN round(0.6745 * (p.residual - m.med) / d.mad, 4)
+       END AS robust_z,
+       coalesce(
+         CASE WHEN d.mad > 0
+              THEN abs(0.6745 * (p.residual - m.med) / d.mad) > 3.5
+         END, false) AS is_outlier
+FROM prof p
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+"""
+
+
+def _r73(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    prof = seasonal_profile(daily, ["event_type"], "day", "n").drop("ratio")
+    return mad_outliers(
+        prof,
+        ["event_type"],
+        "residual",
+        carry=["day", "n", "dow", "dow_mean"],
+    )
+
+
+def test_deseasonal_outliers_matches_duckdb_oracle(spark, duck):
+    compare(_r73(spark, SF_ORACLE), duck, R73_ORACLE)
+
+
+def test_deseasonal_outliers_catches_what_raw_zscore_misses(spark):
+    """A weekday-heavy series (100 on weekdays, 20 on weekends) with
+    ONE genuinely bad Wednesday (30): the raw per-series z-score
+    sees weekends as extreme as the bad day, while the
+    deseasonalized residual isolates exactly the Wednesday."""
+    import datetime as dt
+
+    rows = []
+    day = dt.date(2024, 1, 1)  # a Monday
+    # 16 weeks with period-5 jitter: the jitter keeps residuals from
+    # collapsing to an all-zero MAD, and 16 strata samples dilute the
+    # bad day's pull on its own Wednesday mean enough that sibling
+    # Wednesdays stay under the 3.5 cut (4 weeks would flag them —
+    # the usual masking/contamination trade of a small stratum).
+    for i in range(112):
+        d = day + dt.timedelta(days=i)
+        n = (20.0 if d.isoweekday() >= 6 else 100.0) + 2.0 * (i % 5)
+        if i == 9:  # Wednesday of week 2
+            n = 30.0
+        rows.append(("a", d.isoformat(), n))
+    df = spark.createDataFrame(rows, "k string, day string, n double").select(
+        "k", F.to_timestamp("day").alias("day"), "n"
+    )
+    prof = seasonal_profile(df, ["k"], "day", "n").drop("ratio")
+    out = mad_outliers(prof, ["k"], "residual", carry=["day", "n"])
+    flagged = [
+        r["day"].date().isoformat()
+        for r in out.filter(F.col("is_outlier")).collect()
+    ]
+    assert flagged == ["2024-01-10"]

@@ -1581,3 +1581,70 @@ def test_staged_benford_grain_bounded_after_one_aggregate(spark):
     assert p.count("Window (") == 1, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
     assert "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>" in p, p
+
+
+def test_staged_cadence_single_exchange(spark):
+    """r71 candidate: the lag() window and the closing per-key
+    percentile aggregate share ONE series-key exchange (keys ⊆
+    grouping — the TWA posture); the ts null filter reaches the
+    scan; no UDF."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        cadence_audit,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").select("event_type", "ts")
+    p = _staged_plan(cadence_audit(ev, ["event_type"], "ts"))
+    assert _n_exchanges(p) == 1, p
+    assert p.count("Window (") == 1, p
+    assert "IsNotNull(ts)" in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_target_encode_dimension_output(spark):
+    """r72 candidate: one category-keyed aggregate exchange plus the
+    1-row global-moment SinglePartition exchange — nothing else
+    touches corpus scale — and the scalar joins back as the house
+    BroadcastNestedLoopJoin; output is category-cardinality sized."""
+    from miningfrequentpattern_spark.operators.relational import (
+        target_encode,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        F.col("o_custkey").alias("ck"), "o_totalprice"
+    )
+    p = _staged_plan(target_encode(orders, ["ck"], "o_totalprice"))
+    assert _n_exchanges(p) <= 2, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_deseasonal_outliers_one_fused_plan(spark):
+    """r73 candidate (composed seasonal_profile → mad_outliers): the
+    whole pipeline is ONE plan — a single (type, dow) Window, the two
+    group-keyed percentile aggregates broadcast back (never a
+    corpus reshuffle on the group key), no sort-merge join and no
+    Python anywhere."""
+    from miningfrequentpattern_spark.operators.relational import (
+        mad_outliers,
+    )
+    from miningfrequentpattern_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    daily = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    prof = seasonal_profile(daily, ["event_type"], "day", "n").drop("ratio")
+    out = mad_outliers(
+        prof, ["event_type"], "residual", carry=["day", "n", "dow", "dow_mean"]
+    )
+    p = _staged_plan(out)
+    assert "SortMergeJoin" not in p, p
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, flags=re.M)) == 3, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p

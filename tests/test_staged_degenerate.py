@@ -229,3 +229,26 @@ def test_benford_empty_and_all_excluded(spark):
         [("g", 0.0), ("g", None)], "g string, v double"
     )
     assert benford_audit(zeros, ["g"], "v").count() == 0
+
+
+def test_cadence_empty(spark):
+    from miningfrequentpattern_spark.operators.timeseries import (
+        cadence_audit,
+    )
+
+    empty = spark.createDataFrame([], "k string, ts timestamp")
+    assert cadence_audit(empty, ["k"], "ts").count() == 0
+
+
+def test_target_encode_empty_and_all_null(spark):
+    from miningfrequentpattern_spark.operators.relational import (
+        target_encode,
+    )
+
+    empty = spark.createDataFrame([], "c string, y double")
+    assert target_encode(empty, ["c"], "y").count() == 0
+    nulls = spark.createDataFrame(
+        [("a", None), ("b", None)], "c string, y double"
+    )
+    # all-NULL targets inform nothing: empty dimension, no crash
+    assert target_encode(nulls, ["c"], "y").count() == 0
