@@ -274,3 +274,75 @@ def embedding_spectrum(
             "effective_rank double, n_components_90 int"
         ),
     )
+
+
+def label_centroid_similarity(
+    embs: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-LABEL centroid vectors
+    — one row per unordered label pair (label_a < label_b):
+    (label_a, label_b, n_a, n_b, cosine). The class-geometry monitor
+    an embedding pipeline runs after re-training or re-indexing: two
+    labels whose centroids drift toward cosine ≈ 1 are merging in
+    embedding space (retrieval confusion incoming), and a centroid
+    whose neighbors all move at once signals a scale/rotation shift
+    rather than a data change. Complements l29 (per-dimension
+    marginals) and l43/l44 (global second moments) with the
+    BETWEEN-CLASS view.
+
+    Shape: one posexplode + (label, pos) hash aggregate reduces the
+    corpus to a |labels|·d centroid relation; the pair matrix is a
+    self-equi-join ON pos of that dimension-sized relation plus one
+    (label_a, label_b) aggregate — the corpus is scanned ONCE and
+    nothing downstream scales with N. Norms ride the same aggregate
+    (Σ m² per label), so no second pass. Pins: a zero-norm centroid
+    (all-zero vectors under a label) yields NULL cosine, never
+    NaN/±inf (the r44 pin); NULL embeddings are excluded; labels
+    with a single vector are legitimate (a centroid of one).
+    """
+    base = embs.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("_lab"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+    )
+    cent = base.groupBy("_lab", "_pos").agg(
+        F.avg(F.col("_x").cast("double")).alias("_m"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    a = cent.select(
+        F.col("_lab").alias("label_a"),
+        F.col("_pos").alias("_pos"),
+        F.col("_m").alias("_ma"),
+        F.col("_n").alias("_na"),
+    )
+    b = cent.select(
+        F.col("_lab").alias("label_b"),
+        F.col("_pos").alias("_pos"),
+        F.col("_m").alias("_mb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, "_pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.first("_na").alias("n_a"),
+            F.first("_nb").alias("n_b"),
+            F.sum(F.col("_ma") * F.col("_mb")).alias("_dot"),
+            F.sum(F.col("_ma") * F.col("_ma")).alias("_naa"),
+            F.sum(F.col("_mb") * F.col("_mb")).alias("_nbb"),
+        )
+    )
+    denom = F.sqrt(F.col("_naa")) * F.sqrt(F.col("_nbb"))
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round(F.when(denom > 0, F.col("_dot") / denom), 4).alias(
+            "cosine"
+        ),
+    )

@@ -1026,3 +1026,186 @@ def target_encode(
             4,
         ).alias("encoded"),
     )
+
+
+def _quantile_edges(
+    df: DataFrame, value_col: str, fracs: list[float]
+) -> DataFrame:
+    """1-row relation with `_edges`: the exact quantiles of
+    `value_col` at `fracs`, each ROUNDED to 4dp. The rounding is a
+    cross-engine determinism pin, not cosmetics: interpolated
+    quantiles differ in the last ulp between engines, and a data
+    value sitting exactly ON an unrounded edge would bin differently
+    per engine. 4dp is safe for ≤2-decimal inputs with small-
+    denominator interpolation fractions (the true edge then has ≤3
+    decimals — never at the 4dp half boundary)."""
+    v = F.col(value_col).cast("double")
+    return df.filter(v.isNotNull()).agg(
+        F.transform(
+            F.percentile(v, F.array(*[F.lit(f) for f in fracs])),
+            lambda e: F.round(e, 4),
+        ).alias("_edges")
+    )
+
+
+def _edge_bin(value: Column, edges: Column) -> Column:
+    """0-based bin index: how many edges are ≤ value. Values exactly
+    AT an edge fall in the HIGHER bin (>= — pinned; with rounded
+    edges both engines agree on the comparison)."""
+    return F.size(F.filter(edges, lambda e: value >= e))
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    floor: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of one numeric column — one row per reference-decile bin:
+    (bin, n_ref, n_cur, ref_share, cur_share, psi_part) with
+    psi_part = (cur − ref)·ln(cur/ref) on floor-clamped shares;
+    SUM(psi_part) is the PSI statistic (the ML-monitoring rule of
+    thumb: < 0.1 stable, > 0.25 investigate). The per-FEATURE drift
+    monitor next to l26's per-source token KL: bin edges come from
+    the REFERENCE quantiles, so "the distribution moved" is measured
+    against what the model trained on, not against a moving target.
+
+    Shape: one exact-quantile 1-row aggregate on the reference (the
+    r10-family buffering trade; approx_percentile swap documented at
+    winsorize), broadcast-crossJoined onto both sides; binning is a
+    row-local array filter in codegen; per-side (≤n_bins)-row count
+    aggregates full-outer-join and the totals crossJoin back as
+    1-row scalars. Nothing after the scans exceeds n_bins rows.
+    Pins: empty bins on either side count 0 and take the floor
+    clamp in the log (the standard PSI convention — an empty
+    current bin is MAXIMAL drift evidence, not a divide-by-zero);
+    NULL values are excluded from both sides; edges are 4dp-rounded
+    (see _quantile_edges) so ties at an edge bin identically across
+    engines; an EMPTY reference has NULL edges, so every current
+    row lands on one NULL-bin line item with a finite psi_part —
+    "no baseline exists" stays visible instead of crashing or
+    vanishing.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    edges = _quantile_edges(ref, value_col, fracs)
+
+    def _binned(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        # explicit NULL-edges guard: size(NULL) is -1 or NULL
+        # depending on session conf (legacy.sizeOfNull) — the
+        # empty-reference line item must be NULL-binned under BOTH
+        return (
+            df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(
+                F.when(
+                    F.col("_edges").isNotNull(),
+                    _edge_bin(v, F.col("_edges")),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    joined = _binned(ref, "n_ref").join(
+        _binned(cur, "n_cur"), "bin", "full_outer"
+    )
+    totals = joined.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    nr = F.coalesce(F.col("n_ref"), F.lit(0))
+    nc = F.coalesce(F.col("n_cur"), F.lit(0))
+    rs = nr / F.col("_tr")
+    cs = nc / F.col("_tc")
+    rs_c = F.greatest(rs, F.lit(float(floor)))
+    cs_c = F.greatest(cs, F.lit(float(floor)))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            nr.alias("n_ref"),
+            nc.alias("n_cur"),
+            F.round(rs, 4).alias("ref_share"),
+            F.round(cs, 4).alias("cur_share"),
+            F.round((cs_c - rs_c) * F.log(cs_c / rs_c), 4).alias(
+                "psi_part"
+            ),
+        )
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    customer_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — one row per customer:
+    (customer, last_ts, frequency, monetary, r_score, f_score,
+    m_score, rfm) with each score the 1..n_tiles quantile bin of the
+    measure over the CUSTOMER dimension (higher = more recent / more
+    frequent / more spend) and rfm = r·100 + f·10 + m. The classic
+    marketing segmentation (555 = champions, 1xx = lapsed), and the
+    canonical "quantile scores at scale" shape.
+
+    Shape: one customer-keyed aggregate over the corpus, then ONE
+    1-row exact-quantile aggregate (all three edge arrays together)
+    broadcast back onto the customer dimension — binning is the
+    same row-local array filter as psi_drift, so there is NO global
+    ntile()/percent_rank() window anywhere (the single-partition
+    cliff a naive RFM hits at 100 M customers). Pins: quantile ties
+    collapse into the same score (a frequency of 1 shared by 40% of
+    customers lands every one of them in the same bin — quantile
+    BINNING, not rank splitting; deterministic by construction);
+    NULL amounts contribute 0 to monetary but still count as
+    orders; edges are 4dp-rounded (see _quantile_edges).
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    fracs = [i / n_tiles for i in range(1, n_tiles)]
+    per_cust = df.groupBy(customer_col).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.coalesce(F.sum(F.col(amount_col).cast("double")), F.lit(0.0)),
+            4,
+        ).alias("monetary"),
+    )
+    edges = per_cust.agg(
+        *[
+            F.transform(
+                F.percentile(
+                    F.col(c).cast("double"),
+                    F.array(*[F.lit(f) for f in fracs]),
+                ),
+                lambda e: F.round(e, 4),
+            ).alias(f"_e_{c}")
+            for c in ("last_ts", "frequency", "monetary")
+        ]
+    )
+    # recency compares in the exact epoch-seconds double domain (the
+    # cadence_audit pin); its edges were computed in the same domain
+    # via the cast above.
+    scored = per_cust.crossJoin(F.broadcast(edges))
+    r = _edge_bin(F.col("last_ts").cast("double"), F.col("_e_last_ts")) + 1
+    fq = _edge_bin(
+        F.col("frequency").cast("double"), F.col("_e_frequency")
+    ) + 1
+    m = _edge_bin(
+        F.col("monetary").cast("double"), F.col("_e_monetary")
+    ) + 1
+    return scored.select(
+        customer_col,
+        "last_ts",
+        "frequency",
+        "monetary",
+        r.cast("int").alias("r_score"),
+        fq.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+        (r * 100 + fq * 10 + m).cast("int").alias("rfm"),
+    )

@@ -191,7 +191,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the composed deseasonalized-outlier flagship (daily volumes →
 # seasonal_profile → mad_outliers on the residual in ONE plan) →
 # r73_deseasonal_outliers with the stage-fragment oracle in
-# tests/test_deseasonal_outliers.py),
+# tests/test_deseasonal_outliers.py;
+# relational.py::psi_drift → r74_value_psi with the
+# reference-decile binning oracle in tests/test_psi.py;
+# relational.py::rfm_scores → r75_customer_rfm with the
+# broadcast-edge quintile oracle in tests/test_rfm.py;
+# the composed Zipf-fit flagship (token counts → two-phase global
+# rank → log-log series_trend in ONE plan) → l50_zipf_fit with the
+# stage-fragment oracle in tests/test_zipf.py;
+# embeddings.py::label_centroid_similarity → l51_label_centroids
+# with the l29-idiom explode oracle in tests/test_label_centroids.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

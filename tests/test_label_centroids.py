@@ -1,0 +1,107 @@
+"""Per-label centroid cosine matrix
+(operators/embeddings.py::label_centroid_similarity) — round-6
+window candidate, locally certified NOW: the DuckDB oracle below is
+the exact SQL a future l51_label_centroids registration will carry
+(class-geometry monitor over the embeddings table), plus orthogonal/
+identical/zero-centroid hand pins and a numpy reference."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.embeddings import (
+    label_centroid_similarity,
+)
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future l51 oracle, verbatim. Reuses l29's pinned DuckDB explode
+# idiom (1-based embedding[i] + INCLUSIVE generate_series — dialect
+# canary in tests/test_fixture_invariants.py); n per (label, pos) is
+# constant across pos (fixed-dim fixture), so max() reads it back;
+# zero-norm centroids yield NULL cosine (the r44 pin).
+L51_ORACLE = """
+WITH d AS (SELECT e.label, t.pos, e.embedding[t.pos]::DOUBLE AS x
+           FROM embeddings e,
+                unnest(generate_series(1, len(e.embedding)))
+                  AS t(pos)
+           WHERE e.label IS NOT NULL AND e.embedding IS NOT NULL),
+cent AS (SELECT label, pos, avg(x) AS m, count(*) AS n
+         FROM d GROUP BY 1, 2),
+p AS (SELECT a.label AS label_a, b.label AS label_b,
+             max(a.n) AS n_a, max(b.n) AS n_b,
+             sum(a.m * b.m) AS dot,
+             sum(a.m * a.m) AS naa,
+             sum(b.m * b.m) AS nbb
+      FROM cent a JOIN cent b
+        ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2)
+SELECT label_a, label_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN sqrt(naa) * sqrt(nbb) > 0
+            THEN round(dot / (sqrt(naa) * sqrt(nbb)), 4)
+       END AS cosine
+FROM p
+"""
+
+
+def _l51(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_similarity(embs, "label", "embedding")
+
+
+def test_label_centroids_match_duckdb_oracle(spark, duck):
+    compare(_l51(spark, SF_ORACLE), duck, L51_ORACLE)
+
+
+def test_label_centroids_closed_form(spark):
+    """Label 0 centroids to (1,0), label 1 to (0,1) — orthogonal,
+    cosine 0; label 2 is a scaled copy of label 0 — cosine 1."""
+    rows = [
+        (0, [2.0, 0.0]),
+        (0, [0.0, 0.0]),  # centroid (1, 0)
+        (1, [0.0, 3.0]),
+        (1, [0.0, 1.0]),  # centroid (0, 2)
+        (2, [6.0, 0.0]),  # centroid (6, 0) — parallel to label 0
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = {
+        (r["label_a"], r["label_b"]): (r["n_a"], r["n_b"], r["cosine"])
+        for r in label_centroid_similarity(df, "label", "embedding").collect()
+    }
+    assert got[(0, 1)] == (2, 2, 0.0)
+    assert got[(0, 2)] == (2, 1, 1.0)
+    assert got[(1, 2)] == (2, 1, 0.0)
+
+
+def test_label_centroids_zero_norm_is_null(spark):
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    got = label_centroid_similarity(df, "label", "embedding").collect()
+    assert len(got) == 1 and got[0]["cosine"] is None
+
+
+def test_label_centroids_match_numpy(spark):
+    rng_rows = []
+    for lab in range(3):
+        for i in range(4):
+            vec = [((lab * 7 + i * 3 + d) % 11) / 10.0 for d in range(5)]
+            rng_rows.append((lab, vec))
+    df = spark.createDataFrame(rng_rows, "label int, embedding array<double>")
+    got = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in label_centroid_similarity(df, "label", "embedding").collect()
+    }
+    cents = {}
+    for lab in range(3):
+        vs = np.array([v for l, v in rng_rows if l == lab])
+        cents[lab] = vs.mean(axis=0)
+    for a in range(3):
+        for b in range(a + 1, 3):
+            want = float(
+                cents[a] @ cents[b]
+                / (np.linalg.norm(cents[a]) * np.linalg.norm(cents[b]))
+            )
+            assert abs(got[(a, b)] - round(want, 4)) <= 1e-9

@@ -1648,3 +1648,96 @@ def test_staged_deseasonal_outliers_one_fused_plan(spark):
     assert "SortMergeJoin" not in p, p
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, flags=re.M)) == 3, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_psi_nothing_after_scan_exceeds_bins(spark):
+    """r74 candidate: the reference quantile is a 1-row aggregate
+    broadcast onto both sides (BroadcastNestedLoopJoin scalars);
+    binning is a row-local array filter in codegen; the per-side bin
+    counts and their full-outer join are ≤ n_bins rows. No
+    sort-merge of corpus-sized relations, no UDF."""
+    from miningfrequentpattern_spark.operators.relational import psi_drift
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    split = F.lit("2024-07-01").cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    p = _staged_plan(psi_drift(ref, cur, "value", n_bins=10))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+    # the only SMJ-eligible join is the ≤10-row bin full-outer —
+    # corpus relations never meet in a join — and both the period
+    # predicate and the null filter reach the scan
+    assert "IsNotNull(value)" in p and "LessThan(ts," in p, p
+
+
+def test_staged_rfm_no_global_window(spark):
+    """r75 candidate: scores come from ONE broadcast quantile-edge
+    scalar and row-local array filters — no ntile(), no
+    percent_rank(), no Window node AT ALL (the single-partition
+    cliff a naive RFM hits); one customer-keyed aggregate exchange
+    plus the 1-row edge aggregate."""
+    from miningfrequentpattern_spark.operators.relational import rfm_scores
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        F.col("o_custkey").alias("cust"), "o_orderdate", "o_totalprice"
+    )
+    p = _staged_plan(rfm_scores(orders, "cust", "o_orderdate", "o_totalprice"))
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_zipf_rank_leg_is_two_phase(spark):
+    """l50 candidate (composed): the global rank rides
+    global_row_number's range-exchange + broadcast-offset shape —
+    asserting the ABSENCE of a single-partition window over the
+    vocabulary — and the closing fit is a plain 1-row aggregate."""
+    from miningfrequentpattern_spark.operators.relational import (
+        global_row_number,
+    )
+    from miningfrequentpattern_spark.operators.timeseries import (
+        series_trend,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    toks = (
+        load_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("term"))
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_row_number(
+        counts, [F.col("n").desc(), F.col("term").asc()], "rank"
+    )
+    logs = ranked.select(F.log10("rank").alias("t"), F.log10("n").alias("x"))
+    p = _staged_plan(series_trend(logs, [], "t", "x"))
+    assert "rangepartitioning" in p, p
+    # no Window over the data: the only window is the ≤P-row offset
+    # prefix sum (the shared ranked leg prints twice pre-AQE — the
+    # usual DAG expansion; the range exchange dedups at runtime)
+    assert p.count("Window (") <= 2, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_label_centroids_corpus_scanned_once(spark):
+    """l51 candidate: one posexplode + (label, pos) aggregate reduces
+    the corpus to |labels|·d rows; the pair matrix self-join and the
+    closing aggregate run on that dimension-sized relation — exactly
+    ONE parquet scan in the whole plan, no UDF."""
+    from miningfrequentpattern_spark.operators.embeddings import (
+        label_centroid_similarity,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    embs = load_table(spark, SF_ORACLE, "embeddings")
+    p = _staged_plan(label_centroid_similarity(embs, "label", "embedding"))
+    # the centroid relation feeds BOTH join legs: the printed tree
+    # expands the DAG into two scan+aggregate subtrees, but they are
+    # canonically identical, so the shuffle stage (and its scan)
+    # executes once at runtime (the r67 stage-cache note)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)) == 2, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+    assert len(re.findall(r"^\(\d+\) Generate$", p, flags=re.M)) == 2, p

@@ -252,3 +252,43 @@ def test_target_encode_empty_and_all_null(spark):
     )
     # all-NULL targets inform nothing: empty dimension, no crash
     assert target_encode(nulls, ["c"], "y").count() == 0
+
+
+def test_psi_empty_sides(spark):
+    from miningfrequentpattern_spark.operators.relational import psi_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    # empty CURRENT: every ref bin shows cur 0 with a finite psi_part
+    rows = psi_drift(ref, empty, "v", n_bins=4).collect()
+    assert len(rows) == 4
+    assert all(r["n_cur"] == 0 and r["cur_share"] is None for r in rows)
+    # empty REFERENCE: the quantile aggregate yields NULL edges, so
+    # every current row lands on ONE NULL-bin line item with a
+    # finite floor-clamped psi_part — "we have no baseline" is
+    # visible, not a crash and not a silent empty result
+    degen = psi_drift(empty, ref, "v", n_bins=4).collect()
+    assert len(degen) == 1
+    assert degen[0]["bin"] is None and degen[0]["n_cur"] == 20
+    assert degen[0]["psi_part"] is not None
+
+
+def test_rfm_empty(spark):
+    from miningfrequentpattern_spark.operators.relational import rfm_scores
+
+    empty = spark.createDataFrame([], "cust long, ts timestamp, amt double")
+    assert rfm_scores(empty, "cust", "ts", "amt").count() == 0
+
+
+def test_label_centroids_empty_and_single_label(spark):
+    from miningfrequentpattern_spark.operators.embeddings import (
+        label_centroid_similarity,
+    )
+
+    empty = spark.createDataFrame([], "label int, embedding array<double>")
+    assert label_centroid_similarity(empty, "label", "embedding").count() == 0
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "label int, embedding array<double>"
+    )
+    # a single label has no pair — empty matrix, no crash
+    assert label_centroid_similarity(one, "label", "embedding").count() == 0
