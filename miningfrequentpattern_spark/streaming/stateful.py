@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -269,6 +270,94 @@ def cdc_snapshot_stream(events_stream: DataFrame) -> DataFrame:
         _update_cdc_snapshot,
         outputStructType=CDC_OUT_SCHEMA,
         stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CUSUM_OUT_SCHEMA = (
+    "event_type STRING, ts_us BIGINT, value DOUBLE, "
+    "cusum DOUBLE, drifted BOOLEAN"
+)
+CUSUM_STATE_SCHEMA = "p DOUBLE, runmin DOUBLE"
+
+
+def _make_cusum_update(target: float, slack: float, threshold: float):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Streaming one-sided CUSUM (the r58 batch twin): state is
+        (P_last, runmin_last) — two doubles per key, O(#keys) store.
+        Within a micro-batch the recursion is fully vectorized
+        (cumsum + minimum.accumulate); across batches the two state
+        scalars are exactly the sufficient statistic of the closed
+        form S_t = P_t − min(0, min_{j≤t} P_j), so a replay split
+        into any number of IN-ORDER batches emits identical cusum
+        values (asserted against the batch operator in tests).
+        Ordering contract: per-key rows must arrive time-ordered
+        ACROSS batches (in-batch ties and disorder are sorted here,
+        the (ts, value) batch pin) — the standard per-key-ordered-
+        feed requirement of any streaming recurrence; a Kafka
+        key-partitioned feed satisfies it, an unordered backfill
+        does not (replay through the batch operator instead)."""
+        p, runmin = (
+            (float(state.get[0]), float(state.get[1]))
+            if state.exists
+            else (0.0, float("inf"))  # inf = "no prefix yet"
+        )
+        seen = state.exists
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
+            d = pdf["value"].to_numpy(dtype="float64") - target - slack
+            pp = p + np.cumsum(d)
+            rm = np.minimum(np.minimum.accumulate(pp), runmin)
+            cusum = pp - np.minimum(0.0, rm)
+            p, runmin = float(pp[-1]), float(rm[-1])
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    # .value/.astype int64 on a ns-normalized series:
+                    # arrow may hand either ns or us units, so pin ns
+                    # first (the cdc twin's micros convention)
+                    "ts_us": (
+                        pdf["ts"].astype("datetime64[ns]").astype("int64")
+                        // 1_000
+                    ).to_numpy(),
+                    "value": pdf["value"].to_numpy(dtype="float64"),
+                    "cusum": cusum,
+                    "drifted": cusum > threshold,
+                }
+            )
+        if seen:
+            state.update((p, runmin))
+
+    return update
+
+
+def cusum_stream(
+    events_stream: DataFrame,
+    target: float,
+    slack: float = 0.0,
+    threshold: float = 50.0,
+) -> DataFrame:
+    """T5-extension #2: true-stream CUSUM drift monitoring per event
+    type — the streaming twin of timeseries.cusum_drift (r58), the
+    op that turns the batch monitoring flagships (r65/r73) into a
+    LIVE alarm. Update-mode emission: every row carries its running
+    cusum and drifted flag the moment its micro-batch lands, with
+    two doubles of state per key."""
+    rows = events_stream.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("event_type", "ts", "value")
+    return rows.groupBy("event_type").applyInPandasWithState(
+        _make_cusum_update(float(target), float(slack), float(threshold)),
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -612,3 +612,86 @@ def test_stream_cdc_snapshot_equals_batch_apply(spark):
         F.col("ts").isNotNull() & F.col("event_id").isNotNull()
     ).select("user_id").distinct().count()
     assert len(emitted) == n_users
+
+
+def test_stream_cusum_equals_batch(spark):
+    """Streaming CUSUM over the full replay == the batch closed-form
+    operator (r58) row for row: same (type, ts) keys, same cusum to
+    1e-9, same drifted flags — certifying that (P_last, runmin_last)
+    is exactly the sufficient statistic of the closed form across
+    micro-batch splits."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        cusum_drift,
+    )
+    from miningfrequentpattern_spark.streaming.stateful import (
+        cusum_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(
+        cusum_stream(stream, target=10.0, threshold=25.0), "cusum_s"
+    )
+    got = {
+        (r.event_type, r.ts_us): (r.cusum, r.drifted)
+        for r in spark.sql("SELECT * FROM cusum_s").collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events")
+    want_rows = cusum_drift(
+        batch, ["event_type"], "ts", "value", target=10.0, threshold=25.0
+    ).collect()
+    assert len(got) == len(want_rows) > 0
+    for r in want_rows:
+        ts_us = int(r["ts"].timestamp() * 1_000_000)
+        g_cusum, g_drift = got[(r["event_type"], ts_us)]
+        assert abs(g_cusum - r["cusum"]) < 1e-9, (r["event_type"], ts_us)
+        assert g_drift == r["drifted"]
+
+
+def test_stream_cusum_split_independent():
+    """The (P, runmin) state is the exact sufficient statistic: any
+    in-order split of the same rows into micro-batches emits
+    identical cusum values. Exercised directly through the update
+    function with a fake GroupState (availableNow replays of one
+    parquet file run as a single batch, so the streaming test above
+    can't see splits)."""
+    import pandas as pd
+
+    from miningfrequentpattern_spark.streaming.stateful import (
+        _make_cusum_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    ts = pd.date_range("2024-01-01", periods=12, freq="h")
+    vals = [12.0, 8.0, 15.0, 30.0, 2.0, 11.0, 40.0, 41.0, 9.0, 10.0, 50.0, 1.0]
+    full = pd.DataFrame({"ts": ts, "value": vals})
+
+    def run(splits):
+        fn = _make_cusum_update(10.0, 0.0, 25.0)
+        st = FakeState()
+        out = []
+        for lo, hi in splits:
+            out.extend(
+                pd.concat(list(fn(("t",), iter([full.iloc[lo:hi]]), st)))[
+                    "cusum"
+                ].tolist()
+            )
+        return out, st._v
+
+    one, st_one = run([(0, 12)])
+    many, st_many = run([(0, 3), (3, 4), (4, 9), (9, 12)])
+    assert one == many
+    assert st_one == st_many
