@@ -1209,3 +1209,127 @@ def rfm_scores(
         m.cast("int").alias("m_score"),
         (r * 100 + fq * 10 + m).cast("int").alias("rfm"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categoricals —
+    one row per observed (a, b) cell: (a, b, n_obs, expected,
+    chi2_part) with expected = row_margin·col_margin/N and
+    chi2_part = (n − e)²/e; SUM(chi2_part) is the X² statistic
+    against (|a|−1)(|b|−1) degrees of freedom. The "are these two
+    columns actually related" audit — segment × outcome, source ×
+    error-type, device × conversion — the independence-testing
+    sibling of r70's goodness-of-fit.
+
+    Shape: ONE (a, b) hash aggregate over the corpus; both margins
+    and the grand total are windows over the CELL-GRAIN relation
+    (≤|a|·|b| rows — the benford group-total posture), so nothing
+    after the first aggregate touches corpus scale. Pins: expected
+    is always > 0 on observed margins (both margins contain the
+    cell itself), so chi2_part never divides by zero; NULL
+    categories are categories (groupBy keeps them — NULL × outcome
+    dependence is exactly the kind of data bug this audit exists to
+    surface); UNOBSERVED cells (n = 0 with positive margins) have
+    no row — their chi2_part is e, and callers doing a strict test
+    reconstruct them from the margins (documented, same stance as
+    benford's absent digits).
+    """
+    counts = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wt = Window.partitionBy()
+    ra = F.sum("n_obs").over(wa)
+    cb = F.sum("n_obs").over(wb)
+    tot = F.sum("n_obs").over(wt)
+    e = ra * cb / tot
+    return counts.select(
+        "a",
+        "b",
+        "n_obs",
+        F.round(e, 4).alias("expected"),
+        F.round((F.col("n_obs") - e) ** 2 / e, 4).alias("chi2_part"),
+    )
+
+
+def mannwhitney_z(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U rank-sum test between two NAMED arms — one
+    row: (group_a, group_b, n_a, n_b, u_stat, z) with U = group_a's
+    rank-sum statistic and z the tie-corrected normal approximation
+
+        z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+
+    — the distribution-free "did this change move the metric"
+    test (A/B values, latencies, quality scores) that t-tests get
+    wrong on heavy tails. Callers compare |z| to the normal
+    quantile; no p-value column because Spark has no erf and a
+    hand-rolled one would be the least-tested line in the engine.
+    The arms are EXPLICIT parameters — rows outside them are ignored
+    (the A/B framing: which arms to compare is a design choice the
+    caller already made; discovering groups from data would need a
+    driver-side collect, which this engine bans).
+
+    Shape: NO single-partition window anywhere — the classic
+    midrank computation is a global avg-rank window, replaced here
+    by the two-phase distributed rank (global_row_number) ordered
+    by value, then a per-VALUE aggregate whose avg(rank) IS the
+    midrank. Equal values receive SOME permutation of their rank
+    block, which global_row_number's unique-tiebreak contract
+    normally forbids — here every consumer (avg over the block,
+    per-group counts) is permutation-invariant, so the relaxation
+    is sound and documented rather than accidental. The tie term
+    Σ(t³−t) rides the same aggregate; everything after is
+    value-cardinality sized or scalar. Pins: NULL values are
+    excluded; all-tied inputs (every value equal) make the variance
+    0 and z NULL (the r44 pin); an arm with zero rows yields
+    n = 0 and NULL u/z rather than a crash.
+    """
+    ga, gb = group_a, group_b
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & F.col(group_col).isin(ga, gb)
+    ).select(F.col(group_col).alias("_g"), v.alias("_v"))
+    ranked = global_row_number(base, [F.col("_v").asc()], "_rn")
+    # midrank per distinct value = avg of its row numbers (exact for
+    # the average-rank tie convention); tie sizes feed the variance
+    # correction
+    per_val = ranked.groupBy("_v").agg(
+        F.avg("_rn").alias("_midrank"),
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(F.when(F.col("_g") == F.lit(ga), 1).otherwise(0)).alias(
+            "_na_v"
+        ),
+    )
+    stats = per_val.agg(
+        F.sum(F.col("_na_v") * F.col("_midrank")).alias("_ra"),
+        F.sum("_na_v").alias("_na"),
+        F.sum(F.col("_t") - F.col("_na_v")).alias("_nb"),
+        F.sum(F.col("_t") ** 3 - F.col("_t")).alias("_ties"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u = F.col("_ra") - na * (na + 1) / 2
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + 1) - F.col("_ties") / (n * (n - 1)))
+    )
+    z = F.when(var > 0, (u - na * nb / 2) / F.sqrt(var))
+    return stats.select(
+        F.lit(ga).alias("group_a"),
+        F.lit(gb).alias("group_b"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, 4).alias("u_stat"),
+        F.round(z, 4).alias("z"),
+    )

@@ -584,3 +584,77 @@ def cadence_audit(
         F.round(F.percentile("_gap", F.lit(0.95)), 4).alias("p95_gap_s"),
         F.round(F.max("_gap"), 4).alias("max_gap_s"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series Theil–Sen robust line fit — (keys…, n_obs, n_pairs,
+    sen_slope, sen_intercept): the MEDIAN of all pairwise slopes
+    (x_j − x_i)/(t_j − t_i), t_i < t_j, and the median residual
+    intercept median(x − slope·t). The robust twin of r57's OLS
+    trend, exactly as mad_outliers twins r44: one wild day drags an
+    OLS slope (squared loss), while the slope MEDIAN shrugs off up
+    to ~29% contamination — the right fit for drift alarms over
+    metrics that legitimately spike.
+
+    Shape: a within-series self-join on the series keys builds the
+    pair set — O(len²) rows PER SERIES, bounded by the time grain
+    (a daily series is ≤366² ≈ 134k pairs regardless of corpus
+    size — basketize's per-order bound argument), never corpus².
+    Then one exact-percentile aggregate per series and a
+    group-sized broadcast back for the intercept leg (the
+    mad_outliers posture). Pins: NULL t/x rows are excluded; a
+    single-observation series has no pairs and reports NULL
+    slope/intercept (never a crash); EQUAL timestamps within a
+    series are excluded pairwise (slope undefined at dt = 0 — the
+    strict t_i < t_j join does this for free, and duplicate-t
+    observations still count in n_obs).
+    """
+    t = F.col(t_col).cast("double")
+    x = F.col(value_col).cast("double")
+    base = df.filter(t.isNotNull() & x.isNotNull()).select(
+        *keys, t.alias("_t"), x.alias("_x")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = None
+    for g in keys:
+        c = F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+        cond = c if cond is None else cond & c
+    cond = cond & (F.col("a._t") < F.col("b._t"))
+    slopes = a.join(b, cond).select(
+        *[F.col(f"a.{g}") for g in keys],
+        (
+            (F.col("b._x") - F.col("a._x"))
+            / (F.col("b._t") - F.col("a._t"))
+        ).alias("_s"),
+    )
+    med = slopes.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("_s", F.lit(0.5)).alias("_slope"),
+    )
+    for g in keys:
+        med = med.withColumnRenamed(g, f"_m_{g}")
+    jcond = None
+    for g in keys:
+        c = F.col(g).eqNullSafe(F.col(f"_m_{g}"))
+        jcond = c if jcond is None else jcond & c
+    # LEFT join: single-obs series have no pairs row and must still
+    # report (n_obs, 0, NULL, NULL)
+    joined = base.join(F.broadcast(med), jcond, "left").drop(
+        *[f"_m_{g}" for g in keys]
+    )
+    return joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.coalesce(F.first("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.round(F.first("_slope"), 4).alias("sen_slope"),
+        F.round(
+            F.percentile(
+                F.col("_x") - F.col("_slope") * F.col("_t"), F.lit(0.5)
+            ),
+            4,
+        ).alias("sen_intercept"),
+    )

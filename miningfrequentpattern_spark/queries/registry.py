@@ -200,7 +200,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rank → log-log series_trend in ONE plan) → l50_zipf_fit with the
 # stage-fragment oracle in tests/test_zipf.py;
 # embeddings.py::label_centroid_similarity → l51_label_centroids
-# with the l29-idiom explode oracle in tests/test_label_centroids.py),
+# with the l29-idiom explode oracle in tests/test_label_centroids.py;
+# timeseries.py::theil_sen_trend → r76_robust_trend with the
+# pairwise-slope median oracle in tests/test_theil_sen.py;
+# relational.py::chi2_independence → r77_type_dow_chi2 with the
+# margin-window oracle in tests/test_chi2.py;
+# relational.py::mannwhitney_z → r78_click_vs_view_ranksum with the
+# midrank oracle in tests/test_mannwhitney.py; plus the TRUE-STREAM
+# cusum_stream twin — tests-only by design like every streaming op
+# (tests/test_streaming.py)),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

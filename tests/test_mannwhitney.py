@@ -1,0 +1,97 @@
+"""Distributed Mann–Whitney U test
+(operators/relational.py::mannwhitney_z) — round-6 window candidate,
+locally certified NOW: the DuckDB oracle below is the exact SQL a
+future r78_click_vs_view_ranksum registration will carry (click vs
+view event values), plus closed-form no-tie and tie-corrected hand
+pins. The midrank leg rides the two-phase distributed rank — no
+single-partition window anywhere (the oracle's global row_number is
+the single-process contrast, same stance as l43's naive-form
+oracle)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.relational import mannwhitney_z
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future r78 oracle, verbatim. midrank = avg of the value's rank
+# block (exact for the average-rank convention, permutation-
+# invariant so the engines' different tie orders cannot matter);
+# na·(na+1) is always even, so the /2 float division is exact.
+R78_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+r AS (SELECT g, v, row_number() OVER (ORDER BY v) AS rn FROM base),
+pv AS (SELECT v, avg(rn) AS midrank, count(*) AS t,
+              sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS na_v
+       FROM r GROUP BY 1),
+s AS (SELECT sum(na_v * midrank) AS ra,
+             CAST(sum(na_v) AS BIGINT) AS na,
+             CAST(sum(t - na_v) AS BIGINT) AS nb,
+             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      FROM pv)
+SELECT 'click' AS group_a, 'view' AS group_b, na AS n_a, nb AS n_b,
+       round(ra - na * (na + 1) / 2, 4) AS u_stat,
+       CASE WHEN na * nb / 12.0
+                 * ((na + nb + 1)
+                    - ties / (CAST(na + nb AS DOUBLE)
+                              * (na + nb - 1))) > 0
+            THEN round((ra - na * (na + 1) / 2 - na * nb / 2)
+                       / sqrt(na * nb / 12.0
+                              * ((na + nb + 1)
+                                 - ties / (CAST(na + nb AS DOUBLE)
+                                           * (na + nb - 1)))), 4)
+       END AS z
+FROM s
+"""
+
+
+def _r78(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return mannwhitney_z(ev, "event_type", "value", "click", "view")
+
+
+def test_mannwhitney_matches_duckdb_oracle(spark, duck):
+    compare(_r78(spark, SF_ORACLE), duck, R78_ORACLE)
+
+
+def test_mannwhitney_no_ties_closed_form(spark):
+    """A = {1,2,3}, B = {4,5,6}: ranks 1..6, R_a = 6, U = 0,
+    z = −4.5/√5.25."""
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [
+        ("b", v) for v in (4.0, 5.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mannwhitney_z(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"], got["u_stat"]) == (3, 3, 0.0)
+    assert got["z"] == round(-4.5 / math.sqrt(5.25), 4)
+
+
+def test_mannwhitney_tie_correction_closed_form(spark):
+    """A = {1,2,2}, B = {2,3}: the three tied 2s share midrank 3, so
+    R_a = 7, U = 1; tie term t³−t = 24 shrinks the variance to 2.4
+    and z = −2/√2.4."""
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mannwhitney_z(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"], got["u_stat"]) == (3, 2, 1.0)
+    assert got["z"] == round(-2.0 / math.sqrt(2.4), 4)
+
+
+def test_mannwhitney_all_tied_is_null_z(spark):
+    rows = [("a", 5.0)] * 3 + [("b", 5.0)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mannwhitney_z(df, "g", "v", "a", "b").collect()[0]
+    assert got["z"] is None
+
+
+def test_mannwhitney_other_groups_ignored(spark):
+    rows = [("a", 1.0), ("b", 2.0), ("c", 99.0), ("c", 98.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mannwhitney_z(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (1, 1)

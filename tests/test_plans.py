@@ -1741,3 +1741,74 @@ def test_staged_label_centroids_corpus_scanned_once(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)) == 2, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
     assert len(re.findall(r"^\(\d+\) Generate$", p, flags=re.M)) == 2, p
+
+
+def test_staged_theil_sen_pair_join_is_key_equi(spark):
+    """r76 candidate: the pair set comes from a key-equi self-join
+    (shuffle on the series keys, per-series O(len²) fan-out bounded
+    by the time grain — never a cartesian), then a group-keyed
+    percentile aggregate whose result broadcasts back; no UDF."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    daily = (
+        load_table(spark, SF_ORACLE, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .select(
+            "priority",
+            F.datediff("day", F.lit("1970-01-01")).cast("double").alias("t"),
+            "n",
+        )
+    )
+    p = _staged_plan(theil_sen_trend(daily, ["priority"], "t", "n"))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_chi2_margins_on_cell_grain(spark):
+    """r77 candidate: ONE corpus exchange (the (a, b) cell count);
+    both margin windows and the grand-total window run on the
+    cell-grain relation (≤|a|·|b| rows — the benford posture); no
+    UDF, no join at all."""
+    from miningfrequentpattern_spark.operators.relational import (
+        chi2_independence,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "event_type",
+        ((F.dayofweek(F.col("ts").cast("date")) + 5) % 7 + 1)
+        .cast("int")
+        .alias("dow"),
+    )
+    p = _staged_plan(chi2_independence(ev, "event_type", "dow"))
+    assert len(re.findall(r"^\(\d+\) \w*HashAggregate", p, flags=re.M)) == 2, p
+    assert "Join" not in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_mannwhitney_two_phase_rank_no_global_window(spark):
+    """r78 candidate: the midrank leg rides global_row_number's
+    range exchange — NO single-partition window over the data; the
+    only Window node is the ≤P-row offset prefix sum (printed twice
+    pre-AQE by the shared-leg DAG expansion); everything after is
+    value-cardinality sized."""
+    from miningfrequentpattern_spark.operators.relational import (
+        mannwhitney_z,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    p = _staged_plan(
+        mannwhitney_z(ev, "event_type", "value", "click", "view")
+    )
+    assert "rangepartitioning" in p, p
+    assert p.count("Window (") <= 2, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p

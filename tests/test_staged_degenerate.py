@@ -292,3 +292,38 @@ def test_label_centroids_empty_and_single_label(spark):
     )
     # a single label has no pair — empty matrix, no crash
     assert label_centroid_similarity(one, "label", "embedding").count() == 0
+
+
+def test_theil_sen_empty(spark):
+    from miningfrequentpattern_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    empty = spark.createDataFrame([], "k string, t double, x double")
+    assert theil_sen_trend(empty, ["k"], "t", "x").count() == 0
+
+
+def test_chi2_empty_and_single_cell(spark):
+    from miningfrequentpattern_spark.operators.relational import (
+        chi2_independence,
+    )
+
+    empty = spark.createDataFrame([], "a string, b string")
+    assert chi2_independence(empty, "a", "b").count() == 0
+    one = spark.createDataFrame([("x", "p")], "a string, b string")
+    row = chi2_independence(one, "a", "b").collect()[0]
+    # a 1×1 table is trivially independent: expected == observed
+    assert row["expected"] == 1.0 and row["chi2_part"] == 0.0
+
+
+def test_mannwhitney_empty_arm(spark):
+    from miningfrequentpattern_spark.operators.relational import (
+        mannwhitney_z,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    row = mannwhitney_z(df, "g", "v", "a", "b").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2, 0)
+    assert row["z"] is None  # zero-variance comparison: no verdict

@@ -1,0 +1,112 @@
+"""Theil–Sen robust trend (operators/timeseries.py::theil_sen_trend)
+— round-6 window candidate, locally certified NOW: the DuckDB oracle
+below is the exact SQL a future r76_robust_trend registration will
+carry (daily order volumes per priority), plus exact-line,
+outlier-robustness, and single-observation hand pins."""
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.timeseries import theil_sen_trend
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future r76 oracle, verbatim. Pairwise slopes are identical double
+# arithmetic on both engines; quantile_cont ≡ Spark percentile (the
+# winsorize pin); the strict a.t < b.t join drops dt = 0 pairs on
+# both sides for free.
+R76_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS DOUBLE) AS t,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1, CAST(o_orderdate AS DATE)),
+p AS (SELECT a.priority, (b.n - a.n) / (b.t - a.t) AS s
+      FROM d a JOIN d b ON a.priority = b.priority AND a.t < b.t),
+m AS (SELECT priority, count(*) AS n_pairs,
+             quantile_cont(s, 0.5) AS slope
+      FROM p GROUP BY 1)
+SELECT d.priority, count(*) AS n_obs, max(m.n_pairs) AS n_pairs,
+       round(max(m.slope), 4) AS sen_slope,
+       round(quantile_cont(d.n - m.slope * d.t, 0.5), 4)
+         AS sen_intercept
+FROM d JOIN m USING (priority)
+GROUP BY d.priority
+"""
+
+
+def _r76(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .select(
+            "priority",
+            F.datediff("day", F.lit("1970-01-01")).cast("double").alias("t"),
+            "n",
+        )
+    )
+    return theil_sen_trend(daily, ["priority"], "t", "n")
+
+
+def test_theil_sen_matches_duckdb_oracle(spark, duck):
+    compare(_r76(spark, SF_ORACLE), duck, R76_ORACLE)
+
+
+def test_theil_sen_exact_line(spark):
+    """y = 3t + 7 exactly: every pairwise slope is 3, every residual
+    intercept 7."""
+    df = spark.createDataFrame(
+        [("a", float(t), 3.0 * t + 7.0) for t in range(6)],
+        "k string, t double, x double",
+    )
+    got = theil_sen_trend(df, ["k"], "t", "x").collect()[0]
+    assert (got["sen_slope"], got["sen_intercept"]) == (3.0, 7.0)
+    assert got["n_obs"] == 6 and got["n_pairs"] == 15
+
+
+def test_theil_sen_shrugs_off_outlier_where_ols_bends(spark):
+    """A flat series with one 1000× spike: the slope MEDIAN stays 0
+    while the OLS slope (series_trend) visibly bends — the whole
+    point of the robust twin."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        series_trend,
+    )
+
+    # spike at the END of the series — an endpoint has maximal OLS
+    # leverage (a centered spike cancels symmetrically and moves the
+    # OLS slope not at all)
+    rows = [("a", float(t), 10.0) for t in range(11)]
+    rows[10] = ("a", 10.0, 10000.0)
+    df = spark.createDataFrame(rows, "k string, t double, x double")
+    sen = theil_sen_trend(df, ["k"], "t", "x").collect()[0]
+    ols = series_trend(df, ["k"], "t", "x").collect()[0]
+    assert sen["sen_slope"] == 0.0
+    assert abs(ols["slope"]) > 10  # OLS dragged by the spike
+
+
+def test_theil_sen_single_observation(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0)], "k string, t double, x double"
+    )
+    got = theil_sen_trend(df, ["k"], "t", "x").collect()[0]
+    assert got["n_obs"] == 1 and got["n_pairs"] == 0
+    assert got["sen_slope"] is None and got["sen_intercept"] is None
+
+
+def test_theil_sen_duplicate_timestamps_excluded_pairwise(spark):
+    """Two observations at the same t: no dt = 0 slope enters the
+    median, but both rows still count in n_obs."""
+    df = spark.createDataFrame(
+        [("a", 0.0, 1.0), ("a", 0.0, 9.0), ("a", 1.0, 2.0)],
+        "k string, t double, x double",
+    )
+    got = theil_sen_trend(df, ["k"], "t", "x").collect()[0]
+    assert got["n_obs"] == 3 and got["n_pairs"] == 2
+    # slopes: (2-1)/1 = 1 and (2-9)/1 = -7 → median -3
+    assert got["sen_slope"] == -3.0
