@@ -685,3 +685,85 @@ def bm25_scores(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def bigram_backoff_score(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Bigram LM quality score with Stupid Backoff — per document:
+    (id, n_bigrams, avg_neg_log2p) where each adjacent pair scores
+
+        S(w2 | w1) = c(w1 w2) / c(w1)        if training saw the bigram
+                   = backoff · c(w2) / N     otherwise (OOV w2 counts 1)
+
+    (Brants et al.'s web-LM recipe: no discounting to estimate, one
+    multiplicative backoff constant). The CONTEXT-aware upgrade of
+    l15's unigram surprise: a doc whose every word is common but
+    whose word ORDER is scrambled scores high here and normal there
+    — the signal that catches shuffled/templated text a unigram
+    model certifies as fluent. Counts come from `train_docs` — the
+    CCNet framing: train the LM on the reference corpus, score the
+    candidates. The default (None) self-trains like l15, where the
+    backoff branch is provably DEAD — every scored bigram trained
+    its own count — so self-trained mode is a pure conditional-
+    probability score, stated here so nobody "fixes" the unreachable
+    branch. Docs with < 2 tokens have no bigram and are omitted
+    (scoring an empty product would fabricate a 0-surprise doc).
+
+    Scale shape: bigram extraction is the shared shifted_pairs seam
+    (row-local, the measured zip_with formulation); the bigram-count
+    leg joins back as a shuffle equi-join (a 100 TB bigram
+    vocabulary is too large to broadcast and not skewed enough to
+    need more than AQE), the unigram legs broadcast exactly as l15
+    does, and N rides the 1-row crossJoin.
+    """
+    if not 0.0 < backoff <= 1.0:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    train = train_docs if train_docs is not None else docs
+    t = tokens(text_col)
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            shifted_pairs(
+                t, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+            )
+        ).alias("_p"),
+    ).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    train_pairs = train.select(
+        F.explode(
+            shifted_pairs(
+                t, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+            )
+        ).alias("_p"),
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    toks = train.select(F.explode(t).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    bi = train_pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    s = F.when(
+        F.col("cb").isNotNull(), F.col("cb") / F.col("c1")
+    ).otherwise(
+        F.lit(float(backoff))
+        * F.coalesce(F.col("c2"), F.lit(1))  # OOV floor, the l15 stance
+        / F.col("n_total")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg(-F.log2(s)), 4).alias("avg_neg_log2p"),
+    )

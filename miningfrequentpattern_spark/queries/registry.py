@@ -208,7 +208,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # relational.py::mannwhitney_z → r78_click_vs_view_ranksum with the
 # midrank oracle in tests/test_mannwhitney.py; plus the TRUE-STREAM
 # cusum_stream twin — tests-only by design like every streaming op
-# (tests/test_streaming.py)),
+# (tests/test_streaming.py);
+# text.py::bigram_backoff_score → l52_bigram_backoff with the
+# train/score split oracle in tests/test_bigram_backoff.py;
+# relational.py::cuped_adjust → r79_cuped_user_value with the
+# co-moment scalar oracle in tests/test_cuped.py),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

@@ -1812,3 +1812,41 @@ def test_staged_mannwhitney_two_phase_rank_no_global_window(spark):
     assert "rangepartitioning" in p, p
     assert p.count("Window (") <= 2, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_bigram_backoff_unigrams_broadcast_bigrams_shuffle(spark):
+    """l52 candidate: the unigram legs and the 1-row total broadcast
+    (the l15 posture); the bigram-count leg joins as a SHUFFLE
+    equi-join by design — a 100 TB bigram vocabulary is too large to
+    broadcast — and bigram extraction is the shared row-local
+    shifted_pairs seam (Generate, no UDF)."""
+    from miningfrequentpattern_spark.operators.text import (
+        bigram_backoff_score,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    train = docs.filter(F.col("lang") == "en")
+    p = _staged_plan(bigram_backoff_score(docs, train_docs=train))
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row total
+    assert p.count("BroadcastHashJoin") >= 2, p  # unigram legs
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_cuped_one_scalar_fit(spark):
+    """r79 candidate: the theta fit is ONE 1-row co-moment aggregate
+    broadcast back as the house scalar crossJoin; the adjustment is
+    row-local; no window, no UDF."""
+    from miningfrequentpattern_spark.operators.relational import (
+        cuped_adjust,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "u long, pre double, post double"
+    )
+    p = _staged_plan(cuped_adjust(df, "post", "pre", carry=["u"]))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "Window" not in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p

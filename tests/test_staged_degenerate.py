@@ -327,3 +327,26 @@ def test_mannwhitney_empty_arm(spark):
     row = mannwhitney_z(df, "g", "v", "a", "b").collect()[0]
     assert (row["n_a"], row["n_b"]) == (2, 0)
     assert row["z"] is None  # zero-variance comparison: no verdict
+
+
+def test_bigram_backoff_empty_and_empty_training(spark):
+    from miningfrequentpattern_spark.operators.text import (
+        bigram_backoff_score,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bigram_backoff_score(empty).count() == 0
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    # empty TRAINING corpus: no model — scores are NULL (N = 0 kills
+    # the backoff denominator under non-ANSI), rows still emitted
+    row = bigram_backoff_score(docs, train_docs=empty).collect()[0]
+    assert row["n_bigrams"] == 1 and row["avg_neg_log2p"] is None
+
+
+def test_cuped_empty(spark):
+    from miningfrequentpattern_spark.operators.relational import (
+        cuped_adjust,
+    )
+
+    empty = spark.createDataFrame([], "u long, pre double, post double")
+    assert cuped_adjust(empty, "post", "pre", carry=["u"]).count() == 0
