@@ -618,3 +618,120 @@ def degree_assortativity(
             F.when(~F.isnan(F.col("_rawr")), F.col("_rawr")), 4
         ).alias("assortativity"),
     )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(s, d, support) — per-edge triangle counts over a canonical
+    (s < d) edge list: id-oriented triple join enumerates each
+    triangle x < y < z once, then each triangle credits its three
+    edges (already canonical under the orientation). Edges in no
+    triangle have no row — callers coalesce to 0."""
+    a, b, c = e.alias("a"), e.alias("b"), e.alias("c")
+    tri = (
+        a.join(b, F.col("a.d") == F.col("b.s"))
+        .join(
+            c,
+            (F.col("c.s") == F.col("a.s"))
+            & (F.col("c.d") == F.col("b.d")),
+        )
+        .select(
+            F.col("a.s").alias("x"),
+            F.col("a.d").alias("y"),
+            F.col("b.d").alias("z"),
+        )
+    )
+    edges3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("s"), F.col("y").alias("d")),
+                F.struct(F.col("y").alias("s"), F.col("z").alias("d")),
+                F.struct(F.col("x").alias("s"), F.col("z").alias("d")),
+            )
+        ).alias("_e")
+    ).select("_e.s", "_e.d")
+    return edges3.groupBy("s", "d").agg(F.count(F.lit(1)).alias("support"))
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+    durable: bool = False,
+) -> DataFrame:
+    """k-truss membership: iteratively drop every edge in fewer than
+    k−2 triangles until stable — the EDGE-cohesion strengthening of
+    kcore (every k-truss edge sits in ≥ k−2 triangles whose OTHER
+    edges also survive; a k-truss is within the (k−1)-core but
+    strictly denser — it is the standard community-core /
+    spam-subgraph primitive one notch above m18). Returns
+    (s, d, support) for surviving edges, support being the edge's
+    triangle count INSIDE the truss (≥ k−2 by definition; at the
+    fixpoint round nothing dropped, so the last computed support IS
+    the within-truss support). An empty result is a valid answer.
+
+    Shape per round: one triangle enumeration (the m14 triple join,
+    id-oriented — the compact-forward degree orientation
+    triangle_counts uses is the documented upgrade if hub wedge
+    fan-out ever dominates), a 3-way explode (row-local), one edge-
+    keyed support aggregate, and a left-join filter — all hash-keyed;
+    the edge relation strictly shrinks so later rounds cost less.
+    Rounds are bounded by the peel depth; the max_iter guard RAISES
+    rather than returning a too-large pseudo-truss (the kcore/CC
+    stance), and per-round lineage pinning + release follow kcore
+    exactly (durable=True for the reliable-checkpoint form).
+    """
+    from .ckpt import pin, release
+
+    need = k - 2
+    e = pin(_undirected(edges, src, dst), durable)
+    prev: int | None = None
+    try:
+        for _ in range(max_iter):
+            sup = _edge_support(e)
+            keep = (
+                e.join(sup, ["s", "d"], "left")
+                .select(
+                    "s",
+                    "d",
+                    F.coalesce(F.col("support"), F.lit(0)).alias(
+                        "support"
+                    ),
+                )
+                .filter(F.col("support") >= need)
+            )
+            n = keep.count()
+            if n == 0:
+                from pyspark.sql import types as ST
+
+                id_type = e.schema["s"].dataType
+                empty = e.sparkSession.createDataFrame(
+                    [],
+                    ST.StructType(
+                        [
+                            ST.StructField("s", id_type),
+                            ST.StructField("d", id_type),
+                            ST.StructField("support", ST.LongType()),
+                        ]
+                    ),
+                )
+                release(e, durable)
+                return empty
+            if n == prev:
+                # no edge fell below k−2 this round — fixpoint; the
+                # support column was computed against this same edge
+                # set, so it is the within-truss support
+                return keep
+            prev = n
+            nxt = pin(keep.select("s", "d"), durable)
+            release(e, durable)
+            e = nxt
+        release(e, durable)
+        raise RuntimeError(
+            f"ktruss(k={k}) did not stabilize in {max_iter} rounds; "
+            "raise max_iter (peel depth exceeds it)"
+        )
+    except Exception:
+        release(e, durable)
+        raise

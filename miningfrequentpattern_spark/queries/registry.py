@@ -212,7 +212,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # text.py::bigram_backoff_score → l52_bigram_backoff with the
 # train/score split oracle in tests/test_bigram_backoff.py;
 # relational.py::cuped_adjust → r79_cuped_user_value with the
-# co-moment scalar oracle in tests/test_cuped.py),
+# co-moment scalar oracle in tests/test_cuped.py;
+# graph.py::ktruss → m25_part_ktruss with the generated unrolled
+# peel-chain oracle in tests/test_ktruss.py (the m18 strategy,
+# incl. the peel-depth slack test)),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
