@@ -658,3 +658,94 @@ def theil_sen_trend(
             4,
         ).alias("sen_intercept"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+    bucket: str | None = None,
+) -> DataFrame:
+    """Interval×interval overlap join within a key: one row per
+    overlapping (left, right) pair with the overlap boundaries —
+    (keys…, a_start, a_end, b_start, b_end, overlap_start,
+    overlap_end). Half-open [start, end) semantics: touching
+    intervals (a.end == b.start) do NOT overlap — the complement of
+    interval_merge's touching-counts-as-connected consolidation
+    (merge glues, overlap measures). The concurrency primitive:
+    simultaneous sessions, double-booked resources, conflicting
+    maintenance windows.
+
+    The naive plan is a key-equi join with a range predicate — fine
+    when keys are selective, quadratic inside a hot key. `bucket`
+    (e.g. "1 hour") is the 100 TB lever, the r08 trick extended to
+    interval×interval: each side explodes to the coarse buckets its
+    span COVERS (fan-out = span/bucket + 1, so the caller's bucket
+    choice bounds it — a contract like r08's tolerance), the join
+    adds bucket equality, and each surviving pair is CLAIMED by
+    exactly one cell — the bucket containing max(a_start, b_start),
+    i.e. the overlap's first instant, which both sides provably
+    cover — so no distinct/dedup pass is needed and the result is
+    exactly the unbucketed operator's (equivalence asserted in
+    tests). Pins: NULL boundaries drop (the interval_merge stance);
+    start ≥ end rows are empty intervals and drop with them (they
+    can overlap nothing under half-open semantics).
+    """
+    from .relational import _bucket_seconds
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        s, e = F.col(start_col).cast("double"), F.col(end_col).cast("double")
+        out = df.filter(
+            s.isNotNull() & e.isNotNull() & (s < e)
+        ).select(*keys, s.alias(f"{tag}_start"), e.alias(f"{tag}_end"))
+        return out
+
+    a = prep(left, "a")
+    b = prep(right, "b")
+    overlap = (F.col("a_start") < F.col("b_end")) & (
+        F.col("b_start") < F.col("a_end")
+    )
+    if bucket is None:
+        cond = None
+        for g in keys:
+            c = F.col(f"l.{g}") == F.col(f"r.{g}")
+            cond = c if cond is None else cond & c
+        joined = a.alias("l").join(b.alias("r"), cond & overlap)
+        key_cols = [F.col(f"l.{g}").alias(g) for g in keys]
+    else:
+        secs = float(_bucket_seconds(bucket))
+
+        def fan(df: DataFrame, tag: str) -> DataFrame:
+            lo = F.floor(F.col(f"{tag}_start") / secs)
+            # half-open end: an interval ending exactly on a bucket
+            # boundary does not cover that next bucket
+            hi = F.floor(
+                (F.col(f"{tag}_end") - F.lit(1e-9)) / secs
+            )
+            return df.withColumn("_bk", F.explode(F.sequence(lo, hi)))
+
+        cond = F.col("l._bk") == F.col("r._bk")
+        for g in keys:
+            cond = cond & (F.col(f"l.{g}") == F.col(f"r.{g}"))
+        # claim cell: the bucket holding the overlap's first instant
+        claim = F.col("l._bk") == F.floor(
+            F.greatest(F.col("a_start"), F.col("b_start")) / secs
+        )
+        joined = (
+            fan(a, "a").alias("l")
+            .join(fan(b, "b").alias("r"), cond & overlap & claim)
+        )
+        key_cols = [F.col(f"l.{g}").alias(g) for g in keys]
+    return joined.select(
+        *key_cols,
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        F.greatest(F.col("a_start"), F.col("b_start")).alias(
+            "overlap_start"
+        ),
+        F.least(F.col("a_end"), F.col("b_end")).alias("overlap_end"),
+    )

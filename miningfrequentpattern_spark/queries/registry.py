@@ -215,7 +215,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # co-moment scalar oracle in tests/test_cuped.py;
 # graph.py::ktruss → m25_part_ktruss with the generated unrolled
 # peel-chain oracle in tests/test_ktruss.py (the m18 strategy,
-# incl. the peel-depth slack test)),
+# incl. the peel-depth slack test);
+# timeseries.py::interval_overlap_join → r80_concurrent_activity
+# with the two-span-leg non-equi oracle in
+# tests/test_interval_overlap.py (bucketed claim-cell plan proven ≡
+# naive on the fixture)),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4

@@ -1850,3 +1850,27 @@ def test_staged_cuped_one_scalar_fit(spark):
     assert "BroadcastNestedLoopJoin" in p, p
     assert "Window" not in p, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_interval_overlap_bucketed_is_equi_keyed(spark):
+    """r80 candidate: with a bucket, the join condition carries the
+    (keys, _bk) EQUI pair — Spark plans a hash-keyed join (never a
+    key-only join whose range predicate fans each hot key to its
+    full history, and never a cartesian); the claim-cell predicate
+    rides the same join as a filter."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [("u", 0.0, 10.0)], "k string, span_start double, span_end double"
+    )
+    b = spark.createDataFrame(
+        [("u", 5.0, 15.0)], "k string, span_start double, span_end double"
+    )
+    p = _staged_plan(
+        interval_overlap_join(a, b, ["k"], bucket="1 minute")
+    )
+    assert "CartesianProduct" not in p, p
+    assert "_bk" in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p

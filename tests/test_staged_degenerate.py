@@ -350,3 +350,22 @@ def test_cuped_empty(spark):
 
     empty = spark.createDataFrame([], "u long, pre double, post double")
     assert cuped_adjust(empty, "post", "pre", carry=["u"]).count() == 0
+
+
+def test_interval_overlap_empty_sides(spark):
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    empty = spark.createDataFrame(
+        [], "k string, span_start double, span_end double"
+    )
+    some = spark.createDataFrame(
+        [("u", 0.0, 10.0)], "k string, span_start double, span_end double"
+    )
+    assert interval_overlap_join(empty, some, ["k"]).count() == 0
+    assert interval_overlap_join(some, empty, ["k"]).count() == 0
+    assert (
+        interval_overlap_join(empty, some, ["k"], bucket="1 hour").count()
+        == 0
+    )
