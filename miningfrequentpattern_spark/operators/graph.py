@@ -735,3 +735,128 @@ def ktruss(
     except Exception:
         release(e, durable)
         raise
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    _materialize: bool = True,
+    durable: bool = False,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to a SEED set
+    instead of spreading uniformly —
+
+        r_{k+1}(v) = (1−d)·p(v) + d·Σ_{u→v} r_k(u)/outdeg(u)
+
+    with p uniform over the seeds — the similar-items / related-
+    content / local-community primitive (scores concentrate around
+    the seeds; global PageRank is the p = 1/N special case).
+    Returns (id, ppr) scaled by |V| like m13's pagerank (raw scores
+    vanish under 4dp; the scale is a constant, rankings unchanged).
+    Seeds OUTSIDE the graph are ignored (they have no edges to
+    receive or spend mass through); an empty effective seed set
+    RAISES — teleport would be undefined, and a silent uniform
+    fallback would answer a different question. Dangling-node leak
+    follows pagerank's documented stance.
+
+    Shape: identical to pagerank per iteration — the cached
+    pre-partitioned edge×degree relation, ONE rank shuffle join and
+    ONE inflow aggregate — because the personalized teleport folds
+    into the same union leg that pagerank uses for its zero floor:
+    union _c = (1−d)·p(v)/d per node (0 for non-seeds), then the
+    closing ·d distributes over the sum. No extra join, no extra
+    exchange vs the uniform operator. Sizing actions (N, |seeds∩V|)
+    are the documented bounded eager steps.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    contribs = (
+        e.repartition("_src")
+        .withColumn(
+            "_deg", F.count(F.lit(1)).over(Window.partitionBy("_src"))
+        )
+        .cache()
+    )
+    nodes = (
+        contribs.select(F.col("_src").alias("id"))
+        .union(contribs.select(F.col("_dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    seeds_in = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .join(nodes, "id", "semi")
+        .cache()
+    )
+    try:
+        n = nodes.count()
+        m = seeds_in.count()
+        if n == 0:
+            out = nodes.select("id", F.lit(0.0).alias("ppr"))
+            return out.localCheckpoint(eager=True) if _materialize else out
+        if m == 0:
+            raise ValueError(
+                "personalized_pagerank: no seed is a graph node — "
+                "teleport is undefined (check seed ids against the "
+                "edge list)"
+            )
+        # teleport leg: (1−d)·p(v)/d so the closing ·d restores
+        # (1−d)·p(v) + d·inflow; p(v) = 1/m on seeds, 0 elsewhere —
+        # the 0 rows double as pagerank's every-node floor
+        tele_c = F.when(
+            F.col("_is").isNotNull(),
+            F.lit((1.0 - damping) / (damping * m)),
+        ).otherwise(F.lit(0.0))
+        tele = (
+            nodes.join(
+                F.broadcast(seeds_in.withColumn("_is", F.lit(1))),
+                "id",
+                "left",
+            )
+            .select("id", tele_c.alias("_c"))
+            .cache()
+        )
+        ranks = tele.select(
+            "id",
+            F.when(F.col("_c") > 0, F.lit(1.0 / m))
+            .otherwise(F.lit(0.0))
+            .alias("_rank"),
+        )
+        for _ in range(iterations):
+            ranks = (
+                contribs.join(ranks, contribs["_src"] == ranks["id"])
+                .select(
+                    F.col("_dst").alias("id"),
+                    (F.col("_rank") / F.col("_deg")).alias("_c"),
+                )
+                .unionByName(tele)
+                .groupBy("id")
+                .agg(F.sum("_c").alias("_in"))
+                .select(
+                    "id",
+                    (F.lit(damping) * F.col("_in")).alias("_rank"),
+                )
+            )
+        out = ranks.select(
+            "id", F.round(F.col("_rank") * n, 4).alias("ppr")
+        )
+        if not _materialize:
+            return out
+        from .ckpt import pin
+
+        out = pin(out, durable)
+        return out
+    finally:
+        if _materialize:
+            contribs.unpersist()
+            nodes.unpersist()
+            seeds_in.unpersist()
+            try:
+                tele.unpersist()
+            except UnboundLocalError:
+                pass

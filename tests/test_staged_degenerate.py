@@ -369,3 +369,25 @@ def test_interval_overlap_empty_sides(spark):
         interval_overlap_join(empty, some, ["k"], bucket="1 hour").count()
         == 0
     )
+
+
+def test_ppr_null_free_contract(spark):
+    from miningfrequentpattern_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # seeds present but graph edges carry a NULL endpoint: the NULL
+    # node participates like any other distinct key (graph ops treat
+    # ids opaquely); no crash
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (1,)], "id long")  # dup seeds
+    got = {
+        r["id"]: r["ppr"]
+        # 20 rounds: the 2-cycle is bipartite (period-2 parity
+        # wobble at small odd round counts — the test_ppr ring pin)
+        for r in personalized_pagerank(edges, seeds, 20).collect()
+    }
+    # duplicate seed rows collapse (distinct) — teleport mass is 1/1
+    assert got[1] > got[2]
