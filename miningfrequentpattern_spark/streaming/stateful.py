@@ -361,3 +361,82 @@ def cusum_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUT_SCHEMA = (
+    "event_type STRING, user_id BIGINT, est_count BIGINT, n_seen BIGINT"
+)
+HH_STATE_SCHEMA = "items ARRAY<BIGINT>, counts ARRAY<BIGINT>, n BIGINT"
+
+
+def _make_hh_update(k: int):
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Streaming Misra–Gries heavy hitters: state is ≤ k
+        (item, count) pairs + the stream length — O(k) per key,
+        independent of cardinality. Each micro-batch folds its exact
+        value_counts into the summary, then applies the mergeable-
+        summaries compaction (Agarwal et al.): subtract the (k+1)-th
+        largest count from everything and drop non-positives. The
+        classic guarantee survives ANY in-order batch split: every
+        item with true frequency > n/(k+1) is present, and
+        true − n/(k+1) ≤ est ≤ true — the ESTIMATES may differ
+        across splits (approximate by design, hence tests-only with
+        bound assertions, never a value-hash oracle)."""
+        if state.exists:
+            items, counts, n = state.get
+            summ = dict(zip(items, counts))
+            n = int(n)
+        else:
+            summ, n = {}, 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vc = pdf["user_id"].value_counts()
+            n += int(vc.sum())
+            for item, c in vc.items():  # ≤ batch-distinct items
+                summ[int(item)] = summ.get(int(item), 0) + int(c)
+            if len(summ) > k:
+                sub = sorted(summ.values(), reverse=True)[k]
+                summ = {
+                    i: c - sub for i, c in summ.items() if c - sub > 0
+                }
+        if n == 0:
+            return
+        state.update((list(summ), [summ[i] for i in summ], n))
+        yield pd.DataFrame(
+            {
+                "event_type": key[0],
+                "user_id": list(summ),
+                "est_count": [summ[i] for i in summ],
+                "n_seen": n,
+            }
+        )
+
+    return update
+
+
+def heavy_hitters_stream(events_stream: DataFrame, k: int = 8) -> DataFrame:
+    """T5-extension #3: streaming top-contributor tracking — per
+    event type, the Misra–Gries summary of which users drive the
+    feed, with O(k) state per key where an exact answer needs
+    O(#users). Update-mode emission: each batch re-emits the key's
+    current summary; the last emission per key is the final one. The
+    live twin of m07's exact top-k — exact when a key has ≤ k
+    distinct contributors, guaranteed-superset of the true
+    heavy hitters (> n/(k+1) frequency) otherwise."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = events_stream.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", "user_id")
+    return rows.groupBy("event_type").applyInPandasWithState(
+        _make_hh_update(int(k)),
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

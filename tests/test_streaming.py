@@ -695,3 +695,95 @@ def test_stream_cusum_split_independent():
     many, st_many = run([(0, 3), (3, 4), (4, 9), (9, 12)])
     assert one == many
     assert st_one == st_many
+
+
+def test_stream_heavy_hitters_guarantee_vs_batch(spark):
+    """Misra–Gries guarantees over the full replay, checked against
+    exact batch counts per event type: (1) every user with true
+    frequency > n/(k+1) appears in the final summary; (2) every
+    estimate is an UNDER-count within n/(k+1) of truth. Estimates
+    are approximate by design (no value-hash oracle — the bound IS
+    the contract)."""
+    from miningfrequentpattern_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    k = 8
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(heavy_hitters_stream(stream, k=k), "hh")
+    # update mode: the LAST emission per key is the final summary —
+    # n_seen strictly grows, so keep rows carrying the max n_seen.
+    rows = spark.sql("SELECT * FROM hh").collect()
+    last_n = {}
+    for r in rows:
+        last_n[r.event_type] = max(last_n.get(r.event_type, 0), r.n_seen)
+    summ = {
+        (r.event_type, r.user_id): r.est_count
+        for r in rows
+        if r.n_seen == last_n[r.event_type]
+    }
+    batch = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    true = {
+        (r["event_type"], r["user_id"]): r["c"]
+        for r in batch.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    totals = {}
+    for (et, _), c in true.items():
+        totals[et] = totals.get(et, 0) + c
+    assert summ, "stream emitted nothing"
+    for et, n in totals.items():
+        assert last_n[et] == n, (et, last_n.get(et), n)
+        bound = n / (k + 1)
+        for (tet, u), c in true.items():
+            if tet != et:
+                continue
+            if c > bound:
+                assert (et, u) in summ, (et, u, c, bound)
+        for (tet, u), est in summ.items():
+            if tet != et:
+                continue
+            assert est <= true[(et, u)], (et, u)
+            assert est >= true[(et, u)] - bound, (et, u)
+
+
+def test_stream_heavy_hitters_exact_when_under_k(spark):
+    """A key with ≤ k distinct contributors never compacts: the
+    summary IS the exact count table. Driven through the update
+    function with a fake state over explicit splits."""
+    import pandas as pd
+
+    from miningfrequentpattern_spark.streaming.stateful import (
+        _make_hh_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    users = [1, 2, 1, 3, 2, 1, 3, 3, 3]
+    fn = _make_hh_update(8)
+    st = FakeState()
+    out = None
+    for lo, hi in [(0, 4), (4, 9)]:
+        for pdf in fn(
+            ("t",), iter([pd.DataFrame({"user_id": users[lo:hi]})]), st
+        ):
+            out = pdf
+    got = dict(zip(out["user_id"], out["est_count"]))
+    assert got == {1: 3, 2: 2, 3: 4}
+    assert set(out["n_seen"]) == {9}
