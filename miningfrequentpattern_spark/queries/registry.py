@@ -221,7 +221,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tests/test_interval_overlap.py (bucketed claim-cell plan proven ≡
 # naive on the fixture);
 # graph.py::personalized_pagerank → m26_part_ppr with the m13-shape
-# seeded chained-CTE oracle in tests/test_ppr.py),
+# seeded chained-CTE oracle in tests/test_ppr.py; plus the
+# TRUE-STREAM heavy_hitters_stream (Misra–Gries) — tests-only by
+# design, approximate AND streaming (tests/test_streaming.py)),
 # re-certify changed
 # operators, and backfill with whatever has the OLDEST driver proof
 # (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
