@@ -1388,3 +1388,68 @@ def cuped_adjust(
         F.round(theta, 4).alias("theta"),
         F.round(adjusted, 4).alias("adjusted"),
     )
+
+
+def contract_audit(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+) -> DataFrame:
+    """Declarative data-contract audit — one row per rule:
+    (rule, n_rows, n_violations, violation_rate, passed) where each
+    rule is (name, boolean Column) and a VIOLATION is a row where
+    the condition is FALSE **or NULL** (three-valued logic pin: a
+    NULL check result means the contract could not be affirmed —
+    `col > 0` on a NULL must count against the contract, not
+    silently pass the way a WHERE clause would drop it). The
+    dbt-test / expectations shape: assert non-negativity, ranges,
+    formats, cross-column implications in ONE corpus pass, get a
+    per-rule scoreboard a pipeline gate can act on.
+
+    Shape: every rule compiles to a conditional SUM in a single
+    1-row aggregate — one corpus scan, map-side partial, no joins,
+    no matter how many rules — then a row-local unpivot (stack) to
+    the per-rule grain: the audit relation is |rules|-sized.
+    Pins: an EMPTY input passes every rule with n_rows 0 (a vacuous
+    contract holds — the gate that must fail on empty inputs
+    asserts n_rows > 0 as one of its rules); duplicate rule names
+    RAISE (two rules reporting under one name is a silent audit
+    hole).
+    """
+    import re
+
+    if not rules:
+        raise ValueError("contract_audit needs at least one rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    # names ride through column aliases and a stack() selectExpr —
+    # restrict to identifier-safe slugs so no name can smuggle
+    # arbitrary SQL into the expression string
+    bad = [n for n in names if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", n)]
+    if bad:
+        raise ValueError(f"rule names must be identifier-safe: {bad}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, 1).otherwise(0)
+            ).alias(f"_v_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{n}', _v_{n}" for n in names
+    )
+    tall = wide.selectExpr(
+        "_n",
+        f"stack({len(names)}, {stack_expr}) AS (rule, _viol)",
+    )
+    nv = F.coalesce(F.col("_viol"), F.lit(0))
+    return tall.select(
+        "rule",
+        F.col("_n").alias("n_rows"),
+        nv.alias("n_violations"),
+        F.round(
+            F.when(F.col("_n") > 0, nv / F.col("_n")), 4
+        ).alias("violation_rate"),
+        (nv == 0).alias("passed"),
+    )

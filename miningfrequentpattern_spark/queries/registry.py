@@ -221,7 +221,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tests/test_interval_overlap.py (bucketed claim-cell plan proven ≡
 # naive on the fixture);
 # graph.py::personalized_pagerank → m26_part_ppr with the m13-shape
-# seeded chained-CTE oracle in tests/test_ppr.py; plus the
+# seeded chained-CTE oracle in tests/test_ppr.py;
+# relational.py::contract_audit → r81_orders_contract with the
+# conditional-sum unpivot oracle in tests/test_contract_audit.py
+# (includes a deliberately failing rule so the failure path is
+# hash-certified); plus the
 # TRUE-STREAM heavy_hitters_stream (Misra–Gries) — tests-only by
 # design, approximate AND streaming (tests/test_streaming.py)),
 # re-certify changed

@@ -1874,3 +1874,30 @@ def test_staged_interval_overlap_bucketed_is_equi_keyed(spark):
     assert "CartesianProduct" not in p, p
     assert "_bk" in p, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_staged_contract_audit_one_pass_any_rule_count(spark):
+    """r81 candidate: every rule compiles into ONE 1-row conditional
+    aggregate — a single corpus scan and a single partial/final
+    aggregate pair regardless of rule count; the per-rule unpivot is
+    a row-local Generate on the 1-row result. No join, no UDF."""
+    from miningfrequentpattern_spark.operators.relational import (
+        contract_audit,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    p = _staged_plan(
+        contract_audit(
+            orders,
+            [
+                ("a", F.col("o_totalprice") > 0),
+                ("b", F.col("o_custkey").isNotNull()),
+                ("c", F.col("o_orderstatus").isin("O", "F")),
+            ],
+        )
+    )
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)) == 1, p
+    assert len(re.findall(r"^\(\d+\) \w*HashAggregate", p, flags=re.M)) == 2, p
+    assert "Join" not in p, p
+    assert "InPandas" not in p and "BatchEvalPython" not in p, p
