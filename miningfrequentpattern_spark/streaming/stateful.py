@@ -440,3 +440,74 @@ def heavy_hitters_stream(events_stream: DataFrame, k: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MOM_OUT_SCHEMA = (
+    "event_type STRING, n BIGINT, mean DOUBLE, std_pop DOUBLE"
+)
+MOM_STATE_SCHEMA = "n BIGINT, mean DOUBLE, m2 DOUBLE"
+
+
+def _update_running_moments(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming mean/variance via Chan's parallel-merge form of
+    Welford: state is (n, mean, M2) — three numbers per key, the
+    sufficient statistic of the population moments, merged per batch
+    from the batch's own vectorized moments:
+
+        δ = μ_b − μ;  μ' = μ + δ·n_b/n';  M2' = M2 + M2_b + δ²·n·n_b/n'
+
+    Numerically stable where a naive Σx/Σx² running sum cancels
+    catastrophically on large-mean data; ORDER-insensitive (unlike
+    cusum's recurrence, moments need no ordering contract — any
+    batch split converges to the same values up to fp merge noise,
+    asserted against batch aggregates in tests)."""
+    n, mean, m2 = (
+        (int(state.get[0]), float(state.get[1]), float(state.get[2]))
+        if state.exists
+        else (0, 0.0, 0.0)
+    )
+    for pdf in batches:
+        vals = pdf["value"].dropna().to_numpy(dtype="float64")
+        nb = len(vals)
+        if nb == 0:
+            continue
+        mb = float(vals.mean())
+        m2b = float(((vals - mb) ** 2).sum())
+        delta = mb - mean
+        tot = n + nb
+        mean += delta * nb / tot
+        m2 += m2b + delta * delta * n * nb / tot
+        n = tot
+    if n == 0:
+        return
+    state.update((n, mean, m2))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [n],
+            "mean": [mean],
+            "std_pop": [float(np.sqrt(m2 / n))],
+        }
+    )
+
+
+def running_moments_stream(events_stream: DataFrame) -> DataFrame:
+    """T5-extension #4: live per-key mean/std — the state that turns
+    r44's batch z-score monitor into a streaming alarm (a consumer
+    joins incoming values against the latest (mean, std) emission).
+    Three doubles of state per key; update-mode emission, last row
+    per key is current."""
+    rows = events_stream.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", "value")
+    return rows.groupBy("event_type").applyInPandasWithState(
+        _update_running_moments,
+        outputStructType=MOM_OUT_SCHEMA,
+        stateStructType=MOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

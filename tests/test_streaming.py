@@ -787,3 +787,82 @@ def test_stream_heavy_hitters_exact_when_under_k(spark):
     got = dict(zip(out["user_id"], out["est_count"]))
     assert got == {1: 3, 2: 2, 3: 4}
     assert set(out["n_seen"]) == {9}
+
+
+def test_stream_running_moments_equals_batch(spark):
+    """The (n, mean, M2) state over the full replay == batch
+    avg/stddev_pop per type to fp-merge tolerance — and, being
+    order-insensitive (unlike the CUSUM recurrence), needs no
+    ordering contract: any split converges to the same moments.
+    Split-independence exercised directly through the update
+    function below."""
+    import pandas as pd
+
+    from miningfrequentpattern_spark.streaming.stateful import (
+        _update_running_moments,
+        running_moments_stream,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(running_moments_stream(stream), "moments")
+    rows = spark.sql("SELECT * FROM moments").collect()
+    last_n = {}
+    for r in rows:
+        last_n[r.event_type] = max(last_n.get(r.event_type, 0), r.n)
+    got = {
+        r.event_type: (r.n, r.mean, r.std_pop)
+        for r in rows
+        if r.n == last_n[r.event_type]
+    }
+    want = {
+        r["event_type"]: (r["n"], r["mu"], r["sd"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mu"),
+            F.stddev_pop("value").alias("sd"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and got
+    for et, (n, mu, sd) in got.items():
+        wn, wmu, wsd = want[et]
+        assert n == wn
+        assert abs(mu - wmu) < 1e-9 and abs(sd - wsd) < 1e-9
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+
+    def run(splits):
+        st = FakeState()
+        out = None
+        for lo, hi in splits:
+            for pdf in _update_running_moments(
+                ("t",),
+                iter([pd.DataFrame({"value": vals[lo:hi]})]),
+                st,
+            ):
+                out = pdf
+        return out.iloc[0]
+
+    one = run([(0, 8)])
+    many = run([(0, 1), (1, 5), (5, 8)])
+    assert one["n"] == many["n"] == 8
+    assert abs(one["mean"] - many["mean"]) < 1e-12
+    assert abs(one["std_pop"] - many["std_pop"]) < 1e-12
