@@ -299,7 +299,45 @@ def main() -> None:
     }
     if scaling is not None:
         out["scaling"] = scaling
+    # Full record: a file (always complete) plus a first stdout line
+    # for anyone reading the terminal.
+    detail_path = str(Path(__file__).resolve().parent / "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        detail_path = None  # read-only checkout: stdout line still has it
     print(json.dumps(out))
+    # Driver contract: the harness keeps only the LAST ~2000 chars of
+    # output and parses the final JSON line. Round 5's single line grew
+    # past that (55 per-query timings + the 3-SF scaling curve) and the
+    # driver recorded "parsed": null — so the LAST line printed is a
+    # compact record guaranteed to fit: headline metric, the committed
+    # 24-query like-for-like gate subtotal, the scaling-tripwire flag
+    # count, and only the top-8 slowest per-query timings (full map in
+    # BENCH_DETAIL.json / the line above).
+    top8 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
+    compact: dict[str, object] = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "value_like_for_like_24q": like_for_like,
+        "queries": top8,
+        "queries_n": len(timings),
+        "sf": out["sf"],
+        "scaling_flagged": (
+            len(scaling["flagged"]) if scaling is not None else None
+        ),
+        "detail": detail_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # belt-and-braces: never outgrow the capture
+        compact.pop("queries")
+        line = json.dumps(compact)
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

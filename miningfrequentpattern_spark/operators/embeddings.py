@@ -301,6 +301,13 @@ def label_centroid_similarity(
     (all-zero vectors under a label) yields NULL cosine, never
     NaN/±inf (the r44 pin); NULL embeddings are excluded; labels
     with a single vector are legitimate (a centroid of one).
+    FIXED-DIMENSIONALITY CONTRACT: every non-NULL vector must have
+    the same length — the pos equi-join computes the dot product
+    over SHARED positions only, so ragged inputs would silently
+    truncate the geometry instead of failing. The embeddings
+    fixture satisfies it by construction and
+    tests/test_label_centroids.py asserts it; n_a/n_b stay
+    honest (count of non-empty vectors) even if it's violated.
     """
     base = embs.filter(
         F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
@@ -329,8 +336,14 @@ def label_centroid_similarity(
         .filter(F.col("label_a") < F.col("label_b"))
         .groupBy("label_a", "label_b")
         .agg(
-            F.first("_na").alias("n_a"),
-            F.first("_nb").alias("n_b"),
+            # max, not first: per-(label, pos) counts are all equal
+            # under the fixed-dimensionality contract (below), and if
+            # a malformed corpus ever violates it, max is still the
+            # deterministic "number of non-empty vectors" (position 0
+            # exists in every one) where first() is whatever partition
+            # ordering the shuffle happened to produce (ADVICE r5).
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
             F.sum(F.col("_ma") * F.col("_mb")).alias("_dot"),
             F.sum(F.col("_ma") * F.col("_ma")).alias("_naa"),
             F.sum(F.col("_mb") * F.col("_mb")).alias("_nbb"),

@@ -836,7 +836,12 @@ def mad_outliers(
     v = F.col(value_col).cast("double")
     carry = list(carry or ())
     base = df.select(*groups, *carry, v.alias("_v"))
-    vals = base.filter(F.col("_v").isNotNull())
+    # NaN rides the NULL pass-through leg: it passes isNotNull but
+    # would shift the group's percentiles (Spark sorts NaN above all
+    # reals) and `NaN > threshold` is true, so a NaN row would both
+    # skew every real row's robust_z AND flag itself — the docstring
+    # pins say normalized-to-NULL / never flags.
+    vals = base.filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
     meds = vals.groupBy(*groups).agg(
         F.percentile("_v", F.lit(0.5)).alias("_med")
     )
@@ -869,7 +874,9 @@ def mad_outliers(
             F.abs(z) > F.lit(float(threshold)), F.lit(False)
         ).alias("is_outlier"),
     )
-    nulls = base.filter(F.col("_v").isNull()).select(
+    nulls = base.filter(
+        F.col("_v").isNull() | F.isnan("_v")
+    ).select(
         *groups,
         *carry,
         F.col("_v").alias(value_col),
@@ -948,7 +955,11 @@ def benford_audit(
     """
     x = F.abs(F.col(value_col).cast("double"))
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
-    base = df.filter(x.isNotNull() & (x > 0)).select(
+    # NaN passes `x > 0` (Spark orders NaN above all numbers) and
+    # floor(NaN) casts to digit 0 — a phantom row that inflates the
+    # group total (and divides by digit 0 under ANSI). Same exclusion
+    # binned_quantile_rollup pins for the identical floor(NaN) hazard.
+    base = df.filter(x.isNotNull() & ~F.isnan(x) & (x > 0)).select(
         *groups, digit.alias("digit")
     )
     counts = base.groupBy(*groups, "digit").agg(
@@ -1297,8 +1308,10 @@ def mannwhitney_z(
     """
     ga, gb = group_a, group_b
     v = F.col(value_col).cast("double")
+    # NaN is excluded with NULL: it passes isNotNull but sorts above
+    # every real value, silently skewing the midranks and U.
     base = df.filter(
-        v.isNotNull() & F.col(group_col).isin(ga, gb)
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isin(ga, gb)
     ).select(F.col(group_col).alias("_g"), v.alias("_v"))
     ranked = global_row_number(base, [F.col("_v").asc()], "_rn")
     # midrank per distinct value = avg of its row numbers (exact for
@@ -1319,7 +1332,12 @@ def mannwhitney_z(
     )
     na, nb = F.col("_na"), F.col("_nb")
     n = na + nb
-    u = F.col("_ra") - na * (na + 1) / 2
+    # An empty arm makes the rank-sum 0, so the raw expression would
+    # emit u = 0.0 — keep the docstring's promise that a one-armed
+    # "comparison" has no U, not a misleading zero.
+    u = F.when(
+        (na > 0) & (nb > 0), F.col("_ra") - na * (na + 1) / 2
+    )
     var = (
         na * nb / F.lit(12.0)
         * ((n + 1) - F.col("_ties") / (n * (n - 1)))

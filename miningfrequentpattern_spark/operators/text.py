@@ -640,9 +640,13 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
+    # The shared tokens() helper (\s+ split, '' filtered), NOT a bare
+    # single-space split: whitespace runs would mint phantom '' tokens
+    # that inflate _dl/avgdl and an empty doc would count _dl = 1 in
+    # the corpus moments (ADVICE r5).
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
-        F.split(F.trim(F.col(text_col)), " ").alias("_toks"),
+        tokens(text_col).alias("_toks"),
     )
     withlen = toks.select("_id", "_toks", F.size("_toks").alias("_dl"))
     # 1-row corpus moments: N docs, mean doc length.

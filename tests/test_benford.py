@@ -98,3 +98,19 @@ def test_benford_excludes_zero_and_null(spark):
     assert len(rows) == 1
     assert rows[0]["digit"] == 5 and rows[0]["n_obs"] == 1
     assert rows[0]["obs_share"] == 1.0
+
+
+def test_benford_excludes_nan(spark):
+    """NaN passes `x > 0` (Spark sorts NaN above all numbers) and
+    floor(NaN) casts to digit 0 — without the isnan exclusion it
+    minted a phantom digit-0 row (NULL benford_p, ANSI
+    divide-by-zero on 1/digit) and deflated every real digit's
+    share (ADVICE r5)."""
+    df = spark.createDataFrame(
+        [("g", float("nan")), ("g", 5.0), ("g", 5.0)],
+        "g string, v double",
+    )
+    rows = benford_audit(df, ["g"], "v").collect()
+    assert len(rows) == 1
+    assert rows[0]["digit"] == 5 and rows[0]["n_obs"] == 2
+    assert rows[0]["obs_share"] == 1.0

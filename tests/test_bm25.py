@@ -16,13 +16,18 @@ from .conftest import SF_ORACLE
 from .oracle import compare
 
 # Future l48 oracle, verbatim. Dialect pins: ln() is the natural log
-# in both engines (Spark F.log one-arg form); tokenization is the
-# certified l06-family string_split arithmetic under the
-# single-space fixture invariant; docs matching no query term are
-# omitted by construction (the term filter precedes every join).
+# in both engines (Spark F.log one-arg form); tokenization mirrors
+# the shared tokens() helper exactly (''-filtered split — identical
+# to bare string_split under the single-space fixture invariant, but
+# written in the filtered form so doc length stays parity-safe if a
+# regenerated fixture ever contains whitespace runs or empty text);
+# docs matching no query term are omitted by construction (the term
+# filter precedes every join).
 L48_ORACLE = """
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x != '')
+           AS toks
   FROM documents WHERE text IS NOT NULL),
 m AS (
   SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
@@ -94,3 +99,39 @@ def test_bm25_rejects_bad_query_terms(spark):
         bm25_scores(df, "doc_id", "text", [])
     with pytest.raises(ValueError):
         bm25_scores(df, "doc_id", "text", ["a", "a"])
+
+
+def test_bm25_whitespace_runs_and_empty_docs(spark):
+    """Tokenization must ride the shared tokens() helper (ADVICE r5):
+    whitespace runs mint NO phantom '' tokens (doc length, and so
+    the BM25 length normalization, matches the single-spaced twin
+    exactly) and an empty-string doc contributes dl = 0 — it is
+    absent from the corpus-moment average rather than counted as a
+    one-token document."""
+    spaced = spark.createDataFrame(
+        [(1, "a b a c"), (2, "c d")], "doc_id long, text string"
+    )
+    messy = spark.createDataFrame(
+        [(1, "a\tb  a \n c"), (2, "c d")], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_scores(spaced, "doc_id", "text", ["a", "c"]).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_scores(messy, "doc_id", "text", ["a", "c"]).collect()
+    }
+    assert got == want
+    # empty doc: no tokens -> excluded from avgdl, never matched
+    with_empty = spark.createDataFrame(
+        [(1, "a b a c"), (2, "c d"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got3 = {
+        r["doc_id"]
+        for r in bm25_scores(
+            with_empty, "doc_id", "text", ["a", "c"]
+        ).collect()
+    }
+    assert got3 == {1, 2}

@@ -76,6 +76,32 @@ def test_label_centroids_closed_form(spark):
     assert got[(1, 2)] == (2, 1, 0.0)
 
 
+def test_embeddings_fixture_is_fixed_dim():
+    """The fixed-dimensionality contract the operator's docstring
+    declares: the pos equi-join dots over SHARED positions only, so
+    ragged vectors would silently truncate the geometry. Assert the
+    fixture invariant once, loudly, DuckDB-only (the
+    test_fixture_invariants pattern)."""
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    for sf in (SF_SMOKE, SF_ORACLE):
+        ndims = con.execute(
+            f"""
+            SELECT count(DISTINCT len(embedding))
+            FROM read_parquet('{sf}/embeddings.parquet')
+            WHERE embedding IS NOT NULL
+            """
+        ).fetchone()[0]
+        assert ndims == 1, (
+            f"{sf}/embeddings.parquet is ragged ({ndims} distinct "
+            "dims) — label_centroid_similarity's shared-position dot "
+            "product and l29/l43's dim explodes all assume fixed d"
+        )
+
+
 def test_label_centroids_zero_norm_is_null(spark):
     rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
     df = spark.createDataFrame(rows, "label int, embedding array<double>")

@@ -96,3 +96,29 @@ def test_mad_outliers_all_null_group_passes_through(spark):
     assert len(rows) == 4
     assert rows[0] == (None, None, False)
     assert rows[1] == (None, None, False)
+
+
+def test_mad_outliers_nan_rides_null_leg(spark):
+    """NaN passes isNotNull but would shift the group's median/MAD
+    (Spark sorts NaN above all reals) and `NaN > threshold` is true,
+    so an unguarded NaN row skews every real robust_z AND flags
+    itself (ADVICE r5). Fixed: NaN rows get NULL robust_z / false
+    like NULLs, and the real rows' stats are NaN-free — median of
+    (1, 2, 3) stays 2, not 2.5."""
+    import math
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 3.0),
+         ("a", 3, float("nan"))],
+        "g string, i int, v double",
+    )
+    rows = {
+        r["i"]: r for r in mad_outliers(df, ["g"], "v", carry=["i"]).collect()
+    }
+    assert math.isnan(rows[3]["v"])
+    assert rows[3]["robust_z"] is None and rows[3]["is_outlier"] is False
+    # median 2, MAD 1: robust_z = 0.6745 * (x - 2) / 1
+    assert rows[0]["robust_z"] == round(0.6745 * -1, 4)
+    assert rows[1]["robust_z"] == 0.0
+    assert rows[2]["robust_z"] == round(0.6745 * 1, 4)
+    assert not any(rows[i]["is_outlier"] for i in rows)

@@ -95,3 +95,37 @@ def test_mannwhitney_other_groups_ignored(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     got = mannwhitney_z(df, "g", "v", "a", "b").collect()[0]
     assert (got["n_a"], got["n_b"]) == (1, 1)
+
+
+def test_mannwhitney_nan_excluded_from_ranks(spark):
+    """NaN passes isNotNull but sorts above every real value, so an
+    unguarded NaN row silently skews the midranks and U (ADVICE r5).
+    Fixed: NaN rows are excluded exactly like NULLs — the statistic
+    over (a: 1, 2 | b: 3) is unchanged by an extra NaN in either arm."""
+    base = [("a", 1.0), ("a", 2.0), ("b", 3.0)]
+    clean = mannwhitney_z(
+        spark.createDataFrame(base, "g string, v double"),
+        "g", "v", "a", "b",
+    ).collect()[0]
+    noisy = mannwhitney_z(
+        spark.createDataFrame(
+            base + [("a", float("nan")), ("b", float("nan"))],
+            "g string, v double",
+        ),
+        "g", "v", "a", "b",
+    ).collect()[0]
+    assert (clean["n_a"], clean["n_b"]) == (2, 1)
+    assert (noisy["n_a"], noisy["n_b"]) == (2, 1)
+    assert noisy["u_stat"] == clean["u_stat"] and noisy["z"] == clean["z"]
+
+
+def test_mannwhitney_empty_arm_yields_null_u(spark):
+    """The docstring pin: an arm with zero rows yields NULL u/z, not
+    the misleading u = 0.0 the raw rank-sum expression produces
+    (ADVICE r5)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    got = mannwhitney_z(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (2, 0)
+    assert got["u_stat"] is None and got["z"] is None
