@@ -114,6 +114,28 @@ ADDITIONS = [
     "r50_weighted_median",
     "l41_token_gini",
     "m20_gap_sequential_pairs",
+    # round-6 — the promoted-flagship sample: two composed monitors
+    # (trend+CUSUM; seasonality+MAD); the composed Zipf fit; the four
+    # iterative graph ops (BFS, Bellman-Ford, truss peel, PPR); the
+    # one-pass d x d correlation; BM25; mergeable histogram
+    # quantiles; CDC snapshot; Theil-Sen pairwise median; bucketed
+    # claim-cell interval overlap; IVF x PQ composed ANN; the
+    # guard-firing capped fuzzy join
+    "r65_ops_monitor",
+    "r73_deseasonal_outliers",
+    "l50_zipf_fit",
+    "m21_part_khop_reach",
+    "m23_part_cheapest_reach",
+    "m25_part_ktruss",
+    "m26_part_ppr",
+    "l43_embedding_corr_matrix",
+    "l48_bm25_scores",
+    "r54_histogram_quantiles",
+    "r61_cdc_snapshot",
+    "r76_robust_trend",
+    "r80_concurrent_activity",
+    "l45_ivfpq_topk",
+    "l38b_fuzzy_join_capped",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS

@@ -342,6 +342,175 @@ def ivf_topk(
     )
 
 
+def _pq_fit_codebooks(
+    c: DataFrame,
+    id_col: str,
+    n_subspaces: int,
+    n_codes: int,
+    sub: int,
+    seed: int,
+    fit_mod: int,
+):
+    """Fit the per-subspace PQ codebooks on (a hash-mod sample of) the
+    normalized corpus `c` (expects `_nv`) and broadcast the stacked
+    (n_subspaces, n_codes, sub) array. Shared by pq_topk and
+    ivfpq_topk — one definition so the seeding/caching/parallel-fit
+    behavior cannot drift between the flat and pruned tiers.
+
+    A fixed, small number of seeded MLlib fits (n_subspaces is a
+    constant, not data-sized); clusterCenters() is the same
+    driver-side model API ivf_topk uses — not a data collect.
+    The fit relation is CACHED and pre-sliced once: without it each
+    of the n_subspaces fits re-scans + re-normalizes the corpus per
+    Lloyd iteration (measured 39 s at sf0.1 for 8 fits — almost all
+    of it redundant scan + per-iteration stage overhead; cached and
+    iteration-capped it is ~3 s). maxIter=10: sub-quantizers are
+    8-dimensional and converge in a handful of rounds; codebook
+    quality differences past that are far below the rerank margin.
+    coalesce(4): the fit set is sample-sized; Lloyd runs
+    iterations × subspaces jobs over it, and 32-task rounds on a
+    5k-row relation are pure scheduler overhead. initMode="random"
+    (seeded): k-means|| burns several extra passes per fit for an
+    init whose quality difference an 8-dim sub-quantizer cannot
+    show through the rerank margin.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = c.sparkSession
+    fit_src = (
+        c if fit_mod <= 1
+        else c.filter(F.pmod(F.xxhash64(F.col(id_col)), fit_mod) == 0)
+    )
+    if fit_mod > 1 and fit_src.isEmpty():
+        # The hash-mod sample can be empty on a small-but-nonempty
+        # corpus; KMeans.fit would then throw MLlib's opaque
+        # empty-dataset error. Raise the actionable message instead
+        # (falling back to the full corpus silently would defeat the
+        # bounded-fit contract the caller asked for).
+        raise ValueError(
+            f"pq_topk: fit_mod={fit_mod} selected no corpus rows to "
+            "fit codebooks on; lower fit_mod (the fit set should be "
+            ">= ~100x n_codes rows)"
+        )
+    fit_all = fit_src.select(
+        *[
+            array_to_vector(
+                F.slice(F.col("_nv"), j * sub + 1, sub)
+            ).alias(f"_sv{j}")
+            for j in range(n_subspaces)
+        ]
+    ).coalesce(4).cache()
+    try:
+        # The fits are independent (separate estimators, separate
+        # seeds, same cached input) — run them on concurrent driver
+        # threads so Spark schedules the 8 job chains in parallel:
+        # each fit carries ~1.3 s of fixed MLlib overhead even on a
+        # cached 4-partition input, and serially that overhead is the
+        # whole cost (measured 11 s → ~3 s at sf0.1).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fit(j: int):
+            km = KMeans(
+                k=n_codes, seed=seed + j, maxIter=10,
+                initMode="random",
+                featuresCol=f"_sv{j}", predictionCol="_code",
+            )
+            return np.array(
+                [
+                    np.asarray(cc)
+                    for cc in km.fit(fit_all).clusterCenters()
+                ]
+            )
+
+        with ThreadPoolExecutor(max_workers=n_subspaces) as pool:
+            codebooks = list(pool.map(_fit, range(n_subspaces)))
+    finally:
+        fit_all.unpersist()
+    cb = np.stack(codebooks)  # (n_subspaces, n_codes, sub)
+    return spark.sparkContext.broadcast(cb)
+
+
+def _pq_encode_udf(b_cb, n_subspaces: int, sub: int):
+    """Vectorized corpus→codes pandas UDF over the broadcast codebook
+    stack (argmin sub-distance per subspace). Null-tolerant: a None
+    vector encodes to [] so a downstream explode/filter drops it."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _encode(vecs):
+        arrs = list(vecs)
+        out = [[] for _ in arrs]
+        valid = [i for i, a in enumerate(arrs) if a is not None]
+        if valid:
+            m = np.array([arrs[i] for i in valid], dtype=np.float64)
+            codes = np.empty((len(valid), n_subspaces), dtype="int32")
+            for j in range(n_subspaces):
+                block = m[:, j * sub:(j + 1) * sub]
+                d = (
+                    (block[:, None, :] - b_cb.value[j][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, j] = np.argmin(d, axis=1)
+            for row, i in enumerate(valid):
+                out[i] = list(codes[row])
+        return pd.Series(out)
+
+    return pandas_udf(_encode, returnType="array<int>")
+
+
+def _pq_adc_udf(b_cb, n_subspaces: int, n_codes: int, sub: int):
+    """Per-query ADC table pandas UDF: L2-normalize, then squared L2
+    from each query sub-vector to every codebook entry — a tiny
+    n_subspaces×n_codes grid per query, flattened row-major."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _adc_table(vecs):
+        arrs = list(vecs)
+        out = [[] for _ in arrs]
+        valid = [i for i, a in enumerate(arrs) if a is not None]
+        if valid:
+            m = np.array([arrs[i] for i in valid], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            m = m / norms
+            tabs = np.empty(
+                (len(valid), n_subspaces * n_codes), dtype=np.float64
+            )
+            for j in range(n_subspaces):
+                block = m[:, j * sub:(j + 1) * sub]
+                d = (
+                    (block[:, None, :] - b_cb.value[j][None, :, :]) ** 2
+                ).sum(axis=2)
+                tabs[:, j * n_codes:(j + 1) * n_codes] = d
+            for row, i in enumerate(valid):
+                out[i] = list(tabs[row])
+        return pd.Series(out)
+
+    return pandas_udf(_adc_table, returnType="array<double>")
+
+
+def _pq_adc_fold(n_subspaces: int, n_codes: int):
+    """Native ADC fold column: per (query, corpus-code) pair, sum the
+    `_tab` entries the `_codes` select — table lookups in whole-stage
+    codegen, no Python in the candidate hot path. element_at is
+    1-based."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_tab"),
+            (j * n_codes + F.element_at(F.col("_codes"), j + 1) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -394,13 +563,6 @@ def pq_topk(
     cosine_topk_exact (same two-tier static/probe check, same
     rationale: the ADC scan is a crossJoin).
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
-
-    spark = corpus.sparkSession
     # Null vectors can't encode or score — drop at the boundary (same
     # WHEN-guard stance as ivf_topk; see ann_lsh_topk on why the
     # guard must stay row-local).
@@ -437,116 +599,11 @@ def pq_topk(
         )
     sub = dim // n_subspaces
 
-    fit_src = (
-        c if fit_mod <= 1
-        else c.filter(F.pmod(F.xxhash64(F.col(id_col)), fit_mod) == 0)
+    b_cb = _pq_fit_codebooks(
+        c, id_col, n_subspaces, n_codes, sub, seed, fit_mod
     )
-    if fit_mod > 1 and fit_src.isEmpty():
-        # The hash-mod sample can be empty on a small-but-nonempty
-        # corpus; KMeans.fit would then throw MLlib's opaque
-        # empty-dataset error. Raise the actionable message instead
-        # (falling back to the full corpus silently would defeat the
-        # bounded-fit contract the caller asked for).
-        raise ValueError(
-            f"pq_topk: fit_mod={fit_mod} selected no corpus rows to "
-            "fit codebooks on; lower fit_mod (the fit set should be "
-            ">= ~100x n_codes rows)"
-        )
-    # A fixed, small number of seeded MLlib fits (n_subspaces is a
-    # constant, not data-sized); clusterCenters() is the same
-    # driver-side model API ivf_topk uses — not a data collect.
-    # The fit relation is CACHED and pre-sliced once: without it each
-    # of the n_subspaces fits re-scans + re-normalizes the corpus per
-    # Lloyd iteration (measured 39 s at sf0.1 for 8 fits — almost all
-    # of it redundant scan + per-iteration stage overhead; cached and
-    # iteration-capped it is ~3 s). maxIter=10: sub-quantizers are
-    # 8-dimensional and converge in a handful of rounds; codebook
-    # quality differences past that are far below the rerank margin.
-    # coalesce(4): the fit set is sample-sized; Lloyd runs
-    # iterations × subspaces jobs over it, and 32-task rounds on a
-    # 5k-row relation are pure scheduler overhead. initMode="random"
-    # (seeded): k-means|| burns several extra passes per fit for an
-    # init whose quality difference an 8-dim sub-quantizer cannot
-    # show through the rerank margin.
-    fit_all = fit_src.select(
-        *[
-            array_to_vector(
-                F.slice(F.col("_nv"), j * sub + 1, sub)
-            ).alias(f"_sv{j}")
-            for j in range(n_subspaces)
-        ]
-    ).coalesce(4).cache()
-    try:
-        # The fits are independent (separate estimators, separate
-        # seeds, same cached input) — run them on concurrent driver
-        # threads so Spark schedules the 8 job chains in parallel:
-        # each fit carries ~1.3 s of fixed MLlib overhead even on a
-        # cached 4-partition input, and serially that overhead is the
-        # whole cost (measured 11 s → ~3 s at sf0.1).
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _fit(j: int) -> np.ndarray:
-            km = KMeans(
-                k=n_codes, seed=seed + j, maxIter=10,
-                initMode="random",
-                featuresCol=f"_sv{j}", predictionCol="_code",
-            )
-            return np.array(
-                [
-                    np.asarray(cc)
-                    for cc in km.fit(fit_all).clusterCenters()
-                ]
-            )
-
-        with ThreadPoolExecutor(max_workers=n_subspaces) as pool:
-            codebooks = list(pool.map(_fit, range(n_subspaces)))
-    finally:
-        fit_all.unpersist()
-    cb = np.stack(codebooks)  # (n_subspaces, n_codes, sub)
-    b_cb = spark.sparkContext.broadcast(cb)
-
-    def _encode(vecs):
-        arrs = list(vecs)
-        out = [[] for _ in arrs]
-        valid = [i for i, a in enumerate(arrs) if a is not None]
-        if valid:
-            m = np.array([arrs[i] for i in valid], dtype=np.float64)
-            codes = np.empty((len(valid), n_subspaces), dtype="int32")
-            for j in range(n_subspaces):
-                block = m[:, j * sub:(j + 1) * sub]
-                d = (
-                    (block[:, None, :] - b_cb.value[j][None, :, :]) ** 2
-                ).sum(axis=2)
-                codes[:, j] = np.argmin(d, axis=1)
-            for row, i in enumerate(valid):
-                out[i] = list(codes[row])
-        return pd.Series(out)
-
-    encode_udf = pandas_udf(_encode, returnType="array<int>")
-
-    def _adc_table(vecs):
-        arrs = list(vecs)
-        out = [[] for _ in arrs]
-        valid = [i for i, a in enumerate(arrs) if a is not None]
-        if valid:
-            m = np.array([arrs[i] for i in valid], dtype=np.float64)
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            m = m / norms
-            tabs = np.empty(
-                (len(valid), n_subspaces * n_codes), dtype=np.float64
-            )
-            for j in range(n_subspaces):
-                block = m[:, j * sub:(j + 1) * sub]
-                d = (
-                    (block[:, None, :] - b_cb.value[j][None, :, :]) ** 2
-                ).sum(axis=2)
-                tabs[:, j * n_codes:(j + 1) * n_codes] = d
-            for row, i in enumerate(valid):
-                out[i] = list(tabs[row])
-        return pd.Series(out)
-
-    adc_udf = pandas_udf(_adc_table, returnType="array<double>")
+    encode_udf = _pq_encode_udf(b_cb, n_subspaces, sub)
+    adc_udf = _pq_adc_udf(b_cb, n_subspaces, n_codes, sub)
 
     codes_rel = c.select(
         F.col(id_col).alias("neighbor_id"),
@@ -558,19 +615,7 @@ def pq_topk(
         F.col(vec_col).alias("_qv"),
         adc_udf(F.col(vec_col)).alias("_tab"),
     )
-    # Native ADC fold: per (query, corpus-code) pair, sum the
-    # table entries the codes select. element_at is 1-based.
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            F.col("_tab"),
-            (j * n_codes + F.element_at(F.col("_codes"), j + 1) + 1).cast(
-                "int"
-            ),
-        ),
-    )
+    adc = _pq_adc_fold(n_subspaces, n_codes)
     wa = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.col("neighbor_id")
     )
@@ -602,6 +647,167 @@ def pq_topk(
     )
     return (
         cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_mod: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF×PQ — the composed
+    at-scale ANN tier (Jégou et al. 2011's IVFADC layout): IVF's
+    coarse posting lists PRUNE candidates, PQ's 8-byte codes
+    COMPRESS what the pruned scan reads. This removes the one
+    100 TB caveat of each part alone: flat pq_topk still scans
+    |Q|×|C| codes (cheap per row, but every row), and ivf_topk
+    drags full raw vectors through its posting-list join; here the
+    posting join carries (cid, code[8]) rows and only the probed
+    cells are read, so the candidate scan is
+    |Q| × (probed fraction of corpus) × 8 bytes.
+
+    1. coarse: seeded MLlib KMeans on the normalized corpus
+       (ivf_topk's quantizer) → each corpus vector a centroid id;
+    2. fine: _pq_fit_codebooks on the SAME normalized space (plain
+       PQ codebooks, not residual-encoded — the rerank step makes
+       the residual refinement unnecessary at these code budgets:
+       recall is floored against cosine_topk_exact in tests);
+    3. probe: each query keeps its n_probes nearest centroid ids
+       (ivf_topk's vectorized probe) and computes its ADC table
+       (_pq_adc_udf) in the same pass;
+    4. search: equi-join probes↔codes ON cid (NO crossJoin anywhere
+       — the shape difference vs pq_topk), native ADC fold, per-query
+       window cut to k·rerank_factor;
+    5. rerank: survivors fetch raw vectors by equi-join and score
+       exact cosine; final rank is exact (precision = 1 on returned
+       pairs).
+
+    Deterministic under the fixed seed; registered rows-only like
+    every ANN tier. Unlike pq_topk there is no |Q| bound to enforce:
+    nothing here is a crossJoin, so an unbounded query side degrades
+    gracefully (bigger probe join), not quadratically.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_arr"))
+        .filter(F.col("_arr").isNotNull())
+        .withColumn("_nv", l2_normalize("_arr"))
+        .withColumn(
+            "_v",
+            F.when(F.col("_nv").isNotNull(), array_to_vector("_nv")),
+        )
+        .filter(F.col("_v").isNotNull())
+    )
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    if c.isEmpty():
+        return _empty_topk_result(queries, corpus, id_col)
+
+    if dim is None:
+        # Bounded 1-row scalar probe — pass dim= explicitly to stay
+        # fully lazy (the registered l45 query does).
+        dim = int(c.select(F.size("_arr").alias("d")).first()["d"])
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"ivfpq_topk: dim {dim} not divisible by n_subspaces "
+            f"{n_subspaces}"
+        )
+    sub = dim // n_subspaces
+
+    # Coarse quantizer on the NORMALIZED space (cosine ≡ L2 there, so
+    # cell membership agrees with the ADC metric).
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cid"
+    )
+    model = km.fit(c)
+    centers = np.array([np.asarray(cc) for cc in model.clusterCenters()])
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    b_cb = _pq_fit_codebooks(
+        c, id_col, n_subspaces, n_codes, sub, seed, fit_mod
+    )
+    encode_udf = _pq_encode_udf(b_cb, n_subspaces, sub)
+    adc_udf = _pq_adc_udf(b_cb, n_subspaces, n_codes, sub)
+
+    # The inverted file: (cid, 8-byte codes) — raw vectors do NOT
+    # ride the posting lists (the ivf_topk caveat this composition
+    # removes); they come back only for the rerank survivors.
+    postings = model.transform(c).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_cid").alias("cid"),
+        encode_udf(F.col("_nv")).alias("_codes"),
+    )
+
+    def _probe(vecs):
+        # ivf_topk's probe on the normalized query (the coarse index
+        # was trained normalized); empty probe list for null rows.
+        arrs = list(vecs)
+        valid_idx = [i for i, a in enumerate(arrs) if a is not None]
+        out = [[] for _ in arrs]
+        if valid_idx:
+            m = np.array([arrs[i] for i in valid_idx], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            m = m / norms
+            d = ((m[:, None, :] - b_centers.value[None, :, :]) ** 2).sum(
+                axis=2
+            )
+            idx = np.argsort(d, axis=1)[:, :n_probes].astype("int32")
+            for row, i in enumerate(valid_idx):
+                out[i] = list(idx[row])
+        return pd.Series(out)
+
+    probe_cids = pandas_udf(_probe, returnType="array<int>")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        adc_udf(F.col(vec_col)).alias("_tab"),
+        F.explode(probe_cids(F.col(vec_col))).alias("cid"),
+    )
+    adc = _pq_adc_fold(n_subspaces, n_codes)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.col("neighbor_id")
+    )
+    cand = (
+        q.select("query_id", "_tab", "cid")
+        .join(postings, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= k * rerank_factor)
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = c.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_arr").alias("_cv")
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        cand.join(qv, "query_id")
         .join(cv, "neighbor_id")
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))

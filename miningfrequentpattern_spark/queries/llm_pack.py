@@ -2124,12 +2124,34 @@ def l38_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot blocks (a universally shared 2-token prefix) are the same
     skew class as hot shingles — l02's df-cap guard generalizes; at
     100 TB block on a longer prefix or (prefix, length-bucket)."""
+    return _fuzzy_blocked_join(spark, sf_dir, max_block_size=None)
+
+
+def _fuzzy_blocked_join(
+    spark: SparkSession, sf_dir: str, max_block_size: int | None
+) -> DataFrame:
+    """Shared l38/l38b body. With max_block_size set, blocks holding
+    more than that many documents are dropped BEFORE the self-join
+    (the l02g hot-shingle df-cap generalized to blocking keys): a
+    universally shared 2-token prefix otherwise makes its block's
+    pair count ∝ block², which is exactly the ∝SF² growth the l38
+    scaling exponent measured. The hot-block relation is tiny by
+    construction (only pathological keys exceed the cap), so the
+    anti-join broadcasts."""
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
         F.array_join(F.slice(T.tokens("text"), 1, 2), " ").alias("blk"),
         F.substring("text", 1, 80).alias("head"),
     )
+    if max_block_size is not None:
+        hot = (
+            b.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_block_size)
+            .select("blk")
+        )
+        b = b.join(F.broadcast(hot), "blk", "left_anti")
     a, c = b.alias("a"), b.hint("shuffle_hash").alias("c")
     # project the distance ONCE, filter on the alias: Catalyst does
     # not CSE across Filter/Project, and the O(len^2) kernel is the
@@ -2150,6 +2172,37 @@ def l38_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= 10)
     )
+
+
+@query(
+    "l38b_fuzzy_join_capped",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+                      array_to_string((string_split(trim(text), ' '))[1:2],
+                                      ' ') AS blk,
+                      substr(text, 1, 80) AS head
+               FROM documents),
+    hot AS (SELECT blk FROM b GROUP BY blk HAVING count(*) > 3),
+    k AS (SELECT b.* FROM b ANTI JOIN hot USING (blk))
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           levenshtein(a.head, c.head) AS edit_distance
+    FROM k a JOIN k c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.head, c.head) <= 10
+    """,
+)
+def l38b_fuzzy_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (blocked fuzzy join, guard FIRING — the l02g stance): the
+    l38 join with the hot-block cap pinned at 3, UNDER the fixtures'
+    max block size of 4-5, so the guard genuinely drops blocks (9 of
+    25 pairs at sf0.01 disappear with their over-cap blocks) and the
+    oracle recomputes the identical filtered universe in SQL — the
+    cap's dropping behavior AND the post-cap pair space are
+    hash-certified end-to-end. At 100 TB the cap is what bounds a
+    hot prefix's block² pair blow-up (l38's measured ∝SF² exponent
+    on the fixed-vocabulary fixtures); production would also block
+    on a longer prefix or (prefix, length-bucket) — the cap is the
+    backstop that makes the worst key affordable either way."""
+    return _fuzzy_blocked_join(spark, sf_dir, max_block_size=3)
 
 
 @query(
@@ -2332,4 +2385,510 @@ def l41_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(2.0) * s / (n * tot) - (n + F.lit(1.0)) / n, 4
         ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 promotions (staged round 5, locally certified in their test
+# files; oracles moved VERBATIM from the staged SQL). Operator
+# docstrings carry the scale posture; property/edge tests stay in the
+# original test files.
+# ---------------------------------------------------------------------------
+
+@query(
+    "l42_containment_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+               FROM documents
+               WHERE text IS NOT NULL AND lang IS NOT NULL),
+    sh AS (SELECT doc_id, lang,
+                  list_distinct(list_filter(
+                    list_transform(list_zip(l, l[2:], l[3:]),
+                                   s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+                    x -> x IS NOT NULL)) AS g
+           FROM t),
+    e AS (SELECT doc_id, lang, len(g) AS n, unnest(g) AS s FROM sh),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n AS n_a, b.n AS n_b, count(*) AS c
+          FROM e a JOIN e b
+            ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / n_a, 4) AS cont_a_in_b,
+           round(c * 1.0 / n_b, 4) AS cont_b_in_a
+    FROM p
+    WHERE greatest(round(c * 1.0 / n_a, 4), round(c * 1.0 / n_b, 4)) >= 0.6
+    """,
+)
+def l42_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-extension (asymmetric near-dup): n-gram CONTAINMENT join —
+    |A∩B|/|A| and |A∩B|/|B| per candidate pair, flagging pairs where
+    EITHER direction ≥ 0.6. Catches the quote-inside-a-document and
+    subset-template cases symmetric Jaccard structurally cannot (a
+    6-token quote in a 60-token doc is containment 1.0, Jaccard
+    ~0.07 — hand pin in tests/test_containment.py). Rides the same
+    lang-blocked inverted shingle index and hot-shingle df-cap core
+    as l02/l02g (operators/dedup.py::ngram_containment_pairs);
+    guard-neutrality on the fixtures is itself tested."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    return ngram_containment_pairs(docs, threshold=0.6, max_shingle_df=None)
+
+
+@query(
+    "l43_embedding_corr_matrix",
+    oracle="""
+    WITH x AS (SELECT vec_id, r.i::INT AS i, embedding[r.i]::DOUBLE AS v
+               FROM embeddings, range(1, 65) r(i)
+               WHERE embedding IS NOT NULL),
+    m AS (SELECT i, avg(v) AS mu, stddev_pop(v) AS sd FROM x GROUP BY i),
+    c AS (SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+    SELECT c.i, c.j,
+           CASE WHEN ma.sd > 0 AND mb.sd > 0
+                THEN round((c.exy - ma.mu * mb.mu) / (ma.sd * mb.sd), 4)
+           END AS corr
+    FROM c JOIN m ma ON c.i = ma.i JOIN m mb ON c.j = mb.i
+    """,
+)
+def l43_embedding_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health monitor #2 (after l29's marginals): the full
+    d×d Pearson correlation matrix of embedding dimensions, upper
+    triangle (i ≤ j), NULL on constant dimensions — redundant/dead
+    dimensions and copy-paste projection bugs show up as off-diagonal
+    ~1.0 stripes. The operator reduces the corpus in ONE pass of
+    d(d+1)/2 sufficient statistics (sum, sum², cross-products) via a
+    single hash aggregate — never the naive O(N·d²) self-join the
+    oracle uses (fine single-process at sf0.01, wrong at 100 TB).
+    operators/embeddings.py::embedding_correlation; constant-dim /
+    fp-cancellation / ragged-raise pins in tests/test_embeddings.py."""
+    from ..operators.embeddings import embedding_correlation
+
+    return embedding_correlation(
+        load_table(spark, sf_dir, "embeddings"), dim=64
+    )
+
+
+@query("l44_embedding_spectrum")  # rows-only BY DESIGN: eigh has no SQL twin
+def l44_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health monitor #3: eigen-spectrum of the population
+    covariance — one row (n_vectors, total_var, top1_share,
+    effective_rank, n_components_90), the representation-collapse
+    alarm (top1_share → 1 means the space has collapsed onto one
+    axis; effective_rank ≪ d means anisotropy). Distributed part is
+    the one-pass covariance sufficient-stats aggregate; the d×d
+    eigendecomposition itself is a DRIVER-SIDE numpy eigh on the
+    d²-sized (not N-sized) result — rows-only by design
+    (eigendecomposition has no SQL twin); certified against a
+    single-process numpy reference in tests/test_embeddings.py."""
+    from ..operators.embeddings import embedding_spectrum
+
+    return embedding_spectrum(
+        load_table(spark, sf_dir, "embeddings"), dim=64
+    )
+
+
+@query(
+    "l46_quantized_recall",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    recon AS (
+      SELECT vec_id,
+             list_transform(
+               list_transform(v, x -> round(
+                 x / (list_max(list_transform(v, y -> abs(y))) / 127.0))),
+               q -> q * (list_max(list_transform(v, y -> abs(y))) / 127.0))
+               AS rv
+      FROM e),
+    q AS (SELECT * FROM e WHERE vec_id < 20),
+    tp AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]))
+                   / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4)
+               AS cos_sim
+      FROM q JOIN e c ON c.vec_id != q.vec_id),
+    truth AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM tp QUALIFY rnk <= 5),
+    cp AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(list_zip(q.v, c.rv), s -> s[1]*s[2]))
+                   / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(c.rv, x -> x*x)))), 4)
+               AS cos_sim
+      FROM q JOIN recon c ON c.vec_id != q.vec_id),
+    cand AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM cp QUALIFY rnk <= 5)
+    SELECT t.query_id, count(*) AS n_relevant,
+           CAST(count(c.rnk) AS BIGINT) AS n_hits,
+           round(count(c.rnk) * 1.0 / count(*), 4) AS recall_at_k,
+           round(coalesce(1.0 / min(c.rnk), 0.0), 4) AS mrr
+    FROM truth t LEFT JOIN cand c
+      ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def l46_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics: recall@5 / MRR of the DETERMINISTIC
+    int8-reconstruction ranking against the exact cosine ranking —
+    the one ANN-family comparison that is fully oracle-able (no
+    KMeans/LSH randomness; quantization is pure arithmetic on both
+    engines, the l24 parity). Both sides rank on the 4dp-rounded
+    similarity with an id tiebreak, so the top-5 SETS are
+    engine-identical and the metrics hash exactly.
+    operators/similarity.py::ranking_metrics; metric-semantics hand
+    cases in tests/test_ranking_metrics.py."""
+    from ..operators.similarity import ranking_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x))
+    ) / F.lit(127.0)
+    recon = emb.select(
+        "vec_id",
+        F.transform(
+            F.transform("embedding", lambda x: F.round(x / scale)),
+            lambda q: q * scale,
+        ).alias("embedding"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 20).limit(20)
+    truth = cosine_topk_exact(queries_df, emb, k=5)
+    cand = cosine_topk_exact(queries_df, recon, k=5)
+    return ranking_metrics(cand, truth, k=5)
+
+
+@query(
+    "l47_calibrated_gate",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             round(len(list_distinct(string_split(trim(text), ' '))) * 1.0
+                   / len(string_split(trim(text), ' ')), 4) AS ttr
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    r AS (
+      SELECT doc_id, source, ttr,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY ttr DESC, doc_id) AS pr
+      FROM s)
+    SELECT doc_id, source, ttr, round(pr, 4) AS pct_rank,
+           pr <= 0.8 AS is_kept
+    FROM r
+    """,
+)
+def l47_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6-extension (cross-source calibration): keep the top 80% of
+    each SOURCE by type-token ratio — per-stratum percent_rank, the
+    calibration l20's global deciles cannot do (a strict source whose
+    scores all run low still keeps its top fraction; strata
+    independence pinned in tests/test_calibrated_gate.py). Best-first
+    ordering (score DESC, doc_id ASC) is a total order; the window
+    partitions by source, so no global sort exists at any scale.
+    operators/text.py::rank_calibrated_gate."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.size(F.array_distinct(F.split(F.trim("text"), " ")))
+                / F.size(F.split(F.trim("text"), " ")),
+                4,
+            ).alias("ttr"),
+        )
+    )
+    return T.rank_calibrated_gate(
+        docs, ["source"], "ttr", keep_frac=0.8, tiebreak_col="doc_id"
+    )
+
+
+L48_QUERY_TERMS = ["scan", "merge", "window", "stream"]
+
+
+@query(
+    "l48_bm25_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x != '')
+               AS toks
+      FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+    h AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    q AS (
+      SELECT doc_id, dl, term FROM h
+      WHERE term IN ('scan', 'merge', 'window', 'stream')),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS dfreq FROM q GROUP BY 1),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM q GROUP BY 1, 2, 3)
+    SELECT tf.doc_id, count(*) AS n_terms_matched,
+           round(sum(
+             ln((m.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / m.avgdl)))
+           ), 4) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN m
+    GROUP BY 1
+    """,
+)
+def l48_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval ranker: Okapi BM25 of every document against
+    a 4-term query (Lucene smoothed idf, (k1+1)-numerator tf
+    saturation) — pairs with l03's embedding top-k for hybrid search
+    (fused in l49). The query-term filter lands directly on the
+    exploded tokens, so everything past the scan is matched-tokens-
+    sized; df and the (N, avgdl) moments are broadcast back. ln and
+    the idf·(sat) parenthesization match the oracle exactly so 4dp
+    rounding absorbs only libm ulp. operators/text.py::bm25_scores;
+    closed-form hand check in tests/test_bm25.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_scores(docs, "doc_id", "text", L48_QUERY_TERMS)
+
+
+@query(
+    "l49_hybrid_rrf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    m AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+    h AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    q AS (SELECT doc_id, dl, term FROM h
+          WHERE term IN ('scan', 'merge', 'window', 'stream')),
+    df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM q GROUP BY 1),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q GROUP BY 1, 2, 3),
+    bm AS (SELECT tf.doc_id, sum(
+             ln((m.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / m.avgdl)))) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN m GROUP BY 1),
+    run1 AS (SELECT t.source, bm.doc_id,
+                    row_number() OVER (PARTITION BY t.source
+                                       ORDER BY bm.score DESC, bm.doc_id)
+                      AS rnk
+             FROM bm JOIN t ON t.doc_id = bm.doc_id),
+    ttr AS (SELECT doc_id, source,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS score
+            FROM t),
+    run2 AS (SELECT source, doc_id,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY score DESC, doc_id) AS rnk
+             FROM ttr),
+    u AS (SELECT source, doc_id, 1.0 / (60 + rnk) AS c FROM run1
+          UNION ALL SELECT source, doc_id, 1.0 / (60 + rnk) FROM run2)
+    SELECT source, doc_id, count(*) AS n_runs,
+           round(sum(c), 4) AS rrf_score
+    FROM u GROUP BY 1, 2
+    """,
+)
+def l49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: reciprocal-rank fusion (k = 60) of
+    the l48 BM25 ranking with a type-token-ratio quality ranking,
+    per source — the standard score-scale-free way to combine
+    lexical and quality signals. Docs absent from a run contribute
+    nothing (the classic RRF convention; n_runs is the
+    signal-agreement count); ranks order by (score DESC, doc_id ASC),
+    so ties are deterministic. Each run is ranked inside its own
+    source partition — no global window at any scale.
+    operators/similarity.py::rrf_fuse; closed-form rank arithmetic in
+    tests/test_rrf.py."""
+    from ..operators.similarity import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    dim = docs.select("doc_id", "source")
+    run1 = (
+        T.bm25_scores(docs, "doc_id", "text", L48_QUERY_TERMS)
+        .join(F.broadcast(dim), "doc_id")
+        .select("source", "doc_id", "score")
+    )
+    toks = F.split(F.trim("text"), " ")
+    run2 = docs.select(
+        "source",
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("score"),
+    )
+    return rrf_fuse([run1, run2], ["source"], "doc_id", "score")
+
+
+@query(
+    "l50_zipf_fit",
+    oracle="""
+    WITH c AS (
+      SELECT term, count(*) AS n FROM (
+        SELECT unnest(string_split(trim(text), ' ')) AS term
+        FROM documents WHERE text IS NOT NULL)
+      GROUP BY 1),
+    r AS (SELECT row_number() OVER (ORDER BY n DESC, term) AS rank, n
+          FROM c),
+    l AS (SELECT log10(rank) AS t, log10(n) AS x FROM r)
+    SELECT count(*) AS n_obs,
+           round(CASE WHEN var_pop(t) > 0
+                      THEN covar_pop(t, x) / var_pop(t) END, 4) AS slope,
+           round(avg(x) - (CASE WHEN var_pop(t) > 0
+                                THEN covar_pop(t, x) / var_pop(t) END)
+                          * avg(t), 4) AS intercept,
+           round(pow(corr(t, x), 2), 4) AS r2
+    FROM l
+    """,
+)
+def l50_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-health flagship #3 (the l25/l40 stance —
+    certified as a COMPOSITION): token counts → two-phase distributed
+    global rank (global_row_number, never a single-partition window)
+    → log-log OLS via series_trend, fused in ONE plan. A healthy
+    natural corpus fits log f ≈ a + s·log r with s ≈ −1; templated or
+    dedup-gone-wrong corpora bend away — the one-number
+    vocabulary-shape monitor next to l33's Heaps curve. Rank ties:
+    (count DESC, term ASC) is a total order, so the distributed rank
+    and SQL row_number agree exactly; the fit runs on log10 of exact
+    integers, the co-moment 4dp round absorbing libm ulp (the r57
+    stance). Exact-power-law and flat-corpus pins in
+    tests/test_zipf.py."""
+    from ..operators.relational import global_row_number
+    from ..operators.timeseries import series_trend
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("term"))
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_row_number(
+        counts, [F.col("n").desc(), F.col("term").asc()], "rank"
+    )
+    logs = ranked.select(
+        F.log10("rank").alias("t"), F.log10("n").alias("x")
+    )
+    return series_trend(logs, [], "t", "x")
+
+
+@query(
+    "l51_label_centroids",
+    oracle="""
+    WITH d AS (SELECT e.label, t.pos, e.embedding[t.pos]::DOUBLE AS x
+               FROM embeddings e,
+                    unnest(generate_series(1, len(e.embedding)))
+                      AS t(pos)
+               WHERE e.label IS NOT NULL AND e.embedding IS NOT NULL),
+    cent AS (SELECT label, pos, avg(x) AS m, count(*) AS n
+             FROM d GROUP BY 1, 2),
+    p AS (SELECT a.label AS label_a, b.label AS label_b,
+                 max(a.n) AS n_a, max(b.n) AS n_b,
+                 sum(a.m * b.m) AS dot,
+                 sum(a.m * a.m) AS naa,
+                 sum(b.m * b.m) AS nbb
+          FROM cent a JOIN cent b
+            ON a.pos = b.pos AND a.label < b.label
+          GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN sqrt(naa) * sqrt(nbb) > 0
+                THEN round(dot / (sqrt(naa) * sqrt(nbb)), 4)
+           END AS cosine
+    FROM p
+    """,
+)
+def l51_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health monitor #4 (between-class geometry): pairwise
+    cosine between per-LABEL centroid vectors — labels drifting
+    toward cosine ≈ 1 are merging in embedding space (retrieval
+    confusion incoming). One posexplode + (label, pos) aggregate
+    reduces the corpus to a |labels|·d relation; the pair matrix is a
+    dimension-sized self-join — the corpus is scanned once and
+    nothing downstream scales with N. Zero-norm centroids yield NULL
+    cosine; fixed-dimensionality contract asserted in
+    tests/test_label_centroids.py.
+    operators/embeddings.py::label_centroid_similarity."""
+    from ..operators.embeddings import label_centroid_similarity
+
+    return label_centroid_similarity(
+        load_table(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+@query(
+    "l52_bigram_backoff",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    tr AS (SELECT toks FROM t WHERE lang = 'en'),
+    toks AS (SELECT unnest(toks) AS w FROM tr),
+    uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    trp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM tr, unnest(generate_series(1, len(toks) - 1)) AS s(i)),
+    bi AS (SELECT w1, w2, count(*) AS cb FROM trp GROUP BY 1, 2),
+    p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i))
+    SELECT p.doc_id, count(*) AS n_bigrams,
+           round(avg(-log2(
+             CASE WHEN bi.cb IS NOT NULL THEN bi.cb / (u1.cu * 1.0)
+                  ELSE 0.4 * coalesce(u2.cu, 1) / tot.n_total END)), 4)
+             AS avg_neg_log2p
+    FROM p
+    LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+    LEFT JOIN uni u1 ON u1.w = p.w1
+    LEFT JOIN uni u2 ON u2.w = p.w2
+    CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def l52_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5-extension (context-aware LM quality): bigram Stupid-Backoff
+    scoring — train counts on the English subset, score the whole
+    multilingual pool (the CCNet framing, and the configuration
+    where the backoff branch genuinely fires; self-trained scoring
+    would make it dead code — pinned in tests/test_bigram_backoff.py).
+    Per doc: (doc_id, n_bigrams, avg −log₂ S(w2|w1)) with
+    S = c(w1w2)/c(w1) when trained, else 0.4·c(w2)/N with the OOV
+    count floor 1 (the l15 stance). Scrambled-order docs score worse
+    than fluent twins — the context signal unigram l15 cannot see.
+    operators/text.py::bigram_backoff_score."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    train = docs.filter(F.col("lang") == "en")
+    return T.bigram_backoff_score(docs, train_docs=train)
+
+
+@query("l45_ivfpq_topk")  # rows-only BY DESIGN: KMeans output
+def l45_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (approximate, IVF×PQ — the RECOMMENDED at-scale tier): IVF
+    posting lists prune candidates to the 8/16 probed cells, PQ's
+    8-byte codes compress what the pruned scan reads, exact cosine
+    reranks the 20× ADC survivors — the Jégou IVFADC layout that
+    removes flat pq_topk's |Q|×|C| scan AND ivf_topk's raw-vector
+    posting lists (operators/similarity.py::ivfpq_topk). Same 20
+    queries as the l03 family; measured recall@5 = 0.88 vs the exact
+    operator on the synthetic near-uniform embeddings (flat PQ: 0.79
+    — pruning plus a deeper rerank wins on both cost AND recall
+    here), floored in tests/test_llm.py. Seeded deterministic;
+    rows-only like every ANN variant. dim passed explicitly — no
+    scalar probe, the plan stays fully lazy."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivfpq_topk(
+        queries_df, emb, k=5, n_clusters=16, n_probes=8,
+        n_subspaces=8, n_codes=16, rerank_factor=20, seed=42, dim=64,
     )

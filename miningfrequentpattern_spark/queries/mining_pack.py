@@ -1348,3 +1348,377 @@ def m20_gap_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("support_users") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 promotions (staged round 5, locally certified in their test
+# files, promoted into the driver window per the registry rotation).
+# Each oracle below is the staged test file's SQL moved VERBATIM; the
+# operator docstrings in operators/graph.py / operators/mining.py
+# carry the scale posture, and the per-operator property tests stay in
+# the original test files.
+# ---------------------------------------------------------------------------
+
+def _copurchase_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized DISTINCT co-purchase edge list (src, dst) — the
+    m13/m14-certified construction, shared by the round-6 graph
+    promotions (m21 k-hop, m26 PPR)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@query(
+    "m21_part_khop_reach",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    p AS (SELECT a.pk AS s, b.pk AS d FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+    e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+    deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+    d0 AS (SELECT s AS id FROM deg ORDER BY dg DESC, s LIMIT 3),
+    n1 AS (SELECT DISTINCT e.d AS id FROM e JOIN d0 ON e.s = d0.id
+           WHERE e.d NOT IN (SELECT id FROM d0)),
+    v1 AS (SELECT id FROM d0 UNION ALL SELECT id FROM n1),
+    n2 AS (SELECT DISTINCT e.d AS id FROM e JOIN n1 ON e.s = n1.id
+           WHERE e.d NOT IN (SELECT id FROM v1)),
+    v2 AS (SELECT id FROM v1 UNION ALL SELECT id FROM n2),
+    n3 AS (SELECT DISTINCT e.d AS id FROM e JOIN n2 ON e.s = n2.id
+           WHERE e.d NOT IN (SELECT id FROM v2))
+    SELECT id AS part_id, 0 AS dist FROM d0
+    UNION ALL SELECT id, 1 FROM n1
+    UNION ALL SELECT id, 2 FROM n2
+    UNION ALL SELECT id, 3 FROM n3
+    """,
+)
+def m21_part_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension #5 (multi-source BFS): min hop distance from
+    the 3 highest-degree parts over the co-purchase graph, k ≤ 3 —
+    the blast-radius / reachability query (which items sit within n
+    recommendation hops of the hubs). Seeds are a bounded
+    TakeOrderedAndProject (degree DESC, id ASC, LIMIT 3), never a
+    global sort. Iterative frontier expansion with per-round
+    anti-join against the visited set and early exit on frontier
+    exhaustion — operators/graph.py::khop_distances carries the
+    shape; synthetic layering/early-exit/absent-seed pins in
+    tests/test_khop.py. Oracle: chained-CTE BFS (the m13 strategy);
+    NOT IN is null-safe here because part keys are fixture-NOT NULL."""
+    from ..operators.graph import khop_distances
+
+    edges = _copurchase_edges_sym(spark, sf_dir)
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.desc("dg"), "src")
+        .limit(3)
+        .select(F.col("src").alias("id"))
+    )
+    return khop_distances(edges, seeds, max_hops=3).select(
+        F.col("id").alias("part_id"), "dist"
+    )
+
+
+@query(
+    "m22_item_cosine",
+    oracle="""
+    WITH iu AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+      FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    ic AS (SELECT it, count(*) AS n FROM iu GROUP BY it),
+    p AS (
+      SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_shared
+      FROM iu a JOIN iu b ON a.bk = b.bk AND a.it < b.it
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT item_a, item_b, n_shared,
+           round(n_shared / sqrt(ca.n * cb.n), 4) AS cosine
+    FROM p JOIN ic ca ON p.item_a = ca.it JOIN ic cb ON p.item_b = cb.it
+    ORDER BY cosine DESC, item_a, item_b LIMIT 25
+    """,
+)
+def m22_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5-adjacent interest measure: top-25 item-item pairs by
+    co-occurrence COSINE n_ab/√(n_a·n_b) — the popularity-normalized
+    similarity that rescues rare-but-always-together pairs the raw
+    support ranking buries. All cosine inputs are exact integers, so
+    both engines compute bitwise-identical doubles; (cosine DESC,
+    item_a, item_b) is a total order, making the LIMIT boundary
+    deterministic. operators/mining.py::item_cosine_pairs; hand pins
+    in tests/test_item_cosine.py."""
+    from ..operators.mining import item_cosine_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_cosine_pairs(
+        li, "l_orderkey", "l_partkey", min_shared=2, k=25
+    )
+
+
+@query(
+    "m23_part_cheapest_reach",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    p AS (SELECT a.pk AS s, b.pk AS d, count(*) AS n FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+    e AS (SELECT s, d, 1.0 / n AS w FROM p
+          UNION ALL SELECT d, s, 1.0 / n FROM p),
+    deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+    d0 AS (SELECT s AS id, 0.0 AS dist FROM deg ORDER BY dg DESC, s LIMIT 3),
+    r1 AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d0
+        UNION ALL
+        SELECT e.d, pd.dist + e.w FROM e JOIN d0 pd ON e.s = pd.id
+      ) GROUP BY id),
+    r2 AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM r1
+        UNION ALL
+        SELECT e.d, pd.dist + e.w FROM e JOIN r1 pd ON e.s = pd.id
+      ) GROUP BY id),
+    r3 AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM r2
+        UNION ALL
+        SELECT e.d, pd.dist + e.w FROM e JOIN r2 pd ON e.s = pd.id
+      ) GROUP BY id)
+    SELECT id AS part_id, round(dist, 4) AS dist FROM r3
+    """,
+)
+def m23_part_cheapest_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension #6 (weighted shortest paths): 3 frontier
+    Bellman-Ford relaxation rounds from the 3 highest-degree parts,
+    edge cost 1/shared-orders (strong ties are cheap) — "cheapest
+    association chain" with bounded-path semantics: after round k
+    both the operator and the chained-CTE oracle equal "cheapest
+    path using ≤ k edges". Float parity: each round accumulates
+    d_prev + w in the identical order in both engines, so min()
+    compares bitwise-equal doubles. operators/graph.py::sssp_distances
+    (frontier-only relaxation, convergence raising, negative-cycle
+    refusal — pins in tests/test_sssp.py)."""
+    from ..operators.graph import sssp_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("weight"))
+    )
+    edges = pairs.unionAll(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.desc("dg"), "src")
+        .limit(3)
+        .select(F.col("src").alias("id"))
+    )
+    return sssp_distances(edges, seeds, max_rounds=3).select(
+        F.col("id").alias("part_id"), F.round("dist", 4).alias("dist")
+    )
+
+
+@query(
+    "m24_part_assortativity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    e AS (SELECT a.pk AS s, b.pk AS d FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+    deg AS (SELECT v, count(*) AS deg FROM (
+              SELECT s AS v FROM e UNION ALL SELECT d FROM e)
+            GROUP BY 1),
+    stubs AS (SELECT s AS u, d AS v FROM e
+              UNION ALL SELECT d AS u, s AS v FROM e),
+    paired AS (SELECT du.deg AS deg_u, dv.deg AS deg_v
+               FROM stubs
+               JOIN deg du ON du.v = stubs.u
+               JOIN deg dv ON dv.v = stubs.v)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           CAST((SELECT count(*) FROM stubs) / 2 AS BIGINT) AS n_edges,
+           round(corr(deg_u, deg_v), 4) AS assortativity
+    FROM paired
+    """,
+)
+def m24_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension #7 (global mixing structure): Newman degree
+    assortativity of the co-purchase graph — Pearson correlation of
+    endpoint degrees over BOTH stub orientations (the standard
+    symmetrization; the canonical s < d order alone would bias the
+    correlation). One scalar row (n_nodes, n_edges, assortativity);
+    NULL at zero variance (the r44 pin, normalized operator-side
+    from Spark's NaN corr). operators/graph.py::degree_assortativity;
+    star/regular/numpy pins in tests/test_assortativity.py."""
+    from ..operators.graph import degree_assortativity
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return degree_assortativity(pairs)
+
+
+_KTRUSS_K = 3  # need >= 1 within-truss triangle per edge
+_KTRUSS_ORACLE_ROUNDS = 6
+
+
+def _ktruss_oracle() -> str:
+    """Generated, not hand-unrolled (the m18 stance): the round body
+    exists once; every CTE is MATERIALIZED because each round
+    references its predecessor multiple times and DuckDB's default
+    inlining would expand the chain multiplicatively. The unrolled
+    chain runs PAST the fixture's fixpoint —
+    tests/test_ktruss.py::test_ktruss_oracle_chain_has_peel_depth_slack
+    proves the last two rounds agree, so the fixed chain equals the
+    operator's peel-until-stable answer."""
+    ctes = [
+        """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+    e0 AS MATERIALIZED (SELECT a.pk AS s, b.pk AS d FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    ]
+    for i in range(1, _KTRUSS_ORACLE_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"""tri{i} AS MATERIALIZED (
+             SELECT a.s AS x, a.d AS y, b.d AS z
+             FROM e{p} a JOIN e{p} b ON a.d = b.s
+             JOIN e{p} c ON c.s = a.s AND c.d = b.d),
+    sup{i} AS MATERIALIZED (
+             SELECT s, d, count(*) AS sup FROM (
+               SELECT x AS s, y AS d FROM tri{i}
+               UNION ALL SELECT y, z FROM tri{i}
+               UNION ALL SELECT x, z FROM tri{i})
+             GROUP BY 1, 2),
+    e{i} AS MATERIALIZED (
+             SELECT e.s, e.d FROM e{p} e
+             JOIN sup{i} u ON u.s = e.s AND u.d = e.d
+                          AND u.sup >= {_KTRUSS_K - 2})"""
+        )
+    last, lsup = f"e{_KTRUSS_ORACLE_ROUNDS}", f"sup{_KTRUSS_ORACLE_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.s AS part_a, e.d AS part_b, u.sup AS support
+    FROM {last} e JOIN {lsup} u ON u.s = e.s AND u.d = e.d"""
+    )
+
+
+KTRUSS_ORACLE = _ktruss_oracle()
+
+
+@query("m25_part_ktruss", oracle=KTRUSS_ORACLE)
+def m25_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension #8 (cohesion one notch denser than m18's
+    k-core): the 3-truss of the support-thresholded co-purchase
+    graph — every surviving edge sits in ≥ 1 triangle whose OTHER
+    two edges also survive (at sf0.01: 3,445 edges peel to 181,
+    fixpoint at round 2; the 4-truss of this graph is EMPTY, so
+    k = 3 is the largest non-vacuous certification). Cascade
+    semantics a one-shot support filter misses — K4 pins in
+    tests/test_ktruss.py. operators/graph.py::ktruss (triangle
+    enumeration on the s<d orientation, strictly shrinking cached
+    edge relation, per-round lineage truncation, raises on
+    truncated fixpoint)."""
+    from ..operators.graph import ktruss
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return ktruss(pairs, _KTRUSS_K).select(
+        F.col("s").alias("part_a"), F.col("d").alias("part_b"), "support"
+    )
+
+
+@query(
+    "m26_part_ppr",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem),
+    p AS (SELECT a.pk AS s, b.pk AS d FROM li a
+          JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+    e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+    deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS id FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    sd AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
+    tele AS (SELECT nd.id,
+                    CASE WHEN sd.id IS NOT NULL THEN 0.15 / 10 ELSE 0 END
+                      AS t
+             FROM nodes nd LEFT JOIN sd ON sd.id = nd.id),
+    r0 AS (SELECT id, t / 0.15 AS r FROM tele),
+    r1 AS (SELECT tl.id, tl.t + 0.85 * coalesce(f.c, 0) AS r
+           FROM tele tl LEFT JOIN (
+             SELECT e.d AS id, sum(r0.r / deg.dg) AS c
+             FROM e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s
+             GROUP BY e.d) f USING (id)),
+    r2 AS (SELECT tl.id, tl.t + 0.85 * coalesce(f.c, 0) AS r
+           FROM tele tl LEFT JOIN (
+             SELECT e.d AS id, sum(r1.r / deg.dg) AS c
+             FROM e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s
+             GROUP BY e.d) f USING (id)),
+    r3 AS (SELECT tl.id, tl.t + 0.85 * coalesce(f.c, 0) AS r
+           FROM tele tl LEFT JOIN (
+             SELECT e.d AS id, sum(r2.r / deg.dg) AS c
+             FROM e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s
+             GROUP BY e.d) f USING (id))
+    SELECT id AS part_id, round(r * (SELECT n FROM nn), 4) AS ppr
+    FROM r3
+    """,
+)
+def m26_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph extension #9 (related items): 3-iteration PERSONALIZED
+    PageRank seeded at the 10 lowest part ids — the m13 recurrence
+    with the uniform teleport replaced by the seed indicator
+    (0.15/|S| on seeds, 0 elsewhere; the teleport floor folded into
+    the inflow union leg exactly as m13), |V|-scaled before the 4dp
+    round. Nodes with no inflow keep their teleport-only value via
+    the LEFT JOIN + coalesce on both sides.
+    operators/graph.py::personalized_pagerank; reduces-to-uniform /
+    ring-decay / numpy pins in tests/test_ppr.py."""
+    from ..operators.graph import personalized_pagerank
+
+    edges = _copurchase_edges_sym(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("id").limit(10)
+    return personalized_pagerank(edges, seeds, iterations=3).select(
+        F.col("id").alias("part_id"), "ppr"
+    )

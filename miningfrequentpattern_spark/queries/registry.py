@@ -117,206 +117,101 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # u08 table-argument UDTF displaced the r09/l04/m02/l05 backfills the
 # same way). 3+(9+2)+8+6+18+4 = 50.
 #
-# ROUND 6 ROTATION TODO: after CORRECTNESS_r05 lands, rotate in any
-# round-5 failures, promote round-6 additions (implemented + locally
-# DuckDB-certified, waiting for slots: relational.py::scd2_versions →
-# r51_scd2_versions with the oracle in tests/test_cdc.py;
-# dedup.py::ngram_containment_pairs → l42_containment_pairs with the
-# oracle in tests/test_containment.py; graph.py::khop_distances →
-# m21_part_khop_reach with the oracle in tests/test_khop.py;
-# timeseries.py::ewma → r52_ewma_daily_revenue with the
-# recursive-CTE oracle in tests/test_ewma.py;
-# embeddings.py::embedding_correlation → l43_embedding_corr_matrix
-# with the oracle in tests/test_embeddings.py, and
-# embeddings.py::embedding_spectrum → l44_embedding_spectrum,
-# rows-only by design — eigendecomposition has no SQL twin; its
-# numpy-parity certification lives in the same test file;
-# functions/skew.py::key_skew_profile → r53_skew_advisor with the
-# oracle in tests/test_skew_profile.py;
-# relational.py::binned_quantile_rollup → r54_histogram_quantiles
-# with the oracle in tests/test_histogram_rollup.py;
-# timeseries.py::interval_merge → r55_activity_spans with the
-# gaps-and-islands oracle in tests/test_interval_merge.py;
-# timeseries.py::time_weighted_avg → r56_time_weighted_value with
-# the oracle in tests/test_twa.py;
-# timeseries.py::series_trend → r57_daily_revenue_trend with the
-# oracle in tests/test_series_trend.py;
-# timeseries.py::cusum_drift → r58_value_drift with the closed-form
-# window oracle in tests/test_cusum.py;
-# relational.py::referential_orphan_audit → r59_fk_audit with the
-# oracle in tests/test_fk_audit.py;
-# relational.py::winsorized_stats → r60_winsorized_price with the
-# quantile_cont oracle in tests/test_winsorize.py;
-# mining.py::item_cosine_pairs → m22_item_cosine with the oracle in
-# tests/test_item_cosine.py;
-# relational.py::cdc_apply → r61_cdc_snapshot with the oracle in
-# tests/test_cdc_apply.py, plus its true-stream twin
-# streaming/stateful.py::cdc_snapshot_stream proven against the
-# batch operator in tests/test_streaming.py (tests-only by design,
-# like every streaming op);
-# timeseries.py::last_touch_attribution → r62_attribution with the
-# IGNORE-NULLS-window oracle in tests/test_attribution.py;
-# graph.py::sssp_distances → m23_part_cheapest_reach with the
-# chained-relaxation oracle in tests/test_sssp.py;
-# relational.py::topn_with_others → r63_brand_topn_others and
-# relational.py::abc_classification → r64_brand_abc with oracles in
-# tests/test_topn_abc.py;
-# similarity.py::ranking_metrics → l46_quantized_recall with the
-# exact-vs-int8-reconstruction oracle in tests/test_ranking_metrics.py;
-# the composed monitoring flagship (daily volumes → series_trend +
-# mean-centered cusum_drift in ONE plan) → r65_ops_monitor with the
-# stage-fragment oracle in tests/test_ops_monitor.py;
-# text.py::rank_calibrated_gate → l47_calibrated_gate with the
-# per-source percent_rank oracle in tests/test_calibrated_gate.py;
-# timeseries.py::autocorrelation → r66_volume_acf with the
-# row_number-self-join lag oracle in tests/test_acf.py;
-# relational.py::mad_outliers → r67_value_outliers with the
-# quantile_cont median/MAD oracle in tests/test_mad_outliers.py;
-# relational.py::join_cardinality_audit → r68_join_fanout_audit with
-# the full-outer count-join oracle in tests/test_join_audit.py;
-# text.py::bm25_scores → l48_bm25_scores with the unnest/ln oracle
-# in tests/test_bm25.py;
-# graph.py::degree_assortativity → m24_part_assortativity with the
-# stub-symmetrized corr oracle in tests/test_assortativity.py;
-# timeseries.py::seasonal_profile → r69_weekly_seasonality with the
-# isodow window oracle in tests/test_seasonal_profile.py;
-# similarity.py::rrf_fuse → l49_hybrid_rrf with the two-run
-# row_number fusion oracle in tests/test_rrf.py;
-# relational.py::benford_audit → r70_price_benford with the
-# digit-arithmetic window oracle in tests/test_benford.py;
-# timeseries.py::cadence_audit → r71_feed_cadence with the
-# epoch_us lag/quantile oracle in tests/test_cadence_audit.py;
-# relational.py::target_encode → r72_custkey_encoding with the
-# integer-cents shrinkage oracle in tests/test_target_encode.py;
-# the composed deseasonalized-outlier flagship (daily volumes →
-# seasonal_profile → mad_outliers on the residual in ONE plan) →
-# r73_deseasonal_outliers with the stage-fragment oracle in
-# tests/test_deseasonal_outliers.py;
-# relational.py::psi_drift → r74_value_psi with the
-# reference-decile binning oracle in tests/test_psi.py;
-# relational.py::rfm_scores → r75_customer_rfm with the
-# broadcast-edge quintile oracle in tests/test_rfm.py;
-# the composed Zipf-fit flagship (token counts → two-phase global
-# rank → log-log series_trend in ONE plan) → l50_zipf_fit with the
-# stage-fragment oracle in tests/test_zipf.py;
-# embeddings.py::label_centroid_similarity → l51_label_centroids
-# with the l29-idiom explode oracle in tests/test_label_centroids.py;
-# timeseries.py::theil_sen_trend → r76_robust_trend with the
-# pairwise-slope median oracle in tests/test_theil_sen.py;
-# relational.py::chi2_independence → r77_type_dow_chi2 with the
-# margin-window oracle in tests/test_chi2.py;
-# relational.py::mannwhitney_z → r78_click_vs_view_ranksum with the
-# midrank oracle in tests/test_mannwhitney.py; plus the TRUE-STREAM
-# cusum_stream twin — tests-only by design like every streaming op
-# (tests/test_streaming.py);
-# text.py::bigram_backoff_score → l52_bigram_backoff with the
-# train/score split oracle in tests/test_bigram_backoff.py;
-# relational.py::cuped_adjust → r79_cuped_user_value with the
-# co-moment scalar oracle in tests/test_cuped.py;
-# graph.py::ktruss → m25_part_ktruss with the generated unrolled
-# peel-chain oracle in tests/test_ktruss.py (the m18 strategy,
-# incl. the peel-depth slack test);
-# timeseries.py::interval_overlap_join → r80_concurrent_activity
-# with the two-span-leg non-equi oracle in
-# tests/test_interval_overlap.py (bucketed claim-cell plan proven ≡
-# naive on the fixture);
-# graph.py::personalized_pagerank → m26_part_ppr with the m13-shape
-# seeded chained-CTE oracle in tests/test_ppr.py;
-# relational.py::contract_audit → r81_orders_contract with the
-# conditional-sum unpivot oracle in tests/test_contract_audit.py
-# (includes a deliberately failing rule so the failure path is
-# hash-certified); plus the
-# TRUE-STREAM heavy_hitters_stream (Misra–Gries) — tests-only by
-# design, approximate AND streaming (tests/test_streaming.py)),
-# re-certify changed
-# operators, and backfill with whatever has the OLDEST driver proof
-# (the round-3 additions l02f/l21-l24/m11/r34/r35/u05/u06 and round-4
-# set will then be the freshest — prefer re-proving round-1/2 rows
-# not covered this round: s03/s03b/s06/s08, r05b, r11b/c, r12b,
-# r16, r17, r18, r19, r20, r21, r22,
-# r13b, r16b, r17b, l04b, l06b, l07/l07c, r23-r28, r30-r32, u03/u04,
-# plus the backfills displaced by the round-5 continuation and final
-# session: s02, s04, s05, s07, s09, r09, r10b, r11, r12, r13, r14,
-# r15, l04, l05, l06, l09, m02, t01, t02, t03, t04, t05).
-ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
-    {
-        "r10_approx_aggregates",
-        "r29_hll_sketches",
-        "r33_approx_topk",
-        "l02b_minhash_lsh_pairs",
-        "l02c_simhash_pairs",
-        "l03b_ann_lsh_topk",
-        "l03c_ivf_topk",
-        "l04c_doc_fingerprints",
-        "l18_semantic_neardup",
-    }
-)
+# ROUND 6 ROTATION (executed): CORRECTNESS_r05 came back all green
+# (50/50 rows, 39 fresh hashes, zero failures ever), so the round-6
+# window promotes the staged backlog. 45 staged operators move from
+# their test files into @query registrations with their DuckDB
+# oracles VERBATIM (the test files keep the property/plan/edge tests
+# and now exercise the registered query): the relational/timeseries
+# family r51-r61, r63-r70 (minus r62), r72-r81; the graph family
+# m21-m26; the LLM family l42-l44, l46-l52. Plus three round-6
+# additions: l45_ivfpq_topk (IVF posting-list pruning x PQ 8-byte
+# ADC codes + exact rerank — the composed at-scale ANN tier the r5
+# verdict asked for; rows-only like every ANN variant, recall
+# floored vs exact in tests/test_llm.py), l38b_fuzzy_join_capped
+# (the l38 hot-block df-cap guard FIRING, l02g-style, with its own
+# oracle over the filtered universe), and r69 rides with its family.
+# l34_pq_topk and r48_hll_rollup_merge rotate OUT (both run-proven
+# r5; keeping them would be wasted slots — the tripwire that failed
+# at r5 HEAD now passes). ROWS_ONLY_REFRESH empties: every rows-only
+# query's run row is r5-fresh. 3 canaries + 29 relational + 6 graph
+# + 12 LLM = 50 exactly.
+#
+# ROUND 7 ROTATION TODO: after CORRECTNESS_r06 lands, promote the
+# two operators deferred this round for window space —
+# timeseries.py::last_touch_attribution -> r62_attribution with the
+# IGNORE-NULLS-window oracle in tests/test_attribution.py, and
+# timeseries.py::cadence_audit -> r71_feed_cadence with the epoch_us
+# lag/quantile oracle in tests/test_cadence_audit.py — then backfill
+# every remaining slot with the OLDEST driver proofs, in this order:
+# (a) the r1/r2-proven set never re-proven (s02, s03, s03b, s04,
+# s05, s06, s07, s08, s09, r05b, r09, r10b, r11, r11b, r11c, r12,
+# r12b, r13, r13b, r14, r15, r16, r16b, r17, r17b, r18, r19, r20,
+# r21, r22, l04, l04b, l05, l06, l06b, l09, m02, t01, t02, t03,
+# t04, t05, t05b, u03), then (b) the r3-proven set (l02f, l21-l24,
+# m11, r34, r35, u04, u05, u06, r23-r28, r30-r32, l07, l07c). If
+# similarity.py's ann_lsh_topk is rewritten natively (the planned
+# JVM-side RP-LSH that removes the MLlib hash UDF and its
+# localCheckpoint barrier), give l03b_ann_lsh_topk a
+# ROWS_ONLY_REFRESH slot the same round the rewrite lands.
+ROWS_ONLY_REFRESH: frozenset[str] = frozenset()
 PRIORITY: tuple[str, ...] = (
     # canaries — proven every round, kept to detect driver-env drift
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    # rows-only refresh (+ l07b/l08, upgraded to oracle-bearing r5)
-    "r10_approx_aggregates",
-    "r29_hll_sketches",
-    "r33_approx_topk",
-    "l02b_minhash_lsh_pairs",
-    "l02c_simhash_pairs",
-    "l03b_ann_lsh_topk",
-    "l03c_ivf_topk",
-    "l04c_doc_fingerprints",
-    "l07b_media_features",
-    "l08_langid_heuristic",
-    "l18_semantic_neardup",
-    # round-5 additions — oracle-bearing, never driver-checked
-    "s13_merge_schema_scan",
-    "m16_rule_chains",
-    "l30_prefix_dedup_keep_longest",
-    "t07_stream_enrich",
-    "m17_part_clustering",
-    "l31_decontaminate_frac",
-    "l32_incremental_dedup",
-    "s14_dynamic_partition_overwrite",
-    # re-certification — code or oracle text changed this round
-    "m13_part_pagerank",
-    "l28_ngram_novelty",
-    "l29_embedding_dim_stats",
-    "l02e_neardup_clusters",
-    "l14_neardup_keep_best",
-    "m14_part_triangles",
-    # round-5 continuation additions — registered after the original
-    # round-5 window was drafted but BEFORE the driver run, so they
-    # take backfill slots (the displaced backfills all hold r1/r2
-    # proofs and stay covered by the local mirror): first driver hash
-    # rows for 13 oracle-bearing queries + a run row for l34 (ANN,
-    # rows-only by design).
-    "r41_correlation_matrix",
-    "r42_data_quality_report",
-    "r43_gapfill_daily",
-    "r44_daily_anomaly",
-    "r45_delta_join_refresh",
-    "r46_rolling_distinct_users",
-    "r47_event_transitions",
-    "l33_vocab_growth",
-    "l34_pq_topk",
-    "l36_weighted_sample",
-    "l37_collocations",
-    "l38_fuzzy_join",
-    "m18_part_kcore",
-    "m19_negative_pairs",
-    "s15_metadata_scan",
-    "l40_prep_pipeline2",
-    "r48_hll_rollup_merge",
-    "u08_udtf_table_args",
-    # round-5 final session — 4 more oracle-bearing additions take
-    # the last backfill slots (the displaced s02/s04/t01/t03 all hold
-    # r1/r2 proofs and stay covered by the local mirror): per-brand
-    # Pareto frontier, exact weighted median, per-source token Gini,
-    # gap-constrained sequential pairs.
-    "r49_pareto_frontier",
-    "r50_weighted_median",
-    "l41_token_gini",
-    "m20_gap_sequential_pairs",
+    # round-6 promotions: relational/timeseries (staged r5, oracles
+    # moved verbatim from their test files)
+    "r51_scd2_versions",
+    "r52_ewma_daily_revenue",
+    "r53_skew_advisor",
+    "r54_histogram_quantiles",
+    "r55_activity_spans",
+    "r56_time_weighted_value",
+    "r57_daily_revenue_trend",
+    "r58_value_drift",
+    "r59_fk_audit",
+    "r60_winsorized_price",
+    "r61_cdc_snapshot",
+    "r63_brand_topn_others",
+    "r64_brand_abc",
+    "r65_ops_monitor",
+    "r66_volume_acf",
+    "r67_value_outliers",
+    "r68_join_fanout_audit",
+    "r69_weekly_seasonality",
+    "r70_price_benford",
+    "r72_custkey_encoding",
+    "r73_deseasonal_outliers",
+    "r74_value_psi",
+    "r75_customer_rfm",
+    "r76_robust_trend",
+    "r77_type_dow_chi2",
+    "r78_click_vs_view_ranksum",
+    "r79_cuped_user_value",
+    "r80_concurrent_activity",
+    "r81_orders_contract",
+    # round-6 promotions: graph
+    "m21_part_khop_reach",
+    "m22_item_cosine",
+    "m23_part_cheapest_reach",
+    "m24_part_assortativity",
+    "m25_part_ktruss",
+    "m26_part_ppr",
+    # round-6 promotions: LLM-pipeline (l44/l45 rows-only by design)
+    "l42_containment_pairs",
+    "l43_embedding_corr_matrix",
+    "l44_embedding_spectrum",
+    "l45_ivfpq_topk",
+    "l46_quantized_recall",
+    "l47_calibrated_gate",
+    "l48_bm25_scores",
+    "l49_hybrid_rrf",
+    "l50_zipf_fit",
+    "l51_label_centroids",
+    "l52_bigram_backoff",
+    # round-6 additions: the l38 hot-block cap, guard-firing twin
+    "l38b_fuzzy_join_capped",
 )
 
 

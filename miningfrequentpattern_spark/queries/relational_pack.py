@@ -2337,3 +2337,1320 @@ def r50_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.round(F.min("l_extendedprice"), 4).alias("wmedian_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 promotions (staged round 5, locally certified in their test
+# files; oracles moved VERBATIM from the staged SQL). Operator
+# docstrings carry the scale posture; property/edge tests stay in the
+# original test files.
+# ---------------------------------------------------------------------------
+
+from ..functions.skew import key_skew_profile  # noqa: E402
+from ..operators.relational import (  # noqa: E402
+    abc_classification,
+    benford_audit,
+    binned_quantile_rollup,
+    cdc_apply,
+    chi2_independence,
+    contract_audit,
+    cuped_adjust,
+    join_cardinality_audit,
+    mad_outliers,
+    mannwhitney_z,
+    psi_drift,
+    referential_orphan_audit,
+    rfm_scores,
+    scd2_versions,
+    target_encode,
+    topn_with_others,
+    winsorized_stats,
+)
+from ..operators.timeseries import (  # noqa: E402
+    autocorrelation,
+    cusum_drift,
+    ewma,
+    interval_merge,
+    interval_overlap_join,
+    seasonal_profile,
+    series_trend,
+    theil_sen_trend,
+    time_weighted_avg,
+)
+
+
+@query(
+    "r51_scd2_versions",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type, ts, event_id FROM events
+               WHERE event_type IS NOT NULL),
+    c AS (SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN lag(event_type) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS DISTINCT FROM event_type
+                        OR lag(event_id) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                      THEN 1 ELSE 0 END AS nv
+          FROM o),
+    v AS (SELECT user_id, event_type, ts AS valid_from, event_id
+          FROM c WHERE nv = 1)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id)
+             AS valid_to,
+           lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
+             AS is_current,
+           event_id AS version_id
+    FROM v
+    """,
+)
+def r51_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/warehouse dimension versioning: collapse each user's event
+    stream into SCD-2 validity intervals — a version starts whenever
+    the tracked attribute changes (null-safe comparison), [valid_from,
+    valid_to) half-open, NULL valid_to ⇔ is_current. Two keyed window
+    passes, joinless, ONE exchange (the second window shares the key,
+    EnsureRequirements elides its shuffle — plan-asserted in
+    tests/test_cdc.py). operators/relational.py::scd2_versions;
+    run-collapse property test ibid."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return scd2_versions(ev, ["user_id"], ["event_type"], "ts", "event_id")
+
+
+@query(
+    "r52_ewma_daily_revenue",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT o_orderpriority AS priority,
+             CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2),
+    idx AS MATERIALIZED (
+      SELECT priority, day, rev,
+             row_number() OVER (PARTITION BY priority ORDER BY day) AS rn
+      FROM daily),
+    ew AS (
+      SELECT priority, day, rn, rev, rev AS y FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.priority, i.day, i.rn, i.rev,
+             0.8::DOUBLE * e.y + 0.2::DOUBLE * i.rev
+      FROM idx i JOIN ew e ON i.priority = e.priority AND i.rn = e.rn + 1
+    )
+    SELECT priority, CAST(day AS TIMESTAMP) AS day,
+           round(rev, 4) AS revenue,
+           round(y, 4) AS ewma_revenue
+    FROM ew
+    """,
+)
+def r52_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA smoothing of daily revenue (α = 0.2) — the
+    classic monitoring smoother, a RECURRENCE no closed-form window
+    expresses; the per-series grouped-map runs the pandas
+    ewm(adjust=False) update so each step is bitwise the oracle's
+    recursive-CTE arithmetic (the m13/l02e chained-iteration oracle
+    trick). Order driven by the order column, never arrival order
+    (property-tested). operators/timeseries.py::ewma."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return ewma(daily, ["priority"], "day", "rev", alpha=0.2).select(
+        "priority",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round("rev", 4).alias("revenue"),
+        F.round("ewma", 4).alias("ewma_revenue"),
+    )
+
+
+@query(
+    "r53_skew_advisor",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    s AS (SELECT count(*) AS n_keys,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 avg(n) AS mean_n,
+                 quantile_cont(n, 0.5) AS p50_n,
+                 quantile_cont(n, 0.99) AS p99_n,
+                 max(n) AS max_n
+          FROM c)
+    SELECT c.user_id, c.n AS n_rows_key,
+           round(c.n * 1.0 / s.n_rows, 4) AS share,
+           s.n_keys,
+           round(s.mean_n, 4) AS mean_per_key,
+           round(s.p50_n, 4) AS p50_per_key,
+           round(s.p99_n, 4) AS p99_per_key,
+           round(s.max_n / s.mean_n, 4) AS skew_factor
+    FROM c, s
+    ORDER BY c.n DESC, c.user_id
+    LIMIT 5
+    """,
+)
+def r53_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight shuffle-skew measurement: per-key row counts of the
+    would-be shuffle key, top-5 hot keys with their share plus the
+    key-cardinality distribution (mean/p50/p99/max, skew factor =
+    max/mean) — the number that tells you BEFORE a 100 TB join
+    whether to salt. One count aggregate (map-side partial) + a
+    1-row moment relation broadcast back; top-5 is a bounded
+    TakeOrdered. functions/skew.py::key_skew_profile; hot-key hand
+    pin in tests/test_skew_profile.py."""
+    return key_skew_profile(
+        load_table(spark, sf_dir, "events"), ["user_id"], top_k=5
+    )
+
+
+@query(
+    "r54_histogram_quantiles",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      least(greatest(CAST(floor((value - 0.0::DOUBLE)
+                                                / 5.0::DOUBLE) AS BIGINT),
+                                     0), 199) AS bin,
+                      count(*) AS cnt
+               FROM events WHERE value IS NOT NULL
+               GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type
+                                ORDER BY bin) AS cum,
+                 coalesce(sum(cnt) OVER (PARTITION BY event_type
+                                         ORDER BY bin
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND 1 PRECEDING),
+                          0) AS cum_below,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+          FROM b),
+    qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+    SELECT c.event_type, qs.q AS q,
+           CAST(c.n_rows AS BIGINT) AS n_rows,
+           round(0.0::DOUBLE + 5.0::DOUBLE *
+                 (c.bin + (qs.q * c.n_rows - c.cum_below) / c.cnt),
+                 4) AS est
+    FROM c CROSS JOIN qs
+    WHERE c.cum >= qs.q * c.n_rows AND c.cum_below < qs.q * c.n_rows
+    """,
+)
+def r54_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch: fixed-grid histogram (200 bins over
+    [0, 1000]) + within-bin linear interpolation for p50/p90/p99 per
+    event type — bin counts are associative, so daily partials merge
+    losslessly into monthly/global estimates (the property
+    approx_percentile's GK sketch lacks; merge-is-lossless is tested).
+    One (group, bin) hash aggregate, ≤200-row-per-group windows.
+    operators/relational.py::binned_quantile_rollup."""
+    return binned_quantile_rollup(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"], "value", [0.5, 0.9, 0.99], 0.0, 1000.0, 200,
+    )
+
+
+@query(
+    "r55_activity_spans",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE ts IS NOT NULL),
+    flag AS (
+      SELECT user_id, s, e,
+             CASE WHEN s <= max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS ni
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flag)
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+           count(*) AS n_intervals
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def r55_activity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge: coalesce each user's
+    overlapping/touching 30-minute activity intervals into maximal
+    spans — the running-max new-island flag + island-id prefix sum,
+    both windows keyed by user (no global window at any scale), one
+    exchange. Touching/nested/duplicate-start pins in
+    tests/test_interval_merge.py.
+    operators/timeseries.py::interval_merge."""
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return interval_merge(iv, ["user_id"], "s", "e")
+
+
+@query(
+    "r56_time_weighted_value",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, epoch_us(ts)/1000000.0 AS t, value AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    d AS (
+      SELECT user_id, x,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, x) - t AS dt
+      FROM v)
+    SELECT user_id,
+           round(CASE WHEN sum(dt) > 0 THEN sum(x * dt) / sum(dt) END, 4)
+             AS twa,
+           count(*) AS n_obs
+    FROM d GROUP BY user_id
+    """,
+)
+def r56_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — each observation weighted by
+    how long it HELD (lead(ts) − ts), the correct mean for
+    irregularly-sampled gauges where the naive row-mean overweights
+    chatty periods. One keyed lead() window + one aggregate;
+    single-observation series yield NULL (zero covered duration),
+    never NaN. operators/timeseries.py::time_weighted_avg."""
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, ["user_id"], "ts", "value").select(
+        "user_id", F.round("twa", 4).alias("twa"), "n_obs"
+    )
+
+
+@query(
+    "r57_daily_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2),
+    t AS (
+      SELECT priority,
+             date_diff('day', DATE '1970-01-01', day)::DOUBLE AS tt,
+             rev
+      FROM daily)
+    SELECT priority, count(*) AS n_obs,
+           round(CASE WHEN var_pop(tt) > 0
+                      THEN covar_pop(tt, rev) / var_pop(tt) END, 4)
+             AS slope,
+           round(avg(rev) - CASE WHEN var_pop(tt) > 0
+                                 THEN covar_pop(tt, rev) / var_pop(tt) END
+                            * avg(tt), 4) AS intercept,
+           round(corr(tt, rev) ^ 2, 4) AS r2
+    FROM t GROUP BY priority
+    """,
+)
+def r57_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend of daily revenue: slope/intercept/R² from
+    population co-moments (covar_pop/var_pop) in ONE aggregate pass —
+    no iterative fitting, no window. Zero-variance series yield NULL
+    slope (the r44 pin); the co-moment 4dp round absorbs libm ulp.
+    operators/timeseries.py::series_trend; exact-line and flat-series
+    pins in tests/test_series_trend.py."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .withColumn("t", F.datediff("day", F.lit("1970-01-01")))
+    )
+    return series_trend(daily, ["priority"], "t", "rev")
+
+
+@query(
+    "r58_value_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts, value AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    pre AS (
+      SELECT event_type, ts, x,
+             sum(x - 50.0) OVER (PARTITION BY event_type ORDER BY ts, x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      FROM base),
+    p AS (
+      SELECT event_type, ts, x, pp,
+             min(pp) OVER (PARTITION BY event_type ORDER BY ts, x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS runmin
+      FROM pre)
+    SELECT event_type, ts, round(x, 4) AS value,
+           round(pp - least(0.0, runmin), 4) AS cusum,
+           (pp - least(0.0, runmin)) > 2000.0 AS drifted
+    FROM p
+    """,
+)
+def r58_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per event type (target 50,
+    threshold 2000): the classic C⁺ recurrence max(0, C+x−target)
+    rewritten as the CLOSED-FORM prefix-sum-minus-running-min — two
+    keyed cumulative windows, no recursion, no UDF (the window twin
+    of the true-stream cusum_stream in streaming/stateful.py).
+    operators/timeseries.py::cusum_drift."""
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_drift(
+        ev, ["event_type"], "ts", "value", target=50.0, threshold=2000.0
+    ).select(
+        "event_type",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.round("cusum", 4).alias("cusum"),
+        "drifted",
+    )
+
+
+@query(
+    "r59_fk_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship, count(*) AS n_child,
+           CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS orphan_rate
+    FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders
+                               WHERE o_orderkey IS NOT NULL) p
+      ON c.l_orderkey = p._pk
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4)
+    FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS _pk FROM part
+                               WHERE p_partkey IS NOT NULL) p
+      ON c.l_partkey = p._pk
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4)
+    FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer
+                             WHERE c_custkey IS NOT NULL) p
+      ON c.o_custkey = p._pk
+    UNION ALL
+    SELECT 'events->customer', count(*),
+           CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4)
+    FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer
+                             WHERE c_custkey IS NOT NULL) p
+      ON c.user_id = p._pk
+    """,
+)
+def r59_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across four FK relationships —
+    per relationship: child count, orphan count, orphan rate. Each
+    relationship is a left join against the DISTINCT (dimension-
+    sized, broadcastable) parent key set, aggregated to ONE row —
+    the data-quality gate a pipeline runs before trusting joins.
+    operators/relational.py::referential_orphan_audit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    pa = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+    return referential_orphan_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", pa, "p_partkey"),
+            ("orders->customer", o, "o_custkey", cu, "c_custkey"),
+            ("events->customer", ev, "user_id", cu, "c_custkey"),
+        ]
+    )
+
+
+@query(
+    "r60_winsorized_price",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS returnflag, l_extendedprice AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    b AS (
+      SELECT returnflag,
+             quantile_cont(v, 0.05) AS lo,
+             quantile_cont(v, 0.95) AS hi
+      FROM base GROUP BY returnflag)
+    SELECT base.returnflag, count(*) AS n_obs,
+           round(any_value(lo), 4) AS lo_val,
+           round(any_value(hi), 4) AS hi_val,
+           round(avg(least(greatest(v, lo), hi)), 4) AS win_mean
+    FROM base JOIN b USING (returnflag)
+    GROUP BY base.returnflag
+    """,
+)
+def r60_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag (clamp to the exact 5th/95th
+    percentiles, then average) — the outlier-robust mean for heavy-
+    tailed money columns. One exact-percentile aggregate (group-
+    cardinality sized) broadcast back onto the corpus, which is never
+    reshuffled on the group key. Exact `percentile` ≡ quantile_cont
+    interpolation (the r10b pin).
+    operators/relational.py::winsorized_stats."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return winsorized_stats(
+        li.withColumnRenamed("l_returnflag", "returnflag"),
+        ["returnflag"],
+        "l_extendedprice",
+        0.05,
+        0.95,
+    )
+
+
+@query(
+    "r61_cdc_snapshot",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+    w AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM c)
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           round(value, 4) AS last_value
+    FROM w WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def r61_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → current-state snapshot: keep each key's latest
+    record by (ts, event_id) sequence, dropping keys whose latest op
+    is a delete ('error' rows stand in for D ops on the fixture) —
+    the batch twin of the true-stream cdc_snapshot_stream
+    (streaming/stateful.py, proven equal in tests/test_streaming.py).
+    Rank-1 per key plans as a map-side WindowGroupLimit, never a full
+    sort. operators/relational.py::cdc_apply."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    snap = cdc_apply(ev, ["user_id"], ["ts", "event_id"], "op")
+    return snap.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+@query(
+    "r63_brand_topn_others",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS label,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS total
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1),
+    rk AS (SELECT label, total,
+                  row_number() OVER (ORDER BY total DESC, label) AS rn
+           FROM rev)
+    SELECT CASE WHEN rn <= 10 THEN label ELSE 'OTHER' END AS label,
+           (rn > 10) AS is_other,
+           round(sum(total), 4) AS total
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def r63_brand_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 brands by net revenue with everything else folded into
+    one 'OTHER' row — mass-conserving (parts sum to the grand total;
+    tested), deterministic boundary ((total DESC, label) is a total
+    order). The rank runs on the brand-cardinality aggregate, never
+    the corpus. operators/relational.py::topn_with_others."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(pa.select("p_partkey", "p_brand")),
+        li["l_partkey"] == pa["p_partkey"],
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return topn_with_others(joined, "p_brand", rev, 10)
+
+
+@query(
+    "r64_brand_abc",
+    oracle="""
+    WITH agg AS (
+      SELECT l.l_returnflag AS returnflag, p.p_brand AS item,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS total
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    w AS (
+      SELECT returnflag, item, total,
+             coalesce(sum(total) OVER (PARTITION BY returnflag
+                   ORDER BY total DESC, item
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0.0) AS cumb,
+             sum(total) OVER (PARTITION BY returnflag) AS grand
+      FROM agg)
+    SELECT returnflag, item, round(total, 4) AS total,
+           round(total / grand, 4) AS share,
+           round((cumb + total) / grand, 4) AS cum_share,
+           CASE WHEN cumb / grand < 0.8 THEN 'A'
+                WHEN cumb / grand < 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM w
+    """,
+)
+def r64_brand_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto contribution classes of brand revenue per return
+    flag: cumulative-share windows over the (flag, brand) aggregate —
+    class decided by the share BEFORE the item (the crossing item
+    takes the HIGHER class; pinned in tests/test_topn_abc.py). The
+    windows run on the dimension-sized aggregate, keyed by flag.
+    operators/relational.py::abc_classification."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(pa.select("p_partkey", "p_brand")),
+        li["l_partkey"] == pa["p_partkey"],
+    ).withColumnRenamed("l_returnflag", "returnflag")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return abc_classification(joined, ["returnflag"], "p_brand", rev)
+
+
+@query(
+    "r65_ops_monitor",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    mu AS (SELECT event_type, avg(n * 1.0) AS mean_n FROM daily GROUP BY 1),
+    tr AS (
+      SELECT event_type,
+             round(CASE WHEN var_pop(tt) > 0
+                        THEN covar_pop(tt, n * 1.0) / var_pop(tt) END, 4)
+               AS slope
+      FROM (SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', day)::DOUBLE AS tt, n
+            FROM daily)
+      GROUP BY event_type),
+    cen AS (
+      SELECT d.event_type, d.day, d.n, d.n - m.mean_n AS x
+      FROM daily d JOIN mu m USING (event_type)),
+    pre AS (
+      SELECT event_type, day, n, x,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      FROM cen),
+    cu AS (
+      SELECT event_type, day, n, pp,
+             min(pp) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS runmin
+      FROM pre)
+    SELECT c.event_type, CAST(c.day AS TIMESTAMP) AS day, c.n,
+           t.slope,
+           round(c.pp - least(0.0, c.runmin), 4) AS cusum,
+           (c.pp - least(0.0, c.runmin)) > 50.0 AS drifted
+    FROM cu c JOIN tr t USING (event_type)
+    """,
+)
+def r65_ops_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed monitoring flagship: daily per-type volumes →
+    per-series OLS trend (series_trend) + mean-centered CUSUM drift
+    (cusum_drift) fused in ONE plan — the monitoring counterpart of
+    l25/l40's composed LLM pipelines, certified as a COMPOSITION by
+    stage-fragment oracles (r57/r58 shapes). The daily relation
+    feeds BOTH branches without a second corpus pass; the mean and
+    trend legs broadcast back (plan-asserted in
+    tests/test_ops_monitor.py)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.avg(F.col("n") * 1.0).alias("mean_n")
+    )
+    trend = series_trend(
+        daily.withColumn("t", F.datediff("day", F.lit("1970-01-01"))),
+        ["event_type"],
+        "t",
+        "n",
+    ).select("event_type", "slope")
+    centered = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") - F.col("mean_n")).alias("x"),
+    )
+    cu = cusum_drift(
+        centered, ["event_type"], "day", "x",
+        target=0.0, threshold=50.0, carry=("n",),
+    )
+    return (
+        cu.join(F.broadcast(trend), "event_type")
+        .select(
+            "event_type",
+            F.col("day").cast("timestamp").alias("day"),
+            "n",
+            "slope",
+            F.round("cusum", 4).alias("cusum"),
+            "drifted",
+        )
+    )
+
+
+@query(
+    "r66_volume_acf",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day, n) AS rn
+      FROM c)
+    SELECT a.event_type, CAST(l.lag AS INT) AS lag, count(b.n) AS n_pairs,
+           round(corr(a.n, b.n), 4) AS acf
+    FROM r a
+    CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+    LEFT JOIN r b
+      ON b.event_type = a.event_type AND b.rn = a.rn - l.lag
+    GROUP BY 1, 2
+    """,
+)
+def r66_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1–7) of daily volumes per event
+    type — weekly seasonality shows as a lag-7 spike, drift as a
+    slowly-decaying comb. Pairwise Pearson corr of the series against
+    its row_number-shifted self: a keyed rank window + a ≤7×
+    lag-join on the DAY-cardinality relation (never corpus-sized).
+    Flat series land NULL (the r44 pin, normalized operator-side).
+    operators/timeseries.py::autocorrelation; numpy reference in
+    tests/test_acf.py."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return autocorrelation(daily, ["event_type"], "day", "n", max_lag=7)
+
+
+@query(
+    "r67_value_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    d AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN m USING (event_type)
+      WHERE e.value IS NOT NULL GROUP BY 1)
+    SELECT e.event_type, e.event_id, e.value,
+           CASE WHEN d.mad > 0
+                THEN round(0.6745 * (e.value - m.med) / d.mad, 4)
+           END AS robust_z,
+           coalesce(
+             CASE WHEN d.mad > 0
+                  THEN abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+             END, false) AS is_outlier
+    FROM events e
+    LEFT JOIN m USING (event_type)
+    LEFT JOIN d USING (event_type)
+    """,
+)
+def r67_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags per event type via the median/MAD rule
+    (robust_z = 0.6745·(x−med)/MAD, |z| > 3.5 flags — Iglewicz–
+    Hoaglin) — the robust twin of r44's mean/σ monitor: one bad row
+    inflates σ until nothing flags, median/MAD barely budge. Two
+    exact-percentile aggregates broadcast back; MAD = 0 yields NULL
+    robust_z / false (never an everything-flags storm); NULL and NaN
+    values ride a pass-through leg.
+    operators/relational.py::mad_outliers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return mad_outliers(ev, ["event_type"], "value", carry=["event_id"])
+
+
+@query(
+    "r68_join_fanout_audit",
+    oracle="""
+    WITH l AS (SELECT o_custkey AS custkey, count(*) AS n_left
+               FROM orders GROUP BY 1),
+         r AS (SELECT c_custkey AS custkey, count(*) AS n_right
+               FROM customer GROUP BY 1)
+    SELECT coalesce(l.custkey, r.custkey) AS custkey,
+           coalesce(l.n_left, 0) AS n_left,
+           coalesce(r.n_right, 0) AS n_right,
+           coalesce(l.n_left, 0) * coalesce(r.n_right, 0) AS out_rows,
+           (coalesce(l.n_left, 0) > 1 AND coalesce(r.n_right, 0) > 1)
+             AS is_mtm
+    FROM l FULL JOIN r ON l.custkey = r.custkey
+    """,
+)
+def r68_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality audit of orders ⋈ customer: per
+    key, both sides' row counts and their product (the key's exact
+    contribution to the inner-join output; SUM(out_rows) equals the
+    true join cardinality — tested). One partial-count aggregate per
+    side, then a full-outer join of two KEY-cardinality relations —
+    the corpus-sized inputs are never joined to each other.
+    operators/relational.py::join_cardinality_audit."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return join_cardinality_audit(orders, cust, ["custkey"])
+
+
+@query(
+    "r70_price_benford",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(abs(o_totalprice)
+                  / pow(10, floor(log10(abs(o_totalprice))))) AS INT)
+               AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0),
+    c AS (SELECT grp, digit, count(*) AS n_obs FROM b GROUP BY 1, 2)
+    SELECT grp, digit, n_obs,
+           round(n_obs / sum(n_obs) OVER w, 4) AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
+           round(n_obs / sum(n_obs) OVER w - log10(1.0 + 1.0 / digit), 4)
+             AS deviation,
+           round(sum(n_obs) OVER w
+                 * pow(n_obs / sum(n_obs) OVER w
+                       - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 4) AS chi2_part
+    FROM c
+    WINDOW w AS (PARTITION BY grp)
+    """,
+)
+def r70_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals per priority —
+    per-digit observed share vs log10(1 + 1/d) with χ² parts (the
+    fabricated-numbers tripwire). Digit extraction is row-local
+    double arithmetic (no string cast, stays in whole-stage codegen);
+    one (group, digit) aggregate + a ≤9-row-per-group window.
+    Zero/NULL/NaN carry no first digit and are excluded.
+    operators/relational.py::benford_audit."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    return benford_audit(orders, ["grp"], "o_totalprice")
+
+
+@query(
+    "r72_custkey_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    g AS (SELECT round(avg(y), 4) AS gmean FROM base)
+    SELECT ck, count(*) AS n_obs,
+           round(avg(y), 4) AS raw_mean,
+           round((count(*) * round(avg(y), 4) + 20.0 * g.gmean)
+                 / (count(*) + 20.0), 4) AS encoded
+    FROM base CROSS JOIN g
+    GROUP BY ck, g.gmean
+    """,
+)
+def r72_custkey_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of customer key against order value
+    (shrinkage m = 20 toward the global mean) — the standard
+    high-cardinality categorical feature. One per-key aggregate + a
+    1-row global-mean broadcast; the target enters in integer CENTS
+    so every sum is exact in float64 and the 4dp boundary has one
+    deterministic side (the cross-engine money-mean pin).
+    operators/relational.py::target_encode."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return target_encode(orders, ["ck"], "cents", smoothing=20.0)
+
+
+@query(
+    "r73_deseasonal_outliers",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    prof AS MATERIALIZED (
+      SELECT event_type, day, n, CAST(isodow(day) AS INT) AS dow,
+             round(avg(n) OVER w, 4) AS dow_mean,
+             round(n - avg(n) OVER w, 4) AS residual
+      FROM daily WINDOW w AS (PARTITION BY event_type, isodow(day))),
+    med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
+            FROM prof GROUP BY 1),
+    mad AS (SELECT p.event_type,
+                   quantile_cont(abs(p.residual - m.med), 0.5) AS mad
+            FROM prof p JOIN med m USING (event_type) GROUP BY 1)
+    SELECT p.event_type, p.day, p.n, p.dow, p.dow_mean, p.residual,
+           CASE WHEN d.mad > 0
+                THEN round(0.6745 * (p.residual - m.med) / d.mad, 4)
+           END AS robust_z,
+           coalesce(
+             CASE WHEN d.mad > 0
+                  THEN abs(0.6745 * (p.residual - m.med) / d.mad) > 3.5
+             END, false) AS is_outlier
+    FROM prof p
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    """,
+)
+def r73_deseasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed monitoring flagship #2: daily volumes → day-of-week
+    seasonal_profile → median/MAD outliers on the RESIDUAL, fused in
+    ONE plan — stops weekday cycles from masquerading as anomalies
+    (r44's raw z fires on every weekend of a weekday-heavy feed; the
+    residual doesn't — hand-pinned in
+    tests/test_deseasonal_outliers.py). Certified as a COMPOSITION by
+    r69/r67 stage-fragment oracles; residuals are 4dp-rounded before
+    the percentiles so both engines feed bitwise-identical inputs."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    prof = seasonal_profile(daily, ["event_type"], "day", "n").drop("ratio")
+    return mad_outliers(
+        prof,
+        ["event_type"],
+        "residual",
+        carry=["day", "n", "dow", "dow_mean"],
+    )
+
+
+@query(
+    "r74_value_psi",
+    oracle="""
+    WITH ref AS (SELECT value FROM events
+                 WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-07-01'),
+    cur AS (SELECT value FROM events
+            WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-07-01'),
+    e AS (SELECT list_transform(
+            quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                  0.6, 0.7, 0.8, 0.9]),
+            x -> round(x, 4)) AS edges FROM ref),
+    rb AS (SELECT len(list_filter(e.edges, x -> r.value >= x)) AS bin,
+                  count(*) AS n_ref
+           FROM ref r CROSS JOIN e GROUP BY 1),
+    cb AS (SELECT len(list_filter(e.edges, x -> c.value >= x)) AS bin,
+                  count(*) AS n_cur
+           FROM cur c CROSS JOIN e GROUP BY 1),
+    j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+                 coalesce(rb.n_ref, 0) AS n_ref,
+                 coalesce(cb.n_cur, 0) AS n_cur
+          FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT CAST(j.bin AS INT) AS bin, j.n_ref, j.n_cur,
+           round(j.n_ref / t.tr, 4) AS ref_share,
+           round(j.n_cur / t.tc, 4) AS cur_share,
+           round((greatest(j.n_cur / t.tc, 0.0001)
+                  - greatest(j.n_ref / t.tr, 0.0001))
+                 * ln(greatest(j.n_cur / t.tc, 0.0001)
+                      / greatest(j.n_ref / t.tr, 0.0001)), 4) AS psi_part
+    FROM j CROSS JOIN t
+    """,
+)
+def r74_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution across a
+    time split: reference-decile bins (edges 4dp-rounded so both
+    engines re-bin ties identically), per-bin share drift with the
+    0.0001 floor (empty bins are maximal drift evidence, not a
+    divide-by-zero) — the standard feature/score drift monitor.
+    Edges are one exact-percentile aggregate broadcast to both
+    corpus passes. operators/relational.py::psi_drift."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-07-01").cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    return psi_drift(ref, cur, "value", n_bins=10)
+
+
+@query(
+    "r75_customer_rfm",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey AS cust, max(o_orderdate) AS last_ts,
+             count(*) AS frequency,
+             round(coalesce(sum(o_totalprice), 0), 4) AS monetary
+      FROM orders GROUP BY 1),
+    e AS (SELECT
+      list_transform(quantile_cont(epoch_us(last_ts) / 1000000.0,
+                     [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS er,
+      list_transform(quantile_cont(frequency * 1.0,
+                     [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS ef,
+      list_transform(quantile_cont(monetary,
+                     [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS em
+      FROM pc),
+    s AS (SELECT pc.cust, pc.last_ts, pc.frequency, pc.monetary,
+      CAST(len(list_filter(e.er,
+           x -> epoch_us(pc.last_ts) / 1000000.0 >= x)) + 1 AS INT) AS r_score,
+      CAST(len(list_filter(e.ef,
+           x -> pc.frequency * 1.0 >= x)) + 1 AS INT) AS f_score,
+      CAST(len(list_filter(e.em,
+           x -> pc.monetary >= x)) + 1 AS INT) AS m_score
+      FROM pc CROSS JOIN e)
+    SELECT cust, last_ts, frequency, monetary, r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+    FROM s
+    """,
+)
+def r75_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quintile scores (values AT an edge take the higher score; a
+    constant measure collapses to ONE score, never an arbitrary
+    split — pinned in tests/test_rfm.py) composed into the classic
+    3-digit RFM code. One per-customer aggregate + a 1-row
+    broadcast edge relation; recency compares in the exact
+    epoch-seconds double domain (the r71 pin).
+    operators/relational.py::rfm_scores."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"), "o_orderdate", "o_totalprice"
+    )
+    return rfm_scores(orders, "cust", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "r76_robust_trend",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS DOUBLE) AS t,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1, CAST(o_orderdate AS DATE)),
+    p AS (SELECT a.priority, (b.n - a.n) / (b.t - a.t) AS s
+          FROM d a JOIN d b ON a.priority = b.priority AND a.t < b.t),
+    m AS (SELECT priority, count(*) AS n_pairs,
+                 quantile_cont(s, 0.5) AS slope
+          FROM p GROUP BY 1)
+    SELECT d.priority, count(*) AS n_obs, max(m.n_pairs) AS n_pairs,
+           round(max(m.slope), 4) AS sen_slope,
+           round(quantile_cont(d.n - m.slope * d.t, 0.5), 4)
+             AS sen_intercept
+    FROM d JOIN m USING (priority)
+    GROUP BY d.priority
+    """,
+)
+def r76_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order volumes per priority:
+    median of all pairwise slopes + median residual intercept — up to
+    ~29% contamination tolerance where r57's OLS slope chases every
+    outlier. The pairwise join runs per SERIES on the day-cardinality
+    aggregate (≤ n²/2 pairs of a bounded daily relation, never
+    corpus-sized); exact-line and breakdown pins in
+    tests/test_theil_sen.py. operators/timeseries.py::theil_sen_trend."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .select(
+            "priority",
+            F.datediff("day", F.lit("1970-01-01")).cast("double").alias("t"),
+            "n",
+        )
+    )
+    return theil_sen_trend(daily, ["priority"], "t", "n")
+
+
+@query(
+    "r77_type_dow_chi2",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS a,
+             CAST(isodow(CAST(ts AS DATE)) AS INT) AS b,
+             count(*) AS n_obs
+      FROM events GROUP BY 1, 2)
+    SELECT a, b, n_obs,
+           round(sum(n_obs) OVER (PARTITION BY a)
+                 * sum(n_obs) OVER (PARTITION BY b)
+                 / sum(n_obs) OVER (), 4) AS expected,
+           round(pow(n_obs - sum(n_obs) OVER (PARTITION BY a)
+                             * sum(n_obs) OVER (PARTITION BY b)
+                             / sum(n_obs) OVER (), 2)
+                 / (sum(n_obs) OVER (PARTITION BY a)
+                    * sum(n_obs) OVER (PARTITION BY b)
+                    / sum(n_obs) OVER ()), 4) AS chi2_part
+    FROM c
+    """,
+)
+def r77_type_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence cells for event type × ISO day-of-week:
+    observed counts vs margin-product expectations with per-cell χ²
+    parts (SUM is the test statistic; the per-cell grain keeps the
+    offending cell visible). Margins are windows over the ≤|a|·|b|
+    CELL-grain relation — nothing after the first aggregate touches
+    corpus scale. operators/relational.py::chi2_independence;
+    textbook 2×2 pin in tests/test_chi2.py."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.dayofweek(F.col("ts").cast("date")) + 5) % 7 + 1)
+        .cast("int")
+        .alias("dow"),
+    )
+    return chi2_independence(ev, "event_type", "dow")
+
+
+@query(
+    "r78_click_vs_view_ranksum",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+    r AS (SELECT g, v, row_number() OVER (ORDER BY v) AS rn FROM base),
+    pv AS (SELECT v, avg(rn) AS midrank, count(*) AS t,
+                  sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS na_v
+           FROM r GROUP BY 1),
+    s AS (SELECT sum(na_v * midrank) AS ra,
+                 CAST(sum(na_v) AS BIGINT) AS na,
+                 CAST(sum(t - na_v) AS BIGINT) AS nb,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS ties
+          FROM pv)
+    SELECT 'click' AS group_a, 'view' AS group_b, na AS n_a, nb AS n_b,
+           round(ra - na * (na + 1) / 2, 4) AS u_stat,
+           CASE WHEN na * nb / 12.0
+                     * ((na + nb + 1)
+                        - ties / (CAST(na + nb AS DOUBLE)
+                                  * (na + nb - 1))) > 0
+                THEN round((ra - na * (na + 1) / 2 - na * nb / 2)
+                           / sqrt(na * nb / 12.0
+                                  * ((na + nb + 1)
+                                     - ties / (CAST(na + nb AS DOUBLE)
+                                               * (na + nb - 1)))), 4)
+           END AS z
+    FROM s
+    """,
+)
+def r78_click_vs_view_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the click and view arms'
+    values — the distribution-free did-the-metric-move test, with the
+    tie-corrected normal z. The classic global avg-rank window is
+    replaced by the two-phase distributed rank + per-VALUE midrank
+    aggregate (permutation-invariant consumers make the relaxed
+    tiebreak sound); everything after is value-cardinality sized.
+    NULL and NaN values are excluded; an empty arm yields NULL u/z.
+    operators/relational.py::mannwhitney_z."""
+    ev = load_table(spark, sf_dir, "events")
+    return mannwhitney_z(ev, "event_type", "value", "click", "view")
+
+
+@query(
+    "r79_cuped_user_value",
+    oracle="""
+    WITH pc AS (
+      SELECT user_id,
+             round(sum(CASE WHEN ts < TIMESTAMP '2024-07-01'
+                            THEN value END), 4) AS pre,
+             round(sum(CASE WHEN ts >= TIMESTAMP '2024-07-01'
+                            THEN value END), 4) AS post
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    f AS (SELECT covar_pop(pre, post) AS cov, var_pop(pre) AS var,
+                 avg(pre) AS mx
+          FROM pc WHERE pre IS NOT NULL AND post IS NOT NULL)
+    SELECT pc.user_id, pc.post, pc.pre,
+           round(CASE WHEN f.var > 0 THEN f.cov / f.var END, 4) AS theta,
+           round(CASE WHEN pc.post IS NULL THEN NULL
+                      WHEN pc.pre IS NOT NULL AND f.var > 0
+                      THEN pc.post - (f.cov / f.var) * (pc.pre - f.mx)
+                      ELSE pc.post END, 4) AS adjusted
+    FROM pc CROSS JOIN f
+    """,
+)
+def r79_cuped_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: θ = cov(pre, post)/var(pre) fit over
+    users with both periods, adjusted = post − θ·(pre − mean(pre)) —
+    the standard experiment-analysis preprocessor (keeps the mean,
+    cuts variance by ~ρ²; property-tested). One per-user aggregate +
+    a 1-row co-moment broadcast; users missing a period pass through
+    per the documented NULL ladder.
+    operators/relational.py::cuped_adjust."""
+    split = F.lit("2024-07-01").cast("timestamp")
+    pc = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ts") < split, F.col("value"))), 4
+            ).alias("pre"),
+            F.round(
+                F.sum(F.when(F.col("ts") >= split, F.col("value"))), 4
+            ).alias("post"),
+        )
+    )
+    return cuped_adjust(pc, "post", "pre", carry=["user_id"])
+
+
+@query(
+    "r80_concurrent_activity",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_type, ts AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE ts IS NOT NULL
+        AND event_type IN ('click', 'view')),
+    flag AS (
+      SELECT user_id, event_type, s, e,
+             CASE WHEN s <= max(e) OVER (PARTITION BY user_id, event_type
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS ni
+      FROM iv),
+    isl AS (
+      SELECT user_id, event_type, s, e,
+             sum(ni) OVER (PARTITION BY user_id, event_type ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flag),
+    sp AS (
+      SELECT user_id, event_type,
+             epoch_us(min(s)) / 1000000.0 AS ss,
+             epoch_us(max(e)) / 1000000.0 AS ee
+      FROM isl GROUP BY user_id, event_type, island)
+    SELECT a.user_id,
+           a.ss AS a_start, a.ee AS a_end,
+           b.ss AS b_start, b.ee AS b_end,
+           greatest(a.ss, b.ss) AS overlap_start,
+           least(a.ee, b.ee) AS overlap_end
+    FROM sp a JOIN sp b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND a.ss < b.ee AND b.ss < a.ee
+    """,
+)
+def r80_concurrent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: per-user click-activity spans
+    (r55's merge) overlapped against view-activity spans — "when was
+    the user doing both", half-open [s, e) so touching spans never
+    match. The operator buckets both sides into time cells and
+    equi-joins on (keys, cell) with claim-cell dedup (each pair
+    counted in ONE cell) — proven ≡ the naive non-equi join on the
+    fixture (tests/test_interval_overlap.py); the oracle is the
+    naive form. operators/timeseries.py::interval_overlap_join."""
+
+    def spans(tp: str) -> DataFrame:
+        iv = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("ts").isNotNull() & (F.col("event_type") == tp))
+            .select(
+                "user_id",
+                F.col("ts").alias("s"),
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+            )
+        )
+        return interval_merge(iv, ["user_id"], "s", "e")
+
+    return interval_overlap_join(
+        spans("click"),
+        spans("view"),
+        ["user_id"],
+        "span_start",
+        "span_end",
+        bucket="6 hours",
+    )
+
+
+@query(
+    "r81_orders_contract",
+    oracle="""
+    WITH w AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+                      THEN 1 ELSE 0 END) AS v_price_positive,
+             sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, false)
+                      THEN 1 ELSE 0 END) AS v_custkey_present,
+             sum(CASE WHEN NOT coalesce(
+                        o_orderdate >= TIMESTAMP '1990-01-01', false)
+                      THEN 1 ELSE 0 END) AS v_date_sane,
+             sum(CASE WHEN NOT coalesce(
+                        o_orderstatus IN ('O', 'F'), false)
+                      THEN 1 ELSE 0 END) AS v_status_known,
+             sum(CASE WHEN NOT coalesce(
+                        o_orderpriority IS NOT NULL, false)
+                      THEN 1 ELSE 0 END) AS v_priority_present
+      FROM orders),
+    t AS (
+      SELECT 'price_positive' AS rule, n, v_price_positive AS nv FROM w
+      UNION ALL SELECT 'custkey_present', n, v_custkey_present FROM w
+      UNION ALL SELECT 'date_sane', n, v_date_sane FROM w
+      UNION ALL SELECT 'status_known', n, v_status_known FROM w
+      UNION ALL SELECT 'priority_present', n, v_priority_present FROM w)
+    SELECT rule, CAST(n AS BIGINT) AS n_rows,
+           CAST(nv AS BIGINT) AS n_violations,
+           round(CASE WHEN n > 0 THEN nv / (n * 1.0) END, 4)
+             AS violation_rate,
+           nv = 0 AS passed
+    FROM t
+    """,
+)
+def r81_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit over orders: five rules
+    evaluated in ONE corpus pass (conditional sums, then a 5-row
+    unpivot) — a violation is FALSE **or NULL** (three-valued-logic
+    pin: `col > 0` on NULL counts against the contract). One rule
+    (status_known) deliberately fails on the fixture so the FAILURE
+    path is hash-certified, not just the all-green path.
+    operators/relational.py::contract_audit."""
+    orders = load_table(spark, sf_dir, "orders")
+    return contract_audit(
+        orders,
+        [
+            ("price_positive", F.col("o_totalprice") > 0),
+            ("custkey_present", F.col("o_custkey").isNotNull()),
+            (
+                "date_sane",
+                F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"),
+            ),
+            ("status_known", F.col("o_orderstatus").isin("O", "F")),
+            ("priority_present", F.col("o_orderpriority").isNotNull()),
+        ],
+    )
+
+
+@query(
+    "r69_weekly_seasonality",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n,
+           CAST(isodow(day) AS INT) AS dow,
+           round(avg(n) OVER w, 4) AS dow_mean,
+           round(n - avg(n) OVER w, 4) AS residual,
+           round(n / avg(n) OVER w, 4) AS ratio
+    FROM c
+    WINDOW w AS (PARTITION BY event_type, isodow(day))
+    """,
+)
+def r69_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile of daily volumes per event type:
+    per-(series, ISO dow) mean, residual, and ratio — the
+    deseasonalization fragment r73 composes with MAD outliers. ISO
+    dow (1 = Monday) via the shifted Spark dayofweek; the windows
+    run on the day-cardinality aggregate, keyed by (series, dow).
+    operators/timeseries.py::seasonal_profile; hand pins in
+    tests/test_seasonal_profile.py."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return seasonal_profile(daily, ["event_type"], "day", "n")

@@ -192,106 +192,58 @@ SECTIONS = [
     ("m20_gap_sequential_pairs",
      "time band rides a user_id equi-join; two-phase distinct "
      "support aggregate"),
+    ("r66_volume_acf",
+     "ONE Window node for all lags + same-exchange aggregate"),
+    ("r67_value_outliers",
+     "two group-keyed percentile aggregates broadcast back; "
+     "corpus never reshuffles on the group key"),
+    ("r74_value_psi",
+     "1-row reference-quantile broadcast + row-local array-filter "
+     "binning; nothing after the scans exceeds n_bins rows"),
+    ("r75_customer_rfm",
+     "broadcast quantile edges, NO global ntile/percent_rank "
+     "window anywhere"),
+    ("r77_type_dow_chi2",
+     "one corpus aggregate; margins as windows on the cell grain; "
+     "no join"),
+    ("r78_click_vs_view_ranksum",
+     "midranks via the two-phase range-partitioned rank; no "
+     "single-partition window, no driver collect"),
+    ("r80_concurrent_activity",
+     "(keys, bucket) equi-join + claim-cell dedup; no cartesian"),
+    ("l48_bm25_scores",
+     "match-sized after the scan; df(term) + 1-row moments "
+     "broadcast"),
+    ("l51_label_centroids",
+     "one posexplode + (label, pos) aggregate; pair matrix on the "
+     "dimension-sized centroid relation"),
+    ("r65_ops_monitor",
+     "composed trend+CUSUM in ONE plan; daily relation feeds both "
+     "branches, dimension legs broadcast"),
+    ("r73_deseasonal_outliers",
+     "composed seasonal_profile -> residual MAD in ONE plan; "
+     "keyed windows only"),
+    ("l50_zipf_fit",
+     "two-phase distributed global rank (no single-partition "
+     "window) -> co-moment OLS aggregate"),
+    ("l45_ivfpq_topk",
+     "IVF-pruned equi-join carries (cid, 8-byte codes); native ADC "
+     "fold; NO crossJoin anywhere (vs flat PQ)"),
+    ("l38b_fuzzy_join_capped",
+     "broadcast anti-join drops over-cap blocks BEFORE the "
+     "shuffle_hash self-join"),
 ]
 
 # one section per query — a duplicated entry silently doubles PLANS.md
 assert len({n for n, _ in SECTIONS}) == len(SECTIONS), "duplicate SECTIONS"
 
-# STAGED round-6 candidates (not yet registered): the builder
-# constructs the same DataFrame the staged_* plan audits assert on.
+# STAGED candidates awaiting registration render here with hand
+# builders; round 6 promoted the whole backlog (their sections moved
+# into SECTIONS above under their registered names), and the two
+# round-7 deferrals (r62, r71) keep their plan audits in
+# tests/test_plans.py only.
 def _staged_builders(spark):
-    from pyspark.sql import functions as F
-
-    from miningfrequentpattern_spark.operators.embeddings import (
-        label_centroid_similarity,
-    )
-    from miningfrequentpattern_spark.operators.relational import (
-        chi2_independence,
-        mad_outliers,
-        mannwhitney_z,
-        psi_drift,
-        rfm_scores,
-    )
-    from miningfrequentpattern_spark.operators.text import bm25_scores
-    from miningfrequentpattern_spark.operators.timeseries import (
-        autocorrelation,
-        interval_merge,
-        interval_overlap_join,
-    )
-    from miningfrequentpattern_spark.sources.io import load_table
-
-    ev = load_table(spark, SF_DIR, "events")
-    orders = load_table(spark, SF_DIR, "orders")
-    docs = load_table(spark, SF_DIR, "documents")
-    embs = load_table(spark, SF_DIR, "embeddings")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
-    split = F.lit("2024-07-01").cast("timestamp")
-
-    def spans(tp):
-        iv = ev.filter(
-            F.col("ts").isNotNull() & (F.col("event_type") == tp)
-        ).select(
-            "user_id",
-            F.col("ts").alias("s"),
-            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
-        )
-        return interval_merge(iv, ["user_id"], "s", "e")
-
-    return [
-        ("staged r66 autocorrelation",
-         "ONE Window node for all lags + same-exchange aggregate",
-         lambda: autocorrelation(daily, ["event_type"], "day", "n", 7)),
-        ("staged r67 mad_outliers",
-         "two group-keyed percentile aggregates broadcast back; "
-         "corpus never reshuffles on the group key",
-         lambda: mad_outliers(
-             ev.select("event_type", "event_id", "value"),
-             ["event_type"], "value", carry=["event_id"])),
-        ("staged r74 psi_drift",
-         "1-row reference-quantile broadcast + row-local array-filter "
-         "binning; nothing after the scans exceeds n_bins rows",
-         lambda: psi_drift(
-             ev.filter(F.col("ts") < split).select("value"),
-             ev.filter(F.col("ts") >= split).select("value"),
-             "value", n_bins=10)),
-        ("staged r75 rfm_scores",
-         "broadcast quantile edges, NO global ntile/percent_rank "
-         "window anywhere",
-         lambda: rfm_scores(
-             orders.select(F.col("o_custkey").alias("cust"),
-                           "o_orderdate", "o_totalprice"),
-             "cust", "o_orderdate", "o_totalprice")),
-        ("staged r77 chi2_independence",
-         "one corpus aggregate; margins as windows on the cell grain; "
-         "no join",
-         lambda: chi2_independence(
-             ev.select(
-                 "event_type",
-                 ((F.dayofweek(F.col("ts").cast("date")) + 5) % 7 + 1)
-                 .cast("int").alias("dow")),
-             "event_type", "dow")),
-        ("staged r78 mannwhitney_z",
-         "midranks via the two-phase range-partitioned rank; no "
-         "single-partition window, no driver collect",
-         lambda: mannwhitney_z(ev, "event_type", "value",
-                               "click", "view")),
-        ("staged r80 interval_overlap_join (bucketed)",
-         "(keys, bucket) equi-join + claim-cell dedup; no cartesian",
-         lambda: interval_overlap_join(
-             spans("click"), spans("view"), ["user_id"],
-             "span_start", "span_end", bucket="6 hours")),
-        ("staged l48 bm25_scores",
-         "match-sized after the scan; df(term) + 1-row moments "
-         "broadcast",
-         lambda: bm25_scores(docs, "doc_id", "text",
-                             ["scan", "merge", "window", "stream"])),
-        ("staged l51 label_centroid_similarity",
-         "one posexplode + (label, pos) aggregate; pair matrix on the "
-         "dimension-sized centroid relation",
-         lambda: label_centroid_similarity(embs, "label", "embedding")),
-    ]
+    return []
 
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)

@@ -1,7 +1,5 @@
 """Per-series lag-k autocorrelation
-(operators/timeseries.py::autocorrelation) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r66_volume_acf registration will carry (lag-1..7
+(operators/timeseries.py::autocorrelation) — promoted round 6: the oracle moved verbatim onto the r66_volume_acf registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (lag-1..7
 ACF of daily event volumes per type — the seasonality probe), plus a
 numpy reference on raw values and the flat/short-series pins."""
 
@@ -13,49 +11,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r66 oracle, verbatim. Lag-at-offset-k is expressed as a
-# row_number self-join (b.rn = a.rn − lag) because SQL lag() needs a
-# constant offset and the operator emits ALL lags 1..max_lag in one
-# relation; corr() in both engines is sample Pearson and skips pairs
-# whose lagged side is NULL (absent b rows here), so n_pairs =
-# count(b.n). Flat series / <2 pairs land NULL in both engines
-# (Spark's NaN is normalized operator-side — the r44 pin). Days are
-# unique per type, so the (day, n) ordering pin never fires here.
-R66_ORACLE = """
-WITH c AS (
-  SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
-         CAST(count(*) AS DOUBLE) AS n
-  FROM events GROUP BY 1, 2),
-r AS (
-  SELECT event_type, n,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY day, n) AS rn
-  FROM c)
-SELECT a.event_type, CAST(l.lag AS INT) AS lag, count(b.n) AS n_pairs,
-       round(corr(a.n, b.n), 4) AS acf
-FROM r a
-CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
-LEFT JOIN r b
-  ON b.event_type = a.event_type AND b.rn = a.rn - l.lag
-GROUP BY 1, 2
-"""
-
-
-def _r66(spark, sf_dir):
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.date_trunc("day", "ts").alias("day"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-    )
-    return autocorrelation(daily, ["event_type"], "day", "n", max_lag=7)
-
-
-def test_acf_matches_duckdb_oracle(spark, duck):
-    compare(_r66(spark, SF_ORACLE), duck, R66_ORACLE)
 
 
 def test_acf_matches_numpy_reference(spark):

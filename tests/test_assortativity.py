@@ -1,7 +1,5 @@
 """Degree assortativity (operators/graph.py::degree_assortativity) —
-round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future m24_part_assortativity registration
-will carry (the Newman coefficient of the co-purchase graph, built
+promoted round 6: the oracle moved verbatim onto the m24_part_assortativity registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (the Newman coefficient of the co-purchase graph, built
 with the m14-certified edge construction), plus closed-form star /
 regular / normalization hand pins and a numpy reference."""
 
@@ -14,57 +12,6 @@ from pyspark.sql import functions as F
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future m24 oracle, verbatim. Edge construction is m14's verbatim
-# (DISTINCT co-purchase pairs oriented s < d); stubs carry BOTH
-# orientations — the standard symmetrization, without which the
-# canonical order biases the correlation; corr is sample Pearson in
-# both engines, NULL at zero variance (the r44 pin, normalized
-# operator-side from Spark's NaN).
-M24_ORACLE = """
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem),
-e AS (SELECT a.pk AS s, b.pk AS d FROM li a
-      JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
-deg AS (SELECT v, count(*) AS deg FROM (
-          SELECT s AS v FROM e UNION ALL SELECT d FROM e)
-        GROUP BY 1),
-stubs AS (SELECT s AS u, d AS v FROM e
-          UNION ALL SELECT d AS u, s AS v FROM e),
-paired AS (SELECT du.deg AS deg_u, dv.deg AS deg_v
-           FROM stubs
-           JOIN deg du ON du.v = stubs.u
-           JOIN deg dv ON dv.v = stubs.v)
-SELECT (SELECT count(*) FROM deg) AS n_nodes,
-       CAST((SELECT count(*) FROM stubs) / 2 AS BIGINT) AS n_edges,
-       round(corr(deg_u, deg_v), 4) AS assortativity
-FROM paired
-"""
-
-
-def _m24(spark, sf_dir):
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        )
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
-    return degree_assortativity(pairs)
-
-
-def test_assortativity_matches_duckdb_oracle(spark, duck):
-    compare(_m24(spark, SF_ORACLE), duck, M24_ORACLE)
 
 
 def test_assortativity_star_is_minus_one(spark):

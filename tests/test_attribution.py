@@ -1,8 +1,10 @@
 """Last-touch attribution
-(operators/timeseries.py::last_touch_attribution) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r62_attribution registration will carry, plus
-hand-built same-timestamp, organic, and horizon cases."""
+(operators/timeseries.py::last_touch_attribution) — DEFERRED to the
+round-7 window (registry.py ROUND 7 TODO; round 6 promoted 45 of 47
+staged operators and ran out of slots), locally certified NOW: the
+DuckDB oracle below is the exact SQL the future r62_attribution
+registration will carry, plus hand-built same-timestamp, organic,
+and horizon cases."""
 
 from pyspark.sql import functions as F
 

@@ -1,7 +1,5 @@
 """First-significant-digit Benford audit
-(operators/relational.py::benford_audit) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future r70_price_benford registration will carry (order totals per
+(operators/relational.py::benford_audit) — promoted round 6: the oracle moved verbatim onto the r70_price_benford registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (order totals per
 priority class), plus closed-form digit extraction, chi-square, and
 exclusion hand pins."""
 
@@ -14,46 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r70 oracle, verbatim. Dialect pins: digit extraction is the
-# identical double-arithmetic chain (abs → log10 → floor → pow →
-# divide → floor) in both engines — no string cast; the only inputs
-# whose digit could split across engines are values within 1 ulp of
-# a power of 10, which exact powers (the only 2-decimal candidates)
-# are not: both log10 implementations are exact there. Zero/NULL
-# carry no first digit and are excluded on both sides.
-R70_ORACLE = """
-WITH b AS (
-  SELECT o_orderpriority AS grp,
-         CAST(floor(abs(o_totalprice)
-              / pow(10, floor(log10(abs(o_totalprice))))) AS INT)
-           AS digit
-  FROM orders
-  WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0),
-c AS (SELECT grp, digit, count(*) AS n_obs FROM b GROUP BY 1, 2)
-SELECT grp, digit, n_obs,
-       round(n_obs / sum(n_obs) OVER w, 4) AS obs_share,
-       round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
-       round(n_obs / sum(n_obs) OVER w - log10(1.0 + 1.0 / digit), 4)
-         AS deviation,
-       round(sum(n_obs) OVER w
-             * pow(n_obs / sum(n_obs) OVER w
-                   - log10(1.0 + 1.0 / digit), 2)
-             / log10(1.0 + 1.0 / digit), 4) AS chi2_part
-FROM c
-WINDOW w AS (PARTITION BY grp)
-"""
-
-
-def _r70(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("grp"), "o_totalprice"
-    )
-    return benford_audit(orders, ["grp"], "o_totalprice")
-
-
-def test_benford_matches_duckdb_oracle(spark, duck):
-    compare(_r70(spark, SF_ORACLE), duck, R70_ORACLE)
 
 
 def test_benford_digit_extraction_closed_form(spark):

@@ -1,7 +1,5 @@
 """Bigram Stupid-Backoff LM scoring
-(operators/text.py::bigram_backoff_score) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future l52_bigram_backoff registration will carry (train on the
+(operators/text.py::bigram_backoff_score) — promoted round 6: the oracle moved verbatim onto the l52_bigram_backoff registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (train on the
 English subset, score the whole multilingual pool — the CCNet
 framing, and the configuration where the backoff branch genuinely
 fires), plus closed-form seen/backoff/OOV hand pins and the
@@ -16,49 +14,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future l52 oracle, verbatim. Pins: tokenization is the certified
-# single-space string_split arithmetic; adjacent pairs via inclusive
-# generate_series(1, len−1) (empty for < 2 tokens, so those docs are
-# absent on both sides); OOV w2 takes the count floor 1 (the l15
-# stance); log2 ≡ F.log2.
-L52_ORACLE = """
-WITH t AS (
-  SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
-  FROM documents WHERE text IS NOT NULL),
-tr AS (SELECT toks FROM t WHERE lang = 'en'),
-toks AS (SELECT unnest(toks) AS w FROM tr),
-uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY 1),
-tot AS (SELECT count(*) AS n_total FROM toks),
-trp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
-        FROM tr, unnest(generate_series(1, len(toks) - 1)) AS s(i)),
-bi AS (SELECT w1, w2, count(*) AS cb FROM trp GROUP BY 1, 2),
-p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-      FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i))
-SELECT p.doc_id, count(*) AS n_bigrams,
-       round(avg(-log2(
-         CASE WHEN bi.cb IS NOT NULL THEN bi.cb / (u1.cu * 1.0)
-              ELSE 0.4 * coalesce(u2.cu, 1) / tot.n_total END)), 4)
-         AS avg_neg_log2p
-FROM p
-LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
-LEFT JOIN uni u1 ON u1.w = p.w1
-LEFT JOIN uni u2 ON u2.w = p.w2
-CROSS JOIN tot
-GROUP BY 1
-"""
-
-
-def _l52(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
-    train = docs.filter(F.col("lang") == "en")
-    return bigram_backoff_score(docs, train_docs=train)
-
-
-def test_bigram_backoff_matches_duckdb_oracle(spark, duck):
-    compare(_l52(spark, SF_ORACLE), duck, L52_ORACLE)
 
 
 def test_bigram_backoff_closed_form(spark):

@@ -1,7 +1,5 @@
 """Okapi BM25 lexical retrieval scoring
-(operators/text.py::bm25_scores) — round-6 window candidate, locally
-certified NOW: the DuckDB oracle below is the exact SQL a future
-l48_bm25_scores registration will carry (a 4-term query over the
+(operators/text.py::bm25_scores) — promoted round 6: the oracle moved verbatim onto the l48_bm25_scores registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (a 4-term query over the
 documents table), plus a closed-form hand check and the no-match /
 duplicate-term pins."""
 
@@ -15,44 +13,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 from .conftest import SF_ORACLE
 from .oracle import compare
 
-# Future l48 oracle, verbatim. Dialect pins: ln() is the natural log
-# in both engines (Spark F.log one-arg form); tokenization mirrors
-# the shared tokens() helper exactly (''-filtered split — identical
-# to bare string_split under the single-space fixture invariant, but
-# written in the filtered form so doc length stays parity-safe if a
-# regenerated fixture ever contains whitespace runs or empty text);
-# docs matching no query term are omitted by construction (the term
-# filter precedes every join).
-L48_ORACLE = """
-WITH t AS (
-  SELECT doc_id,
-         list_filter(string_split(trim(text), ' '), x -> x != '')
-           AS toks
-  FROM documents WHERE text IS NOT NULL),
-m AS (
-  SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
-h AS (
-  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
-q AS (
-  SELECT doc_id, dl, term FROM h
-  WHERE term IN ('scan', 'merge', 'window', 'stream')),
-df AS (
-  SELECT term, count(DISTINCT doc_id) AS dfreq FROM q GROUP BY 1),
-tf AS (
-  SELECT doc_id, dl, term, count(*) AS tf FROM q GROUP BY 1, 2, 3)
-SELECT tf.doc_id, count(*) AS n_terms_matched,
-       -- parenthesization matches the operator's idf * (sat) shape
-       -- exactly: (idf * a) / b differs in the last ulp from
-       -- idf * (a / b), and 4dp rounding shouldn't be asked to
-       -- absorb an avoidable associativity seam
-       round(sum(
-         ln((m.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
-         * ((tf.tf * 2.2)
-            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / m.avgdl)))
-       ), 4) AS score
-FROM tf JOIN df USING (term) CROSS JOIN m
-GROUP BY 1
-"""
 
 QUERY_TERMS = ["scan", "merge", "window", "stream"]
 
@@ -60,10 +20,6 @@ QUERY_TERMS = ["scan", "merge", "window", "stream"]
 def _l48(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, "doc_id", "text", QUERY_TERMS)
-
-
-def test_bm25_matches_duckdb_oracle(spark, duck):
-    compare(_l48(spark, SF_ORACLE), duck, L48_ORACLE)
 
 
 def test_bm25_closed_form_hand_check(spark):

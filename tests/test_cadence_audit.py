@@ -1,9 +1,11 @@
 """Arrival-cadence / freshness audit
-(operators/timeseries.py::cadence_audit) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future r71_feed_cadence registration will carry (per-type arrival
-gaps over events — the feed-staleness monitor), plus closed-form
-gap arithmetic, single-observation, and tied-timestamp hand pins."""
+(operators/timeseries.py::cadence_audit) — DEFERRED to the
+round-7 window (registry.py ROUND 7 TODO; round 6 promoted 45 of 47
+staged operators and ran out of slots), locally certified NOW: the
+DuckDB oracle below is the exact SQL the future r71_feed_cadence
+registration will carry (per-type arrival gaps over events — the
+feed-staleness monitor), plus closed-form gap arithmetic,
+single-observation, and tied-timestamp hand pins."""
 
 from pyspark.sql import functions as F
 

@@ -1,7 +1,5 @@
 """Per-source rank-calibrated quality gate
-(operators/text.py::rank_calibrated_gate) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future l47_calibrated_gate registration will carry (keep the top 80%
+(operators/text.py::rank_calibrated_gate) — promoted round 6: the oracle moved verbatim onto the l47_calibrated_gate registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (keep the top 80%
 of each SOURCE by type-token ratio — the cross-source calibration
 l20's global deciles cannot do), plus strata-independence and
 single-row-stratum hand checks."""
@@ -13,50 +11,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future l47 oracle, verbatim. Dialect pins: percent_rank is
-# (rank−1)/(n−1) in both engines; best-first ordering (score DESC,
-# doc_id ASC) is a total order (0 = best, keep pr <= 0.8); the
-# distinct-ratio score reuses the certified l06-family string_split
-# arithmetic under the single-space fixture invariant.
-L47_ORACLE = """
-WITH s AS (
-  SELECT doc_id, source,
-         round(len(list_distinct(string_split(trim(text), ' '))) * 1.0
-               / len(string_split(trim(text), ' ')), 4) AS ttr
-  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
-r AS (
-  SELECT doc_id, source, ttr,
-         percent_rank() OVER (PARTITION BY source
-                              ORDER BY ttr DESC, doc_id) AS pr
-  FROM s)
-SELECT doc_id, source, ttr, round(pr, 4) AS pct_rank,
-       pr <= 0.8 AS is_kept
-FROM r
-"""
-
-
-def _l47(spark, sf_dir):
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            F.round(
-                F.size(F.array_distinct(F.split(F.trim("text"), " ")))
-                / F.size(F.split(F.trim("text"), " ")),
-                4,
-            ).alias("ttr"),
-        )
-    )
-    return rank_calibrated_gate(
-        docs, ["source"], "ttr", keep_frac=0.8, tiebreak_col="doc_id"
-    )
-
-
-def test_calibrated_gate_matches_duckdb_oracle(spark, duck):
-    compare(_l47(spark, SF_ORACLE), duck, L47_ORACLE)
 
 
 def test_calibrated_gate_strata_are_independent(spark):

@@ -18,35 +18,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 from .conftest import SF_ORACLE
 from .oracle import compare
 
-# Future r51 oracle, verbatim. IS DISTINCT FROM mirrors the operator's
-# null-safe change detection; the redundant first-row OR matches the
-# operator's explicit anchor so the two texts stay semantically
-# parallel even if the NOT NULL filter is ever lifted.
-R51_ORACLE = """
-WITH o AS (SELECT user_id, event_type, ts, event_id FROM events
-           WHERE event_type IS NOT NULL),
-c AS (SELECT user_id, event_type, ts, event_id,
-             CASE WHEN lag(event_type) OVER
-                         (PARTITION BY user_id ORDER BY ts, event_id)
-                       IS DISTINCT FROM event_type
-                    OR lag(event_id) OVER
-                         (PARTITION BY user_id ORDER BY ts, event_id)
-                       IS NULL
-                  THEN 1 ELSE 0 END AS nv
-      FROM o),
-v AS (SELECT user_id, event_type, ts AS valid_from, event_id
-      FROM c WHERE nv = 1)
-SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER
-         (PARTITION BY user_id ORDER BY valid_from, event_id)
-         AS valid_to,
-       lead(valid_from) OVER
-         (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
-         AS is_current,
-       event_id AS version_id
-FROM v
-"""
-
 
 def _scd2_events(spark, sf_dir):
     ev = (
@@ -57,10 +28,6 @@ def _scd2_events(spark, sf_dir):
     return scd2_versions(
         ev, ["user_id"], ["event_type"], "ts", "event_id"
     )
-
-
-def test_scd2_matches_duckdb_oracle(spark, duck):
-    compare(_scd2_events(spark, SF_ORACLE), duck, R51_ORACLE)
 
 
 def test_scd2_plan_two_keyed_windows_no_join(spark):

@@ -1,7 +1,5 @@
 """CDC snapshot materialization (operators/relational.py::cdc_apply)
-— round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future r61_cdc_snapshot registration will
-carry (events replayed as a change feed: every event upserts the
+— promoted round 6: the oracle moved verbatim onto the r61_cdc_snapshot registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (events replayed as a change feed: every event upserts the
 user's state, an 'error' event tombstones it), plus hand-built
 last-writer-wins / tombstone / NULL-seq cases."""
 
@@ -12,44 +10,6 @@ from pyspark.sql import functions as F
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r61 oracle, verbatim. Dialect pins: (ts, event_id) DESC is
-# the unique change order on both sides (fixture invariant:
-# event_id is unique); DuckDB default NULL ordering never fires
-# because NULL-seq rows are filtered on both sides.
-R61_ORACLE = """
-WITH c AS (
-  SELECT user_id, ts, event_id, event_type, value,
-         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
-  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
-w AS (
-  SELECT *, row_number() OVER (PARTITION BY user_id
-                               ORDER BY ts DESC, event_id DESC) AS rn
-  FROM c)
-SELECT user_id, ts AS last_ts, event_type AS last_type,
-       round(value, 4) AS last_value
-FROM w WHERE rn = 1 AND op <> 'D'
-"""
-
-
-def _r61(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "op",
-        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
-            F.lit("U")
-        ),
-    )
-    snap = cdc_apply(ev, ["user_id"], ["ts", "event_id"], "op")
-    return snap.select(
-        "user_id",
-        F.col("ts").alias("last_ts"),
-        F.col("event_type").alias("last_type"),
-        F.round("value", 4).alias("last_value"),
-    )
-
-
-def test_cdc_apply_matches_duckdb_oracle(spark, duck):
-    compare(_r61(spark, SF_ORACLE), duck, R61_ORACLE)
 
 
 def test_cdc_apply_last_writer_wins_and_tombstone(spark):

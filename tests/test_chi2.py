@@ -1,7 +1,5 @@
 """Chi-square independence audit
-(operators/relational.py::chi2_independence) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r77_type_dow_chi2 registration will carry (event
+(operators/relational.py::chi2_independence) — promoted round 6: the oracle moved verbatim onto the r77_type_dow_chi2 registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (event
 type × ISO weekday), plus a closed-form 2×2 hand pin and the
 margins/unobserved-cell conventions."""
 
@@ -14,43 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r77 oracle, verbatim. Dialect pins: ISO dow (the r69 shift);
-# DuckDB's BIGINT sums go through HUGEINT but the float division
-# lands on the same double; unobserved cells have no row on either
-# side (the benford absent-digit stance).
-R77_ORACLE = """
-WITH c AS (
-  SELECT event_type AS a,
-         CAST(isodow(CAST(ts AS DATE)) AS INT) AS b,
-         count(*) AS n_obs
-  FROM events GROUP BY 1, 2)
-SELECT a, b, n_obs,
-       round(sum(n_obs) OVER (PARTITION BY a)
-             * sum(n_obs) OVER (PARTITION BY b)
-             / sum(n_obs) OVER (), 4) AS expected,
-       round(pow(n_obs - sum(n_obs) OVER (PARTITION BY a)
-                         * sum(n_obs) OVER (PARTITION BY b)
-                         / sum(n_obs) OVER (), 2)
-             / (sum(n_obs) OVER (PARTITION BY a)
-                * sum(n_obs) OVER (PARTITION BY b)
-                / sum(n_obs) OVER ()), 4) AS chi2_part
-FROM c
-"""
-
-
-def _r77(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        ((F.dayofweek(F.col("ts").cast("date")) + 5) % 7 + 1)
-        .cast("int")
-        .alias("dow"),
-    )
-    return chi2_independence(ev, "event_type", "dow")
-
-
-def test_chi2_matches_duckdb_oracle(spark, duck):
-    compare(_r77(spark, SF_ORACLE), duck, R77_ORACLE)
 
 
 def test_chi2_closed_form_2x2(spark):

@@ -1,7 +1,5 @@
 """Declarative data-contract audit
-(operators/relational.py::contract_audit) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future r81_orders_contract registration will carry (five contracts
+(operators/relational.py::contract_audit) — promoted round 6: the oracle moved verbatim onto the r81_orders_contract registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (five contracts
 over orders, including one that genuinely fails on the fixture so the
 audit's failure path is hash-certified, not just the all-green path),
 plus three-valued-logic and empty-input hand pins."""
@@ -13,42 +11,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r81 oracle, verbatim. Pins: a violation is FALSE **or
-# NULL** (the three-valued-logic pin — `col > 0` on NULL counts
-# against the contract); totals come from one corpus pass on both
-# sides; the deliberately-failing rule (status in a too-small set)
-# certifies the failure path.
-R81_ORACLE = """
-WITH w AS (
-  SELECT count(*) AS n,
-         sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
-                  THEN 1 ELSE 0 END) AS v_price_positive,
-         sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, false)
-                  THEN 1 ELSE 0 END) AS v_custkey_present,
-         sum(CASE WHEN NOT coalesce(
-                    o_orderdate >= TIMESTAMP '1990-01-01', false)
-                  THEN 1 ELSE 0 END) AS v_date_sane,
-         sum(CASE WHEN NOT coalesce(
-                    o_orderstatus IN ('O', 'F'), false)
-                  THEN 1 ELSE 0 END) AS v_status_known,
-         sum(CASE WHEN NOT coalesce(
-                    o_orderpriority IS NOT NULL, false)
-                  THEN 1 ELSE 0 END) AS v_priority_present
-  FROM orders),
-t AS (
-  SELECT 'price_positive' AS rule, n, v_price_positive AS nv FROM w
-  UNION ALL SELECT 'custkey_present', n, v_custkey_present FROM w
-  UNION ALL SELECT 'date_sane', n, v_date_sane FROM w
-  UNION ALL SELECT 'status_known', n, v_status_known FROM w
-  UNION ALL SELECT 'priority_present', n, v_priority_present FROM w)
-SELECT rule, CAST(n AS BIGINT) AS n_rows,
-       CAST(nv AS BIGINT) AS n_violations,
-       round(CASE WHEN n > 0 THEN nv / (n * 1.0) END, 4)
-         AS violation_rate,
-       nv = 0 AS passed
-FROM t
-"""
 
 
 def _r81(spark, sf_dir):
@@ -69,10 +31,6 @@ def _r81(spark, sf_dir):
             ("priority_present", F.col("o_orderpriority").isNotNull()),
         ],
     )
-
-
-def test_contract_audit_matches_duckdb_oracle(spark, duck):
-    compare(_r81(spark, SF_ORACLE), duck, R81_ORACLE)
 
 
 def test_contract_audit_fixture_has_a_failing_rule(spark):

@@ -1,7 +1,5 @@
 """One-sided CUSUM drift (operators/timeseries.py::cusum_drift) —
-round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future r58_value_drift registration will
-carry, plus a hand-computed recurrence check proving the
+promoted round 6: the oracle moved verbatim onto the r58_value_drift registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps a hand-computed recurrence check proving the
 cumsum−running-min closed form equals the textbook max(0, ·)
 recursion."""
 
@@ -14,50 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r58 oracle, verbatim. The SAME closed form as the operator:
-# S_t = P_t − least(0, min_{j≤t} P_j) over identical (ts, value)
-# ordering — both engines evaluate the identical float64 running sum
-# in the identical order, so 4dp rounding compares identical streams.
-# Dialect pins: the 50.0 target literal is already DOUBLE on both
-# sides; ordering ties resolve by (ts, x) in both engines.
-R58_ORACLE = """
-WITH base AS (
-  SELECT event_type, ts, value AS x
-  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-pre AS (
-  SELECT event_type, ts, x,
-         sum(x - 50.0) OVER (PARTITION BY event_type ORDER BY ts, x
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
-  FROM base),
-p AS (
-  SELECT event_type, ts, x, pp,
-         min(pp) OVER (PARTITION BY event_type ORDER BY ts, x
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS runmin
-  FROM pre)
-SELECT event_type, ts, round(x, 4) AS value,
-       round(pp - least(0.0, runmin), 4) AS cusum,
-       (pp - least(0.0, runmin)) > 2000.0 AS drifted
-FROM p
-"""
-
-
-def _r58(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return cusum_drift(
-        ev, ["event_type"], "ts", "value", target=50.0, threshold=2000.0
-    ).select(
-        "event_type",
-        "ts",
-        F.round("value", 4).alias("value"),
-        F.round("cusum", 4).alias("cusum"),
-        "drifted",
-    )
-
-
-def test_cusum_matches_duckdb_oracle(spark, duck):
-    compare(_r58(spark, SF_ORACLE), duck, R58_ORACLE)
 
 
 def test_cusum_hand_computed_recurrence(spark):

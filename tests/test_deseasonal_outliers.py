@@ -17,61 +17,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 from .conftest import SF_ORACLE
 from .oracle import compare
 
-# Future r73 oracle, verbatim. Stage fragments: daily (shared scan),
-# prof (r69's isodow window — residual ROUNDED to 4dp, which is what
-# the downstream median/MAD consume on BOTH sides, so the
-# percentile inputs are bitwise identical), med/mad (r67's
-# quantile_cont pair with the MAD=0 → NULL/false pin).
-R73_ORACLE = """
-WITH daily AS MATERIALIZED (
-  SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
-         CAST(count(*) AS DOUBLE) AS n
-  FROM events GROUP BY 1, 2),
-prof AS MATERIALIZED (
-  SELECT event_type, day, n, CAST(isodow(day) AS INT) AS dow,
-         round(avg(n) OVER w, 4) AS dow_mean,
-         round(n - avg(n) OVER w, 4) AS residual
-  FROM daily WINDOW w AS (PARTITION BY event_type, isodow(day))),
-med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
-        FROM prof GROUP BY 1),
-mad AS (SELECT p.event_type,
-               quantile_cont(abs(p.residual - m.med), 0.5) AS mad
-        FROM prof p JOIN med m USING (event_type) GROUP BY 1)
-SELECT p.event_type, p.day, p.n, p.dow, p.dow_mean, p.residual,
-       CASE WHEN d.mad > 0
-            THEN round(0.6745 * (p.residual - m.med) / d.mad, 4)
-       END AS robust_z,
-       coalesce(
-         CASE WHEN d.mad > 0
-              THEN abs(0.6745 * (p.residual - m.med) / d.mad) > 3.5
-         END, false) AS is_outlier
-FROM prof p
-JOIN med m USING (event_type)
-JOIN mad d USING (event_type)
-"""
-
-
-def _r73(spark, sf_dir):
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.date_trunc("day", "ts").alias("day"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-    )
-    prof = seasonal_profile(daily, ["event_type"], "day", "n").drop("ratio")
-    return mad_outliers(
-        prof,
-        ["event_type"],
-        "residual",
-        carry=["day", "n", "dow", "dow_mean"],
-    )
-
-
-def test_deseasonal_outliers_matches_duckdb_oracle(spark, duck):
-    compare(_r73(spark, SF_ORACLE), duck, R73_ORACLE)
-
 
 def test_deseasonal_outliers_catches_what_raw_zscore_misses(spark):
     """A weekday-heavy series (100 on weekdays, 20 on weekends) with

@@ -1,7 +1,5 @@
 """Embedding second-moment analytics (operators/embeddings.py) —
-round-6 window candidates, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future l43_embedding_corr_matrix
-registration will carry; embedding_spectrum (eigendecomposition, not
+promoted round 6: the oracle moved verbatim onto the l43_embedding_corr_matrix registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps; embedding_spectrum (eigendecomposition, not
 SQL-expressible → rows-only by design if registered) is certified
 against a local numpy eigh on the same parquet instead. Plus the
 guards the fixture can't exercise: constant-dimension NULL pin,
@@ -20,37 +18,9 @@ from miningfrequentpattern_spark.sources.io import load_table
 from .conftest import SF_ORACLE
 from .oracle import compare
 
-# Future l43 oracle, verbatim. Dialect pins: embedding[i] is DuckDB's
-# 1-BASED list indexing (the l29 convention, asserted by
-# test_fixture_invariants' dialect canary); the sd > 0 guard mirrors
-# the operator's NULL-on-constant-dimension pin (r44 divide
-# semantics); population moments on both sides. The pairwise
-# self-join form here is the naive O(N·d²) shape the operator's
-# sufficient-stats seam exists to avoid — fine single-process at
-# sf0.01, wrong at scale.
-L43_ORACLE = """
-WITH x AS (SELECT vec_id, r.i::INT AS i, embedding[r.i]::DOUBLE AS v
-           FROM embeddings, range(1, 65) r(i)
-           WHERE embedding IS NOT NULL),
-m AS (SELECT i, avg(v) AS mu, stddev_pop(v) AS sd FROM x GROUP BY i),
-c AS (SELECT a.i AS i, b.i AS j, avg(a.v * b.v) AS exy
-      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-      GROUP BY 1, 2)
-SELECT c.i, c.j,
-       CASE WHEN ma.sd > 0 AND mb.sd > 0
-            THEN round((c.exy - ma.mu * mb.mu) / (ma.sd * mb.sd), 4)
-       END AS corr
-FROM c JOIN m ma ON c.i = ma.i JOIN m mb ON c.j = mb.i
-"""
-
 
 def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
-
-
-def test_embedding_correlation_matches_duckdb_oracle(spark, duck):
-    got = embedding_correlation(_emb(spark, SF_ORACLE), dim=64)
-    compare(got, duck, L43_ORACLE)
 
 
 def test_embedding_spectrum_matches_numpy_eigh(spark):

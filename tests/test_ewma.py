@@ -1,6 +1,4 @@
-"""Per-series EWMA (operators/timeseries.py::ewma) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r52_ewma_daily_revenue registration will carry
+"""Per-series EWMA (operators/timeseries.py::ewma) — promoted round 6: the oracle moved verbatim onto the r52_ewma_daily_revenue registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps
 (recursive-CTE recurrence, the same chained-iteration oracle trick as
 m13/l02e), plus a hand-computed recurrence check and an
 input-order-independence property the sf0.01 fixture can't isolate."""
@@ -14,57 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r52 oracle, verbatim. Dialect pins: alpha literals are cast
-# ::DOUBLE (a bare 0.2 is DECIMAL in DuckDB and would run the
-# recurrence in decimal arithmetic, not the float64 the pandas side
-# uses); 0.8·y + 0.2·x per step is bitwise the pandas
-# ewm(adjust=False) update, so the 4dp rounding is comparing
-# identical float64 streams, not merely close ones; day re-emitted as
-# midnight TIMESTAMP per the r43 dialect note.
-R52_ORACLE = """
-WITH RECURSIVE daily AS MATERIALIZED (
-  SELECT o_orderpriority AS priority,
-         CAST(o_orderdate AS DATE) AS day,
-         sum(o_totalprice) AS rev
-  FROM orders GROUP BY 1, 2),
-idx AS MATERIALIZED (
-  SELECT priority, day, rev,
-         row_number() OVER (PARTITION BY priority ORDER BY day) AS rn
-  FROM daily),
-ew AS (
-  SELECT priority, day, rn, rev, rev AS y FROM idx WHERE rn = 1
-  UNION ALL
-  SELECT i.priority, i.day, i.rn, i.rev,
-         0.8::DOUBLE * e.y + 0.2::DOUBLE * i.rev
-  FROM idx i JOIN ew e ON i.priority = e.priority AND i.rn = e.rn + 1
-)
-SELECT priority, CAST(day AS TIMESTAMP) AS day,
-       round(rev, 4) AS revenue,
-       round(y, 4) AS ewma_revenue
-FROM ew
-"""
-
-
-def _r52(spark, sf_dir):
-    daily = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(
-            F.col("o_orderpriority").alias("priority"),
-            F.col("o_orderdate").cast("date").alias("day"),
-        )
-        .agg(F.sum("o_totalprice").alias("rev"))
-    )
-    return ewma(daily, ["priority"], "day", "rev", alpha=0.2).select(
-        "priority",
-        F.col("day").cast("timestamp").alias("day"),
-        F.round("rev", 4).alias("revenue"),
-        F.round("ewma", 4).alias("ewma_revenue"),
-    )
-
-
-def test_ewma_matches_duckdb_recursive_oracle(spark, duck):
-    compare(_r52(spark, SF_ORACLE), duck, R52_ORACLE)
 
 
 def test_ewma_hand_computed_recurrence(spark):

@@ -1,7 +1,5 @@
 """Referential-integrity audit
-(operators/relational.py::referential_orphan_audit) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r59_fk_audit registration will carry (the fixture
+(operators/relational.py::referential_orphan_audit) — promoted round 6: the oracle moved verbatim onto the r59_fk_audit registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (the fixture
 graph is fully intact, so the hash proves the zero-orphan state;
 orphan/NULL-key semantics are proven on a hand-built relation)."""
 
@@ -12,65 +10,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r59 oracle, verbatim. Dialect pins: DuckDB sum() is HUGEINT
-# → CAST to BIGINT to match Spark's long; rate via * 1.0 for float
-# division; parent keys DISTINCT + NOT NULL exactly as the operator
-# de-duplicates them.
-R59_ORACLE = """
-SELECT 'lineitem->orders' AS relationship, count(*) AS n_child,
-       CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_orphans,
-       round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) * 1.0
-             / count(*), 4) AS orphan_rate
-FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders
-                           WHERE o_orderkey IS NOT NULL) p
-  ON c.l_orderkey = p._pk
-UNION ALL
-SELECT 'lineitem->part', count(*),
-       CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) * 1.0
-             / count(*), 4)
-FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS _pk FROM part
-                           WHERE p_partkey IS NOT NULL) p
-  ON c.l_partkey = p._pk
-UNION ALL
-SELECT 'orders->customer', count(*),
-       CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) * 1.0
-             / count(*), 4)
-FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer
-                         WHERE c_custkey IS NOT NULL) p
-  ON c.o_custkey = p._pk
-UNION ALL
-SELECT 'events->customer', count(*),
-       CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-       round(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) * 1.0
-             / count(*), 4)
-FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer
-                         WHERE c_custkey IS NOT NULL) p
-  ON c.user_id = p._pk
-"""
-
-
-def _r59(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    cu = load_table(spark, sf_dir, "customer")
-    pa = load_table(spark, sf_dir, "part")
-    ev = load_table(spark, sf_dir, "events")
-    return referential_orphan_audit(
-        [
-            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
-            ("lineitem->part", li, "l_partkey", pa, "p_partkey"),
-            ("orders->customer", o, "o_custkey", cu, "c_custkey"),
-            ("events->customer", ev, "user_id", cu, "c_custkey"),
-        ]
-    )
-
-
-def test_fk_audit_matches_duckdb_oracle(spark, duck):
-    compare(_r59(spark, SF_ORACLE), duck, R59_ORACLE)
 
 
 def test_fk_audit_orphans_and_null_keys(spark):

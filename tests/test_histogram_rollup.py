@@ -1,7 +1,5 @@
 """Mergeable histogram-quantile rollup
-(operators/relational.py::binned_quantile_rollup) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r54_histogram_quantiles registration will carry,
+(operators/relational.py::binned_quantile_rollup) — promoted round 6: the oracle moved verbatim onto the r54_histogram_quantiles registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps,
 plus the two claims the oracle can't make — the merge level is
 lossless (daily partials → same answer as direct binning) and the
 estimate error is bounded by the bin width against the EXACT
@@ -15,58 +13,23 @@ from miningfrequentpattern_spark.operators.relational import (
 from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
+
+load_all_packs()
+
+
+def _r54(spark, sf_dir):
+    return QUERIES["r54_histogram_quantiles"](spark, sf_dir)
 
 QS = [0.5, 0.9, 0.99]
 LO, HI, BINS = 0.0, 1000.0, 200  # events.value spans [0, ~560]
 
-# Future r54 oracle, verbatim. Dialect pins: every float literal is
-# ::DOUBLE (bare 5.0 is DECIMAL in DuckDB and would change the
-# arithmetic the hash compares); the est expression is written in
-# the operator's exact evaluation order so both engines stream
-# identical float64 ops; window-sum HUGEINTs cast to BIGINT on
-# output.
-R54_ORACLE = """
-WITH b AS (SELECT event_type,
-                  least(greatest(CAST(floor((value - 0.0::DOUBLE)
-                                            / 5.0::DOUBLE) AS BIGINT),
-                                 0), 199) AS bin,
-                  count(*) AS cnt
-           FROM events WHERE value IS NOT NULL
-           GROUP BY 1, 2),
-c AS (SELECT event_type, bin, cnt,
-             sum(cnt) OVER (PARTITION BY event_type
-                            ORDER BY bin) AS cum,
-             coalesce(sum(cnt) OVER (PARTITION BY event_type
-                                     ORDER BY bin
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                              AND 1 PRECEDING),
-                      0) AS cum_below,
-             sum(cnt) OVER (PARTITION BY event_type) AS n_rows
-      FROM b),
-qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
-SELECT c.event_type, qs.q AS q,
-       CAST(c.n_rows AS BIGINT) AS n_rows,
-       round(0.0::DOUBLE + 5.0::DOUBLE *
-             (c.bin + (qs.q * c.n_rows - c.cum_below) / c.cnt),
-             4) AS est
-FROM c CROSS JOIN qs
-WHERE c.cum >= qs.q * c.n_rows AND c.cum_below < qs.q * c.n_rows
-"""
-
 
 def _ev(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
-
-
-def _r54(spark, sf_dir):
-    return binned_quantile_rollup(
-        _ev(spark, sf_dir), ["event_type"], "value", QS, LO, HI, BINS
-    )
-
-
-def test_histogram_quantiles_match_duckdb_oracle(spark, duck):
-    compare(_r54(spark, SF_ORACLE), duck, R54_ORACLE)
 
 
 def test_daily_partial_merge_is_lossless(spark):

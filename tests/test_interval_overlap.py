@@ -1,7 +1,5 @@
 """Interval×interval overlap join
-(operators/timeseries.py::interval_overlap_join) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r80_concurrent_activity registration will carry
+(operators/timeseries.py::interval_overlap_join) — promoted round 6: the oracle moved verbatim onto the r80_concurrent_activity registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps
 (per-user click-activity spans overlapped against view-activity
 spans — "when was the user doing both"), plus half-open touching
 pins and the bucketed ≡ naive equivalence the claim-cell dedup
@@ -17,46 +15,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r80 oracle, verbatim. Span legs are r55's certified
-# gaps-and-islands fragment per event type; the overlap join is the
-# NAIVE non-equi form (the single-process contrast to the bucketed
-# claim-cell plan, the l43 stance); boundaries convert to the exact
-# epoch-seconds double domain (the r71 pin); half-open [s, e):
-# touching spans do not overlap.
-R80_ORACLE = """
-WITH iv AS (
-  SELECT user_id, event_type, ts AS s, ts + INTERVAL 30 MINUTE AS e
-  FROM events WHERE ts IS NOT NULL
-    AND event_type IN ('click', 'view')),
-flag AS (
-  SELECT user_id, event_type, s, e,
-         CASE WHEN s <= max(e) OVER (PARTITION BY user_id, event_type
-                ORDER BY s, e
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-              THEN 0 ELSE 1 END AS ni
-  FROM iv),
-isl AS (
-  SELECT user_id, event_type, s, e,
-         sum(ni) OVER (PARTITION BY user_id, event_type ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM flag),
-sp AS (
-  SELECT user_id, event_type,
-         epoch_us(min(s)) / 1000000.0 AS ss,
-         epoch_us(max(e)) / 1000000.0 AS ee
-  FROM isl GROUP BY user_id, event_type, island)
-SELECT a.user_id,
-       a.ss AS a_start, a.ee AS a_end,
-       b.ss AS b_start, b.ee AS b_end,
-       greatest(a.ss, b.ss) AS overlap_start,
-       least(a.ee, b.ee) AS overlap_end
-FROM sp a JOIN sp b
-  ON a.user_id = b.user_id
- AND a.event_type = 'click' AND b.event_type = 'view'
- AND a.ss < b.ee AND b.ss < a.ee
-"""
 
 
 def _spans(spark, sf_dir, tp):
@@ -81,10 +39,6 @@ def _r80(spark, sf_dir, bucket="6 hours"):
         "span_end",
         bucket=bucket,
     )
-
-
-def test_interval_overlap_matches_duckdb_oracle(spark, duck):
-    compare(_r80(spark, SF_ORACLE), duck, R80_ORACLE)
 
 
 def test_interval_overlap_bucketed_equals_naive(spark):

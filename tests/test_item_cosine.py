@@ -1,7 +1,5 @@
 """Item-item cosine co-occurrence
-(operators/mining.py::item_cosine_pairs) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future m22_item_cosine registration will carry, plus a hand-computed
+(operators/mining.py::item_cosine_pairs) — promoted round 6: the oracle moved verbatim onto the m22_item_cosine registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps a hand-computed
 cosine check. All inputs to the cosine are exact integers, so both
 engines compute bitwise-identical doubles (sqrt/÷ are correctly
 rounded IEEE ops) — rounding at 4dp then ordering is cross-engine
@@ -14,34 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future m22 oracle, verbatim. Ordering is (cosine DESC, item_a,
-# item_b) — a total order, so the LIMIT boundary is deterministic.
-M22_ORACLE = """
-WITH iu AS (
-  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-ic AS (SELECT it, count(*) AS n FROM iu GROUP BY it),
-p AS (
-  SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_shared
-  FROM iu a JOIN iu b ON a.bk = b.bk AND a.it < b.it
-  GROUP BY 1, 2 HAVING count(*) >= 2)
-SELECT item_a, item_b, n_shared,
-       round(n_shared / sqrt(ca.n * cb.n), 4) AS cosine
-FROM p JOIN ic ca ON p.item_a = ca.it JOIN ic cb ON p.item_b = cb.it
-ORDER BY cosine DESC, item_a, item_b LIMIT 25
-"""
-
-
-def _m22(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return item_cosine_pairs(
-        li, "l_orderkey", "l_partkey", min_shared=2, k=25
-    )
-
-
-def test_item_cosine_matches_duckdb_oracle(spark, duck):
-    compare(_m22(spark, SF_ORACLE), duck, M22_ORACLE)
 
 
 def test_item_cosine_hand_computed(spark):

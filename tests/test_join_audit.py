@@ -1,7 +1,5 @@
 """Pre-flight join-cardinality audit
-(operators/relational.py::join_cardinality_audit) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r68_join_fanout_audit registration will carry
+(operators/relational.py::join_cardinality_audit) — promoted round 6: the oracle moved verbatim onto the r68_join_fanout_audit registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps
 (orders-per-customer against the customer dimension), plus m:n and
 NULL-key hand pins and the exact-cardinality invariant."""
 
@@ -14,38 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r68 oracle, verbatim. NULL-key pin: plain (non-null-safe)
-# FULL JOIN equality — a NULL key never matches across sides,
-# exactly like the join being audited, so NULL-key groups surface as
-# one-sided rows with the other count 0.
-R68_ORACLE = """
-WITH l AS (SELECT o_custkey AS custkey, count(*) AS n_left
-           FROM orders GROUP BY 1),
-     r AS (SELECT c_custkey AS custkey, count(*) AS n_right
-           FROM customer GROUP BY 1)
-SELECT coalesce(l.custkey, r.custkey) AS custkey,
-       coalesce(l.n_left, 0) AS n_left,
-       coalesce(r.n_right, 0) AS n_right,
-       coalesce(l.n_left, 0) * coalesce(r.n_right, 0) AS out_rows,
-       (coalesce(l.n_left, 0) > 1 AND coalesce(r.n_right, 0) > 1)
-         AS is_mtm
-FROM l FULL JOIN r ON l.custkey = r.custkey
-"""
-
-
-def _r68(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey")
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey")
-    )
-    return join_cardinality_audit(orders, cust, ["custkey"])
-
-
-def test_join_audit_matches_duckdb_oracle(spark, duck):
-    compare(_r68(spark, SF_ORACLE), duck, R68_ORACLE)
 
 
 def test_join_audit_sum_is_exact_inner_cardinality(spark):

@@ -1,7 +1,5 @@
 """Multi-source k-hop BFS (operators/graph.py::khop_distances) —
-round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future m21_part_khop_reach registration will
-carry (chained-CTE BFS over the same co-purchase graph family as
+promoted round 6: the oracle moved verbatim onto the m21_part_khop_reach registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (chained-CTE BFS over the same co-purchase graph family as
 m13/m14, seeds = top-3 parts by degree), plus synthetic-graph
 semantics checks the sf0.01 fixture cannot exercise (exact distance
 layering, beyond-k exclusion, frontier-exhaustion early exit,
@@ -14,33 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future m21 oracle, verbatim. Same li/p/e CTE family as m13/m14;
-# NOT IN is null-safe here because part keys are NOT NULL by fixture
-# schema. Seeds are deterministic: degree DESC, id ASC, LIMIT 3 —
-# the operator mirrors this with orderBy+limit (a bounded
-# TakeOrderedAndProject, never a global sort).
-M21_ORACLE = """
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem),
-p AS (SELECT a.pk AS s, b.pk AS d FROM li a
-      JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
-e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
-deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
-d0 AS (SELECT s AS id FROM deg ORDER BY dg DESC, s LIMIT 3),
-n1 AS (SELECT DISTINCT e.d AS id FROM e JOIN d0 ON e.s = d0.id
-       WHERE e.d NOT IN (SELECT id FROM d0)),
-v1 AS (SELECT id FROM d0 UNION ALL SELECT id FROM n1),
-n2 AS (SELECT DISTINCT e.d AS id FROM e JOIN n1 ON e.s = n1.id
-       WHERE e.d NOT IN (SELECT id FROM v1)),
-v2 AS (SELECT id FROM v1 UNION ALL SELECT id FROM n2),
-n3 AS (SELECT DISTINCT e.d AS id FROM e JOIN n2 ON e.s = n2.id
-       WHERE e.d NOT IN (SELECT id FROM v2))
-SELECT id AS part_id, 0 AS dist FROM d0
-UNION ALL SELECT id, 1 FROM n1
-UNION ALL SELECT id, 2 FROM n2
-UNION ALL SELECT id, 3 FROM n3
-"""
 
 
 def _copurchase_edges(spark, sf_dir):
@@ -61,24 +32,6 @@ def _copurchase_edges(spark, sf_dir):
     return pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-
-
-def _m21(spark, sf_dir):
-    edges = _copurchase_edges(spark, sf_dir)
-    seeds = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("dg"))
-        .orderBy(F.desc("dg"), "src")
-        .limit(3)
-        .select(F.col("src").alias("id"))
-    )
-    return khop_distances(edges, seeds, max_hops=3).select(
-        F.col("id").alias("part_id"), "dist"
-    )
-
-
-def test_khop_matches_duckdb_oracle(spark, duck):
-    compare(_m21(spark, SF_ORACLE), duck, M21_ORACLE)
 
 
 def test_khop_distance_layers_on_a_path(spark):

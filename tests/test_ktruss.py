@@ -1,103 +1,22 @@
-"""k-truss membership (operators/graph.py::ktruss) — round-6 window
-candidate, locally certified NOW: the generated DuckDB oracle below
-is the exact SQL a future m25_part_ktruss registration will carry
-(the 3-truss of the support-thresholded co-purchase graph — the m18
-graph one cohesion notch denser; 3,445 edges peel to the 181 that
-sit in mutually-surviving triangles, fixpoint at round 2, and the
-4-truss of this graph is EMPTY — max within-set support is 2 — so
-k = 3 is the largest non-vacuous certification), with the kcore
-oracle strategy:
-peel-until-stable on the Spark side vs a FIXED unrolled round chain
-on the DuckDB side, plus a slack test proving the chain runs past
-the fixture's fixpoint. Closed-form K4 / broken-K4 hand pins cover
-the cascade a one-shot support filter misses."""
+"""k-truss membership (operators/graph.py::ktruss) — promoted round
+6 as m25_part_ktruss: the generated oracle now lives on the
+registration (queries/mining_pack.py::_ktruss_oracle — imported here
+so the slack test exercises the EXACT SQL the driver runs);
+driver-grade value parity is mirrored by tests/test_oracle_parity.py.
+This file keeps the oracle-strategy slack test (the chain must run
+past the fixture's fixpoint) and the closed-form K4 / broken-K4 hand
+pins covering the cascade a one-shot support filter misses."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.graph import ktruss
-from miningfrequentpattern_spark.sources.io import load_table
-
-from .conftest import SF_ORACLE
-from .oracle import compare
-
-_KTRUSS_K = 3  # need >= 1 within-truss triangle per edge
-_ROUNDS = 6
-
-
-def _ktruss_oracle() -> str:
-    """Generated, not hand-unrolled (the m18 stance): the round body
-    exists once; every CTE is MATERIALIZED because each round
-    references its predecessor multiple times and DuckDB's default
-    inlining would expand the chain multiplicatively."""
-    ctes = [
-        """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-                  FROM lineitem),
-    e0 AS MATERIALIZED (SELECT a.pk AS s, b.pk AS d FROM li a
-           JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-           GROUP BY 1, 2 HAVING count(*) >= 2)"""
-    ]
-    for i in range(1, _ROUNDS + 1):
-        p = i - 1
-        ctes.append(
-            f"""tri{i} AS MATERIALIZED (
-             SELECT a.s AS x, a.d AS y, b.d AS z
-             FROM e{p} a JOIN e{p} b ON a.d = b.s
-             JOIN e{p} c ON c.s = a.s AND c.d = b.d),
-    sup{i} AS MATERIALIZED (
-             SELECT s, d, count(*) AS sup FROM (
-               SELECT x AS s, y AS d FROM tri{i}
-               UNION ALL SELECT y, z FROM tri{i}
-               UNION ALL SELECT x, z FROM tri{i})
-             GROUP BY 1, 2),
-    e{i} AS MATERIALIZED (
-             SELECT e.s, e.d FROM e{p} e
-             JOIN sup{i} u ON u.s = e.s AND u.d = e.d
-                          AND u.sup >= {_KTRUSS_K - 2})"""
-        )
-    last, lsup = f"e{_ROUNDS}", f"sup{_ROUNDS}"
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
-    SELECT e.s AS part_a, e.d AS part_b, u.sup AS support
-    FROM {last} e JOIN {lsup} u ON u.s = e.s AND u.d = e.d"""
-    )
-
-
-M25_ORACLE = _ktruss_oracle()
-
-
-def _thresholded_copurchase(spark, sf_dir):
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        )
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
-
-
-def _m25(spark, sf_dir):
-    return ktruss(_thresholded_copurchase(spark, sf_dir), _KTRUSS_K).select(
-        F.col("s").alias("part_a"), F.col("d").alias("part_b"), "support"
-    )
-
-
-def test_ktruss_matches_duckdb_oracle(spark, duck):
-    compare(_m25(spark, SF_ORACLE), duck, M25_ORACLE)
+from miningfrequentpattern_spark.queries.mining_pack import (
+    _KTRUSS_ORACLE_ROUNDS as _ROUNDS,
+)
+from miningfrequentpattern_spark.queries.mining_pack import (
+    KTRUSS_ORACLE as M25_ORACLE,
+)
 
 
 def test_ktruss_oracle_chain_has_peel_depth_slack(duck):

@@ -1,7 +1,5 @@
 """Per-label centroid cosine matrix
-(operators/embeddings.py::label_centroid_similarity) — round-6
-window candidate, locally certified NOW: the DuckDB oracle below is
-the exact SQL a future l51_label_centroids registration will carry
+(operators/embeddings.py::label_centroid_similarity) — promoted round 6: the oracle moved verbatim onto the l51_label_centroids registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps
 (class-geometry monitor over the embeddings table), plus orthogonal/
 identical/zero-centroid hand pins and a numpy reference."""
 
@@ -16,44 +14,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future l51 oracle, verbatim. Reuses l29's pinned DuckDB explode
-# idiom (1-based embedding[i] + INCLUSIVE generate_series — dialect
-# canary in tests/test_fixture_invariants.py); n per (label, pos) is
-# constant across pos (fixed-dim fixture), so max() reads it back;
-# zero-norm centroids yield NULL cosine (the r44 pin).
-L51_ORACLE = """
-WITH d AS (SELECT e.label, t.pos, e.embedding[t.pos]::DOUBLE AS x
-           FROM embeddings e,
-                unnest(generate_series(1, len(e.embedding)))
-                  AS t(pos)
-           WHERE e.label IS NOT NULL AND e.embedding IS NOT NULL),
-cent AS (SELECT label, pos, avg(x) AS m, count(*) AS n
-         FROM d GROUP BY 1, 2),
-p AS (SELECT a.label AS label_a, b.label AS label_b,
-             max(a.n) AS n_a, max(b.n) AS n_b,
-             sum(a.m * b.m) AS dot,
-             sum(a.m * a.m) AS naa,
-             sum(b.m * b.m) AS nbb
-      FROM cent a JOIN cent b
-        ON a.pos = b.pos AND a.label < b.label
-      GROUP BY 1, 2)
-SELECT label_a, label_b,
-       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-       CASE WHEN sqrt(naa) * sqrt(nbb) > 0
-            THEN round(dot / (sqrt(naa) * sqrt(nbb)), 4)
-       END AS cosine
-FROM p
-"""
-
-
-def _l51(spark, sf_dir):
-    embs = load_table(spark, sf_dir, "embeddings")
-    return label_centroid_similarity(embs, "label", "embedding")
-
-
-def test_label_centroids_match_duckdb_oracle(spark, duck):
-    compare(_l51(spark, SF_ORACLE), duck, L51_ORACLE)
 
 
 def test_label_centroids_closed_form(spark):

@@ -1,7 +1,5 @@
 """Robust median/MAD outlier flags
-(operators/relational.py::mad_outliers) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future r67_value_outliers registration will carry (robust z on event
+(operators/relational.py::mad_outliers) — promoted round 6: the oracle moved verbatim onto the r67_value_outliers registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (robust z on event
 values per type), plus the MAD=0, all-NULL-group, and
 known-outlier hand pins."""
 
@@ -12,42 +10,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r67 oracle, verbatim. Dialect pins: quantile_cont ≡ Spark
-# percentile ((n−1)·p interpolation — the winsorize pin); MAD = 0
-# yields NULL robust_z and false, never ±inf (the r44 sigma pin);
-# LEFT joins keep rows from groups with no non-NULL value at all.
-R67_ORACLE = """
-WITH m AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events WHERE value IS NOT NULL GROUP BY 1),
-d AS (
-  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
-  FROM events e JOIN m USING (event_type)
-  WHERE e.value IS NOT NULL GROUP BY 1)
-SELECT e.event_type, e.event_id, e.value,
-       CASE WHEN d.mad > 0
-            THEN round(0.6745 * (e.value - m.med) / d.mad, 4)
-       END AS robust_z,
-       coalesce(
-         CASE WHEN d.mad > 0
-              THEN abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
-         END, false) AS is_outlier
-FROM events e
-LEFT JOIN m USING (event_type)
-LEFT JOIN d USING (event_type)
-"""
-
-
-def _r67(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
-    )
-    return mad_outliers(ev, ["event_type"], "value", carry=["event_id"])
-
-
-def test_mad_outliers_matches_duckdb_oracle(spark, duck):
-    compare(_r67(spark, SF_ORACLE), duck, R67_ORACLE)
 
 
 def test_mad_outliers_flags_known_outlier(spark):

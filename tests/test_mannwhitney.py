@@ -1,7 +1,5 @@
 """Distributed Mann–Whitney U test
-(operators/relational.py::mannwhitney_z) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future r78_click_vs_view_ranksum registration will carry (click vs
+(operators/relational.py::mannwhitney_z) — promoted round 6: the oracle moved verbatim onto the r78_click_vs_view_ranksum registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (click vs
 view event values), plus closed-form no-tie and tie-corrected hand
 pins. The midrank leg rides the two-phase distributed rank — no
 single-partition window anywhere (the oracle's global row_number is
@@ -17,47 +15,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r78 oracle, verbatim. midrank = avg of the value's rank
-# block (exact for the average-rank convention, permutation-
-# invariant so the engines' different tie orders cannot matter);
-# na·(na+1) is always even, so the /2 float division is exact.
-R78_ORACLE = """
-WITH base AS (
-  SELECT event_type AS g, value AS v FROM events
-  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
-r AS (SELECT g, v, row_number() OVER (ORDER BY v) AS rn FROM base),
-pv AS (SELECT v, avg(rn) AS midrank, count(*) AS t,
-              sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS na_v
-       FROM r GROUP BY 1),
-s AS (SELECT sum(na_v * midrank) AS ra,
-             CAST(sum(na_v) AS BIGINT) AS na,
-             CAST(sum(t - na_v) AS BIGINT) AS nb,
-             CAST(sum(t * t * t - t) AS BIGINT) AS ties
-      FROM pv)
-SELECT 'click' AS group_a, 'view' AS group_b, na AS n_a, nb AS n_b,
-       round(ra - na * (na + 1) / 2, 4) AS u_stat,
-       CASE WHEN na * nb / 12.0
-                 * ((na + nb + 1)
-                    - ties / (CAST(na + nb AS DOUBLE)
-                              * (na + nb - 1))) > 0
-            THEN round((ra - na * (na + 1) / 2 - na * nb / 2)
-                       / sqrt(na * nb / 12.0
-                              * ((na + nb + 1)
-                                 - ties / (CAST(na + nb AS DOUBLE)
-                                           * (na + nb - 1)))), 4)
-       END AS z
-FROM s
-"""
-
-
-def _r78(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return mannwhitney_z(ev, "event_type", "value", "click", "view")
-
-
-def test_mannwhitney_matches_duckdb_oracle(spark, duck):
-    compare(_r78(spark, SF_ORACLE), duck, R78_ORACLE)
 
 
 def test_mannwhitney_no_ties_closed_form(spark):

@@ -17,47 +17,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 from .conftest import SF_ORACLE
 from .oracle import compare
 
-# Future r65 oracle, verbatim. Stage fragments: daily (shared scan),
-# trend (r57's covar/var form per event_type over day numbers),
-# centered CUSUM (r58's closed form on n − per-type mean, target 0).
-# Per-type means are exact-count ÷ exact-count divisions; every
-# accumulation is day-ordered on both sides (days are unique per
-# type, so no tiebreak is needed).
-R65_ORACLE = """
-WITH daily AS MATERIALIZED (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
-mu AS (SELECT event_type, avg(n * 1.0) AS mean_n FROM daily GROUP BY 1),
-tr AS (
-  SELECT event_type,
-         round(CASE WHEN var_pop(tt) > 0
-                    THEN covar_pop(tt, n * 1.0) / var_pop(tt) END, 4)
-           AS slope
-  FROM (SELECT event_type,
-               date_diff('day', DATE '1970-01-01', day)::DOUBLE AS tt, n
-        FROM daily)
-  GROUP BY event_type),
-cen AS (
-  SELECT d.event_type, d.day, d.n, d.n - m.mean_n AS x
-  FROM daily d JOIN mu m USING (event_type)),
-pre AS (
-  SELECT event_type, day, n, x,
-         sum(x) OVER (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
-  FROM cen),
-cu AS (
-  SELECT event_type, day, n, pp,
-         min(pp) OVER (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS runmin
-  FROM pre)
-SELECT c.event_type, CAST(c.day AS TIMESTAMP) AS day, c.n,
-       t.slope,
-       round(c.pp - least(0.0, c.runmin), 4) AS cusum,
-       (c.pp - least(0.0, c.runmin)) > 50.0 AS drifted
-FROM cu c JOIN tr t USING (event_type)
-"""
-
 
 def _r65(spark, sf_dir):
     daily = (
@@ -96,10 +55,6 @@ def _r65(spark, sf_dir):
             "drifted",
         )
     )
-
-
-def test_ops_monitor_matches_duckdb_oracle(spark, duck):
-    compare(_r65(spark, SF_ORACLE), duck, R65_ORACLE)
 
 
 def test_ops_monitor_composition_stays_fused(spark):

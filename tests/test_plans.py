@@ -1338,10 +1338,7 @@ def test_staged_topn_others_window_is_dimension_sized(spark):
     category aggregate; the rank window and the OTHER re-aggregate
     run on the |categories| relation (window input = the aggregate,
     never the corpus); the part dim joins broadcast."""
-    import importlib
-
-    t = importlib.import_module("tests.test_topn_abc")
-    p = _staged_plan(t._r63(spark, SF_ORACLE))
+    p = _staged_plan(QUERIES["r63_brand_topn_others"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in p, p
     assert "partial_sum" in p, p
     assert p.count("Window (") == 1, p
@@ -1357,10 +1354,7 @@ def test_staged_abc_single_group_window(spark):
     """r64 candidate: one corpus aggregate, then BOTH window passes
     (cumulative + grand total) partition by the group — no global
     (empty partition-spec) window anywhere."""
-    import importlib
-
-    t = importlib.import_module("tests.test_topn_abc")
-    p = _staged_plan(t._r64(spark, SF_ORACLE))
+    p = _staged_plan(QUERIES["r64_brand_abc"](spark, SF_ORACLE))
     assert "partial_sum" in p, p
     assert "windowspecdefinition(returnflag" in p, p
     # every windowspec carries the partition column — a bare
@@ -1395,10 +1389,7 @@ def test_staged_calibrated_gate_stratum_window_only(spark):
     """l47 candidate: ONE window, partitioned by the stratum — never
     a global rank; everything else row-local (no joins, no second
     corpus pass)."""
-    import importlib
-
-    t = importlib.import_module("tests.test_calibrated_gate")
-    p = _staged_plan(t._l47(spark, SF_ORACLE))
+    p = _staged_plan(QUERIES["l47_calibrated_gate"](spark, SF_ORACLE))
     assert p.count("Window (") == 1, p
     assert "Join" not in p, p
     specs = re.findall(r"windowspecdefinition\((\w+)", p)

@@ -1,6 +1,5 @@
 """Personalized PageRank (operators/graph.py::personalized_pagerank)
-— round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future m26_part_ppr registration will carry
+— promoted round 6: the oracle moved verbatim onto the m26_part_ppr registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps
 (3-iteration PPR over the symmetrized co-purchase graph, seeded at
 its 10 lowest part ids — the related-items query), plus
 reduces-to-uniform, seed-concentration, and seed-validation hand
@@ -17,44 +16,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future m26 oracle, verbatim — the m13 chained-CTE shape with the
-# uniform teleport replaced by the seed indicator: (1−d)/m on the 10
-# lowest part ids, 0 elsewhere; nodes with no inflow keep their
-# teleport-only value via the LEFT JOIN + coalesce.
-M26_ORACLE = """
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem),
-p AS (SELECT a.pk AS s, b.pk AS d FROM li a
-      JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
-e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
-deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
-nodes AS (SELECT DISTINCT s AS id FROM e),
-nn AS (SELECT count(*) AS n FROM nodes),
-sd AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
-tele AS (SELECT nd.id,
-                CASE WHEN sd.id IS NOT NULL THEN 0.15 / 10 ELSE 0 END
-                  AS t
-         FROM nodes nd LEFT JOIN sd ON sd.id = nd.id),
-r0 AS (SELECT id, t / 0.15 AS r FROM tele),
-r1 AS (SELECT tl.id, tl.t + 0.85 * coalesce(f.c, 0) AS r
-       FROM tele tl LEFT JOIN (
-         SELECT e.d AS id, sum(r0.r / deg.dg) AS c
-         FROM e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s
-         GROUP BY e.d) f USING (id)),
-r2 AS (SELECT tl.id, tl.t + 0.85 * coalesce(f.c, 0) AS r
-       FROM tele tl LEFT JOIN (
-         SELECT e.d AS id, sum(r1.r / deg.dg) AS c
-         FROM e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s
-         GROUP BY e.d) f USING (id)),
-r3 AS (SELECT tl.id, tl.t + 0.85 * coalesce(f.c, 0) AS r
-       FROM tele tl LEFT JOIN (
-         SELECT e.d AS id, sum(r2.r / deg.dg) AS c
-         FROM e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s
-         GROUP BY e.d) f USING (id))
-SELECT id AS part_id, round(r * (SELECT n FROM nn), 4) AS ppr
-FROM r3
-"""
 
 
 def _copurchase_edges(spark, sf_dir):
@@ -78,23 +39,6 @@ def _copurchase_edges(spark, sf_dir):
     return pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-
-
-def _m26(spark, sf_dir):
-    edges = _copurchase_edges(spark, sf_dir)
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    seeds = nodes.orderBy("id").limit(10)
-    return personalized_pagerank(edges, seeds, iterations=3).select(
-        F.col("id").alias("part_id"), "ppr"
-    )
-
-
-def test_ppr_matches_duckdb_oracle(spark, duck):
-    compare(_m26(spark, SF_ORACLE), duck, M26_ORACLE)
 
 
 def test_ppr_all_nodes_seeded_is_uniform_pagerank(spark):

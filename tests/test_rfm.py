@@ -1,7 +1,5 @@
 """RFM customer segmentation
-(operators/relational.py::rfm_scores) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future r75_customer_rfm registration will carry (orders by customer,
+(operators/relational.py::rfm_scores) — promoted round 6: the oracle moved verbatim onto the r75_customer_rfm registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (orders by customer,
 quintile scores), plus closed-form quintile-edge and tie-collapse
 hand pins. No global ntile()/percent_rank() window anywhere — scores
 come from broadcast quantile edges, the shape that survives 100 M
@@ -14,50 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r75 oracle, verbatim. Dialect pins: recency compares in the
-# exact epoch-seconds double domain (epoch_us/1e6 ≡ Spark's
-# timestamp→double cast — the r71 pin); edges are 4dp-rounded
-# (exact here: date-grain epochs and k/5 interpolation fractions
-# give ≤3-decimal true edges); values AT an edge take the higher
-# score (>=); quantile ties COLLAPSE into one score by construction.
-R75_ORACLE = """
-WITH pc AS (
-  SELECT o_custkey AS cust, max(o_orderdate) AS last_ts,
-         count(*) AS frequency,
-         round(coalesce(sum(o_totalprice), 0), 4) AS monetary
-  FROM orders GROUP BY 1),
-e AS (SELECT
-  list_transform(quantile_cont(epoch_us(last_ts) / 1000000.0,
-                 [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS er,
-  list_transform(quantile_cont(frequency * 1.0,
-                 [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS ef,
-  list_transform(quantile_cont(monetary,
-                 [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS em
-  FROM pc),
-s AS (SELECT pc.cust, pc.last_ts, pc.frequency, pc.monetary,
-  CAST(len(list_filter(e.er,
-       x -> epoch_us(pc.last_ts) / 1000000.0 >= x)) + 1 AS INT) AS r_score,
-  CAST(len(list_filter(e.ef,
-       x -> pc.frequency * 1.0 >= x)) + 1 AS INT) AS f_score,
-  CAST(len(list_filter(e.em,
-       x -> pc.monetary >= x)) + 1 AS INT) AS m_score
-  FROM pc CROSS JOIN e)
-SELECT cust, last_ts, frequency, monetary, r_score, f_score, m_score,
-       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
-FROM s
-"""
-
-
-def _r75(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("cust"), "o_orderdate", "o_totalprice"
-    )
-    return rfm_scores(orders, "cust", "o_orderdate", "o_totalprice")
-
-
-def test_rfm_matches_duckdb_oracle(spark, duck):
-    compare(_r75(spark, SF_ORACLE), duck, R75_ORACLE)
 
 
 def test_rfm_closed_form_quintiles(spark):

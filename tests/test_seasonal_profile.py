@@ -1,7 +1,5 @@
 """Day-of-week seasonal decomposition
-(operators/timeseries.py::seasonal_profile) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r69_weekly_seasonality registration will carry
+(operators/timeseries.py::seasonal_profile) — promoted round 6: the oracle moved verbatim onto the r69_weekly_seasonality registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps
 (dow profile + residuals of daily event volumes per type — the
 deseasonalization leg in front of r44/r57/r58), plus the ISO-dow
 convention pin and NULL pass-through hand checks."""
@@ -13,41 +11,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r69 oracle, verbatim. Dialect pins: dow is ISO
-# (1=Monday..7=Sunday) — DuckDB's isodow natively, Spark's
-# 1=Sunday dayofweek shifted ((dow+5)%7+1); daily counts are always
-# > 0 so the ratio guard never fires on this workload (it exists for
-# gauge series that CAN average to zero).
-R69_ORACLE = """
-WITH c AS (
-  SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
-         CAST(count(*) AS DOUBLE) AS n
-  FROM events GROUP BY 1, 2)
-SELECT event_type, day, n,
-       CAST(isodow(day) AS INT) AS dow,
-       round(avg(n) OVER w, 4) AS dow_mean,
-       round(n - avg(n) OVER w, 4) AS residual,
-       round(n / avg(n) OVER w, 4) AS ratio
-FROM c
-WINDOW w AS (PARTITION BY event_type, isodow(day))
-"""
-
-
-def _r69(spark, sf_dir):
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            "event_type",
-            F.date_trunc("day", "ts").alias("day"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-    )
-    return seasonal_profile(daily, ["event_type"], "day", "n")
-
-
-def test_seasonal_profile_matches_duckdb_oracle(spark, duck):
-    compare(_r69(spark, SF_ORACLE), duck, R69_ORACLE)
 
 
 def test_seasonal_profile_iso_dow_and_means(spark):

@@ -1,7 +1,5 @@
 """Per-series OLS trend (operators/timeseries.py::series_trend) —
-round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future r57_daily_revenue_trend registration
-will carry, plus an exact-line hand check and the degenerate-variance
+promoted round 6: the oracle moved verbatim onto the r57_daily_revenue_trend registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps an exact-line hand check and the degenerate-variance
 NULL pins (Spark corr yields NaN at zero variance where DuckDB yields
 NULL — the operator normalizes; see the r44 flat-series stance)."""
 
@@ -14,50 +12,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r57 oracle, verbatim. Dialect pins: t is date_diff days from
-# a fixed epoch cast ::DOUBLE (Spark side uses datediff — identical
-# integer day counts); slope/intercept/r2 via covar_pop/var_pop/corr
-# on BOTH sides (single-pass co-moment algorithms agree to relative
-# 1e-12, far inside the 4dp rounding); ^ is DuckDB power.
-R57_ORACLE = """
-WITH daily AS (
-  SELECT o_orderpriority AS priority,
-         CAST(o_orderdate AS DATE) AS day,
-         sum(o_totalprice) AS rev
-  FROM orders GROUP BY 1, 2),
-t AS (
-  SELECT priority,
-         date_diff('day', DATE '1970-01-01', day)::DOUBLE AS tt,
-         rev
-  FROM daily)
-SELECT priority, count(*) AS n_obs,
-       round(CASE WHEN var_pop(tt) > 0
-                  THEN covar_pop(tt, rev) / var_pop(tt) END, 4)
-         AS slope,
-       round(avg(rev) - CASE WHEN var_pop(tt) > 0
-                             THEN covar_pop(tt, rev) / var_pop(tt) END
-                        * avg(tt), 4) AS intercept,
-       round(corr(tt, rev) ^ 2, 4) AS r2
-FROM t GROUP BY priority
-"""
-
-
-def _r57(spark, sf_dir):
-    daily = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(
-            F.col("o_orderpriority").alias("priority"),
-            F.col("o_orderdate").cast("date").alias("day"),
-        )
-        .agg(F.sum("o_totalprice").alias("rev"))
-        .withColumn("t", F.datediff("day", F.lit("1970-01-01")))
-    )
-    return series_trend(daily, ["priority"], "t", "rev")
-
-
-def test_series_trend_matches_duckdb_oracle(spark, duck):
-    compare(_r57(spark, SF_ORACLE), duck, R57_ORACLE)
 
 
 def test_series_trend_exact_line(spark):

@@ -1,7 +1,5 @@
 """Key-skew diagnostic (functions/skew.py::key_skew_profile) —
-round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future r53_skew_advisor registration will
-carry, plus a synthetic hot-key case where the advisory numbers are
+promoted round 6: the oracle moved verbatim onto the r53_skew_advisor registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps a synthetic hot-key case where the advisory numbers are
 hand-checkable and a plan audit (top-k must be a bounded
 TakeOrderedAndProject, never a global sort)."""
 
@@ -14,42 +12,16 @@ from miningfrequentpattern_spark.functions.skew import key_skew_profile
 from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
 
-# Future r53 oracle, verbatim. Dialect pins: quantile_cont == Spark's
-# exact interpolated `percentile` (the r10b pin); DuckDB sum() is
-# HUGEINT → cast BIGINT; count DESC then key ASC makes the top-5
-# deterministic under count ties.
-R53_ORACLE = """
-WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
-s AS (SELECT count(*) AS n_keys,
-             CAST(sum(n) AS BIGINT) AS n_rows,
-             avg(n) AS mean_n,
-             quantile_cont(n, 0.5) AS p50_n,
-             quantile_cont(n, 0.99) AS p99_n,
-             max(n) AS max_n
-      FROM c)
-SELECT c.user_id, c.n AS n_rows_key,
-       round(c.n * 1.0 / s.n_rows, 4) AS share,
-       s.n_keys,
-       round(s.mean_n, 4) AS mean_per_key,
-       round(s.p50_n, 4) AS p50_per_key,
-       round(s.p99_n, 4) AS p99_per_key,
-       round(s.max_n / s.mean_n, 4) AS skew_factor
-FROM c, s
-ORDER BY c.n DESC, c.user_id
-LIMIT 5
-"""
+load_all_packs()
 
 
 def _r53(spark, sf_dir):
-    return key_skew_profile(
-        load_table(spark, sf_dir, "events"), ["user_id"], top_k=5
-    )
-
-
-def test_skew_profile_matches_duckdb_oracle(spark, duck):
-    compare(_r53(spark, SF_ORACLE), duck, R53_ORACLE)
+    return QUERIES["r53_skew_advisor"](spark, sf_dir)
 
 
 def test_skew_profile_flags_the_hot_key(spark):

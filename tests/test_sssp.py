@@ -1,7 +1,5 @@
 """Weighted multi-source shortest paths
-(operators/graph.py::sssp_distances) — round-6 window candidate,
-locally certified NOW: the DuckDB oracle below is the exact SQL a
-future m23_part_cheapest_reach registration will carry (3 chained
+(operators/graph.py::sssp_distances) — promoted round 6: the oracle moved verbatim onto the m23_part_cheapest_reach registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (3 chained
 full-relaxation rounds over the co-purchase graph with
 1/shared-orders edge costs — after round k both forms equal "cheapest
 path using ≤ k edges", the operator's bounded semantics), plus
@@ -18,40 +16,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future m23 oracle, verbatim. Float parity: each round computes
-# d_prev + w with IDENTICAL accumulation order in both engines
-# (round-chained additions), so the min() compares bitwise-equal
-# doubles; 1.0/n division is correctly rounded from exact integers.
-M23_ORACLE = """
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem),
-p AS (SELECT a.pk AS s, b.pk AS d, count(*) AS n FROM li a
-      JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
-e AS (SELECT s, d, 1.0 / n AS w FROM p
-      UNION ALL SELECT d, s, 1.0 / n FROM p),
-deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
-d0 AS (SELECT s AS id, 0.0 AS dist FROM deg ORDER BY dg DESC, s LIMIT 3),
-r1 AS MATERIALIZED (
-  SELECT id, min(dist) AS dist FROM (
-    SELECT id, dist FROM d0
-    UNION ALL
-    SELECT e.d, pd.dist + e.w FROM e JOIN d0 pd ON e.s = pd.id
-  ) GROUP BY id),
-r2 AS MATERIALIZED (
-  SELECT id, min(dist) AS dist FROM (
-    SELECT id, dist FROM r1
-    UNION ALL
-    SELECT e.d, pd.dist + e.w FROM e JOIN r1 pd ON e.s = pd.id
-  ) GROUP BY id),
-r3 AS MATERIALIZED (
-  SELECT id, min(dist) AS dist FROM (
-    SELECT id, dist FROM r2
-    UNION ALL
-    SELECT e.d, pd.dist + e.w FROM e JOIN r2 pd ON e.s = pd.id
-  ) GROUP BY id)
-SELECT id AS part_id, round(dist, 4) AS dist FROM r3
-"""
 
 
 def _weighted_copurchase_edges(spark, sf_dir):
@@ -76,24 +40,6 @@ def _weighted_copurchase_edges(spark, sf_dir):
             "weight",
         )
     )
-
-
-def _m23(spark, sf_dir):
-    edges = _weighted_copurchase_edges(spark, sf_dir)
-    seeds = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("dg"))
-        .orderBy(F.desc("dg"), "src")
-        .limit(3)
-        .select(F.col("src").alias("id"))
-    )
-    return sssp_distances(edges, seeds, max_rounds=3).select(
-        F.col("id").alias("part_id"), F.round("dist", 4).alias("dist")
-    )
-
-
-def test_sssp_matches_duckdb_oracle(spark, duck):
-    compare(_m23(spark, SF_ORACLE), duck, M23_ORACLE)
 
 
 def test_sssp_cheaper_multihop_beats_direct_edge(spark):

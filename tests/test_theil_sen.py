@@ -1,7 +1,5 @@
 """Theil–Sen robust trend (operators/timeseries.py::theil_sen_trend)
-— round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future r76_robust_trend registration will
-carry (daily order volumes per priority), plus exact-line,
+— promoted round 6: the oracle moved verbatim onto the r76_robust_trend registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps (daily order volumes per priority), plus exact-line,
 outlier-robustness, and single-observation hand pins."""
 
 from pyspark.sql import functions as F
@@ -11,51 +9,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r76 oracle, verbatim. Pairwise slopes are identical double
-# arithmetic on both engines; quantile_cont ≡ Spark percentile (the
-# winsorize pin); the strict a.t < b.t join drops dt = 0 pairs on
-# both sides for free.
-R76_ORACLE = """
-WITH d AS (
-  SELECT o_orderpriority AS priority,
-         CAST(date_diff('day', DATE '1970-01-01',
-                        CAST(o_orderdate AS DATE)) AS DOUBLE) AS t,
-         CAST(count(*) AS DOUBLE) AS n
-  FROM orders GROUP BY 1, CAST(o_orderdate AS DATE)),
-p AS (SELECT a.priority, (b.n - a.n) / (b.t - a.t) AS s
-      FROM d a JOIN d b ON a.priority = b.priority AND a.t < b.t),
-m AS (SELECT priority, count(*) AS n_pairs,
-             quantile_cont(s, 0.5) AS slope
-      FROM p GROUP BY 1)
-SELECT d.priority, count(*) AS n_obs, max(m.n_pairs) AS n_pairs,
-       round(max(m.slope), 4) AS sen_slope,
-       round(quantile_cont(d.n - m.slope * d.t, 0.5), 4)
-         AS sen_intercept
-FROM d JOIN m USING (priority)
-GROUP BY d.priority
-"""
-
-
-def _r76(spark, sf_dir):
-    daily = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(
-            F.col("o_orderpriority").alias("priority"),
-            F.col("o_orderdate").cast("date").alias("day"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-        .select(
-            "priority",
-            F.datediff("day", F.lit("1970-01-01")).cast("double").alias("t"),
-            "n",
-        )
-    )
-    return theil_sen_trend(daily, ["priority"], "t", "n")
-
-
-def test_theil_sen_matches_duckdb_oracle(spark, duck):
-    compare(_r76(spark, SF_ORACLE), duck, R76_ORACLE)
 
 
 def test_theil_sen_exact_line(spark):

@@ -1,7 +1,6 @@
 """Top-N-plus-OTHER rollup and ABC contribution analysis
 (operators/relational.py::topn_with_others / ::abc_classification) —
-round-6 window candidates, locally certified NOW: the DuckDB oracles
-below are the exact SQL future r63/r64 registrations will carry, plus
+promoted round 6: the oracle moved verbatim onto the r63/r64 registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps
 boundary-semantics hand checks (the crossing-item class pin, the
 mass-conservation invariant)."""
 
@@ -18,48 +17,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 from .conftest import SF_ORACLE
 from .oracle import compare
 
-# Future r63 oracle, verbatim. Boundary ties break (total DESC,
-# label ASC) on both sides — a total order, deterministic N cut.
-R63_ORACLE = """
-WITH rev AS (
-  SELECT p.p_brand AS label,
-         sum(l.l_extendedprice * (1 - l.l_discount)) AS total
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  GROUP BY 1),
-rk AS (SELECT label, total,
-              row_number() OVER (ORDER BY total DESC, label) AS rn
-       FROM rev)
-SELECT CASE WHEN rn <= 10 THEN label ELSE 'OTHER' END AS label,
-       (rn > 10) AS is_other,
-       round(sum(total), 4) AS total
-FROM rk GROUP BY 1, 2
-"""
-
-# Future r64 oracle, verbatim. Class is decided by the share BEFORE
-# the item (cum_share_before < cut → the crossing item takes the
-# HIGHER class) — the documented pin the operator mirrors.
-R64_ORACLE = """
-WITH agg AS (
-  SELECT l.l_returnflag AS returnflag, p.p_brand AS item,
-         sum(l.l_extendedprice * (1 - l.l_discount)) AS total
-  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-  GROUP BY 1, 2),
-w AS (
-  SELECT returnflag, item, total,
-         coalesce(sum(total) OVER (PARTITION BY returnflag
-               ORDER BY total DESC, item
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             0.0) AS cumb,
-         sum(total) OVER (PARTITION BY returnflag) AS grand
-  FROM agg)
-SELECT returnflag, item, round(total, 4) AS total,
-       round(total / grand, 4) AS share,
-       round((cumb + total) / grand, 4) AS cum_share,
-       CASE WHEN cumb / grand < 0.8 THEN 'A'
-            WHEN cumb / grand < 0.95 THEN 'B'
-            ELSE 'C' END AS abc_class
-FROM w
-"""
 
 
 def _brand_rev(spark, sf_dir):
@@ -69,31 +26,6 @@ def _brand_rev(spark, sf_dir):
         F.broadcast(pa.select("p_partkey", "p_brand")),
         li["l_partkey"] == pa["p_partkey"],
     )
-
-
-def _r63(spark, sf_dir):
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return topn_with_others(_brand_rev(spark, sf_dir), "p_brand", rev, 10)
-
-
-def _r64(spark, sf_dir):
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return abc_classification(
-        _brand_rev(spark, sf_dir).withColumnRenamed(
-            "l_returnflag", "returnflag"
-        ),
-        ["returnflag"],
-        "p_brand",
-        rev,
-    )
-
-
-def test_topn_with_others_matches_duckdb_oracle(spark, duck):
-    compare(_r63(spark, SF_ORACLE), duck, R63_ORACLE)
-
-
-def test_abc_matches_duckdb_oracle(spark, duck):
-    compare(_r64(spark, SF_ORACLE), duck, R64_ORACLE)
 
 
 def test_topn_conserves_mass_and_cuts_deterministically(spark):

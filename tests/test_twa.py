@@ -1,7 +1,5 @@
 """Time-weighted average (operators/timeseries.py::time_weighted_avg)
-— round-6 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL a future r56_time_weighted_value registration
-will carry, plus hand-computed step-interpolation cases and the
+— promoted round 6: the oracle moved verbatim onto the r56_time_weighted_value registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps hand-computed step-interpolation cases and the
 tied-timestamp determinism pin."""
 
 import math
@@ -15,39 +13,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r56 oracle, verbatim. Dialect pins: epoch_us(ts)/1000000.0
-# is EXACTLY Spark's cast(timestamp as double) (micros over 1e6 in
-# float64 — both engines divide the same integer by the same
-# constant); lead() orders by (t, x) so tied timestamps resolve
-# identically in both engines (operator docstring: the largest tied
-# value holds, the rest contribute dt = 0); HUGEINT-free since
-# count(*) is BIGINT.
-R56_ORACLE = """
-WITH v AS (
-  SELECT user_id, epoch_us(ts)/1000000.0 AS t, value AS x
-  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-d AS (
-  SELECT user_id, x,
-         lead(t) OVER (PARTITION BY user_id ORDER BY t, x) - t AS dt
-  FROM v)
-SELECT user_id,
-       round(CASE WHEN sum(dt) > 0 THEN sum(x * dt) / sum(dt) END, 4)
-         AS twa,
-       count(*) AS n_obs
-FROM d GROUP BY user_id
-"""
-
-
-def _r56(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return time_weighted_avg(ev, ["user_id"], "ts", "value").select(
-        "user_id", F.round("twa", 4).alias("twa"), "n_obs"
-    )
-
-
-def test_twa_matches_duckdb_oracle(spark, duck):
-    compare(_r56(spark, SF_ORACLE), duck, R56_ORACLE)
 
 
 def test_twa_hand_computed_steps(spark):

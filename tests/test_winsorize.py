@@ -1,7 +1,5 @@
 """Winsorized robust stats
-(operators/relational.py::winsorized_stats) — round-6 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL a future r60_winsorized_price registration will carry,
+(operators/relational.py::winsorized_stats) — promoted round 6: the oracle moved verbatim onto the r60_winsorized_price registration and driver-grade value parity now runs in tests/test_oracle_parity.py; this file keeps,
 plus a hand-computed clamp check and the percentile-definition pin
 (Spark `percentile` ≡ SQL `quantile_cont`, both (n−1)·p linear
 interpolation — the reason the bounds hash-match cross-engine)."""
@@ -17,44 +15,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future r60 oracle, verbatim. Dialect pins: quantile_cont matches
-# Spark's exact `percentile` interpolation; the bounds join back via
-# USING so the clamp sees per-group lo/hi; any_value is safe because
-# lo/hi are constant within a group.
-R60_ORACLE = """
-WITH base AS (
-  SELECT l_returnflag AS returnflag, l_extendedprice AS v
-  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-b AS (
-  SELECT returnflag,
-         quantile_cont(v, 0.05) AS lo,
-         quantile_cont(v, 0.95) AS hi
-  FROM base GROUP BY returnflag)
-SELECT base.returnflag, count(*) AS n_obs,
-       round(any_value(lo), 4) AS lo_val,
-       round(any_value(hi), 4) AS hi_val,
-       round(avg(least(greatest(v, lo), hi)), 4) AS win_mean
-FROM base JOIN b USING (returnflag)
-GROUP BY base.returnflag
-"""
-
-
-def _r60(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
-    )
-    return winsorized_stats(
-        li.withColumnRenamed("l_returnflag", "returnflag"),
-        ["returnflag"],
-        "l_extendedprice",
-        0.05,
-        0.95,
-    )
-
-
-def test_winsorize_matches_duckdb_oracle(spark, duck):
-    compare(_r60(spark, SF_ORACLE), duck, R60_ORACLE)
 
 
 def test_winsorize_hand_computed(spark):

@@ -17,52 +17,6 @@ from miningfrequentpattern_spark.sources.io import load_table
 from .conftest import SF_ORACLE
 from .oracle import compare
 
-# Future l50 oracle, verbatim. Rank ties pin: (count DESC, term ASC)
-# is a total order, so the distributed two-phase rank and the SQL
-# row_number agree exactly; the fit runs on log10 of exact integer
-# ranks/counts, and the co-moment 4dp round absorbs libm ulp (the
-# r57 stance).
-L50_ORACLE = """
-WITH c AS (
-  SELECT term, count(*) AS n FROM (
-    SELECT unnest(string_split(trim(text), ' ')) AS term
-    FROM documents WHERE text IS NOT NULL)
-  GROUP BY 1),
-r AS (SELECT row_number() OVER (ORDER BY n DESC, term) AS rank, n
-      FROM c),
-l AS (SELECT log10(rank) AS t, log10(n) AS x FROM r)
-SELECT count(*) AS n_obs,
-       round(CASE WHEN var_pop(t) > 0
-                  THEN covar_pop(t, x) / var_pop(t) END, 4) AS slope,
-       round(avg(x) - (CASE WHEN var_pop(t) > 0
-                            THEN covar_pop(t, x) / var_pop(t) END)
-                      * avg(t), 4) AS intercept,
-       round(pow(corr(t, x), 2), 4) AS r2
-FROM l
-"""
-
-
-def _l50(spark, sf_dir):
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select(
-            F.explode(F.split(F.trim("text"), " ")).alias("term")
-        )
-    )
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    ranked = global_row_number(
-        counts, [F.col("n").desc(), F.col("term").asc()], "rank"
-    )
-    logs = ranked.select(
-        F.log10("rank").alias("t"), F.log10("n").alias("x")
-    )
-    return series_trend(logs, [], "t", "x")
-
-
-def test_zipf_matches_duckdb_oracle(spark, duck):
-    compare(_l50(spark, SF_ORACLE), duck, L50_ORACLE)
-
 
 def test_zipf_exact_power_law_fits_perfectly(spark):
     """n(r) = C/r with C divisible by every rank: log n = log C −
