@@ -712,11 +712,6 @@ def ivfpq_topk(
         corpus.select(F.col(id_col), F.col(vec_col).alias("_arr"))
         .filter(F.col("_arr").isNotNull())
         .withColumn("_nv", l2_normalize("_arr"))
-        .withColumn(
-            "_v",
-            F.when(F.col("_nv").isNotNull(), array_to_vector("_nv")),
-        )
-        .filter(F.col("_v").isNotNull())
     )
     queries = queries.filter(F.col(vec_col).isNotNull())
     if c.isEmpty():
@@ -734,11 +729,30 @@ def ivfpq_topk(
     sub = dim // n_subspaces
 
     # Coarse quantizer on the NORMALIZED space (cosine ≡ L2 there, so
-    # cell membership agrees with the ADC metric).
-    km = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cid"
+    # cell membership agrees with the ADC metric). Fit economics (the
+    # _pq_fit_codebooks lesson, measured here too): the first cut fit
+    # on the UNCACHED corpus lineage and paid ~18 s at sf0.1
+    # re-scanning parquet per Lloyd/init pass — CACHED it is ~1 s.
+    # Unlike the 8-dim PQ sub-quantizers, the coarse quantizer keeps
+    # k-means|| init and full iterations: its cell boundaries decide
+    # which candidates EXIST (recall), not how they score (the rerank
+    # fixes scores, not absences) — an A/B on these fixtures measured
+    # random-init recall 0.81/0.64 (sf0.01/0.1) vs 0.88 with k-means||
+    # on identical probe budgets, and the polish is nearly free on
+    # the cached input.
+    fit_vec = (
+        c.select(array_to_vector(F.col("_nv")).alias("_v"))
+        .coalesce(8)
+        .cache()
     )
-    model = km.fit(c)
+    try:
+        km = KMeans(
+            k=n_clusters, seed=seed,
+            featuresCol="_v", predictionCol="_cid",
+        )
+        model = km.fit(fit_vec)
+    finally:
+        fit_vec.unpersist()
     centers = np.array([np.asarray(cc) for cc in model.clusterCenters()])
     b_centers = spark.sparkContext.broadcast(centers)
 
@@ -748,18 +762,13 @@ def ivfpq_topk(
     encode_udf = _pq_encode_udf(b_cb, n_subspaces, sub)
     adc_udf = _pq_adc_udf(b_cb, n_subspaces, n_codes, sub)
 
-    # The inverted file: (cid, 8-byte codes) — raw vectors do NOT
-    # ride the posting lists (the ivf_topk caveat this composition
-    # removes); they come back only for the rerank survivors.
-    postings = model.transform(c).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("_cid").alias("cid"),
-        encode_udf(F.col("_nv")).alias("_codes"),
-    )
-
-    def _probe(vecs):
-        # ivf_topk's probe on the normalized query (the coarse index
-        # was trained normalized); empty probe list for null rows.
+    def _nearest_cells(vecs, n):
+        # Shared cell-assignment kernel: normalized argmin distance to
+        # the broadcast centroid matrix. Corpus rows take n=1 (their
+        # inverted-file cell — a vectorized pandas argmin instead of
+        # MLlib model.transform's row-at-a-time JVM UDF), queries take
+        # n=n_probes. Null rows get an empty list so a downstream
+        # explode drops them.
         arrs = list(vecs)
         valid_idx = [i for i, a in enumerate(arrs) if a is not None]
         out = [[] for _ in arrs]
@@ -771,12 +780,29 @@ def ivfpq_topk(
             d = ((m[:, None, :] - b_centers.value[None, :, :]) ** 2).sum(
                 axis=2
             )
-            idx = np.argsort(d, axis=1)[:, :n_probes].astype("int32")
+            idx = np.argsort(d, axis=1)[:, :n].astype("int32")
             for row, i in enumerate(valid_idx):
                 out[i] = list(idx[row])
         return pd.Series(out)
 
-    probe_cids = pandas_udf(_probe, returnType="array<int>")
+    assign_cid = pandas_udf(
+        lambda v: _nearest_cells(v, 1).map(
+            lambda cells: cells[0] if cells else None
+        ),
+        returnType="int",
+    )
+    probe_cids = pandas_udf(
+        lambda v: _nearest_cells(v, n_probes), returnType="array<int>"
+    )
+
+    # The inverted file: (cid, 8-byte codes) — raw vectors do NOT
+    # ride the posting lists (the ivf_topk caveat this composition
+    # removes); they come back only for the rerank survivors.
+    postings = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_cid(F.col("_nv")).alias("cid"),
+        encode_udf(F.col("_nv")).alias("_codes"),
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

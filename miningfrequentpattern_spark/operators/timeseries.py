@@ -749,3 +749,94 @@ def interval_overlap_join(
         ),
         F.least(F.col("a_end"), F.col("b_end")).alias("overlap_end"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    beta: float = 0.3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series — the
+    trend-aware upgrade of ewma for monitoring dashboards and
+    one-step forecasting baselines (ŷ_{t+1} = level_t + trend_t):
+
+        level_1 = x_1,  trend_1 = x_2 − x_1
+        level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+
+    Returns the input's (keys, order_col, value_col) columns plus
+    `level` and `trend` (double), one row per input row. A
+    single-observation series has no trend evidence: its row emits
+    level = x and trend = NULL (never 0.0 — a fabricated flat trend
+    is a wrong forecast, not a safe default).
+
+    The recurrence is ewma's grouped-map shape (Arrow float64 block,
+    in-UDF ordering by `order_col`, duplicate order keys RAISE unless
+    `tiebreak_col` disambiguates) with an explicit per-step loop:
+    pandas has no two-state ewm, and the explicit loop is what makes
+    the arithmetic BITWISE the recursive-CTE oracle's — each step is
+    the same two fused expressions in the same order, and α/β are
+    restricted to values whose complements round-trip exactly in
+    float64 ((1−0.2) == 0.8 bitwise), the r52 parity stance. Series
+    length is bounded by the time grain (days per series), so the
+    Python loop is ~hundreds of iterations per group, not corpus-
+    sized. Scale posture: identical to ewma — one shuffle on the
+    series key, per-series task memory, NO driver-side anything.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    import numpy as np
+
+    extra = [tiebreak_col] if tiebreak_col else []
+    base = df.select(
+        *keys,
+        order_col,
+        *extra,
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    schema = ST.StructType(
+        list(base.schema.fields)
+        + [
+            ST.StructField("level", ST.DoubleType()),
+            ST.StructField("trend", ST.DoubleType()),
+        ]
+    )
+    sort_cols = [order_col, *extra]
+    one_m_a, one_m_b = 1.0 - alpha, 1.0 - beta
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        if pdf.duplicated(sort_cols).any():
+            raise ValueError(
+                f"duplicate {sort_cols} within a series: the Holt "
+                "recurrence is order-ambiguous; pass tiebreak_col or "
+                "pre-aggregate to a unique grain"
+            )
+        x = pdf[value_col].to_numpy(dtype="float64")
+        n = len(x)
+        lv = np.empty(n, dtype="float64")
+        tr = np.empty(n, dtype="float64")
+        lv[0] = x[0]
+        if n == 1:
+            pdf["level"] = lv
+            pdf["trend"] = pd.array([pd.NA], dtype="Float64")
+            return pdf
+        level, trend = x[0], x[1] - x[0]
+        tr[0] = trend
+        for t in range(1, n):
+            new_level = alpha * x[t] + one_m_a * (level + trend)
+            trend = beta * (new_level - level) + one_m_b * trend
+            level = new_level
+            lv[t] = level
+            tr[t] = trend
+        pdf["level"] = lv
+        pdf["trend"] = tr
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(fn, schema)

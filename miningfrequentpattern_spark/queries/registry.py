@@ -142,7 +142,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # timeseries.py::last_touch_attribution -> r62_attribution with the
 # IGNORE-NULLS-window oracle in tests/test_attribution.py, and
 # timeseries.py::cadence_audit -> r71_feed_cadence with the epoch_us
-# lag/quantile oracle in tests/test_cadence_audit.py — then backfill
+# lag/quantile oracle in tests/test_cadence_audit.py — plus the
+# round-6 staged additions (implemented + locally DuckDB-certified,
+# waiting for slots): timeseries.py::holt_linear ->
+# r82_holt_revenue with the two-state recursive-CTE oracle in
+# tests/test_holt.py; the composed TextRank keyword flagship
+# (shifted_pairs co-occurrence graph -> pagerank -> deterministic
+# top-25 in ONE plan) -> l53_textrank_keywords with the m13-shape
+# string-keyed chained-CTE oracle in tests/test_textrank.py;
+# sources/io.py::merge_upsert_partitioned -> s16_merge_upsert with
+# the relational-merge oracle in tests/test_merge_upsert.py (the
+# lakehouse MERGE INTO primitive: broadcast-semi partition pruning +
+# key anti-join + dynamic overwrite; untouched partitions proven
+# file-identical) — then backfill
 # every remaining slot with the OLDEST driver proofs, in this order:
 # (a) the r1/r2-proven set never re-proven (s02, s03, s03b, s04,
 # s05, s06, s07, s08, s09, r05b, r09, r10b, r11, r11b, r11c, r12,

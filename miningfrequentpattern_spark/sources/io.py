@@ -199,3 +199,78 @@ def write_xml(
     never as an analytic layout (text-encoded, unsplittable values,
     no stats)."""
     df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    op_col: str | None = None,
+    delete_marker: str = "D",
+) -> None:
+    """MERGE (upsert + optional delete) into a hive-partitioned
+    parquet table, rewriting ONLY the partitions the updates touch —
+    the lakehouse maintenance primitive (Delta/Iceberg MERGE INTO)
+    expressed with plain parquet + dynamic partition overwrite:
+
+      survivors = base ⟕anti updates  (per key, within touched
+                  partitions only)
+      output    = survivors ∪ updates[op != delete_marker]
+      write     = dynamic-overwrite partitionBy(partition_col)
+
+    Scale posture: cost ∝ the TOUCHED partitions, never the table.
+    The base read is pruned by a broadcast LEFT-SEMI join against the
+    updates' distinct partition values — at cluster scale that join
+    is exactly the shape Spark's dynamic partition pruning rewrites
+    into a scan-level partition filter, so the untouched history is
+    never read, and dynamic overwrite guarantees it is never
+    REWRITTEN either (only partitions present in the output frame are
+    replaced). The update keys join is a broadcast anti-join when the
+    update batch is dimension-sized (hinted), the common daily-merge
+    case. NULL merge keys are rejected: a NULL key can never match
+    its target row (SQL equality), so the "update" would silently
+    duplicate — the caller must resolve identity first.
+
+    When `op_col` is given, rows whose op equals `delete_marker` act
+    as tombstones: their keys are removed and the rows themselves are
+    not re-inserted (Debezium-style deletes); every other op value is
+    an upsert. The op column is dropped from what lands in the table.
+    """
+    base_schema = spark.read.parquet(path).schema
+    up_cols = set(updates.columns) - ({op_col} if op_col else set())
+    if up_cols != set(base_schema.fieldNames()):
+        raise ValueError(
+            "merge_upsert_partitioned: updates schema must match the "
+            f"base table; base={sorted(base_schema.fieldNames())} "
+            f"updates={sorted(up_cols)}"
+        )
+    null_keys = updates.filter(
+        F.greatest(*[F.col(k).isNull() for k in keys])
+        if len(keys) > 1
+        else F.col(keys[0]).isNull()
+    )
+    if not null_keys.isEmpty():
+        raise ValueError(
+            "merge_upsert_partitioned: NULL merge key in updates — "
+            "equality can never match the target row"
+        )
+    base = spark.read.schema(base_schema).parquet(path)
+    touched = updates.select(partition_col).distinct()
+    in_touched = base.join(F.broadcast(touched), partition_col, "left_semi")
+    survivors = in_touched.join(
+        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    )
+    inserts = updates
+    if op_col is not None:
+        inserts = updates.filter(F.col(op_col) != delete_marker).drop(
+            op_col
+        )
+    out = survivors.unionByName(inserts)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1,0 +1,148 @@
+"""Partitioned MERGE upsert (sources/io.py::merge_upsert_partitioned)
+— round-7 window candidate, locally certified NOW: the DuckDB oracle
+below is the exact SQL the future s16_merge_upsert registration will
+carry (restate '1-URGENT' orders with key % 10 == 0 at doubled price,
+tombstone-delete key % 100 == 7, every other partition untouched),
+plus hand pins for delete semantics, untouched-partition survival at
+the FILE level, and the NULL-key / schema-mismatch raises."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.sources.io import (
+    load_table,
+    merge_upsert_partitioned,
+)
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future s16 oracle, verbatim. The merge is recomputed RELATIONALLY
+# from the originating fixture: updates double the price of urgent
+# keys % 10 == 0 (disjoint from the tombstoned % 100 == 7 set — those
+# end in 7), deletes remove urgent keys % 100 == 7, and every other
+# priority passes through bit-identical.
+S16_ORACLE = """
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           AND o_orderkey % 10 = 0
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS total
+FROM orders
+WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 100 = 7)
+GROUP BY 1
+"""
+
+
+def _s16(spark, sf_dir, path):
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        path
+    )
+    urgent = spark.read.schema(orders.schema).parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    updates = (
+        urgent.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_op", F.lit("U"))
+        .unionByName(
+            urgent.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+                "_op", F.lit("D")
+            )
+        )
+    )
+    merge_upsert_partitioned(
+        spark, path, updates, ["o_orderkey"], "o_orderpriority",
+        op_col="_op",
+    )
+    back = spark.read.schema(orders.schema).parquet(path)
+    return back.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def test_merge_upsert_matches_duckdb_oracle(spark, duck, tmp_path):
+    compare(_s16(spark, SF_ORACLE, str(tmp_path / "t")), duck, S16_ORACLE)
+
+
+def test_merge_upsert_leaves_untouched_partition_files_alone(
+    spark, tmp_path
+):
+    """The 100 TB contract at the FILE level: partitions absent from
+    the update batch keep their exact parquet files (same names, same
+    mtimes) — dynamic overwrite surgically replaced only the touched
+    partition directory."""
+    path = str(tmp_path / "t")
+    orders = load_table(spark, SF_ORACLE, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        path
+    )
+
+    def files_of(priority):
+        d = os.path.join(path, f"o_orderpriority={priority}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_low = files_of("5-LOW")
+    before_urgent = files_of("1-URGENT")
+    updates = (
+        spark.read.schema(orders.schema).parquet(path)
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 10 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    merge_upsert_partitioned(
+        spark, path, updates, ["o_orderkey"], "o_orderpriority"
+    )
+    assert files_of("5-LOW") == before_low  # untouched: same files
+    assert files_of("1-URGENT") != before_urgent  # touched: rewritten
+
+
+def test_merge_upsert_inserts_new_keys_and_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, p string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0, "U"),   # update existing
+         (4, "a", 40.0, "U"),   # insert new key
+         (1, "a", 0.0, "D")],   # delete
+        "k long, p string, v double, _op string",
+    )
+    merge_upsert_partitioned(
+        spark, path, updates, ["k"], "p", op_col="_op"
+    )
+    got = {
+        (r["k"], r["p"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(2, "a"): 99.0, (4, "a"): 40.0, (3, "b"): 30.0}
+
+
+def test_merge_upsert_rejects_null_keys_and_schema_drift(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a", 1.0)], "k long, p string, v double")
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    null_key = spark.createDataFrame(
+        [(None, "a", 2.0)], "k long, p string, v double"
+    )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert_partitioned(spark, path, null_key, ["k"], "p")
+    drifted = spark.createDataFrame([(1, "a")], "k long, p string")
+    with pytest.raises(ValueError, match="schema must match"):
+        merge_upsert_partitioned(spark, path, drifted, ["k"], "p")
