@@ -474,3 +474,95 @@ def item_cosine_pairs(
         .orderBy(F.desc("cosine"), F.asc("item_a"), F.asc("item_b"))
         .limit(int(k))
     )
+
+
+def emerging_pair_patterns(
+    before: DataFrame,
+    after: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Emerging-pattern mining over item PAIRS (Dong & Li, KDD '99
+    restricted to 2-itemsets — the lattice level where support counts
+    stay oracle-able as plain SQL): co-occurrence counts of each item
+    pair in a BEFORE and an AFTER basket corpus, with per-period
+    supports and the support growth rate
+
+        growth = (n_after / N_after) / (n_before / N_before)
+
+    — the "what started selling together" / "what pattern is new this
+    quarter" query that complements M4's single-corpus frequent
+    itemsets with the contrast dimension. Returns (item_a, item_b,
+    n_before, n_after, support_before, support_after, growth,
+    is_new): pairs absent from BEFORE have NULL growth and
+    is_new = true (a 0-denominator is a NEW pattern, not infinity);
+    pairs are kept when EITHER period's count reaches `min_count`
+    (vanishing patterns — present before, gone after — surface with
+    n_after = 0 rather than silently dropping).
+
+    Shape: per period, DISTINCT (basket, item) postings self-join on
+    the basket key under the pinned shuffle_hash hint (corpus-sized
+    relations must never broadcast — the m15/l02 convention) into a
+    (pair, count) aggregate; the two PAIR-grain relations full-outer
+    join on the pair key; the two 1-row basket counts broadcast. All
+    supports divide exact integers, so both engines compute identical
+    float64 (the m22 parity stance). NULL basket/item keys are
+    excluded (they cannot form evidence).
+    """
+    def _postings(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+            )
+            .filter(F.col("bk").isNotNull() & F.col("it").isNotNull())
+            .distinct()
+        )
+
+    def _pairs(iu: DataFrame, out: str) -> DataFrame:
+        a, b = iu.alias("a"), iu.hint("shuffle_hash").alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.it") < F.col("b.it")),
+            )
+            .groupBy(
+                F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b")
+            )
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    iu_b, iu_a = _postings(before), _postings(after)
+    nb = iu_b.agg(F.countDistinct("bk").alias("_n_before"))
+    na = iu_a.agg(F.countDistinct("bk").alias("_n_after"))
+    joined = (
+        _pairs(iu_b, "n_before")
+        .join(_pairs(iu_a, "n_after"), ["item_a", "item_b"], "full_outer")
+        .select(
+            "item_a",
+            "item_b",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .filter(
+            (F.col("n_before") >= min_count)
+            | (F.col("n_after") >= min_count)
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(na))
+    )
+    sup_b = F.col("n_before") * 1.0 / F.col("_n_before")
+    sup_a = F.col("n_after") * 1.0 / F.col("_n_after")
+    return joined.select(
+        "item_a",
+        "item_b",
+        "n_before",
+        "n_after",
+        F.round(sup_b, 4).alias("support_before"),
+        F.round(sup_a, 4).alias("support_after"),
+        F.round(
+            F.when(F.col("n_before") > 0, sup_a / sup_b), 4
+        ).alias("growth"),
+        (F.col("n_before") == 0).alias("is_new"),
+    )

@@ -840,3 +840,61 @@ def holt_linear(
         return pdf
 
     return base.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    value_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Linear interpolation of NULL gaps per series — r43's zero-fill
+    companion for GAUGE semantics, where a missing day means "not
+    observed", not "zero": every NULL value between two observations
+    is replaced by the straight line between them,
+
+        filled = prev + (next − prev) · (t − t_prev)/(t_next − t_prev)
+
+    while LEADING/TRAILING gaps (no neighbor on one side) stay NULL —
+    extrapolation is a forecasting decision the caller must make
+    explicitly, not a fill default. Observed rows pass through
+    unchanged (cast to double). Returns the input plus `out_col`.
+
+    Shape: two frame-bounded windows over ONE (keys, t)-sort — the
+    backward pass (last non-NULL value/t at-or-before) and the
+    forward pass (first non-NULL value/t at-or-after) share the same
+    partitioning and ordering, so EnsureRequirements plans a single
+    exchange; the arithmetic is row-local. `t_col` must be NUMERIC
+    (days since epoch, epoch seconds — the caller picks the domain;
+    cross-engine parity needs number arithmetic, not interval math)
+    and UNIQUE per series (the dense-grid contract r43 produces; tied
+    t would make "previous observation" ambiguous).
+
+    Scale: windows are keyed by the series — no global window; the
+    relation is grid-sized (cardinality × span), not corpus-sized.
+    """
+    t = F.col(t_col).cast("double")
+    v = F.col(value_col).cast("double")
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(t_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(t_col).asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last(v, ignorenulls=True).over(wb)
+    pt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wb)
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nt = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wf)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv + (nv - pv) * (t - pt) / (nt - pt),
+        )
+    )
+    return df.withColumn(out_col, filled)

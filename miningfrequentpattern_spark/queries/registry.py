@@ -154,7 +154,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the relational-merge oracle in tests/test_merge_upsert.py (the
 # lakehouse MERGE INTO primitive: broadcast-semi partition pruning +
 # key anti-join + dynamic overwrite; untouched partitions proven
-# file-identical) — then backfill
+# file-identical); mining.py::emerging_pair_patterns ->
+# m27_emerging_pairs with the before/after full-outer contrast
+# oracle in tests/test_emerging.py (Dong & Li emerging patterns at
+# the pair level — the contrast dimension M4 lacks);
+# timeseries.py::gapfill_interpolate -> r83_gapfill_interp with the
+# IGNORE-NULLS two-pass oracle in tests/test_gapfill_interp.py
+# (gauge-semantics companion to r43's zero-fill) — then backfill
 # every remaining slot with the OLDEST driver proofs, in this order:
 # (a) the r1/r2-proven set never re-proven (s02, s03, s03b, s04,
 # s05, s06, s07, s08, s09, r05b, r09, r10b, r11, r11b, r11c, r12,
