@@ -6,11 +6,13 @@ Two tiers, same output contract (query_id, neighbor_id, cos_sim, rank):
   the native-expression cosine, per-query top-k window. Correctness
   baseline and perfectly fine when |queries| is small (the common
   "probe a corpus" case): the corpus side streams, nothing collects.
-- `ann_lsh_topk`: BucketedRandomProjectionLSH (random hyperplane
-  projection, euclidean buckets). On unit-normalized vectors,
-  euclidean distance is monotone in cosine (d² = 2 - 2cos), so
-  bucketing by euclidean LSH IS cosine ANN. This is the 100 TB path:
-  candidate generation touches only same-bucket pairs.
+- `ann_lsh_topk`: NATIVE random-projection LSH (seeded Gaussian
+  directions as literal arrays; the hash is a codegen
+  aggregate/zip_with dot product — no MLlib, no UDF, no optimizer
+  barrier). On unit-normalized vectors, euclidean distance is
+  monotone in cosine (d² = 2 - 2cos), so bucketing by euclidean LSH
+  IS cosine ANN. Candidate generation touches only same-bucket
+  pairs via a plain (table, bucket) equi-join.
 
 - `ivf_topk`: IVF (inverted-file) — KMeans coarse quantizer assigns
   every corpus vector to a centroid; a query searches only its
@@ -146,93 +148,113 @@ def ann_lsh_topk(
     bucket_length: float = 0.5,
     num_hash_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors via random-projection LSH.
+    """Approximate top-k cosine neighbors via NATIVE random-projection
+    LSH (round 6 — replaces the MLlib BucketedRandomProjectionLSH
+    form): vectors are L2-normalized (euclidean LSH ≡ cosine ANN on
+    the unit sphere), each of the `num_hash_tables` seeded unit
+    Gaussian directions r_t hashes a vector to
+    floor((v·r_t)/bucket_length), candidates are the pairs sharing
+    ANY (table, bucket), and the exact cosine reranks them above the
+    0.28 admission floor (≡ the euclidean-1.2 threshold the MLlib
+    form used: cos = 1 − d²/2 on unit vectors). Precision on
+    returned pairs is 1; recall is floored vs the exact operator in
+    tests. Seeded → deterministic; registered rows-only like every
+    ANN variant (the hash family changed with this rewrite, so the
+    candidate SET differs from the MLlib form's — the recall floor
+    and subset-of-exact properties are the contract, not the
+    specific pairs).
 
-    Vectors are L2-normalized first so euclidean LSH ≡ cosine ANN.
-    Re-ranks LSH candidates with the exact cosine, so results are a
-    subset of the exact operator's (recall < 1, precision = 1 on the
-    returned pairs). Seeded → deterministic, but registered rows-only.
+    Why native: the hash is `aggregate(zip_with(v, r_t, *), +)` —
+    whole-stage codegen, NO Python/JVM UDF anywhere. That removes
+    the two structural costs of the MLlib form: (a) the hash UDF was
+    not null-tolerant, and Catalyst pushing the join's inferred
+    `isnotnull(hash_udf(v))` below the null filters could NPE — which
+    forced a LAZY localCheckpoint optimizer barrier that sacrificed
+    executor-loss recoverability on every call (SCALING.md "ANN
+    fault tolerance", now historical); native expressions are
+    null-strict (NULL vector → NULL bucket → never joins), so the
+    plan needs NO barrier and keeps FULL lineage. (b) Candidate
+    generation is a plain (table, bucket) shuffle equi-join — AQE
+    can see and re-plan it, and the explode fan-out is exactly
+    num_hash_tables rows per vector.
+
+    The projection matrix is tiny (num_hash_tables × dim float64)
+    and rides the plan as literal arrays — no broadcast variable, no
+    fit job. `dim` sizes it; pass it explicitly to stay fully lazy
+    (the registered l03b query does), else a documented bounded
+    1-row probe reads it from the corpus.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    def prep(df: DataFrame, out_id: str) -> DataFrame:
-        # NULL vectors can't hash or score — drop at the boundary.
-        # Belt AND suspenders: array_to_vector THROWS on null instead
-        # of propagating it, and a side filter alone can be lost when
-        # the two join children share scan lineage (relation dedup
-        # rewrites expression ids) — so the conversion is additionally
-        # wrapped in a row-local WHEN that can never evaluate it on a
-        # null array, and the null rows are dropped by the filter on
-        # the guarded result.
-        return (
-            df.filter(F.col(vec_col).isNotNull())
-            .select(
-                F.col(id_col).alias(out_id),
-                l2_normalize(vec_col).alias("_arr"),
-            )
-            .withColumn(
-                "_v",
-                F.when(
-                    F.col("_arr").isNotNull(), array_to_vector("_arr")
-                ),
-            )
-            .filter(F.col("_v").isNotNull())
+    q_in = queries.filter(F.col(vec_col).isNotNull())
+    c_in = corpus.filter(F.col(vec_col).isNotNull())
+    if c_in.isEmpty():
+        return _empty_topk_result(queries, corpus, id_col)
+    if dim is None:
+        # Bounded 1-row scalar probe (the pq_topk stance).
+        dim = int(
+            c_in.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
         )
 
-    # The lazy localCheckpoint is an OPTIMIZER BARRIER, not a cache:
-    # approxSimilarityJoin's equi-join on exploded hash values makes
-    # Catalyst infer `isnotnull(hash_udf(_v))` and push it below the
-    # null filters, where MLlib's hash UDF — which is not
-    # null-tolerant — then evaluates on rows the filters would have
-    # dropped (NPE on any corpus containing null vectors). Behind a
-    # LogicalRDD boundary nothing can be pushed into the prepped
-    # sides, so the filters run first, as written. Lazy (eager=False)
-    # adds no extra job; the trade is the usual localCheckpoint one —
-    # checkpointed partitions cannot be recomputed on executor loss
-    # (see SCALING.md "ANN fault tolerance"). The barrier is SCOPED
-    # (ADVICE r4): it only defends the null filters, so a side whose
-    # vector column is statically NON-nullable — where no null can
-    # exist for a pushed `isnotnull(hash_udf(_v))` to crash on —
-    # skips it and keeps full lineage recoverability. Parquet scans
-    # are usually nullable, so the common path still pays the
-    # (documented) barrier; pipelines that can assert non-null
-    # schemas get resilience back for free.
-    def barrier(df: DataFrame, side: DataFrame) -> DataFrame:
-        if not side.schema[vec_col].nullable:
-            return df
-        return df.localCheckpoint(eager=False)
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((num_hash_tables, dim))
+    proj /= np.linalg.norm(proj, axis=1, keepdims=True)
 
-    q = barrier(prep(queries, "query_id"), queries)
-    c = barrier(prep(corpus, "neighbor_id"), corpus)
-    # MLlib fit throws on empty input; empty corpus → empty result
-    # (the fit below is already eager, so the bounded probe adds one
-    # trivial job, not a new eagerness).
-    if c.isEmpty():
-        return _empty_topk_result(queries, corpus, id_col)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="_v",
-        outputCol="_h",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
-    ).fit(c)
-    # Euclidean threshold 1.2 on unit vectors ≡ cosine ≥ 1 - 1.2²/2 = 0.28.
-    cand = lsh.approxSimilarityJoin(q, c, 1.2, distCol="_d")
-    sim = F.round(
-        1 - F.col("_d") * F.col("_d") / 2, 4
-    )  # cos = 1 - d²/2 on unit vectors
+    def hashed(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            l2_normalize(vec_col).alias("_nv"),
+        )
+
+        def bucket(t: int):
+            r_t = F.array(*[F.lit(float(x)) for x in proj[t]])
+            dot = F.aggregate(
+                F.zip_with(F.col("_nv"), r_t, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.struct(
+                F.lit(t).alias("t"),
+                F.floor(dot / F.lit(float(bucket_length)))
+                .cast("long")
+                .alias("h"),
+            )
+
+        return base.select(
+            out_id,
+            F.explode(
+                F.array(*[bucket(t) for t in range(num_hash_tables)])
+            ).alias("_b"),
+        ).select(out_id, F.col("_b.t").alias("t"), F.col("_b.h").alias("h"))
+
+    # Candidate ids only ride the bucket join (vectors would multiply
+    # the shuffle width for pairs that are about to dedup); the pair
+    # set dedups across tables, then fetches vectors back by id for
+    # the exact rerank — the pq_topk narrow-scan discipline.
+    cand = (
+        hashed(q_in, "query_id")
+        .join(hashed(c_in, "neighbor_id").hint("shuffle_hash"), ["t", "h"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = q_in.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = c_in.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
     return (
-        cand.select(
-            F.col("datasetA.query_id").alias("query_id"),
-            F.col("datasetB.neighbor_id").alias("neighbor_id"),
-            sim.alias("cos_sim"),
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.28)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

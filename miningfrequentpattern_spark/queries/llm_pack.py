@@ -335,12 +335,16 @@ def l03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("l03b_ann_lsh_topk")
 def l03b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 (approximate): random-projection LSH top-5 for the same 20
-    queries — the 100 TB scale path. Seeded, rows-only; recall vs the
-    exact operator is asserted in tests/test_llm.py."""
+    """L3 (approximate): NATIVE random-projection LSH top-5 for the
+    same 20 queries (round 6 rewrite: codegen dot-product hashes, a
+    plain (table, bucket) equi-join for candidates, no MLlib UDF and
+    therefore no localCheckpoint barrier — full lineage
+    recoverability). Seeded, rows-only; recall vs the exact operator
+    is asserted in tests/test_llm.py. dim passed explicitly — fully
+    lazy plan."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return ann_lsh_topk(queries_df, emb, k=5, seed=42)
+    return ann_lsh_topk(queries_df, emb, k=5, seed=42, dim=64)
 
 
 # ---------------------------------------------------------------------------
