@@ -15,7 +15,7 @@ Confidence/lift/support doubles are rounded to 4dp on BOTH sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as T
@@ -1416,7 +1416,14 @@ def m21_part_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT IN is null-safe here because part keys are fixture-NOT NULL."""
     from ..operators.graph import khop_distances
 
-    edges = _copurchase_edges_sym(spark, sf_dir)
+    # The seed aggregate AND the operator's internal edge cache both
+    # consume the pair-join lineage; a lazy localCheckpoint makes the
+    # expensive self-join materialize ONCE (the iterative-graph
+    # family already pins its RESULTS eagerly, so the recoverability
+    # trade is the family's documented one, not a new cost).
+    edges = _copurchase_edges_sym(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     seeds = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("dg"))
@@ -1518,11 +1525,13 @@ def m23_part_cheapest_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .agg((F.lit(1.0) / F.count(F.lit(1))).alias("weight"))
     )
+    # One materialization for the seed aggregate + the operator's
+    # edge cache (the m21 stance).
     edges = pairs.unionAll(
         pairs.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
-    )
+    ).localCheckpoint(eager=False)
     seeds = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("dg"))
@@ -1713,12 +1722,24 @@ def m26_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import personalized_pagerank
 
     edges = _copurchase_edges_sym(spark, sf_dir)
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
+    # Seeds = the 10 lowest NODE ids — derived LINEARLY instead of
+    # re-running the pair self-join a second time: a part is a graph
+    # node iff it shares an order with a DIFFERENT part, i.e. its
+    # order carries >= 2 distinct parts (exactly the pair join's
+    # a.ok = b.ok, a.pk < b.pk membership condition). One window
+    # count over the distinct (order, part) relation, no join.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    npp = F.count(F.lit(1)).over(Window.partitionBy("ok"))
+    seeds = (
+        li.withColumn("_npp", npp)
+        .filter(F.col("_npp") >= 2)
+        .select(F.col("pk").alias("id"))
         .distinct()
+        .orderBy("id")
+        .limit(10)
     )
-    seeds = nodes.orderBy("id").limit(10)
     return personalized_pagerank(edges, seeds, iterations=3).select(
         F.col("id").alias("part_id"), "ppr"
     )
