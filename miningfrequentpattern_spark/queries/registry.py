@@ -160,7 +160,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the pair level — the contrast dimension M4 lacks);
 # timeseries.py::gapfill_interpolate -> r83_gapfill_interp with the
 # IGNORE-NULLS two-pass oracle in tests/test_gapfill_interp.py
-# (gauge-semantics companion to r43's zero-fill) — then backfill
+# (gauge-semantics companion to r43's zero-fill); the point-in-time
+# SCD2 lookup composition (orders AS OF o_orderdate against the r51
+# versioned dimension, CONTAINMENT join — never an empty tied
+# interval) -> r84_scd2_lookup with the oracle in
+# tests/test_scd2_lookup.py — then backfill
 # every remaining slot with the OLDEST driver proofs, in this order:
 # (a) the r1/r2-proven set never re-proven (s02, s03, s03b, s04,
 # s05, s06, s07, s08, s09, r05b, r09, r10b, r11, r11b, r11c, r12,

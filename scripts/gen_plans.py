@@ -232,6 +232,9 @@ SECTIONS = [
     ("l38b_fuzzy_join_capped",
      "broadcast anti-join drops over-cap blocks BEFORE the "
      "shuffle_hash self-join"),
+    ("l03b_ann_lsh_topk",
+     "native RP-LSH: codegen bucket hashes, shuffle_hash candidate "
+     "equi-join, no Python node, no checkpoint barrier"),
 ]
 
 # one section per query — a duplicated entry silently doubles PLANS.md

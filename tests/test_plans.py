@@ -1892,3 +1892,17 @@ def test_staged_contract_audit_one_pass_any_rule_count(spark):
     assert len(re.findall(r"^\(\d+\) \w*HashAggregate", p, flags=re.M)) == 2, p
     assert "Join" not in p, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
+
+
+def test_native_lsh_has_no_udf_and_no_barrier(spark):
+    """l03b (round-6 native RP-LSH rewrite): the plan must contain NO
+    Python evaluation node (the hash is a codegen aggregate/zip_with)
+    and NO checkpoint scan (the MLlib form's localCheckpoint barrier
+    is gone — full lineage), and the candidate join must be the
+    pinned shuffle_hash, never a broadcast of the corpus side."""
+    p = plan_of(spark, "l03b_ann_lsh_topk")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "FlatMapGroupsInPandas" not in p and "MapInPandas" not in p, p
+    assert "ExistingRDD" not in p, p  # a checkpoint would scan one
+    assert "ShuffledHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
