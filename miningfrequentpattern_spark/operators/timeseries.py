@@ -793,7 +793,14 @@ def holt_linear(
         raise ValueError(f"beta must be in (0, 1], got {beta}")
     import numpy as np
 
-    extra = [tiebreak_col] if tiebreak_col else []
+    # The tiebreak may BE the value column (the streaming twin orders
+    # by (ts, value), so its batch-equality harness passes
+    # tiebreak_col=value_col) — don't select it twice.
+    extra = (
+        [tiebreak_col]
+        if tiebreak_col and tiebreak_col != value_col
+        else []
+    )
     base = df.select(
         *keys,
         order_col,
@@ -807,7 +814,7 @@ def holt_linear(
             ST.StructField("trend", ST.DoubleType()),
         ]
     )
-    sort_cols = [order_col, *extra]
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     one_m_a, one_m_b = 1.0 - alpha, 1.0 - beta
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -146,7 +146,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round-6 staged additions (implemented + locally DuckDB-certified,
 # waiting for slots): timeseries.py::holt_linear ->
 # r82_holt_revenue with the two-state recursive-CTE oracle in
-# tests/test_holt.py; the composed TextRank keyword flagship
+# tests/test_holt.py (its TRUE-STREAM twin holt_stream is tests-only
+# by design, like every streaming op); the composed TextRank keyword flagship
 # (shifted_pairs co-occurrence graph -> pagerank -> deterministic
 # top-25 in ONE plan) -> l53_textrank_keywords with the m13-shape
 # string-keyed chained-CTE oracle in tests/test_textrank.py;

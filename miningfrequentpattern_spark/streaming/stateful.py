@@ -511,3 +511,112 @@ def running_moments_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUT_SCHEMA = (
+    "event_type STRING, ts_us BIGINT, value DOUBLE, "
+    "level DOUBLE, trend DOUBLE"
+)
+HOLT_STATE_SCHEMA = "level DOUBLE, trend DOUBLE, n BIGINT, x0 DOUBLE"
+
+
+def _make_holt_update(alpha: float, beta: float):
+    one_m_a, one_m_b = 1.0 - alpha, 1.0 - beta
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Streaming Holt linear smoothing (the r82 batch twin):
+        state is (level, trend, n_seen, first_x) — the recurrence's
+        exact sufficient statistic plus the two-observation init
+        handshake (trend_1 = x_2 − x_1 needs the SECOND observation,
+        which may land batches later; n/x0 carry the init across the
+        split). The per-step loop is bitwise the batch operator's
+        (same two fused expressions, same order), so any IN-ORDER
+        batch split emits identical levels/trends from the SECOND
+        row of each key onward — proven against holt_linear over a
+        full replay AND under explicit splits in tests. The ONE
+        documented batch/stream deviation is the first row's trend:
+        the batch operator backfills trend_1 = x_2 − x_1
+        retroactively, which a true stream cannot know at row-1
+        emission time — the streamed first row carries trend = NULL
+        instead (and is never re-emitted; the init pair still seeds
+        the recurrence with the IDENTICAL expressions — level_2 =
+        α·x_2 + (1−α)·(x_1 + (x_2−x_1)) evaluated in the same order
+        on both sides — so row 2 onward matches bitwise). Same
+        per-key-ordered-feed contract as cusum_stream."""
+        if state.exists:
+            level, trend, n, x0 = state.get
+            level, trend, n, x0 = (
+                float(level), float(trend), int(n), float(x0)
+            )
+        else:
+            level, trend, n, x0 = 0.0, 0.0, 0, 0.0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
+            xs = pdf["value"].to_numpy(dtype="float64")
+            lv = np.empty(len(xs), dtype="float64")
+            tr = np.empty(len(xs), dtype="float64")
+            mask_null = np.zeros(len(xs), dtype=bool)
+            for i, x in enumerate(xs):
+                if n == 0:
+                    level, x0 = x, x
+                    lv[i], tr[i] = level, 0.0
+                    mask_null[i] = True  # no trend evidence yet
+                elif n == 1:
+                    # Init handshake: seed trend from the first pair
+                    # exactly as the batch operator does, then run the
+                    # SAME step expressions in the same order — the
+                    # batch lv[1]/tr[1] bitwise.
+                    trend = x - x0
+                    new_level = alpha * x + one_m_a * (level + trend)
+                    trend = beta * (new_level - level) + one_m_b * trend
+                    level = new_level
+                    lv[i], tr[i] = level, trend
+                else:
+                    new_level = alpha * x + one_m_a * (level + trend)
+                    trend = beta * (new_level - level) + one_m_b * trend
+                    level = new_level
+                    lv[i], tr[i] = level, trend
+                n += 1
+            out = pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "ts_us": (
+                        pdf["ts"].astype("datetime64[ns]").astype("int64")
+                        // 1_000
+                    ).to_numpy(),
+                    "value": xs,
+                    "level": lv,
+                    "trend": pd.array(tr, dtype="Float64"),
+                }
+            )
+            out.loc[mask_null, "trend"] = pd.NA
+            yield out
+        state.update((level, trend, n, x0))
+
+    return update
+
+
+def holt_stream(
+    events_stream: DataFrame, alpha: float = 0.2, beta: float = 0.3
+) -> DataFrame:
+    """T5-extension #4: true-stream Holt linear smoothing per event
+    type — the streaming twin of timeseries.holt_linear (the staged
+    r82), turning the trend-aware forecast baseline into a live
+    signal (next-batch expectation = level + trend at any moment).
+    Update-mode emission; four scalars of state per key."""
+    rows = events_stream.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("event_type", "ts", "value")
+    return rows.groupBy("event_type").applyInPandasWithState(
+        _make_holt_update(float(alpha), float(beta)),
+        outputStructType=HOLT_OUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -866,3 +866,101 @@ def test_stream_running_moments_equals_batch(spark):
     assert one["n"] == many["n"] == 8
     assert abs(one["mean"] - many["mean"]) < 1e-12
     assert abs(one["std_pop"] - many["std_pop"]) < 1e-12
+
+
+def test_stream_holt_equals_batch_from_second_row(spark):
+    """Streaming Holt over the full replay == the staged r82 batch
+    operator (holt_linear) bitwise from each key's SECOND row onward;
+    the first row's trend is the ONE documented deviation (the batch
+    op backfills trend_1 = x_2 − x_1 retroactively, which a true
+    stream cannot know at row-1 emission time — it emits NULL and
+    never re-emits), while its LEVEL (= x_1) matches exactly."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        holt_linear,
+    )
+    from miningfrequentpattern_spark.streaming.stateful import holt_stream
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    _run_to_memory(holt_stream(stream, alpha=0.2, beta=0.3), "holt_s")
+    got = {
+        (r.event_type, r.ts_us): (r.level, r.trend)
+        for r in spark.sql("SELECT * FROM holt_s").collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "ts", "value")
+    )
+    want = holt_linear(
+        batch, ["event_type"], "ts", "value",
+        alpha=0.2, beta=0.3, tiebreak_col="value",
+    ).collect()
+    assert len(got) == len(want) > 0
+    firsts = {}
+    for r in want:
+        ts_us = int(r["ts"].timestamp() * 1_000_000)
+        k = (r["event_type"], ts_us)
+        firsts.setdefault(r["event_type"], []).append((ts_us, r))
+    for etype, rows in firsts.items():
+        rows.sort(key=lambda p: p[0])
+        first_ts = rows[0][0]
+        for ts_us, r in rows:
+            g_level, g_trend = got[(r["event_type"], ts_us)]
+            assert abs(g_level - r["level"]) < 1e-9, (etype, ts_us)
+            if ts_us == first_ts:
+                assert g_trend is None  # the documented deviation
+            else:
+                assert abs(g_trend - r["trend"]) < 1e-9, (etype, ts_us)
+
+
+def test_stream_holt_split_independent():
+    """(level, trend, n, x0) is the recurrence's exact sufficient
+    statistic: any in-order micro-batch split — including one that
+    separates the two INIT observations — emits identical levels and
+    trends. Driven directly through the update function with a fake
+    GroupState (the cusum-split harness)."""
+    import pandas as pd
+
+    from miningfrequentpattern_spark.streaming.stateful import (
+        _make_holt_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    ts = pd.date_range("2024-01-01", periods=10, freq="h")
+    vals = [10.0, 20.0, 40.0, 35.0, 5.0, 60.0, 61.0, 2.0, 33.0, 34.0]
+    full = pd.DataFrame({"ts": ts, "value": vals})
+
+    def run(splits):
+        fn = _make_holt_update(0.5, 0.5)
+        st = FakeState()
+        levels, trends = [], []
+        for lo, hi in splits:
+            for out in fn(("t",), iter([full.iloc[lo:hi]]), st):
+                levels.extend(out["level"].tolist())
+                trends.extend(
+                    [None if pd.isna(v) else float(v)
+                     for v in out["trend"]]
+                )
+        return levels, trends, st._v
+
+    one = run([(0, 10)])
+    # split between the init pair (0,1 | 1,2) and at arbitrary points
+    many = run([(0, 1), (1, 3), (3, 7), (7, 10)])
+    assert one == many
+    # hand anchor (α=β=0.5, x=[10,20,40]): levels 10, 20, 35
+    assert one[0][:3] == [10.0, 20.0, 35.0]
+    assert one[1][0] is None and one[1][1] == 10.0 and one[1][2] == 12.5
