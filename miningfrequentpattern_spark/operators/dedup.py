@@ -1117,3 +1117,60 @@ def semantic_neardup_pairs(
         )
     finally:
         c.unpersist()
+
+
+def decontaminate_attribution(
+    train: DataFrame,
+    benchmark: DataFrame,
+    bench_col: str,
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination with per-BENCHMARK attribution: for every
+    contaminated train document, the distinct-shingle overlap against
+    EACH benchmark suite separately — (id, benchmark, n_shingles,
+    n_hit_shingles, hit_frac, is_top) with is_top marking the doc's
+    highest-overlap suite (hit-count desc, suite-name tiebreak). The
+    operational upgrade of l31's single-pool fraction: a real
+    pipeline decontaminates against MANY suites at once, and "which
+    benchmark leaked" decides whether to drop the doc or file a bug
+    against the suite (a GSM8K answer string and a Wikipedia-derived
+    MMLU passage are very different incidents).
+
+    Scale shape: identical to `decontaminate_frac` — ALL suites'
+    shingles ride ONE broadcast (benchmarks are thousands of docs vs
+    the corpus's billions; the suite column is just one more narrow
+    field), the corpus streams map-side through the hash join, one
+    (doc, suite) aggregate, and the is_top rank-1 window runs on the
+    HIT relation keyed by doc (≤ |suites| rows per doc — never
+    corpus-wide). Clean docs never leave the scan.
+    """
+    tr = train.select(
+        F.col(id_col),
+        shingles("tokens", n).alias("_sh"),
+    ).select(
+        F.col(id_col),
+        F.size("_sh").alias("n_shingles"),
+        F.explode("_sh").alias("shingle"),
+    )
+    be = benchmark.select(
+        F.col(bench_col).alias("benchmark"),
+        F.explode(shingles("tokens", n)).alias("shingle"),
+    ).distinct()
+    hits = (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy(id_col, "n_shingles", "benchmark")
+        .agg(F.countDistinct("shingle").alias("n_hit_shingles"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("n_hit_shingles"), F.asc("benchmark")
+    )
+    frac = F.col("n_hit_shingles") / F.col("n_shingles")
+    return hits.select(
+        F.col(id_col),
+        "benchmark",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hit_shingles").cast("long").alias("n_hit_shingles"),
+        F.round(frac, 4).alias("hit_frac"),
+        (F.row_number().over(w) == 1).alias("is_top"),
+    )

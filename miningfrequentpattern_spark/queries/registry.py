@@ -165,7 +165,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # SCD2 lookup composition (orders AS OF o_orderdate against the r51
 # versioned dimension, CONTAINMENT join — never an empty tied
 # interval) -> r84_scd2_lookup with the oracle in
-# tests/test_scd2_lookup.py — then backfill
+# tests/test_scd2_lookup.py; dedup.py::decontaminate_attribution ->
+# l54_contamination_attribution with the two-suite oracle in
+# tests/test_contamination_attr.py (per-benchmark leak attribution;
+# the contaminated SET proven equal to l31's single pool) — then
+# backfill
 # every remaining slot with the OLDEST driver proofs, in this order:
 # (a) the r1/r2-proven set never re-proven (s02, s03, s03b, s04,
 # s05, s06, s07, s08, s09, r05b, r09, r10b, r11, r11b, r11c, r12,
