@@ -197,11 +197,16 @@ def embedding_correlation(
             "j",
             F.when(
                 (F.col("_sd_i") > 0) & (F.col("_sd_j") > 0),
+                # + 0.0 pins the IEEE sign of zero: a near-orthogonal
+                # dim pair's corr is fp-noise that can round to -0.0
+                # in one engine and +0.0 in the other (the r6 driver
+                # hash-fail at cell (6,10)); -0.0 + 0.0 = +0.0.
                 F.round(
                     (F.col("exy") - F.col("_mu_i") * F.col("_mu_j"))
                     / (F.col("_sd_i") * F.col("_sd_j")),
                     4,
-                ),
+                )
+                + F.lit(0.0),
             ).alias("corr"),
         )
     )
@@ -355,7 +360,10 @@ def label_centroid_similarity(
         "label_b",
         "n_a",
         "n_b",
-        F.round(F.when(denom > 0, F.col("_dot") / denom), 4).alias(
-            "cosine"
-        ),
+        # + 0.0 pins -0.0 on near-orthogonal centroids (the l43
+        # class); paired with `+ 0.0` in the l51 oracle.
+        (
+            F.round(F.when(denom > 0, F.col("_dot") / denom), 4)
+            + F.lit(0.0)
+        ).alias("cosine"),
     )

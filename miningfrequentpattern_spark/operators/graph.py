@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round4
+
 
 def pagerank(
     edges: DataFrame,
@@ -614,8 +616,8 @@ def degree_assortativity(
     return nodes.crossJoin(F.broadcast(agg)).select(
         "n_nodes",
         "n_edges",
-        F.round(
-            F.when(~F.isnan(F.col("_rawr")), F.col("_rawr")), 4
+        round4(
+            F.when(~F.isnan(F.col("_rawr")), F.col("_rawr"))
         ).alias("assortativity"),
     )
 

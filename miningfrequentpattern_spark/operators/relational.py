@@ -9,6 +9,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
+from ..functions.rounding import round4
+
 
 _BUCKET_UNITS = {
     "second": 1,
@@ -869,7 +871,9 @@ def mad_outliers(
         *groups,
         *carry,
         F.col("_v").alias(value_col),
-        F.round(z, 4).alias("robust_z"),
+        # round4 pins -0.0: a value at the group median rounds its z
+        # to signed zero differently per engine (the l43 class).
+        round4(z).alias("robust_z"),
         F.coalesce(
             F.abs(z) > F.lit(float(threshold)), F.lit(False)
         ).alias("is_outlier"),
@@ -975,7 +979,7 @@ def benford_audit(
         "n_obs",
         F.round(share, 4).alias("obs_share"),
         F.round(p, 4).alias("benford_p"),
-        F.round(share - p, 4).alias("deviation"),
+        round4(share - p).alias("deviation"),
         F.round(total * (share - p) ** 2 / p, 4).alias("chi2_part"),
     )
 
@@ -1142,7 +1146,10 @@ def psi_drift(
             nc.alias("n_cur"),
             F.round(rs, 4).alias("ref_share"),
             F.round(cs, 4).alias("cur_share"),
-            F.round((cs_c - rs_c) * F.log(cs_c / rs_c), 4).alias(
+            # mathematically >= 0, but fp can put the difference and
+            # the log ratio on opposite sides of zero when the shares
+            # are near-equal — round4 pins the resulting -0.0.
+            round4((cs_c - rs_c) * F.log(cs_c / rs_c)).alias(
                 "psi_part"
             ),
         )
@@ -1349,7 +1356,7 @@ def mannwhitney_z(
         na.cast("long").alias("n_a"),
         nb.cast("long").alias("n_b"),
         F.round(u, 4).alias("u_stat"),
-        F.round(z, 4).alias("z"),
+        round4(z).alias("z"),
     )
 
 
@@ -1403,8 +1410,8 @@ def cuped_adjust(
         *carry,
         F.col("_y").alias(y_col),
         F.col("_x").alias(x_col),
-        F.round(theta, 4).alias("theta"),
-        F.round(adjusted, 4).alias("adjusted"),
+        round4(theta).alias("theta"),
+        round4(adjusted).alias("adjusted"),
     )
 
 

@@ -126,7 +126,8 @@ def cosine_topk_exact(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -207,6 +208,25 @@ def ann_lsh_topk(
             F.col(id_col).alias(out_id),
             l2_normalize(vec_col).alias("_nv"),
         )
+        # A mis-sized explicit `dim` would zip_with the fixed-length
+        # projection literal against a shorter/longer vector, NULL-pad
+        # the dot product, and silently drop EVERY row from the bucket
+        # join — an empty result instead of an error (ADVICE r6).
+        # assert_true keeps the check lazy and codegen-side: NULL on
+        # pass, a loud runtime error on the first mismatched row.
+        base = base.withColumn(
+            "_nv",
+            F.when(
+                F.assert_true(
+                    F.size("_nv") == F.lit(int(dim)),
+                    F.lit(
+                        f"ann_lsh_topk: vector length != dim={dim} — "
+                        "pass the actual embedding width"
+                    ),
+                ).isNull(),
+                F.col("_nv"),
+            ),
+        )
 
         def bucket(t: int):
             r_t = F.array(*[F.lit(float(x)) for x in proj[t]])
@@ -246,7 +266,8 @@ def ann_lsh_topk(
     cv = c_in.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -351,7 +372,8 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("cid", F.explode(probe_cids(F.col("_qv"))))
 
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -663,7 +685,8 @@ def pq_topk(
     cv = c.select(
         F.col(id_col).alias("neighbor_id"), F.col("_arr").alias("_cv")
     )
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -749,6 +772,23 @@ def ivfpq_topk(
             f"{n_subspaces}"
         )
     sub = dim // n_subspaces
+    # A mis-sized explicit `dim` would mis-slice the subspaces and
+    # NULL out the codes — fail loudly on the first wrong-width
+    # vector instead of returning zero neighbors (ADVICE r6; lazy
+    # codegen-side check, same stance as ann_lsh_topk).
+    c = c.withColumn(
+        "_nv",
+        F.when(
+            F.assert_true(
+                F.size("_nv") == F.lit(int(dim)),
+                F.lit(
+                    f"ivfpq_topk: vector length != dim={dim} — pass "
+                    "the actual embedding width"
+                ),
+            ).isNull(),
+            F.col("_nv"),
+        ),
+    )
 
     # Coarse quantizer on the NORMALIZED space (cosine ≡ L2 there, so
     # cell membership agrees with the ADC metric). Fit economics (the
@@ -850,7 +890,8 @@ def ivfpq_topk(
     cv = c.select(
         F.col(id_col).alias("neighbor_id"), F.col("_arr").alias("_cv")
     )
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )

@@ -446,7 +446,11 @@ def importance_llr_score(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.avg(term) + F.first(norm), 4).alias("llr_score"),
+        # + 0.0 pins -0.0 on near-neutral docs (the l43 class);
+        # paired with `+ 0.0` in the l27 oracle.
+        (F.round(F.avg(term) + F.first(norm), 4) + F.lit(0.0)).alias(
+            "llr_score"
+        ),
     )
 
 

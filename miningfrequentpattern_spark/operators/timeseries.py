@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 
+from ..functions.rounding import round4
+
 
 def ewma(
     df: DataFrame,
@@ -244,8 +246,10 @@ def series_trend(
     return agg.select(
         *keys,
         "n_obs",
-        F.round(slope, 4).alias("slope"),
-        F.round(F.col("_mx") - slope * F.col("_mt"), 4).alias("intercept"),
+        # round4 pins -0.0 (near-flat series round to signed zero;
+        # oracle side carries the matching `+ 0.0`) — the l43 class.
+        round4(slope).alias("slope"),
+        round4(F.col("_mx") - slope * F.col("_mt")).alias("intercept"),
         F.round(F.col("_r") ** 2, 4).alias("r2"),
     )
 
@@ -480,8 +484,8 @@ def autocorrelation(
         *keys,
         "lag",
         "n_pairs",
-        F.round(
-            F.when(~F.isnan(F.col("_rawr")), F.col("_rawr")), 4
+        round4(
+            F.when(~F.isnan(F.col("_rawr")), F.col("_rawr"))
         ).alias("acf"),
     )
 
@@ -527,7 +531,7 @@ def seasonal_profile(
         value_col,
         F.col("_dow").alias("dow"),
         F.round(prof_mean, 4).alias("dow_mean"),
-        F.round(x - prof_mean, 4).alias("residual"),
+        round4(x - prof_mean).alias("residual"),
         F.round(
             F.when(prof_mean != 0, x / prof_mean), 4
         ).alias("ratio"),
@@ -650,12 +654,11 @@ def theil_sen_trend(
     return joined.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.coalesce(F.first("n_pairs"), F.lit(0)).alias("n_pairs"),
-        F.round(F.first("_slope"), 4).alias("sen_slope"),
-        F.round(
+        round4(F.first("_slope")).alias("sen_slope"),
+        round4(
             F.percentile(
                 F.col("_x") - F.col("_slope") * F.col("_t"), F.lit(0.5)
-            ),
-            4,
+            )
         ).alias("sen_intercept"),
     )
 

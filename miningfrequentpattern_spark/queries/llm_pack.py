@@ -308,7 +308,7 @@ def l02e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_sum(list_transform(list_zip(q.v, c.v), s -> s[1]*s[2]))
                    / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
                       * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4)
-               AS cos_sim
+               + 0.0 AS cos_sim
       FROM q JOIN e c ON c.vec_id != q.vec_id),
     ranked AS (
       SELECT query_id, neighbor_id, cos_sim,
@@ -1455,7 +1455,8 @@ def l26_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       count(*) AS n_tokens,
                       round(avg(log2((r.c_tgt + 1.0) / (r.c_raw + 1.0)))
                             + log2((s.n_raw + s.v) * 1.0
-                                   / (s.n_tgt + s.v)), 4) AS llr_score
+                                   / (s.n_tgt + s.v)), 4) + 0.0
+                        AS llr_score
                FROM tok t JOIN raw r USING (tok) CROSS JOIN scal s
                GROUP BY t.doc_id, s.n_raw, s.n_tgt, s.v),
     ranked AS (SELECT d.doc_id, d.source, p.n_tokens, p.llr_score,
@@ -2454,7 +2455,8 @@ def l42_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY 1, 2)
     SELECT c.i, c.j,
            CASE WHEN ma.sd > 0 AND mb.sd > 0
-                THEN round((c.exy - ma.mu * mb.mu) / (ma.sd * mb.sd), 4)
+                -- + 0.0 pins -0.0 -> +0.0, matching the Spark side
+                THEN round((c.exy - ma.mu * mb.mu) / (ma.sd * mb.sd), 4) + 0.0
            END AS corr
     FROM c JOIN m ma ON c.i = ma.i JOIN m mb ON c.j = mb.i
     """,
@@ -2745,10 +2747,11 @@ def l49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     l AS (SELECT log10(rank) AS t, log10(n) AS x FROM r)
     SELECT count(*) AS n_obs,
            round(CASE WHEN var_pop(t) > 0
-                      THEN covar_pop(t, x) / var_pop(t) END, 4) AS slope,
+                      THEN covar_pop(t, x) / var_pop(t) END, 4) + 0.0
+             AS slope,
            round(avg(x) - (CASE WHEN var_pop(t) > 0
                                 THEN covar_pop(t, x) / var_pop(t) END)
-                          * avg(t), 4) AS intercept,
+                          * avg(t), 4) + 0.0 AS intercept,
            round(pow(corr(t, x), 2), 4) AS r2
     FROM l
     """,
@@ -2805,7 +2808,7 @@ def l50_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label_a, label_b,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            CASE WHEN sqrt(naa) * sqrt(nbb) > 0
-                THEN round(dot / (sqrt(naa) * sqrt(nbb)), 4)
+                THEN round(dot / (sqrt(naa) * sqrt(nbb)), 4) + 0.0
            END AS cosine
     FROM p
     """,

@@ -602,7 +602,7 @@ def m10_maximal_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS conviction,
            round(r.freq * 1.0 / n.n_docs
                  - (fa.freq * 1.0 / n.n_docs) * (fc.freq * 1.0 / n.n_docs),
-                 4) AS leverage
+                 4) + 0.0 AS leverage
     FROM both_dirs r
     JOIN k1 fa ON fa.item = r.antecedent
     JOIN k1 fc ON fc.item = r.consequent
@@ -669,10 +669,14 @@ def m11_rule_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 conf < 1, F.round((1 - supp_y) / (1 - conf), 4)
             ).alias("conviction"),
-            F.round(
-                F.col("freq") / F.col("n_docs")
-                - (F.col("fa") / F.col("n_docs")) * supp_y,
-                4,
+            # + 0.0 pins -0.0 on near-independent pairs (l43 class)
+            (
+                F.round(
+                    F.col("freq") / F.col("n_docs")
+                    - (F.col("fa") / F.col("n_docs")) * supp_y,
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("leverage"),
         )
     )
@@ -1562,7 +1566,7 @@ def m23_part_cheapest_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
                JOIN deg dv ON dv.v = stubs.v)
     SELECT (SELECT count(*) FROM deg) AS n_nodes,
            CAST((SELECT count(*) FROM stubs) / 2 AS BIGINT) AS n_edges,
-           round(corr(deg_u, deg_v), 4) AS assortativity
+           round(corr(deg_u, deg_v), 4) + 0.0 AS assortativity
     FROM paired
     """,
 )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round4
 from ..operators.relational import asof_join, top_k_per_group
 from ..sources.io import load_table
 from .registry import query
@@ -1738,12 +1739,12 @@ def r40_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                       corr(l_discount, l_tax)           AS c6
                FROM lineitem)
     SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
-           round(c1, 4) AS pearson_corr FROM c
-    UNION ALL SELECT 'l_quantity', 'l_discount', round(c2, 4) FROM c
-    UNION ALL SELECT 'l_quantity', 'l_tax', round(c3, 4) FROM c
-    UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c4, 4) FROM c
-    UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c5, 4) FROM c
-    UNION ALL SELECT 'l_discount', 'l_tax', round(c6, 4) FROM c
+           round(c1, 4) + 0.0 AS pearson_corr FROM c
+    UNION ALL SELECT 'l_quantity', 'l_discount', round(c2, 4) + 0.0 FROM c
+    UNION ALL SELECT 'l_quantity', 'l_tax', round(c3, 4) + 0.0 FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c4, 4) + 0.0 FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c5, 4) + 0.0 FROM c
+    UNION ALL SELECT 'l_discount', 'l_tax', round(c6, 4) + 0.0 FROM c
     """,
 )
 def r41_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,8 +1775,11 @@ def r41_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (x, y) in enumerate(pairs)
         ]
     )
+    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class);
+    # paired with `+ 0.0` in the oracle.
     stack_args = ", ".join(
-        f"'{x}', '{y}', round(c{i}, 4)" for i, (x, y) in enumerate(pairs)
+        f"'{x}', '{y}', round(c{i}, 4) + 0.0"
+        for i, (x, y) in enumerate(pairs)
     )
     return agg.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, pearson_corr)"
@@ -1977,7 +1981,8 @@ def r43_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c.day AS TIMESTAMP) AS day,
            c.n AS n_events,
            CASE WHEN s.sigma > 0
-                THEN round((c.n - s.mu) / s.sigma, 4) END AS z_score,
+                THEN round((c.n - s.mu) / s.sigma, 4) + 0.0
+           END AS z_score,
            (s.sigma > 0 AND abs(c.n - s.mu) > 2 * s.sigma)
              AS is_anomaly
     FROM c JOIN s USING (event_type)
@@ -2009,9 +2014,13 @@ def r44_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("day").cast("timestamp").alias("day"),
         F.col("n").alias("n_events"),
-        F.when(
-            F.col("sigma") > 0,
-            F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4),
+        # round4-style + 0.0 pins -0.0 on at-the-mean days (l43 class)
+        (
+            F.when(
+                F.col("sigma") > 0,
+                F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4),
+            )
+            + F.lit(0.0)
         ).alias("z_score"),
         (
             (F.col("sigma") > 0)
@@ -2637,11 +2646,11 @@ def r56_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily)
     SELECT priority, count(*) AS n_obs,
            round(CASE WHEN var_pop(tt) > 0
-                      THEN covar_pop(tt, rev) / var_pop(tt) END, 4)
+                      THEN covar_pop(tt, rev) / var_pop(tt) END, 4) + 0.0
              AS slope,
            round(avg(rev) - CASE WHEN var_pop(tt) > 0
                                  THEN covar_pop(tt, rev) / var_pop(tt) END
-                            * avg(tt), 4) AS intercept,
+                            * avg(tt), 4) + 0.0 AS intercept,
            round(corr(tt, rev) ^ 2, 4) AS r2
     FROM t GROUP BY priority
     """,
@@ -2682,7 +2691,7 @@ def r57_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS runmin
       FROM pre)
-    SELECT event_type, ts, round(x, 4) AS value,
+    SELECT event_type, ts, round(x, 4) + 0.0 AS value,
            round(pp - least(0.0, runmin), 4) AS cusum,
            (pp - least(0.0, runmin)) > 2000.0 AS drifted
     FROM p
@@ -2701,7 +2710,7 @@ def r58_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         "ts",
-        F.round("value", 4).alias("value"),
+        round4("value").alias("value"),
         F.round("cusum", 4).alias("cusum"),
         "drifted",
     )
@@ -2930,7 +2939,7 @@ def r64_brand_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              round(CASE WHEN var_pop(tt) > 0
                         THEN covar_pop(tt, n * 1.0) / var_pop(tt) END, 4)
-               AS slope
+               + 0.0 AS slope
       FROM (SELECT event_type,
                    date_diff('day', DATE '1970-01-01', day)::DOUBLE AS tt, n
             FROM daily)
@@ -3016,7 +3025,7 @@ def r65_ops_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY day, n) AS rn
       FROM c)
     SELECT a.event_type, CAST(l.lag AS INT) AS lag, count(b.n) AS n_pairs,
-           round(corr(a.n, b.n), 4) AS acf
+           round(corr(a.n, b.n), 4) + 0.0 AS acf
     FROM r a
     CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
     LEFT JOIN r b
@@ -3053,7 +3062,7 @@ def r66_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.value IS NOT NULL GROUP BY 1)
     SELECT e.event_type, e.event_id, e.value,
            CASE WHEN d.mad > 0
-                THEN round(0.6745 * (e.value - m.med) / d.mad, 4)
+                THEN round(0.6745 * (e.value - m.med) / d.mad, 4) + 0.0
            END AS robust_z,
            coalesce(
              CASE WHEN d.mad > 0
@@ -3127,7 +3136,7 @@ def r68_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(n_obs / sum(n_obs) OVER w, 4) AS obs_share,
            round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
            round(n_obs / sum(n_obs) OVER w - log10(1.0 + 1.0 / digit), 4)
-             AS deviation,
+             + 0.0 AS deviation,
            round(sum(n_obs) OVER w
                  * pow(n_obs / sum(n_obs) OVER w
                        - log10(1.0 + 1.0 / digit), 2)
@@ -3191,7 +3200,7 @@ def r72_custkey_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof AS MATERIALIZED (
       SELECT event_type, day, n, CAST(isodow(day) AS INT) AS dow,
              round(avg(n) OVER w, 4) AS dow_mean,
-             round(n - avg(n) OVER w, 4) AS residual
+             round(n - avg(n) OVER w, 4) + 0.0 AS residual
       FROM daily WINDOW w AS (PARTITION BY event_type, isodow(day))),
     med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
             FROM prof GROUP BY 1),
@@ -3200,7 +3209,7 @@ def r72_custkey_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM prof p JOIN med m USING (event_type) GROUP BY 1)
     SELECT p.event_type, p.day, p.n, p.dow, p.dow_mean, p.residual,
            CASE WHEN d.mad > 0
-                THEN round(0.6745 * (p.residual - m.med) / d.mad, 4)
+                THEN round(0.6745 * (p.residual - m.med) / d.mad, 4) + 0.0
            END AS robust_z,
            coalesce(
              CASE WHEN d.mad > 0
@@ -3262,7 +3271,8 @@ def r73_deseasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((greatest(j.n_cur / t.tc, 0.0001)
                   - greatest(j.n_ref / t.tr, 0.0001))
                  * ln(greatest(j.n_cur / t.tc, 0.0001)
-                      / greatest(j.n_ref / t.tr, 0.0001)), 4) AS psi_part
+                      / greatest(j.n_ref / t.tr, 0.0001)), 4) + 0.0
+             AS psi_part
     FROM j CROSS JOIN t
     """,
 )
@@ -3340,8 +3350,8 @@ def r75_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                  quantile_cont(s, 0.5) AS slope
           FROM p GROUP BY 1)
     SELECT d.priority, count(*) AS n_obs, max(m.n_pairs) AS n_pairs,
-           round(max(m.slope), 4) AS sen_slope,
-           round(quantile_cont(d.n - m.slope * d.t, 0.5), 4)
+           round(max(m.slope), 4) + 0.0 AS sen_slope,
+           round(quantile_cont(d.n - m.slope * d.t, 0.5), 4) + 0.0
              AS sen_intercept
     FROM d JOIN m USING (priority)
     GROUP BY d.priority
@@ -3435,6 +3445,7 @@ def r77_type_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * ((na + nb + 1)
                                      - ties / (CAST(na + nb AS DOUBLE)
                                                * (na + nb - 1)))), 4)
+                     + 0.0
            END AS z
     FROM s
     """,
@@ -3458,19 +3469,20 @@ def r78_click_vs_view_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pc AS (
       SELECT user_id,
              round(sum(CASE WHEN ts < TIMESTAMP '2024-07-01'
-                            THEN value END), 4) AS pre,
+                            THEN value END), 4) + 0.0 AS pre,
              round(sum(CASE WHEN ts >= TIMESTAMP '2024-07-01'
-                            THEN value END), 4) AS post
+                            THEN value END), 4) + 0.0 AS post
       FROM events WHERE value IS NOT NULL GROUP BY 1),
     f AS (SELECT covar_pop(pre, post) AS cov, var_pop(pre) AS var,
                  avg(pre) AS mx
           FROM pc WHERE pre IS NOT NULL AND post IS NOT NULL)
     SELECT pc.user_id, pc.post, pc.pre,
-           round(CASE WHEN f.var > 0 THEN f.cov / f.var END, 4) AS theta,
+           round(CASE WHEN f.var > 0 THEN f.cov / f.var END, 4) + 0.0
+             AS theta,
            round(CASE WHEN pc.post IS NULL THEN NULL
                       WHEN pc.pre IS NOT NULL AND f.var > 0
                       THEN pc.post - (f.cov / f.var) * (pc.pre - f.mx)
-                      ELSE pc.post END, 4) AS adjusted
+                      ELSE pc.post END, 4) + 0.0 AS adjusted
     FROM pc CROSS JOIN f
     """,
 )
@@ -3488,11 +3500,11 @@ def r79_cuped_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("ts") < split, F.col("value"))), 4
+            round4(
+                F.sum(F.when(F.col("ts") < split, F.col("value")))
             ).alias("pre"),
-            F.round(
-                F.sum(F.when(F.col("ts") >= split, F.col("value"))), 4
+            round4(
+                F.sum(F.when(F.col("ts") >= split, F.col("value")))
             ).alias("post"),
         )
     )
@@ -3634,7 +3646,7 @@ def r81_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, day, n,
            CAST(isodow(day) AS INT) AS dow,
            round(avg(n) OVER w, 4) AS dow_mean,
-           round(n - avg(n) OVER w, 4) AS residual,
+           round(n - avg(n) OVER w, 4) + 0.0 AS residual,
            round(n / avg(n) OVER w, 4) AS ratio
     FROM c
     WINDOW w AS (PARTITION BY event_type, isodow(day))

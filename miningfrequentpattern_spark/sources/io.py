@@ -237,6 +237,23 @@ def merge_upsert_partitioned(
     as tombstones: their keys are removed and the rows themselves are
     not re-inserted (Debezium-style deletes); every other op value is
     an upsert. The op column is dropped from what lands in the table.
+    A delete batch that empties a touched partition entirely is
+    handled explicitly: dynamic overwrite only replaces partitions
+    PRESENT in the output frame, so an all-tombstoned partition would
+    otherwise keep its old files and resurrect the "deleted" keys —
+    the emptied partitions' directories are removed after the write
+    commits (ADVICE r6; local-FS delete with the dir_parquet_bytes
+    stance: non-local URIs raise rather than silently no-op).
+
+    CONTRACT — the partition value is immutable per key: an update
+    must carry the same `partition_col` value as the base row it
+    replaces (equivalently: make the partition column part of the
+    key). An update that "moves" a key between partitions would leave
+    the stale row alive in its old partition (the anti-join only sees
+    the partitions the updates claim to touch). Moves BETWEEN two
+    touched partitions are cheaply detectable and rejected here; a
+    move whose old partition is untouched is invisible without a
+    full-table key scan — that case is the caller's contract.
     """
     base_schema = spark.read.parquet(path).schema
     up_cols = set(updates.columns) - ({op_col} if op_col else set())
@@ -259,6 +276,27 @@ def merge_upsert_partitioned(
     base = spark.read.schema(base_schema).parquet(path)
     touched = updates.select(partition_col).distinct()
     in_touched = base.join(F.broadcast(touched), partition_col, "left_semi")
+    # Partition-immutability check (the visible half): a key whose
+    # update claims a DIFFERENT partition than its base row within
+    # the touched slice is a cross-partition move — the anti-join
+    # below would delete the old row while a sibling update re-lands
+    # the key elsewhere only by luck. Bounded cost: keyed join of the
+    # touched slice against the (dimension-sized) update batch.
+    moved = in_touched.select(
+        *keys, F.col(partition_col).alias("_base_part")
+    ).join(
+        F.broadcast(
+            updates.select(*keys, partition_col).distinct()
+        ),
+        keys,
+    ).filter(~F.col(partition_col).eqNullSafe(F.col("_base_part")))
+    if not moved.isEmpty():
+        raise ValueError(
+            "merge_upsert_partitioned: update moves a key across "
+            f"partitions ({partition_col} differs from the base row's) "
+            "— the partition value is immutable per key; delete + "
+            "re-insert explicitly instead"
+        )
     survivors = in_touched.join(
         F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
     )
@@ -268,9 +306,72 @@ def merge_upsert_partitioned(
             op_col
         )
     out = survivors.unionByName(inserts)
+    # Partitions the batch touched but that end up with ZERO output
+    # rows (all rows tombstoned, nothing re-inserted): dynamic
+    # overwrite will not rewrite them, so their old files must be
+    # removed explicitly or the deleted keys resurface on next read.
+    # Dimension-sized driver materialization — metadata for a write
+    # commit, not an operator hot path.
+    emptied = [
+        r[0]
+        for r in touched.join(
+            out.select(partition_col).distinct(), partition_col, "left_anti"
+        ).collect()
+    ]
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        _remove_partition_dirs(spark, path, partition_col, emptied)
+
+
+def _remove_partition_dirs(
+    spark: SparkSession, path: str, partition_col: str, values: list
+) -> None:
+    """Delete `<path>/<partition_col>=<escaped value>` directories for
+    the given partition values — the post-commit cleanup for
+    partitions a MERGE emptied entirely.
+
+    Directory names are matched by LISTING and UNESCAPING (Spark's
+    own ExternalCatalogUtils.unescapePathName via the JVM, falling
+    back to URL-unquoting), never by re-formatting values — so date/
+    timestamp/int partition values match exactly however Spark wrote
+    them. NULL partition values live in __HIVE_DEFAULT_PARTITION__.
+    Local filesystems only (the dir_parquet_bytes stance): a
+    non-local URI raises instead of silently leaving zombie files.
+    """
+    import shutil
+    from urllib.parse import unquote
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"merge_upsert_partitioned: emptied-partition cleanup for "
+            f"non-local URI {path!r} needs the Hadoop FileSystem API — "
+            "refusing to leave the tombstoned partitions' files behind"
+        )
+    root = path[len("file://"):] if path.startswith("file://") else path
+
+    def _unescape(name: str) -> str:
+        try:
+            jvm = spark._jvm
+            return (
+                jvm.org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(name)
+            )
+        except Exception:
+            return unquote(name)
+
+    wanted = {
+        "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        for v in values
+    }
+    prefix = f"{partition_col}="
+    for entry in os.listdir(root):
+        full = os.path.join(root, entry)
+        if not (os.path.isdir(full) and entry.startswith(prefix)):
+            continue
+        if _unescape(entry[len(prefix):]) in wanted:
+            shutil.rmtree(full)

@@ -18,9 +18,10 @@ def _norm_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        # Queries are required to pre-round; this guards residual fp noise.
-        if v == 0:
-            v = 0.0  # fold -0.0 into 0.0 so the engines can't disagree
+        # Queries are required to pre-round AND pin the sign of zero
+        # (`round(x, 4) + 0.0` on both sides). No -0.0 fold here: the
+        # driver's hash distinguishes +-0.0 (the r6 l43 failure), so
+        # the mirror must too or it masks exactly that class.
         return f"{v:.4f}"
     if isinstance(v, pd.Timestamp):
         return v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat()
@@ -60,6 +61,17 @@ def compare(spark_df, duck_con, sql: str) -> None:
         f"row count mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
     s, d = _normalize(spark_pdf), _normalize(duck_pdf)
+    # -0.0 tripwire: even when BOTH sides agree on -0.0 today, an
+    # unpinned signed-zero output is one fixture away from the r6 l43
+    # driver hash-fail (engines disagree on the sign of a rounded
+    # fp-noise zero). Fail loudly so the query gets the paired
+    # `round(...) + 0.0` pin instead of passing on luck.
+    for side, rows in (("spark", s), ("duckdb", d)):
+        hits = [r for r in rows if any("-0.0000" in str(c) for c in r)]
+        assert not hits, (
+            f"unpinned -0.0 in {side} output (pin BOTH sides with "
+            f"round(...) + 0.0), first 3 rows: {hits[:3]}"
+        )
     mismatches = [
         (a, b) for a, b in zip(s, d) if a != b
     ]

@@ -146,3 +146,93 @@ def test_merge_upsert_rejects_null_keys_and_schema_drift(spark, tmp_path):
     drifted = spark.createDataFrame([(1, "a")], "k long, p string")
     with pytest.raises(ValueError, match="schema must match"):
         merge_upsert_partitioned(spark, path, drifted, ["k"], "p")
+
+
+def test_merge_upsert_delete_entire_partition_removes_files(
+    spark, tmp_path
+):
+    """ADVICE r6 (medium): a delete batch that tombstones EVERY row of
+    a touched partition produces zero output rows for it — dynamic
+    overwrite alone would leave the old files, resurrecting the
+    "deleted" keys on the next read. The emptied partition's directory
+    must be gone (and other partitions untouched)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, p string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    # tombstone ALL of partition a; nothing re-inserted there
+    updates = spark.createDataFrame(
+        [(1, "a", 0.0, "D"), (2, "a", 0.0, "D")],
+        "k long, p string, v double, _op string",
+    )
+    merge_upsert_partitioned(spark, path, updates, ["k"], "p", op_col="_op")
+    got = {(r["k"], r["p"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {(3, "b"): 30.0}
+    assert not os.path.isdir(os.path.join(path, "p=a"))
+    assert os.path.isdir(os.path.join(path, "p=b"))
+
+
+def test_merge_upsert_delete_one_of_two_emptied_partitions(spark, tmp_path):
+    """Mixed batch: one touched partition is emptied (dir removed),
+    the other keeps surviving rows (rewritten in place)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "b", 30.0)],
+        "k long, p string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a", 0.0, "D"), (2, "b", 0.0, "D")],
+        "k long, p string, v double, _op string",
+    )
+    merge_upsert_partitioned(spark, path, updates, ["k"], "p", op_col="_op")
+    got = {(r["k"], r["p"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {(3, "b"): 30.0}
+    assert not os.path.isdir(os.path.join(path, "p=a"))
+
+
+def test_merge_upsert_escaped_partition_value_cleanup(spark, tmp_path):
+    """Partition values Spark escapes in directory names (here a
+    space + colon) still match the emptied-partition cleanup — names
+    are unescaped and compared, never re-formatted."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "with space:colon", 1.0), (2, "plain", 2.0)],
+        "k long, p string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "with space:colon", 0.0, "D")],
+        "k long, p string, v double, _op string",
+    )
+    merge_upsert_partitioned(spark, path, updates, ["k"], "p", op_col="_op")
+    got = {(r["k"], r["p"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(2, "plain")}
+    dirs = [d for d in os.listdir(path) if d.startswith("p=")]
+    assert len(dirs) == 1 and "plain" in dirs[0]
+
+
+def test_merge_upsert_rejects_cross_partition_key_move(spark, tmp_path):
+    """ADVICE r6 (low): an update that carries a DIFFERENT partition
+    value than the key's base row is a cross-partition move — the
+    detectable case (both partitions touched) must raise, not leave a
+    stale duplicate."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)],
+        "k long, p string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    # key 1 lives in partition a, but the update claims partition b —
+    # and partition a is ALSO touched (key 9 insert), so the base row
+    # of key 1 is inside the touched slice and the move is visible.
+    updates = spark.createDataFrame(
+        [(1, "b", 99.0), (9, "a", 9.0)],
+        "k long, p string, v double",
+    )
+    with pytest.raises(ValueError, match="moves a key across"):
+        merge_upsert_partitioned(spark, path, updates, ["k"], "p")
