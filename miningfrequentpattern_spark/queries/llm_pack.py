@@ -2899,3 +2899,156 @@ def l45_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df, emb, k=5, n_clusters=16, n_probes=8,
         n_subspaces=8, n_codes=16, rerank_factor=20, seed=42, dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-7 PROMOTIONS (staged r6, oracles moved VERBATIM from their
+# test files; property/edge tests stay there).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l53_textrank_keywords",
+    oracle="""
+WITH t AS (SELECT string_split(trim(text), ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+pr0 AS (SELECT unnest(list_filter(
+          list_transform(list_zip(l, l[2:]),
+            s -> CASE WHEN s[2] IS NOT NULL AND s[1] != s[2]
+                      THEN struct_pack(a := least(s[1], s[2]),
+                                       b := greatest(s[1], s[2])) END),
+          x -> x IS NOT NULL)) AS pr
+        FROM t),
+p AS (SELECT DISTINCT pr.a AS s, pr.b AS d FROM pr0),
+e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+nodes AS (SELECT DISTINCT s AS id FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+r1 AS (SELECT nd.id,
+              0.15 / (SELECT n FROM nn) + 0.85 * coalesce(f.c, 0) AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT e.d AS id, sum(r0.r / deg.dg) AS c
+         FROM e JOIN r0 ON e.s = r0.id JOIN deg ON e.s = deg.s
+         GROUP BY e.d) f USING (id)),
+r2 AS (SELECT nd.id,
+              0.15 / (SELECT n FROM nn) + 0.85 * coalesce(f.c, 0) AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT e.d AS id, sum(r1.r / deg.dg) AS c
+         FROM e JOIN r1 ON e.s = r1.id JOIN deg ON e.s = deg.s
+         GROUP BY e.d) f USING (id)),
+r3 AS (SELECT nd.id,
+              0.15 / (SELECT n FROM nn) + 0.85 * coalesce(f.c, 0) AS r
+       FROM nodes nd LEFT JOIN (
+         SELECT e.d AS id, sum(r2.r / deg.dg) AS c
+         FROM e JOIN r2 ON e.s = r2.id JOIN deg ON e.s = deg.s
+         GROUP BY e.d) f USING (id))
+SELECT id AS word, round(r * (SELECT n FROM nn), 4) AS textrank
+FROM r3
+ORDER BY textrank DESC, word LIMIT 25
+""",
+)
+def l53_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flagship #4 (the l25/l40/r65/r73/l50 stance): TextRank
+    keyword extraction — adjacent-token co-occurrence graph (the
+    shared shifted_pairs seam; self-pairs dropped, canonicalized,
+    symmetrized, so no dangling nodes) -> the m13-certified pagerank
+    -> deterministic top-25, fused in ONE plan (Mihalcea & Tarau
+    2004). The graph is vocabulary²-bounded via DISTINCT pairs, never
+    corpus-sized; the 3-iteration recurrence shuffles the rank
+    relation per round over the cached pre-partitioned edges (the m13
+    posture). Ordering (textrank DESC, word) totals on the rounded
+    rank, so the LIMIT boundary is deterministic.
+    operators/graph.py::pagerank; hub/self-pair pins in
+    tests/test_textrank.py."""
+    from ..operators.graph import pagerank
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(T.tokens("text").alias("t"))
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                T.shifted_pairs(
+                    F.col("t"),
+                    lambda a, b: F.struct(
+                        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+                    ),
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3)
+    return (
+        ranks.select(F.col("id").alias("word"),
+                     F.col("pagerank").alias("textrank"))
+        .orderBy(F.desc("textrank"), "word")
+        .limit(25)
+    )
+
+
+@query(
+    "l54_contamination_attribution",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(list_zip(l, l[2:], l[3:]),
+                          s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+           x -> x IS NOT NULL)) AS g
+       FROM t),
+ex AS (SELECT doc_id, len(g) AS n_shingles, unnest(g) AS s FROM sh),
+b AS (SELECT DISTINCT
+        CASE WHEN doc_id % 80 = 0 THEN 'benchA' ELSE 'benchB' END
+          AS benchmark,
+        s
+      FROM ex WHERE doc_id % 40 = 0),
+tr AS (SELECT doc_id, n_shingles, s FROM ex WHERE doc_id % 40 != 0),
+h AS (SELECT tr.doc_id, tr.n_shingles, b.benchmark,
+             count(DISTINCT tr.s) AS n_hit
+      FROM tr JOIN b ON tr.s = b.s
+      GROUP BY 1, 2, 3)
+SELECT doc_id, benchmark,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_hit AS BIGINT) AS n_hit_shingles,
+       round(n_hit * 1.0 / n_shingles, 4) AS hit_frac,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY n_hit DESC, benchmark) = 1
+         AS is_top
+FROM h
+""",
+)
+def l54_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BENCHMARK contamination attribution: l31's single leaked
+    pool refined to (doc, benchmark) grain — which suite leaked into
+    which training doc, how much (hit_frac), and the top-attributed
+    suite per doc (deterministic rank-1 on hits DESC, suite ASC).
+    The action differs per suite (drop the doc vs mask the span vs
+    re-split), so the single-pool answer is not actionable at
+    curation time. Same broadcast-inverted-index shape as l31: suite
+    shingles broadcast (benchmark suites are MB-sized by definition),
+    the corpus streams map-side, never reshuffled; output is
+    contaminated-docs-sized. The contaminated doc SET equals l31's
+    single-pool set (proven in tests/test_contamination_attr.py).
+    operators/dedup.py::decontaminate_attribution."""
+    from ..operators.dedup import decontaminate_attribution
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    bench = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+        "bench",
+        F.when(F.col("doc_id") % 80 == 0, F.lit("benchA")).otherwise(
+            F.lit("benchB")
+        ),
+    )
+    train = docs.filter(F.col("doc_id") % 40 != 0)
+    return decontaminate_attribution(train, bench, "bench", n=3)

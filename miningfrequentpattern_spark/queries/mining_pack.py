@@ -1747,3 +1747,73 @@ def m26_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(edges, seeds, iterations=3).select(
         F.col("id").alias("part_id"), "ppr"
     )
+
+
+@query(
+    "m27_emerging_pairs",
+    oracle="""
+WITH li AS (SELECT DISTINCT l.l_orderkey AS bk, l.l_partkey AS it,
+                   (o.o_orderdate >= TIMESTAMP '1998-01-01') AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+nb AS (SELECT count(DISTINCT bk) AS n FROM li WHERE NOT late),
+na AS (SELECT count(DISTINCT bk) AS n FROM li WHERE late),
+pb AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_before
+       FROM li a JOIN li b
+         ON a.bk = b.bk AND a.it < b.it AND NOT a.late AND NOT b.late
+       GROUP BY 1, 2),
+pa AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_after
+       FROM li a JOIN li b
+         ON a.bk = b.bk AND a.it < b.it AND a.late AND b.late
+       GROUP BY 1, 2),
+j AS (SELECT coalesce(pb.item_a, pa.item_a) AS item_a,
+             coalesce(pb.item_b, pa.item_b) AS item_b,
+             coalesce(pb.n_before, 0) AS n_before,
+             coalesce(pa.n_after, 0) AS n_after
+      FROM pb FULL JOIN pa
+        ON pb.item_a = pa.item_a AND pb.item_b = pa.item_b)
+SELECT j.item_a, j.item_b,
+       CAST(j.n_before AS BIGINT) AS n_before,
+       CAST(j.n_after AS BIGINT) AS n_after,
+       round(j.n_before * 1.0 / nb.n, 4) AS support_before,
+       round(j.n_after * 1.0 / na.n, 4) AS support_after,
+       round(CASE WHEN j.n_before > 0
+                  THEN (j.n_after * 1.0 / na.n)
+                       / (j.n_before * 1.0 / nb.n) END, 4) AS growth,
+       j.n_before = 0 AS is_new
+FROM j CROSS JOIN nb CROSS JOIN na
+WHERE j.n_before >= 2 OR j.n_after >= 2
+""",
+)
+def m27_emerging_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-pattern pair mining (Dong & Li 1999 at the pair
+    level): part-pair supports in orders BEFORE vs AFTER 1998-01-01,
+    support growth rate, newly-emerged (NULL growth, is_new) and
+    vanished (n_after = 0) pairs — the CONTRAST dimension M4's
+    single-corpus itemsets lack (what changed, not just what is).
+    Each period's pair space is the same basket-bounded self-join as
+    m02/m22 (Σ per-basket |items|², never corpus²); the contrast is a
+    pair-keyed full-outer on the already-aggregated pair relations.
+    operators/mining.py::emerging_pair_patterns; closed-form
+    growth/new/vanished pins in tests/test_emerging.py."""
+    from ..operators.mining import emerging_pair_patterns
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    tagged = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        (
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        ).alias("late"),
+    )
+    before = tagged.filter(~F.col("late"))
+    after = tagged.filter(F.col("late"))
+    return emerging_pair_patterns(
+        before, after, "l_orderkey", "l_partkey", min_count=2
+    )

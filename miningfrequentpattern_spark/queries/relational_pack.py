@@ -2377,10 +2377,14 @@ from ..operators.relational import (  # noqa: E402
 )
 from ..operators.timeseries import (  # noqa: E402
     autocorrelation,
+    cadence_audit,
     cusum_drift,
     ewma,
+    gapfill_interpolate,
+    holt_linear,
     interval_merge,
     interval_overlap_join,
+    last_touch_attribution,
     seasonal_profile,
     series_trend,
     theil_sen_trend,
@@ -3666,3 +3670,328 @@ def r69_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
     return seasonal_profile(daily, ["event_type"], "day", "n")
+
+
+# ---------------------------------------------------------------------------
+# ROUND-7 PROMOTIONS (staged r6, oracles moved VERBATIM from their
+# test files; property/edge tests stay there).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r62_attribution",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE ts IS NOT NULL),
+w AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM e)
+SELECT user_id, ts, event_id,
+       CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_ts END
+         AS touch_ts,
+       CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type END
+         AS touch_type,
+       CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
+            THEN round(epoch_us(ts - touch_ts) / 1000000.0, 6) END
+         AS age_seconds
+FROM w WHERE event_type = 'purchase'
+""",
+)
+def r62_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase joined to the latest
+    prior click/view of the same user inside a 7-day horizon — the
+    marketing-credit primitive. ONE user-keyed window pass (IGNORE
+    NULLS last_value over (ts, event_id) total order), horizon
+    applied as row-local filters after it — no self-join, no range
+    join. Same-timestamp touches credit only when the tiebreak sorts
+    them first (pinned in tests/test_attribution.py); organic
+    conversions keep their row with NULL touch columns. age_seconds
+    rounds at 6dp — the exact micros grid where round() has no
+    midpoints (4dp hits .xxxx5 halves the engines disagree on).
+    operators/timeseries.py::last_touch_attribution."""
+    ev = load_table(spark, sf_dir, "events")
+    out = last_touch_attribution(
+        ev,
+        ["user_id"],
+        "ts",
+        "event_type",
+        conversion_type="purchase",
+        touch_types=("click", "view"),
+        max_age="7 days",
+        tiebreak_col="event_id",
+    )
+    return out.withColumn("age_seconds", F.round("age_seconds", 6))
+
+
+@query(
+    "r71_feed_cadence",
+    oracle="""
+WITH g AS (
+  SELECT event_type, ts,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY event_type ORDER BY epoch_us(ts)))
+           / 1000000.0 AS gap
+  FROM events WHERE ts IS NOT NULL)
+SELECT event_type,
+       count(*) AS n_obs,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen,
+       count(gap) AS n_gaps,
+       round(quantile_cont(gap, 0.5), 4) AS median_gap_s,
+       round(quantile_cont(gap, 0.95), 4) AS p95_gap_s,
+       round(max(gap), 4) AS max_gap_s
+FROM g GROUP BY 1
+""",
+)
+def r71_feed_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-cadence / freshness audit per event type: median, p95
+    and max inter-arrival gap plus first/last seen — the
+    feed-staleness monitor (a feed whose p95 gap suddenly triples is
+    degrading long before it flatlines). One keyed lag window + one
+    hash aggregate; gaps computed on the exact epoch-micros grid
+    divided to seconds. Tied timestamps are genuine 0-second gaps
+    (duplicate delivery is a cadence FACT, not a dedup);
+    single-observation series report NULL gap stats.
+    operators/timeseries.py::cadence_audit; closed-form and tie pins
+    in tests/test_cadence_audit.py."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return cadence_audit(ev, ["event_type"], "ts")
+
+
+@query(
+    "r82_holt_revenue",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS day,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT priority, day, rev,
+         row_number() OVER (PARTITION BY priority ORDER BY day) AS rn
+  FROM daily),
+h AS (
+  SELECT i1.priority, i1.day, i1.rn, i1.rev,
+         i1.rev AS l, i2.rev - i1.rev AS b
+  FROM idx i1 LEFT JOIN idx i2
+    ON i2.priority = i1.priority AND i2.rn = 2
+  WHERE i1.rn = 1
+  UNION ALL
+  SELECT i.priority, i.day, i.rn, i.rev,
+         0.2::DOUBLE * i.rev + 0.8::DOUBLE * (h.l + h.b),
+         0.3::DOUBLE * ((0.2::DOUBLE * i.rev + 0.8::DOUBLE * (h.l + h.b))
+                        - h.l)
+           + 0.7::DOUBLE * h.b
+  FROM idx i JOIN h ON i.priority = h.priority AND i.rn = h.rn + 1
+)
+SELECT priority, CAST(day AS TIMESTAMP) AS day,
+       round(rev, 4) AS revenue,
+       round(l, 4) AS level,
+       round(b, 4) + 0.0 AS trend
+FROM h
+""",
+)
+def r82_holt_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of daily revenue
+    per priority — (level, trend) per day, the one-step forecast
+    being level + trend. r52's EWMA tracks LEVEL only and lags every
+    ramp by 1/α days; the second (trend) state closes that gap — the
+    standard short-horizon capacity/revenue forecaster. The recurrence
+    is a grouped-map over the per-SERIES day vector (bounded by the
+    calendar grain, never corpus-sized — the r52 stance), matched by
+    a recursive-CTE oracle streaming bitwise-equal float64 (α/β
+    complements round-trip exactly). The smoothed TREND is fp-noise
+    around zero on flat stretches — round4-pinned on both sides (the
+    l43 sign-of-zero class). A 1-row series keeps NULL trend.
+    operators/timeseries.py::holt_linear; hand recurrence / exact-line
+    / order-independence pins in tests/test_holt.py, true-stream twin
+    in streaming/stateful.py (split-independence proven)."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return holt_linear(
+        daily, ["priority"], "day", "rev", alpha=0.2, beta=0.3
+    ).select(
+        "priority",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round("rev", 4).alias("revenue"),
+        F.round("level", 4).alias("level"),
+        round4("trend").alias("trend"),
+    )
+
+
+@query(
+    "r83_gapfill_interp",
+    oracle="""
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn,
+                  max(CAST(ts AS DATE)) AS mx
+           FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+days AS (SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY))
+           AS d FROM b),
+grid AS (SELECT t.event_type, CAST(days.d AS DATE) AS day
+         FROM types t CROSS JOIN days),
+c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+g AS (SELECT grid.event_type, grid.day,
+             date_diff('day', DATE '1970-01-01', grid.day)::DOUBLE AS t,
+             c.n::DOUBLE AS v
+      FROM grid LEFT JOIN c USING (event_type, day)),
+w AS (SELECT event_type, day, t, v,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pt,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nt
+      FROM g)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       (v IS NULL) AS is_gap,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (t - pt) / (nt - pt) END,
+             4) AS filled
+FROM w
+""",
+)
+def r83_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over the dense day grid per event
+    type — GAUGE semantics (a missing sensor day is best estimated
+    between its neighbors) where r43's zero-fill is COUNTER semantics
+    (a missing count day IS zero). Two keyed window passes (previous
+    and next observed value/time via IGNORE NULLS frames), row-local
+    interpolation after — one exchange total, plan-audited. Leading/
+    trailing gaps refuse to extrapolate (NULL filled, is_gap = true).
+    operators/timeseries.py::gapfill_interpolate; midpoint/thirds
+    closed forms in tests/test_gapfill_interp.py."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    b = ev.agg(F.min(day).alias("mn"), F.max(day).alias("mx"))
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"),
+                           F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    c = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = grid.join(c, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.datediff("day", F.lit("1970-01-01")).cast("double").alias("t"),
+        F.col("n").cast("double").alias("v"),
+    )
+    out = gapfill_interpolate(g, ["event_type"], "t", "v")
+    return out.select(
+        "event_type",
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("v").isNull().alias("is_gap"),
+        F.round("filled", 4).alias("filled"),
+    )
+
+
+@query(
+    "r84_scd2_lookup",
+    oracle="""
+WITH o AS (SELECT user_id, event_type, ts, event_id FROM events
+           WHERE event_type IN ('click', 'view')),
+c AS (SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type
+                    OR lag(event_id) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS nv
+      FROM o),
+v0 AS (SELECT user_id, event_type, ts AS valid_from, event_id
+       FROM c WHERE nv = 1),
+v AS (SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER
+               (PARTITION BY user_id ORDER BY valid_from, event_id)
+               AS valid_to,
+             event_id AS version_id
+      FROM v0)
+SELECT f.event_id AS purchase_id, f.user_id, f.ts,
+       v.event_type AS status_at_purchase,
+       v.valid_from, v.version_id
+FROM events f JOIN v ON v.user_id = f.user_id
+ AND v.valid_from <= f.ts
+ AND (f.ts < v.valid_to OR v.valid_to IS NULL)
+WHERE f.event_type = 'purchase' AND f.ts IS NOT NULL
+""",
+)
+def r84_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup — purchases AS OF their timestamp
+    against the SCD2-versioned browsing-status dimension (the r51
+    fragment built from click/view events): THE warehouse correctness
+    query (which version was true when the fact happened), kept in
+    ONE time domain so the containment actually selects (orders'
+    1995-2001 dates vs events' 2024 clock would make an empty join).
+    CONTAINMENT (valid_from <= t < valid_to, NULL = open) rather than
+    an as-of rank: tied valid_from values mint an empty [t, t)
+    interval for the superseded version and containment provably
+    never picks it. User-keyed equi-join with range post-filters
+    (shuffle-hash hinted — the dimension is history-sized); fan-out
+    bounded by versions-per-user. A purchase before the user's first
+    touch has no version and drops (inner-join semantics, both
+    engines). operators/relational.py::scd2_versions; boundary and
+    tie pins in tests/test_scd2_lookup.py."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view")
+    ).select("user_id", "event_type", "ts", "event_id")
+    v = scd2_versions(
+        touches, ["user_id"], ["event_type"], "ts", "event_id"
+    ).withColumnRenamed("user_id", "v_user")
+    facts = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return facts.join(
+        v.hint("shuffle_hash"),
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("ts") < F.col("valid_to"))
+        ),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.col("event_type").alias("status_at_purchase"),
+        "valid_from",
+        "version_id",
+    )

@@ -883,3 +883,66 @@ def u08_udtf_table_args(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "s16_merge_upsert",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           AND o_orderkey % 10 = 0
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS total
+FROM orders
+WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 100 = 7)
+GROUP BY 1
+""",
+)
+def s16_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-extension (lakehouse MERGE INTO): orders written partitioned
+    by priority, then ONE partition merged — urgent keys % 10 == 0
+    restated at doubled price (upserts), urgent keys % 100 == 7
+    tombstone-deleted — via merge_upsert_partitioned: broadcast-semi
+    partition pruning + key anti-join + dynamic partition overwrite.
+    The read-back aggregate hash-matches an oracle that recomputes the
+    merge RELATIONALLY from the originating fixture, certifying upsert,
+    delete, and untouched-partition survival in one row set (the
+    file-identity half is pinned in tests/test_merge_upsert.py, along
+    with the all-tombstoned-partition directory removal and the
+    cross-partition key-move rejection).
+
+    Scale shape: cost ∝ touched partitions, never the table — the
+    s14 posture with keyed MERGE semantics on top.
+    sources/io.py::merge_upsert_partitioned."""
+    from ..sources.io import merge_upsert_partitioned
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch("merge_upsert")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        path
+    )
+    urgent = spark.read.schema(orders.schema).parquet(path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    updates = (
+        urgent.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_op", F.lit("U"))
+        .unionByName(
+            urgent.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+                "_op", F.lit("D")
+            )
+        )
+    )
+    merge_upsert_partitioned(
+        spark, path, updates, ["o_orderkey"], "o_orderpriority",
+        op_col="_op",
+    )
+    back = spark.read.schema(orders.schema).parquet(path)
+    return back.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

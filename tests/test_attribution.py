@@ -1,10 +1,8 @@
 """Last-touch attribution
-(operators/timeseries.py::last_touch_attribution) — DEFERRED to the
-round-7 window (registry.py ROUND 7 TODO; round 6 promoted 45 of 47
-staged operators and ran out of slots), locally certified NOW: the
-DuckDB oracle below is the exact SQL the future r62_attribution
-registration will carry, plus hand-built same-timestamp, organic,
-and horizon cases."""
+(operators/timeseries.py::last_touch_attribution) —
+PROMOTED round 7 as r62_attribution: the DuckDB oracle moved VERBATIM
+into the @query registration (tests/test_oracle_parity.py now
+carries the compare); the property/edge/hand pins stay here."""
 
 from pyspark.sql import functions as F
 
@@ -12,66 +10,6 @@ from miningfrequentpattern_spark.operators.timeseries import (
     last_touch_attribution,
 )
 from miningfrequentpattern_spark.sources.io import load_table
-
-from .conftest import SF_ORACLE
-from .oracle import compare
-
-# Future r62 oracle, verbatim. Dialect pins: IGNORE NULLS last_value
-# over the identical (ts, event_id) ordering; the 7-day horizon as a
-# timestamp comparison on both sides; age as epoch-seconds rounded
-# 6dp — the exact micros grid, where round() has NO midpoints. 4dp
-# is the one precision that breaks here: micros ages hit exact
-# .xxxx5 halves ~1% of the time and the engines' round() disagree
-# on halves (Spark BigDecimal HALF_UP vs DuckDB's multiply-and-rint
-# seeing .4999…); at 6dp both engines return the bitwise-identical
-# unrounded double and the comparator's 4dp formatting sees equal
-# values.
-R62_ORACLE = """
-WITH e AS (
-  SELECT user_id, ts, event_id, event_type
-  FROM events WHERE ts IS NOT NULL),
-w AS (
-  SELECT user_id, ts, event_id, event_type,
-         last_value(CASE WHEN event_type IN ('click', 'view')
-                         THEN ts END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS touch_ts,
-         last_value(CASE WHEN event_type IN ('click', 'view')
-                         THEN event_type END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS touch_type
-  FROM e)
-SELECT user_id, ts, event_id,
-       CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_ts END
-         AS touch_ts,
-       CASE WHEN touch_ts >= ts - INTERVAL 7 DAY THEN touch_type END
-         AS touch_type,
-       CASE WHEN touch_ts >= ts - INTERVAL 7 DAY
-            THEN round(epoch_us(ts - touch_ts) / 1000000.0, 6) END
-         AS age_seconds
-FROM w WHERE event_type = 'purchase'
-"""
-
-
-def _r62(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    out = last_touch_attribution(
-        ev,
-        ["user_id"],
-        "ts",
-        "event_type",
-        conversion_type="purchase",
-        touch_types=("click", "view"),
-        max_age="7 days",
-        tiebreak_col="event_id",
-    )
-    return out.withColumn("age_seconds", F.round("age_seconds", 6))
-
-
-def test_attribution_matches_duckdb_oracle(spark, duck):
-    compare(_r62(spark, SF_ORACLE), duck, R62_ORACLE)
 
 
 def test_attribution_hand_cases(spark):

@@ -1,51 +1,13 @@
 """Arrival-cadence / freshness audit
-(operators/timeseries.py::cadence_audit) — DEFERRED to the
-round-7 window (registry.py ROUND 7 TODO; round 6 promoted 45 of 47
-staged operators and ran out of slots), locally certified NOW: the
-DuckDB oracle below is the exact SQL the future r71_feed_cadence
-registration will carry (per-type arrival gaps over events — the
-feed-staleness monitor), plus closed-form gap arithmetic,
-single-observation, and tied-timestamp hand pins."""
+(operators/timeseries.py::cadence_audit) —
+PROMOTED round 7 as r71_feed_cadence: the DuckDB oracle moved VERBATIM
+into the @query registration (tests/test_oracle_parity.py now
+carries the compare); the property/edge/hand pins stay here."""
 
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.timeseries import cadence_audit
 from miningfrequentpattern_spark.sources.io import load_table
-
-from .conftest import SF_ORACLE
-from .oracle import compare
-
-# Future r71 oracle, verbatim. Dialect pins: gaps run in the exact
-# epoch-MICROS domain divided to seconds (epoch_us ≡ Spark's
-# cast-to-double micros precision — the r62 attribution pin);
-# quantile_cont ≡ Spark percentile (the winsorize pin); min/max keep
-# the raw TIMESTAMP (no epoch round-trip).
-R71_ORACLE = """
-WITH g AS (
-  SELECT event_type, ts,
-         (epoch_us(ts) - lag(epoch_us(ts)) OVER
-            (PARTITION BY event_type ORDER BY epoch_us(ts)))
-           / 1000000.0 AS gap
-  FROM events WHERE ts IS NOT NULL)
-SELECT event_type,
-       count(*) AS n_obs,
-       min(ts) AS first_seen,
-       max(ts) AS last_seen,
-       count(gap) AS n_gaps,
-       round(quantile_cont(gap, 0.5), 4) AS median_gap_s,
-       round(quantile_cont(gap, 0.95), 4) AS p95_gap_s,
-       round(max(gap), 4) AS max_gap_s
-FROM g GROUP BY 1
-"""
-
-
-def _r71(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
-    return cadence_audit(ev, ["event_type"], "ts")
-
-
-def test_cadence_matches_duckdb_oracle(spark, duck):
-    compare(_r71(spark, SF_ORACLE), duck, R71_ORACLE)
 
 
 def test_cadence_closed_form(spark):

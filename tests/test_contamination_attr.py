@@ -1,10 +1,8 @@
 """Per-benchmark contamination attribution
-(operators/dedup.py::decontaminate_attribution) — round-7 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL the future l54_contamination_attribution registration will
-carry (the l31 fixture split refined into two pseudo-suites: every
-80th doc is 'benchA', the other every-40th docs 'benchB'), plus
-closed-form attribution pins and the clean-doc-absent check."""
+(operators/dedup.py::decontaminate_attribution) —
+PROMOTED round 7 as l54_contamination_attribution: the DuckDB oracle moved VERBATIM
+into the @query registration (tests/test_oracle_parity.py now
+carries the compare); the property/edge/hand pins stay here."""
 
 from pyspark.sql import functions as F
 
@@ -15,58 +13,6 @@ from miningfrequentpattern_spark.operators.dedup import (
 from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
-from .oracle import compare
-
-# Future l54 oracle, verbatim — l31's certified shingle CTEs with the
-# suite column threaded through; is_top is a per-doc rank-1 on
-# (hits DESC, suite ASC), a total order on exact integers.
-L54_ORACLE = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-sh AS (SELECT doc_id,
-         list_distinct(list_filter(
-           list_transform(list_zip(l, l[2:], l[3:]),
-                          s -> s[1] || ' ' || s[2] || ' ' || s[3]),
-           x -> x IS NOT NULL)) AS g
-       FROM t),
-ex AS (SELECT doc_id, len(g) AS n_shingles, unnest(g) AS s FROM sh),
-b AS (SELECT DISTINCT
-        CASE WHEN doc_id % 80 = 0 THEN 'benchA' ELSE 'benchB' END
-          AS benchmark,
-        s
-      FROM ex WHERE doc_id % 40 = 0),
-tr AS (SELECT doc_id, n_shingles, s FROM ex WHERE doc_id % 40 != 0),
-h AS (SELECT tr.doc_id, tr.n_shingles, b.benchmark,
-             count(DISTINCT tr.s) AS n_hit
-      FROM tr JOIN b ON tr.s = b.s
-      GROUP BY 1, 2, 3)
-SELECT doc_id, benchmark,
-       CAST(n_shingles AS BIGINT) AS n_shingles,
-       CAST(n_hit AS BIGINT) AS n_hit_shingles,
-       round(n_hit * 1.0 / n_shingles, 4) AS hit_frac,
-       row_number() OVER (PARTITION BY doc_id
-                          ORDER BY n_hit DESC, benchmark) = 1
-         AS is_top
-FROM h
-"""
-
-
-def _l54(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "tokens", T.tokens("text")
-    )
-    bench = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
-        "bench",
-        F.when(F.col("doc_id") % 80 == 0, F.lit("benchA")).otherwise(
-            F.lit("benchB")
-        ),
-    )
-    train = docs.filter(F.col("doc_id") % 40 != 0)
-    return decontaminate_attribution(train, bench, "bench", n=3)
-
-
-def test_contamination_attr_matches_duckdb_oracle(spark, duck):
-    compare(_l54(spark, SF_ORACLE), duck, L54_ORACLE)
-
 
 def test_contamination_attr_closed_form(spark):
     """Train doc sharing 2 of its 3 shingles with suite X and 1 with

@@ -1,12 +1,8 @@
 """Linear-interpolation gap fill
-(operators/timeseries.py::gapfill_interpolate) — round-7 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL the future r83_gapfill_interp registration will carry
-(the r43 dense grid with NULL gaps, interpolated per event type over
-day numbers — gauge semantics where r43's zero-fill means counter
-semantics), plus closed-form midpoint/thirds pins, the
-leading/trailing-NULL extrapolation refusal, and a single-exchange
-plan audit."""
+(operators/timeseries.py::gapfill_interpolate) —
+PROMOTED round 7 as r83_gapfill_interp: the DuckDB oracle moved VERBATIM
+into the @query registration (tests/test_oracle_parity.py now
+carries the compare); the property/edge/hand pins stay here."""
 
 import io
 from contextlib import redirect_stdout
@@ -17,91 +13,6 @@ from miningfrequentpattern_spark.operators.timeseries import (
     gapfill_interpolate,
 )
 from miningfrequentpattern_spark.sources.io import load_table
-
-from .conftest import SF_ORACLE
-from .oracle import compare
-
-# Future r83 oracle, verbatim. The grid is r43's certified fragment;
-# t = epoch-day numbers (date_diff over DATE — number arithmetic, the
-# r57 domain pin); interpolation divides exact integer counts and
-# day deltas, so both engines stream identical float64; DuckDB's
-# IGNORE NULLS frames mirror the operator's two passes.
-R83_ORACLE = """
-WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn,
-                  max(CAST(ts AS DATE)) AS mx
-           FROM events),
-types AS (SELECT DISTINCT event_type FROM events),
-days AS (SELECT unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY))
-           AS d FROM b),
-grid AS (SELECT t.event_type, CAST(days.d AS DATE) AS day
-         FROM types t CROSS JOIN days),
-c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
-      FROM events GROUP BY 1, 2),
-g AS (SELECT grid.event_type, grid.day,
-             date_diff('day', DATE '1970-01-01', grid.day)::DOUBLE AS t,
-             c.n::DOUBLE AS v
-      FROM grid LEFT JOIN c USING (event_type, day)),
-w AS (SELECT event_type, day, t, v,
-             last_value(v IGNORE NULLS) OVER
-               (PARTITION BY event_type ORDER BY t
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
-               OVER (PARTITION BY event_type ORDER BY t
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS pt,
-             first_value(v IGNORE NULLS) OVER
-               (PARTITION BY event_type ORDER BY t
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
-               OVER (PARTITION BY event_type ORDER BY t
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-               AS nt
-      FROM g)
-SELECT event_type, CAST(day AS TIMESTAMP) AS day,
-       (v IS NULL) AS is_gap,
-       round(CASE WHEN v IS NOT NULL THEN v
-                  WHEN pv IS NOT NULL AND nv IS NOT NULL
-                  THEN pv + (nv - pv) * (t - pt) / (nt - pt) END,
-             4) AS filled
-FROM w
-"""
-
-
-def _r83(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    day = F.col("ts").cast("date")
-    b = ev.agg(F.min(day).alias("mn"), F.max(day).alias("mx"))
-    grid = (
-        ev.select("event_type").distinct()
-        .crossJoin(F.broadcast(b))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence(F.col("mn"), F.col("mx"),
-                           F.expr("INTERVAL 1 DAY"))
-            ).alias("day"),
-        )
-    )
-    c = ev.groupBy("event_type", day.alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    g = grid.join(c, ["event_type", "day"], "left").select(
-        "event_type",
-        "day",
-        F.datediff("day", F.lit("1970-01-01")).cast("double").alias("t"),
-        F.col("n").cast("double").alias("v"),
-    )
-    out = gapfill_interpolate(g, ["event_type"], "t", "v")
-    return out.select(
-        "event_type",
-        F.col("day").cast("timestamp").alias("day"),
-        F.col("v").isNull().alias("is_gap"),
-        F.round("filled", 4).alias("filled"),
-    )
-
-
-def test_gapfill_interp_matches_duckdb_oracle(spark, duck):
-    compare(_r83(spark, SF_ORACLE), duck, R83_ORACLE)
 
 
 def test_gapfill_interp_closed_form(spark):

@@ -1,10 +1,7 @@
-"""Partitioned MERGE upsert (sources/io.py::merge_upsert_partitioned)
-— round-7 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL the future s16_merge_upsert registration will
-carry (restate '1-URGENT' orders with key % 10 == 0 at doubled price,
-tombstone-delete key % 100 == 7, every other partition untouched),
-plus hand pins for delete semantics, untouched-partition survival at
-the FILE level, and the NULL-key / schema-mismatch raises."""
+"""Partitioned MERGE upsert (sources/io.py::merge_upsert_partitioned) —
+PROMOTED round 7 as s16_merge_upsert: the DuckDB oracle moved VERBATIM
+into the @query registration (tests/test_oracle_parity.py now
+carries the compare); the property/edge/hand pins stay here."""
 
 import os
 
@@ -17,59 +14,6 @@ from miningfrequentpattern_spark.sources.io import (
 
 from .conftest import SF_ORACLE
 from .oracle import compare
-
-# Future s16 oracle, verbatim. The merge is recomputed RELATIONALLY
-# from the originating fixture: updates double the price of urgent
-# keys % 10 == 0 (disjoint from the tombstoned % 100 == 7 set — those
-# end in 7), deletes remove urgent keys % 100 == 7, and every other
-# priority passes through bit-identical.
-S16_ORACLE = """
-SELECT o_orderpriority AS priority,
-       count(*) AS n_orders,
-       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                           AND o_orderkey % 10 = 0
-                      THEN o_totalprice * 2
-                      ELSE o_totalprice END), 2) AS total
-FROM orders
-WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 100 = 7)
-GROUP BY 1
-"""
-
-
-def _s16(spark, sf_dir, path):
-    orders = load_table(spark, sf_dir, "orders")
-    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
-        path
-    )
-    urgent = spark.read.schema(orders.schema).parquet(path).filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    updates = (
-        urgent.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
-        .withColumn("_op", F.lit("U"))
-        .unionByName(
-            urgent.filter(F.col("o_orderkey") % 100 == 7).withColumn(
-                "_op", F.lit("D")
-            )
-        )
-    )
-    merge_upsert_partitioned(
-        spark, path, updates, ["o_orderkey"], "o_orderpriority",
-        op_col="_op",
-    )
-    back = spark.read.schema(orders.schema).parquet(path)
-    return back.groupBy(
-        F.col("o_orderpriority").alias("priority")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-    )
-
-
-def test_merge_upsert_matches_duckdb_oracle(spark, duck, tmp_path):
-    compare(_s16(spark, SF_ORACLE, str(tmp_path / "t")), duck, S16_ORACLE)
-
 
 def test_merge_upsert_leaves_untouched_partition_files_alone(
     spark, tmp_path
