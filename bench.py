@@ -157,6 +157,15 @@ EXPECTED_SUPERLINEAR = {
         "with SF here so compute is O(SF^2) — the enforced "
         "max_queries bound plus the ANN tiers are the at-scale path"
     ),
+    "l38_fuzzy_join": (
+        "the oracle'd UNCAPPED exact tier (explicit "
+        "max_block_size=None): a hot blocking prefix grows its pair "
+        "space ∝ block² on the fixed-vocabulary fixtures (measured "
+        "0.98/decade). The OPERATOR defaults to the capped form "
+        "(fuzzy_blocked_join max_block_size=1000, ADVICE r6) and "
+        "l38b certifies the guard FIRING (measured 0.24/decade) — "
+        "the at-scale path is the default, not this registration"
+    ),
 }
 # Exponent threshold: time ratio t(sf0.1)/t(sf0.01) > 10^1.4 ≈ 25x
 # for a 10x row growth. Generous on purpose: planning constants and

@@ -1174,3 +1174,71 @@ def decontaminate_attribution(
         F.round(frac, 4).alias("hit_frac"),
         (F.row_number().over(w) == 1).alias("is_top"),
     )
+
+
+def fuzzy_blocked_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 2,
+    head_chars: int = 80,
+    max_distance: int = 10,
+    max_block_size: int | None = 1000,
+) -> DataFrame:
+    """Typo-tolerant near-dup / entity-resolution join: (doc_a, doc_b,
+    edit_distance) for pairs whose `head_chars`-char heads are within
+    Levenshtein `max_distance`, candidate-generated by a
+    first-`block_tokens`-token blocking key — never all-pairs (edit
+    distance is O(len²) per pair; the block join bounds the pair
+    space first).
+
+    `max_block_size` is the hot-block df-cap (the l02g hot-shingle
+    guard generalized to blocking keys) and it DEFAULTS ON: a
+    universally shared prefix otherwise makes its block's pair count
+    ∝ block² — the measured ∝SF² growth of the uncapped form on
+    fixed-vocabulary corpora (l38's 0.98/decade exponent). Blocks
+    holding more than `max_block_size` documents are dropped before
+    the self-join; the hot-block relation is tiny by construction, so
+    the anti-join broadcasts. Pass `max_block_size=None` for the
+    exact uncapped tier (the oracle'd l38 registration does,
+    explicitly and documented) — at 100 TB also block on a longer
+    prefix or (prefix, length-bucket) so the cap stays a backstop,
+    not the primary bound.
+    """
+    from .text import tokens
+
+    b = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(
+            F.slice(tokens(text_col), 1, int(block_tokens)), " "
+        ).alias("blk"),
+        F.substring(text_col, 1, int(head_chars)).alias("head"),
+    )
+    if max_block_size is not None:
+        hot = (
+            b.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > int(max_block_size))
+            .select("blk")
+        )
+        b = b.join(F.broadcast(hot), "blk", "left_anti")
+    a, c = b.alias("a"), b.hint("shuffle_hash").alias("c")
+    # project the distance ONCE, filter on the alias: Catalyst does
+    # not CSE across Filter/Project, and the O(len^2) kernel is the
+    # dominant per-pair cost.
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("c.head")).alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance") <= int(max_distance))
+    )
+

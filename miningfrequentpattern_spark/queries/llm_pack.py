@@ -2129,53 +2129,29 @@ def l38_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot blocks (a universally shared 2-token prefix) are the same
     skew class as hot shingles — l02's df-cap guard generalizes; at
     100 TB block on a longer prefix or (prefix, length-bucket)."""
-    return _fuzzy_blocked_join(spark, sf_dir, max_block_size=None)
+    # EXPLICIT None: this registration is the oracle'd UNCAPPED exact
+    # tier (its r5 driver row certifies the full pair space). The
+    # OPERATOR's default is the capped form (max_block_size=1000) —
+    # the signature a user copies is scale-safe by default; l38b is
+    # the guard-FIRING certification.
+    from ..operators.dedup import fuzzy_blocked_join
+
+    return fuzzy_blocked_join(
+        load_table(spark, sf_dir, "documents"), max_block_size=None
+    )
 
 
 def _fuzzy_blocked_join(
     spark: SparkSession, sf_dir: str, max_block_size: int | None
 ) -> DataFrame:
-    """Shared l38/l38b body. With max_block_size set, blocks holding
-    more than that many documents are dropped BEFORE the self-join
-    (the l02g hot-shingle df-cap generalized to blocking keys): a
-    universally shared 2-token prefix otherwise makes its block's
-    pair count ∝ block², which is exactly the ∝SF² growth the l38
-    scaling exponent measured. The hot-block relation is tiny by
-    construction (only pathological keys exceed the cap), so the
-    anti-join broadcasts."""
-    docs = load_table(spark, sf_dir, "documents")
-    b = docs.select(
-        "doc_id",
-        F.array_join(F.slice(T.tokens("text"), 1, 2), " ").alias("blk"),
-        F.substring("text", 1, 80).alias("head"),
-    )
-    if max_block_size is not None:
-        hot = (
-            b.groupBy("blk")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_block_size)
-            .select("blk")
-        )
-        b = b.join(F.broadcast(hot), "blk", "left_anti")
-    a, c = b.alias("a"), b.hint("shuffle_hash").alias("c")
-    # project the distance ONCE, filter on the alias: Catalyst does
-    # not CSE across Filter/Project, and the O(len^2) kernel is the
-    # dominant per-pair cost (self-review: the first cut evaluated
-    # it twice per surviving pair).
-    return (
-        a.join(
-            c,
-            (F.col("a.blk") == F.col("c.blk"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.head"), F.col("c.head")).alias(
-                "edit_distance"
-            ),
-        )
-        .filter(F.col("edit_distance") <= 10)
+    """Back-compat shim for the l38/l38b registrations — the body is
+    now the public operator (operators/dedup.py::fuzzy_blocked_join,
+    capped BY DEFAULT; ADVICE r6)."""
+    from ..operators.dedup import fuzzy_blocked_join
+
+    return fuzzy_blocked_join(
+        load_table(spark, sf_dir, "documents"),
+        max_block_size=max_block_size,
     )
 
 

@@ -754,3 +754,31 @@ def test_ann_dim_mismatch_fails_loudly(spark):
             q, emb, k=3, n_clusters=4, n_probes=2, n_subspaces=8,
             n_codes=16, seed=42, dim=32,
         ).collect()
+
+
+def test_fuzzy_join_capped_by_default(spark):
+    """ADVICE r6: the operator signature a user copies must be the
+    scale-safe capped form — max_block_size defaults FINITE, a cap of
+    0 drops every block, and the explicit None opt-out reproduces the
+    uncapped pair space."""
+    import inspect
+
+    from miningfrequentpattern_spark.operators.dedup import (
+        fuzzy_blocked_join,
+    )
+
+    default = inspect.signature(fuzzy_blocked_join).parameters[
+        "max_block_size"
+    ].default
+    assert default is not None and default >= 1
+    docs = spark.createDataFrame(
+        [(i, f"same prefix doc {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    # one block of 5: the default cap (>= 5) keeps it, cap=0 drops it,
+    # None keeps it — and capped-at-4 fires.
+    assert fuzzy_blocked_join(docs, max_block_size=0).isEmpty()
+    full = fuzzy_blocked_join(docs, max_block_size=None).count()
+    assert full == 10  # C(5,2) within distance 10 ("doc i" heads)
+    assert fuzzy_blocked_join(docs).count() == 10  # default cap >= 5
+    assert fuzzy_blocked_join(docs, max_block_size=4).isEmpty()
