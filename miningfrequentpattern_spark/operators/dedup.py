@@ -1242,3 +1242,134 @@ def fuzzy_blocked_join(
         .filter(F.col("edit_distance") <= int(max_distance))
     )
 
+
+
+def source_shingle_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level overlap matrix between sources — one row per
+    source pair (a < b): shingle-set sizes, the common-shingle count,
+    Jaccard, and BOTH containments. The dedup-planning view one level
+    above l02's per-document pairs: before spending a full near-dup
+    pass across two feeds, this says whether feed B is 90% inside
+    feed A (containment ≈ 1 — mirror/re-crawl, dedup by provenance)
+    or genuinely novel (Jaccard ≈ 0 — skip the cross-feed pass).
+
+    Shape: ONE corpus scan to the DISTINCT (source, shingle)
+    relation; the pair counts come from a shingle-keyed self-join of
+    that relation (the inverted-index shape — each shingle contributes
+    df(s)² pairs with df ≤ |sources|, so the join is |vocab|·|sources|²
+    bounded, never corpus²); set sizes are a |sources|-row aggregate
+    BROADCAST back onto the |sources|²-row matrix. At thousands of
+    sources add the l02g df-cap on shingles shared by nearly all
+    feeds (they carry no discriminating signal and dominate the pair
+    fan-out).
+    """
+    ex = docs.select(
+        F.col(group_col).alias("_g"),
+        F.explode(shingles(tokens_col, n)).alias("_s"),
+    ).distinct()
+    sizes = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._g") < F.col("b._g")),
+        )
+        .groupBy(
+            F.col("a._g").alias("source_a"),
+            F.col("b._g").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("_g").alias("source_a"), F.col("_n").alias("n_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("_g").alias("source_b"), F.col("_n").alias("n_b"))
+    )
+    c = F.col("n_common")
+    return (
+        common.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            c.cast("long").alias("n_common"),
+            F.round(c / (F.col("n_a") + F.col("n_b") - c), 4).alias(
+                "jaccard"
+            ),
+            F.round(c / F.col("n_a"), 4).alias("containment_a"),
+            F.round(c / F.col("n_b"), 4).alias("containment_b"),
+        )
+    )
+
+
+def normalized_dedup_uplift(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """How much MORE duplication text normalization exposes — one row
+    per source: doc count, docs that are exact-duplicates of another
+    doc anywhere in the corpus (raw), docs that are duplicates after
+    casefold + punctuation-strip + whitespace-collapse (normalized),
+    and the uplift. The dedup-policy measurement: if normalization
+    only adds 0.1% the raw hash pass suffices; if it adds 15% the
+    corpus is full of near-identical re-encodings and the normalized
+    key should drive l01.
+
+    Normalization pin (cross-engine, also in the oracle): lowercase,
+    every run of non-[a-z0-9] characters to ONE space, trim — applied
+    in that order, so 'Foo,  bar!' ≡ 'foo bar'. A doc counts as
+    duplicated when its (raw | normalized) key is shared by ≥ 2 docs
+    CORPUS-WIDE; attribution is by the doc's own source (cross-source
+    duplication intentionally counts — that is the re-crawl signal).
+
+    Shape: one corpus scan to (id, source, raw key, normalized key);
+    two key-grain aggregates joined back (key-keyed shuffles — the
+    exact-dedup shape, hash the keys upstream at 100 TB so the
+    shuffle carries 8-byte digests, the l01 posture); one final
+    |sources|-grain aggregate. NULL text rows count in n_docs but
+    can never be duplicates (a NULL key matches nothing).
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.col(text_col).alias("_raw"),
+        norm.alias("_norm"),
+    )
+    raw_counts = base.filter(F.col("_raw").isNotNull()).groupBy(
+        F.col("_raw")
+    ).agg(F.count(F.lit(1)).alias("_rc"))
+    norm_counts = base.filter(F.col("_norm").isNotNull()).groupBy(
+        F.col("_norm")
+    ).agg(F.count(F.lit(1)).alias("_nc"))
+    flagged = (
+        base.join(raw_counts, "_raw", "left")
+        .join(norm_counts, "_norm", "left")
+        .select(
+            "_g",
+            (F.coalesce(F.col("_rc"), F.lit(0)) >= 2).alias("_raw_dup"),
+            (F.coalesce(F.col("_nc"), F.lit(0)) >= 2).alias("_norm_dup"),
+        )
+    )
+    n_raw = F.sum(F.col("_raw_dup").cast("int"))
+    n_norm = F.sum(F.col("_norm_dup").cast("int"))
+    return flagged.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        n_raw.cast("long").alias("n_raw_dup"),
+        n_norm.cast("long").alias("n_norm_dup"),
+        (n_norm - n_raw).cast("long").alias("uplift"),
+        F.round(n_norm / F.count(F.lit(1)), 4).alias("norm_dup_rate"),
+    )

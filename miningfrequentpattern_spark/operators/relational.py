@@ -1478,3 +1478,76 @@ def contract_audit(
         ).alias("violation_rate"),
         (nv == 0).alias("passed"),
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — one row per (cohort period, period
+    offset): how many of the users first seen in a cohort period were
+    active again `offset` periods later, and the retention rate —
+    the standard product/growth analytics triangle (a corpus-health
+    twin too: contributor retention of a crawled feed).
+
+        cohort(u)   = date_trunc(grain, min ts over u)
+        offset(u,p) = periods between an active period p and cohort(u)
+
+    Output: (cohort, offset, n_active, n_cohort, retention) with
+    offset 0 ≡ the cohort size row (retention 1.0 by construction —
+    kept, it anchors the denominator in the same relation).
+
+    Shape: ONE user-keyed aggregate produces (user, cohort) and the
+    per-user distinct active periods IN THE SAME PASS (collect_set of
+    the truncated period — bounded by periods-per-user, a calendar
+    grain, never event count), so the corpus is scanned once and
+    shuffled once on user; the (cohort, offset) matrix aggregate runs
+    on the user-period relation (users × active periods — already
+    thousands of times smaller than events); cohort sizes ride a
+    window over the matrix-grain relation rather than a second join.
+    Calendar pins: date_trunc('week') is ISO-Monday in BOTH engines;
+    offsets count via integer day arithmetic / 7 (exact), never
+    months-of-varying-length (the grain='month' path uses
+    months_between on truncated firsts, exact on month boundaries).
+    NULL user or ts rows are excluded (no cohort identity).
+    """
+    if grain not in ("week", "month"):
+        raise ValueError(f"grain must be week|month, got {grain!r}")
+    u = F.col(user_col)
+    t = F.col(ts_col)
+    per_user = (
+        df.filter(u.isNotNull() & t.isNotNull())
+        .groupBy(u.alias("_u"))
+        .agg(
+            F.date_trunc(grain, F.min(t)).alias("_cohort"),
+            F.collect_set(F.date_trunc(grain, t)).alias("_periods"),
+        )
+    )
+    up = per_user.select(
+        "_u", "_cohort", F.explode("_periods").alias("_p")
+    )
+    if grain == "week":
+        offset = (
+            F.datediff(F.col("_p").cast("date"), F.col("_cohort").cast("date"))
+            / 7
+        ).cast("int")
+    else:
+        offset = F.months_between(
+            F.col("_p").cast("date"), F.col("_cohort").cast("date")
+        ).cast("int")
+    mat = up.groupBy(
+        F.col("_cohort").alias("cohort"), offset.alias("offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    w = Window.partitionBy("cohort")
+    n_cohort = F.max(
+        F.when(F.col("offset") == 0, F.col("n_active"))
+    ).over(w)
+    return mat.select(
+        "cohort",
+        "offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        n_cohort.cast("long").alias("n_cohort"),
+        F.round(F.col("n_active") / n_cohort, 4).alias("retention"),
+    )

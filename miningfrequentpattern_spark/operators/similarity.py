@@ -1009,3 +1009,77 @@ def rrf_fuse(
         F.count(F.lit(1)).alias("n_runs"),
         F.round(F.sum("_contrib"), 4).alias("rrf_score"),
     )
+
+
+def truncated_dim_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    trunc_dims: Sequence[int] = (16,),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation: per query and per
+    truncation width d, the overlap between the exact top-k under the
+    FULL vectors and the exact top-k under vectors sliced to their
+    first d dimensions — (trunc_dim, query_id, n_hits, recall_at_k).
+    The go/no-go measurement before shipping truncated embeddings
+    (MRL serving, cheap prefilter tiers, index-memory budgets): if
+    recall@k at d=16 is already ~0.9, the 4× smaller index is free.
+
+    Shape: one exact top-k per width plus one for the full vectors —
+    each the l03 crossJoin tier with the same enforced max_queries
+    bound (this is an EVAL operator: query panels are small by
+    design; the candidate lists are ≤ k rows per query before the
+    overlap join, so everything after the top-k windows is
+    panel-sized). Deterministic: both rankings order by (rounded
+    cosine DESC, neighbor id), the l03 tiebreak.
+    """
+    if not trunc_dims:
+        raise ValueError("trunc_dims must be non-empty")
+    full = cosine_topk_exact(
+        queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    ).select("query_id", "neighbor_id")
+    out = None
+    for d in trunc_dims:
+        if d < 1:
+            raise ValueError(f"trunc_dims must be >= 1, got {d}")
+        qd = queries.withColumn("_tv", F.slice(F.col(vec_col), 1, int(d)))
+        cd = corpus.withColumn("_tv", F.slice(F.col(vec_col), 1, int(d)))
+        # The panel bound was already enforced (or opted out) on the
+        # full pass over the same query set — don't re-probe per width.
+        trunc = cosine_topk_exact(
+            qd, cd, k=k, id_col=id_col, vec_col="_tv", max_queries=None
+        ).select(
+            "query_id", F.col("neighbor_id").alias("_tn")
+        )
+        hits = (
+            full.join(
+                trunc,
+                (full["query_id"] == trunc["query_id"])
+                & (F.col("neighbor_id") == F.col("_tn")),
+            )
+            .groupBy(full["query_id"].alias("qid"))
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        per_q = (
+            full.groupBy(F.col("query_id").alias("qid"))
+            .agg(F.count(F.lit(1)).alias("_n_full"))
+            .join(hits, "qid", "left")
+            .select(
+                F.lit(int(d)).alias("trunc_dim"),
+                F.col("qid").alias("query_id"),
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("long")
+                .alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.col("_n_full"),
+                    4,
+                ).alias("recall_at_k"),
+            )
+        )
+        out = per_q if out is None else out.unionByName(per_q)
+    return out

@@ -908,3 +908,76 @@ def gapfill_interpolate(
         )
     )
     return df.withColumn(out_col, filled)
+
+
+def pit_trailing_features(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    fact_col: str,
+    value_col: str | None = None,
+    window: str = "7 days",
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-time trailing-window features — the feature-store
+    primitive: for every FACT row (fact_col = true), aggregate the
+    same key's NON-fact rows strictly inside (t − window, t):
+
+        n_prior       — trailing event count
+        sum_prior     — trailing sum of value_col (when given)
+        last_gap_s    — seconds since the most recent prior event
+
+    "Strictly inside" is the leakage contract: the frame ends 1
+    microsecond before the fact, so a same-instant signal can never
+    leak into its own feature (training-serving skew pin); the fact
+    rows themselves never count (a purchase is not a feature of
+    itself even when other purchases precede it — only non-fact rows
+    feed the aggregates).
+
+    Shape: ONE keyed window pass — order by exact epoch-micros, a
+    RANGE frame of window micros — no self-join, no fan-out: the
+    classic range-join formulation duplicates every fact × its
+    in-window touches before re-aggregating, this computes the same
+    numbers in a single pass whose state is bounded by the frame.
+    At 100 TB the shuffle is user-keyed (uniform), and the frame
+    bound caps per-row state regardless of history length. NULL
+    timestamps are excluded (no point in time to be AS OF).
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
+    if not m:
+        raise ValueError(
+            f"window must look like '7 days'/'10 minutes', got {window!r}"
+        )
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    win_us = int(m.group(1)) * mult[m.group(2)] * 1_000_000
+    t = F.col(ts_col)
+    base = df.filter(t.isNotNull()).withColumn("_us", F.unix_micros(t))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_us")
+        .rangeBetween(-win_us, -1)
+    )
+    touch = ~F.col(fact_col)
+    feats = [
+        F.count(F.when(touch, 1)).over(w).cast("long").alias("n_prior"),
+        F.round(
+            (F.col("_us") - F.max(F.when(touch, F.col("_us"))).over(w))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("last_gap_s"),
+    ]
+    if value_col is not None:
+        from ..functions.rounding import round4 as _r4
+
+        feats.insert(
+            1,
+            _r4(
+                F.sum(
+                    F.when(touch, F.col(value_col).cast("double"))
+                ).over(w)
+            ).alias("sum_prior"),
+        )
+    out = base.select(*keys, ts_col, *carry, F.col(fact_col).alias("_f"), *feats)
+    return out.filter(F.col("_f")).drop("_f")
