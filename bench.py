@@ -136,6 +136,19 @@ ADDITIONS = [
     "r80_concurrent_activity",
     "l45_ivfpq_topk",
     "l38b_fuzzy_join_capped",
+    # round-7 — the promoted-flagship sample: grouped-map Holt
+    # recurrence; composed TextRank (co-occurrence graph -> pagerank
+    # -> top-25 in one plan); dual-period pair contrast (two
+    # basket-bounded self-joins + full-outer); SCD2 containment
+    # lookup; MERGE upsert write path (partition-pruned rewrite);
+    # IGNORE-NULLS attribution window; single-window PIT trailing
+    # features is round-8 staged and joins after promotion
+    "r82_holt_revenue",
+    "l53_textrank_keywords",
+    "m27_emerging_pairs",
+    "r84_scd2_lookup",
+    "s16_merge_upsert",
+    "r62_attribution",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS

@@ -13,6 +13,10 @@ Arrow serialization entirely; at 1000+ dims switch to a pandas UDF
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -55,3 +59,62 @@ def l2_normalize(a: Column | str) -> Column:
     n = norm(a)
     safe = F.when(n == 0, F.lit(1.0)).otherwise(n)
     return F.transform(a, lambda x: x / safe)
+
+
+def int8_roundtrip_error_iter(df, vec_col: str = "embedding"):
+    """Iterator-form scalar pandas UDF (U1's third shape beside the
+    plain scalar form and mapInArrow): per-vector int8 symmetric
+    quantization round-trip error — (scale, max_abs_err) — computed
+    by an `Iterator[pd.Series] -> Iterator[pd.Series]` UDF.
+
+    WHY the iterator form exists (and why it's certified here): the
+    function body runs ONCE per Python worker with the batch stream,
+    so expensive one-time setup (loading a codebook, warming a
+    tokenizer, opening a model file) amortizes across every batch
+    instead of re-running per batch — the plain scalar form re-enters
+    per batch. The setup here (the clamp table) is cheap by design;
+    the certified contract is the FORM (iterator in, iterator out,
+    exercised across multiple Arrow batches via a small
+    maxRecordsPerBatch in the test) plus exact value parity.
+
+    Arithmetic contract (the l24 fixture pin): scale = max|x| / 127,
+    q = round(x / scale) clamped to [-127, 127], err = max|x − q·scale|
+    — exact float64 both engines, so unlike most UDF surfaces this
+    one is DuckDB-oracle-able.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("scale", DoubleType()),
+            StructField("max_abs_err", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def quant_err(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-worker setup — runs ONCE for the whole stream
+        levels = np.arange(-127, 128, dtype=np.float64)
+        for s in batches:
+            scales, errs = [], []
+            for v in s:
+                x = np.asarray(v, dtype=np.float64)
+                m = float(np.max(np.abs(x))) if x.size else 0.0
+                if m == 0.0:
+                    scales.append(0.0)
+                    errs.append(0.0)
+                    continue
+                scale = m / 127.0
+                q = np.clip(np.round(x / scale), levels[0], levels[-1])
+                errs.append(float(np.max(np.abs(x - q * scale))))
+                scales.append(scale)
+            yield pd.DataFrame({"scale": scales, "max_abs_err": errs})
+
+    res = df.withColumn("_q", quant_err(F.col(vec_col)))
+    return res.select(
+        *[c for c in df.columns if c != vec_col],
+        F.round(F.col("_q.scale"), 4).alias("scale"),
+        F.round(F.col("_q.max_abs_err"), 4).alias("max_abs_err"),
+    )

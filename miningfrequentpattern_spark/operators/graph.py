@@ -862,3 +862,72 @@ def personalized_pagerank(
                 tele.unpersist()
             except UnboundLocalError:
                 pass
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    _materialize: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation communities over an UNDIRECTED
+    graph — (id, community) after `iterations` rounds of
+
+        label_{k+1}(v) = argmax_label count{u ∈ N(v) : label_k(u)}
+                         (ties → the SMALLEST label)
+
+    initialized with label_0 = node id. The classic near-linear
+    community detector (Raghavan 2007): a node adopts its neighbors'
+    majority label, so dense blocks agree within a few rounds while
+    bridges stay contested — the community grain BETWEEN m17's local
+    clustering coefficient and l02e's connected components (CC calls
+    two cliques joined by one edge ONE component; LPA keeps them two
+    communities).
+
+    Determinism pin: the min-label tiebreak + synchronous rounds make
+    every round a pure function of the previous labeling — no
+    run-to-run flapping, and an unrolled-CTE SQL oracle computes the
+    identical labeling (the m13/m25 fixed-iteration stance; classic
+    LPA randomizes update ORDER, which is unobservable distributed —
+    the synchronous form is the one with a cross-engine ground truth).
+
+    Shape: edges normalized to canonical undirected then BOTH stub
+    orientations, pre-hashed on the neighbor key and CACHED (the m13
+    prelude); per round ONE |V|-row label shuffle joins the cached
+    stubs, a (node, label) count aggregate, and a per-node rank-1 —
+    the edge relation itself never reshuffles. Lineage truncates per
+    round (localCheckpoint — the r5 Catalyst exponential-plan fix).
+    Isolated nodes never appear (an edge list carries no degree-0
+    nodes) and self-loops are dropped by normalization.
+    """
+    und = _undirected(edges, src, dst)
+    stubs = (
+        und.select(F.col("s").alias("_u"), F.col("d").alias("_v"))
+        .unionAll(und.select(F.col("d").alias("_u"), F.col("s").alias("_v")))
+        .repartition("_u")
+        .cache()
+    )
+    try:
+        labels = stubs.select(F.col("_v").alias("id")).distinct().select(
+            "id", F.col("id").alias("_lab")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc("_n"), F.asc("_lab")
+        )
+        for _ in range(iterations):
+            labels = (
+                stubs.join(labels, stubs["_u"] == labels["id"])
+                .select(F.col("_v").alias("id"), "_lab")
+                .groupBy("id", "_lab")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("id", "_lab")
+            )
+            if _materialize:
+                labels = labels.localCheckpoint(eager=True)
+        return labels.select("id", F.col("_lab").alias("community"))
+    finally:
+        if _materialize:
+            stubs.unpersist()

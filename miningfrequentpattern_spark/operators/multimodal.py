@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -157,3 +157,33 @@ def sample_frames(media_df: DataFrame, frame_bytes: int = 32) -> DataFrame:
             )
 
     return media_df.select("doc_id", "media").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def media_dedup(media_df: DataFrame, keep: str = "min_id") -> DataFrame:
+    """Exact dedup over the BINARY media column — every media row plus
+    (media_md5, n_copies, is_kept): byte-identical payloads dedup to
+    one keeper (lowest doc_id — deterministic), the l01 contract on
+    blobs instead of text. The first media pass of any multimodal
+    pipeline: byte-exact re-uploads/mirrors are the bulk of media
+    duplication and need no decode to find (the l02-style perceptual
+    tier would run AFTER this on the survivors).
+
+    Shape: md5 runs JVM-side over the binary column (whole-stage
+    codegen, no Python); ONE digest-keyed window ranks copies —
+    digest keys are uniform by construction (cryptographic hash), so
+    the shuffle cannot skew. At 100 TB the digest is 16 bytes per
+    blob in the exchange, never the payload: the projection drops the
+    media column before the shuffle and joins it back only if the
+    caller selects it (Catalyst column pruning does this for free
+    when downstream reads metadata only).
+    """
+    if keep != "min_id":
+        raise ValueError(f"only keep='min_id' is supported, got {keep!r}")
+    digest = F.md5(F.col("media"))
+    w = Window.partitionBy("media_md5").orderBy("doc_id")
+    cw = Window.partitionBy("media_md5")
+    return (
+        media_df.withColumn("media_md5", digest)
+        .withColumn("n_copies", F.count(F.lit(1)).over(cw).cast("long"))
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+    )

@@ -775,3 +775,72 @@ def bigram_backoff_score(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg(-F.log2(s)), 4).alias("avg_neg_log2p"),
     )
+
+
+def quality_gate_ablation(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-gate ablation of the l06 quality filter — one row per gate:
+    how many docs fail it (n_fail) and how many fail ONLY it
+    (n_sole_fail, the docs that gate alone removes from the corpus).
+    The curation-tuning measurement: a gate with large n_fail but
+    near-zero n_sole_fail is redundant (its rejects die elsewhere
+    anyway); a gate with large n_sole_fail is the one whose threshold
+    actually shapes the corpus and deserves the calibration pass
+    (l47's rank-calibrated form).
+
+    Gates are EXACTLY quality_features' verdict conjuncts (min_tokens,
+    char_bounds, word_len_bounds, distinct_ratio) — computed here
+    row-locally from the same expressions so the ablation can never
+    drift from the filter it explains (and `sum of sole-fails ≤ total
+    fails` is a structural invariant, tested).
+
+    Shape: ONE corpus scan — four boolean columns, then a single
+    8-counter hash aggregate (no explode, no per-gate pass); the
+    4-row output is stack()ed from the 1-row aggregate. Row count of
+    the output is |gates|, independent of corpus size.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    distinct_ratio = F.size(F.array_distinct(t)) / n_tok
+    mean_wlen = (
+        F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n_tok
+    )
+    gates = {
+        "min_tokens": n_tok >= 5,
+        "char_bounds": F.col("n_chars").between(20, 10000),
+        "word_len_bounds": mean_wlen.between(2, 12),
+        "distinct_ratio": distinct_ratio > 0.1,
+    }
+    flagged = docs.select(
+        *[
+            F.coalesce(cond, F.lit(False)).alias(f"_p_{g}")
+            for g, cond in gates.items()
+        ]
+    )
+    names = list(gates)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for g in names:
+        fail = ~F.col(f"_p_{g}")
+        others = None
+        for h in names:
+            if h == g:
+                continue
+            c = F.col(f"_p_{h}")
+            others = c if others is None else others & c
+        aggs.append(F.sum(fail.cast("int")).alias(f"_f_{g}"))
+        aggs.append(F.sum((fail & others).cast("int")).alias(f"_s_{g}"))
+    wide = flagged.agg(*aggs)
+    stack_expr = ", ".join(f"'{g}', _f_{g}, _s_{g}" for g in names)
+    tall = wide.selectExpr(
+        "_n",
+        f"stack({len(names)}, {stack_expr}) AS (gate, n_fail, n_sole_fail)",
+    )
+    return tall.select(
+        "gate",
+        F.col("_n").cast("long").alias("n_docs"),
+        F.col("n_fail").cast("long").alias("n_fail"),
+        F.col("n_sole_fail").cast("long").alias("n_sole_fail"),
+        F.round(F.col("n_fail") / F.col("_n"), 4).alias("fail_rate"),
+        F.round(F.col("n_sole_fail") / F.col("_n"), 4).alias("sole_rate"),
+    )

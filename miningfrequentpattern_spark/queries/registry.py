@@ -166,9 +166,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # t03_session_window, t04_dedup_first_event, t05_stateful_user_counts,
 # t05b_stateful_user_counts_native, u03_udtf_token_counts — then
 # list (b): l02f, l21, l22, l23, l24, m11, r34, r35, u04, u05, u06,
-# r23, r24, r25, r26, r27, r28, r30, r31, r32, l07, l07c, plus any
-# round-7 additions staged in their test files; keep the canaries
-# and re-certify anything whose code or oracle text changes.
+# r23, r24, r25, r26, r27, r28, r30, r31, r32, l07, l07c, plus the
+# EIGHT round-7 staged additions (implemented + locally
+# DuckDB-certified, oracles verbatim in their test files):
+# relational.py::retention_cohorts -> r85_retention_cohorts
+# (tests/test_retention.py); timeseries.py::pit_trailing_features ->
+# r86_pit_features (tests/test_pit_features.py);
+# dedup.py::source_shingle_overlap -> l55_source_overlap
+# (tests/test_source_overlap.py); similarity.py::truncated_dim_recall
+# -> l56_truncated_recall (tests/test_truncated_recall.py — fully
+# deterministic, hash-oracle-able unlike the ANN family);
+# dedup.py::normalized_dedup_uplift -> l57_normalized_dedup
+# (tests/test_norm_dedup.py); text.py::quality_gate_ablation ->
+# l58_gate_ablation (tests/test_gate_ablation.py);
+# multimodal.py::media_dedup -> l59_media_dedup
+# (tests/test_media_dedup.py); functions/vectors.py::
+# int8_roundtrip_error_iter -> u09_iter_quantize (the iterator-form
+# scalar pandas UDF surface, tests/test_iter_udf.py);
+# graph.py::label_propagation -> m28_part_communities (synchronous
+# min-tiebreak LPA, unrolled-CTE oracle,
+# tests/test_label_propagation.py); streaming/stateful.py::cdc_merge_stream
+# is tests-only by design (true-stream MERGE sink,
+# tests/test_cdc_merge_stream.py — its batch twin is s16). Keep the
+# canaries and re-certify anything whose code or oracle text changes.
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset({"l03b_ann_lsh_topk"})
 PRIORITY: tuple[str, ...] = (
     # canaries - proven every round, kept to detect driver-env drift

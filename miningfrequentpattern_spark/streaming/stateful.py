@@ -620,3 +620,63 @@ def holt_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_merge_stream(
+    updates_stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    partition_col: str,
+    op_col: str | None = None,
+    delete_marker: str = "D",
+):
+    """Streaming CDC apply into a partitioned parquet table: each
+    micro-batch runs through merge_upsert_partitioned (broadcast-semi
+    partition pruning + key anti-join + dynamic overwrite, the s16
+    primitive) — the canonical foreachBatch MERGE sink that turns a
+    change feed into a maintained lakehouse table.
+
+    Consistency story (the Structured Streaming guide's contract):
+    foreachBatch is AT-LEAST-ONCE, so the per-batch write must be
+    idempotent — and a MERGE is: re-applying the same update batch to
+    the post-merge table anti-joins out exactly the rows it inserted
+    and re-inserts them (deletes re-delete nothing). What a MERGE is
+    NOT robust to is duplicate keys WITHIN one batch (both rows would
+    insert), so each batch is required key-unique — the caller
+    pre-compacts the feed to latest-per-key (the standard CDC
+    compaction) and this sink RAISES loudly on violation rather than
+    silently duplicating. Returns the StreamingQuery; trigger is the
+    caller's choice via .trigger on the returned query builder —
+    here availableNow-friendly defaults (one start, drain, stop).
+    """
+    from ..sources.io import merge_upsert_partitioned
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dupes = (
+            batch_df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+        )
+        if not dupes.isEmpty():
+            raise ValueError(
+                "cdc_merge_stream: duplicate merge keys within one "
+                "micro-batch — compact the feed to latest-per-key "
+                "upstream (a MERGE would insert both)"
+            )
+        merge_upsert_partitioned(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            keys,
+            partition_col,
+            op_col=op_col,
+            delete_marker=delete_marker,
+        )
+
+    return (
+        updates_stream.writeStream.outputMode("update")
+        .foreachBatch(apply)
+        .trigger(availableNow=True)
+    )
