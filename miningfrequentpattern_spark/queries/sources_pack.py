@@ -937,7 +937,7 @@ def s16_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_upsert_partitioned(
         spark, path, updates, ["o_orderkey"], "o_orderpriority",
-        op_col="_op",
+        op_col="_op", base_schema=orders.schema,
     )
     back = spark.read.schema(orders.schema).parquet(path)
     return back.groupBy(

@@ -209,6 +209,7 @@ def merge_upsert_partitioned(
     partition_col: str,
     op_col: str | None = None,
     delete_marker: str = "D",
+    base_schema=None,
 ) -> None:
     """MERGE (upsert + optional delete) into a hive-partitioned
     parquet table, rewriting ONLY the partitions the updates touch —
@@ -255,7 +256,14 @@ def merge_upsert_partitioned(
     move whose old partition is untouched is invisible without a
     full-table key scan — that case is the caller's contract.
     """
-    base_schema = spark.read.parquet(path).schema
+    if base_schema is None:
+        # Inference needs at least one data file; an EMPTY base table
+        # (a fileless directory — routine at scale: the table was
+        # created before data landed) has no inferable schema, so the
+        # caller must pass `base_schema` explicitly (the s04/s05/s08
+        # writer-schema precedent). Failing here would make the FIRST
+        # merge into a new table impossible.
+        base_schema = spark.read.parquet(path).schema
     up_cols = set(updates.columns) - ({op_col} if op_col else set())
     if up_cols != set(base_schema.fieldNames()):
         raise ValueError(

@@ -629,6 +629,7 @@ def cdc_merge_stream(
     partition_col: str,
     op_col: str | None = None,
     delete_marker: str = "D",
+    base_schema=None,
 ):
     """Streaming CDC apply into a partitioned parquet table: each
     micro-batch runs through merge_upsert_partitioned (broadcast-semi
@@ -673,6 +674,9 @@ def cdc_merge_stream(
             partition_col,
             op_col=op_col,
             delete_marker=delete_marker,
+            # pass-through so the FIRST merge into a still-empty table
+            # works (a fileless directory has no inferable schema)
+            base_schema=base_schema,
         )
 
     return (
