@@ -981,3 +981,77 @@ def pit_trailing_features(
         )
     out = base.select(*keys, ts_col, *carry, F.col(fact_col).alias("_f"), *feats)
     return out.filter(F.col("_f")).drop("_f")
+
+
+def ttl_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    ttl: str = "10 minutes",
+    tiebreak_col: str | None = None,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """Event-time TTL dedup — every input row plus `is_kept`: a row is
+    kept iff its timestamp is at least `ttl` after the PREVIOUS KEPT
+    row of the same key (greedy chain anchored at each key's first
+    row). t04's dedup suppresses a key forever; this one re-admits it
+    once the suppression window lapses — the at-most-once-per-TTL
+    semantics of alert throttling, impression capping, and
+    re-crawl-budget dedup (and the event-time contract behind
+    Structured Streaming's dropDuplicatesWithinWatermark).
+
+    WHY a grouped map: kept-ness is a CHAIN — whether row i is kept
+    depends on which earlier rows were kept, not on any frame
+    aggregate of them — so no window function expresses it (same
+    argument as ewma's recurrence; the anchor update
+    `a ← ts if ts ≥ a + ttl` has no prefix-sum closed form because
+    the condition reads the anchor). One shuffle on the key, per-task
+    state = one anchor timestamp, series length bounded by the key's
+    event count. A recursive-CTE oracle computes the identical chain
+    (the r82/r28 stance). Ordering: (ts, tiebreak) must be a total
+    order per key — tied timestamps without a tiebreak RAISE (the
+    ewma contract; which tied row anchors the window is otherwise
+    shuffle-order nondeterminism).
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", ttl.strip())
+    if not m:
+        raise ValueError(
+            f"ttl must look like '10 minutes'/'1 hour', got {ttl!r}"
+        )
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    ttl_us = int(m.group(1)) * mult[m.group(2)] * 1_000_000
+    extra = [tiebreak_col] if tiebreak_col else []
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        *keys,
+        *extra,
+        *carry,
+        F.col(ts_col).alias(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+    )
+    schema = ST.StructType(
+        list(base.schema.fields)
+        + [ST.StructField("is_kept", ST.BooleanType())]
+    )
+    sort_cols = ["_us", *extra]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        if pdf.duplicated(sort_cols).any():
+            raise ValueError(
+                f"duplicate {sort_cols} within a key: the TTL chain is "
+                "order-ambiguous; pass tiebreak_col or pre-aggregate"
+            )
+        kept = []
+        anchor = None
+        for us in pdf["_us"]:
+            k = anchor is None or us >= anchor + ttl_us
+            if k:
+                anchor = us
+            kept.append(k)
+        pdf["is_kept"] = kept
+        return pdf
+
+    out = base.groupBy(*keys).applyInPandas(fn, schema)
+    return out.drop("_us")

@@ -185,7 +185,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # scalar pandas UDF surface, tests/test_iter_udf.py);
 # graph.py::label_propagation -> m28_part_communities (synchronous
 # min-tiebreak LPA, unrolled-CTE oracle,
-# tests/test_label_propagation.py); streaming/stateful.py::cdc_merge_stream
+# tests/test_label_propagation.py); timeseries.py::ttl_dedup ->
+# r87_ttl_dedup (event-time TTL throttle chain, recursive-CTE
+# oracle + dropDuplicatesWithinWatermark stream twin,
+# tests/test_ttl_dedup.py); sources/io.py::read_csv_permissive ->
+# s18_corrupt_csv_audit (quarantined malformed-line audit,
+# tests/test_corrupt_csv.py); streaming/stateful.py::cdc_merge_stream
 # is tests-only by design (true-stream MERGE sink,
 # tests/test_cdc_merge_stream.py — its batch twin is s16). Keep the
 # canaries and re-certify anything whose code or oracle text changes.

@@ -383,3 +383,35 @@ def _remove_partition_dirs(
             continue
         if _unescape(entry[len(prefix):]) in wanted:
             shutil.rmtree(full)
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S3 (malformed-input audit): CSV parsed PERMISSIVE with every
+    unparsable/malformed line captured in `corrupt_col` instead of
+    silently dropped (DROPMALFORMED) or crashing the job (FAILFAST) —
+    the ingestion posture for feeds you do not control: load
+    everything, QUARANTINE the garbage as data, alert on its rate.
+
+    Built as `from_csv` over a text scan rather than
+    `spark.read.csv(columnNameOfCorruptRecord=...)`: the csv reader's
+    internal corrupt column CANNOT be referenced in a filter/agg
+    without caching the whole frame first (a documented Spark
+    restriction — and a corpus-sized cache is exactly the wrong move
+    at scale); the from_csv form makes the corrupt column an ordinary
+    expression, one scan, no cache, full codegen. A row is malformed
+    iff `corrupt_col IS NOT NULL` (type failure, wrong column count —
+    under-full rows still surface their parsable prefix AND the raw
+    line, so the caller chooses strictness).
+    """
+    ddl = f"{schema_ddl}, {corrupt_col} STRING"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
+    return (
+        spark.read.text(path)
+        .select(F.from_csv(F.col("value"), ddl, opts).alias("_p"))
+        .select("_p.*")
+    )

@@ -1,0 +1,168 @@
+"""Event-time TTL dedup (operators/timeseries.py::ttl_dedup) —
+round-8 window candidate, locally certified NOW: the DuckDB
+recursive-CTE oracle below is the exact SQL the future r87_ttl_dedup
+registration will carry (per-user 10-minute throttle chain over
+events), plus greedy-chain closed forms, the tie raise, and a TRUE
+Structured Streaming twin: dropDuplicatesWithinWatermark agrees with
+the batch chain on fixtures whose gaps avoid the delay..2*delay
+eviction-ambiguity band (the documented contract boundary)."""
+
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.timeseries import ttl_dedup
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+from .oracle import compare
+
+# Future r87 oracle, verbatim — the r82/r28 linear-recursion stance:
+# anchor a <- us when us >= a + ttl, per user, rows totally ordered
+# by (epoch-micros, event_id).
+R87_ORACLE = """
+WITH RECURSIVE b AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE ts IS NOT NULL),
+k AS (
+  SELECT user_id, ts, event_id, us, rn,
+         true AS is_kept, us AS anchor
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.ts, b.event_id, b.us, b.rn,
+         b.us >= k.anchor + 600000000,
+         CASE WHEN b.us >= k.anchor + 600000000
+              THEN b.us ELSE k.anchor END
+  FROM b JOIN k ON b.user_id = k.user_id AND b.rn = k.rn + 1)
+SELECT user_id, ts, event_id, is_kept FROM k
+"""
+
+
+def _r87(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ttl_dedup(
+        ev, ["user_id"], "ts", ttl="10 minutes", tiebreak_col="event_id"
+    ).select("user_id", "ts", "event_id", "is_kept")
+
+
+def test_ttl_dedup_matches_duckdb_recursive_oracle(spark, duck):
+    compare(_r87(spark, SF_ORACLE), duck, R87_ORACLE)
+
+
+def test_ttl_dedup_greedy_chain_closed_form(spark):
+    """ts = 0, 5, 10, 21 min with ttl 10: keep 0 (anchor), drop 5,
+    keep 10 (>= 0+10), drop... wait 21 >= 10+10 -> keep. Chain:
+    keep, drop, keep, keep."""
+    rows = [("u", f"2024-01-01 00:{m:02d}:00", i)
+            for i, m in enumerate([0, 5, 10, 21])]
+    df = spark.createDataFrame(rows, "user_id string, d string, event_id long").select(
+        "user_id", F.to_timestamp("d").alias("ts"), "event_id"
+    )
+    got = {
+        r["event_id"]: r["is_kept"]
+        for r in ttl_dedup(df, ["user_id"], "ts", "10 minutes",
+                           tiebreak_col="event_id").collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_ttl_dedup_anchor_is_kept_row_not_last_seen(spark):
+    """The chain anchors on KEPT rows only: 0, 9, 18 min with ttl 10
+    keeps 0 and 18 (18 >= 0+10) — a last-SEEN anchor would wrongly
+    drop 18 (18 < 9+10)."""
+    rows = [("u", f"2024-01-01 00:{m:02d}:00", i)
+            for i, m in enumerate([0, 9, 18])]
+    df = spark.createDataFrame(rows, "user_id string, d string, event_id long").select(
+        "user_id", F.to_timestamp("d").alias("ts"), "event_id"
+    )
+    got = {
+        r["event_id"]: r["is_kept"]
+        for r in ttl_dedup(df, ["user_id"], "ts", "10 minutes",
+                           tiebreak_col="event_id").collect()
+    }
+    assert got == {0: True, 1: False, 2: True}
+
+
+def test_ttl_dedup_ties_raise_without_tiebreak(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1), ("u", "2024-01-01 00:00:00", 2)],
+        "user_id string, d string, event_id long",
+    ).select("user_id", F.to_timestamp("d").alias("ts"), "event_id")
+    with pytest.raises(Exception, match="order-ambiguous|duplicate"):
+        ttl_dedup(df, ["user_id"], "ts", "10 minutes").collect()
+    # with the tiebreak it resolves deterministically
+    got = ttl_dedup(
+        df, ["user_id"], "ts", "10 minutes", tiebreak_col="event_id"
+    ).collect()
+    assert sum(r["is_kept"] for r in got) == 1
+
+
+def test_ttl_dedup_stream_twin_agrees_outside_ambiguity_band(
+    spark, tmp_path
+):
+    """TRUE-STREAM twin: dropDuplicatesWithinWatermark(delay) keeps a
+    key's first occurrence and drops re-arrivals while its state
+    lives. State eviction is WATERMARK-driven (evict when watermark >
+    anchor + delay, watermark = max_ts - delay), so gaps between
+    delay and 2*delay are implementation-timing territory — the
+    fixture here uses gaps either < delay (must drop) or > 2*delay
+    (state provably evicted, must keep), where the streaming result
+    equals the batch greedy chain's kept set exactly."""
+    rows = [
+        # user a: 00:00 keep; 00:05 drop (< 10); 00:45 keep (the m1
+        # mover advanced the watermark to 00:26 > anchor 00:00 + 10,
+        # so the state is provably evicted BEFORE 00:45 processes);
+        # 00:47 drop. Movers are SINGLE-USE keys: a re-arriving mover
+        # would itself sit in the ambiguity band.
+        ("a", "2024-01-01 00:00:00", 1),
+        ("b", "2024-01-01 00:01:00", 5),
+        ("a", "2024-01-01 00:05:00", 2),
+        ("m1", "2024-01-01 00:36:00", 7),
+        # eviction runs against the watermark as of the batch START,
+        # i.e. one batch AFTER the advance lands — m3 is that extra
+        # batch, so a's state is gone before 00:45 processes
+        ("m3", "2024-01-01 00:38:00", 8),
+        ("a", "2024-01-01 00:45:00", 3),
+        ("a", "2024-01-01 00:47:00", 4),
+        ("m2", "2024-01-01 02:00:00", 6),
+    ]
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(
+        rows, "user_id string, d string, event_id long"
+    ).select("user_id", F.to_timestamp("d").alias("ts"), "event_id")
+    # one file per row, named in event-time order => in-order replay
+    for i, r in enumerate(batch.orderBy("ts", "event_id").collect()):
+        spark.createDataFrame([r], batch.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/f{i:03d}")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_kept = {
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM ttl_twin").collect()
+    }
+    batch_kept = {
+        r["event_id"]
+        for r in ttl_dedup(
+            batch, ["user_id"], "ts", "10 minutes", tiebreak_col="event_id"
+        ).filter("is_kept").collect()
+    }
+    assert stream_kept == batch_kept == {1, 3, 5, 6, 7, 8}
