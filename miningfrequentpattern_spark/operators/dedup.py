@@ -1222,15 +1222,26 @@ def fuzzy_blocked_join(
             .select("blk")
         )
         b = b.join(F.broadcast(hot), "blk", "left_anti")
+    b = b.withColumn("_hlen", F.length("head"))
     a, c = b.alias("a"), b.hint("shuffle_hash").alias("c")
     # project the distance ONCE, filter on the alias: Catalyst does
     # not CSE across Filter/Project, and the O(len^2) kernel is the
-    # dominant per-pair cost.
+    # dominant per-pair cost. The length band |len_a - len_b| <=
+    # max_distance rides IN the join condition: it is a true lower
+    # bound of Levenshtein (each length unit of difference costs >= 1
+    # edit), so it drops only pairs that could never pass — fewer
+    # O(len^2) kernel evaluations, identical results (tested), and
+    # the band is evaluated from two cheap precomputed ints during
+    # the hash-join probe, before the kernel ever runs.
     return (
         a.join(
             c,
             (F.col("a.blk") == F.col("c.blk"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+            & (F.col("a.doc_id") < F.col("c.doc_id"))
+            & (
+                F.abs(F.col("a._hlen") - F.col("c._hlen"))
+                <= F.lit(int(max_distance))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -782,3 +782,47 @@ def test_fuzzy_join_capped_by_default(spark):
     assert full == 10  # C(5,2) within distance 10 ("doc i" heads)
     assert fuzzy_blocked_join(docs).count() == 10  # default cap >= 5
     assert fuzzy_blocked_join(docs, max_block_size=4).isEmpty()
+
+
+def test_fuzzy_join_length_band_is_lossless(spark):
+    """The |len_a - len_b| <= max_distance join-side prefilter is a
+    true Levenshtein lower bound: results with and without the band
+    must be IDENTICAL on inputs where the band genuinely fires
+    (head lengths differing by more than the threshold)."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        fuzzy_blocked_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same prefix short"),
+            (2, "same prefix shorty"),             # dist 1 from 1
+            (3, "same prefix " + "x" * 60),        # len-band drops vs 1/2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in fuzzy_blocked_join(docs, max_distance=10).collect()
+    }
+    # naive check without any band: full pair set within the block
+    import itertools
+
+    rows = {r.doc_id: r.text[:80] for r in docs.collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    naive = {
+        (i, j): lev(rows[i], rows[j])
+        for i, j in itertools.combinations(sorted(rows), 2)
+        if lev(rows[i], rows[j]) <= 10
+    }
+    assert got == naive == {(1, 2): 1}
