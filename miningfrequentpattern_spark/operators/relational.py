@@ -1551,3 +1551,104 @@ def retention_cohorts(
         n_cohort.cast("long").alias("n_cohort"),
         F.round(F.col("n_active") / n_cohort, 4).alias("retention"),
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Growth accounting — one row per period: how many active users
+    are NEW (first-ever period), RETAINED (also active the previous
+    period), RESURRECTED (active before, but not the previous
+    period), and how many CHURNED INTO this period (active the
+    previous period, not this one) — the standard MAU decomposition
+    (new + retained + resurrected − churned = ΔMAU), and r85's
+    per-period companion: retention says how a cohort decays, this
+    says where this period's actives came from.
+
+    Shape: ONE corpus scan to the distinct (user, period) relation
+    (the r85 per-user aggregate emits first-period and the period set
+    in the same pass); classification is a per-user lag window over
+    the user's periods — user-keyed, bounded by periods-per-user —
+    plus a 1-period self-shift for churn (an anti-join-free
+    reformulation: churned(p) = active(p−1) − retained(p), computed
+    from the SAME per-period counts, so no second corpus pass).
+    Calendar pins follow r85 exactly (ISO-Monday weeks, exact day/7
+    offsets; month grain via truncated months_between).
+    """
+    if grain not in ("week", "month"):
+        raise ValueError(f"grain must be week|month, got {grain!r}")
+    u, t = F.col(user_col), F.col(ts_col)
+    per_user = (
+        df.filter(u.isNotNull() & t.isNotNull())
+        .groupBy(u.alias("_u"))
+        .agg(
+            F.min(F.date_trunc(grain, t)).alias("_first"),
+            F.collect_set(F.date_trunc(grain, t)).alias("_periods"),
+        )
+    )
+    up = per_user.select(
+        "_u", "_first", F.explode("_periods").alias("_p")
+    )
+    w = Window.partitionBy("_u").orderBy("_p")
+    prev_p = F.lag("_p").over(w)
+    if grain == "week":
+        gap_prev = F.datediff(
+            F.col("_p").cast("date"), prev_p.cast("date")
+        ) / 7
+    else:
+        gap_prev = F.months_between(
+            F.col("_p").cast("date"), prev_p.cast("date")
+        )
+    status = (
+        F.when(F.col("_p") == F.col("_first"), F.lit("new"))
+        .when(gap_prev == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    classified = up.select("_u", "_p", status.alias("_s"))
+    counts = classified.groupBy(F.col("_p").alias("period")).agg(
+        F.sum(F.when(F.col("_s") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("_s") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("_s") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+    )
+    # churned INTO period p = active(calendar predecessor of p) −
+    # retained(p) — computed from the counts relation itself
+    # (period-grain, tiny, broadcast). The shift is applied on the
+    # PREDECESSOR side (_next_of = its calendar successor), so the
+    # join key is this period.
+    shifted = counts.select(
+        F.col("period").alias("_next_of"),
+        F.col("n_active").alias("_prev_active"),
+    ).withColumn(
+        "_next_of",
+        F.date_trunc(grain, F.date_add(F.col("_next_of").cast("date"), 7))
+        if grain == "week"
+        else F.date_trunc(
+            grain, F.add_months(F.col("_next_of").cast("date"), 1)
+        ),
+    )
+    return (
+        counts.join(F.broadcast(shifted), counts["period"] == shifted["_next_of"], "left")
+        .select(
+            "period",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (
+                F.coalesce(F.col("_prev_active"), F.lit(0))
+                - F.col("n_retained")
+            )
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )

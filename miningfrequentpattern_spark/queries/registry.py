@@ -190,7 +190,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # oracle + dropDuplicatesWithinWatermark stream twin,
 # tests/test_ttl_dedup.py); sources/io.py::read_csv_permissive ->
 # s18_corrupt_csv_audit (quarantined malformed-line audit,
-# tests/test_corrupt_csv.py); streaming/stateful.py::cdc_merge_stream
+# tests/test_corrupt_csv.py); relational.py::growth_accounting ->
+# r88_growth_accounting (weekly new/retained/resurrected/churned
+# MAU decomposition, tests/test_growth_accounting.py); the composed
+# rolling-origin forecast backtest (daily revenue -> naive /
+# seasonal-naive / Holt one-step forecasts -> fair-set MAE + winner)
+# -> r89_forecast_backtest (r82-chain oracle,
+# tests/test_forecast_backtest.py); streaming/stateful.py::cdc_merge_stream
 # is tests-only by design (true-stream MERGE sink,
 # tests/test_cdc_merge_stream.py — its batch twin is s16). Keep the
 # canaries and re-certify anything whose code or oracle text changes.
