@@ -692,3 +692,137 @@ def test_item_cosine_matches_brute_force(spark, baskets):
         assert got[(a, b)][0] == n
         want = round(n / math.sqrt(counts[a] * counts[b]), 4)
         assert math.isclose(got[(a, b)][1], want), (a, b, baskets)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 2000)),
+        min_size=1,
+        max_size=14,
+        unique=True,
+    ),
+    ttl_s=st.integers(1, 600),
+)
+@settings(**_SETTINGS)
+def test_ttl_dedup_matches_greedy_reference(spark, rows, ttl_s):
+    """ttl_dedup's distributed chain equals a pure-Python greedy scan
+    for ANY (key, second-offset) multiset and ANY ttl — including
+    back-to-back rows, whole-key suppression, and ttl = 1 s."""
+    from datetime import datetime, timedelta
+
+    from miningfrequentpattern_spark.operators.timeseries import ttl_dedup
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (k, base + timedelta(seconds=s), i)
+        for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k string, ts timestamp, eid long")
+    got = {
+        r["eid"]: r["is_kept"]
+        for r in ttl_dedup(
+            df, ["k"], "ts", f"{ttl_s} seconds", tiebreak_col="eid"
+        ).collect()
+    }
+    # independent greedy reference
+    ref = {}
+    bykey = {}
+    for k, t, i in sorted(data, key=lambda x: (x[0], x[1], x[2])):
+        anchor = bykey.get(k)
+        keep = anchor is None or (t - anchor).total_seconds() >= ttl_s
+        if keep:
+            bykey[k] = t
+        ref[i] = keep
+    assert got == ref, (rows, ttl_s)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["u1", "u2", "u3"]), st.integers(0, 9)),
+        min_size=1,
+        max_size=16,
+    ),
+)
+@settings(**_SETTINGS)
+def test_retention_matches_python_reference(spark, rows):
+    """retention_cohorts equals a pure-Python cohort triangle for ANY
+    (user, week-offset) multiset — duplicate activity collapses, the
+    offset-0 row always carries the cohort size."""
+    from datetime import datetime, timedelta
+
+    from miningfrequentpattern_spark.operators.relational import (
+        retention_cohorts,
+    )
+
+    base = datetime(2024, 1, 1)  # a Monday
+    data = [
+        (u, base + timedelta(weeks=w, days=1)) for u, w in rows
+    ]
+    df = spark.createDataFrame(data, "u string, ts timestamp")
+    got = {
+        (r["cohort"].date().isoformat(), r["offset"]): (
+            r["n_active"], r["n_cohort"]
+        )
+        for r in retention_cohorts(df, "u", "ts").collect()
+    }
+    # reference
+    first = {}
+    active = set()
+    for u, w in rows:
+        first[u] = min(first.get(u, w), w)
+        active.add((u, w))
+    from collections import Counter
+
+    mat = Counter()
+    for u, w in active:
+        mat[(first[u], w - first[u])] += 1
+    sizes = {c: mat[(c, 0)] for c, _ in mat}
+    ref = {}
+    for (c, off), n in mat.items():
+        day = (base + timedelta(weeks=c)).date().isoformat()
+        ref[(day, off)] = (n, sizes[c])
+    assert got == ref, rows
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        min_size=1,
+        max_size=14,
+    ),
+    iters=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_label_propagation_matches_python_reference(spark, edges, iters):
+    """Synchronous min-tiebreak LPA equals a pure-Python simulation
+    for ANY multigraph (self-loops and duplicate edges normalize
+    away) and ANY round count."""
+    from collections import Counter, defaultdict
+
+    from miningfrequentpattern_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(df, iterations=iters).collect()
+    }
+    # reference: canonical undirected, both orientations
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        assert got == {}
+        return
+    adj = defaultdict(list)
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v, ns in adj.items():
+            c = Counter(lab[u] for u in ns)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    assert got == lab, (sorted(und), iters)
