@@ -232,6 +232,26 @@ SECTIONS = [
     ("l38b_fuzzy_join_capped",
      "broadcast anti-join drops over-cap blocks BEFORE the "
      "shuffle_hash self-join"),
+    ("r62_attribution",
+     "IGNORE-NULLS last_value window, horizon as row-local filters — "
+     "no conversions×touches self-join"),
+    ("r82_holt_revenue",
+     "grouped-map recurrence over the day-grain series (one key "
+     "shuffle; per-task memory bounded by series length)"),
+    ("r83_gapfill_interp",
+     "two IGNORE-NULLS frame passes sharing ONE (keys, t) exchange"),
+    ("r84_scd2_lookup",
+     "user-keyed shuffle-hash containment join; fan-out bounded by "
+     "versions-per-user"),
+    ("l53_textrank_keywords",
+     "DISTINCT pair graph (vocabulary²-bounded) -> cached-edge "
+     "pagerank rounds -> TakeOrdered top-25 in ONE plan"),
+    ("l54_contamination_attribution",
+     "suite shingles broadcast; corpus streams map-side; rank-1 on "
+     "the doc-keyed hit relation"),
+    ("m27_emerging_pairs",
+     "two basket-bounded shuffle_hash self-joins + pair-grain "
+     "full-outer stitch; 1-row basket counts broadcast"),
     ("l03b_ann_lsh_topk",
      "native RP-LSH: codegen bucket hashes, shuffle_hash candidate "
      "equi-join, no Python node, no checkpoint barrier"),
@@ -246,7 +266,72 @@ assert len({n for n, _ in SECTIONS}) == len(SECTIONS), "duplicate SECTIONS"
 # round-7 deferrals (r62, r71) keep their plan audits in
 # tests/test_plans.py only.
 def _staged_builders(spark):
-    return []
+    """Round-7 staged operators (round-8 window candidates): plans
+    built directly from the operators, claims matching their staged
+    plan-audit tests."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.operators.relational import (
+        retention_cohorts,
+    )
+    from miningfrequentpattern_spark.operators.timeseries import (
+        pit_trailing_features,
+        ttl_dedup,
+    )
+    from miningfrequentpattern_spark.operators.graph import (
+        label_propagation,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+
+    def _r85():
+        return retention_cohorts(ev.select("user_id", "ts"), "user_id", "ts")
+
+    def _r86():
+        return pit_trailing_features(
+            ev.withColumn("f", F.col("event_type") == "purchase"),
+            ["user_id"], "ts", "f",
+            value_col="value", window="10 minutes",
+        )
+
+    def _r87():
+        return ttl_dedup(
+            ev, ["user_id"], "ts", "10 minutes", tiebreak_col="event_id"
+        )
+
+    def _m28():
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+        a, b = li.alias("a"), li.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                   & (F.col("a.pk") < F.col("b.pk")))
+            .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+            .distinct()
+        )
+        return label_propagation(pairs, iterations=2, _materialize=False)
+
+    return [
+        ("r85_retention_cohorts (staged)",
+         "ONE corpus scan: the per-user aggregate emits cohort AND the "
+         "active-period set in the same pass; cohort sizes are a window "
+         "on the matrix-grain relation",
+         _r85),
+        ("r86_pit_features (staged)",
+         "ONE keyed RANGE window over epoch-micros, strictly-before "
+         "frame — no join node, no facts×touches fan-out",
+         _r86),
+        ("r87_ttl_dedup (staged)",
+         "grouped-map chain: one key shuffle, one-timestamp state "
+         "(kept-ness has no window closed form)",
+         _r87),
+        ("m28_part_communities (staged)",
+         "per-round |V|-row label shuffle against cached pre-hashed "
+         "stubs + (node, label) count + rank-1; |E| never reshuffles",
+         _m28),
+    ]
 
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)
