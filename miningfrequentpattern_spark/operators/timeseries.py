@@ -1055,3 +1055,105 @@ def ttl_dedup(
 
     out = base.groupBy(*keys).applyInPandas(fn, schema)
     return out.drop("_us")
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    gamma: float = 0.3,
+    period: int = 7,
+) -> DataFrame:
+    """Additive Holt–Winters (triple exponential) smoothing per series
+    — r82's level+trend recurrence plus a rotating seasonal buffer
+    (Hyndman & Athanasopoulos form, m = `period`):
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ(x_t − l_{t−1} − b_{t−1}) + (1−γ) s_{t−m}
+
+    with the textbook init at t = m: l_m = mean(x_1..m),
+    b_m = (mean(x_{m+1..2m}) − mean(x_1..m)) / m, s_i = x_i − l_m.
+    Returns every input row plus (level, trend, seasonal, fitted):
+    rows before the init block carry NULL state; `fitted` is the
+    one-step-ahead forecast l_{t−1} + b_{t−1} + s_{t−m} (NULL at and
+    before init) — the quantity a backtest (r89's shape) scores.
+    Weekly-seasonal daily series are exactly what r52's EWMA and
+    r82's Holt mis-track: both lag every weekend dip; the seasonal
+    term absorbs it.
+
+    Shape: the ewma/holt grouped-map seam — ONE shuffle on the series
+    keys, per-task state = (l, b, m-slot buffer), series length
+    bounded by the calendar grain. Arithmetic parity: the per-step
+    expressions are written in EXACTLY the oracle's operation order
+    (sequential sum()/m means, not numpy pairwise means), so a
+    recursive CTE carrying the seasonal buffer as a LIST streams
+    bitwise-identical float64 (the r82 stance). Series shorter than
+    2m raise (the init needs two full seasons; a silent NULL would
+    look like a flat model). Ties in order_col raise (the ewma
+    contract).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError(f"gamma must be in [0, 1], got {gamma}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    m = int(period)
+    base = df.select(
+        *keys,
+        order_col,
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    schema = ST.StructType(
+        list(base.schema.fields)
+        + [
+            ST.StructField("level", ST.DoubleType()),
+            ST.StructField("trend", ST.DoubleType()),
+            ST.StructField("seasonal", ST.DoubleType()),
+            ST.StructField("fitted", ST.DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_col], kind="mergesort")
+        if pdf.duplicated([order_col]).any():
+            raise ValueError(
+                f"duplicate {order_col} within a series: the recurrence "
+                "is order-ambiguous; pre-aggregate to a unique grain"
+            )
+        x = list(pdf[value_col])
+        n = len(x)
+        if n < 2 * m:
+            raise ValueError(
+                f"holt_winters_additive: series has {n} rows; init "
+                f"needs two full seasons (>= {2 * m})"
+            )
+        lev = [None] * n
+        tre = [None] * n
+        sea = [None] * n
+        fit = [None] * n
+        l0 = sum(x[:m]) / m
+        b0 = (sum(x[m:2 * m]) / m - sum(x[:m]) / m) / m
+        buf = [x[i] - l0 for i in range(m)]
+        lev[m - 1], tre[m - 1], sea[m - 1] = l0, b0, buf[m - 1]
+        lcur, bcur = l0, b0
+        for t in range(m, n):
+            s_tm = buf[0]
+            f_t = lcur + bcur + s_tm
+            l_new = alpha * (x[t] - s_tm) + (1.0 - alpha) * (lcur + bcur)
+            b_new = beta * (l_new - lcur) + (1.0 - beta) * bcur
+            s_new = gamma * (x[t] - lcur - bcur) + (1.0 - gamma) * s_tm
+            buf = buf[1:] + [s_new]
+            lcur, bcur = l_new, b_new
+            lev[t], tre[t], sea[t], fit[t] = l_new, b_new, s_new, f_t
+        pdf["level"], pdf["trend"] = lev, tre
+        pdf["seasonal"], pdf["fitted"] = sea, fit
+        return pdf
+
+    return base.groupBy(*keys).applyInPandas(fn, schema)

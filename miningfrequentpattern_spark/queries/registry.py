@@ -196,7 +196,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rolling-origin forecast backtest (daily revenue -> naive /
 # seasonal-naive / Holt one-step forecasts -> fair-set MAE + winner)
 # -> r89_forecast_backtest (r82-chain oracle,
-# tests/test_forecast_backtest.py); streaming/stateful.py::cdc_merge_stream
+# tests/test_forecast_backtest.py); timeseries.py::
+# holt_winters_additive -> r90_holt_winters (additive triple
+# exponential, LIST-carrying recursive-CTE oracle,
+# tests/test_holt_winters.py); streaming/stateful.py::cdc_merge_stream
 # is tests-only by design (true-stream MERGE sink,
 # tests/test_cdc_merge_stream.py — its batch twin is s16). Keep the
 # canaries and re-certify anything whose code or oracle text changes.
