@@ -367,3 +367,70 @@ def label_centroid_similarity(
             + F.lit(0.0)
         ).alias("cosine"),
     )
+
+
+def embedding_projection_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bins: int = 10,
+    seed: int = 42,
+    n_directions: int = 4,
+) -> DataFrame:
+    """Embedding-distribution drift between a reference and a current
+    corpus — r74's PSI lifted to vector columns: each vector is
+    projected onto `n_directions` SEEDED unit directions (literal
+    arrays — deterministic, no fit job, the ann_lsh projection seam),
+    and each 1-D projection runs the psi_drift machinery with
+    REFERENCE-quantile bins. One row per (direction, bin);
+    SUM(psi_part) per direction is that axis's drift statistic, the
+    max over directions the alarm. The monitor that catches "the new
+    embedding batch came from a different model/checkpoint" BEFORE
+    any retrieval metric moves — marginal stats (l29) miss rotations,
+    the corr matrix (l43) is d² numbers with no threshold lore; a
+    handful of random 1-D projections inherit PSI's battle-tested
+    <0.1 / >0.25 thresholds (Cramér–Wold: distributions differing at
+    all differ on almost every projection).
+
+    Shape: the projection is a codegen zip_with dot per direction
+    (row-local; corpus scanned once per side), then psi_drift's
+    per-direction bin aggregates — everything after the scans is
+    n_directions × n_bins rows. At 100 TB: identical to r74's
+    posture, ×n_directions.
+    """
+    import numpy as np
+
+    from .relational import psi_drift
+
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((n_directions, dim))
+    proj /= np.linalg.norm(proj, axis=1, keepdims=True)
+
+    out = None
+    for t in range(n_directions):
+        r_t = F.array(*[F.lit(float(v)) for v in proj[t]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), r_t, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # round the projection to 6dp BEFORE binning on both engines:
+        # the bin edges are quantiles of these values, and an unrounded
+        # last-ulp difference at an edge would re-bin a row (the r74
+        # 4dp-edge stance, one digit finer since projections are O(1)
+        # scale); + 0.0 pins the sign of zero.
+        pr = F.round(dot, 6) + F.lit(0.0)
+        rp = ref.filter(F.col(vec_col).isNotNull()).select(pr.alias("_p"))
+        cp = cur.filter(F.col(vec_col).isNotNull()).select(pr.alias("_p"))
+        d = psi_drift(rp, cp, "_p", n_bins=n_bins).select(
+            F.lit(t).alias("direction"),
+            "bin",
+            "n_ref",
+            "n_cur",
+            "ref_share",
+            "cur_share",
+            "psi_part",
+        )
+        out = d if out is None else out.unionByName(d)
+    return out

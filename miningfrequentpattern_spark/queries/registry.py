@@ -199,7 +199,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # tests/test_forecast_backtest.py); timeseries.py::
 # holt_winters_additive -> r90_holt_winters (additive triple
 # exponential, LIST-carrying recursive-CTE oracle,
-# tests/test_holt_winters.py); streaming/stateful.py::cdc_merge_stream
+# tests/test_holt_winters.py); embeddings.py::
+# embedding_projection_drift -> l60_embedding_drift (r74's PSI over
+# seeded 1-D projections of the embedding column — the projection
+# literals bake into the oracle SQL at repr precision, the oracle
+# dot-folds with list_reduce to match aggregate()'s sequential order,
+# tests/test_embedding_drift.py); streaming/stateful.py::cdc_merge_stream
 # is tests-only by design (true-stream MERGE sink,
 # tests/test_cdc_merge_stream.py — its batch twin is s16). Keep the
 # canaries and re-certify anything whose code or oracle text changes.
