@@ -1157,3 +1157,123 @@ def holt_winters_additive(
         return pdf
 
     return base.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def ols_two_factor(
+    df: DataFrame,
+    keys: Sequence[str],
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Per-group ordinary least squares of y on TWO regressors plus an
+    intercept — (keys…, n_obs, intercept, beta1, beta2, r2) — the
+    multiple-regression step up from series_trend's single-regressor
+    fit: "is revenue trending up AFTER controlling for the weekend
+    dip" needs both terms in ONE model (fitting them separately
+    attributes the shared variance twice).
+
+    Numerics (the reason this isn't raw-moment Cramer's rule): normal
+    equations on raw epoch-day regressors cancel catastrophically
+    (Σt² ~ 1e8·n swamps the information-bearing digits). Both engines
+    instead center every variable on its 4dp-ROUNDED group mean (the
+    target_encode trick: rounding the pivot makes the centered sums
+    bitwise-stable across engines, and centering on a constant shifts
+    the intercept, never the betas), which reduces the system to a
+    well-conditioned 2×2 solve:
+
+        [S11 S12][b1]   [S1y]          intercept = ŷm − b1·x̄1 − b2·x̄2
+        [S12 S22][b2] = [S2y],         (means at full precision via
+                                        the rounded pivots + residual
+                                        means of the centered columns)
+
+    r² = 1 − SSE/SST with SSE = Syy − b1·S1y − b2·S2y on the centered
+    sums. COLLINEAR regressors (det ≤ 1e-12·S11·S22 — Cauchy–Schwarz
+    makes det ≥ 0, the relative floor is the r44-family zero guard)
+    yield NULL betas/intercept/r2; a zero-variance y yields NULL r2.
+
+    Shape: one group-keyed mean aggregate BROADCAST back (the
+    mad_outliers posture — the corpus is never reshuffled on the
+    group key), then ONE moment aggregate; everything after is
+    group-cardinality sized.
+    """
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & x1.isNotNull() & x2.isNotNull()
+    ).select(*keys, y.alias("_y"), x1.alias("_x1"), x2.alias("_x2"))
+    means = base.groupBy(*keys).agg(
+        F.round(F.avg("_y"), 4).alias("_my"),
+        F.round(F.avg("_x1"), 4).alias("_m1"),
+        F.round(F.avg("_x2"), 4).alias("_m2"),
+    )
+
+    def _back(onto: DataFrame, dim: DataFrame) -> DataFrame:
+        d = dim
+        for g in keys:
+            d = d.withColumnRenamed(g, f"_d_{g}")
+        cond = None
+        for g in keys:
+            c = F.col(g).eqNullSafe(F.col(f"_d_{g}"))
+            cond = c if cond is None else cond & c
+        return onto.join(F.broadcast(d), cond).drop(
+            *[f"_d_{g}" for g in keys]
+        )
+
+    c = _back(base, means).select(
+        *keys,
+        "_my", "_m1", "_m2",
+        (F.col("_y") - F.col("_my")).alias("_yc"),
+        (F.col("_x1") - F.col("_m1")).alias("_c1"),
+        (F.col("_x2") - F.col("_m2")).alias("_c2"),
+    )
+    agg = c.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.first("_my").alias("_my"),
+        F.first("_m1").alias("_m1"),
+        F.first("_m2").alias("_m2"),
+        F.sum(F.col("_c1") * F.col("_c1")).alias("_s11"),
+        F.sum(F.col("_c2") * F.col("_c2")).alias("_s22"),
+        F.sum(F.col("_c1") * F.col("_c2")).alias("_s12"),
+        F.sum(F.col("_c1") * F.col("_yc")).alias("_s1y"),
+        F.sum(F.col("_c2") * F.col("_yc")).alias("_s2y"),
+        F.sum(F.col("_yc") * F.col("_yc")).alias("_syy"),
+        F.sum("_yc").alias("_sy"),
+        F.sum("_c1").alias("_sc1"),
+        F.sum("_c2").alias("_sc2"),
+    )
+    det = F.col("_s11") * F.col("_s22") - F.col("_s12") * F.col("_s12")
+    ok = det > F.lit(1e-12) * F.col("_s11") * F.col("_s22")
+    b1 = F.when(
+        ok,
+        (F.col("_s1y") * F.col("_s22") - F.col("_s12") * F.col("_s2y"))
+        / det,
+    )
+    b2 = F.when(
+        ok,
+        (F.col("_s11") * F.col("_s2y") - F.col("_s1y") * F.col("_s12"))
+        / det,
+    )
+    # full-precision means = rounded pivot + mean of the centered
+    # residual column (sums of tiny residuals — no cancellation)
+    my = F.col("_my") + F.col("_sy") / F.col("n_obs")
+    m1 = F.col("_m1") + F.col("_sc1") / F.col("n_obs")
+    m2 = F.col("_m2") + F.col("_sc2") / F.col("n_obs")
+    intercept = my - b1 * m1 - b2 * m2
+    sse = (
+        F.col("_syy")
+        - b1 * F.col("_s1y")
+        - b2 * F.col("_s2y")
+    )
+    r2 = F.when(F.col("_syy") > 0, F.lit(1.0) - sse / F.col("_syy"))
+    from ..functions.rounding import round4 as _r4
+
+    return agg.select(
+        *keys,
+        F.col("n_obs").cast("long").alias("n_obs"),
+        _r4(intercept).alias("intercept"),
+        _r4(b1).alias("beta1"),
+        _r4(b2).alias("beta2"),
+        _r4(r2).alias("r2"),
+    )

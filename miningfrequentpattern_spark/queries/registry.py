@@ -204,7 +204,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # seeded 1-D projections of the embedding column — the projection
 # literals bake into the oracle SQL at repr precision, the oracle
 # dot-folds with list_reduce to match aggregate()'s sequential order,
-# tests/test_embedding_drift.py); streaming/stateful.py::cdc_merge_stream
+# tests/test_embedding_drift.py); sources/io.py::
+# read_json_permissive -> s19_corrupt_json_audit (the s18 JSON twin,
+# tests/test_corrupt_json.py); timeseries.py::ols_two_factor ->
+# r91_trend_weekend_ols (multiple regression via rounded-pivot
+# centered normal equations, tests/test_ols_two_factor.py);
+# streaming/stateful.py::cdc_merge_stream
 # is tests-only by design (true-stream MERGE sink,
 # tests/test_cdc_merge_stream.py — its batch twin is s16). Keep the
 # canaries and re-certify anything whose code or oracle text changes.

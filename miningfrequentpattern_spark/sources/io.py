@@ -415,3 +415,36 @@ def read_csv_permissive(
         .select(F.from_csv(F.col("value"), ddl, opts).alias("_p"))
         .select("_p.*")
     )
+
+
+def read_json_permissive(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S3 (malformed-input audit, JSON twin of read_csv_permissive):
+    JSON-lines parsed PERMISSIVE with every syntactically broken line
+    quarantined in `corrupt_col` — same from_json-over-text-scan
+    construction, same reasons (the json reader's internal corrupt
+    column carries the same filter-needs-a-cache restriction; the
+    expression form is one scan, full codegen).
+
+    JSON-specific semantics pinned in tests (probed, not assumed): a
+    TYPE-mismatched field nulls that field, KEEPS every other
+    parsable field, and still quarantines the raw line (Spark treats
+    any schema violation as corrupt — the caller distinguishes
+    "partially parsed" from "syntactically dead" by whether typed
+    columns survived); broken syntax (truncated object, bare text)
+    quarantines with all-NULL fields; fields ABSENT from the object
+    are plain NULLs with NO quarantine (schema evolution, not
+    corruption — the one case that differs from CSV's positional
+    short-row behavior).
+    """
+    ddl = f"{schema_ddl}, {corrupt_col} STRING"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
+    return (
+        spark.read.text(path)
+        .select(F.from_json(F.col("value"), ddl, opts).alias("_p"))
+        .select("_p.*")
+    )
