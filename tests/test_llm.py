@@ -737,7 +737,6 @@ def test_ann_dim_mismatch_fails_loudly(spark):
     vector width must raise at execution, not silently NULL-pad the
     projection dot product and return zero neighbors."""
     import pytest
-    from pyspark.errors import SparkRuntimeException
     from miningfrequentpattern_spark.operators.similarity import (
         ann_lsh_topk,
         ivfpq_topk,
@@ -747,9 +746,12 @@ def test_ann_dim_mismatch_fails_loudly(spark):
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = emb.filter(F.col("vec_id") < 5)
-    with pytest.raises(SparkRuntimeException, match="vector length != dim"):
+    # The assert_true failure surfaces as SparkRuntimeException on a
+    # quiet session but as a raw Py4JJavaError under suite-parallel
+    # conditions (observed both) — pin the MESSAGE, not the wrapper.
+    with pytest.raises(Exception, match="vector length != dim"):
         ann_lsh_topk(q, emb, k=3, seed=42, dim=32).collect()
-    with pytest.raises(SparkRuntimeException, match="vector length != dim"):
+    with pytest.raises(Exception, match="vector length != dim"):
         ivfpq_topk(
             q, emb, k=3, n_clusters=4, n_probes=2, n_subspaces=8,
             n_codes=16, seed=42, dim=32,
