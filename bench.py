@@ -149,6 +149,18 @@ ADDITIONS = [
     "r84_scd2_lookup",
     "s16_merge_upsert",
     "r62_attribution",
+    # round-8 — the promoted-flagship sample: single-window PIT
+    # trailing features; grouped-map TTL throttle chain (kept-ness
+    # has no window closed form); list-buffer Holt-Winters grouped
+    # map; iterative LPA over cached pre-hashed stubs; dual exact
+    # rankings + rank-filtered join (truncation recall); the
+    # iterator-form pandas UDF surface
+    "r86_pit_features",
+    "r87_ttl_dedup",
+    "r90_holt_winters",
+    "m28_part_communities",
+    "l56_truncated_recall",
+    "u09_iter_quantize",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS
@@ -191,6 +203,12 @@ MIN_FLAG_SEC = 1.0
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Host-contention telemetry (VERDICT r7): the driver's bench
+    # reading swung 0.90x -> 1.49x with builder-measured load-avg ~5
+    # from OUTSIDE this process. Recording 1/5/15-min load before and
+    # after makes a contended reading distinguishable from a code
+    # regression in the recorded JSON itself.
+    load_before = [round(x, 2) for x in os.getloadavg()]
     from miningfrequentpattern_spark.session import get_session
 
     spark = get_session("mfp-bench")
@@ -333,6 +351,7 @@ def main() -> None:
             "explained_superlinear": explained,
         }
 
+    load_after = [round(x, 2) for x in os.getloadavg()]
     out: dict[str, object] = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -340,6 +359,8 @@ def main() -> None:
         "value_like_for_like_24q": like_for_like,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
     }
     if scaling is not None:
         out["scaling"] = scaling
@@ -374,6 +395,11 @@ def main() -> None:
         "scaling_flagged": (
             len(scaling["flagged"]) if scaling is not None else None
         ),
+        # 1/5/15-min host load before/after: a like-for-like reading
+        # taken with load >> this process's own footprint is
+        # contention, not regression (VERDICT r7 diagnosability ask).
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
         "detail": detail_path,
     }
     line = json.dumps(compact)

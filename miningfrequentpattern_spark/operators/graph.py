@@ -906,8 +906,13 @@ def label_propagation(
         und.select(F.col("s").alias("_u"), F.col("d").alias("_v"))
         .unionAll(und.select(F.col("d").alias("_u"), F.col("s").alias("_v")))
         .repartition("_u")
-        .cache()
     )
+    if _materialize:
+        # Cache pays only when the loop EVALUATES per round (the
+        # localCheckpoint below); the lazy path returns an unevaluated
+        # plan, where a cache would pin for the session lifetime
+        # without ever being warmed by this function (ADVICE r7 leak).
+        stubs = stubs.cache()
     try:
         labels = stubs.select(F.col("_v").alias("id")).distinct().select(
             "id", F.col("id").alias("_lab")
@@ -930,4 +935,5 @@ def label_propagation(
         return labels.select("id", F.col("_lab").alias("community"))
     finally:
         if _materialize:
+            # checkpointed labels no longer reference the stubs cache
             stubs.unpersist()

@@ -214,14 +214,19 @@ def ann_lsh_topk(
         # join — an empty result instead of an error (ADVICE r6).
         # assert_true keeps the check lazy and codegen-side: NULL on
         # pass, a loud runtime error on the first mismatched row.
+        # NULL vectors are exempt (size(NULL) is NULL and
+        # assert_true(NULL) would throw, ADVICE r7): they were always
+        # excluded by the bucket join, so only genuinely mis-sized
+        # non-NULL vectors raise.
         base = base.withColumn(
             "_nv",
             F.when(
                 F.assert_true(
-                    F.size("_nv") == F.lit(int(dim)),
+                    F.col("_nv").isNull()
+                    | (F.size("_nv") == F.lit(int(dim))),
                     F.lit(
-                        f"ann_lsh_topk: vector length != dim={dim} — "
-                        "pass the actual embedding width"
+                        f"ann_lsh_topk: non-NULL vector length != dim={dim} "
+                        "— pass the actual embedding width"
                     ),
                 ).isNull(),
                 F.col("_nv"),
@@ -775,15 +780,18 @@ def ivfpq_topk(
     # A mis-sized explicit `dim` would mis-slice the subspaces and
     # NULL out the codes — fail loudly on the first wrong-width
     # vector instead of returning zero neighbors (ADVICE r6; lazy
-    # codegen-side check, same stance as ann_lsh_topk).
+    # codegen-side check, same stance as ann_lsh_topk — NULL vectors
+    # exempt, ADVICE r7: size(NULL) is NULL and assert_true(NULL)
+    # throws, but NULLs were always dropped downstream).
     c = c.withColumn(
         "_nv",
         F.when(
             F.assert_true(
-                F.size("_nv") == F.lit(int(dim)),
+                F.col("_nv").isNull()
+                | (F.size("_nv") == F.lit(int(dim))),
                 F.lit(
-                    f"ivfpq_topk: vector length != dim={dim} — pass "
-                    "the actual embedding width"
+                    f"ivfpq_topk: non-NULL vector length != dim={dim} "
+                    "— pass the actual embedding width"
                 ),
             ).isNull(),
             F.col("_nv"),

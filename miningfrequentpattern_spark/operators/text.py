@@ -790,10 +790,13 @@ def quality_gate_ablation(
     (l47's rank-calibrated form).
 
     Gates are EXACTLY quality_features' verdict conjuncts (min_tokens,
-    char_bounds, word_len_bounds, distinct_ratio) — computed here
-    row-locally from the same expressions so the ablation can never
-    drift from the filter it explains (and `sum of sole-fails ≤ total
-    fails` is a structural invariant, tested).
+    char_bounds, word_len_bounds, distinct_ratio) — including the
+    4dp ROUNDING quality_features applies to mean_word_len and
+    distinct_ratio before gating (ADVICE r7: the unrounded forms
+    classify boundary docs like mean_wlen 12.00004 differently) — so
+    the ablation can never drift from the filter it explains (and
+    `sum of sole-fails ≤ total fails` is a structural invariant,
+    tested).
 
     Shape: ONE corpus scan — four boolean columns, then a single
     8-counter hash aggregate (no explode, no per-gate pass); the
@@ -809,8 +812,8 @@ def quality_gate_ablation(
     gates = {
         "min_tokens": n_tok >= 5,
         "char_bounds": F.col("n_chars").between(20, 10000),
-        "word_len_bounds": mean_wlen.between(2, 12),
-        "distinct_ratio": distinct_ratio > 0.1,
+        "word_len_bounds": F.round(mean_wlen, 4).between(2, 12),
+        "distinct_ratio": F.round(distinct_ratio, 4) > 0.1,
     }
     flagged = docs.select(
         *[

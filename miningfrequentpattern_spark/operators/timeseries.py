@@ -921,13 +921,16 @@ def pit_trailing_features(
 ) -> DataFrame:
     """Point-in-time trailing-window features — the feature-store
     primitive: for every FACT row (fact_col = true), aggregate the
-    same key's NON-fact rows strictly inside (t − window, t):
+    same key's NON-fact rows inside [t − window, t) — CLOSED at the
+    lower bound (a touch exactly window-old still counts; the
+    rangeBetween frame is (-win_us, -1) inclusive on both ends),
+    half-open at the top:
 
         n_prior       — trailing event count
         sum_prior     — trailing sum of value_col (when given)
         last_gap_s    — seconds since the most recent prior event
 
-    "Strictly inside" is the leakage contract: the frame ends 1
+    The strict UPPER bound is the leakage contract: the frame ends 1
     microsecond before the fact, so a same-instant signal can never
     leak into its own feature (training-serving skew pin); the fact
     rows themselves never count (a purchase is not a feature of

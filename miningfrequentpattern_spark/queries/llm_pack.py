@@ -3028,3 +3028,344 @@ def l54_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     train = docs.filter(F.col("doc_id") % 40 != 0)
     return decontaminate_attribution(train, bench, "bench", n=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 promotions: l55-l60 (staged + locally certified in round 7;
+# oracles moved VERBATIM from their test files per the rotation flow)
+# ---------------------------------------------------------------------------
+
+from ..operators.dedup import (  # noqa: E402
+    normalized_dedup_uplift,
+    source_shingle_overlap,
+)
+from ..operators.multimodal import attach_media, media_dedup  # noqa: E402
+from ..operators.similarity import truncated_dim_recall  # noqa: E402
+from ..operators.text import quality_gate_ablation  # noqa: E402
+
+
+@query(
+    "l55_source_overlap",
+    oracle="""
+WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT source,
+              unnest(list_filter(
+                list_transform(list_zip(l, l[2:], l[3:]),
+                               s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+                x -> x IS NOT NULL)) AS s
+       FROM t),
+sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+c AS (SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT c.source_a, c.source_b,
+       CAST(za.n AS BIGINT) AS n_a,
+       CAST(zb.n AS BIGINT) AS n_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       round(c.n_common * 1.0 / (za.n + zb.n - c.n_common), 4)
+         AS jaccard,
+       round(c.n_common * 1.0 / za.n, 4) AS containment_a,
+       round(c.n_common * 1.0 / zb.n, 4) AS containment_b
+FROM c JOIN sz za ON za.source = c.source_a
+       JOIN sz zb ON zb.source = c.source_b
+""",
+)
+def l55_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level shingle-overlap matrix — pairwise Jaccard + both
+    containments between corpus SOURCES (the dedup-planning question:
+    which feeds duplicate each other, and which is a subset of
+    which). DISTINCT (source, shingle) before the pair join on both
+    engines; zero-overlap pairs never materialize (the shingle
+    equi-join IS the filter — no |sources|^2 cross join). Scale: the
+    join is shingle-keyed (bounded by shared-shingle frequency, the
+    l54 shape), and sources are few — the output is at most
+    |sources| choose 2. Ratios rounded 4dp, structurally
+    non-negative. operators/dedup.py::source_shingle_overlap;
+    closed-form + bound pins in tests/test_source_overlap.py."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    return source_shingle_overlap(docs, "source", "tokens", n=3)
+
+
+@query(
+    "l56_truncated_recall",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+fp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(q.v, c.v),
+                                       s -> s[1]*s[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x*x)))), 4)
+           AS cs
+  FROM q JOIN e c ON c.vec_id != q.vec_id),
+f5 AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, neighbor_id) AS r
+       FROM fp QUALIFY r <= 5),
+tp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(q.v[1:16], c.v[1:16]),
+                                       s -> s[1]*s[2]))
+               / (sqrt(list_sum(list_transform(q.v[1:16], x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.v[1:16], x -> x*x)))),
+               4) AS cs
+  FROM q JOIN e c ON c.vec_id != q.vec_id),
+t5 AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, neighbor_id) AS r
+       FROM tp QUALIFY r <= 5)
+SELECT CAST(16 AS INT) AS trunc_dim,
+       f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(t.neighbor_id) * 1.0 / count(*), 4) AS recall_at_k
+FROM f5 f LEFT JOIN t5 t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""",
+)
+def l56_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall — recall@5 of 16-dim-truncated
+    exact search against full 64-dim exact search per query: the
+    measurement that decides whether truncating stored embeddings
+    (MRL-style) is safe for THIS corpus before anyone re-indexes.
+    Fully deterministic (both rankings order by rounded-cosine DESC
+    then neighbor id), so unlike the ANN family this one is
+    hash-oracle-able. Scale: two bounded-query-set exact rankings
+    (queries x corpus, query side explicitly small) + a rank-filtered
+    join — the corpus is never self-joined.
+    operators/similarity.py::truncated_dim_recall; identity and
+    monotonicity pins in tests/test_truncated_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    return truncated_dim_recall(q, emb, k=5, trunc_dims=(16,))
+
+
+@query(
+    "l57_normalized_dedup",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source, text AS raw,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+           AS norm
+  FROM documents),
+rc AS (SELECT raw, count(*) AS c FROM b
+       WHERE raw IS NOT NULL GROUP BY 1),
+nc AS (SELECT norm, count(*) AS c FROM b
+       WHERE norm IS NOT NULL GROUP BY 1)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(rc.c, 0) >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_raw_dup,
+       CAST(sum(CASE WHEN coalesce(nc.c, 0) >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_norm_dup,
+       CAST(sum(CASE WHEN coalesce(nc.c, 0) >= 2 THEN 1 ELSE 0 END)
+            - sum(CASE WHEN coalesce(rc.c, 0) >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS uplift,
+       round(sum(CASE WHEN coalesce(nc.c, 0) >= 2 THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS norm_dup_rate
+FROM b
+LEFT JOIN rc ON rc.raw = b.raw
+LEFT JOIN nc ON nc.norm = b.norm
+GROUP BY 1
+""",
+)
+def l57_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization dedup uplift — per-source raw vs normalized
+    duplicate-doc counts (normalization: lower -> every [^a-z0-9]+
+    run to ONE space -> trim), quantifying how many near-identical
+    docs exact dedup MISSES without canonicalization — the
+    measurement that justifies l57's normalize-then-hash pipeline
+    stage before anyone runs it. Duplicate keys are corpus-wide;
+    attribution is by the doc's own source; raw-dup implies norm-dup
+    (tested invariant: uplift >= 0). Scale: two digest-keyed counts
+    + a source-keyed aggregate — no pair joins anywhere.
+    operators/dedup.py::normalized_dedup_uplift;
+    tests/test_norm_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return normalized_dedup_uplift(docs, "source", "doc_id", "text")
+
+
+@query(
+    "l58_gate_ablation",
+    oracle="""
+WITH t AS (
+  SELECT n_chars,
+         list_filter(string_split(trim(text), ' '), x -> x != '') AS l
+  FROM documents),
+g AS (
+  SELECT len(l) >= 5 AS p_min_tokens,
+         n_chars BETWEEN 20 AND 10000 AS p_char_bounds,
+         round(coalesce(list_sum(list_transform(l, x -> len(x))) * 1.0
+                        / nullif(len(l), 0), 0.0), 4)
+           BETWEEN 2 AND 12 AS p_word_len_bounds,
+         round(coalesce(len(list_distinct(l)) * 1.0
+                        / nullif(len(l), 0), 0.0), 4)
+           > 0.1 AS p_distinct_ratio
+  FROM t),
+w AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN NOT p_min_tokens THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN NOT p_min_tokens AND p_char_bounds
+                   AND p_word_len_bounds AND p_distinct_ratio
+                  THEN 1 ELSE 0 END) AS s1,
+         sum(CASE WHEN NOT p_char_bounds THEN 1 ELSE 0 END) AS f2,
+         sum(CASE WHEN NOT p_char_bounds AND p_min_tokens
+                   AND p_word_len_bounds AND p_distinct_ratio
+                  THEN 1 ELSE 0 END) AS s2,
+         sum(CASE WHEN NOT p_word_len_bounds THEN 1 ELSE 0 END) AS f3,
+         sum(CASE WHEN NOT p_word_len_bounds AND p_min_tokens
+                   AND p_char_bounds AND p_distinct_ratio
+                  THEN 1 ELSE 0 END) AS s3,
+         sum(CASE WHEN NOT p_distinct_ratio THEN 1 ELSE 0 END) AS f4,
+         sum(CASE WHEN NOT p_distinct_ratio AND p_min_tokens
+                   AND p_char_bounds AND p_word_len_bounds
+                  THEN 1 ELSE 0 END) AS s4
+  FROM g)
+SELECT u.gate,
+       CAST(w.n AS BIGINT) AS n_docs,
+       CAST(u.f AS BIGINT) AS n_fail,
+       CAST(u.s AS BIGINT) AS n_sole_fail,
+       round(u.f * 1.0 / w.n, 4) AS fail_rate,
+       round(u.s * 1.0 / w.n, 4) AS sole_rate
+FROM w, LATERAL (
+  SELECT 'min_tokens' AS gate, f1 AS f, s1 AS s
+  UNION ALL SELECT 'char_bounds', f2, s2
+  UNION ALL SELECT 'word_len_bounds', f3, s3
+  UNION ALL SELECT 'distinct_ratio', f4, s4) u
+""",
+)
+def l58_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate ablation — one row per l06 gate: how many docs
+    fail it (n_fail) and how many fail ONLY it (n_sole_fail, the docs
+    that gate alone removes). The curation-tuning measurement: a gate
+    with big n_fail but near-zero n_sole_fail is redundant; a gate
+    with big n_sole_fail is the one whose threshold shapes the corpus
+    and deserves the l47 calibration pass. Gates are EXACTLY
+    quality_features' verdict conjuncts including its 4dp rounding of
+    mean_word_len/distinct_ratio (ADVICE r7 boundary-doc fix), so the
+    ablation can never drift from the filter it explains. Shape: ONE
+    corpus scan, a single 8-counter aggregate, 4-row stack()ed
+    output. operators/text.py::quality_gate_ablation;
+    tests/test_gate_ablation.py."""
+    return quality_gate_ablation(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "l59_media_dedup",
+    oracle="""
+WITH m AS (SELECT doc_id, md5(text) AS media_md5 FROM documents
+           WHERE text IS NOT NULL)
+SELECT doc_id, media_md5,
+       CAST(count(*) OVER (PARTITION BY media_md5) AS BIGINT)
+         AS n_copies,
+       row_number() OVER (PARTITION BY media_md5 ORDER BY doc_id) = 1
+         AS is_kept
+FROM m
+""",
+)
+def l59_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media dedup — md5 over the BinaryType media column,
+    digest-keyed copy count + keep-lowest-doc_id verdict: the exact
+    tier of multimodal dedup (byte-identical payloads — re-crawled
+    images, mirrored audio), l01's window shape on bytes instead of
+    text. md5 over the SAME bytes is engine-independent (the media
+    blob is attach_media's deterministic UTF-8 payload), so unlike
+    the perceptual tiers this binary op is hash-oracle-able. Scale:
+    only 16-byte digests enter the exchange, never payloads; the
+    window is digest-keyed (uniform). operators/multimodal.py::
+    media_dedup; pins in tests/test_media_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return media_dedup(attach_media(docs)).select(
+        "doc_id", "media_md5", "n_copies", "is_kept"
+    )
+
+
+def _l60_oracle() -> str:
+    """The l60 oracle SQL, GENERATED at registration time — one
+    r74-shaped PSI block per seeded projection direction, UNION
+    ALL'd. The projection constants bake into the SQL at full repr
+    precision so both engines dot the IDENTICAL doubles, and the
+    oracle reduces each dot with list_reduce — a SEQUENTIAL
+    left-to-right fold matching Spark aggregate()'s order. Same
+    seeded generation as the operator (numpy default_rng(42)), so
+    the driver sees a static expanded string."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    proj = rng.standard_normal((4, 64))
+    proj /= np.linalg.norm(proj, axis=1, keepdims=True)
+    blocks = []
+    for t, d in enumerate(proj):
+        lits = ", ".join(repr(float(v)) for v in d)
+        blocks.append(f"""
+SELECT CAST({t} AS INT) AS direction, q.bin, q.n_ref, q.n_cur,
+       q.ref_share, q.cur_share, q.psi_part
+FROM (
+  WITH pr AS (
+    SELECT vec_id,
+           round(list_reduce(
+             list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+                                     [{lits}]),
+                            s -> s[1] * s[2]),
+             (a, b) -> a + b), 6) + 0.0 AS p
+    FROM embeddings WHERE embedding IS NOT NULL),
+  ref AS (SELECT p FROM pr WHERE vec_id % 2 = 0),
+  cur AS (SELECT p FROM pr WHERE vec_id % 2 = 1),
+  e AS (SELECT list_transform(
+          quantile_cont(p, [0.1, 0.2, 0.3, 0.4, 0.5,
+                            0.6, 0.7, 0.8, 0.9]),
+          x -> round(x, 4)) AS edges FROM ref),
+  rb AS (SELECT len(list_filter(e.edges, x -> r.p >= x)) AS bin,
+                count(*) AS n_ref
+         FROM ref r CROSS JOIN e GROUP BY 1),
+  cb AS (SELECT len(list_filter(e.edges, x -> c.p >= x)) AS bin,
+                count(*) AS n_cur
+         FROM cur c CROSS JOIN e GROUP BY 1),
+  j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+               coalesce(rb.n_ref, 0) AS n_ref,
+               coalesce(cb.n_cur, 0) AS n_cur
+        FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+  t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+  SELECT CAST(j.bin AS INT) AS bin, j.n_ref, j.n_cur,
+         round(j.n_ref / t.tr, 4) AS ref_share,
+         round(j.n_cur / t.tc, 4) AS cur_share,
+         round((greatest(j.n_cur / t.tc, 0.0001)
+                - greatest(j.n_ref / t.tr, 0.0001))
+               * ln(greatest(j.n_cur / t.tc, 0.0001)
+                    / greatest(j.n_ref / t.tr, 0.0001)), 4) + 0.0
+           AS psi_part
+  FROM j CROSS JOIN t) q""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+@query("l60_embedding_drift", oracle=_l60_oracle())
+def l60_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding projection drift — r74's PSI machinery over four
+    SEEDED 1-D projections of the embedding column (even vec_ids as
+    the reference corpus, odd as current): the monitor that catches
+    "the new embedding batch came from a different model/checkpoint"
+    BEFORE any retrieval metric moves. Marginal dim stats (l29) miss
+    rotations; a handful of random projections inherit PSI's
+    battle-tested <0.1 / >0.25 threshold lore (Cramér-Wold: a real
+    shift shows on almost every projection — the planted-mean-shift
+    test proves the alarm fires). Shape: codegen zip_with dot per
+    direction (corpus scanned once per side), then reference-quantile
+    bin aggregates — output is directions x bins rows. Signed
+    psi_part carries the paired sign-of-zero pin.
+    operators/embeddings.py::embedding_projection_drift;
+    tests/test_embedding_drift.py."""
+    from ..operators.embeddings import embedding_projection_drift
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_projection_drift(ref, cur, "embedding", dim=64)

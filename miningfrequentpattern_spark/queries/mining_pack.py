@@ -1817,3 +1817,68 @@ def m27_emerging_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emerging_pair_patterns(
         before, after, "l_orderkey", "l_partkey", min_count=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 promotion: m28 label-propagation communities (staged +
+# locally certified in round 7; oracle moved VERBATIM from its test
+# file per the rotation flow)
+# ---------------------------------------------------------------------------
+
+_M28_ROUND = """
+l{k} AS (
+  SELECT id, lab FROM (
+    SELECT e.v AS id, l{j}.lab, count(*) AS n,
+           row_number() OVER (PARTITION BY e.v
+                              ORDER BY count(*) DESC, l{j}.lab) AS r
+    FROM e JOIN l{j} ON e.u = l{j}.id
+    GROUP BY e.v, l{j}.lab)
+  WHERE r = 1)"""
+
+_M28_ORACLE = (
+    """
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+p AS (SELECT DISTINCT a.pk AS s, b.pk AS d
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+e AS MATERIALIZED (SELECT s AS u, d AS v FROM p
+                   UNION ALL SELECT d, s FROM p),
+l0 AS (SELECT DISTINCT v AS id, v AS lab FROM e),"""
+    + ",".join(_M28_ROUND.format(k=k, j=k - 1) for k in (1, 2, 3))
+    + """
+SELECT id AS part_id, lab AS community FROM l3
+"""
+)
+
+
+@query("m28_part_communities", oracle=_M28_ORACLE)
+def m28_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the co-purchase graph — 3
+    synchronous min-tiebreak LPA rounds (Raghavan 2007): a node
+    adopts its neighbors' majority label, ties to the SMALLEST label,
+    every round a pure function of the previous labeling — so the
+    unrolled-CTE oracle computes the IDENTICAL labeling (the m13/m25
+    fixed-iteration stance; classic LPA randomizes update order,
+    which has no cross-engine ground truth). The community grain
+    between m17's clustering coefficient and l02e's connected
+    components: CC merges two cliques joined by one bridge, LPA keeps
+    them apart (tests/test_label_propagation.py). Shape: stubs
+    pre-hashed + cached once; per round ONE |V|-row label shuffle +
+    a (node, label) count + per-node rank-1; lineage truncated per
+    round (the r5 Catalyst exponential-plan fix).
+    operators/graph.py::label_propagation."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(pairs, iterations=3).select(
+        F.col("id").alias("part_id"), "community"
+    )

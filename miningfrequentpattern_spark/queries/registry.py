@@ -160,116 +160,95 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 8: t01-t05b, u03, then list (b) (l02f, l21-l24, m11, r34, r35,
 # u04-u06, r23-r28, r30-r32, l07, l07c).
 #
-# ROUND 8 ROTATION TODO: after CORRECTNESS_r07 lands, backfill with
-# the remainder of list (a) — m02_item_support (displaced by the l43
-# re-proof slot), t01_tumbling_window, t02_sliding_window,
-# t03_session_window, t04_dedup_first_event, t05_stateful_user_counts,
-# t05b_stateful_user_counts_native, u03_udtf_token_counts — then
-# list (b): l02f, l21, l22, l23, l24, m11, r34, r35, u04, u05, u06,
-# r23, r24, r25, r26, r27, r28, r30, r31, r32, l07, l07c, plus the
-# EIGHT round-7 staged additions (implemented + locally
-# DuckDB-certified, oracles verbatim in their test files):
-# relational.py::retention_cohorts -> r85_retention_cohorts
-# (tests/test_retention.py); timeseries.py::pit_trailing_features ->
-# r86_pit_features (tests/test_pit_features.py);
-# dedup.py::source_shingle_overlap -> l55_source_overlap
-# (tests/test_source_overlap.py); similarity.py::truncated_dim_recall
-# -> l56_truncated_recall (tests/test_truncated_recall.py — fully
-# deterministic, hash-oracle-able unlike the ANN family);
-# dedup.py::normalized_dedup_uplift -> l57_normalized_dedup
-# (tests/test_norm_dedup.py); text.py::quality_gate_ablation ->
-# l58_gate_ablation (tests/test_gate_ablation.py);
-# multimodal.py::media_dedup -> l59_media_dedup
-# (tests/test_media_dedup.py); functions/vectors.py::
-# int8_roundtrip_error_iter -> u09_iter_quantize (the iterator-form
-# scalar pandas UDF surface, tests/test_iter_udf.py);
-# graph.py::label_propagation -> m28_part_communities (synchronous
-# min-tiebreak LPA, unrolled-CTE oracle,
-# tests/test_label_propagation.py); timeseries.py::ttl_dedup ->
-# r87_ttl_dedup (event-time TTL throttle chain, recursive-CTE
-# oracle + dropDuplicatesWithinWatermark stream twin,
-# tests/test_ttl_dedup.py); sources/io.py::read_csv_permissive ->
-# s18_corrupt_csv_audit (quarantined malformed-line audit,
-# tests/test_corrupt_csv.py); relational.py::growth_accounting ->
-# r88_growth_accounting (weekly new/retained/resurrected/churned
-# MAU decomposition, tests/test_growth_accounting.py); the composed
-# rolling-origin forecast backtest (daily revenue -> naive /
-# seasonal-naive / Holt one-step forecasts -> fair-set MAE + winner)
-# -> r89_forecast_backtest (r82-chain oracle,
-# tests/test_forecast_backtest.py); timeseries.py::
-# holt_winters_additive -> r90_holt_winters (additive triple
-# exponential, LIST-carrying recursive-CTE oracle,
-# tests/test_holt_winters.py); embeddings.py::
-# embedding_projection_drift -> l60_embedding_drift (r74's PSI over
-# seeded 1-D projections of the embedding column — the projection
-# literals bake into the oracle SQL at repr precision, the oracle
-# dot-folds with list_reduce to match aggregate()'s sequential order,
-# tests/test_embedding_drift.py); sources/io.py::
-# read_json_permissive -> s19_corrupt_json_audit (the s18 JSON twin,
-# tests/test_corrupt_json.py); timeseries.py::ols_two_factor ->
-# r91_trend_weekend_ols (multiple regression via rounded-pivot
-# centered normal equations, tests/test_ols_two_factor.py);
-# streaming/stateful.py::cdc_merge_stream
-# is tests-only by design (true-stream MERGE sink,
-# tests/test_cdc_merge_stream.py — its batch twin is s16). Keep the
-# canaries and re-certify anything whose code or oracle text changes.
-ROWS_ONLY_REFRESH: frozenset[str] = frozenset({"l03b_ann_lsh_topk"})
+# ROUND 8 ROTATION (executed): 3 canaries + the SEVENTEEN round-7
+# staged promotions (r85_retention_cohorts, r86_pit_features,
+# r87_ttl_dedup, r88_growth_accounting, r89_forecast_backtest,
+# r90_holt_winters, r91_trend_weekend_ols, s18/s19 corrupt-CSV/JSON
+# audits, l55_source_overlap, l56_truncated_recall,
+# l57_normalized_dedup, l58_gate_ablation, l59_media_dedup,
+# l60_embedding_drift, u09_iter_quantize, m28_part_communities —
+# oracles moved VERBATIM from their test files; l60's oracle is
+# GENERATED in llm_pack._l60_oracle, same seeded numpy projections
+# as the operator) + the THIRTY oldest-proof backfills: the r7
+# deferral of list (a) (m02_item_support, t01-t05b, u03), then all
+# of list (b) (l02f, l21-l24, m11, r34, r35, u04-u06, r23-r28,
+# r30-r32, l07, l07c). 3 + 17 + 30 = 50 exactly, zero spare.
+# ROWS_ONLY_REFRESH empties: every slot this round is oracle-bearing
+# (l03b got its post-rewrite run-proof in r7).
+#
+# ROUND 9 ROTATION TODO: after CORRECTNESS_r08 lands, the oldest
+# remaining driver proofs are (computed from CORRECTNESS_r0*.json,
+# latest round per query): ONE r2 row (l02d_embedding_neardup), 16
+# r3 rows (l10, l11, l12, l13, l15, l16, l17, l19, l20,
+# m04_itemsets_full_tokens, m04_itemsets_market, m05_rules_full_
+# tokens, m07_topk_itemsets, m09_prefixspan_full, m10_maximal_
+# itemsets, t06_microbatch_mining), and 33 r4 rows. Window = 3
+# canaries + l02d + the 16 r3 rows + the first 30 of the r4 list in
+# registration order (l02, l02g, l03, l25, l26, l27, m03,
+# m04_itemsets_k2_tokens, m05_rules_1to1_tokens, m06, m07_topk_items,
+# m08, m09_prefixspan_1seq, m10_closed_itemsets, m12, m15, r02, r03,
+# r04, r05, r06, r07, r08, r08b, r36, r37, r38, r39, r40, s10) = 50
+# exactly; the r4 remainder (s11, s12, u07) + the r5 cohort lead
+# round 10. Any round-8 staged operator that gains an oracle
+# DISPLACES backfills — stage sparingly until the r4 tail promotes.
+# Keep the canaries and re-certify anything whose code or oracle
+# text changes.
+ROWS_ONLY_REFRESH: frozenset[str] = frozenset()
 PRIORITY: tuple[str, ...] = (
     # canaries - proven every round, kept to detect driver-env drift
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    # round-7 promotions (staged r6; oracles verbatim from test files)
-    "r62_attribution",
-    "r71_feed_cadence",
-    "r82_holt_revenue",
-    "r83_gapfill_interp",
-    "r84_scd2_lookup",
-    "l53_textrank_keywords",
-    "l54_contamination_attribution",
-    "s16_merge_upsert",
-    "m27_emerging_pairs",
-    # rows-only refresh: the native RP-LSH rewrite has no driver row
-    "l03b_ann_lsh_topk",
-    # re-proof after the sign-of-zero fix (the only driver fail ever)
-    "l43_embedding_corr_matrix",
-    # backfill: oldest driver proofs first (r1/r2-era, TODO list (a))
-    "s02_text_transactions",
-    "s03_csv_roundtrip",
-    "s03b_json_roundtrip",
-    "s04_parquet_sink_roundtrip",
-    "s05_partitioned_pruning",
-    "s06_orc_roundtrip",
-    "s07_python_datasource",
-    "s08_xml_roundtrip",
-    "s09_zorder_key",
-    "r05b_parts_with_bulk_orders",
-    "r09_distinct_aggregates",
-    "r10b_exact_percentiles",
-    "r11_rollup_status_priority",
-    "r11b_cube_flag_status",
-    "r11c_grouping_sets_sql",
-    "r12_top3_parts_per_brand",
-    "r12b_rank_variants",
-    "r13_order_gaps",
-    "r13b_next_order_value",
-    "r14_running_customer_spend",
-    "r15_top25_orders",
-    "r16_repeat_customers_y2k",
-    "r16b_one_year_only_customers",
-    "r17_string_functions",
-    "r17b_name_edit_distance",
-    "r18_monthly_order_stats",
-    "r19_math_functions",
-    "r20_array_functions",
-    "r21_json_props",
-    "r22_content_hashes",
-    "l04_token_stats",
-    "l04b_top_bigrams",
-    "l05_corpus_profile",
-    "l06_quality_filter",
-    "l06b_repetition_signals",
-    "l09_hash_split",
+    # round-8 promotions (staged r7; oracles verbatim from test files)
+    "r85_retention_cohorts",
+    "r86_pit_features",
+    "r87_ttl_dedup",
+    "r88_growth_accounting",
+    "r89_forecast_backtest",
+    "r90_holt_winters",
+    "r91_trend_weekend_ols",
+    "s18_corrupt_csv_audit",
+    "s19_corrupt_json_audit",
+    "l55_source_overlap",
+    "l56_truncated_recall",
+    "l57_normalized_dedup",
+    "l58_gate_ablation",
+    "l59_media_dedup",
+    "l60_embedding_drift",
+    "u09_iter_quantize",
+    "m28_part_communities",
+    # backfill: r7-deferred remainder of TODO list (a)
+    "m02_item_support",
+    "t01_tumbling_window",
+    "t02_sliding_window",
+    "t03_session_window",
+    "t04_dedup_first_event",
+    "t05_stateful_user_counts",
+    "t05b_stateful_user_counts_native",
+    "u03_udtf_token_counts",
+    # backfill: TODO list (b) in full
+    "l02f_ngram_jaccard_guarded",
+    "l21_source_mixing",
+    "l22_prefix_dup_rate",
+    "l23_source_overlap",
+    "l24_embedding_quantize",
+    "m11_rule_interest",
+    "r34_rolling_7day_spend",
+    "r35_unpivot_part_metrics",
+    "u04_arrow_vector_norms",
+    "u05_arrow_grouped_centroids",
+    "u06_grouped_agg_geomean",
+    "r23_daily_activity_ffill",
+    "r24_pivot_event_counts",
+    "r25_unpivot_part_attrs",
+    "r26_global_order_rank",
+    "r27_variant_props",
+    "r28_recursive_order_chain",
+    "r30_above_nation_avg",
+    "r31_lateral_top_suppliers",
+    "r32_incremental_upsert",
+    "l07_multimodal_join",
+    "l07c_frame_sample",
 )
 
 

@@ -3995,3 +3995,491 @@ def r84_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "version_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 promotions: r85-r91 (staged + locally certified in round 7;
+# oracles moved VERBATIM from their test files per the rotation flow)
+# ---------------------------------------------------------------------------
+
+from ..operators.relational import (  # noqa: E402
+    growth_accounting,
+    retention_cohorts,
+)
+from ..operators.timeseries import (  # noqa: E402
+    holt_winters_additive,
+    ols_two_factor,
+    pit_trailing_features,
+    ttl_dedup,
+)
+
+
+@query(
+    "r85_retention_cohorts",
+    oracle="""
+WITH e AS (SELECT user_id AS u, ts FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+fu AS (SELECT u, date_trunc('week', min(ts)) AS cohort
+       FROM e GROUP BY 1),
+up AS (SELECT DISTINCT e.u, fu.cohort,
+              date_trunc('week', e.ts) AS p
+       FROM e JOIN fu USING (u)),
+m AS (SELECT cohort,
+             CAST(date_diff('day', CAST(cohort AS DATE),
+                            CAST(p AS DATE)) / 7 AS INT) AS "offset",
+             count(*) AS n_active
+      FROM up GROUP BY 1, 2)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+       "offset",
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(max(CASE WHEN "offset" = 0 THEN n_active END)
+              OVER (PARTITION BY cohort) AS BIGINT) AS n_cohort,
+       round(n_active * 1.0
+             / max(CASE WHEN "offset" = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort), 4) AS retention
+FROM m
+""",
+)
+def r85_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events — every user joins
+    the cohort of their first active week; each later active week
+    lands at integer offset (exact day/7 on Monday-truncated weeks).
+    ONE corpus scan feeds both the cohort and active-period legs
+    (plan-audited in tests/test_retention.py), then a cohort-keyed
+    window anchors retention on the offset-0 row. Calendar pins:
+    date_trunc('week') is ISO-Monday in both engines; cohort
+    re-emitted as TIMESTAMP. Scale: user-keyed aggregate + a
+    cohort-week-count-sized (tiny) window relation.
+    operators/relational.py::retention_cohorts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return retention_cohorts(ev, "user_id", "ts", grain="week")
+
+
+@query(
+    "r86_pit_features",
+    oracle="""
+WITH b AS (
+  SELECT user_id, ts, event_id, value,
+         (event_type = 'purchase') AS is_fact,
+         epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL),
+w AS (
+  SELECT user_id, ts, event_id, is_fact,
+         count(CASE WHEN NOT is_fact THEN 1 END) OVER f AS n_prior,
+         round(sum(CASE WHEN NOT is_fact THEN value END) OVER f, 4)
+           + 0.0 AS sum_prior,
+         round((us - max(CASE WHEN NOT is_fact THEN us END) OVER f)
+               / 1000000.0, 6) AS last_gap_s
+  FROM b
+  WINDOW f AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING))
+SELECT user_id, ts, event_id AS purchase_id,
+       CAST(n_prior AS BIGINT) AS n_prior, sum_prior, last_gap_s
+FROM w WHERE is_fact
+""",
+)
+def r86_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time trailing-window features — per-purchase trailing
+    10-minute click/view aggregates over events, the feature-store
+    primitive with the strict leakage contract: the RANGE frame is
+    [t-window, t) in exact epoch-micros (600000000 PRECEDING AND 1
+    PRECEDING), so a same-instant touch can NEVER leak into its own
+    fact's features and a touch exactly window-old still counts.
+    ONE user-keyed window pass — no facts-by-touches self-join (the
+    range-join formulation fans out), state bounded by the frame.
+    Domain note (the r84 lesson): facts AND touches are both events
+    rows, so the time domains overlap by construction. sum_prior
+    carries the paired sign-of-zero pin; last_gap_s rounds at 6dp on
+    the exact micros grid. operators/timeseries.py::
+    pit_trailing_features; frame pins in tests/test_pit_features.py."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_fact", F.col("event_type") == "purchase"
+    )
+    out = pit_trailing_features(
+        ev,
+        ["user_id"],
+        "ts",
+        "is_fact",
+        value_col="value",
+        window="10 minutes",
+        carry=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        "n_prior",
+        "sum_prior",
+        "last_gap_s",
+    )
+
+
+@query(
+    "r87_ttl_dedup",
+    oracle="""
+WITH RECURSIVE b AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE ts IS NOT NULL),
+k AS (
+  SELECT user_id, ts, event_id, us, rn,
+         true AS is_kept, us AS anchor
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.ts, b.event_id, b.us, b.rn,
+         b.us >= k.anchor + 600000000,
+         CASE WHEN b.us >= k.anchor + 600000000
+              THEN b.us ELSE k.anchor END
+  FROM b JOIN k ON b.user_id = k.user_id AND b.rn = k.rn + 1)
+SELECT user_id, ts, event_id, is_kept FROM k
+""",
+)
+def r87_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TTL dedup — the per-user 10-minute throttle chain:
+    keep a row iff it is at least ttl after the last KEPT row (the
+    greedy chain a notification throttle / sessionized rate limiter
+    computes), which no fixed window expresses because the anchor is
+    the chain's own output. The DuckDB oracle is the r82/r28
+    linear-recursion stance (anchor <- us when us >= anchor + ttl,
+    rows totally ordered by epoch-micros + event_id tiebreak; ties
+    WITHOUT a tiebreak raise rather than flap). A TRUE streaming twin
+    (dropDuplicatesWithinWatermark) agrees on fixtures outside the
+    delay..2*delay eviction-ambiguity band —
+    tests/test_ttl_dedup.py. Both fixture sides are events rows (one
+    time domain, the r84 lesson). operators/timeseries.py::ttl_dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    return ttl_dedup(
+        ev, ["user_id"], "ts", ttl="10 minutes", tiebreak_col="event_id"
+    ).select("user_id", "ts", "event_id", "is_kept")
+
+
+@query(
+    "r88_growth_accounting",
+    oracle="""
+WITH e AS (SELECT user_id AS u, date_trunc('week', ts) AS p
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+up AS (SELECT DISTINCT u, p FROM e),
+fu AS (SELECT u, min(p) AS first_p FROM up GROUP BY 1),
+cl AS (SELECT up.u, up.p,
+              CASE WHEN up.p = fu.first_p THEN 'new'
+                   WHEN date_diff('day',
+                        CAST(lag(up.p) OVER (PARTITION BY up.u
+                                             ORDER BY up.p) AS DATE),
+                        CAST(up.p AS DATE)) / 7 = 1 THEN 'retained'
+                   ELSE 'resurrected' END AS s
+       FROM up JOIN fu USING (u)),
+c AS (SELECT p AS period,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN s = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resurrected
+      FROM cl GROUP BY 1)
+SELECT c.period, c.n_active, c.n_new, c.n_retained, c.n_resurrected,
+       CAST(coalesce(pr.n_active, 0) - c.n_retained AS BIGINT)
+         AS n_churned
+FROM c LEFT JOIN c pr
+  ON date_trunc('week', CAST(pr.period AS DATE) + INTERVAL 7 DAY)
+     = c.period
+""",
+)
+def r88_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the new/retained/resurrected/churned
+    MAU decomposition every growth team reads first: classify each
+    (user, active week) by the gap to the user's previous active week
+    (first week = new, gap of exactly 1 week = retained, longer =
+    resurrected), then churned(p) = active(prev) - retained(p) via a
+    predecessor self-join of the week-count-sized aggregate.
+    Identities (tested): new + retained + resurrected = active.
+    Scale: one user-keyed distinct + lag window; the self-join is on
+    the tiny per-week relation. operators/relational.py::
+    growth_accounting; lifecycle pins in
+    tests/test_growth_accounting.py."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return growth_accounting(ev, "user_id", "ts", grain="week")
+
+
+@query(
+    "r89_forecast_backtest",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS day,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT priority, day, rev,
+         row_number() OVER (PARTITION BY priority ORDER BY day) AS rn
+  FROM daily),
+h AS (
+  SELECT i1.priority, i1.day, i1.rn, i1.rev,
+         i1.rev AS l, i2.rev - i1.rev AS b
+  FROM idx i1 LEFT JOIN idx i2
+    ON i2.priority = i1.priority AND i2.rn = 2
+  WHERE i1.rn = 1
+  UNION ALL
+  SELECT i.priority, i.day, i.rn, i.rev,
+         0.2::DOUBLE * i.rev + 0.8::DOUBLE * (h.l + h.b),
+         0.3::DOUBLE * ((0.2::DOUBLE * i.rev + 0.8::DOUBLE * (h.l + h.b))
+                        - h.l)
+           + 0.7::DOUBLE * h.b
+  FROM idx i JOIN h ON i.priority = h.priority AND i.rn = h.rn + 1
+),
+f AS (
+  SELECT priority, day, rev,
+         lag(rev, 1) OVER w AS f_naive,
+         lag(rev, 7) OVER w AS f_snaive,
+         lag(l + b, 1) OVER w AS f_holt
+  FROM h
+  WINDOW w AS (PARTITION BY priority ORDER BY rn)),
+m AS (
+  SELECT priority,
+         CAST(count(*) AS BIGINT) AS n_eval,
+         round(avg(abs(rev - f_naive)), 4) AS mae_naive,
+         round(avg(abs(rev - f_snaive)), 4) AS mae_snaive,
+         round(avg(abs(rev - f_holt)), 4) AS mae_holt
+  FROM f
+  WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+    AND f_holt IS NOT NULL
+  GROUP BY 1)
+SELECT priority, n_eval, mae_naive, mae_snaive, mae_holt,
+       CASE WHEN mae_holt <= mae_naive AND mae_holt <= mae_snaive
+            THEN 'holt'
+            WHEN mae_naive <= mae_snaive THEN 'naive'
+            ELSE 'snaive' END AS best_method
+FROM m
+""",
+)
+def r89_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest — daily revenue per priority,
+    one-step-ahead forecasts from three models (naive = yesterday,
+    seasonal-naive = same weekday last week, Holt = previous row's
+    level + trend, the r82 recurrence), per-series MAE over the FAIR
+    evaluation set (days where ALL THREE forecasts exist so every MAE
+    averages the same days), winner named by a total order (ties
+    break toward the simpler model). The question every forecasting
+    deployment answers first: does the model beat persistence AT ALL?
+    Composition of the r82-certified holt_linear + lag windows (the
+    certified-composition stance); MAEs non-negative, no sign pin.
+    operators/timeseries.py::holt_linear;
+    tests/test_forecast_backtest.py."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    hl = holt_linear(daily, ["priority"], "day", "rev", alpha=0.2, beta=0.3)
+    w = Window.partitionBy("priority").orderBy("day")
+    f = hl.select(
+        "priority",
+        "day",
+        "rev",
+        F.lag("rev", 1).over(w).alias("f_naive"),
+        F.lag("rev", 7).over(w).alias("f_snaive"),
+        F.lag(F.col("level") + F.col("trend"), 1).over(w).alias("f_holt"),
+    ).filter(
+        F.col("f_naive").isNotNull()
+        & F.col("f_snaive").isNotNull()
+        & F.col("f_holt").isNotNull()
+    )
+    m = f.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(F.avg(F.abs(F.col("rev") - F.col("f_naive"))), 4).alias(
+            "mae_naive"
+        ),
+        F.round(F.avg(F.abs(F.col("rev") - F.col("f_snaive"))), 4).alias(
+            "mae_snaive"
+        ),
+        F.round(F.avg(F.abs(F.col("rev") - F.col("f_holt"))), 4).alias(
+            "mae_holt"
+        ),
+    )
+    best = (
+        F.when(
+            (F.col("mae_holt") <= F.col("mae_naive"))
+            & (F.col("mae_holt") <= F.col("mae_snaive")),
+            F.lit("holt"),
+        )
+        .when(F.col("mae_naive") <= F.col("mae_snaive"), F.lit("naive"))
+        .otherwise(F.lit("snaive"))
+    )
+    return m.withColumn("best_method", best)
+
+
+@query(
+    "r90_holt_winters",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS day,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT priority, day, rev,
+         row_number() OVER (PARTITION BY priority ORDER BY day) AS rn
+  FROM daily),
+seed AS (
+  SELECT priority,
+         list_sum((list(rev ORDER BY rn))[1:7]) / 7.0::DOUBLE AS l0,
+         (list_sum((list(rev ORDER BY rn))[8:14]) / 7.0::DOUBLE
+          - list_sum((list(rev ORDER BY rn))[1:7]) / 7.0::DOUBLE)
+           / 7.0::DOUBLE AS b0,
+         (list(rev ORDER BY rn))[1:7] AS first7
+  FROM idx GROUP BY priority),
+h AS (
+  SELECT i.priority, i.day, i.rn, i.rev,
+         s.l0 AS l, s.b0 AS b,
+         list_transform(s.first7, v -> v - s.l0) AS buf,
+         CAST(NULL AS DOUBLE) AS fitted,
+         s.first7[7] - s.l0 AS seasonal
+  FROM idx i JOIN seed s USING (priority) WHERE i.rn = 7
+  UNION ALL
+  SELECT i.priority, i.day, i.rn, i.rev,
+         0.2::DOUBLE * (i.rev - h.buf[1])
+           + 0.8::DOUBLE * (h.l + h.b),
+         0.1::DOUBLE * ((0.2::DOUBLE * (i.rev - h.buf[1])
+                         + 0.8::DOUBLE * (h.l + h.b)) - h.l)
+           + 0.9::DOUBLE * h.b,
+         h.buf[2:] || [0.3::DOUBLE * (i.rev - h.l - h.b)
+                       + 0.7::DOUBLE * h.buf[1]],
+         h.l + h.b + h.buf[1],
+         0.3::DOUBLE * (i.rev - h.l - h.b) + 0.7::DOUBLE * h.buf[1]
+  FROM idx i JOIN h ON i.priority = h.priority AND i.rn = h.rn + 1)
+SELECT i.priority, CAST(i.day AS TIMESTAMP) AS day,
+       round(i.rev, 4) AS revenue,
+       round(h.l, 4) + 0.0 AS level,
+       round(h.b, 4) + 0.0 AS trend,
+       round(h.seasonal, 4) + 0.0 AS seasonal,
+       round(h.fitted, 4) + 0.0 AS fitted
+FROM idx i LEFT JOIN h ON h.priority = i.priority AND h.rn = i.rn
+""",
+)
+def r90_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing of daily
+    revenue per priority, weekly seasonality — level/trend/seasonal
+    state plus the one-step-ahead fitted value per day. The DuckDB
+    oracle is the r82 recursive-CTE stance with the seasonal buffer
+    carried as a LIST whose head is s_{t-m} (tail append = s_t);
+    every smoothing literal is ::DOUBLE so both engines multiply the
+    identical doubles, init means reduce the ORDERED season lists
+    left-to-right, and all signed outputs carry the paired
+    sign-of-zero pin (functions/rounding.py::round4 + the oracle's
+    `+ 0.0`). Scale: per-key sequential recurrence via the r82
+    grouped-map seam — keys parallelize, the within-key scan is
+    inherently ordered. operators/timeseries.py::
+    holt_winters_additive; hand recurrence + exact-weekly-signal pins
+    in tests/test_holt_winters.py."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    hw = holt_winters_additive(
+        daily, ["priority"], "day", "rev",
+        alpha=0.2, beta=0.1, gamma=0.3, period=7,
+    )
+    return hw.select(
+        "priority",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round("rev", 4).alias("revenue"),
+        round4("level").alias("level"),
+        round4("trend").alias("trend"),
+        round4("seasonal").alias("seasonal"),
+        round4("fitted").alias("fitted"),
+    )
+
+
+@query(
+    "r91_trend_weekend_ols",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS day,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2),
+b AS (
+  SELECT priority,
+         date_diff('day', DATE '1970-01-01', day)::DOUBLE AS x1,
+         CASE WHEN isodow(day) >= 6 THEN 1.0 ELSE 0.0 END AS x2,
+         rev AS y
+  FROM daily),
+m AS (SELECT priority, round(avg(y), 4) AS my, round(avg(x1), 4) AS m1,
+             round(avg(x2), 4) AS m2
+      FROM b GROUP BY 1),
+c AS (SELECT b.priority, b.y - m.my AS yc, b.x1 - m.m1 AS c1,
+             b.x2 - m.m2 AS c2, m.my, m.m1, m.m2
+      FROM b JOIN m USING (priority)),
+a AS (SELECT priority, count(*) AS n_obs,
+             first(my) AS my, first(m1) AS m1, first(m2) AS m2,
+             sum(c1 * c1) AS s11, sum(c2 * c2) AS s22,
+             sum(c1 * c2) AS s12, sum(c1 * yc) AS s1y,
+             sum(c2 * yc) AS s2y, sum(yc * yc) AS syy,
+             sum(yc) AS sy, sum(c1) AS sc1, sum(c2) AS sc2
+      FROM c GROUP BY 1)
+SELECT priority, CAST(n_obs AS BIGINT) AS n_obs,
+       round(CASE WHEN s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+             THEN (my + sy / n_obs)
+                  - ((s1y * s22 - s12 * s2y)
+                     / (s11 * s22 - s12 * s12)) * (m1 + sc1 / n_obs)
+                  - ((s11 * s2y - s1y * s12)
+                     / (s11 * s22 - s12 * s12)) * (m2 + sc2 / n_obs)
+             END, 4) + 0.0 AS intercept,
+       round(CASE WHEN s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+             THEN (s1y * s22 - s12 * s2y) / (s11 * s22 - s12 * s12)
+             END, 4) + 0.0 AS beta1,
+       round(CASE WHEN s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+             THEN (s11 * s2y - s1y * s12) / (s11 * s22 - s12 * s12)
+             END, 4) + 0.0 AS beta2,
+       round(CASE WHEN syy > 0
+                   AND s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+             THEN 1.0 - (syy
+                  - ((s1y * s22 - s12 * s2y)
+                     / (s11 * s22 - s12 * s12)) * s1y
+                  - ((s11 * s2y - s1y * s12)
+                     / (s11 * s22 - s12 * s12)) * s2y) / syy
+             END, 4) + 0.0 AS r2
+FROM a
+""",
+)
+def r91_trend_weekend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor OLS: daily revenue ~ trend + weekend dummy per
+    priority — the controlled-trend question series_trend alone
+    cannot answer (is revenue really declining, or is the mix of
+    weekend days moving?). Both engines center every variable on its
+    4dp-ROUNDED group mean (bitwise-stable pivots; centering shifts
+    only the intercept), solve the reduced 2x2 normal equations, and
+    recover the intercept from the rounded pivots plus residual
+    means; a singular system (collinear regressors) yields NULLs,
+    never a garbage solve. Signed outputs carry the paired
+    sign-of-zero pin. Scale: one keyed aggregate over row-local
+    expressions — no matrix library, no collect.
+    operators/timeseries.py::ols_two_factor; exact-plane/collinear
+    pins in tests/test_ols_two_factor.py."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .select(
+            "priority",
+            F.datediff("day", F.lit("1970-01-01"))
+            .cast("double")
+            .alias("x1"),
+            F.when(
+                ((F.dayofweek("day") + 5) % 7 + 1) >= 6, F.lit(1.0)
+            ).otherwise(F.lit(0.0)).alias("x2"),
+            F.col("rev").alias("y"),
+        )
+    )
+    return ols_two_factor(daily, ["priority"], "y", "x1", "x2")

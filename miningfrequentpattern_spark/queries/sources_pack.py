@@ -946,3 +946,143 @@ def s16_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 promotions: s18/s19 malformed-input audits + u09 iterator UDF
+# (staged + locally certified in round 7; oracles moved VERBATIM from
+# their test files per the rotation flow)
+# ---------------------------------------------------------------------------
+
+from ..functions.vectors import int8_roundtrip_error_iter  # noqa: E402
+from ..sources.io import (  # noqa: E402
+    read_csv_permissive,
+    read_json_permissive,
+)
+
+_S18_BAD = [
+    "garbage,notanumber,xx",        # type failure
+    "too,many,columns,here,1",      # column-count drift
+    "-,-,-",                        # placeholder junk
+]
+_S19_BAD = [
+    '{"o_orderkey": "notanint", "o_orderpriority": "X"}',  # type fail
+    '{"o_orderkey": 1, "o_orderpriority": "X"',            # truncated
+    "not json at all",                                     # bare text
+]
+_AUDIT_SCHEMA = (
+    "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+)
+
+
+@query(
+    "s18_corrupt_csv_audit",
+    oracle="""
+SELECT CAST(count(*) + 3 AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders WHERE o_orderkey % 7 = 0
+""",
+)
+def s18_corrupt_csv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input CSV audit — an orders slice round-tripped
+    through CSV with three planted malformed lines (type failure,
+    column-count drift, placeholder junk), read back PERMISSIVE with
+    a _corrupt_record quarantine column, reduced to row/good/corrupt
+    counts + an exact-integer key checksum. The oracle counts the
+    good-row population from the ORIGINATING fixture plus the planted
+    constants, so any loss or corruption on either leg fails the
+    hash (the s02 round-trip stance); the integer checksum keeps CSV
+    double round-tripping out of the hash. Per-shape quarantine pins
+    in tests/test_corrupt_csv.py. sources/io.py::read_csv_permissive."""
+    path = _scratch("s18_csv")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.write.mode("overwrite").csv(path)
+    spark.createDataFrame(
+        [(b,) for b in _S18_BAD], "value string"
+    ).coalesce(1).write.mode("append").text(path)
+    parsed = read_csv_permissive(spark, path, _AUDIT_SCHEMA)
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((~bad).cast("int")).cast("long").alias("n_good"),
+        F.sum(bad.cast("int")).cast("long").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("o_orderkey")))
+        .cast("long")
+        .alias("key_checksum"),
+    )
+
+
+@query(
+    "s19_corrupt_json_audit",
+    oracle="""
+SELECT CAST(count(*) + 3 AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders WHERE o_orderkey % 11 = 0
+""",
+)
+def s19_corrupt_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input JSON audit — the s18 twin over JSON-lines:
+    orders slice + three planted malformed lines (type failure,
+    truncated object, bare text), read back PERMISSIVE with
+    quarantine, reduced to counts + exact-integer checksum against
+    the originating fixture. Spark's actual from_json semantics are
+    pinned per shape in tests/test_corrupt_json.py (type mismatch
+    keeps parsable fields but quarantines; missing fields are NULL
+    with NO quarantine). sources/io.py::read_json_permissive."""
+    path = _scratch("s19_json")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.write.mode("overwrite").json(path)
+    spark.createDataFrame(
+        [(b,) for b in _S19_BAD], "value string"
+    ).coalesce(1).write.mode("append").text(path)
+    parsed = read_json_permissive(spark, path, _AUDIT_SCHEMA)
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((~bad).cast("int")).cast("long").alias("n_good"),
+        F.sum(bad.cast("int")).cast("long").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("o_orderkey")))
+        .cast("long")
+        .alias("key_checksum"),
+    )
+
+
+@query(
+    "u09_iter_quantize",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e)
+SELECT vec_id,
+       round(scale, 4) AS scale,
+       round(list_max(list_transform(v,
+             x -> abs(x - least(greatest(round(x / scale), -127), 127)
+                          * scale))), 4) AS max_abs_err
+FROM s
+""",
+)
+def u09_iter_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (iterator-form scalar pandas UDF): int8 symmetric
+    quantization round-trip error per embedding — scale = max|x|/127,
+    q = round(x/scale) clamped to [-127, 127], err = max|x - q*s|.
+    The ITERATOR form (Iterator[pd.Series] -> Iterator[pd.Series])
+    is the surface under test: per-batch numpy vectorization with
+    one-time per-worker setup amortized across Arrow batches (proven
+    to actually stream batches under a 7-row maxRecordsPerBatch in
+    tests/test_iter_udf.py). Exact float64 arithmetic on both
+    engines, so unlike most UDF surfaces this one is
+    hash-oracle-able. functions/vectors.py::int8_roundtrip_error_iter."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return int8_roundtrip_error_iter(emb, "embedding")

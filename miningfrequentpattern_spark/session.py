@@ -94,9 +94,27 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED_TO.add(app_id)
 
 
+_HARDENED: set[str] = set()
+
+
 def harden(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable config to an externally-built session and
-    ship this package to executor workers."""
+    ship this package to executor workers.
+
+    Idempotent per session: the registry wrapper calls this on EVERY
+    query invocation, and each conf.set is a py4j round-trip — ~8
+    round-trips × hundreds of bench/test calls is pure overhead on
+    the light queries (VERDICT r7 bisect candidate). Nothing in the
+    repo mutates RUNTIME_CONF keys mid-session (grep-audited; the
+    test/pack conf flips touch other keys and restore in finally), so
+    one application per applicationId is sufficient and safe.
+    """
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = None
+    if app_id is not None and app_id in _HARDENED:
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -109,6 +127,8 @@ def harden(spark: SparkSession) -> SparkSession:
     except Exception:
         # Shipping is best-effort; pure-DataFrame queries don't need it.
         pass
+    if app_id is not None:
+        _HARDENED.add(app_id)
     return spark
 
 

@@ -326,12 +326,16 @@ def merge_upsert_partitioned(
             out.select(partition_col).distinct(), partition_col, "left_anti"
         ).collect()
     ]
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Per-write option, NOT a session-conf flip (ADVICE r7): two
+    # streams merging concurrently on one SparkSession would race a
+    # set/restore of the shared conf; the DataFrameWriter option
+    # scopes dynamic overwrite to exactly this commit.
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
     if emptied:
         _remove_partition_dirs(spark, path, partition_col, emptied)
 

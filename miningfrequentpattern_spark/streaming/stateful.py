@@ -646,9 +646,10 @@ def cdc_merge_stream(
     insert), so each batch is required key-unique — the caller
     pre-compacts the feed to latest-per-key (the standard CDC
     compaction) and this sink RAISES loudly on violation rather than
-    silently duplicating. Returns the StreamingQuery; trigger is the
-    caller's choice via .trigger on the returned query builder —
-    here availableNow-friendly defaults (one start, drain, stop).
+    silently duplicating. Returns the configured DataStreamWriter
+    (NOT a started StreamingQuery): the caller calls .start() —
+    and may override the availableNow trigger first (one start,
+    drain, stop by default).
     """
     from ..sources.io import merge_upsert_partitioned
 

@@ -255,83 +255,46 @@ SECTIONS = [
     ("l03b_ann_lsh_topk",
      "native RP-LSH: codegen bucket hashes, shuffle_hash candidate "
      "equi-join, no Python node, no checkpoint barrier"),
+    # round-8 promotions (the former staged builders, now registered)
+    ("r85_retention_cohorts",
+     "ONE corpus scan: the per-user aggregate emits cohort AND the "
+     "active-period set in the same pass; cohort sizes are a window "
+     "on the matrix-grain relation"),
+    ("r86_pit_features",
+     "ONE keyed RANGE window over epoch-micros, strictly-before "
+     "frame — no join node, no facts×touches fan-out"),
+    ("r87_ttl_dedup",
+     "grouped-map chain: one key shuffle, one-timestamp state "
+     "(kept-ness has no window closed form)"),
+    ("m28_part_communities",
+     "per-round |V|-row label shuffle against cached pre-hashed "
+     "stubs + (node, label) count + rank-1; |E| never reshuffles"),
+    ("r88_growth_accounting",
+     "user-keyed distinct + lag classification; churn self-join on "
+     "the week-count-sized aggregate only"),
+    ("r90_holt_winters",
+     "grouped-map recurrence with a period-length list buffer (one "
+     "key shuffle; state bounded by the season length)"),
+    ("l56_truncated_recall",
+     "two bounded-query exact rankings share the corpus scan; "
+     "rank-filtered overlap join — the corpus never self-joins"),
+    ("u09_iter_quantize",
+     "single ArrowEvalPython node (iterator form) — per-batch numpy, "
+     "no shuffle at all"),
 ]
 
 # one section per query — a duplicated entry silently doubles PLANS.md
 assert len({n for n, _ in SECTIONS}) == len(SECTIONS), "duplicate SECTIONS"
 
 # STAGED candidates awaiting registration render here with hand
-# builders; round 6 promoted the whole backlog (their sections moved
-# into SECTIONS above under their registered names), and the two
-# round-7 deferrals (r62, r71) keep their plan audits in
-# tests/test_plans.py only.
+# builders; round 8 promoted the whole round-7 backlog (their
+# sections moved into SECTIONS above under their registered names) —
+# the list is currently empty. Future staged operators add a
+# (title, claim, builder) entry here until their registration lands.
 def _staged_builders(spark):
-    """Round-7 staged operators (round-8 window candidates): plans
-    built directly from the operators, claims matching their staged
-    plan-audit tests."""
-    from pyspark.sql import functions as F
-
-    from miningfrequentpattern_spark.operators.relational import (
-        retention_cohorts,
-    )
-    from miningfrequentpattern_spark.operators.timeseries import (
-        pit_trailing_features,
-        ttl_dedup,
-    )
-    from miningfrequentpattern_spark.operators.graph import (
-        label_propagation,
-    )
-    from miningfrequentpattern_spark.sources.io import load_table
-
-    ev = load_table(spark, SF_DIR, "events")
-
-    def _r85():
-        return retention_cohorts(ev.select("user_id", "ts"), "user_id", "ts")
-
-    def _r86():
-        return pit_trailing_features(
-            ev.withColumn("f", F.col("event_type") == "purchase"),
-            ["user_id"], "ts", "f",
-            value_col="value", window="10 minutes",
-        )
-
-    def _r87():
-        return ttl_dedup(
-            ev, ["user_id"], "ts", "10 minutes", tiebreak_col="event_id"
-        )
-
-    def _m28():
-        li = load_table(spark, SF_DIR, "lineitem").select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        ).distinct()
-        a, b = li.alias("a"), li.alias("b")
-        pairs = (
-            a.join(b, (F.col("a.ok") == F.col("b.ok"))
-                   & (F.col("a.pk") < F.col("b.pk")))
-            .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-            .distinct()
-        )
-        return label_propagation(pairs, iterations=2, _materialize=False)
-
-    return [
-        ("r85_retention_cohorts (staged)",
-         "ONE corpus scan: the per-user aggregate emits cohort AND the "
-         "active-period set in the same pass; cohort sizes are a window "
-         "on the matrix-grain relation",
-         _r85),
-        ("r86_pit_features (staged)",
-         "ONE keyed RANGE window over epoch-micros, strictly-before "
-         "frame — no join node, no facts×touches fan-out",
-         _r86),
-        ("r87_ttl_dedup (staged)",
-         "grouped-map chain: one key shuffle, one-timestamp state "
-         "(kept-ness has no window closed form)",
-         _r87),
-        ("m28_part_communities (staged)",
-         "per-round |V|-row label shuffle against cached pre-hashed "
-         "stubs + (node, label) count + rank-1; |E| never reshuffles",
-         _m28),
-    ]
+    """No staged operators at the moment (round 8 promoted the whole
+    round-7 backlog). Returns [(title, claim, builder), ...]."""
+    return []
 
 
 HEADER = '''# PLANS — physical-plan evidence for the scale claims (auto-generated)

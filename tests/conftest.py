@@ -40,3 +40,28 @@ def duck():
         )
     yield con
     con.close()
+
+
+def assert_time_domains_overlap(fact_df, fact_ts, dim_df, dim_ts):
+    """Standing rule from the r84_scd2_lookup lesson (VERDICT r7): a
+    temporal join certified on DISJOINT date domains compares 0 rows
+    vs 0 rows — trivially, meaninglessly green. Call this in any test
+    that certifies an as-of/SCD2/containment/TTL join: it asserts the
+    two sides' [min, max] timestamp ranges actually intersect in the
+    fixture, so the join provably selects."""
+    from pyspark.sql import functions as F
+
+    fa = fact_df.agg(
+        F.min(fact_ts).alias("lo"), F.max(fact_ts).alias("hi")
+    ).collect()[0]
+    da = dim_df.agg(
+        F.min(dim_ts).alias("lo"), F.max(dim_ts).alias("hi")
+    ).collect()[0]
+    assert fa["lo"] is not None and da["lo"] is not None, (
+        "empty side in a temporal-join fixture"
+    )
+    assert fa["lo"] <= da["hi"] and da["lo"] <= fa["hi"], (
+        f"temporal-join fixture domains are DISJOINT: "
+        f"facts [{fa['lo']}, {fa['hi']}] vs dim [{da['lo']}, {da['hi']}] "
+        "— the certified query compares empty against empty"
+    )

@@ -1,64 +1,14 @@
-"""Malformed-input JSON audit (sources/io.py::read_json_permissive) —
-round-8 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL the future s19_corrupt_json_audit registration
-will carry (orders slice round-tripped through JSON-lines with three
-planted malformed lines), plus per-shape pins probed against Spark's
-actual from_json semantics (type mismatch keeps parsable fields but
-quarantines; missing fields are NULL with NO quarantine)."""
+"""Malformed-input JSON audit (sources/io.py::read_json_permissive) — PROMOTED round 8 as s19_corrupt_json_audit: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the per-shape pins probed against
+Spark's actual from_json semantics (type mismatch keeps parsable
+fields but quarantines; missing fields are NULL with NO quarantine) stay here."""
 
 from pyspark.sql import functions as F
 
-from miningfrequentpattern_spark.sources.io import (
-    load_table,
-    read_json_permissive,
-)
-
-from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.sources.io import read_json_permissive
 
 _SCHEMA = "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
-_BAD = [
-    '{"o_orderkey": "notanint", "o_orderpriority": "X"}',  # type fail
-    '{"o_orderkey": 1, "o_orderpriority": "X"',            # truncated
-    "not json at all",                                     # bare text
-]
-
-# Future s19 oracle, verbatim — the s18 stance: good rows from the
-# originating fixture, corrupt count a planted constant, checksum an
-# exact-integer key sum (JSON double round-trips never enter it).
-S19_ORACLE = """
-SELECT CAST(count(*) + 3 AS BIGINT) AS n_rows,
-       CAST(count(*) AS BIGINT) AS n_good,
-       CAST(3 AS BIGINT) AS n_corrupt,
-       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
-FROM orders WHERE o_orderkey % 11 = 0
-"""
-
-
-def _s19(spark, sf_dir, path):
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 11 == 0
-    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
-    orders.write.mode("overwrite").json(path)
-    spark.createDataFrame(
-        [(b,) for b in _BAD], "value string"
-    ).coalesce(1).write.mode("append").text(path)
-    parsed = read_json_permissive(spark, path, _SCHEMA)
-    bad = F.col("_corrupt_record").isNotNull()
-    return parsed.agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum((~bad).cast("int")).cast("long").alias("n_good"),
-        F.sum(bad.cast("int")).cast("long").alias("n_corrupt"),
-        F.sum(F.when(~bad, F.col("o_orderkey")))
-        .cast("long")
-        .alias("key_checksum"),
-    )
-
-
-def test_corrupt_json_matches_duckdb_oracle(spark, duck, tmp_path):
-    compare(_s19(spark, SF_ORACLE, str(tmp_path / "j")), duck, S19_ORACLE)
-
-
 def test_corrupt_json_per_shape_pins(spark, tmp_path):
     path = str(tmp_path / "j")
     lines = [

@@ -1,62 +1,25 @@
-"""Growth accounting (operators/relational.py::growth_accounting) —
-round-8 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL the future r88_growth_accounting registration
-will carry (weekly new/retained/resurrected/churned decomposition of
-events actives), plus a hand-traced lifecycle pin and the accounting
-identities (new + retained + resurrected = active;
-churned(p) = active(prev) − retained(p))."""
+"""Growth accounting (operators/relational.py::growth_accounting) — PROMOTED round 8 as r88_growth_accounting: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the hand-traced lifecycle pin and
+the accounting identities (new + retained + resurrected = active;
+churned(p) = active(prev) − retained(p)) stay here."""
 
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.relational import (
     growth_accounting,
 )
-from miningfrequentpattern_spark.sources.io import load_table
-
 from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
 
-# Future r88 oracle, verbatim — the r85 calendar pins (ISO-Monday
-# date_trunc, exact day/7 gaps) with a per-user lag classification
-# and the predecessor self-join for churn.
-R88_ORACLE = """
-WITH e AS (SELECT user_id AS u, date_trunc('week', ts) AS p
-           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-up AS (SELECT DISTINCT u, p FROM e),
-fu AS (SELECT u, min(p) AS first_p FROM up GROUP BY 1),
-cl AS (SELECT up.u, up.p,
-              CASE WHEN up.p = fu.first_p THEN 'new'
-                   WHEN date_diff('day',
-                        CAST(lag(up.p) OVER (PARTITION BY up.u
-                                             ORDER BY up.p) AS DATE),
-                        CAST(up.p AS DATE)) / 7 = 1 THEN 'retained'
-                   ELSE 'resurrected' END AS s
-       FROM up JOIN fu USING (u)),
-c AS (SELECT p AS period,
-             CAST(count(*) AS BIGINT) AS n_active,
-             CAST(sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_new,
-             CAST(sum(CASE WHEN s = 'retained' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_retained,
-             CAST(sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_resurrected
-      FROM cl GROUP BY 1)
-SELECT c.period, c.n_active, c.n_new, c.n_retained, c.n_resurrected,
-       CAST(coalesce(pr.n_active, 0) - c.n_retained AS BIGINT)
-         AS n_churned
-FROM c LEFT JOIN c pr
-  ON date_trunc('week', CAST(pr.period AS DATE) + INTERVAL 7 DAY)
-     = c.period
-"""
-
+load_all_packs()
 
 def _r88(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    return growth_accounting(ev, "user_id", "ts", grain="week")
+    return QUERIES["r88_growth_accounting"](spark, sf_dir)
 
-
-def test_growth_accounting_matches_duckdb_oracle(spark, duck):
-    compare(_r88(spark, SF_ORACLE), duck, R88_ORACLE)
 
 
 def test_growth_accounting_lifecycle_closed_form(spark):

@@ -1,49 +1,28 @@
 """Iterator-form scalar pandas UDF
-(functions/vectors.py::int8_roundtrip_error_iter) — round-8 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL the future u09_iter_quantize registration will carry
-(int8 symmetric quantization round-trip error per embedding — exact
-float64 arithmetic both engines, so this UDF surface is
-hash-oracle-able), plus a multi-batch run under a tiny Arrow batch
-size proving the iterator actually streams batches, and closed-form
-zero-vector / exact-grid pins."""
+(functions/vectors.py::int8_roundtrip_error_iter) — PROMOTED round 8 as u09_iter_quantize: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the multi-batch stream proof (tiny
+Arrow batches re-compared via the registered oracle) and the
+closed-form zero-vector / exact-grid pins stay here."""
 
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.functions.vectors import (
     int8_roundtrip_error_iter,
 )
-from miningfrequentpattern_spark.sources.io import load_table
-
 from .conftest import SF_ORACLE
 from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    ORACLES,
+    QUERIES,
+    load_all_packs,
+)
 
-# Future u09 oracle, verbatim (the l24 arithmetic at error grain):
-# scale = max|x|/127, q = round(x/scale) clamped, err = max|x - q*s|.
-U09_ORACLE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
-s AS (SELECT vec_id, v,
-             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-      FROM e)
-SELECT vec_id,
-       round(scale, 4) AS scale,
-       round(list_max(list_transform(v,
-             x -> abs(x - least(greatest(round(x / scale), -127), 127)
-                          * scale))), 4) AS max_abs_err
-FROM s
-"""
-
+load_all_packs()
 
 def _u09(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    return int8_roundtrip_error_iter(emb, "embedding")
+    return QUERIES["u09_iter_quantize"](spark, sf_dir)
 
-
-def test_iter_udf_matches_duckdb_oracle(spark, duck):
-    compare(_u09(spark, SF_ORACLE), duck, U09_ORACLE)
 
 
 def test_iter_udf_streams_multiple_batches(spark, duck):
@@ -56,7 +35,7 @@ def test_iter_udf_streams_multiple_batches(spark, duck):
         compare(
             _u09(spark, SF_ORACLE).filter(F.col("vec_id") < 100),
             duck,
-            U09_ORACLE + " WHERE vec_id < 100",
+            ORACLES["u09_iter_quantize"] + " WHERE vec_id < 100",
         )
     finally:
         spark.conf.set(

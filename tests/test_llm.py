@@ -758,6 +758,33 @@ def test_ann_dim_mismatch_fails_loudly(spark):
         ).collect()
 
 
+def test_ann_dim_guard_tolerates_null_vectors(spark):
+    """ADVICE r7: the dim guard must NOT fire on NULL embedding rows
+    (size(NULL) is NULL and assert_true(NULL) throws) — NULL vectors
+    are silently excluded exactly as before the guard existed."""
+    from miningfrequentpattern_spark.operators.similarity import (
+        ann_lsh_topk,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0, F.lit(None).cast("array<double>")
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    q = emb.filter(F.col("vec_id").isin(1, 2, 5))
+    got = ann_lsh_topk(q, emb, k=3, seed=42, dim=64).collect()
+    # NULL-vector query 5 contributes no rows; non-null queries run
+    assert {r["query_id"] for r in got} <= {1, 2}
+    assert got, "non-null queries must still produce neighbors"
+    got_pq = ivfpq_topk(
+        q, emb, k=3, n_clusters=4, n_probes=4, n_subspaces=8,
+        n_codes=16, seed=42, dim=64,
+    ).collect()
+    assert {r["query_id"] for r in got_pq} <= {1, 2}
+
+
 def test_fuzzy_join_capped_by_default(spark):
     """ADVICE r6: the operator signature a user copies must be the
     scale-safe capped form — max_block_size defaults FINITE, a cap of

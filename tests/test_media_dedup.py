@@ -1,9 +1,7 @@
-"""Binary media dedup (operators/multimodal.py::media_dedup) —
-round-8 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL the future l59_media_dedup registration will
-carry. md5 over the SAME bytes is engine-independent (the media blob
-is the deterministic UTF-8 payload attach_media builds), so unlike
-the perceptual tiers this binary-column op is hash-oracle-able."""
+"""Binary media dedup (operators/multimodal.py::media_dedup) — PROMOTED round 8 as l59_media_dedup: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the closed-form pins, the
+one-keeper-per-digest invariant, and the keep-mode raise stay here."""
 
 from pyspark.sql import functions as F
 
@@ -11,35 +9,17 @@ from miningfrequentpattern_spark.operators.multimodal import (
     attach_media,
     media_dedup,
 )
-from miningfrequentpattern_spark.sources.io import load_table
-
 from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
 
-# Future l59 oracle, verbatim. DuckDB md5() over the encoded text
-# bytes equals Spark md5 over the BinaryType column (same bytes,
-# same digest); keeper = lowest doc_id per digest.
-L59_ORACLE = """
-WITH m AS (SELECT doc_id, md5(text) AS media_md5 FROM documents
-           WHERE text IS NOT NULL)
-SELECT doc_id, media_md5,
-       CAST(count(*) OVER (PARTITION BY media_md5) AS BIGINT)
-         AS n_copies,
-       row_number() OVER (PARTITION BY media_md5 ORDER BY doc_id) = 1
-         AS is_kept
-FROM m
-"""
-
+load_all_packs()
 
 def _l59(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return media_dedup(attach_media(docs)).select(
-        "doc_id", "media_md5", "n_copies", "is_kept"
-    )
+    return QUERIES["l59_media_dedup"](spark, sf_dir)
 
-
-def test_media_dedup_matches_duckdb_oracle(spark, duck):
-    compare(_l59(spark, SF_ORACLE), duck, L59_ORACLE)
 
 
 def test_media_dedup_closed_form(spark):

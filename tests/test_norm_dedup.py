@@ -1,61 +1,25 @@
 """Normalization dedup uplift
-(operators/dedup.py::normalized_dedup_uplift) — round-8 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL the future l57_normalized_dedup registration will carry
-(per-source raw vs normalized duplicate-doc counts over documents),
-plus closed-form normalization pins and the raw ⊆ normalized
-containment invariant."""
+(operators/dedup.py::normalized_dedup_uplift) — PROMOTED round 8 as l57_normalized_dedup: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the closed-form normalization pins
+and the raw ⊆ normalized containment invariant stay here."""
 
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.dedup import (
     normalized_dedup_uplift,
 )
-from miningfrequentpattern_spark.sources.io import load_table
-
 from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
 
-# Future l57 oracle, verbatim. Normalization pin shared with the
-# operator: lower -> every [^a-z0-9]+ run to ONE space -> trim
-# (DuckDB regexp_replace needs the explicit 'g' flag; Spark replaces
-# globally by default). Duplicate keys are corpus-wide; attribution
-# is by the doc's own source.
-L57_ORACLE = """
-WITH b AS (
-  SELECT doc_id, source, text AS raw,
-         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
-           AS norm
-  FROM documents),
-rc AS (SELECT raw, count(*) AS c FROM b
-       WHERE raw IS NOT NULL GROUP BY 1),
-nc AS (SELECT norm, count(*) AS c FROM b
-       WHERE norm IS NOT NULL GROUP BY 1)
-SELECT b.source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN coalesce(rc.c, 0) >= 2 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_raw_dup,
-       CAST(sum(CASE WHEN coalesce(nc.c, 0) >= 2 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_norm_dup,
-       CAST(sum(CASE WHEN coalesce(nc.c, 0) >= 2 THEN 1 ELSE 0 END)
-            - sum(CASE WHEN coalesce(rc.c, 0) >= 2 THEN 1 ELSE 0 END)
-            AS BIGINT) AS uplift,
-       round(sum(CASE WHEN coalesce(nc.c, 0) >= 2 THEN 1 ELSE 0 END)
-             * 1.0 / count(*), 4) AS norm_dup_rate
-FROM b
-LEFT JOIN rc ON rc.raw = b.raw
-LEFT JOIN nc ON nc.norm = b.norm
-GROUP BY 1
-"""
-
+load_all_packs()
 
 def _l57(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return normalized_dedup_uplift(docs, "source", "doc_id", "text")
+    return QUERIES["l57_normalized_dedup"](spark, sf_dir)
 
-
-def test_norm_dedup_matches_duckdb_oracle(spark, duck):
-    compare(_l57(spark, SF_ORACLE), duck, L57_ORACLE)
 
 
 def test_norm_dedup_closed_form(spark):

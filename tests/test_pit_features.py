@@ -1,75 +1,25 @@
 """Point-in-time trailing-window features
-(operators/timeseries.py::pit_trailing_features) — round-8 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL the future r86_pit_features registration will carry
-(per-purchase trailing 10-minute click/view features over events —
-the feature-store primitive with the strict leakage contract), plus
-closed-form frame pins, the same-instant-leak exclusion, and the
-no-self-join plan audit."""
+(operators/timeseries.py::pit_trailing_features) — PROMOTED round 8 as r86_pit_features: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the closed-form frame pins,
+the same-instant-leak exclusion, and the no-self-join plan audit stay here."""
 
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.timeseries import (
     pit_trailing_features,
 )
-from miningfrequentpattern_spark.sources.io import load_table
-
 from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
 
-# Future r86 oracle, verbatim. Frame pins: both engines run ONE
-# user-keyed RANGE window over exact epoch-micros ordered rows,
-# 600000000 PRECEDING AND 1 PRECEDING — strictly-before, so a
-# same-instant touch can never leak into its own fact's features;
-# sum_prior carries the paired sign-of-zero pin (values are signed);
-# last_gap_s rounds at 6dp (the exact micros grid, the r62 stance).
-R86_ORACLE = """
-WITH b AS (
-  SELECT user_id, ts, event_id, value,
-         (event_type = 'purchase') AS is_fact,
-         epoch_us(ts) AS us
-  FROM events WHERE ts IS NOT NULL),
-w AS (
-  SELECT user_id, ts, event_id, is_fact,
-         count(CASE WHEN NOT is_fact THEN 1 END) OVER f AS n_prior,
-         round(sum(CASE WHEN NOT is_fact THEN value END) OVER f, 4)
-           + 0.0 AS sum_prior,
-         round((us - max(CASE WHEN NOT is_fact THEN us END) OVER f)
-               / 1000000.0, 6) AS last_gap_s
-  FROM b
-  WINDOW f AS (PARTITION BY user_id ORDER BY us
-               RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING))
-SELECT user_id, ts, event_id AS purchase_id,
-       CAST(n_prior AS BIGINT) AS n_prior, sum_prior, last_gap_s
-FROM w WHERE is_fact
-"""
-
+load_all_packs()
 
 def _r86(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "is_fact", F.col("event_type") == "purchase"
-    )
-    out = pit_trailing_features(
-        ev,
-        ["user_id"],
-        "ts",
-        "is_fact",
-        value_col="value",
-        window="10 minutes",
-        carry=["event_id"],
-    )
-    return out.select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("purchase_id"),
-        "n_prior",
-        "sum_prior",
-        "last_gap_s",
-    )
+    return QUERIES["r86_pit_features"](spark, sf_dir)
 
-
-def test_pit_features_match_duckdb_oracle(spark, duck):
-    compare(_r86(spark, SF_ORACLE), duck, R86_ORACLE)
 
 
 def test_pit_features_closed_form(spark):
@@ -162,3 +112,20 @@ def test_pit_features_single_window_no_self_join(spark):
     plan = _r86(spark, SF_ORACLE)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("events.parquet") <= 1
     assert "Join" not in plan
+
+
+def test_pit_features_fixture_domains_overlap(spark):
+    """r84 standing rule: the fact (purchase) and touch legs must
+    share a time domain in the fixture, or the window features are
+    certified on structurally-NULL priors."""
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    from .conftest import assert_time_domains_overlap
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    facts = ev.filter(F.col("event_type") == "purchase")
+    touches = ev.filter(F.col("event_type") != "purchase")
+    assert_time_domains_overlap(facts, "ts", touches, "ts")
+    # and the window actually selects: some purchase has a prior touch
+    out = _r86(spark, SF_ORACLE)
+    assert out.filter(F.col("n_prior") > 0).count() > 0

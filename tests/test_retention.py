@@ -1,56 +1,25 @@
 """Cohort retention matrix (operators/relational.py::retention_cohorts)
-— round-8 window candidate, locally certified NOW: the DuckDB oracle
-below is the exact SQL the future r85_retention_cohorts registration
-will carry (weekly user cohorts over events), plus closed-form
-triangle pins, the offset-0-anchors-denominator invariant, and the
-single-corpus-scan plan audit."""
+— PROMOTED round 8 as r85_retention_cohorts: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the closed-form triangle pins, the
+offset-0-anchors-denominator invariant, and the single-corpus-scan
+plan audit stay here."""
 
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.relational import (
     retention_cohorts,
 )
-from miningfrequentpattern_spark.sources.io import load_table
-
 from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
 
-# Future r85 oracle, verbatim. Calendar pins: date_trunc('week') is
-# ISO-Monday in both engines; offsets are exact integer day
-# arithmetic / 7 (both Monday-truncated, so the quotient is exact);
-# cohort re-emitted as TIMESTAMP (the r43/r52 dialect note).
-R85_ORACLE = """
-WITH e AS (SELECT user_id AS u, ts FROM events
-           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-fu AS (SELECT u, date_trunc('week', min(ts)) AS cohort
-       FROM e GROUP BY 1),
-up AS (SELECT DISTINCT e.u, fu.cohort,
-              date_trunc('week', e.ts) AS p
-       FROM e JOIN fu USING (u)),
-m AS (SELECT cohort,
-             CAST(date_diff('day', CAST(cohort AS DATE),
-                            CAST(p AS DATE)) / 7 AS INT) AS "offset",
-             count(*) AS n_active
-      FROM up GROUP BY 1, 2)
-SELECT CAST(cohort AS TIMESTAMP) AS cohort,
-       "offset",
-       CAST(n_active AS BIGINT) AS n_active,
-       CAST(max(CASE WHEN "offset" = 0 THEN n_active END)
-              OVER (PARTITION BY cohort) AS BIGINT) AS n_cohort,
-       round(n_active * 1.0
-             / max(CASE WHEN "offset" = 0 THEN n_active END)
-                 OVER (PARTITION BY cohort), 4) AS retention
-FROM m
-"""
-
+load_all_packs()
 
 def _r85(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    return retention_cohorts(ev, "user_id", "ts", grain="week")
-
-
-def test_retention_matches_duckdb_oracle(spark, duck):
-    compare(_r85(spark, SF_ORACLE), duck, R85_ORACLE)
+    return QUERIES["r85_retention_cohorts"](spark, sf_dir)
 
 
 def test_retention_closed_form_triangle(spark):

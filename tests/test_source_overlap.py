@@ -1,10 +1,9 @@
 """Source-level shingle overlap matrix
-(operators/dedup.py::source_shingle_overlap) — round-8 window
-candidate, locally certified NOW: the DuckDB oracle below is the
-exact SQL the future l55_source_overlap registration will carry
-(pairwise Jaccard + both containments between the documents fixture's
-sources), plus a closed-form two-source pin, symmetry/identity
-invariants, and the n_common ≤ min(n_a, n_b) sanity bound."""
+(operators/dedup.py::source_shingle_overlap) — PROMOTED round 8 as l55_source_overlap: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the closed-form two-source pin,
+symmetry/identity invariants, and the n_common ≤ min(n_a, n_b)
+sanity bound stay here."""
 
 from pyspark.sql import functions as F
 
@@ -12,50 +11,18 @@ from miningfrequentpattern_spark.operators import text as T
 from miningfrequentpattern_spark.operators.dedup import (
     source_shingle_overlap,
 )
-from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
-from .oracle import compare
+from miningfrequentpattern_spark.queries.registry import (
+    QUERIES,
+    load_all_packs,
+)
 
-# Future l55 oracle, verbatim — the l54 shingle CTE shape at SOURCE
-# grain. DISTINCT (source, shingle) before the pair join on both
-# sides; pair counts are exact integers, ratios rounded 4dp
-# (structurally non-negative, no sign pin needed).
-L55_ORACLE = """
-WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
-sh AS (SELECT DISTINCT source,
-              unnest(list_filter(
-                list_transform(list_zip(l, l[2:], l[3:]),
-                               s -> s[1] || ' ' || s[2] || ' ' || s[3]),
-                x -> x IS NOT NULL)) AS s
-       FROM t),
-sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
-c AS (SELECT a.source AS source_a, b.source AS source_b,
-             count(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
-      GROUP BY 1, 2)
-SELECT c.source_a, c.source_b,
-       CAST(za.n AS BIGINT) AS n_a,
-       CAST(zb.n AS BIGINT) AS n_b,
-       CAST(c.n_common AS BIGINT) AS n_common,
-       round(c.n_common * 1.0 / (za.n + zb.n - c.n_common), 4)
-         AS jaccard,
-       round(c.n_common * 1.0 / za.n, 4) AS containment_a,
-       round(c.n_common * 1.0 / zb.n, 4) AS containment_b
-FROM c JOIN sz za ON za.source = c.source_a
-       JOIN sz zb ON zb.source = c.source_b
-"""
-
+load_all_packs()
 
 def _l55(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "tokens", T.tokens("text")
-    )
-    return source_shingle_overlap(docs, "source", "tokens", n=3)
+    return QUERIES["l55_source_overlap"](spark, sf_dir)
 
-
-def test_source_overlap_matches_duckdb_oracle(spark, duck):
-    compare(_l55(spark, SF_ORACLE), duck, L55_ORACLE)
 
 
 def test_source_overlap_closed_form(spark):

@@ -1,54 +1,13 @@
-"""Event-time TTL dedup (operators/timeseries.py::ttl_dedup) —
-round-8 window candidate, locally certified NOW: the DuckDB
-recursive-CTE oracle below is the exact SQL the future r87_ttl_dedup
-registration will carry (per-user 10-minute throttle chain over
-events), plus greedy-chain closed forms, the tie raise, and a TRUE
-Structured Streaming twin: dropDuplicatesWithinWatermark agrees with
-the batch chain on fixtures whose gaps avoid the delay..2*delay
-eviction-ambiguity band (the documented contract boundary)."""
+"""Event-time TTL dedup (operators/timeseries.py::ttl_dedup) — PROMOTED round 8 as r87_ttl_dedup: the DuckDB oracle moved
+VERBATIM into the @query registration (tests/test_oracle_parity.py
+now carries the compare); the greedy-chain closed forms, the
+tie raise, and the TRUE Structured Streaming twin
+(dropDuplicatesWithinWatermark agrees outside the delay..2*delay
+eviction-ambiguity band) stay here."""
 
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.timeseries import ttl_dedup
-from miningfrequentpattern_spark.sources.io import load_table
-
-from .conftest import SF_ORACLE
-from .oracle import compare
-
-# Future r87 oracle, verbatim — the r82/r28 linear-recursion stance:
-# anchor a <- us when us >= a + ttl, per user, rows totally ordered
-# by (epoch-micros, event_id).
-R87_ORACLE = """
-WITH RECURSIVE b AS (
-  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events WHERE ts IS NOT NULL),
-k AS (
-  SELECT user_id, ts, event_id, us, rn,
-         true AS is_kept, us AS anchor
-  FROM b WHERE rn = 1
-  UNION ALL
-  SELECT b.user_id, b.ts, b.event_id, b.us, b.rn,
-         b.us >= k.anchor + 600000000,
-         CASE WHEN b.us >= k.anchor + 600000000
-              THEN b.us ELSE k.anchor END
-  FROM b JOIN k ON b.user_id = k.user_id AND b.rn = k.rn + 1)
-SELECT user_id, ts, event_id, is_kept FROM k
-"""
-
-
-def _r87(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return ttl_dedup(
-        ev, ["user_id"], "ts", ttl="10 minutes", tiebreak_col="event_id"
-    ).select("user_id", "ts", "event_id", "is_kept")
-
-
-def test_ttl_dedup_matches_duckdb_recursive_oracle(spark, duck):
-    compare(_r87(spark, SF_ORACLE), duck, R87_ORACLE)
-
-
 def test_ttl_dedup_greedy_chain_closed_form(spark):
     """ts = 0, 5, 10, 21 min with ttl 10: keep 0 (anchor), drop 5,
     keep 10 (>= 0+10), drop... wait 21 >= 10+10 -> keep. Chain:
@@ -166,3 +125,27 @@ def test_ttl_dedup_stream_twin_agrees_outside_ambiguity_band(
         ).filter("is_kept").collect()
     }
     assert stream_kept == batch_kept == {1, 3, 5, 6, 7, 8}
+
+
+def test_ttl_dedup_fixture_chain_actually_throttles(spark):
+    """r84 standing rule, TTL form: the fixture must exercise BOTH
+    branches of the chain (kept and dropped rows), or the
+    certification is trivially green on an all-kept corpus."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    from .conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    out = ttl_dedup(
+        ev, ["user_id"], "ts", "10 minutes", tiebreak_col="event_id"
+    )
+    per = out.agg(
+        F.sum(F.col("is_kept").cast("int")).alias("k"),
+        F.sum((~F.col("is_kept")).cast("int")).alias("d"),
+    ).collect()[0]
+    assert per["k"] > 0 and per["d"] > 0, (
+        "TTL fixture never drops (or never keeps) — certification "
+        f"would be one-sided: {per}"
+    )

@@ -69,3 +69,61 @@ def test_round4_matches_duckdb_pin(duck):
         "SELECT round(CAST(-1e-9 AS DOUBLE), 4) + 0.0 AS y"
     ).df().y[0]
     assert v == 0.0 and not math.copysign(1.0, float(v)) < 0
+
+
+def test_pack_round_sites_are_ratcheted():
+    """Static ratchet (VERDICT r7 task): every `F.round(` in a query
+    pack is a reviewed decision. A SIGNED rounded output must use
+    functions/rounding.py::round4 (which never matches `F.round(`)
+    plus the paired oracle `+ 0.0` pin; a structurally non-negative
+    output may use plain F.round. Adding a new F.round( site fails
+    here until the author confirms the output cannot be negative and
+    bumps the baseline — so the l43 class can only recur past an
+    explicit review, never by habit."""
+    from pathlib import Path
+
+    packs_dir = (
+        Path(__file__).resolve().parents[1]
+        / "miningfrequentpattern_spark"
+        / "queries"
+    )
+    baseline = {
+        "llm_pack.py": 20,
+        "mining_pack.py": 16,
+        "relational_pack.py": 59,
+        "sources_pack.py": 10,
+        "streaming_pack.py": 0,
+    }
+    got = {
+        name: (packs_dir / name).read_text().count("F.round(")
+        for name in baseline
+    }
+    assert got == baseline, (
+        "F.round( site count changed in a query pack. New rounded "
+        "outputs: if the value can be negative, use round4 (signed "
+        "pin) + `round(...,4) + 0.0` in the oracle; if it is "
+        "structurally non-negative, review and update this baseline. "
+        f"baseline={baseline} got={got}"
+    )
+
+
+def test_oracle_zero_pins_are_paired_with_round():
+    """Every `+ 0.0` pin in an oracle SQL must sit directly on a
+    round(...) expression — a bare `x + 0.0` pin without rounding
+    suggests a one-sided or misplaced pin."""
+    import re
+
+    from miningfrequentpattern_spark.queries.registry import (
+        ORACLES,
+        load_all_packs,
+    )
+
+    load_all_packs()
+    bad = []
+    for name, sql in ORACLES.items():
+        sql = re.sub(r"--[^\n]*", "", sql)  # pins in comments don't count
+        for m in re.finditer(r"\+\s*0\.0", sql):
+            prefix = sql[: m.start()].rstrip()
+            if not prefix.endswith(")"):
+                bad.append((name, sql[max(0, m.start() - 40): m.end()]))
+    assert not bad, f"unpaired zero pins (pin belongs on round(...)): {bad}"
