@@ -855,3 +855,44 @@ def test_fuzzy_join_length_band_is_lossless(spark):
         if lev(rows[i], rows[j]) <= 10
     }
     assert got == naive == {(1, 2): 1}
+
+
+def test_ivfpq_fit_cache_identical_and_keyed(spark):
+    """VERDICT r7 l45 shave: fit_cache_key memoizes the seeded coarse
+    centers + PQ codebooks per (SparkContext, key, params). A cache
+    hit must return BIT-IDENTICAL results to the fresh fit (the fits
+    are deterministic, so this is an equality check, not a tolerance
+    check), and different fit params under the same key must NOT
+    collide."""
+    from miningfrequentpattern_spark.operators.similarity import (
+        _FIT_CACHE,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    kw = dict(
+        k=5, n_clusters=8, n_probes=4, n_subspaces=8, n_codes=16,
+        rerank_factor=8, seed=42, dim=64,
+    )
+    fresh = sorted(
+        map(tuple, ivfpq_topk(q, emb, **kw).collect())
+    )
+    before = len(_FIT_CACHE)
+    cached1 = sorted(
+        map(tuple, ivfpq_topk(q, emb, fit_cache_key="t", **kw).collect())
+    )
+    filled = len(_FIT_CACHE)
+    cached2 = sorted(
+        map(tuple, ivfpq_topk(q, emb, fit_cache_key="t", **kw).collect())
+    )
+    assert fresh == cached1 == cached2
+    assert filled == before + 2  # coarse + codebooks entries
+    assert len(_FIT_CACHE) == filled  # second call HIT, no refit
+    # a different param set under the same key must key separately:
+    # n_clusters is a COARSE-fit param only, so exactly one new entry
+    # (the PQ codebooks are cluster-count-independent and correctly
+    # shared)
+    kw2 = dict(kw, n_clusters=4)
+    ivfpq_topk(q, emb, fit_cache_key="t", **kw2).count()
+    assert len(_FIT_CACHE) == filled + 1
