@@ -917,18 +917,26 @@ def label_propagation(
         labels = stubs.select(F.col("_v").alias("id")).distinct().select(
             "id", F.col("id").alias("_lab")
         )
-        w = Window.partitionBy("id").orderBy(
-            F.desc("_n"), F.asc("_lab")
-        )
         for _ in range(iterations):
+            # argmax on (count DESC, label ASC) as ONE aggregate:
+            # max_by over the (n, -label) struct picks the same row
+            # the rank-1 window did (labels are distinct within a
+            # node's count relation, so the struct key is unique —
+            # deterministic), but rides the (id, _lab) count
+            # shuffle's partitioning instead of adding a second
+            # exchange + sort per round (measured: the window form
+            # made m28 the slowest headline query at sf0.1).
             labels = (
                 stubs.join(labels, stubs["_u"] == labels["id"])
                 .select(F.col("_v").alias("id"), "_lab")
                 .groupBy("id", "_lab")
                 .agg(F.count(F.lit(1)).alias("_n"))
-                .withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") == 1)
-                .select("id", "_lab")
+                .groupBy("id")
+                .agg(
+                    F.max_by(
+                        "_lab", F.struct(F.col("_n"), -F.col("_lab"))
+                    ).alias("_lab")
+                )
             )
             if _materialize:
                 labels = labels.localCheckpoint(eager=True)

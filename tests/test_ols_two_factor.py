@@ -3,8 +3,6 @@ VERBATIM into the @query registration (tests/test_oracle_parity.py
 now carries the compare); the exact-plane recovery pin, the
 collinear NULL guard, and the controlled-trend contrast stay here."""
 
-import math
-
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.timeseries import (
