@@ -847,3 +847,150 @@ def quality_gate_ablation(
         F.round(F.col("n_fail") / F.col("_n"), 4).alias("fail_rate"),
         F.round(F.col("n_sole_fail") / F.col("_n"), 4).alias("sole_rate"),
     )
+
+
+def bpe_merge_rounds(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016) — learn
+    the first `n_merges` byte-pair-encoding merges over a corpus:
+    per round, count adjacent symbol pairs (frequency-weighted) and
+    merge the most frequent pair into a new symbol, ties to the
+    lexicographically SMALLEST (left, right) so the merge table is
+    deterministic and a pure-Python reference computes the identical
+    sequence. Returns one row per executed merge:
+
+        (round, left, right, merged, pair_count)
+
+    stopping early when no pair reaches `min_pair_count` (the
+    standard convergence rule — a merge table never contains
+    singleton noise).
+
+    THE scale design point (why this trains at 100 TB): BPE counts
+    are word-internal, so the corpus is scanned EXACTLY ONCE into the
+    (word, freq) vocabulary relation — every subsequent round runs on
+    the vocabulary, whose size is bounded by the language, not the
+    corpus. Per round: one explode of adjacent pairs over the vocab's
+    symbol arrays (cost ∝ Σ word lengths over the vocab), one
+    freq-weighted count aggregate, a 1-row argmax probe (the bounded
+    scalar-probe idiom — pq_topk's dim probe), and a ROW-LOCAL
+    aggregate-fold rewrite of each word's symbol array (no shuffle:
+    the merge rewrites arrays in place). The per-round winning pair
+    is the only thing that touches the driver — one row, by
+    contract, never data.
+
+    The vocabulary relation is localCheckpoint'ed per round: each
+    round's arrays are a pure function of the previous round's (the
+    m13/m28 lineage-truncation posture), and the checkpoint is what
+    keeps round k from re-running rounds 1..k-1's rewrites.
+
+    Tests-only for now (round-8 window math — every oracle-bearing
+    registration must hold a window slot): the binding proof is the
+    pure-Python BPE equality property in tests/test_bpe.py, which is
+    STRONGER than a fixed-fixture oracle for an iterative argmax
+    (it exercises arbitrary tie layouts). Promotable with an
+    unrolled-CTE oracle when the rotation debt clears.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_pair_count < 1:
+        raise ValueError(
+            f"min_pair_count must be >= 1, got {min_pair_count}"
+        )
+    spark = docs.sparkSession
+
+    # One corpus pass: whitespace words -> (word, freq), then each
+    # word becomes its character-symbol array. Everything after this
+    # line is vocabulary-sized.
+    vocab = (
+        docs.select(
+            F.explode(tokens(text_col)).alias("_w")
+        )
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+        .select(
+            F.split("_w", "").alias("_syms"),
+            "_freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.posexplode(
+                    F.slice("_syms", 1, F.size("_syms") - 1)
+                ).alias("_i", "_l"),
+                F.col("_syms"),
+                F.col("_freq"),
+            )
+            .select(
+                F.col("_l"),
+                F.element_at(
+                    "_syms", F.col("_i") + F.lit(2)
+                ).alias("_r"),
+                "_freq",
+            )
+            .groupBy("_l", "_r")
+            .agg(F.sum("_freq").alias("_n"))
+        )
+        # deterministic argmax: count DESC, then (left, right) ASC —
+        # ONE row to the driver (the bounded scalar-probe idiom).
+        # orderBy+limit(1) compiles to TakeOrdered (no full sort);
+        # m28's max_by trick doesn't apply here because the tiebreak
+        # is an ASCENDING string and strings have no max_by-orderable
+        # negation.
+        top = pairs.orderBy(
+            F.desc("_n"), F.asc("_l"), F.asc("_r")
+        ).limit(1).collect()
+        if not top:
+            break
+        l, r, n = top[0]["_l"], top[0]["_r"], int(top[0]["_n"])
+        if n < min_pair_count:
+            break
+        merged = l + r
+        merges.append((rnd, l, r, merged, n))
+        # Row-local rewrite: left-to-right fold merging every
+        # NON-OVERLAPPING (l, r) occurrence — the exact sequential
+        # semantics of the reference implementation ("aaa" with
+        # ("a","a") merges once, leaving "aa","a").
+        lc, rc, mc = F.lit(l), F.lit(r), F.lit(merged)
+        folded = F.aggregate(
+            "_syms",
+            F.struct(
+                F.array().cast("array<string>").alias("acc"),
+                F.lit(False).alias("just"),
+            ),
+            lambda st_, x: F.when(
+                (~st_.just)
+                & (F.size(st_.acc) > 0)
+                & (F.element_at(st_.acc, -1) == lc)
+                & (x == rc),
+                F.struct(
+                    F.concat(
+                        F.slice(st_.acc, 1, F.size(st_.acc) - 1),
+                        F.array(mc),
+                    ).alias("acc"),
+                    F.lit(True).alias("just"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(st_.acc, F.array(x)).alias("acc"),
+                    F.lit(False).alias("just"),
+                )
+            ),
+            lambda st_: st_.acc,
+        )
+        vocab = vocab.select(
+            folded.alias("_syms"), "_freq"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, "
+        "pair_count long",
+    )

@@ -1,0 +1,145 @@
+"""Distributed BPE merge training (operators/text.py::bpe_merge_rounds)
+— tests-only this round by DESIGN (round-8 window math: every
+oracle-bearing registration must hold a window slot; the registry TODO
+books rounds 9-10 with proof backfills). The binding proof is the
+pure-Python reference equality below, which exercises arbitrary tie
+layouts an unrolled fixed-fixture oracle could not."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from miningfrequentpattern_spark.operators.text import bpe_merge_rounds
+from miningfrequentpattern_spark.sources.io import load_table
+
+from .conftest import SF_ORACLE
+
+
+def _ref_bpe(texts, n_merges, min_pair_count):
+    """Independent pure-Python BPE: word-freq table, per round count
+    adjacent pairs weighted by word freq, merge argmax with
+    (count DESC, pair ASC) tiebreak, left-to-right non-overlapping."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    out = []
+    for rnd in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (l, r), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        out.append((rnd, l, r, l + r, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            acc = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == l
+                    and syms[i + 1] == r
+                ):
+                    acc.append(l + r)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            key = tuple(acc)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return out
+
+
+def _got(spark, texts, n_merges, min_pair_count=2):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merge_rounds(
+            df, n_merges=n_merges, min_pair_count=min_pair_count
+        ).orderBy("round").collect()
+    ]
+
+
+WORD = st.text(alphabet="abc", min_size=1, max_size=5)
+
+
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(1, 5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_matches_python_reference(spark, docs, n_merges):
+    """The distributed merge sequence equals the pure-Python BPE for
+    ANY corpus over a tie-heavy 3-letter alphabet — same argmax, same
+    tiebreak, same left-to-right non-overlapping rewrite, same
+    min-count stop."""
+    assert _got(spark, docs, n_merges) == _ref_bpe(docs, n_merges, 2)
+
+
+def test_bpe_closed_form_classic(spark):
+    """Sennrich's classic shape: 'low low lower' — first merge is the
+    most frequent pair with the smallest tie ('l','o')=3 beats
+    ('o','w')=3 lexicographically; second merge ('lo','w')=3."""
+    got = _got(spark, ["low low lower"], 2)
+    assert got[0] == (1, "l", "o", "lo", 3)
+    assert got[1] == (2, "lo", "w", "low", 3)
+
+
+def test_bpe_nonoverlapping_within_round(spark):
+    """'aaaa' contains three overlapping ('a','a') positions but only
+    TWO non-overlapping merges land in round 1 — the count reflects
+    adjacency (3), the rewrite is left-to-right non-overlapping, and
+    round 2 merges ('aa','aa')."""
+    got = _got(spark, ["aaaa"], 2, min_pair_count=1)
+    assert got[0] == (1, "a", "a", "aa", 3)
+    assert got[1] == (2, "aa", "aa", "aaaa", 1)
+
+
+def test_bpe_min_count_stops_early(spark):
+    """Every pair unique -> no pair reaches min_pair_count=2 -> empty
+    merge table (schema intact), not an error."""
+    out = _got(spark, ["xyz"], 5, min_pair_count=2)
+    assert out == []
+
+
+def test_bpe_rejects_bad_params(spark):
+    df = None
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_merge_rounds(df, n_merges=0)
+    with pytest.raises(ValueError, match="min_pair_count"):
+        bpe_merge_rounds(df, min_pair_count=0)
+
+
+def test_bpe_corpus_scanned_once_per_training(spark):
+    """The scale contract: documents.parquet appears in the FIRST
+    round's lineage only — every later round runs on the checkpointed
+    vocabulary relation (corpus-independent size)."""
+    docs = load_table(spark, SF_ORACLE, "documents").limit(200)
+    out = bpe_merge_rounds(docs, n_merges=3)
+    rows = out.collect()
+    assert len(rows) == 3
+    # merges are on the fixture's lowercase alphabet and the counts
+    # are positive and non-increasing-ish (argmax per round)
+    for r in rows:
+        assert r["pair_count"] >= 2
+        assert r["merged"] == r["left"] + r["right"]
