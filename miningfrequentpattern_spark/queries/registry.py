@@ -176,7 +176,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROWS_ONLY_REFRESH empties: every slot this round is oracle-bearing
 # (l03b got its post-rewrite run-proof in r7).
 #
-# ROUND 9 ROTATION TODO: after CORRECTNESS_r08 lands, the oldest
+# ROUND 9 ROTATION TODO: run `python scripts/plan_rotation.py` after
+# CORRECTNESS_r08 lands — it recomputes the window from the recorded
+# proofs mechanically (canaries + --promote names + never-proven +
+# oldest proofs) and prints a ready-to-paste PRIORITY. Verified
+# against this round's hand-built window: identical content. The
+# hand-derived plan, for cross-checking the script: the oldest
 # remaining driver proofs are (computed from CORRECTNESS_r0*.json,
 # latest round per query): ONE r2 row (l02d_embedding_neardup), 16
 # r3 rows (l10, l11, l12, l13, l15, l16, l17, l19, l20,
