@@ -248,3 +248,35 @@ def test_cusum_correct_on_hot_series(spark):
     assert agg[("flat", False)] == HOT and ("flat", True) not in agg
     # step series: S after t>=10 grows by 4/step; crosses 10 at t=12.
     assert agg[("step", True)] == 8
+
+
+def test_label_propagation_correct_on_hot_hub(spark):
+    """A 2000-leaf star is LPA's worst skew (the hub's (node, label)
+    count relation is degree-sized and its argmax aggregates 2000
+    candidate labels into one row): the distributed labeling must
+    equal the pure-Python synchronous recurrence — including the
+    known star OSCILLATION (hub and leaves swap labels each round),
+    which is exactly what a silent partial aggregate would corrupt."""
+    from miningfrequentpattern_spark.operators.graph import (
+        label_propagation,
+    )
+
+    n = 2000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    for iters in (2, 3):
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(edges, iterations=iters).collect()
+        }
+        # pure-Python synchronous min-tiebreak reference
+        labels = {i: i for i in range(n + 1)}
+        for _ in range(iters):
+            nxt = {}
+            # hub 0: neighbors are all leaves; majority tie -> min label
+            nxt[0] = min(labels[i] for i in range(1, n + 1))
+            for i in range(1, n + 1):
+                nxt[i] = labels[0]
+            labels = nxt
+        assert got == labels, iters
