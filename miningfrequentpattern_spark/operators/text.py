@@ -5,15 +5,24 @@ Everything is native column expressions — these run inside
 whole-stage codegen over the raw text column, no Python. That matters
 because text analysis is the *per-document* hot loop of a training
 pipeline: at 100 TB it runs on every row, so a 10× UDF penalty here
-dominates the whole job.
+dominates the whole job. (One documented exception: bpe_encode's
+rank-priority merge loop is inherently algorithmic — it is an
+iterator-form pandas UDF with a per-batch word memo BY DESIGN.)
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# NB: Iterator/pd are module-level ON PURPOSE: `from __future__ import
+# annotations` stringifies hints, and pandas_udf's iterator-form
+# detection resolves them against MODULE globals — function-local
+# imports break it (the vectors.py::int8_roundtrip_error_iter lesson).
 
 # Tiny english stopword list — enough for ratio features; a real
 # pipeline would broadcast a per-language list.
@@ -994,3 +1003,80 @@ def bpe_merge_rounds(
         "round int, left string, right string, merged string, "
         "pair_count long",
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table (bpe_merge_rounds' output) to a
+    corpus — per whitespace word, repeatedly merge the adjacent
+    symbol pair with the LOWEST merge rank until none applies (the
+    GPT-2-style encoder loop, provably equivalent to replaying the
+    merges in training order). Appends `out_col`: the document's
+    subword tokens, word boundaries preserved by construction (BPE
+    never merges across words).
+
+    `merges` is either the DataFrame returned by bpe_merge_rounds or
+    a list of (left, right) pairs in rank order. A DataFrame input is
+    collected — it is merge-table-sized (k rows) BY CONTRACT, the
+    same bounded-scalar posture as the trainer's argmax probe.
+
+    Scale shape: encoding is inherently algorithmic (rank-priority
+    loop), so this is the one text operator that is a UDF by DESIGN —
+    but the production-shaped one: an ITERATOR pandas UDF (u09's
+    surface) whose merge-rank dict builds once per worker and whose
+    per-batch WORD MEMO encodes each distinct word once (Zipf: a few
+    thousand distinct words cover almost every token in a batch), so
+    the per-row cost is a dict hit, not a merge loop. Row-local,
+    zero shuffles; the merge table rides the closure (k pairs —
+    broadcast-sized by contract).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("round").select("left", "right").collect()
+        pairs = [(r["left"], r["right"]) for r in rows]
+    elif isinstance(merges, Sequence) and not isinstance(merges, str):
+        pairs = [(str(l), str(r)) for l, r in merges]
+    else:
+        raise TypeError(
+            "merges must be a bpe_merge_rounds DataFrame or a "
+            f"sequence of (left, right) pairs, got {type(merges)}"
+        )
+    ranks = {p: i for i, p in enumerate(pairs)}
+
+    @pandas_udf("array<string>")
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, list[str]] = {}
+
+        def word(w: str) -> list[str]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            while len(syms) > 1:
+                best, bi = None, -1
+                for i in range(len(syms) - 1):
+                    rk = ranks.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best, bi = rk, i
+                if best is None:
+                    break
+                syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+            memo[w] = syms
+            return syms
+
+        for batch in batches:
+            yield batch.map(
+                lambda t: [
+                    s
+                    for w in (t or "").split()
+                    if w
+                    for s in word(w)
+                ]
+            )
+
+    return docs.withColumn(out_col, _encode(F.col(text_col)))

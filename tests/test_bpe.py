@@ -143,3 +143,119 @@ def test_bpe_corpus_scanned_once_per_training(spark):
     for r in rows:
         assert r["pair_count"] >= 2
         assert r["merged"] == r["left"] + r["right"]
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode: applying the learned merge table (the GPT-2-style
+# rank-priority encoder loop; iterator-UDF + per-batch word memo)
+# ---------------------------------------------------------------------------
+
+
+def _ref_encode(text, pairs):
+    """Independent reference: replay the merges IN TRAINING ORDER per
+    word (Sennrich form) — bpe_encode uses the rank-priority loop, and
+    the two are provably equivalent; testing one against the other is
+    the point."""
+    out = []
+    for w in (text or "").split():
+        if not w:
+            continue
+        syms = list(w)
+        for l, r in pairs:
+            acc, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    acc.append(l + r)
+                    i += 2
+                else:
+                    acc.append(syms[i])
+                    i += 1
+            syms = acc
+        out.extend(syms)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(1, 5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_encode_equals_training_order_replay(spark, docs, n_merges):
+    """Rank-priority encoding with merges TRAINED ON THE SAME corpus
+    equals the training-order replay for every document — and
+    concatenating a document's tokens restores its words exactly
+    (BPE is lossless within words)."""
+    from miningfrequentpattern_spark.operators.text import (
+        bpe_encode,
+        bpe_merge_rounds,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    merges_df = bpe_merge_rounds(df, n_merges=n_merges, min_pair_count=1)
+    pairs = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("round").collect()
+    ]
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(df, merges_df).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == _ref_encode(t, pairs), (t, pairs)
+        assert "".join(got[i]) == "".join(t.split()), t
+
+
+def test_bpe_encode_closed_form_and_inputs(spark):
+    """'low lower' with merges [(l,o),(lo,w)]: 'low' -> ['low'],
+    'lower' -> ['low','e','r']; empty/NULL text -> []; list and
+    DataFrame merge inputs agree; a bad merges type raises."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(df, [("l", "o"), ("lo", "w")]).collect()
+    }
+    assert got[1] == ["low", "low", "e", "r"]
+    assert got[2] == [] and got[3] == []
+    with pytest.raises(TypeError, match="merges"):
+        bpe_encode(df, merges=42)
+
+
+def test_bpe_encode_more_merges_never_lengthens(spark):
+    """On the real fixture: token count per doc is non-increasing as
+    the merge table grows (each merge can only contract), and with 0
+    applicable merges it equals the character count of the words."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.operators.text import (
+        bpe_encode,
+        bpe_merge_rounds,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").limit(100)
+    merges = bpe_merge_rounds(docs, n_merges=6)
+    short = merges.filter(F.col("round") <= 2)
+    n6 = bpe_encode(docs, merges).select(
+        "doc_id", F.size("bpe_tokens").alias("n6")
+    )
+    n2 = bpe_encode(docs, short).select(
+        "doc_id", F.size("bpe_tokens").alias("n2")
+    )
+    joined = n6.join(n2, "doc_id")
+    assert joined.filter(F.col("n6") > F.col("n2")).isEmpty()
+    assert joined.filter(F.col("n6") < F.col("n2")).count() > 0
