@@ -685,3 +685,90 @@ def cdc_merge_stream(
         .foreachBatch(apply)
         .trigger(availableNow=True)
     )
+
+
+TTL_OUT_SCHEMA = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, is_kept BOOLEAN"
+TTL_STATE_SCHEMA = "anchor_us BIGINT"
+
+
+def ttl_dedup_stream(
+    events_stream: DataFrame,
+    ttl: str = "10 minutes",
+) -> DataFrame:
+    """TRUE stateful-stream twin of operators/timeseries.py::ttl_dedup
+    — the per-key greedy throttle chain (keep a row iff >= ttl after
+    the last KEPT row) as applyInPandasWithState, emitting EVERY row
+    with its is_kept verdict.
+
+    Why this exists beside the r87 dropDuplicatesWithinWatermark
+    twin: the built-in keys state eviction off the WATERMARK, so
+    inter-arrival gaps between delay and 2*delay are implementation-
+    timing territory (the documented ambiguity band in
+    tests/test_ttl_dedup.py). This operator owns its state — a single
+    anchor timestamp per key, updated by the chain rule itself — so
+    it reproduces the batch chain EXACTLY on in-order streams,
+    ambiguity band included. That is the textbook case for custom
+    stateful processing: when the built-in's state lifecycle is not
+    your operator's semantics, applyInPandasWithState is the seam.
+
+    State is ONE int64 per key (the last kept anchor in epoch
+    micros) — the state store holds O(#keys), not O(#events); the
+    chain is sequential per key by nature, keys parallelize.
+    In-order contract: rows must arrive in event-time order per key
+    across micro-batches (the replay harness guarantees it; a
+    production feed uses the upstream log's per-key ordering) —
+    within a batch the function sorts on (ts, event_id) itself.
+    NoTimeout: the anchor never needs eviction to stay correct; add
+    a ProcessingTimeTimeout in deployments where dead keys must be
+    reclaimed.
+    """
+    import re as _re
+
+    m = _re.fullmatch(
+        r"(\d+)\s*(second|minute|hour|day)s?", ttl.strip()
+    )
+    if not m:
+        raise ValueError(
+            f"ttl must look like '10 minutes', got {ttl!r}"
+        )
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    ttl_us = int(m.group(1)) * mult[m.group(2)] * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        anchor = state.get[0] if state.exists else None
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64")
+            ).to_numpy()
+            kept = np.zeros(len(pdf), dtype=bool)
+            for i, t in enumerate(us):
+                if anchor is None or t >= anchor + ttl_us:
+                    kept[i] = True
+                    anchor = int(t)
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "ts": pdf["ts"].values,
+                    "event_id": pdf["event_id"].values,
+                    "is_kept": kept,
+                }
+            )
+        if anchor is not None:
+            state.update((int(anchor),))
+
+    return (
+        events_stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=TTL_OUT_SCHEMA,
+            stateStructType=TTL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

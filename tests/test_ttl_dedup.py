@@ -149,3 +149,85 @@ def test_ttl_dedup_fixture_chain_actually_throttles(spark):
         "TTL fixture never drops (or never keeps) — certification "
         f"would be one-sided: {per}"
     )
+
+
+def test_ttl_dedup_stateful_stream_twin_exact_everywhere(
+    spark, tmp_path
+):
+    """The applyInPandasWithState twin (streaming/stateful.py::
+    ttl_dedup_stream) owns its anchor state, so it matches the batch
+    greedy chain EXACTLY — including gaps INSIDE the delay..2*delay
+    watermark-eviction ambiguity band where the
+    dropDuplicatesWithinWatermark twin's behavior is implementation
+    timing (ts=15min: 5 min past the 10-min ttl but well inside the
+    built-in's ambiguity band — the chain must KEEP it and re-anchor,
+    then DROP 21min < 15+10, then keep 27min >= 25)."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.streaming.stateful import (
+        ttl_dedup_stream,
+    )
+    from miningfrequentpattern_spark.operators.timeseries import ttl_dedup
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:05:00", 2),   # drop (< 10)
+        (1, "2024-01-01 00:15:00", 3),   # KEEP — ambiguity band for the built-in
+        (1, "2024-01-01 00:21:00", 4),   # drop (< 15+10)
+        (1, "2024-01-01 00:27:00", 5),   # keep (>= 25)
+        (2, "2024-01-01 00:00:30", 6),
+        (2, "2024-01-01 00:10:30", 7),   # keep (exactly ttl)
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, d string, event_id long"
+    ).select("user_id", F.to_timestamp("d").alias("ts"), "event_id")
+    src = str(tmp_path / "src")
+    # one file per row in event-time order => in-order per-key replay
+    for i, r in enumerate(batch.orderBy("ts", "event_id").collect()):
+        spark.createDataFrame([r], batch.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/f{i:03d}")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        ttl_dedup_stream(stream, ttl="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ttl_state_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["is_kept"])
+        for r in spark.sql(
+            "SELECT event_id, is_kept FROM ttl_state_twin"
+        ).collect()
+    }
+    want = {
+        (r["event_id"], r["is_kept"])
+        for r in ttl_dedup(
+            batch, ["user_id"], "ts", "10 minutes", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == want
+    # and the hand-traced chain, to pin the band semantics explicitly
+    assert want == {
+        (1, True), (2, False), (3, True), (4, False), (5, True),
+        (6, True), (7, True),
+    }
+
+
+def test_ttl_dedup_stream_rejects_bad_ttl(spark):
+    import pytest
+
+    from miningfrequentpattern_spark.streaming.stateful import (
+        ttl_dedup_stream,
+    )
+
+    with pytest.raises(ValueError, match="ttl"):
+        ttl_dedup_stream(None, ttl="7 fortnights")
