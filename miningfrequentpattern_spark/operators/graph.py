@@ -919,13 +919,18 @@ def label_propagation(
         )
         for _ in range(iterations):
             # argmax on (count DESC, label ASC) as ONE aggregate:
-            # max_by over the (n, -label) struct picks the same row
+            # min_by over the (-n, label) struct picks the same row
             # the rank-1 window did (labels are distinct within a
             # node's count relation, so the struct key is unique —
             # deterministic), but rides the (id, _lab) count
             # shuffle's partitioning instead of adding a second
             # exchange + sort per round (measured: the window form
-            # made m28 the slowest headline query at sf0.1).
+            # made m28 the slowest headline query at sf0.1). The
+            # negation sits on the COUNT (always numeric), not the
+            # label, so string/date node ids keep the documented
+            # smallest-label tiebreak — negating a string label under
+            # ANSI-off casts to double and NULLs the key, turning the
+            # tiebreak nondeterministic (code-review r8 finding).
             labels = (
                 stubs.join(labels, stubs["_u"] == labels["id"])
                 .select(F.col("_v").alias("id"), "_lab")
@@ -933,8 +938,8 @@ def label_propagation(
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .groupBy("id")
                 .agg(
-                    F.max_by(
-                        "_lab", F.struct(F.col("_n"), -F.col("_lab"))
+                    F.min_by(
+                        "_lab", F.struct(-F.col("_n"), F.col("_lab"))
                     ).alias("_lab")
                 )
             )

@@ -407,6 +407,19 @@ def ivf_topk(
 _FIT_CACHE: dict[tuple, object] = {}
 
 
+def _fit_cache_put(key: tuple, value: object) -> None:
+    """Insert a fit under its (applicationId-prefixed) key, evicting
+    every entry from OTHER applications first: stale-app broadcasts
+    can never be reused (the appId prefix guarantees that) but would
+    otherwise accumulate driver-side numpy copies across session
+    restarts in a long-lived process (notebook kernels, repeated
+    get_session/stop cycles — code-review r8 finding)."""
+    app = key[0]
+    for k in [k for k in _FIT_CACHE if k[0] != app]:
+        del _FIT_CACHE[k]
+    _FIT_CACHE[key] = value
+
+
 def _pq_fit_codebooks(
     c: DataFrame,
     id_col: str,
@@ -447,9 +460,13 @@ def _pq_fit_codebooks(
     spark = c.sparkSession
     memo_key = None
     if cache_key is not None:
+        # id_col is a fit parameter too: with fit_mod > 1 it drives
+        # the hash-mod sample, so the same cache_key over a different
+        # id column must not reuse codebooks trained on a different
+        # sample (code-review r8 finding).
         memo_key = (
             spark.sparkContext.applicationId, "pq-codebooks", cache_key,
-            (n_subspaces, n_codes, sub, seed, fit_mod),
+            (n_subspaces, n_codes, sub, seed, fit_mod, id_col),
         )
         hit = _FIT_CACHE.get(memo_key)
         if hit is not None:
@@ -506,7 +523,7 @@ def _pq_fit_codebooks(
     cb = np.stack(codebooks)  # (n_subspaces, n_codes, sub)
     b = spark.sparkContext.broadcast(cb)
     if memo_key is not None:
-        _FIT_CACHE[memo_key] = b
+        _fit_cache_put(memo_key, b)
     return b
 
 
@@ -854,9 +871,12 @@ def ivfpq_topk(
     # the cached input.
     coarse_key = None
     if fit_cache_key is not None:
+        # dim is a fit parameter: the same fit_cache_key over a
+        # different embedding width must not return stale centers of
+        # the wrong shape (code-review r8 finding).
         coarse_key = (
             spark.sparkContext.applicationId, "ivfpq-coarse",
-            fit_cache_key, (n_clusters, seed),
+            fit_cache_key, (n_clusters, seed, dim),
         )
     b_centers = _FIT_CACHE.get(coarse_key) if coarse_key else None
     if b_centers is None:
@@ -878,7 +898,7 @@ def ivfpq_topk(
         )
         b_centers = spark.sparkContext.broadcast(centers)
         if coarse_key is not None:
-            _FIT_CACHE[coarse_key] = b_centers
+            _fit_cache_put(coarse_key, b_centers)
 
     b_cb = _pq_fit_codebooks(
         c, id_col, n_subspaces, n_codes, sub, seed, fit_mod,

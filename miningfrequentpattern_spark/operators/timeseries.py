@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 
+from ..functions.durations import duration_us
 from ..functions.rounding import round4
 
 
@@ -946,15 +947,7 @@ def pit_trailing_features(
     bound caps per-row state regardless of history length. NULL
     timestamps are excluded (no point in time to be AS OF).
     """
-    import re as _re
-
-    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
-    if not m:
-        raise ValueError(
-            f"window must look like '7 days'/'10 minutes', got {window!r}"
-        )
-    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
-    win_us = int(m.group(1)) * mult[m.group(2)] * 1_000_000
+    win_us = duration_us(window, what="window")
     t = F.col(ts_col)
     base = df.filter(t.isNotNull()).withColumn("_us", F.unix_micros(t))
     w = (
@@ -1016,15 +1009,7 @@ def ttl_dedup(
     ewma contract; which tied row anchors the window is otherwise
     shuffle-order nondeterminism).
     """
-    import re as _re
-
-    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", ttl.strip())
-    if not m:
-        raise ValueError(
-            f"ttl must look like '10 minutes'/'1 hour', got {ttl!r}"
-        )
-    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
-    ttl_us = int(m.group(1)) * mult[m.group(2)] * 1_000_000
+    ttl_us = duration_us(ttl, what="ttl")
     extra = [tiebreak_col] if tiebreak_col else []
     base = df.filter(F.col(ts_col).isNotNull()).select(
         *keys,

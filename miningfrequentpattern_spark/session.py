@@ -21,6 +21,7 @@ assumes a partition count.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -94,7 +95,7 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED_TO.add(app_id)
 
 
-_HARDENED: set[str] = set()
+_HARDENED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def harden(spark: SparkSession) -> SparkSession:
@@ -107,28 +108,30 @@ def harden(spark: SparkSession) -> SparkSession:
     the light queries (VERDICT r7 bisect candidate). Nothing in the
     repo mutates RUNTIME_CONF keys mid-session (grep-audited; the
     test/pack conf flips touch other keys and restore in finally), so
-    one application per applicationId is sufficient and safe.
+    one application per SESSION is sufficient and safe. The memo is
+    keyed by the SparkSession object, not applicationId: SQLConf is
+    per-session while applicationId is per-SparkContext, so a sibling
+    spark.newSession() over the same context must be hardened again
+    (timezone/nanosAsLong parity) rather than skipped. Package
+    shipping keeps its own per-applicationId success memo inside
+    _ship_package — a transient addPyFile failure is retried on the
+    next call instead of being latched as done.
     """
-    try:
-        app_id = spark.sparkContext.applicationId
-    except Exception:
-        app_id = None
-    if app_id is not None and app_id in _HARDENED:
-        return spark
-    for k, v in RUNTIME_CONF.items():
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            # Some confs may be frozen by the host harness; parity-critical
-            # ones (timezone, Arrow, AQE) are all runtime-settable in 4.1.2.
-            pass
+    if spark not in _HARDENED_SESSIONS:
+        for k, v in RUNTIME_CONF.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                # Some confs may be frozen by the host harness;
+                # parity-critical ones (timezone, Arrow, AQE) are all
+                # runtime-settable in 4.1.2.
+                pass
+        _HARDENED_SESSIONS.add(spark)
     try:
         _ship_package(spark)
     except Exception:
         # Shipping is best-effort; pure-DataFrame queries don't need it.
         pass
-    if app_id is not None:
-        _HARDENED.add(app_id)
     return spark
 
 

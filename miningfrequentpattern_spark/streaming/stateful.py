@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.durations import duration_us
+
 RUNNING_SCHEMA = "user_id BIGINT, n_events BIGINT, n_purchases BIGINT"
 STATE_SCHEMA = "n BIGINT, p BIGINT"
 
@@ -722,17 +724,7 @@ def ttl_dedup_stream(
     a ProcessingTimeTimeout in deployments where dead keys must be
     reclaimed.
     """
-    import re as _re
-
-    m = _re.fullmatch(
-        r"(\d+)\s*(second|minute|hour|day)s?", ttl.strip()
-    )
-    if not m:
-        raise ValueError(
-            f"ttl must look like '10 minutes', got {ttl!r}"
-        )
-    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
-    ttl_us = int(m.group(1)) * mult[m.group(2)] * 1_000_000
+    ttl_us = duration_us(ttl, what="ttl")
 
     def update(
         key: tuple[Any, ...],
@@ -740,24 +732,37 @@ def ttl_dedup_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         anchor = state.get[0] if state.exists else None
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            us = (
-                pdf["ts"].astype("datetime64[us]").astype("int64")
-            ).to_numpy()
-            kept = np.zeros(len(pdf), dtype=bool)
-            for i, t in enumerate(us):
-                if anchor is None or t >= anchor + ttl_us:
-                    kept[i] = True
-                    anchor = int(t)
-            yield pd.DataFrame(
-                {
-                    "user_id": key[0],
-                    "ts": pdf["ts"].values,
-                    "event_id": pdf["event_id"].values,
-                    "is_kept": kept,
-                }
-            )
+        # Buffer the WHOLE micro-batch for this key before sorting:
+        # applyInPandasWithState delivers a key's batch as multiple
+        # Arrow chunks (arrow.maxRecordsPerBatch-capped) with no
+        # intra-group ordering guarantee — sorting each chunk
+        # independently would let a later-timestamped chunk advance
+        # the anchor past earlier rows, breaking exact parity with
+        # the batch chain. Memory is one key's micro-batch volume
+        # (per-key, not per-partition), the price of the exact-chain
+        # contract; the state itself stays one int64.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        us = (
+            pdf["ts"].astype("datetime64[us]").astype("int64")
+        ).to_numpy()
+        kept = np.zeros(len(pdf), dtype=bool)
+        for i, t in enumerate(us):
+            if anchor is None or t >= anchor + ttl_us:
+                kept[i] = True
+                anchor = int(t)
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "ts": pdf["ts"].values,
+                "event_id": pdf["event_id"].values,
+                "is_kept": kept,
+            }
+        )
         if anchor is not None:
             state.update((int(anchor),))
 

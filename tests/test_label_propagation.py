@@ -55,3 +55,36 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(edges, 3).collect()))
     b = sorted(map(tuple, label_propagation(edges, 3).collect()))
     assert a == b
+
+
+def test_label_propagation_string_ids_min_tiebreak(spark):
+    """Non-numeric node ids (doc-id shaped strings, the dedup
+    operators' currency) keep the documented smallest-label tiebreak:
+    the aggregate's ordering key negates the COUNT, not the label —
+    negating a string label under ANSI-off casts to double and NULLs
+    the tiebreak key, which made ties arbitrary (code-review r8
+    regression). 'a' touches 'b' and 'c' equally: 1 round must label
+    it min('b','c') = 'b'."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert got == {"a": "b", "b": "a", "c": "a"}
+
+
+def test_label_propagation_string_clique_converges(spark):
+    """String-id clique converges to its lexicographic minimum —
+    the same fixpoint contract as the numeric clique test."""
+    ids = ["d10", "d11", "d12", "d13"]
+    edges = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        "src string, dst string",
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert set(got.values()) == {"d10"}

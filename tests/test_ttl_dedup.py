@@ -231,3 +231,77 @@ def test_ttl_dedup_stream_rejects_bad_ttl(spark):
 
     with pytest.raises(ValueError, match="ttl"):
         ttl_dedup_stream(None, ttl="7 fortnights")
+
+
+def test_ttl_dedup_stream_multi_chunk_out_of_order_batch(
+    spark, tmp_path
+):
+    """Cross-chunk ordering regression (code-review r8): a key's
+    micro-batch arrives at applyInPandasWithState as MULTIPLE Arrow
+    chunks (maxRecordsPerBatch-capped) with no intra-group order
+    guarantee. Sorting each chunk independently lets a
+    later-timestamped chunk advance the anchor first; the operator
+    must buffer and sort the whole group. Fixture: ONE micro-batch,
+    one key, 6 rows written ts-DESCENDING, arrow batches capped at 2
+    rows — per-chunk sorting would anchor on a late row and diverge
+    from the batch chain."""
+    from miningfrequentpattern_spark.operators.timeseries import ttl_dedup
+    from miningfrequentpattern_spark.streaming.stateful import (
+        ttl_dedup_stream,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:50:00", 6),
+        (1, "2024-01-01 00:41:00", 5),
+        (1, "2024-01-01 00:30:00", 4),
+        (1, "2024-01-01 00:15:00", 3),
+        (1, "2024-01-01 00:05:00", 2),
+        (1, "2024-01-01 00:00:00", 1),
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, d string, event_id long"
+    ).select("user_id", F.to_timestamp("d").alias("ts"), "event_id")
+    src = str(tmp_path / "src")
+    # ONE file holding all rows in ts-DESCENDING order => one
+    # micro-batch whose arrow chunks (cap 2) split late rows from
+    # early ones
+    batch.coalesce(1).write.parquet(f"{src}/f000")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(
+            f"{src}/f*"
+        )
+        q = (
+            ttl_dedup_stream(stream, ttl="10 minutes")
+            .writeStream.format("memory")
+            .queryName("ttl_chunk_twin")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = {
+        (r["event_id"], r["is_kept"])
+        for r in spark.sql(
+            "SELECT event_id, is_kept FROM ttl_chunk_twin"
+        ).collect()
+    }
+    want = {
+        (r["event_id"], r["is_kept"])
+        for r in ttl_dedup(
+            batch, ["user_id"], "ts", "10 minutes", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == want
+    # the hand-traced chain: 0 keep, 5 drop, 15 keep, 30 keep,
+    # 41 keep, 50 drop (< 41+10)
+    assert want == {
+        (1, True), (2, False), (3, True), (4, True), (5, True),
+        (6, False),
+    }
