@@ -25,8 +25,13 @@ from ..functions.vectors import cosine
 
 
 def normalized_text(col: str = "text") -> F.Column:
-    """Canonical form for exact dedup: lowercase, collapse whitespace."""
-    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    """Canonical form for exact dedup: lowercase, collapse whitespace,
+    trim. Collapse BEFORE trimming: trim strips only ASCII spaces, so
+    a leading tab/newline would survive collapse-after-trim as a
+    leading space and split otherwise-identical docs into different
+    digests (code-review r8 finding; the l01/l25 oracles apply the
+    same order)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
 
 
 def exact_dedup(
@@ -375,6 +380,13 @@ def simhash64(tokens_col: str = "tokens") -> F.Column:
     then a single aggregate folds all 63 bit-counters at once — no
     per-bit re-hash, no shuffle. Bit 63 is excluded to keep the
     fingerprint non-negative.
+
+    Empty/NULL token arrays fingerprint to NULL, not a value: with
+    zero tokens every bit-count tie (0*2 >= 0) resolves to 1, i.e.
+    the all-ones fingerprint, which sits within max_hamming of any
+    dense-popcount REAL document — content-free docs would become
+    near-dup hubs (code-review r8 finding). NULL fingerprints fall
+    out of the banded equi-join naturally.
     """
     # SQL-expression form: the Python shiftright/shiftleft wrappers only
     # accept int literals for the shift amount, but the underlying SQL
@@ -382,7 +394,9 @@ def simhash64(tokens_col: str = "tokens") -> F.Column:
     # comes from sequence(0, 62) inside the lambda.
     return F.expr(
         f"""
-        aggregate(
+        CASE WHEN {tokens_col} IS NULL OR size({tokens_col}) = 0
+        THEN CAST(NULL AS BIGINT)
+        ELSE aggregate(
           zip_with(
             aggregate(
               transform({tokens_col}, t -> xxhash64(t)),
@@ -395,6 +409,7 @@ def simhash64(tokens_col: str = "tokens") -> F.Column:
             (c, i) -> IF(c * 2 >= size({tokens_col}), shiftleft(1L, i), 0L)),
           0L,
           (acc, v) -> acc + v)
+        END
         """
     )
 
@@ -569,6 +584,17 @@ def embedding_neardup_pairs(
     import pandas as pd
 
     out_schema = "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE"
+    # The BIGINT pair schema is a hard contract (the UDF casts ids to
+    # int64): fail at the boundary with the alternative named, not
+    # mid-job with an opaque executor ValueError (code-review r8
+    # finding; semantic_neardup_pairs is the any-id-type sibling).
+    id_type = dict(emb.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"embedding_neardup_pairs: {id_col!r} is {id_type}, but "
+            "the exact GEMM tier emits BIGINT pair ids — use "
+            "semantic_neardup_pairs for string/UUID ids"
+        )
     # NULL vectors cannot participate in cosine similarity (np.array
     # over a batch containing None degrades to object dtype and the
     # GEMM throws) — drop them at the boundary.

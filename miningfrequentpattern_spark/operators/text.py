@@ -214,9 +214,16 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(bigrams).cast("long").alias("n_bigrams"),
         F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
     )
-    return big.join(per_doc, "doc_id").select(
+    # LEFT join from `big` (which has every input doc): a zero-token
+    # document explodes to no per-token rows, and an inner join would
+    # silently drop it from the output — exactly the degenerate doc a
+    # downstream quality gate most needs to see (code-review r8
+    # finding). Such docs surface with n_tokens 0 and NULL ratios.
+    return big.join(per_doc, "doc_id", "left").select(
         "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
         F.round(F.col("top_count") / F.col("n_tokens"), 4).alias(
             "top_token_ratio"
         ),
@@ -318,6 +325,12 @@ def sequence_pack(
     last_chunk = F.floor(
         (F.col("seq_start") + F.col("n_tokens") - 1) / budget
     )
+    # A zero-token document spans ZERO chunks regardless of where its
+    # seq_start lands: the floor identity otherwise reports 0 chunks
+    # on a chunk boundary but 1 anywhere else — the same degenerate
+    # doc "spanning" different chunk counts purely by position breaks
+    # budget-reconciliation invariants (code-review r8 finding; the
+    # l13 oracle applies the identical CASE).
     return out.select(
         id_col,
         group_col,
@@ -325,7 +338,10 @@ def sequence_pack(
         "n_tokens",
         "seq_start",
         chunk_id.alias("chunk_id"),
-        (last_chunk - chunk_id + 1).cast("long").alias("n_chunks"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(last_chunk - chunk_id + 1)
+        .cast("long")
+        .alias("n_chunks"),
     )
 
 
@@ -493,9 +509,13 @@ def chunk_with_overlap(
         )
     step = chunk_size - overlap
     t = tokens(text_col)
+    # Zero-token documents produce NO chunks: greatest(_n - overlap, 1)
+    # would otherwise force starts=[1] and emit a phantom zero-length
+    # ''-text chunk per empty doc straight into the RAG index
+    # (code-review r8 finding; the l16 oracle filters identically).
     base = docs.select(
         F.col(id_col), t.alias("_toks"), F.size(t).alias("_n")
-    )
+    ).filter(F.col("_n") > 0)
     starts = F.sequence(
         F.lit(1),
         F.greatest(F.col("_n") - overlap, F.lit(1)),
@@ -614,8 +634,13 @@ def rank_calibrated_gate(
         F.col(score_col).desc(), F.col(tiebreak_col).asc()
     )
     pct = F.percent_rank().over(w)
+    # Gate on the SAME rounded value the pct_rank column emits, so
+    # the documented is_kept ⇔ pct_rank ≤ keep_frac equivalence is
+    # visible in the output rows themselves (code-review r8 finding:
+    # gating on the raw rank let a row show pct_rank 0.3000 yet
+    # is_kept false). The l47 oracle applies the identical rounding.
     return docs.withColumn("pct_rank", F.round(pct, 4)).withColumn(
-        "is_kept", pct <= F.lit(keep_frac)
+        "is_kept", F.col("pct_rank") <= F.lit(keep_frac)
     )
 
 
@@ -1028,7 +1053,7 @@ def bpe_encode(
     loop), so this is the one text operator that is a UDF by DESIGN —
     but the production-shaped one: an ITERATOR pandas UDF (u09's
     surface) whose merge-rank dict builds once per worker and whose
-    per-batch WORD MEMO encodes each distinct word once (Zipf: a few
+    size-capped WORD MEMO encodes each distinct word once (Zipf: a few
     thousand distinct words cover almost every token in a batch), so
     the per-row cost is a dict hit, not a merge loop. Row-local,
     zero shuffles; the merge table rides the closure (k pairs —
@@ -1050,12 +1075,22 @@ def bpe_encode(
 
     @pandas_udf("array<string>")
     def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Task-lifetime memo, SIZE-CAPPED: on a Zipf corpus a few
+        # thousand entries cover nearly every token, but a UUID/code
+        # corpus has unbounded distinct words — an uncapped dict
+        # grows for the whole task and OOMs the executor (code-review
+        # r8 finding). Clearing on overflow keeps the common case
+        # fully memoized and bounds worst-case memory at ~cap
+        # entries.
         memo: dict[str, list[str]] = {}
+        memo_cap = 1 << 18
 
         def word(w: str) -> list[str]:
             hit = memo.get(w)
             if hit is not None:
                 return hit
+            if len(memo) >= memo_cap:
+                memo.clear()
             syms = list(w)
             while len(syms) > 1:
                 best, bi = None, -1

@@ -70,7 +70,15 @@ def ewma(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    extra = [tiebreak_col] if tiebreak_col else []
+    # The tiebreak may BE the value column (the streaming twins order
+    # by (ts, value) — the holt_linear guard): selecting it beside
+    # the cast-to-double alias would duplicate the name and raise
+    # AMBIGUOUS_REFERENCE (code-review r8 finding).
+    extra = (
+        [tiebreak_col]
+        if tiebreak_col and tiebreak_col != value_col
+        else []
+    )
     base = df.select(
         *keys,
         order_col,
@@ -80,7 +88,7 @@ def ewma(
     schema = ST.StructType(
         list(base.schema.fields) + [ST.StructField(out_col, ST.DoubleType())]
     )
-    sort_cols = [order_col, *extra]
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         # kind="mergesort" = stable; with a tiebreak the order is
@@ -270,10 +278,12 @@ def cusum_drift(
 
         S_0 = max(0, d_0);  S_t = max(0, S_{t−1} + d_t)
 
-    Returns every input row plus `cusum` (S_t) and, when `threshold`
-    is given, a boolean `drifted` (S_t > threshold) — the "this
-    series' mean has shifted up" alarm for metric monitoring and
-    data-drift gates.
+    Returns every input row with a non-NULL (order, value) plus
+    `cusum` (S_t) and, when `threshold` is given, a boolean `drifted`
+    (S_t > threshold) — the "this series' mean has shifted up" alarm
+    for metric monitoring and data-drift gates. NULL-order/value rows
+    are EXCLUDED, not passed through: the cumulative chain would
+    otherwise poison every later row in the series.
 
     NOT a grouped-map recurrence: the max(0, ·) recursion has the
     closed form S_t = P_t − min(0, min_{j≤t} P_j) with P the running
@@ -526,15 +536,23 @@ def seasonal_profile(
     base = df.withColumn("_dow", dow)
     mean = F.avg(F.when(F.col("_dow").isNotNull(), x)).over(w)
     prof_mean = F.when(t.isNotNull() & x.isNotNull(), mean)
+    # Residual and ratio pivot on the ROUNDED mean — the same value
+    # the dow_mean column emits — so the additive identity
+    # dow_mean + residual == value holds at 4dp in the output itself
+    # (the ols_two_factor rounded-pivot stance; code-review r8
+    # finding: pivoting on the unrounded mean left the emitted
+    # columns mutually inconsistent by up to 5e-5). The r69/r73
+    # oracles apply the identical rounded pivot.
+    pm4 = F.round(prof_mean, 4)
     return base.select(
         *keys,
         t_col,
         value_col,
         F.col("_dow").alias("dow"),
-        F.round(prof_mean, 4).alias("dow_mean"),
-        round4(x - prof_mean).alias("residual"),
+        pm4.alias("dow_mean"),
+        round4(x - pm4).alias("residual"),
         F.round(
-            F.when(prof_mean != 0, x / prof_mean), 4
+            F.when(pm4 != 0, x / pm4), 4
         ).alias("ratio"),
     )
 
@@ -723,11 +741,17 @@ def interval_overlap_join(
 
         def fan(df: DataFrame, tag: str) -> DataFrame:
             lo = F.floor(F.col(f"{tag}_start") / secs)
-            # half-open end: an interval ending exactly on a bucket
-            # boundary does not cover that next bucket
-            hi = F.floor(
-                (F.col(f"{tag}_end") - F.lit(1e-9)) / secs
-            )
+            # half-open end via EXACT arithmetic: the last covered
+            # bucket is ceil(end/secs) - 1, so an interval ending on
+            # a bucket boundary does not fan into the next bucket.
+            # The previous (end - 1e-9) epsilon is below one double
+            # ulp at epoch-second magnitudes (ulp ≈ 2e-7 at 1.7e9),
+            # so the exclusion never actually fired — results stayed
+            # correct only because overlap & claim re-filter, at the
+            # cost of a wasted candidate row per boundary-ending
+            # interval (code-review r8 finding). ceil also keeps
+            # hi >= lo for any start < end — no descending sequence.
+            hi = F.ceil(F.col(f"{tag}_end") / secs) - 1
             return df.withColumn("_bk", F.explode(F.sequence(lo, hi)))
 
         cond = F.col("l._bk") == F.col("r._bk")
@@ -965,11 +989,9 @@ def pit_trailing_features(
         ).alias("last_gap_s"),
     ]
     if value_col is not None:
-        from ..functions.rounding import round4 as _r4
-
         feats.insert(
             1,
-            _r4(
+            round4(
                 F.sum(
                     F.when(touch, F.col(value_col).cast("double"))
                 ).over(w)
@@ -1255,13 +1277,12 @@ def ols_two_factor(
         - b2 * F.col("_s2y")
     )
     r2 = F.when(F.col("_syy") > 0, F.lit(1.0) - sse / F.col("_syy"))
-    from ..functions.rounding import round4 as _r4
 
     return agg.select(
         *keys,
         F.col("n_obs").cast("long").alias("n_obs"),
-        _r4(intercept).alias("intercept"),
-        _r4(b1).alias("beta1"),
-        _r4(b2).alias("beta2"),
-        _r4(r2).alias("r2"),
+        round4(intercept).alias("intercept"),
+        round4(b1).alias("beta1"),
+        round4(b2).alias("beta2"),
+        round4(r2).alias("r2"),
     )

@@ -70,7 +70,7 @@ def _prefix_fp() -> F.Column:
     oracle="""
     WITH h AS (
       SELECT doc_id,
-             sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                AS content_hash
       FROM documents)
     SELECT doc_id, content_hash,
@@ -642,12 +642,12 @@ def l09_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                           s -> s[1] || ' ' || s[2]), x -> x IS NOT NULL) AS bg
             FROM t)
     SELECT b.doc_id,
-           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
            round(p.top_count * 1.0 / p.n_tokens, 4) AS top_token_ratio,
            CASE WHEN len(b.bg) > 0
                 THEN round(1 - len(list_distinct(b.bg)) * 1.0 / len(b.bg), 4)
            END AS dup_bigram_ratio
-    FROM big b JOIN per_doc p USING (doc_id)
+    FROM big b LEFT JOIN per_doc p USING (doc_id)
     """,
 )
 def l06b_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,8 +781,10 @@ def l12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_tokens AS BIGINT) AS n_tokens,
            seq_start,
            CAST(floor(seq_start / 2048.0) AS BIGINT) AS chunk_id,
-           CAST(floor((seq_start + n_tokens - 1) / 2048.0)
-                - floor(seq_start / 2048.0) + 1 AS BIGINT) AS n_chunks
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE floor((seq_start + n_tokens - 1) / 2048.0)
+                     - floor(seq_start / 2048.0) + 1 END AS BIGINT)
+             AS n_chunks
     FROM w
     """,
 )
@@ -879,7 +881,8 @@ def l15_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l16_chunk_overlap",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS l
-               FROM documents),
+               FROM documents
+               WHERE len(string_split(trim(text), ' ')) > 0),
     s AS (SELECT doc_id, l,
                  unnest(generate_series(1, greatest(len(l) - 32, 1), 224))
                    AS start_token
@@ -1304,7 +1307,7 @@ def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_chars, text,
              row_number() OVER (
                PARTITION BY sha256(
-                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                ORDER BY doc_id) AS rn
       FROM documents),
     kept AS (SELECT doc_id, lang, n_chars, text FROM h WHERE rn = 1),
@@ -2569,7 +2572,7 @@ def l46_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY ttr DESC, doc_id) AS pr
       FROM s)
     SELECT doc_id, source, ttr, round(pr, 4) AS pct_rank,
-           pr <= 0.8 AS is_kept
+           round(pr, 4) <= 0.8 AS is_kept
     FROM r
     """,
 )

@@ -3204,7 +3204,7 @@ def r72_custkey_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof AS MATERIALIZED (
       SELECT event_type, day, n, CAST(isodow(day) AS INT) AS dow,
              round(avg(n) OVER w, 4) AS dow_mean,
-             round(n - avg(n) OVER w, 4) + 0.0 AS residual
+             round(n - round(avg(n) OVER w, 4), 4) + 0.0 AS residual
       FROM daily WINDOW w AS (PARTITION BY event_type, isodow(day))),
     med AS (SELECT event_type, quantile_cont(residual, 0.5) AS med
             FROM prof GROUP BY 1),
@@ -3650,8 +3650,9 @@ def r81_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, day, n,
            CAST(isodow(day) AS INT) AS dow,
            round(avg(n) OVER w, 4) AS dow_mean,
-           round(n - avg(n) OVER w, 4) + 0.0 AS residual,
-           round(n / avg(n) OVER w, 4) AS ratio
+           round(n - round(avg(n) OVER w, 4), 4) + 0.0 AS residual,
+           CASE WHEN round(avg(n) OVER w, 4) != 0
+                THEN round(n / round(avg(n) OVER w, 4), 4) END AS ratio
     FROM c
     WINDOW w AS (PARTITION BY event_type, isodow(day))
     """,

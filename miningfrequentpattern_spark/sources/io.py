@@ -35,6 +35,15 @@ TABLES = (
 # factor (region=5, nation=25 rows at every SF). Broadcast candidates.
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
+# Columns whose parquet physical type has varied across fixture
+# regenerations to TIMESTAMP(NANOS) — readable only as epoch-nanos
+# BIGINT under spark.sql.legacy.parquet.nanosAsLong (session conf);
+# load_table converts them back to microsecond timestamps.
+_NANOS_VARIANT_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: parquet scan of one fixture table.
@@ -58,10 +67,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # Every column the fixture history has shipped as TIMESTAMP(NANOS)
+    # gets the BIGINT-nanos guard, not just events.ts — the docstring
+    # names orders.o_orderdate as having the same variant history, and
+    # keying the normalization on one table would silently type-break
+    # the other on a regeneration (code-review r8 finding).
+    for cname in _NANOS_VARIANT_COLS.get(name, ()):
+        if dict(df.dtypes).get(cname) == "bigint":
+            df = df.withColumn(
+                cname, F.timestamp_micros(F.expr(f"{cname} div 1000"))
+            )
     for cname, ctype in df.dtypes:
         if ctype == "timestamp_ntz":
             df = df.withColumn(cname, F.col(cname).cast("timestamp"))
@@ -87,12 +102,26 @@ def read_transactions_text(
     Returns schema (txn_id BIGINT, items ARRAY<STRING>) with items
     deduplicated and sorted, ready for FPGrowth. This is the classic
     FIMI/market-basket file format (SURVEY.md §1.1).
+
+    Robustness pins (code-review r8): `sep` is treated as a LITERAL
+    separator (F.split takes a regex — an unescaped '|' would split
+    every character), empty items from repeated separators are
+    dropped ('a  b' is two items, not three), and blank lines vanish
+    instead of becoming a one-empty-item basket FPGrowth would mine
+    as item ''.
     """
+    import re as _re
+
     lines = spark.read.text(path)
     return lines.select(
         F.monotonically_increasing_id().alias("txn_id"),
         F.sort_array(
-            F.array_distinct(F.split(F.trim(F.col("value")), sep))
+            F.array_distinct(
+                F.array_remove(
+                    F.split(F.trim(F.col("value")), _re.escape(sep)),
+                    "",
+                )
+            )
         ).alias("items"),
     ).filter(F.size("items") > 0)
 
@@ -283,28 +312,44 @@ def merge_upsert_partitioned(
         )
     base = spark.read.schema(base_schema).parquet(path)
     touched = updates.select(partition_col).distinct()
-    in_touched = base.join(F.broadcast(touched), partition_col, "left_semi")
+    # NULL-SAFE partition match: NULL partition values are legal
+    # (they live in __HIVE_DEFAULT_PARTITION__) but plain equality
+    # never matches NULL to NULL — a null-partition upsert would
+    # silently drop every non-updated base row of that partition and
+    # then tombstone the directory (code-review r8 finding).
+    in_touched = base.join(
+        F.broadcast(touched),
+        base[partition_col].eqNullSafe(touched[partition_col]),
+        "left_semi",
+    )
     # Partition-immutability check (the visible half): a key whose
     # update claims a DIFFERENT partition than its base row within
     # the touched slice is a cross-partition move — the anti-join
     # below would delete the old row while a sibling update re-lands
     # the key elsewhere only by luck. Bounded cost: keyed join of the
     # touched slice against the (dimension-sized) update batch.
-    moved = in_touched.select(
-        *keys, F.col(partition_col).alias("_base_part")
-    ).join(
-        F.broadcast(
-            updates.select(*keys, partition_col).distinct()
-        ),
-        keys,
-    ).filter(~F.col(partition_col).eqNullSafe(F.col("_base_part")))
-    if not moved.isEmpty():
-        raise ValueError(
-            "merge_upsert_partitioned: update moves a key across "
-            f"partitions ({partition_col} differs from the base row's) "
-            "— the partition value is immutable per key; delete + "
-            "re-insert explicitly instead"
-        )
+    # When the partition column IS part of the key, a cross-partition
+    # move is impossible by construction (the key join enforces
+    # partition equality) — and re-selecting it beside the keys would
+    # duplicate the column name and break the USING join with an
+    # AMBIGUOUS_REFERENCE (code-review r8 finding; this is the exact
+    # configuration the contract note recommends).
+    if partition_col not in keys:
+        moved = in_touched.select(
+            *keys, F.col(partition_col).alias("_base_part")
+        ).join(
+            F.broadcast(
+                updates.select(*keys, partition_col).distinct()
+            ),
+            keys,
+        ).filter(~F.col(partition_col).eqNullSafe(F.col("_base_part")))
+        if not moved.isEmpty():
+            raise ValueError(
+                "merge_upsert_partitioned: update moves a key across "
+                f"partitions ({partition_col} differs from the base "
+                "row's) — the partition value is immutable per key; "
+                "delete + re-insert explicitly instead"
+            )
     survivors = in_touched.join(
         F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
     )
@@ -320,10 +365,16 @@ def merge_upsert_partitioned(
     # removed explicitly or the deleted keys resurface on next read.
     # Dimension-sized driver materialization — metadata for a write
     # commit, not an operator hot path.
+    out_parts = out.select(partition_col).distinct()
     emptied = [
         r[0]
         for r in touched.join(
-            out.select(partition_col).distinct(), partition_col, "left_anti"
+            out_parts,
+            # null-safe: a tombstoned NULL partition must land in
+            # `emptied` (so __HIVE_DEFAULT_PARTITION__ is cleaned),
+            # and a surviving NULL partition must NOT
+            touched[partition_col].eqNullSafe(out_parts[partition_col]),
+            "left_anti",
         ).collect()
     ]
     # Per-write option, NOT a session-conf flip (ADVICE r7): two
@@ -376,10 +427,17 @@ def _remove_partition_dirs(
         except Exception:
             return unquote(name)
 
-    wanted = {
-        "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-        for v in values
-    }
+    def _render(v) -> str:
+        if v is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        # Spark renders boolean partition values lowercase ('p=true');
+        # Python str(True) is 'True' and would never match, leaving
+        # the tombstoned directory behind (code-review r8 finding).
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    wanted = {_render(v) for v in values}
     prefix = f"{partition_col}="
     for entry in os.listdir(root):
         full = os.path.join(root, entry)
@@ -412,13 +470,7 @@ def read_csv_permissive(
     under-full rows still surface their parsable prefix AND the raw
     line, so the caller chooses strictness).
     """
-    ddl = f"{schema_ddl}, {corrupt_col} STRING"
-    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
-    return (
-        spark.read.text(path)
-        .select(F.from_csv(F.col("value"), ddl, opts).alias("_p"))
-        .select("_p.*")
-    )
+    return _read_permissive(spark, path, schema_ddl, corrupt_col, F.from_csv)
 
 
 def read_json_permissive(
@@ -445,10 +497,24 @@ def read_json_permissive(
     corruption — the one case that differs from CSV's positional
     short-row behavior).
     """
+    return _read_permissive(spark, path, schema_ddl, corrupt_col, F.from_json)
+
+
+def _read_permissive(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    corrupt_col: str,
+    parser,
+) -> DataFrame:
+    """Shared quarantine-parse pipeline for the permissive CSV/JSON
+    readers — one definition of the text scan, the corrupt-column DDL
+    extension, and the PERMISSIVE options, so the two formats' audit
+    contracts cannot drift (the shifted_pairs factoring stance)."""
     ddl = f"{schema_ddl}, {corrupt_col} STRING"
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
     return (
         spark.read.text(path)
-        .select(F.from_json(F.col("value"), ddl, opts).alias("_p"))
+        .select(parser(F.col("value"), ddl, opts).alias("_p"))
         .select("_p.*")
     )

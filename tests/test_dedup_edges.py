@@ -1,0 +1,249 @@
+"""Edge-input pins for the dedup operators — round-8 code-review
+regressions: normalization order, empty-token SimHash fingerprints,
+and the exact-GEMM id-type contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from miningfrequentpattern_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    normalized_text,
+    simhash64,
+    simhash_neardup_pairs,
+)
+
+
+def test_normalized_text_collapses_before_trim(spark):
+    """'\\thello world' and 'hello world' are the same document:
+    collapse-then-trim removes the leading tab entirely, while the
+    old trim-then-collapse left a leading space and split the two
+    into different digests."""
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "\thello world"),
+            (3, "hello world\n"),
+            (4, "  hello   world  "),
+            (5, "Hello\tWORLD"),
+        ],
+        "doc_id long, text string",
+    )
+    forms = {
+        r["n"]
+        for r in df.select(
+            normalized_text("text").alias("n")
+        ).collect()
+    }
+    assert forms == {"hello world"}
+    out = exact_dedup(df)
+    assert [r["doc_id"] for r in out.filter("is_kept").collect()] == [1]
+
+
+def test_simhash64_empty_and_null_tokens_fingerprint_null(spark):
+    """Zero tokens must NOT fingerprint to all-ones (every bit-count
+    tie 0*2 >= 0 resolves to 1) — that value sits within max_hamming
+    of any dense-popcount real document, making content-free docs
+    near-dup hubs. NULL fingerprints fall out of the banded join."""
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),
+            (2, []),
+            (3, None),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", simhash64("tokens").alias("fp")).collect()
+    }
+    assert got[1] is not None and got[1] >= 0
+    assert got[2] is None and got[3] is None
+
+
+def test_simhash_pairs_exclude_empty_docs(spark):
+    """An empty doc pairs with NOTHING — under the old all-ones
+    fingerprint it paired with any ~dense-popcount document."""
+    docs = spark.createDataFrame(
+        [
+            (1, ["x", "y", "z", "w"], "en"),
+            (2, [], "en"),
+            (3, [], "en"),
+        ],
+        "doc_id long, tokens array<string>, lang string",
+    ).withColumn("simhash", simhash64("tokens"))
+    pairs = simhash_neardup_pairs(docs, max_hamming=62).collect()
+    ids = {i for r in pairs for i in (r["doc_a"], r["doc_b"])}
+    assert 2 not in ids and 3 not in ids
+
+
+def test_embedding_neardup_rejects_non_integral_ids(spark):
+    """The exact GEMM tier's pair schema is BIGINT: a string/UUID id
+    must fail AT THE BOUNDARY with the any-id-type sibling named,
+    not mid-job with an opaque executor ValueError."""
+    emb = spark.createDataFrame(
+        [("u-1", [1.0, 0.0]), ("u-2", [1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="semantic_neardup_pairs"):
+        embedding_neardup_pairs(emb)
+
+
+def test_embedding_neardup_int_ids_still_work(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    assert got == {(1, 2)}
+
+
+# --- round-8 batch-2 review pins (text/timeseries edge inputs) ----------
+
+
+def test_repetition_signals_keeps_zero_token_docs(spark):
+    """A whitespace-only doc must SURFACE (n_tokens 0, NULL ratios),
+    not vanish through an inner join — it is exactly the degenerate
+    doc a downstream quality gate needs to see."""
+    from miningfrequentpattern_spark.operators.text import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_tokens"] == 3
+    assert got[2]["n_tokens"] == 0 and got[2]["top_token_ratio"] is None
+    assert got[3]["n_tokens"] == 0 and got[3]["dup_bigram_ratio"] is None
+
+
+def test_chunk_with_overlap_skips_empty_docs(spark):
+    """Zero-token documents produce NO chunks — not a phantom
+    zero-length ''-text chunk per empty doc in the RAG index."""
+    from miningfrequentpattern_spark.operators.text import (
+        chunk_with_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_with_overlap(docs, chunk_size=4, overlap=1).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert all(r["chunk_len"] > 0 for r in rows)
+
+
+def test_sequence_pack_zero_token_doc_spans_zero_chunks(spark):
+    """An empty doc spans 0 chunks wherever its seq_start lands —
+    the floor identity otherwise reported 0 on a chunk boundary but
+    1 anywhere else, purely by position."""
+    from miningfrequentpattern_spark.operators.text import sequence_pack
+
+    docs = spark.createDataFrame(
+        # one source, empty docs interleaved at different offsets
+        [(1, "s", "a b c"), (2, "s", ""), (3, "s", "d e"),
+         (4, "s", ""), (5, "s", "f")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chunks"])
+        for r in sequence_pack(docs, budget=4).collect()
+    }
+    for d, (n_tok, n_ch) in got.items():
+        if n_tok == 0:
+            assert n_ch == 0, (d, got[d])
+        else:
+            assert n_ch >= 1
+
+
+def test_ewma_tiebreak_may_be_value_col(spark):
+    """The streaming twins pass tiebreak_col=value_col (order by
+    (ts, value)); selecting it beside the cast alias raised
+    AMBIGUOUS_REFERENCE (code-review r8 regression)."""
+    from pyspark.sql import functions as SF
+
+    from miningfrequentpattern_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 15.0)],
+        "k string, t long, v double",
+    )
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma(
+            df, ["k"], "t", "v", alpha=0.5, tiebreak_col="v"
+        ).collect()
+    }
+    assert got[1] == 10.0 and got[2] == 15.0 and got[3] == 15.0
+
+
+def test_seasonal_profile_additive_identity_at_4dp(spark):
+    """dow_mean + residual must reconstruct the value at 4dp IN THE
+    OUTPUT ITSELF: both derived columns pivot on the rounded mean the
+    dow_mean column emits (the rounded-pivot stance)."""
+    import datetime
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        seasonal_profile,
+    )
+
+    # 7 Mondays whose mean has a non-zero 5th decimal:
+    # values 1..7 scaled -> mean = 4.000057142857...
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        ("k", base + datetime.timedelta(weeks=i), 1.0 * (i + 1) + 0.0001 * (i % 3))
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "k string, day timestamp, n double")
+    for r in seasonal_profile(df, ["k"], "day", "n").collect():
+        assert abs((r["dow_mean"] + r["residual"]) - r["n"]) < 5e-5, r
+
+
+def test_calibrated_gate_is_kept_matches_emitted_pct_rank(spark):
+    """is_kept recomputed from the EMITTED pct_rank must agree with
+    the column — the gate rounds before comparing, so output rows can
+    never contradict the documented equivalence."""
+    from miningfrequentpattern_spark.operators.text import (
+        rank_calibrated_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", float(i % 37)) for i in range(200)],
+        "doc_id long, src string, score double",
+    )
+    out = rank_calibrated_gate(
+        docs, ["src"], "score", keep_frac=0.3, tiebreak_col="doc_id"
+    ).collect()
+    for r in out:
+        assert r["is_kept"] == (r["pct_rank"] <= 0.3), r
+
+
+def test_interval_overlap_join_boundary_end_correct(spark):
+    """An interval ending exactly on a bucket boundary still joins
+    correctly under the exact ceil-based fan (the old epsilon was
+    below one double ulp at epoch magnitudes)."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("k", 0.0, 3600.0)], "k string, s double, e double"
+    )
+    right = spark.createDataFrame(
+        [("k", 3500.0, 3700.0), ("k", 3600.0, 3800.0)],
+        "k string, s double, e double",
+    )
+    got = {
+        (r["b_start"], r["b_end"])
+        for r in interval_overlap_join(
+            left, right, ["k"], "s", "e", bucket="1 hour"
+        ).collect()
+    }
+    # [0,3600) overlaps [3500,3700) but NOT [3600,3800) (half-open)
+    assert got == {(3500.0, 3700.0)}

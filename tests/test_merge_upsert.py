@@ -180,3 +180,111 @@ def test_merge_upsert_rejects_cross_partition_key_move(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="moves a key across"):
         merge_upsert_partitioned(spark, path, updates, ["k"], "p")
+
+
+def test_merge_upsert_null_partition_survivors_kept(spark, tmp_path):
+    """NULL partition values are legal (__HIVE_DEFAULT_PARTITION__)
+    and must behave like any other partition under MERGE: plain
+    equality joins never match NULL to NULL, which silently dropped
+    every non-updated base row of the NULL partition and then
+    tombstoned the whole directory (code-review r8 regression)."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "p1", 30.0)],
+        "k long, p string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, None, 99.0)], "k long, p string, v double"
+    )
+    merge_upsert_partitioned(spark, path, updates, ["k"], "p")
+    got = {
+        (r["k"], r["p"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    # k=1 (non-updated NULL-partition row) must SURVIVE
+    assert got == {(1, None, 10.0), (2, None, 99.0), (3, "p1", 30.0)}
+    assert os.path.isdir(
+        os.path.join(path, "p=__HIVE_DEFAULT_PARTITION__")
+    )
+
+
+def test_merge_upsert_null_partition_tombstone_cleans_dir(
+    spark, tmp_path
+):
+    """An all-tombstoned NULL partition is cleaned up like a named
+    one: the emptied-partition anti-join must match NULL null-safely
+    or the deleted keys resurface on the next read."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, None, 10.0), (3, "p1", 30.0)], "k long, p string, v double"
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    dels = spark.createDataFrame(
+        [(1, None, 10.0, "d")], "k long, p string, v double, op string"
+    )
+    merge_upsert_partitioned(
+        spark, path, dels, ["k"], "p", op_col="op", delete_marker="d"
+    )
+    got = {(r["k"], r["p"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(3, "p1")}
+    assert not os.path.isdir(
+        os.path.join(path, "p=__HIVE_DEFAULT_PARTITION__")
+    )
+
+
+def test_merge_upsert_partition_col_in_keys(spark, tmp_path):
+    """The contract note's recommended configuration — make the
+    partition column part of the merge key — must work: re-selecting
+    it beside the keys duplicated the column and broke the USING join
+    with AMBIGUOUS_REFERENCE (code-review r8 regression). With the
+    partition in the key a cross-partition move is impossible by
+    construction, so the move check is skipped, not crashed."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, p string, v double",
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (4, "b", 40.0)], "k long, p string, v double"
+    )
+    merge_upsert_partitioned(spark, path, updates, ["k", "p"], "p")
+    got = {
+        (r["k"], r["p"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0), (4, "b", 40.0)
+    }
+
+
+def test_merge_upsert_boolean_partition_tombstone_cleanup(
+    spark, tmp_path
+):
+    """Spark renders boolean partition dirs lowercase ('p=true');
+    the emptied-dir matcher must render Python True the same way or
+    the tombstoned directory survives and resurrects its keys
+    (code-review r8 regression)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, True, 1.0), (2, False, 2.0)], "k long, p boolean, v double"
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    assert os.path.isdir(os.path.join(path, "p=true"))
+    dels = spark.createDataFrame(
+        [(1, True, 1.0, "d")], "k long, p boolean, v double, op string"
+    )
+    # partition-dir type inference yields STRING for 'true'/'false';
+    # a boolean-partitioned table must state its schema explicitly
+    # (the cast from the dir name is exact)
+    schema = spark.createDataFrame(
+        [], "k long, v double, p boolean"
+    ).schema
+    merge_upsert_partitioned(
+        spark, path, dels, ["k"], "p",
+        op_col="op", delete_marker="d", base_schema=schema,
+    )
+    got = {
+        (r["k"], r["p"])
+        for r in spark.read.schema(schema).parquet(path).collect()
+    }
+    assert got == {(2, False)}
+    assert not os.path.isdir(os.path.join(path, "p=true"))

@@ -121,3 +121,55 @@ def test_polymorphic_udtf_rejects_bad_n(spark):
             "SELECT * FROM one_doc_udtf_test, "
             "LATERAL ngram_wide(text, 0) t"
         ).collect()
+
+
+def test_read_transactions_text_edge_lines(spark, tmp_path):
+    """FIMI-file robustness (code-review r8): blank lines vanish
+    (not a one-empty-item basket), repeated separators don't inject
+    '' items, and a regex-metacharacter separator ('|') is treated
+    literally instead of alternation-splitting every character."""
+    from miningfrequentpattern_spark.sources.io import (
+        read_transactions_text,
+    )
+
+    p = tmp_path / "t.txt"
+    p.write_text("a b c\n\nb  c\n   \nc a\n")
+    baskets = [
+        r["items"]
+        for r in read_transactions_text(spark, str(p))
+        .orderBy("txn_id")
+        .collect()
+    ]
+    assert baskets == [["a", "b", "c"], ["b", "c"], ["a", "c"]]
+    assert all("" not in b for b in baskets)
+
+    p2 = tmp_path / "pipe.txt"
+    p2.write_text("milk|bread\nbread|eggs||milk\n")
+    baskets2 = [
+        r["items"]
+        for r in read_transactions_text(spark, str(p2), sep="|")
+        .orderBy("txn_id")
+        .collect()
+    ]
+    assert baskets2 == [["bread", "milk"], ["bread", "eggs", "milk"]]
+
+
+def test_load_table_normalizes_bigint_nanos_for_orders_too(
+    spark, tmp_path
+):
+    """The BIGINT-epoch-nanos guard covers every column the fixture
+    history has shipped as TIMESTAMP(NANOS) — keying it on
+    events-only would silently type-break orders.o_orderdate on a
+    regeneration (code-review r8)."""
+    import datetime
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ns = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in nanos
+    spark.createDataFrame(
+        [(1, ns)], "o_orderkey long, o_orderdate long"
+    ).write.parquet(str(sf / "orders.parquet"))
+    got = load_table(spark, str(sf), "orders")
+    assert dict(got.dtypes)["o_orderdate"] == "timestamp"
+    row = got.collect()[0]
+    assert row["o_orderdate"] == datetime.datetime(2024, 1, 1)
