@@ -38,7 +38,13 @@ def dir_parquet_bytes(path: str) -> int:
     """
     total = 0
     found = False
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # Prune hidden/underscore DIRECTORIES too, in place: a
+        # _temporary/ tree from a killed write (or _delta_log/,
+        # .hive-staging*/) holds part files whose NAMES pass the file
+        # filter — counting them sizes uncommitted data and makes
+        # compact_parquet plan ~2x the intended files (code-review r8).
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
             if f.startswith((".", "_")):
                 continue

@@ -23,6 +23,67 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round4
 
 
+def _contribs_nodes(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared directed-PageRank prelude: the CACHED (edge, out-degree)
+    relation pre-hashed on the rank-join key, and the CACHED node set
+    derived from it. One definition for pagerank and
+    personalized_pagerank (they previously carried verbatim copies —
+    code-review r8) so prelude fixes cannot diverge. Callers own
+    unpersisting both returns.
+
+    NULL-endpoint edges are dropped up front: a NULL id is not a
+    node, but it survives every equi-join asymmetrically — it would
+    be counted in |V|, receive the teleport floor, and emit a
+    phantom (NULL, rank) output row (code-review r8; the
+    sssp_distances review-r5 stance). _undirected's least/greatest
+    filter does the same for the undirected operators.
+
+    Build the (edge, out-degree) relation with ONE shuffle: hash the
+    edges on _src, then attach out-degree as a count window over the
+    same partitioning — Catalyst plans zero additional exchanges for
+    the window. The previous formulation (groupBy(_src) degree agg +
+    join + repartition) spent three exchanges reaching the identical
+    cached relation and AQE broadcast the degree side, which forced
+    the explicit repartition to restore _src-hashing for the cache
+    (interleaved A/B at sf0.1, 2.4 M edges: prelude 3.3 s → 2.1 s,
+    identical results; round-5 session, recorded in BASELINE.md).
+    Repartition BEFORE caching: every iteration joins this relation
+    on _src, and a cache preserves whatever partitioning it was
+    materialized with — pre-hashing on the join key means only the
+    (|V|-sized) rank vector shuffles per iteration, never the
+    (|E|-sized) edge relation (measured ~2× on the sf0.1
+    co-purchase graph; the win grows with |E|/|V|).
+
+    The node set derives from the CACHED contribs, not from the raw
+    edges: the window attaches _deg to every edge row without
+    dropping any, so src∪dst over contribs is exactly src∪dst over
+    the filtered edges — but reading it from the cache means the
+    (possibly expensive — e.g. a basket self-join) edge lineage
+    materializes ONCE, for the cache, instead of once more for the
+    caller's nodes.count() (measured ~2 s of the m13 co-purchase
+    graph's ~7 s).
+    """
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+    contribs = (
+        e.repartition("_src")
+        .withColumn(
+            "_deg", F.count(F.lit(1)).over(Window.partitionBy("_src"))
+        )
+        .cache()
+    )
+    nodes = (
+        contribs.select(F.col("_src").alias("id"))
+        .union(contribs.select(F.col("_dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    return contribs, nodes
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -59,42 +120,7 @@ def pagerank(
     result whose lineage re-reads only the (small) cached-unpersisted
     edge relation if recomputed.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    # Build the (edge, out-degree) relation with ONE shuffle: hash the
-    # edges on _src, then attach out-degree as a count window over the
-    # same partitioning — Catalyst plans zero additional exchanges for
-    # the window. The previous formulation (groupBy(_src) degree agg +
-    # join + repartition) spent three exchanges reaching the identical
-    # cached relation and AQE broadcast the degree side, which forced
-    # the explicit repartition to restore _src-hashing for the cache
-    # (interleaved A/B at sf0.1, 2.4 M edges: prelude 3.3 s → 2.1 s,
-    # identical results; round-5 session, recorded in BASELINE.md).
-    # Repartition BEFORE caching: every iteration joins this relation
-    # on _src, and a cache preserves whatever partitioning it was
-    # materialized with — pre-hashing on the join key means only the
-    # (|V|-sized) rank vector shuffles per iteration, never the
-    # (|E|-sized) edge relation (measured ~2× on the sf0.1
-    # co-purchase graph; the win grows with |E|/|V|).
-    contribs = (
-        e.repartition("_src")
-        .withColumn(
-            "_deg", F.count(F.lit(1)).over(Window.partitionBy("_src"))
-        )
-        .cache()
-    )
-    # Node set derived from the CACHED contribs, not from `e`: the
-    # window attaches _deg to every edge row without dropping any, so
-    # src∪dst over contribs is exactly src∪dst over e — but reading
-    # it from the cache means the (possibly expensive — e.g. a basket
-    # self-join) edge lineage materializes ONCE, for the cache,
-    # instead of once more for nodes.count() below (measured ~2 s of
-    # the m13 co-purchase graph's ~7 s).
-    nodes = (
-        contribs.select(F.col("_src").alias("id"))
-        .union(contribs.select(F.col("_dst").alias("id")))
-        .distinct()
-        .cache()
-    )
+    contribs, nodes = _contribs_nodes(edges, src, dst)
     try:
         # Scalar sizing action (documented eager step, like the
         # guard probes elsewhere): N parameterizes the teleport term.
@@ -359,11 +385,20 @@ def kcore(
                 return empty
             if n == prev_nodes:
                 # No node fell below k this round — fixpoint reached.
+                # Pin the (core-sized) result, then release the edge
+                # pin it derives from: returning the lazy plan left
+                # e's checkpoint blocks pinned for the session after
+                # the caller dropped the handle (code-review r8; the
+                # khop/sssp final-pin stance).
                 deg = _degrees(e)
-                out = deg.select(
-                    F.col("v").alias("id"),
-                    F.col("deg").alias("core_degree"),
+                out = pin(
+                    deg.select(
+                        F.col("v").alias("id"),
+                        F.col("deg").alias("core_degree"),
+                    ),
+                    durable,
                 )
+                release(e, durable)
                 return out
             prev_nodes = n
             nxt = (
@@ -428,15 +463,24 @@ def khop_distances(
     """
     from .ckpt import pin, release
 
+    # NULL endpoints dropped up front (the sssp review-r5 stance): a
+    # NULL dst never equi-matches the visited anti-join, so it would
+    # be re-"discovered" at EVERY hop and emit one (NULL, dist) row
+    # per distance — violating the one-min-distance-per-id contract
+    # (code-review r8). NULL seed ids are likewise not nodes.
     e = (
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
         .repartition("_src")
         .cache()
     )
     legs: list[DataFrame] = []
     try:
         frontier = pin(
-            sources.select(F.col(id_col).alias("id")).distinct(), durable
+            sources.select(F.col(id_col).alias("id"))
+            .filter(F.col("id").isNotNull())
+            .distinct(),
+            durable,
         )
         legs.append(frontier)
         out_legs = [frontier.select("id", F.lit(0).alias("dist"))]
@@ -723,8 +767,12 @@ def ktruss(
             if n == prev:
                 # no edge fell below k−2 this round — fixpoint; the
                 # support column was computed against this same edge
-                # set, so it is the within-truss support
-                return keep
+                # set, so it is the within-truss support. Pin the
+                # result, release the edge pin it reads (code-review
+                # r8 — the kcore/khop final-pin stance).
+                out = pin(keep, durable)
+                release(e, durable)
+                return out
             prev = n
             nxt = pin(keep.select("s", "d"), durable)
             release(e, durable)
@@ -775,20 +823,7 @@ def personalized_pagerank(
     exchange vs the uniform operator. Sizing actions (N, |seeds∩V|)
     are the documented bounded eager steps.
     """
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    contribs = (
-        e.repartition("_src")
-        .withColumn(
-            "_deg", F.count(F.lit(1)).over(Window.partitionBy("_src"))
-        )
-        .cache()
-    )
-    nodes = (
-        contribs.select(F.col("_src").alias("id"))
-        .union(contribs.select(F.col("_dst").alias("id")))
-        .distinct()
-        .cache()
-    )
+    contribs, nodes = _contribs_nodes(edges, src, dst)
     seeds_in = (
         seeds.select(F.col(seed_col).alias("id"))
         .distinct()

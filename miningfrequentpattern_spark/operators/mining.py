@@ -32,9 +32,20 @@ from pyspark.sql import functions as F
 
 def item_supports(baskets: DataFrame, items_col: str = "items") -> DataFrame:
     """M2: per-item basket frequency. explode -> count; partial
-    aggregation keeps the shuffle small (item, partial_count) pairs."""
+    aggregation keeps the shuffle small (item, partial_count) pairs.
+
+    array_distinct before the explode: support is BASKET frequency,
+    so a basket [a, a, b] contributes 1 to a's support, not 2 —
+    basketize's collect_set arrays are already distinct (no-op
+    there), but a caller-built array with repeats would otherwise
+    inflate L1 supports relative to item_supports_from_rows, to
+    apriori's k>=2 levels, and to FPGrowth (which rejects duplicate
+    items outright) — three divergent behaviors for one input
+    (code-review r8 finding)."""
     return (
-        baskets.select(F.explode(items_col).alias("item"))
+        baskets.select(
+            F.explode(F.array_distinct(F.col(items_col))).alias("item")
+        )
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -222,9 +233,14 @@ def apriori_frequent_itemsets(
         n = baskets.count()
         threshold = int(-(-min_support * n // 1))  # ceil
 
-        # k=1
+        # k=1 — array_distinct so a repeat-bearing basket counts once
+        # per item, matching the k>=2 levels (whose collect_set-pruned
+        # baskets are distinct by construction) and FPGrowth's
+        # unique-items contract (code-review r8 finding)
         lk = (
-            baskets.select(F.explode("items").alias("i0"))
+            baskets.select(
+                F.explode(F.array_distinct(F.col("items"))).alias("i0")
+            )
             .groupBy("i0")
             .agg(F.count(F.lit(1)).alias("freq"))
             .filter(F.col("freq") >= threshold)

@@ -83,6 +83,16 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     plumbing is testable end-to-end.
     """
     blobs = pdf["media"]
+    # Fail with the module contract spelled out, not an opaque
+    # executor TypeError from len(None)/None["kind"] (code-review
+    # r8): payload-less rows must be filtered before decode —
+    # attach_media does; an external media_df must too.
+    if blobs.isna().any() or pdf["media_meta"].isna().any():
+        raise ValueError(
+            "extract_media_features: NULL media/media_meta row "
+            "reached the decoder — filter payload-less rows first "
+            "(attach_media's media.isNotNull() contract)"
+        )
     kinds = pdf["media_meta"].map(lambda m: m["kind"])
     if (kinds != "text/fake-media").any():
         raise NotImplementedError(
@@ -102,8 +112,11 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def extract_media_features(media_df: DataFrame, batch_size: int | None = None) -> DataFrame:
-    """L7: Arrow-batched feature extraction over the binary column."""
+def extract_media_features(media_df: DataFrame) -> DataFrame:
+    """L7: Arrow-batched feature extraction over the binary column.
+    Batch sizing is governed by spark.sql.execution.arrow.
+    maxRecordsPerBatch (the former batch_size parameter was a dead
+    knob that silently did nothing — code-review r8)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,6 +143,12 @@ def sample_frames(media_df: DataFrame, frame_bytes: int = 32) -> DataFrame:
     fan-out, and frames inherit the scan's partitioning (no shuffle).
     """
     import hashlib
+
+    if frame_bytes < 1:
+        # media_dedup's eager `keep` validation stance: fail on the
+        # driver with the parameter named, not a ZeroDivisionError
+        # (0) or silent empty frames (negative) inside a task.
+        raise ValueError(f"frame_bytes must be >= 1, got {frame_bytes}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,8 +199,19 @@ def media_dedup(media_df: DataFrame, keep: str = "min_id") -> DataFrame:
     if keep != "min_id":
         raise ValueError(f"only keep='min_id' is supported, got {keep!r}")
     digest = F.md5(F.col("media"))
-    w = Window.partitionBy("media_md5").orderBy("doc_id")
-    cw = Window.partitionBy("media_md5")
+    # NULL payloads are NOT copies of each other: md5(NULL) is NULL
+    # and a bare digest partition would glue every payload-less row
+    # into one dup group (marking distinct docs as byte-identical —
+    # code-review r8) AND funnel them through one skewed partition.
+    # A doc_id salt on the NULL side makes each NULL row its own
+    # singleton (n_copies 1, kept) inside the same single window
+    # pass; for non-NULL digests the salt is a constant and changes
+    # nothing.
+    null_salt = F.when(
+        F.col("media_md5").isNull(), F.col("doc_id")
+    )
+    w = Window.partitionBy("media_md5", null_salt).orderBy("doc_id")
+    cw = Window.partitionBy("media_md5", null_salt)
     return (
         media_df.withColumn("media_md5", digest)
         .withColumn("n_copies", F.count(F.lit(1)).over(cw).cast("long"))

@@ -290,6 +290,17 @@ def pareto_frontier_2d(
     The oracle twin (r49) IS the NOT EXISTS form, certifying this
     plan against the textbook dominance definition at sf0.01.
     """
+    # Rows with a NULL coordinate are EXCLUDED up front: dominance is
+    # undefined against NULL, and without the filter a NULL min_col
+    # lands in the last bucket via F.least's null-skip, sorts FIRST in
+    # the within-bucket window, and its _gmax wrongly dominates
+    # genuine frontier rows while the NULL row itself vanishes in the
+    # non-null-safe join-back — silently dropping real frontier
+    # members (code-review r8 finding; the interval_merge
+    # documented-drop stance).
+    df = df.filter(
+        F.col(min_col).isNotNull() & F.col(max_col).isNotNull()
+    )
     neg_inf = F.lit(float("-inf"))
     bounds = df.agg(
         F.min(min_col).alias("lo"), F.max(min_col).alias("hi")
@@ -1608,7 +1619,7 @@ def growth_accounting(
         .otherwise(F.lit("resurrected"))
     )
     classified = up.select("_u", "_p", status.alias("_s"))
-    counts = classified.groupBy(F.col("_p").alias("period")).agg(
+    counts_lazy = classified.groupBy(F.col("_p").alias("period")).agg(
         F.sum(F.when(F.col("_s") == "new", 1).otherwise(0))
         .cast("long")
         .alias("n_new"),
@@ -1620,6 +1631,13 @@ def growth_accounting(
         .alias("n_resurrected"),
         F.count(F.lit(1)).cast("long").alias("n_active"),
     )
+    # Pin the period-grain counts (tiny — one row per active period):
+    # THREE consumers read it below (the output join, the churn
+    # shift, and the spine bounds), and without truncation each one
+    # re-executes the corpus scan + classification window. One eager
+    # materialization of a week-count-sized relation vs three corpus
+    # passes — same trade as the graph loops' per-round pins.
+    counts = counts_lazy.localCheckpoint(eager=True)
     # churned INTO period p = active(calendar predecessor of p) −
     # retained(p) — computed from the counts relation itself
     # (period-grain, tiny, broadcast). The shift is applied on the
@@ -1636,17 +1654,52 @@ def growth_accounting(
             grain, F.add_months(F.col("_next_of").cast("date"), 1)
         ),
     )
+    # Output spine = EVERY calendar period in [first, last] active
+    # period, not just periods with activity: a period with zero
+    # actives has no counts row, and joining churn onto counts alone
+    # silently loses the churn INTO that period — exactly when churn
+    # is total (code-review r8 finding). The spine is a 1-row scalar
+    # agg exploded through F.sequence (distributed, period-grain
+    # tiny); trailing periods beyond the last activity are NOT
+    # emitted (the observation window ends there — data absence, not
+    # churn).
+    step = "interval 7 days" if grain == "week" else "interval 1 month"
+    spine = (
+        counts.agg(
+            F.min("period").cast("date").alias("_lo"),
+            F.max("period").cast("date").alias("_hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(step))
+            ).alias("period")
+        )
+        .select(F.col("period").cast("timestamp").alias("period"))
+    )
     return (
-        counts.join(F.broadcast(shifted), counts["period"] == shifted["_next_of"], "left")
+        spine.join(F.broadcast(counts), "period", "left")
+        .join(
+            F.broadcast(shifted),
+            spine["period"] == shifted["_next_of"],
+            "left",
+        )
         .select(
             "period",
-            "n_active",
-            "n_new",
-            "n_retained",
-            "n_resurrected",
+            F.coalesce(F.col("n_active"), F.lit(0))
+            .cast("long")
+            .alias("n_active"),
+            F.coalesce(F.col("n_new"), F.lit(0))
+            .cast("long")
+            .alias("n_new"),
+            F.coalesce(F.col("n_retained"), F.lit(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.coalesce(F.col("n_resurrected"), F.lit(0))
+            .cast("long")
+            .alias("n_resurrected"),
             (
                 F.coalesce(F.col("_prev_active"), F.lit(0))
-                - F.col("n_retained")
+                - F.coalesce(F.col("n_retained"), F.lit(0))
             )
             .cast("long")
             .alias("n_churned"),

@@ -74,6 +74,30 @@ def _static_max_rows(df: DataFrame) -> int | None:
         return None
 
 
+def _enforce_query_bound(
+    queries: DataFrame, max_queries: int | None, op: str, hint: str
+) -> None:
+    """Two-tier |Q| bound shared by the crossJoin-shaped operators
+    (cosine_topk_exact, pq_topk — previously verbatim copies,
+    code-review r8): a FREE static check via Catalyst's maxRows, and
+    only when that bound is unknown or too large to prove fitness, a
+    bounded limit(max+1).count() probe. A big static bound alone
+    never rejects — actual rows may be far fewer. Raises ValueError
+    naming the operator with the caller's escape hint."""
+    if max_queries is None:
+        return
+    static_bound = _static_max_rows(queries)
+    if static_bound is not None and static_bound <= max_queries:
+        return
+    probed = queries.limit(max_queries + 1).count()
+    if probed > max_queries:
+        raise ValueError(
+            f"{op}: query side exceeds max_queries={max_queries}; "
+            f"{hint} Pass max_queries=None if the size is "
+            "externally bounded."
+        )
+
+
 def cosine_topk_exact(
     queries: DataFrame,
     corpus: DataFrame,
@@ -104,28 +128,22 @@ def cosine_topk_exact(
     instead of launching the cartesian. `max_queries=None` opts out
     (no probe, fully lazy) for callers with their own bound.
     """
-    if max_queries is not None:
-        # maxRows is an UPPER bound: a small static bound proves the
-        # side fits (skip the probe for free), but a large one proves
-        # nothing about actual size — fall through to the probe, never
-        # reject on the bound alone.
-        static_bound = _static_max_rows(queries)
-        if static_bound is None or static_bound > max_queries:
-            probed = queries.limit(max_queries + 1).count()
-            if probed > max_queries:
-                raise ValueError(
-                    f"cosine_topk_exact: query side exceeds max_queries="
-                    f"{max_queries}; the crossJoin would be |Q|x|corpus|. "
-                    "Use ann_lsh_topk / ivf_topk for large query sets, or "
-                    "pass max_queries=None if the size is externally "
-                    "bounded."
-                )
+    _enforce_query_bound(
+        queries, max_queries, "cosine_topk_exact",
+        "the crossJoin would be |Q|x|corpus|. Use ann_lsh_topk / "
+        "ivf_topk for large query sets.",
+    )
+    # NULL vectors dropped at the boundary on BOTH sides (the ANN
+    # tiers' stance — code-review r8): a NULL query otherwise emits k
+    # rows with NULL cos_sim ranked only by neighbor_id, and a NULL
+    # corpus vector surfaces whenever fewer than k real neighbors
+    # exist — exact vs ANN results diverging on identical data.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
+    ).filter(F.col("_qv").isNotNull())
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
+    ).filter(F.col("_cv").isNotNull())
     # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
     w = Window.partitionBy("query_id").orderBy(
@@ -189,6 +207,15 @@ def ann_lsh_topk(
     """
     import numpy as np
 
+    if not bucket_length > 0:
+        # ANSI off makes dot/0.0 an Infinity whose floor-cast collapses
+        # every vector into ONE bucket per table — the candidate join
+        # degenerates to the full |Q|x|C| cross product the operator
+        # exists to avoid, silently (code-review r8; the ADVICE r6
+        # fail-loudly stance).
+        raise ValueError(
+            f"bucket_length must be > 0, got {bucket_length}"
+        )
     q_in = queries.filter(F.col(vec_col).isNotNull())
     c_in = corpus.filter(F.col(vec_col).isNotNull())
     if c_in.isEmpty():
@@ -337,7 +364,17 @@ def ivf_topk(
     if c_vec.isEmpty():
         return _empty_topk_result(queries, corpus, id_col)
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cid")
-    model = km.fit(c_vec)
+    # Fit on a CACHED, coalesced projection: k-means|| + Lloyd re-scan
+    # the fit relation once per init pass and per iteration, and an
+    # uncached corpus lineage re-reads parquet + re-converts vectors
+    # every time — the exact shape ivfpq_topk measured at ~18 s vs
+    # ~1 s cached at sf0.1 (its coarse-fit comment), never back-ported
+    # here until code-review r8.
+    fit_vec = c_vec.select("_v").coalesce(8).cache()
+    try:
+        model = km.fit(fit_vec)
+    finally:
+        fit_vec.unpersist()
     postings = model.transform(c_vec).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_arr").alias("_cv"),
@@ -670,17 +707,11 @@ def pq_topk(
     queries = queries.filter(F.col(vec_col).isNotNull())
     if c.isEmpty():
         return _empty_topk_result(queries, corpus, id_col)
-    if max_queries is not None:
-        static_bound = _static_max_rows(queries)
-        if static_bound is None or static_bound > max_queries:
-            probed = queries.limit(max_queries + 1).count()
-            if probed > max_queries:
-                raise ValueError(
-                    f"pq_topk: query side exceeds max_queries="
-                    f"{max_queries}; the ADC scan is |Q|x|corpus|. "
-                    "Compose with ivf_topk for candidate pruning, or "
-                    "pass max_queries=None if externally bounded."
-                )
+    _enforce_query_bound(
+        queries, max_queries, "pq_topk",
+        "the ADC scan is |Q|x|corpus|. Compose with ivf_topk for "
+        "candidate pruning.",
+    )
 
     if dim is None:
         # Bounded 1-row scalar probe (same documented stance as the
@@ -694,6 +725,26 @@ def pq_topk(
             f"{n_subspaces}"
         )
     sub = dim // n_subspaces
+    # Mis-sized explicit dim guard (the ADVICE r6 class, present in
+    # ann_lsh_topk/ivfpq_topk but missing here until code-review r8):
+    # a too-small dim silently trains/scores on a PREFIX of every
+    # vector (recall collapses with no error), a too-large one fails
+    # deep in MLlib. Lazy codegen-side check; NULLs exempt (already
+    # filtered above, size(NULL) would NULL-trip assert_true).
+    c = c.withColumn(
+        "_nv",
+        F.when(
+            F.assert_true(
+                F.col("_nv").isNull()
+                | (F.size("_nv") == F.lit(int(dim))),
+                F.lit(
+                    f"pq_topk: non-NULL vector length != dim={dim} "
+                    "— pass the actual embedding width"
+                ),
+            ).isNull(),
+            F.col("_nv"),
+        ),
+    )
 
     b_cb = _pq_fit_codebooks(
         c, id_col, n_subspaces, n_codes, sub, seed, fit_mod,

@@ -4178,13 +4178,23 @@ c AS (SELECT p AS period,
                   AS BIGINT) AS n_retained,
              CAST(sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_resurrected
-      FROM cl GROUP BY 1)
-SELECT c.period, c.n_active, c.n_new, c.n_retained, c.n_resurrected,
-       CAST(coalesce(pr.n_active, 0) - c.n_retained AS BIGINT)
-         AS n_churned
-FROM c LEFT JOIN c pr
+      FROM cl GROUP BY 1),
+spine AS (SELECT unnest(generate_series(
+            (SELECT min(period) FROM c),
+            (SELECT max(period) FROM c),
+            INTERVAL 7 DAY)) AS period)
+SELECT s.period,
+       CAST(coalesce(c.n_active, 0) AS BIGINT) AS n_active,
+       CAST(coalesce(c.n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(c.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(coalesce(c.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(coalesce(pr.n_active, 0) - coalesce(c.n_retained, 0)
+            AS BIGINT) AS n_churned
+FROM spine s
+LEFT JOIN c ON c.period = s.period
+LEFT JOIN c pr
   ON date_trunc('week', CAST(pr.period AS DATE) + INTERVAL 7 DAY)
-     = c.period
+     = s.period
 """,
 )
 def r88_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -187,7 +187,14 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         n = 0
         with open(fname, "w") as f:
             for row in iterator:
-                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                # recursive=True: a nested struct column otherwise
+                # stays a Row object and json.dumps's default=str
+                # emits its Python repr ("Row(a=1, ...)") instead of
+                # a JSON object (code-review r8).
+                f.write(
+                    _json.dumps(row.asDict(recursive=True), default=str)
+                    + "\n"
+                )
                 n += 1
         return _FileCommitMessage(file=fname, n_rows=n)
 

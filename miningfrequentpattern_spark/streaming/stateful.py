@@ -310,9 +310,16 @@ def _make_cusum_update(target: float, slack: float, threshold: float):
             else (0.0, float("inf"))  # inf = "no prefix yet"
         )
         seen = state.exists
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        # Buffer the WHOLE micro-batch before sorting (the
+        # ttl_dedup_stream chunk fix): the group's rows arrive as
+        # multiple Arrow chunks with no ordering guarantee, and a
+        # per-chunk sort lets a later-timestamped chunk fold into
+        # the (p, runmin) state first — out-of-order recursion,
+        # broken batch parity.
+        chunks = [pdf for pdf in batches if not pdf.empty]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             seen = True
             pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
             d = pdf["value"].to_numpy(dtype="float64") - target - slack
@@ -409,14 +416,32 @@ def _make_hh_update(k: int):
         if n == 0:
             return
         state.update((list(summ), [summ[i] for i in summ], n))
-        yield pd.DataFrame(
-            {
-                "event_type": key[0],
-                "user_id": list(summ),
-                "est_count": [summ[i] for i in summ],
-                "n_seen": n,
-            }
-        )
+        if summ:
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "user_id": list(summ),
+                    "est_count": [summ[i] for i in summ],
+                    "n_seen": n,
+                }
+            )
+        else:
+            # Compaction can legitimately EMPTY the summary (e.g. k+1
+            # equal-count items — subtracting the (k+1)-th largest
+            # zeroes everything). Emitting nothing would leave the
+            # previous batch's snapshot standing downstream as the
+            # key's "current" summary with a stale n_seen; emit ONE
+            # NULL-user tombstone row carrying the new n_seen so
+            # update-mode consumers can invalidate the old snapshot
+            # (code-review r8 finding).
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "user_id": pd.array([None], dtype="Int64"),
+                    "est_count": [0],
+                    "n_seen": n,
+                }
+            )
 
     return update
 
@@ -429,7 +454,10 @@ def heavy_hitters_stream(events_stream: DataFrame, k: int = 8) -> DataFrame:
     current summary; the last emission per key is the final one. The
     live twin of m07's exact top-k — exact when a key has ≤ k
     distinct contributors, guaranteed-superset of the true
-    heavy hitters (> n/(k+1) frequency) otherwise."""
+    heavy hitters (> n/(k+1) frequency) otherwise. A batch whose
+    compaction empties the summary emits one NULL-user tombstone row
+    (est_count 0, fresh n_seen) — "no current heavy hitters" — so
+    the previous snapshot never masquerades as current."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     rows = events_stream.filter(
@@ -556,9 +584,15 @@ def _make_holt_update(alpha: float, beta: float):
             )
         else:
             level, trend, n, x0 = 0.0, 0.0, 0, 0.0
-        for pdf in batches:
-            if pdf.empty:
-                continue
+        # Buffer the whole micro-batch before sorting (the
+        # ttl_dedup_stream chunk fix): per-chunk sorting could seed
+        # the (n, x0) init handshake from a later-timestamped chunk
+        # delivered first, diverging every subsequent level/trend
+        # from the batch operator.
+        chunks = [pdf for pdf in batches if not pdf.empty]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
             xs = pdf["value"].to_numpy(dtype="float64")
             lv = np.empty(len(xs), dtype="float64")

@@ -247,3 +247,71 @@ def test_interval_overlap_join_boundary_end_correct(spark):
     }
     # [0,3600) overlaps [3500,3700) but NOT [3600,3800) (half-open)
     assert got == {(3500.0, 3700.0)}
+
+
+# --- round-8 batch-5 review pins (similarity/layout edges) --------------
+
+
+def test_cosine_topk_exact_drops_null_vectors(spark):
+    """A NULL query vector must emit NO rows (not k NULL-sim rows
+    ranked by neighbor_id), and NULL corpus vectors never surface —
+    the ANN tiers' boundary stance, now shared by the exact tier."""
+    from miningfrequentpattern_spark.operators.similarity import (
+        cosine_topk_exact,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = cosine_topk_exact(emb, emb, k=2).collect()
+    assert all(r["query_id"] != 3 for r in rows)
+    assert all(r["neighbor_id"] != 3 for r in rows)
+    assert all(r["cos_sim"] is not None for r in rows)
+
+
+def test_ann_lsh_rejects_nonpositive_bucket_length(spark):
+    from miningfrequentpattern_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_length"):
+        ann_lsh_topk(emb, emb, bucket_length=0.0)
+    with _pytest.raises(ValueError, match="bucket_length"):
+        ann_lsh_topk(emb, emb, bucket_length=-1.0)
+
+
+def test_pq_topk_missized_dim_raises(spark):
+    """An explicit dim smaller than the real width silently trained on
+    a vector PREFIX (recall collapse, no error) before the guard."""
+    from miningfrequentpattern_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="vector length != dim"):
+        pq_topk(
+            emb, emb, k=2, n_subspaces=2, n_codes=4, dim=4
+        ).collect()
+
+
+def test_dir_parquet_bytes_skips_staging_dirs(tmp_path):
+    """part files inside _temporary/ (a killed write) must not count —
+    they are uncommitted data and would double compact_parquet's size
+    estimate."""
+    from miningfrequentpattern_spark.functions.layout import (
+        dir_parquet_bytes,
+    )
+
+    d = tmp_path / "t"
+    (d / "_temporary" / "0").mkdir(parents=True)
+    (d / "part-00000.parquet").write_bytes(b"x" * 100)
+    (d / "_temporary" / "0" / "part-00000.parquet").write_bytes(b"y" * 900)
+    (d / "_SUCCESS").write_bytes(b"")
+    assert dir_parquet_bytes(str(d)) == 100

@@ -26,10 +26,12 @@ def test_growth_accounting_lifecycle_closed_form(spark):
     """u1 active W0, W1, W3 (new, retained, resurrected); u2 active
     W0 only (new, then churned into W1); u3 first appears W1 (new).
     W1: active {u1, u3} = 1 retained + 1 new; churned(W1) =
-    active(W0)=2 − retained(W1)=1 = 1 (u2). W2: nobody — no row.
-    W3: u1 resurrects; churned(W3) = 0 (W2 absent → predecessor
-    count 0... the LEFT join yields 0 − 0: no W2 row means
-    coalesce(0) − retained(W3)=0 = 0)."""
+    active(W0)=2 − retained(W1)=1 = 1 (u2). W2: nobody active — the
+    row still EXISTS on the calendar spine and carries the churn of
+    W1's actives (2: u1 and u3 both sat out W2) — the code-review r8
+    fix; the old inner-spine form dropped the row and silently lost
+    exactly-total churn. W3: u1 resurrects; churned(W3) = active(W2)=0
+    − retained(W3)=0 = 0."""
     rows = [
         ("u1", "2024-01-01"), ("u1", "2024-01-08"), ("u1", "2024-01-24"),
         ("u2", "2024-01-03"),
@@ -48,6 +50,7 @@ def test_growth_accounting_lifecycle_closed_form(spark):
     assert got == {
         "2024-01-01": (2, 2, 0, 0, 0),
         "2024-01-08": (2, 1, 1, 0, 1),
+        "2024-01-15": (0, 0, 0, 0, 2),
         "2024-01-22": (1, 0, 0, 1, 0),
     }
 

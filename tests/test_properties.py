@@ -1041,8 +1041,12 @@ def test_growth_accounting_matches_python_lifecycle(spark, activity):
                 per[w][2] += 1
             else:
                 per[w][3] += 1
+    # Calendar spine (the code-review r8 fix): EVERY week from the
+    # first to the last active week gets a row — a zero-active gap
+    # week carries the churn of its predecessor's actives.
     ref = {}
-    for w, (na, nn, nr, ns) in per.items():
+    for w in range(min(per), max(per) + 1):
+        na, nn, nr, ns = per[w] if w in per else (0, 0, 0, 0)
         prev_active = per[w - 1][0] if (w - 1) in per else 0
         day = (base + timedelta(weeks=w)).date().isoformat()
         ref[day] = (na, nn, nr, ns, prev_active - nr)

@@ -964,3 +964,157 @@ def test_stream_holt_split_independent():
     # hand anchor (α=β=0.5, x=[10,20,40]): levels 10, 20, 35
     assert one[0][:3] == [10.0, 20.0, 35.0]
     assert one[1][0] is None and one[1][1] == 10.0 and one[1][2] == 12.5
+
+
+def test_stream_cusum_multi_chunk_out_of_order_batch(spark, tmp_path):
+    """Cross-chunk regression (code-review r8): a micro-batch larger
+    than the Arrow chunk cap arrives as multiple unordered chunks;
+    the recurrence must buffer and sort the WHOLE group or the
+    (p, runmin) state folds out of time order."""
+    from miningfrequentpattern_spark.operators.timeseries import cusum_drift
+    from miningfrequentpattern_spark.streaming.stateful import cusum_stream
+
+    rows = [
+        ("a", f"2024-01-01 00:0{m}:00", float(v))
+        for m, v in [(5, 30.0), (4, 5.0), (3, 25.0), (2, 2.0), (1, 20.0), (0, 1.0)]
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_type string, d string, value double"
+    ).select("event_type", F.to_timestamp("d").alias("ts"), "value")
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(f"{src}/f000")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(f"{src}/f*")
+        _run_to_memory(
+            cusum_stream(stream, target=10.0, threshold=25.0),
+            "cusum_chunk",
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        r["ts_us"]: (round(r["cusum"], 6), r["drifted"])
+        for r in spark.sql("SELECT * FROM cusum_chunk").collect()
+    }
+    want = {
+        int(r["ts"].timestamp() * 1_000_000): (
+            round(r["cusum"], 6), r["drifted"]
+        )
+        for r in cusum_drift(
+            batch, ["event_type"], "ts", "value",
+            target=10.0, threshold=25.0,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_holt_multi_chunk_out_of_order_batch(spark, tmp_path):
+    """Same cross-chunk fixture for Holt: per-chunk sorting could
+    seed the (n, x0) init handshake from a late chunk delivered
+    first, diverging every later level/trend from holt_linear."""
+    from miningfrequentpattern_spark.operators.timeseries import holt_linear
+    from miningfrequentpattern_spark.streaming.stateful import holt_stream
+
+    rows = [
+        ("a", f"2024-01-01 00:0{m}:00", float(v))
+        for m, v in [(5, 13.0), (4, 8.0), (3, 21.0), (2, 5.0), (1, 12.0), (0, 10.0)]
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_type string, d string, value double"
+    ).select("event_type", F.to_timestamp("d").alias("ts"), "value")
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(f"{src}/f000")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(f"{src}/f*")
+        _run_to_memory(
+            holt_stream(stream, alpha=0.2, beta=0.3), "holt_chunk"
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        r["ts_us"]: (round(r["level"], 9),
+                     None if r["trend"] is None else round(r["trend"], 9))
+        for r in spark.sql("SELECT * FROM holt_chunk").collect()
+    }
+    want_rows = holt_linear(
+        batch, ["event_type"], "ts", "value",
+        alpha=0.2, beta=0.3, tiebreak_col="value",
+    ).orderBy("ts").collect()
+    # the documented deviation: the streamed FIRST row's trend is NULL
+    first_us = int(want_rows[0]["ts"].timestamp() * 1_000_000)
+    for r in want_rows:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        lvl, tr = got[us]
+        assert lvl == round(r["level"], 9), (us, lvl, r["level"])
+        if us == first_us:
+            assert tr is None
+        else:
+            assert tr == round(r["trend"], 9), (us, tr, r["trend"])
+
+
+def test_stream_heavy_hitters_empty_summary_tombstone(spark, tmp_path):
+    """k+1 equal-count users empty the Misra-Gries summary; the batch
+    must emit a NULL-user tombstone carrying the fresh n_seen, never
+    silently nothing (the previous snapshot would masquerade as
+    current)."""
+    from miningfrequentpattern_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    rows = [("a", f"2024-01-01 00:00:0{i}", i) for i in range(5)]
+    batch = spark.createDataFrame(
+        rows, "event_type string, d string, user_id long"
+    ).select("event_type", F.to_timestamp("d").alias("ts"), "user_id")
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(f"{src}/f000")
+    stream = spark.readStream.schema(batch.schema).parquet(f"{src}/f*")
+    _run_to_memory(heavy_hitters_stream(stream, k=4), "hh_tomb")
+    rows_out = spark.sql("SELECT * FROM hh_tomb").collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r["user_id"] is None and r["est_count"] == 0 and r["n_seen"] == 5
+
+
+def test_jsonl_sink_nested_struct_serializes_as_json(spark, tmp_path):
+    """A nested struct column must land as a JSON OBJECT in the sink
+    file — non-recursive asDict left it a Row whose repr was dumped
+    as a string (code-review r8)."""
+    import json as jsonlib
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        JsonlStreamSink,
+    )
+
+    spark.dataSource.register(JsonlStreamSink)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, ("img", 42))],
+        "doc_id long, meta struct<kind string, n bigint>",
+    ).coalesce(1).write.parquet(f"{src}/f000")
+    stream = (
+        spark.readStream.schema("doc_id long, meta struct<kind string, n bigint>")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import glob
+
+    rows = []
+    manifests = sorted(glob.glob(f"{out}/_commit_*.json"))
+    assert manifests, "no batch committed"
+    for mf in manifests:
+        m = jsonlib.load(open(mf))
+        for fpath in m["files"]:
+            with open(fpath) as f:
+                rows.extend(jsonlib.loads(line) for line in f)
+    assert rows == [{"doc_id": 1, "meta": {"kind": "img", "n": 42}}]
