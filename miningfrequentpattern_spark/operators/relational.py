@@ -86,12 +86,22 @@ def asof_join(
     standard price of turning a range probe into an equi-join.
     """
     lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    # Tolerance delta in SECONDS from EXACT integer micros, one
+    # divide at the end: a double-cast timestamp at epoch ~1.7e9
+    # carries ~2.4e-7 s of representation error, so a click exactly
+    # tolerance-old could land on either side of the cut while an
+    # exact-micros oracle always includes it (code-review r8; the
+    # r62 pin). Integer micros < 2^53 subtract exactly; the single
+    # divide is correctly rounded, matching epoch_us(a)-epoch_us(b)
+    # oracle arithmetic bit-for-bit. Requires TIMESTAMP ts columns
+    # (the bucket path's unix_timestamp already did).
+    lus, rus = F.unix_micros(lt), F.unix_micros(rt)
     if direction == "backward":
         cond = rt <= lt
-        delta = lt.cast("double") - rt.cast("double")
+        delta = (lus - rus) / F.lit(1_000_000.0)
     elif direction == "forward":
         cond = rt >= lt
-        delta = rt.cast("double") - lt.cast("double")
+        delta = (rus - lus) / F.lit(1_000_000.0)
     else:
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     if tolerance_expr is not None:

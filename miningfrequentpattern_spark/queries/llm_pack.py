@@ -1255,9 +1255,10 @@ def l23_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s)
     SELECT vec_id,
            round(scale, 6) AS q_scale,
-           round(sqrt(list_sum(list_transform(list_zip(v, qv),
-                 p -> (p[1] - p[2]*scale) * (p[1] - p[2]*scale))) / len(v))
-                 / scale, 4) AS rel_rmse
+           CASE WHEN scale != 0 THEN
+             round(sqrt(list_sum(list_transform(list_zip(v, qv),
+                   p -> (p[1] - p[2]*scale) * (p[1] - p[2]*scale))) / len(v))
+                   / scale, 4) END AS rel_rmse
     FROM q
     """,
 )
@@ -1291,11 +1292,16 @@ def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, y: acc + y,
     )
+    # scale = 0 (an all-zero vector) makes rel_rmse 0/0 — Spark's
+    # non-ANSI divide says NULL, DuckDB's IEEE divide says NaN; guard
+    # EXPLICITLY on both engines so they agree on NULL (the l29/r44
+    # divide-by-zero pin; code-review r8).
     return q.select(
         "vec_id",
         F.round(F.col("scale"), 6).alias("q_scale"),
-        F.round(
-            F.sqrt(sq_err / F.size("v")) / F.col("scale"), 4
+        F.when(
+            F.col("scale") != 0,
+            F.round(F.sqrt(sq_err / F.size("v")) / F.col("scale"), 4),
         ).alias("rel_rmse"),
     )
 
@@ -2147,20 +2153,6 @@ def l38_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fuzzy_blocked_join(
-    spark: SparkSession, sf_dir: str, max_block_size: int | None
-) -> DataFrame:
-    """Back-compat shim for the l38/l38b registrations — the body is
-    now the public operator (operators/dedup.py::fuzzy_blocked_join,
-    capped BY DEFAULT; ADVICE r6)."""
-    from ..operators.dedup import fuzzy_blocked_join
-
-    return fuzzy_blocked_join(
-        load_table(spark, sf_dir, "documents"),
-        max_block_size=max_block_size,
-    )
-
-
 @query(
     "l38b_fuzzy_join_capped",
     oracle="""
@@ -2189,7 +2181,11 @@ def l38b_fuzzy_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fixed-vocabulary fixtures); production would also block
     on a longer prefix or (prefix, length-bucket) — the cap is the
     backstop that makes the worst key affordable either way."""
-    return _fuzzy_blocked_join(spark, sf_dir, max_block_size=3)
+    from ..operators.dedup import fuzzy_blocked_join
+
+    return fuzzy_blocked_join(
+        load_table(spark, sf_dir, "documents"), max_block_size=3
+    )
 
 
 @query(
@@ -2486,12 +2482,15 @@ def l44_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     recon AS (
+      -- zero-scale guard (the l24 pin): an all-zero vector
+      -- reconstructs as itself, never via x/0
       SELECT vec_id,
-             list_transform(
+             CASE WHEN list_max(list_transform(v, y -> abs(y))) != 0
+             THEN list_transform(
                list_transform(v, x -> round(
                  x / (list_max(list_transform(v, y -> abs(y))) / 127.0))),
                q -> q * (list_max(list_transform(v, y -> abs(y))) / 127.0))
-               AS rv
+             ELSE v END AS rv
       FROM e),
     q AS (SELECT * FROM e WHERE vec_id < 20),
     tp AS (
@@ -2545,12 +2544,20 @@ def l46_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.array_max(
         F.transform("embedding", lambda x: F.abs(x))
     ) / F.lit(127.0)
+    # zero-scale guard (the l24 pin, code-review r8): an all-zero
+    # vector reconstructs as itself — x/0 would NULL (Spark) / NaN
+    # (DuckDB) the whole reconstructed vector.
     recon = emb.select(
         "vec_id",
-        F.transform(
-            F.transform("embedding", lambda x: F.round(x / scale)),
-            lambda q: q * scale,
-        ).alias("embedding"),
+        F.when(
+            scale != 0,
+            F.transform(
+                F.transform("embedding", lambda x: F.round(x / scale)),
+                lambda q: q * scale,
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
     )
     queries_df = emb.filter(F.col("vec_id") < 20).limit(20)
     truth = cosine_topk_exact(queries_df, emb, k=5)
@@ -2701,10 +2708,14 @@ def l49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & F.col("source").isNotNull()
     )
+    # Plain equi-join, NO broadcast hint: (doc_id, source) is
+    # corpus-sized — the pack's own "corpus-sized relations never
+    # broadcast" convention (l02/l23/l38; code-review r8). The BM25
+    # output side is matched-docs-sized; AQE picks the strategy.
     dim = docs.select("doc_id", "source")
     run1 = (
         T.bm25_scores(docs, "doc_id", "text", L48_QUERY_TERMS)
-        .join(F.broadcast(dim), "doc_id")
+        .join(dim, "doc_id")
         .select("source", "doc_id", "score")
     )
     toks = F.split(F.trim("text"), " ")
@@ -3050,7 +3061,7 @@ from ..operators.dedup import (  # noqa: E402
     normalized_dedup_uplift,
     source_shingle_overlap,
 )
-from ..operators.multimodal import attach_media, media_dedup  # noqa: E402
+from ..operators.multimodal import media_dedup  # noqa: E402
 from ..operators.similarity import truncated_dim_recall  # noqa: E402
 from ..operators.text import quality_gate_ablation  # noqa: E402
 

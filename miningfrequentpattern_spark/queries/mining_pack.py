@@ -834,19 +834,7 @@ def m13_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitioning (BASELINE.md round-5 note)."""
     from ..operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
-    edges = pairs.unionAll(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _copurchase_edges_sym(spark, sf_dir)
     return pagerank(edges, iterations=3).select(
         F.col("id").alias("part_id"), "pagerank"
     )
@@ -882,16 +870,7 @@ def m14_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     along with the counts themselves."""
     from ..operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return triangle_counts(pairs).select(
         F.col("id").alias("part_id"), "n_triangles"
     )
@@ -1098,16 +1077,7 @@ def m17_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match exactly as in m14."""
     from ..operators.graph import clustering_coefficient
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return clustering_coefficient(pairs).select(
         F.col("id").alias("part_id"),
         F.col("degree").cast("long").alias("degree"),
@@ -1363,20 +1333,29 @@ def m20_gap_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the original test files.
 # ---------------------------------------------------------------------------
 
-def _copurchase_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized DISTINCT co-purchase edge list (src, dst) — the
-    m13/m14-certified construction, shared by the round-6 graph
-    promotions (m21 k-hop, m26 PPR)."""
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed DISTINCT co-purchase pairs (src < dst) — ONE
+    definition of the lineitem self-join every graph query builds on
+    (m13/m14/m17/m24/m28 previously carried verbatim copies,
+    code-review r8): distinct (order, part) incidence, same-order
+    part pairs oriented low-to-high, deduped."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     a, b = li.alias("a"), li.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.ok") == F.col("b.ok"))
                & (F.col("a.pk") < F.col("b.pk")))
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
+
+
+def _copurchase_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized DISTINCT co-purchase edge list (src, dst) — the
+    m13/m14-certified construction, shared by the round-6 graph
+    promotions (m21 k-hop, m26 PPR)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
     return pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1581,16 +1560,7 @@ def m24_part_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     star/regular/numpy pins in tests/test_assortativity.py."""
     from ..operators.graph import degree_assortativity
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return degree_assortativity(pairs)
 
 
@@ -1869,16 +1839,7 @@ def m28_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py::label_propagation."""
     from ..operators.graph import label_propagation
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return label_propagation(pairs, iterations=3).select(
         F.col("id").alias("part_id"), "community"
     )

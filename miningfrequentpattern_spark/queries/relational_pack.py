@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round4
-from ..operators.relational import asof_join, top_k_per_group
+from ..operators.relational import asof_join
 from ..sources.io import load_table
 from .registry import query
 
@@ -240,8 +240,15 @@ def r06_click_to_purchase_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.user_id").alias("user_id"),
         F.col("a.event_id").alias("click_id"),
         F.col("b.event_id").alias("purchase_id"),
+        # Exact integer micros, then ONE divide — the r62 pin: a
+        # double-cast ts at epoch ~1.7e9 carries ~2.4e-7 error, and
+        # 4dp hits .xxxx5 halves the engines disagree on; the oracle
+        # computes (epoch_us(b) - epoch_us(a)) / 1e6 identically
+        # (code-review r8).
         F.round(
-            F.col("b.ts").cast("double") - F.col("a.ts").cast("double"), 4
+            (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts")))
+            / F.lit(1_000_000.0),
+            4,
         ).alias("gap_sec"),
     )
 
@@ -1049,7 +1056,8 @@ def r25_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r26_global_order_rank",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
-           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+           row_number() OVER (ORDER BY round(o_totalprice, 4) DESC,
+                              o_orderkey)
              AS global_rank
     FROM orders
     """,
@@ -4240,12 +4248,17 @@ h AS (
   FROM idx i JOIN h ON i.priority = h.priority AND i.rn = h.rn + 1
 ),
 f AS (
-  SELECT priority, day, rev,
-         lag(rev, 1) OVER w AS f_naive,
-         lag(rev, 7) OVER w AS f_snaive,
-         lag(l + b, 1) OVER w AS f_holt
-  FROM h
-  WINDOW w AS (PARTITION BY priority ORDER BY rn)),
+  -- f_snaive joins the CALENDAR day-7 revenue, not 7 observed rows
+  -- back: with a gapped daily series lag(rev, 7) reads a different
+  -- weekday and measures a different forecaster than documented
+  -- (code-review r8)
+  SELECT h.priority, h.day, h.rev,
+         lag(h.rev, 1) OVER w AS f_naive,
+         d7.rev AS f_snaive,
+         lag(h.l + h.b, 1) OVER w AS f_holt
+  FROM h LEFT JOIN daily d7
+    ON d7.priority = h.priority AND d7.day = h.day - 7
+  WINDOW w AS (PARTITION BY h.priority ORDER BY h.rn)),
 m AS (
   SELECT priority,
          CAST(count(*) AS BIGINT) AS n_eval,
@@ -4287,12 +4300,25 @@ def r89_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hl = holt_linear(daily, ["priority"], "day", "rev", alpha=0.2, beta=0.3)
     w = Window.partitionBy("priority").orderBy("day")
+    # Seasonal-naive reads the CALENDAR day-7 revenue, not lag(rev, 7)
+    # over observed rows — with a gapped series the row-lag lands on a
+    # different weekday and silently measures a different forecaster
+    # (code-review r8). An exact RANGE frame [-7, -7] over the
+    # day-number ordering picks the day-7 row iff it exists (daily
+    # grain ⇒ at most one row in frame) — same answer as the oracle's
+    # calendar self-join, with NO second scan and no extra shuffle
+    # (the frame rides the same (priority, day) window partitioning).
+    w7 = (
+        Window.partitionBy("priority")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-7, -7)
+    )
     f = hl.select(
         "priority",
         "day",
         "rev",
         F.lag("rev", 1).over(w).alias("f_naive"),
-        F.lag("rev", 7).over(w).alias("f_snaive"),
+        F.max("rev").over(w7).alias("f_snaive"),
         F.lag(F.col("level") + F.col("trend"), 1).over(w).alias("f_holt"),
     ).filter(
         F.col("f_naive").isNotNull()

@@ -336,6 +336,7 @@ def s07_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(list_sum(list_transform(
              CAST(embedding AS DOUBLE[]), x -> x*x))), 4) AS emb_norm
     FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
     """,
 )
 def u04_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,7 +348,19 @@ def u04_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NULL/empty vectors break the flatten/offset alignment in the
+    # Arrow kernel (pyarrow flatten() drops a null slot's values
+    # while the offsets arithmetic does not, shifting every later
+    # row's norm; an empty row makes reduceat read the NEXT row's
+    # first element — code-review r8): filter at the boundary, the
+    # u05 stance, with the oracle filtering identically.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        )
+        .select("vec_id", "embedding")
+    )
 
     def batch_norms(batches):
         for batch in batches:
@@ -869,8 +882,6 @@ def u08_udtf_table_args(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python iteration (the deliberate slow-path surface; the native
     session_window form is t03/streaming). Ties broken by event_id
     in both the ORDER BY and the oracle's window."""
-    from ..functions.udtf import register_udtfs
-
     register_udtfs(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "events_u8"

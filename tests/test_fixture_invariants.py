@@ -32,6 +32,15 @@ def test_documents_text_is_ascii_single_spaced():
                OR contains(text, chr(9))
                OR contains(text, chr(10))
                OR contains(text, chr(13))
+               -- empty/NULL text (code-review r8): token_baskets
+               -- filters zero-token docs so FPGrowth's minSupport
+               -- denominator is (non-empty docs), while every mining
+               -- oracle divides by count(*) FROM documents — one
+               -- empty doc shifts ceil(s*N) and every support/
+               -- confidence/lift across m04-m10 as an opaque hash
+               -- mismatch; pin it HERE, loudly
+               OR text IS NULL
+               OR length(text) = 0
             """
         ).fetchone()[0]
         assert bad == 0, (
