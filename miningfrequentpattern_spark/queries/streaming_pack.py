@@ -67,7 +67,7 @@ def t02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -84,8 +84,14 @@ def t02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: 30-minute-gap session windows per user, cross-checked
     against the classic gaps-and-islands SQL (lag + cumulative flag).
-    Locks Spark's session semantics — a gap of exactly 30min starts a
-    NEW session (window end is exclusive) — to the oracle's >=."""
+    Locks Spark's session semantics — an event arriving EXACTLY gap
+    after the previous one still MERGES into the session (probed on
+    4.1.2: events at 12:00/12:30/12:59:59 with a 30-min gap form ONE
+    session of 3; the session extends to last_ts + gap and the end is
+    exclusive of strictly-later arrivals only) — to the oracle's
+    strict `>` split (code-review r8; the previous `>=` oracle
+    documented the opposite boundary and held only because the
+    fixture's µs-grain timestamps never land on an exact 30:00 gap)."""
     return session_counts(_events(spark, sf_dir), "30 minutes")
 
 
@@ -210,8 +216,11 @@ def t06_microbatch_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mining import fit_fpgrowth
 
     ev = _events(spark, sf_dir)
+    # no sort_array on the baskets: FPGrowth ignores item order and
+    # the output re-sorts freqItemsets.items — the only load-bearing
+    # sort is that one (code-review r8)
     baskets = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("items")
+        F.collect_set("event_type").alias("items")
     )
     model = fit_fpgrowth(baskets, min_support=0.2)
     return model.freqItemsets.select(
@@ -242,6 +251,6 @@ def t07_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py)."""
     from ..streaming.windows import enrich_events_stream
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = _events(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     return enrich_events_stream(ev, cust)

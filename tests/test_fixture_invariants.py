@@ -102,3 +102,26 @@ def test_duckdb_list_dialect_semantics_are_pinned():
     assert one[4] == [1, 2, 3], f"generate_series bounds changed: {one[4]}"
     assert one[5] == [0, 1, 2], f"range bounds changed: {one[5]}"
     assert one[6] == 0, f"unnest of empty list emits rows: {one[6]}"
+
+
+def test_events_stream_columns_non_null():
+    """The streaming-pack oracles (t01-t06) rely on events.ts /
+    event_type / user_id being non-NULL: Spark's window()/
+    session_window() DROP a NULL-ts row while DuckDB buckets it under
+    a NULL group; t04's row_number orders NULLS FIRST in Spark vs
+    DuckDB's NULLS LAST; collect_set drops a NULL event_type the
+    oracle's DISTINCT keeps. Pin the invariant loudly here
+    (code-review r8 — the documents.text stance applied to events)."""
+    con = duckdb.connect()
+    for sf in (SF_SMOKE, SF_ORACLE):
+        bad = con.execute(
+            f"""
+            SELECT count(*)
+            FROM read_parquet('{sf}/events.parquet')
+            WHERE ts IS NULL OR event_type IS NULL OR user_id IS NULL
+            """
+        ).fetchone()[0]
+        assert bad == 0, (
+            f"{sf}/events.parquet has NULL ts/event_type/user_id — "
+            "the t01-t06 oracles would hash-mismatch opaquely"
+        )

@@ -1118,3 +1118,28 @@ def test_jsonl_sink_nested_struct_serializes_as_json(spark, tmp_path):
             with open(fpath) as f:
                 rows.extend(jsonlib.loads(line) for line in f)
     assert rows == [{"doc_id": 1, "meta": {"kind": "img", "n": 42}}]
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary pin (code-review r8, probed on 4.1.2): an event
+    arriving EXACTLY gap after the previous one MERGES into the
+    session — the t03 oracle therefore splits on strict `>` only.
+    Guards the batch session_counts path against both a Spark
+    semantics change and an oracle regression to `>=`."""
+    from miningfrequentpattern_spark.streaming.windows import (
+        session_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 12:00:00", 1),
+        (1, "2024-01-01 12:30:00", 2),   # exactly 30 min -> merges
+        (1, "2024-01-01 13:00:01", 3),   # 30:01 after -> new session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, d string, event_id long"
+    ).select("user_id", F.to_timestamp("d").alias("ts"), "event_id")
+    got = sorted(
+        r["n_events"]
+        for r in session_counts(df, "30 minutes").collect()
+    )
+    assert got == [1, 2]
