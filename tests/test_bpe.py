@@ -259,3 +259,136 @@ def test_bpe_encode_more_merges_never_lengthens(spark):
     joined = n6.join(n2, "doc_id")
     assert joined.filter(F.col("n6") > F.col("n2")).isEmpty()
     assert joined.filter(F.col("n6") < F.col("n2")).count() > 0
+
+
+# --- unrolled-CTE DuckDB oracle (round-8 session 2): the promotion-
+# ready SQL twin of bpe_merge_rounds, certified here tests-only so a
+# future window slot can take it verbatim -------------------------------
+
+
+def bpe_oracle_sql(n_merges: int, min_pair_count: int = 2) -> str:
+    """Generate the unrolled-CTE DuckDB oracle for bpe_merge_rounds
+    over a `documents(text)` view.
+
+    Per round k: (1) freq-weighted adjacent-pair counts over the
+    vocabulary's symbol lists (OVERLAPPING adjacent positions, the
+    Sennrich get_stats convention the operator shares); (2) a
+    deterministic argmax (count DESC, pair ASC) gated on
+    min_pair_count; (3) the LEFT-TO-RIGHT NON-OVERLAPPING merge fold
+    expressed as a string replace over a wrapped-symbol encoding —
+    every symbol rendered ' s ' and concatenated, so the pattern
+    ' l  r ' consumes both wrappers and replace()'s
+    continue-after-replacement scan IS the non-overlap fold (symbols
+    are whitespace-free by construction: words come from a
+    whitespace split and merges only concatenate). An empty winner
+    (max pair below min_pair_count) passes the vocabulary through
+    unchanged, so later rounds are empty too — the operator's early
+    stop."""
+    parts = ["""WITH v0 AS (
+  SELECT string_split(w, '') AS syms, count(*) AS freq FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w)"""]
+    for k in range(1, n_merges + 1):
+        p, w, vprev, vnext = f"p{k}", f"w{k}", f"v{k-1}", f"v{k}"
+        parts.append(f""",
+{p} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS n
+  FROM {vprev}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2),
+{w} AS (
+  SELECT l, r, l || r AS m, n FROM {p}
+  WHERE n >= {min_pair_count}
+  ORDER BY n DESC, l, r LIMIT 1),
+{vnext} AS (
+  SELECT CASE WHEN w.l IS NULL THEN v.syms
+         ELSE string_split(
+           trim(replace(
+             list_aggregate(list_transform(v.syms,
+                            s -> ' ' || s || ' '), 'string_agg', ''),
+             ' ' || w.l || '  ' || w.r || ' ',
+             ' ' || w.m || ' ')),
+           '  ')
+         END AS syms, v.freq
+  FROM {vprev} v LEFT JOIN {w} w ON TRUE)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, l AS left, r AS right, m AS merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM w{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + f"\n{sel}\nORDER BY round"
+
+
+@pytest.mark.parametrize("n_merges", [3, 6])
+def test_bpe_duckdb_oracle_equality_on_fixture(spark, n_merges):
+    """The unrolled-CTE oracle reproduces bpe_merge_rounds EXACTLY on
+    the real documents fixture — the certification a future window
+    promotion takes verbatim."""
+    import duckdb
+
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merge_rounds(
+            load_table(spark, SF_ORACLE, "documents"), n_merges=n_merges
+        ).orderBy("round").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(bpe_oracle_sql(n_merges)).fetchall()]
+    assert got == want
+    assert len(got) == n_merges  # fixture is rich enough: no early stop
+
+
+def test_bpe_duckdb_oracle_equality_on_tie_heavy_corpus(spark):
+    """Tie-heavy synthetic corpus (the property test's hard case):
+    equal pair counts everywhere force the (left, right) ASC
+    tiebreak, and 'aaa' pins the overlap-count/non-overlap-fold
+    split on both engines."""
+    import duckdb
+    import pandas as pd
+
+    texts = ["aaa bb aaa", "ab ab ba", "bb ab aaa", "ba ba"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        tuple(r)
+        for r in bpe_merge_rounds(
+            docs, n_merges=5, min_pair_count=2
+        ).orderBy("round").collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bpe_oracle_sql(5, min_pair_count=2)
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_bpe_duckdb_oracle_early_stop_parity(spark):
+    """Below-min_pair_count corpora stop BOTH engines at the same
+    round (an empty winner passes the vocabulary through)."""
+    import duckdb
+    import pandas as pd
+
+    texts = ["ab ab", "cd"]  # round 1 merges (a,b); nothing else reaches 2
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        tuple(r)
+        for r in bpe_merge_rounds(
+            docs, n_merges=4, min_pair_count=2
+        ).orderBy("round").collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bpe_oracle_sql(4, min_pair_count=2)
+        ).fetchall()
+    ]
+    assert got == want
+    assert len(got) == 1 and got[0][:4] == (1, "a", "b", "ab")
