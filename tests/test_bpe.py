@@ -9,7 +9,10 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from miningfrequentpattern_spark.operators.text import bpe_merge_rounds
+from miningfrequentpattern_spark.operators.text import (
+    bpe_encode,
+    bpe_merge_rounds,
+)
 from miningfrequentpattern_spark.sources.io import load_table
 
 from .conftest import SF_ORACLE
@@ -392,3 +395,105 @@ def test_bpe_duckdb_oracle_early_stop_parity(spark):
     ]
     assert got == want
     assert len(got) == 1 and got[0][:4] == (1, "a", "b", "ab")
+
+
+def bpe_encode_oracle_sql(n_merges: int, min_pair_count: int = 2) -> str:
+    """Generate the unrolled-CTE DuckDB oracle for bpe_encode over the
+    merges the TRAINER oracle derives from the same corpus: per
+    document, every word's symbols are wrapped (' s ') and words are
+    joined with a '#' sentinel (no ' l  r ' pattern can span it, so
+    merges never cross word boundaries); each training round's merge
+    is then applied in RANK ORDER as the same replace-fold — the
+    training-order replay the encoder's rank-priority loop is
+    provably equivalent to on self-trained tables. The final token
+    list falls out by erasing the sentinel (leaving the same double
+    space that separates intra-word tokens), trimming, and splitting
+    on '  '. Relies on the pinned fixture invariant (non-empty,
+    single-spaced ASCII text)."""
+    trainer = bpe_oracle_sql(n_merges, min_pair_count)
+    with_part = trainer[: trainer.index("\nSELECT 1 AS round")]
+    parts = [with_part]
+    parts.append(""",
+e0 AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(string_split(trim(text), ' '),
+             w -> list_aggregate(
+                    list_transform(string_split(w, ''),
+                                   s -> ' ' || s || ' '),
+                    'string_agg', '')),
+           'string_agg', '#') AS repr
+  FROM documents)""")
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+e{k} AS (
+  SELECT e.doc_id,
+         CASE WHEN w.l IS NULL THEN e.repr
+         ELSE replace(e.repr,
+                      ' ' || w.l || '  ' || w.r || ' ',
+                      ' ' || w.m || ' ') END AS repr
+  FROM e{k-1} e LEFT JOIN w{k} w ON TRUE)""")
+    parts.append(f"""
+SELECT doc_id,
+       string_split(trim(replace(repr, '#', '')), '  ') AS bpe_tokens
+FROM e{n_merges}
+ORDER BY doc_id""")
+    return "".join(parts)
+
+
+def test_bpe_encode_duckdb_oracle_equality_on_fixture(spark):
+    """The encode oracle reproduces bpe_encode over self-trained
+    merges EXACTLY on the real documents fixture."""
+    import duckdb
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    merges = bpe_merge_rounds(docs, n_merges=5)
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    want = {
+        r[0]: list(r[1])
+        for r in con.execute(bpe_encode_oracle_sql(5)).fetchall()
+    }
+    assert got == want
+
+
+def test_bpe_encode_duckdb_oracle_word_boundary_sentinel(spark):
+    """'a b' must NOT merge across the word boundary even when (a,b)
+    is a learned merge — the sentinel pin, plus tie-heavy content."""
+    import duckdb
+    import pandas as pd
+
+    texts = ["ab ab a b", "aaa ab", "b a ab ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_merge_rounds(docs, n_merges=3, min_pair_count=2)
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            bpe_encode_oracle_sql(3, min_pair_count=2)
+        ).fetchall()
+    }
+    assert got == want
+    # (a,b) IS the first learned merge, yet 'a b' stays two tokens
+    assert got[0][-2:] == ["a", "b"]
