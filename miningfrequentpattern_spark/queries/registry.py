@@ -196,6 +196,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # exactly; the r4 remainder (s11, s12, u07) + the r5 cohort lead
 # round 10. Any round-8 staged operator that gains an oracle
 # DISPLACES backfills — stage sparingly until the r4 tail promotes.
+# Ready to stage WHEN slots free (round 11+): the two BPE operators
+# (operators/text.py::bpe_merge_rounds / bpe_encode) have CERTIFIED
+# unrolled-CTE DuckDB oracles in tests/test_bpe.py
+# (bpe_oracle_sql / bpe_encode_oracle_sql — equality proven on the
+# fixture, tie-heavy corpora, and early stop); registration is
+# mechanical: generate the SQL at a fixed n_merges and move it
+# verbatim into the @query oracle.
 # Keep the canaries and re-certify anything whose code or oracle
 # text changes.
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset()
