@@ -278,6 +278,37 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def portable_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L4 (fingerprinting): rolling_fingerprint's ENGINE-PORTABLE twin
+    — the same order-sensitive polynomial fold, but the per-token hash
+    is the first 7 hex chars of md5 (28 bits, engine-independent the
+    way l59's media digest is) instead of Spark-private xxhash64, and
+    the accumulator reduces mod 2^30 so the fold never leaves the
+    exactly-representable BIGINT range on either engine (DuckDB
+    ERRORS on 64-bit overflow where the JVM wraps — wraparound is not
+    portable arithmetic):
+
+        h = fold_i (acc * 31 + md5_28(token_i)) mod 2^30
+
+    Same collision posture as any 30-bit sketch fingerprint: a triage
+    key, with the SHA-256 exact_digest alongside as the confirm key.
+    Native conv/md5/aggregate fold — no Python, no shuffle."""
+    t = tokens(text_col)
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, x: (
+            acc * F.lit(31).cast("long")
+            + F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")
+        ) % F.lit(1 << 30).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.sha2(F.concat_ws(" ", t), 256).alias("exact_digest"),
+    )
+
+
 def sequence_pack(
     docs: DataFrame,
     budget: int = 2048,
@@ -921,12 +952,10 @@ def bpe_merge_rounds(
     m13/m28 lineage-truncation posture), and the checkpoint is what
     keeps round k from re-running rounds 1..k-1's rewrites.
 
-    Tests-only for now (round-8 window math — every oracle-bearing
-    registration must hold a window slot): the binding proof is the
-    pure-Python BPE equality property in tests/test_bpe.py, which is
-    STRONGER than a fixed-fixture oracle for an iterative argmax
-    (it exercises arbitrary tie layouts). Promotable with an
-    unrolled-CTE oracle when the rotation debt clears.
+    Registered round 9 as l61_bpe_merges with the unrolled-CTE DuckDB
+    oracle (queries/bpe_oracle.py); the strongest local proof stays
+    the pure-Python BPE equality property in tests/test_bpe.py, which
+    exercises arbitrary tie layouts a fixed-fixture oracle could not.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")

@@ -38,6 +38,7 @@ from ..operators.multimodal import (
 )
 from ..operators.similarity import ann_lsh_topk, cosine_topk_exact
 from ..sources.io import load_table
+from .bpe_oracle import bpe_encode_oracle_sql, bpe_oracle_sql
 from .registry import query
 
 _STOPLIST_SQL = "', '".join(T.STOPWORDS)
@@ -401,9 +402,47 @@ def l04b_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("l04c_doc_fingerprints")
 def l04c_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: order-sensitive rolling-hash fingerprints (xxhash64-based —
-    Spark-specific, hence rows-only) next to a portable SHA-256."""
+    Spark-specific, hence rows-only) next to a portable SHA-256. The
+    hash-oracle-able twin is l04d_portable_fingerprints."""
     docs = load_table(spark, sf_dir, "documents")
     return T.rolling_fingerprint(docs)
+
+
+@query(
+    "l04d_portable_fingerprints",
+    oracle="""
+    -- Engine-shared rolling fingerprint: per-token hash is the first
+    -- 7 hex chars of md5 (28 bits) folded left-to-right as
+    -- (acc*31 + h) mod 2^30 — list_reduce is a sequential fold, the
+    -- exact twin of Spark aggregate(); mod-2^30 keeps every
+    -- intermediate in exactly-representable BIGINT range (DuckDB
+    -- errors on 64-bit overflow, so JVM-style wraparound is not an
+    -- option on purpose).
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN len(toks) = 0 THEN 0
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(toks, w -> list_reduce(
+                      list_transform(string_split(substr(md5(w), 1, 7), ''),
+                        c -> CAST(strpos('0123456789abcdef', c) - 1
+                                  AS BIGINT)),
+                      (a, b) -> a * 16 + b))),
+                  (acc, h) -> (acc * 31 + h) % 1073741824)
+                END AS BIGINT) AS fingerprint,
+           sha256(array_to_string(toks, ' ')) AS exact_digest
+    FROM t
+    """,
+)
+def l04d_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: l04c's hash-oracle-able twin (round-9 rows-only burn-down,
+    the l59 engine-shared-digest pattern): md5-28bit token hashes in
+    the same order-sensitive polynomial fold, reduced mod 2^30 so
+    both engines compute identical exact integers. operators/
+    text.py::portable_fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.portable_fingerprint(docs)
 
 
 @query(
@@ -3391,3 +3430,47 @@ def l60_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = emb.filter(F.col("vec_id") % 2 == 0)
     cur = emb.filter(F.col("vec_id") % 2 == 1)
     return embedding_projection_drift(ref, cur, "embedding", dim=64)
+
+
+# --- BPE trainer/encoder (round-9 promotion of the round-8 staged
+# pair). The oracles are GENERATED at registration time from
+# queries/bpe_oracle.py at a FIXED n_merges — the l60 pattern — and
+# tests/test_bpe.py certifies the SAME generators against the
+# operators on the fixture, tie-heavy corpora, and early-stop cases,
+# so the registered SQL can never drift from the certified SQL.
+
+BPE_TRAIN_MERGES = 6  # fixture-certified depth (test_bpe: 3 and 6)
+BPE_ENCODE_MERGES = 5  # fixture-certified depth (test_bpe: 5)
+
+
+@query("l61_bpe_merges", oracle=bpe_oracle_sql(BPE_TRAIN_MERGES))
+def l61_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (tokenizer training): the first 6 BPE merges learned over
+    the documents corpus — Sennrich-style freq-weighted pair argmax
+    with a deterministic (count DESC, pair ASC) tiebreak and
+    left-to-right non-overlapping rewrite. Scale: the corpus is
+    scanned EXACTLY ONCE into a (word, freq) vocabulary; every round
+    runs on the vocabulary relation (language-bounded, not
+    corpus-bounded) with a 1-row argmax probe — see
+    operators/text.py::bpe_merge_rounds. Oracle: unrolled-CTE round
+    triples (count, gated argmax, replace-fold), queries/
+    bpe_oracle.py; certified in tests/test_bpe.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_merge_rounds(docs, n_merges=BPE_TRAIN_MERGES)
+
+
+@query("l62_bpe_encode", oracle=bpe_encode_oracle_sql(BPE_ENCODE_MERGES))
+def l62_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (tokenization): encode every document with a merge table
+    self-trained on the same corpus (n_merges=5) — the GPT-2-style
+    rank-priority loop, provably equal to training-order replay on
+    self-trained tables. The encoder is the one text operator that is
+    a UDF by DESIGN (algorithmic loop): iterator-form pandas UDF with
+    a per-worker rank dict and a size-capped word memo, row-local,
+    zero shuffles — operators/text.py::bpe_encode. Oracle: the
+    trainer CTEs plus per-round rank-order replace-folds over a
+    sentinel-joined word encoding, queries/bpe_oracle.py; certified
+    in tests/test_bpe.py (fixture equality + word-boundary pin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = T.bpe_merge_rounds(docs, n_merges=BPE_ENCODE_MERGES)
+    return T.bpe_encode(docs, merges).select("doc_id", "bpe_tokens")

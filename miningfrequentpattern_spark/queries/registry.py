@@ -176,33 +176,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ROWS_ONLY_REFRESH empties: every slot this round is oracle-bearing
 # (l03b got its post-rewrite run-proof in r7).
 #
-# ROUND 9 ROTATION TODO: run `python scripts/plan_rotation.py` after
-# CORRECTNESS_r08 lands — it recomputes the window from the recorded
-# proofs mechanically (canaries + --promote names + never-proven +
-# oldest proofs) and prints a ready-to-paste PRIORITY. Verified
-# against this round's hand-built window: identical content. The
-# hand-derived plan, for cross-checking the script: the oldest
-# remaining driver proofs are (computed from CORRECTNESS_r0*.json,
-# latest round per query): ONE r2 row (l02d_embedding_neardup), 16
-# r3 rows (l10, l11, l12, l13, l15, l16, l17, l19, l20,
-# m04_itemsets_full_tokens, m04_itemsets_market, m05_rules_full_
-# tokens, m07_topk_itemsets, m09_prefixspan_full, m10_maximal_
-# itemsets, t06_microbatch_mining), and 33 r4 rows. Window = 3
-# canaries + l02d + the 16 r3 rows + the first 30 of the r4 list in
-# registration order (l02, l02g, l03, l25, l26, l27, m03,
-# m04_itemsets_k2_tokens, m05_rules_1to1_tokens, m06, m07_topk_items,
-# m08, m09_prefixspan_1seq, m10_closed_itemsets, m12, m15, r02, r03,
-# r04, r05, r06, r07, r08, r08b, r36, r37, r38, r39, r40, s10) = 50
-# exactly; the r4 remainder (s11, s12, u07) + the r5 cohort lead
-# round 10. Any round-8 staged operator that gains an oracle
-# DISPLACES backfills — stage sparingly until the r4 tail promotes.
-# Ready to stage WHEN slots free (round 11+): the two BPE operators
-# (operators/text.py::bpe_merge_rounds / bpe_encode) have CERTIFIED
-# unrolled-CTE DuckDB oracles in tests/test_bpe.py
-# (bpe_oracle_sql / bpe_encode_oracle_sql — equality proven on the
-# fixture, tie-heavy corpora, and early stop); registration is
-# mechanical: generate the SQL at a fixed n_merges and move it
-# verbatim into the @query oracle.
+# ROUND 9 ROTATION (executed; CORRECTNESS_r08 came back 50/50 green,
+# zero errors — every round-8 promotion hash-proven first try):
+# window generated by `python scripts/plan_rotation.py` (no --promote
+# needed: the three round-9 registrations are never-proven, so the
+# limbo guard promotes them implicitly). 3 canaries + 3 promotions
+# (l61_bpe_merges / l62_bpe_encode — the round-8-certified unrolled-
+# CTE oracles moved from tests/test_bpe.py into queries/bpe_oracle.py
+# and generated at fixed n_merges on the registration, the l60
+# pattern; l04d_portable_fingerprints — l04c's md5-28bit mod-2^30
+# hash-oracle-able twin, the l59 engine-shared-digest pattern) + the
+# 44 oldest-proof backfills (the one r2 row l02d, all 16 r3 rows,
+# the first 27 r4 rows in registration order). The three promotions
+# displace exactly three r4 backfills to round 10.
+#
+# ROUND 10 ROTATION TODO: re-run `python scripts/plan_rotation.py`
+# after CORRECTNESS_r09 lands. Expected shape (hand cross-check):
+# 3 canaries + the r4 remainder (l26_source_kl_drift,
+# l27_dsir_resample, s10_compaction_roundtrip, s11_binaryfile_scan,
+# s12_bucketed_join, u07_polymorphic_udtf, m13_part_pagerank,
+# m14_part_triangles, l28_ngram_novelty, r05b/l04/l05/l06/l09/m02-
+# class r4 rows — whatever plan_rotation lists) + the r5 cohort
+# (s13, m16, l30, t07, m17, l31, l32, s14, r41-r47, l33-l38, m18,
+# m19, l40, r48, u08...) up to 50. After round 10 the oldest proof
+# should be r6. Stage new oracle-bearing registrations sparingly —
+# each displaces a backfill.
 # Keep the canaries and re-certify anything whose code or oracle
 # text changes.
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset()
@@ -211,56 +209,56 @@ PRIORITY: tuple[str, ...] = (
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    # round-8 promotions (staged r7; oracles verbatim from test files)
-    "r85_retention_cohorts",
-    "r86_pit_features",
-    "r87_ttl_dedup",
-    "r88_growth_accounting",
-    "r89_forecast_backtest",
-    "r90_holt_winters",
-    "r91_trend_weekend_ols",
-    "s18_corrupt_csv_audit",
-    "s19_corrupt_json_audit",
-    "l55_source_overlap",
-    "l56_truncated_recall",
-    "l57_normalized_dedup",
-    "l58_gate_ablation",
-    "l59_media_dedup",
-    "l60_embedding_drift",
-    "u09_iter_quantize",
-    "m28_part_communities",
-    # backfill: r7-deferred remainder of TODO list (a)
-    "m02_item_support",
-    "t01_tumbling_window",
-    "t02_sliding_window",
-    "t03_session_window",
-    "t04_dedup_first_event",
-    "t05_stateful_user_counts",
-    "t05b_stateful_user_counts_native",
-    "u03_udtf_token_counts",
-    # backfill: TODO list (b) in full
-    "l02f_ngram_jaccard_guarded",
-    "l21_source_mixing",
-    "l22_prefix_dup_rate",
-    "l23_source_overlap",
-    "l24_embedding_quantize",
-    "m11_rule_interest",
-    "r34_rolling_7day_spend",
-    "r35_unpivot_part_metrics",
-    "u04_arrow_vector_norms",
-    "u05_arrow_grouped_centroids",
-    "u06_grouped_agg_geomean",
-    "r23_daily_activity_ffill",
-    "r24_pivot_event_counts",
-    "r25_unpivot_part_attrs",
-    "r26_global_order_rank",
-    "r27_variant_props",
-    "r28_recursive_order_chain",
-    "r30_above_nation_avg",
-    "r31_lateral_top_suppliers",
-    "r32_incremental_upsert",
-    "l07_multimodal_join",
-    "l07c_frame_sample",
+    # round-9 promotions (never-proven: implicit via the limbo guard)
+    "l04d_portable_fingerprints",
+    "l61_bpe_merges",
+    "l62_bpe_encode",
+    # backfill: oldest driver proofs first (r2, then r3, then r4 in
+    # registration order) — plan_rotation.py output verbatim
+    "l02d_embedding_neardup",  # last proof r2
+    "m04_itemsets_full_tokens",  # last proof r3
+    "m04_itemsets_market",  # last proof r3
+    "m05_rules_full_tokens",  # last proof r3
+    "m07_topk_itemsets",  # last proof r3
+    "m09_prefixspan_full",  # last proof r3
+    "m10_maximal_itemsets",  # last proof r3
+    "l10_pii_scrub",  # last proof r3
+    "l11_stratified_sample",  # last proof r3
+    "l12_decontaminate",  # last proof r3
+    "l13_sequence_pack",  # last proof r3
+    "l15_unigram_logprob",  # last proof r3
+    "l16_chunk_overlap",  # last proof r3
+    "l17_tfidf_topterms",  # last proof r3
+    "l19_duplicate_ngram_spans",  # last proof r3
+    "l20_quality_buckets",  # last proof r3
+    "t06_microbatch_mining",  # last proof r3
+    "m03_frequent_items",  # last proof r4
+    "m04_itemsets_k2_tokens",  # last proof r4
+    "m05_rules_1to1_tokens",  # last proof r4
+    "m06_rule_transform",  # last proof r4
+    "m07_topk_items",  # last proof r4
+    "m08_apriori_tokens",  # last proof r4
+    "m09_prefixspan_1seq",  # last proof r4
+    "m10_closed_itemsets",  # last proof r4
+    "m12_sequence_rules",  # last proof r4
+    "m15_pair_utility",  # last proof r4
+    "r02_pricing_summary",  # last proof r4
+    "r03_local_supplier_volume",  # last proof r4
+    "r04_customer_order_counts",  # last proof r4
+    "r05_customers_without_orders",  # last proof r4
+    "r06_click_to_purchase_10min",  # last proof r4
+    "r07_region_segment_grid",  # last proof r4
+    "r08_asof_last_click_before_purchase",  # last proof r4
+    "r08b_asof_bucketed",  # last proof r4
+    "r36_salted_join_segments",  # last proof r4
+    "r37_snapshot_diff",  # last proof r4
+    "r38_incremental_agg_refresh",  # last proof r4
+    "r39_funnel_conversion",  # last proof r4
+    "r40_cohort_retention",  # last proof r4
+    "l02_ngram_jaccard_pairs",  # last proof r4
+    "l02g_ngram_jaccard_capped",  # last proof r4
+    "l03_cosine_topk",  # last proof r4
+    "l25_curation_pipeline",  # last proof r4
 )
 
 
