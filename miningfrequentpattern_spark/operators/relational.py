@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
 from ..functions.rounding import round4
+from . import ckpt
 
 
 _BUCKET_UNITS = {
@@ -1646,8 +1647,14 @@ def growth_accounting(
     # shift, and the spine bounds), and without truncation each one
     # re-executes the corpus scan + classification window. One eager
     # materialization of a week-count-sized relation vs three corpus
-    # passes — same trade as the graph loops' per-round pins.
-    counts = counts_lazy.localCheckpoint(eager=True)
+    # passes — same trade as the graph loops' per-round pins. The pin
+    # is INTENTIONALLY not released here: the RETURNED plan reads it
+    # (a localCheckpoint's blocks ARE its data — releasing before the
+    # caller consumes the result would fail the job), so its lifetime
+    # is the result DataFrame's, reclaimed by the ContextCleaner on
+    # GC. Bounded: one period-grain relation per call, never a loop's
+    # O(rounds) accumulation (ADVICE r8).
+    counts = ckpt.pin(counts_lazy)
     # churned INTO period p = active(calendar predecessor of p) −
     # retained(p) — computed from the counts relation itself
     # (period-grain, tiny, broadcast). The shift is applied on the

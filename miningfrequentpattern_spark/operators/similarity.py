@@ -369,8 +369,12 @@ def ivf_topk(
     # uncached corpus lineage re-reads parquet + re-converts vectors
     # every time — the exact shape ivfpq_topk measured at ~18 s vs
     # ~1 s cached at sf0.1 (its coarse-fit comment), never back-ported
-    # here until code-review r8.
-    fit_vec = c_vec.select("_v").coalesce(8).cache()
+    # here until code-review r8. Target partition count scales with
+    # the cluster (ADVICE r8 — a literal 8 capped fit parallelism on
+    # big executors): coalesce never RAISES a count, so min(current,
+    # target) is implicit.
+    fit_parts = max(8, c_vec.sparkSession.sparkContext.defaultParallelism)
+    fit_vec = c_vec.select("_v").coalesce(fit_parts).cache()
     try:
         model = km.fit(fit_vec)
     finally:
@@ -446,13 +450,26 @@ _FIT_CACHE: dict[tuple, object] = {}
 
 def _fit_cache_put(key: tuple, value: object) -> None:
     """Insert a fit under its (applicationId-prefixed) key, evicting
-    every entry from OTHER applications first: stale-app broadcasts
-    can never be reused (the appId prefix guarantees that) but would
-    otherwise accumulate driver-side numpy copies across session
-    restarts in a long-lived process (notebook kernels, repeated
-    get_session/stop cycles — code-review r8 finding)."""
+    entries from STOPPED applications: stale-app broadcasts can never
+    be reused (the appId prefix guarantees that) but would otherwise
+    accumulate driver-side numpy copies across session restarts in a
+    long-lived process (notebook kernels, repeated get_session/stop
+    cycles — code-review r8 finding). Eviction spares any app whose
+    SparkContext is still the process's ACTIVE one (ADVICE r8:
+    blanket cross-app eviction would thrash-evict between two live
+    engines; classic PySpark has one active context per process, so
+    "not inserting and not active" == stopped)."""
     app = key[0]
-    for k in [k for k in _FIT_CACHE if k[0] != app]:
+    live = {app}
+    try:
+        from pyspark import SparkContext
+
+        active = SparkContext._active_spark_context
+        if active is not None:
+            live.add(active.applicationId)
+    except Exception:
+        pass
+    for k in [k for k in _FIT_CACHE if k[0] not in live]:
         del _FIT_CACHE[k]
     _FIT_CACHE[key] = value
 
@@ -931,9 +948,12 @@ def ivfpq_topk(
         )
     b_centers = _FIT_CACHE.get(coarse_key) if coarse_key else None
     if b_centers is None:
+        # Same cluster-scaled fit parallelism as ivf_topk (ADVICE r8:
+        # a literal 8 capped Lloyd's scan concurrency regardless of
+        # corpus size; coalesce never raises the count).
         fit_vec = (
             c.select(array_to_vector(F.col("_nv")).alias("_v"))
-            .coalesce(8)
+            .coalesce(max(8, spark.sparkContext.defaultParallelism))
             .cache()
         )
         try:

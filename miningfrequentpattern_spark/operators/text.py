@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import ckpt
+
 # NB: Iterator/pd are module-level ON PURPOSE: `from __future__ import
 # annotations` stringifies hints, and pandas_udf's iterator-form
 # detection resolves them against MODULE globals — function-local
@@ -968,7 +970,7 @@ def bpe_merge_rounds(
     # One corpus pass: whitespace words -> (word, freq), then each
     # word becomes its character-symbol array. Everything after this
     # line is vocabulary-sized.
-    vocab = (
+    vocab = ckpt.pin(
         docs.select(
             F.explode(tokens(text_col)).alias("_w")
         )
@@ -978,7 +980,6 @@ def bpe_merge_rounds(
             F.split("_w", "").alias("_syms"),
             "_freq",
         )
-        .localCheckpoint(eager=True)
     )
 
     merges: list[tuple[int, str, str, str, int]] = []
@@ -1048,10 +1049,18 @@ def bpe_merge_rounds(
             ),
             lambda st_: st_.acc,
         )
-        vocab = vocab.select(
-            folded.alias("_syms"), "_freq"
-        ).localCheckpoint(eager=True)
+        # New generation pinned eagerly, PREVIOUS generation released
+        # NOW (the graph-loop ckpt seam): without the release a
+        # k-round training run pins O(k) vocabulary copies for the
+        # session (ADVICE-r8 class leak, fixed alongside
+        # growth_accounting's).
+        prev = vocab
+        vocab = ckpt.pin(vocab.select(folded.alias("_syms"), "_freq"))
+        ckpt.release(prev)
 
+    # The merge table was collected round-by-round; the final vocab
+    # generation has no consumer — release it too.
+    ckpt.release(vocab)
     return spark.createDataFrame(
         merges,
         "round int, left string, right string, merged string, "

@@ -70,13 +70,16 @@ def ewma(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    # The tiebreak may BE the value column (the streaming twins order
-    # by (ts, value) — the holt_linear guard): selecting it beside
-    # the cast-to-double alias would duplicate the name and raise
-    # AMBIGUOUS_REFERENCE (code-review r8 finding).
+    # The tiebreak may BE the value column, the order column, or one
+    # of the keys (the streaming twins order by (ts, value) — the
+    # holt_linear guard): selecting it beside any column already in
+    # the projection would duplicate the name and raise
+    # AMBIGUOUS_REFERENCE (code-review r8 finding; ADVICE r8 widened
+    # the guard from value_col to every already-selected column).
     extra = (
         [tiebreak_col]
-        if tiebreak_col and tiebreak_col != value_col
+        if tiebreak_col
+        and tiebreak_col not in (*keys, order_col, value_col)
         else []
     )
     base = df.select(

@@ -350,9 +350,22 @@ def merge_upsert_partitioned(
                 "row's) — the partition value is immutable per key; "
                 "delete + re-insert explicitly instead"
             )
-    survivors = in_touched.join(
-        F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
+    # NULL-SAFE key anti-join (ADVICE r8): update-side NULL keys are
+    # rejected above, so today eqNullSafe and plain equality agree —
+    # but plain equality encodes that invariant IMPLICITLY (a future
+    # relaxation of the guard would silently duplicate any base row
+    # whose key never anti-matches). Null-safe matching makes the
+    # delete-the-old-version step correct by construction; base-side
+    # NULL-key rows (legacy data) still survive, because no update
+    # can carry a NULL key to match them.
+    upd_keys = F.broadcast(
+        updates.select(*keys).distinct().alias("_mu")
     )
+    surv_cond = None
+    for k in keys:
+        c = in_touched[k].eqNullSafe(F.col(f"_mu.{k}"))
+        surv_cond = c if surv_cond is None else surv_cond & c
+    survivors = in_touched.join(upd_keys, surv_cond, "left_anti")
     inserts = updates
     if op_col is not None:
         inserts = updates.filter(F.col(op_col) != delete_marker).drop(

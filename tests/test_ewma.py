@@ -76,3 +76,29 @@ def test_duplicate_order_values_raise_without_tiebreak(spark):
     }
     # Deterministic sequence 10, 30, 20 under alpha=0.5:
     assert got[1] == 10.0 and got[2] == 20.0 and got[3] == 20.0
+
+
+def test_tiebreak_equal_to_selected_columns_is_safe(spark):
+    """tiebreak_col equal to the ORDER column, a KEY, or the VALUE
+    column must not double-select the name (AMBIGUOUS_REFERENCE —
+    ADVICE r8 widened the original value_col-only guard). Semantics:
+    tiebreak==order_col cannot resolve real ties, so the tied-series
+    raise still fires; on a tie-free series it's a no-op."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0)],
+        "k string, t int, x double",
+    )
+    for tb in ("t", "k", "x"):
+        got = {
+            r["t"]: r["ewma"]
+            for r in ewma(df, ["k"], "t", "x", 0.5, tiebreak_col=tb).collect()
+        }
+        assert got == {1: 10.0, 2: 20.0, 3: 20.0}, tb
+    # tiebreak==order_col leaves real ties unresolved -> still raises
+    tied = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 1, 30.0)], "k string, t int, x double"
+    )
+    with pytest.raises(Exception, match="order-ambiguous|duplicate"):
+        ewma(tied, ["k"], "t", "x", 0.5, tiebreak_col="t").collect()

@@ -257,6 +257,30 @@ def test_merge_upsert_partition_col_in_keys(spark, tmp_path):
     }
 
 
+def test_merge_upsert_null_base_key_survives_once(spark, tmp_path):
+    """Base rows with a NULL merge key (legacy data — updates can
+    never carry one, the guard raises) must survive a merge touching
+    their partition EXACTLY once: the survivors anti-join is
+    null-safe by construction (ADVICE r8), so a NULL base key neither
+    matches an update nor duplicates."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(None, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k long, p string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0)], "k long, p string, v double"
+    )
+    merge_upsert_partitioned(spark, path, updates, ["k"], "p")
+    rows = [
+        (r["k"], r["p"], r["v"]) for r in spark.read.parquet(path).collect()
+    ]
+    assert sorted(rows, key=str) == sorted(
+        [(None, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0)], key=str
+    )
+
+
 def test_merge_upsert_boolean_partition_tombstone_cleanup(
     spark, tmp_path
 ):
