@@ -161,6 +161,11 @@ ADDITIONS = [
     "m28_part_communities",
     "l56_truncated_recall",
     "u09_iter_quantize",
+    # round-9 — the promoted BPE pair: vocabulary-checkpoint training
+    # loop with per-round 1-row argmax probes; iterator-pandas-UDF
+    # encoder with per-worker rank dict + word memo
+    "l61_bpe_merges",
+    "l62_bpe_encode",
 ]
 
 HEADLINE = LIKE_FOR_LIKE + ADDITIONS
@@ -200,9 +205,53 @@ EXPECTED_SUPERLINEAR = {
 SUPERLINEAR_EXP = 1.4
 MIN_FLAG_SEC = 1.0
 
+# Watch list (VERDICT r8): queries with a DOCUMENTED, scale-sound
+# sub-linear-per-decade growth that is nonetheless the largest in the
+# headline — their measured exponent (r8 reading) and a per-query
+# tripwire BELOW the generic 1.4 envelope, so a real regression flags
+# instead of hiding inside it. Both are grouped-map/relation costs
+# with no native escape: acceptable, but pinned.
+WATCH_GROWTH = {
+    # measured 0.52/decade r8: Python-seam serialization ∝ rows in
+    # the provably-not-window-expressible TTL recurrence
+    # (operators/timeseries.py) — one key shuffle, O(1) state per key
+    "r87_ttl_dedup": 0.8,
+    # measured 0.55/decade r8: per-round (node,label) relation ≈ |E|
+    # in LPA (operators/graph.py) — the honest LPA cost model below
+    # Spark's per-stage overhead crossover at sf0.1
+    "m28_part_communities": 0.8,
+}
+
+
+# Idle gate (VERDICT r8): telemetry alone did not stop a contaminated
+# reading (the r8 driver bench ran at loadavg 3.5-5.9 → 2-6x per-query
+# swings, memory/bench-contention-protocol). Busy-wait — BOUNDED — for
+# the 1-min load to drop below IDLE_LOAD_1M before timing anything; if
+# it never does, run anyway but stamp `contaminated: true` in BOTH
+# output records so a hot reading is self-labeling rather than
+# indistinguishable from a regression. Opt out (e.g. in CI smoke) with
+# SPARK_GRAFT_IDLE_GATE=0.
+IDLE_LOAD_1M = 0.5
+IDLE_WAIT_MAX_SEC = 600
+IDLE_POLL_SEC = 10
+
+
+def _wait_for_idle() -> tuple[int, bool]:
+    """Returns (seconds waited, contaminated?)."""
+    if os.environ.get("SPARK_GRAFT_IDLE_GATE", "1") == "0":
+        return 0, os.getloadavg()[0] >= IDLE_LOAD_1M
+    waited = 0
+    while (
+        os.getloadavg()[0] >= IDLE_LOAD_1M and waited < IDLE_WAIT_MAX_SEC
+    ):
+        time.sleep(IDLE_POLL_SEC)
+        waited += IDLE_POLL_SEC
+    return waited, os.getloadavg()[0] >= IDLE_LOAD_1M
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idle_wait_sec, contaminated = _wait_for_idle()
     # Host-contention telemetry (VERDICT r7): the driver's bench
     # reading swung 0.90x -> 1.49x with builder-measured load-avg ~5
     # from OUTSIDE this process. Recording 1/5/15-min load before and
@@ -339,7 +388,10 @@ def main() -> None:
                 math.log10(max(t_hi, 1e-3) / max(t_mid, 1e-3)) / decades, 3
             )
             per_query[name] = {"sec_by_sf": curve, "exp_last_decade": exp}
-            if exp > SUPERLINEAR_EXP and t_hi >= MIN_FLAG_SEC:
+            threshold = min(
+                SUPERLINEAR_EXP, WATCH_GROWTH.get(name, SUPERLINEAR_EXP)
+            )
+            if exp > threshold and t_hi >= MIN_FLAG_SEC:
                 if name in EXPECTED_SUPERLINEAR:
                     explained[name] = EXPECTED_SUPERLINEAR[name]
                 else:
@@ -361,6 +413,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "idle_wait_sec": idle_wait_sec,
+        "contaminated": contaminated,
     }
     if scaling is not None:
         out["scaling"] = scaling
@@ -400,6 +454,11 @@ def main() -> None:
         # contention, not regression (VERDICT r7 diagnosability ask).
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        # Idle gate verdict (VERDICT r8): true = the 1-min load never
+        # dropped below IDLE_LOAD_1M within the bounded wait — treat
+        # the reading as contention-suspect, not a regression.
+        "idle_wait_sec": idle_wait_sec,
+        "contaminated": contaminated,
         "detail": detail_path,
     }
     line = json.dumps(compact)

@@ -1833,10 +1833,13 @@ def m28_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     between m17's clustering coefficient and l02e's connected
     components: CC merges two cliques joined by one bridge, LPA keeps
     them apart (tests/test_label_propagation.py). Shape: stubs
-    pre-hashed + cached once; per round ONE |V|-row label shuffle +
-    a (node, label) count + per-node rank-1; lineage truncated per
-    round (the r5 Catalyst exponential-plan fix).
-    operators/graph.py::label_propagation."""
+    pre-hashed + cached once; per round ONE hash(node) exchange that
+    both the (node, label) count and the argmax ride (r9 shave,
+    7.1->4.2 s at sf0.1, bit-identical labeling); lineage truncated
+    per round (the r5 Catalyst exponential-plan fix). Why not fewer
+    rounds: 2-round LPA diverges from 3-round on 73% of fixture
+    nodes (scripts/m28_ab.py) — the iteration count is semantics,
+    not tuning. operators/graph.py::label_propagation."""
     from ..operators.graph import label_propagation
 
     pairs = _copurchase_pairs(spark, sf_dir)

@@ -188,7 +188,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # hash-oracle-able twin, the l59 engine-shared-digest pattern) + the
 # 44 oldest-proof backfills (the one r2 row l02d, all 16 r3 rows,
 # the first 27 r4 rows in registration order). The three promotions
-# displace exactly three r4 backfills to round 10.
+# displace exactly three r4 backfills to round 10. ONE post-script
+# hand edit: m28_part_communities re-enters the window (displacing
+# the youngest backfill, l25_curation_pipeline -> round 10) because
+# its operator code changed this round — the label_propagation
+# single-exchange round-body shave (bit-identical labeling proven by
+# scripts/m28_ab.py parity, but the re-certify rule is mechanical:
+# changed code re-proves in the driver env).
 #
 # ROUND 10 ROTATION TODO: re-run `python scripts/plan_rotation.py`
 # after CORRECTNESS_r09 lands. Expected shape (hand cross-check):
@@ -258,7 +264,10 @@ PRIORITY: tuple[str, ...] = (
     "l02_ngram_jaccard_pairs",  # last proof r4
     "l02g_ngram_jaccard_capped",  # last proof r4
     "l03_cosine_topk",  # last proof r4
-    "l25_curation_pipeline",  # last proof r4
+    # re-certification: label_propagation round-body changed (r9
+    # single-exchange shave) — changed code re-proves, displacing
+    # l25_curation_pipeline (r4 proof) to round 10
+    "m28_part_communities",
 )
 
 
