@@ -259,7 +259,16 @@ def embedding_spectrum(
         tot = float(lam.sum())
         share = float(lam[0] / tot) if tot > 0 else None
         erank = float(tot**2 / (lam @ lam)) if tot > 0 else None
-        cum = np.cumsum(lam) / tot if tot > 0 else np.ones(dim)
+        # Zero total variance (all-constant corpus): every spectrum
+        # statistic is undefined — n_components_90 must be NULL like
+        # top1_share/effective_rank, not 1 ("one component covers
+        # 90%" reads as maximally-collapsed-but-well-defined, the
+        # opposite of no-variance-at-all; code-review r9).
+        n90 = (
+            int(np.searchsorted(np.cumsum(lam) / tot, 0.9) + 1)
+            if tot > 0
+            else None
+        )
         return pd.DataFrame(
             {
                 "n_vectors": [n],
@@ -268,7 +277,7 @@ def embedding_spectrum(
                 "effective_rank": [
                     None if erank is None else round(erank, 4)
                 ],
-                "n_components_90": [int(np.searchsorted(cum, 0.9) + 1)],
+                "n_components_90": pd.array([n90], dtype="Int32"),
             }
         )
 
@@ -393,37 +402,82 @@ def embedding_projection_drift(
     <0.1 / >0.25 thresholds (Cramér–Wold: distributions differing at
     all differ on almost every projection).
 
-    Shape: the projection is a codegen zip_with dot per direction
-    (row-local; corpus scanned once per side), then psi_drift's
-    per-direction bin aggregates — everything after the scans is
-    n_directions × n_bins rows. At 100 TB: identical to r74's
-    posture, ×n_directions.
+    Shape: ALL n_directions projections are codegen zip_with dots
+    emitted as columns of ONE narrow (n_directions-wide double)
+    relation per side, eagerly pinned — so each corpus really is
+    scanned once per side, and psi_drift's per-direction quantile +
+    bin aggregates (2×n_directions ref reads, n_directions cur
+    reads) run over the pinned skinny relation, never the corpus
+    (code-review r9: the first cut re-ran the corpus scan per
+    psi_drift leg). The pin's lifetime is the returned plan's (the
+    growth_accounting stance); everything after the two pinned scans
+    is n_directions × n_bins rows. Malformed vectors follow the
+    module's partial-result-is-wrong-result stance: a NULL vector
+    has no projection (filtered, as documented), but a RAGGED vector
+    or a NULL ELEMENT inside one raises — silently dropping rows
+    from n_cur/cur_share would understate exactly the drift this
+    monitor exists to catch.
     """
     import numpy as np
 
+    from . import ckpt
     from .relational import psi_drift
 
+    if n_directions < 1:
+        raise ValueError(
+            f"n_directions must be >= 1, got {n_directions}"
+        )
     rng = np.random.default_rng(seed)
     proj = rng.standard_normal((n_directions, dim))
     proj /= np.linalg.norm(proj, axis=1, keepdims=True)
 
+    def projected(df: DataFrame) -> DataFrame:
+        cols = []
+        for t in range(n_directions):
+            r_t = F.array(*[F.lit(float(v)) for v in proj[t]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), r_t, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            # round the projection to 6dp BEFORE binning on both
+            # engines: the bin edges are quantiles of these values,
+            # and an unrounded last-ulp difference at an edge would
+            # re-bin a row (the r74 4dp-edge stance, one digit finer
+            # since projections are O(1) scale); + 0.0 pins the sign
+            # of zero. A NULL dot under a NON-null vector means a
+            # ragged vector (zip_with padded) or a NULL element —
+            # raise, never drop (stance above); size is checked
+            # explicitly so the error names the actual defect.
+            pr = F.round(dot, 6) + F.lit(0.0)
+            guarded = (
+                F.when(F.size(F.col(vec_col)) != dim, F.raise_error(
+                    F.format_string(
+                        f"ragged {vec_col}: expected dim {dim}, got %s",
+                        F.size(F.col(vec_col)).cast("string"),
+                    )
+                ).cast("double"))
+                .when(pr.isNull(), F.raise_error(F.lit(
+                    f"null element inside {vec_col}: filter or impute "
+                    "upstream; drift shares over partial corpora would "
+                    "be silently wrong"
+                )).cast("double"))
+                .otherwise(pr)
+            )
+            cols.append(guarded.alias(f"_p{t}"))
+        return ckpt.pin(
+            df.filter(F.col(vec_col).isNotNull()).select(*cols)
+        )
+
+    ref_p, cur_p = projected(ref), projected(cur)
     out = None
     for t in range(n_directions):
-        r_t = F.array(*[F.lit(float(v)) for v in proj[t]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), r_t, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        # round the projection to 6dp BEFORE binning on both engines:
-        # the bin edges are quantiles of these values, and an unrounded
-        # last-ulp difference at an edge would re-bin a row (the r74
-        # 4dp-edge stance, one digit finer since projections are O(1)
-        # scale); + 0.0 pins the sign of zero.
-        pr = F.round(dot, 6) + F.lit(0.0)
-        rp = ref.filter(F.col(vec_col).isNotNull()).select(pr.alias("_p"))
-        cp = cur.filter(F.col(vec_col).isNotNull()).select(pr.alias("_p"))
-        d = psi_drift(rp, cp, "_p", n_bins=n_bins).select(
+        d = psi_drift(
+            ref_p.select(F.col(f"_p{t}").alias("_p")),
+            cur_p.select(F.col(f"_p{t}").alias("_p")),
+            "_p",
+            n_bins=n_bins,
+        ).select(
             F.lit(t).alias("direction"),
             "bin",
             "n_ref",

@@ -209,7 +209,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # each displaces a backfill.
 # Keep the canaries and re-certify anything whose code or oracle
 # text changes.
-ROWS_ONLY_REFRESH: frozenset[str] = frozenset()
+# l44 rides a deliberate refresh slot: embedding_spectrum's
+# degenerate (zero-variance) branch changed in the round-9 review
+# sweep — rows-only by design (eigh has no SQL twin), so the
+# re-certification is a fresh RUN proof, marked here so
+# tests/test_rotation.py can tell it from a wasted slot.
+ROWS_ONLY_REFRESH: frozenset[str] = frozenset({"l44_embedding_spectrum"})
 PRIORITY: tuple[str, ...] = (
     # canaries - proven every round, kept to detect driver-env drift
     "m01_basketize_orders",
@@ -261,13 +266,16 @@ PRIORITY: tuple[str, ...] = (
     "r38_incremental_agg_refresh",  # last proof r4
     "r39_funnel_conversion",  # last proof r4
     "r40_cohort_retention",  # last proof r4
-    "l02_ngram_jaccard_pairs",  # last proof r4
-    "l02g_ngram_jaccard_capped",  # last proof r4
-    "l03_cosine_topk",  # last proof r4
-    # re-certification: label_propagation round-body changed (r9
-    # single-exchange shave) — changed code re-proves, displacing
-    # l25_curation_pipeline (r4 proof) to round 10
+    # re-certifications (changed code re-proves in the driver env;
+    # each displaces one youngest r4 backfill — l25, l02, l02g, l03
+    # move to round 10): m28 label_propagation single-exchange shave;
+    # l60 drift one-pass-per-side pin + malformed-input raises; u09
+    # NULL-vector/NULL-element oracle-exact semantics; l44 spectrum
+    # zero-variance NULL stats (rows-only — see ROWS_ONLY_REFRESH)
     "m28_part_communities",
+    "l60_embedding_drift",
+    "u09_iter_quantize",
+    "l44_embedding_spectrum",
 )
 
 

@@ -646,6 +646,14 @@ def holt_stream(
     r82), turning the trend-aware forecast baseline into a live
     signal (next-batch expectation = level + trend at any moment).
     Update-mode emission; four scalars of state per key."""
+    # Same parameter domain as the batch twin (code-review r9: the
+    # stream silently accepted alpha/beta the batch side rejects —
+    # "bitwise batch parity" cannot hold for parameters the batch
+    # refuses to run).
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
     rows = events_stream.filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     ).select("event_type", "ts", "value")
@@ -801,7 +809,15 @@ def ttl_dedup_stream(
             state.update((int(anchor),))
 
     return (
-        events_stream.select("user_id", "ts", "event_id")
+        # NULL-ts rows are dropped exactly like the batch twin drops
+        # them (ttl_dedup filters ts.isNotNull()): without the filter
+        # pandas turns NaT into the int64-min sentinel, which the
+        # chain rule would treat as an ancient timestamp — marking
+        # the row kept and storing a garbage anchor that poisons
+        # every later verdict for the key (code-review r9, verified
+        # by execution).
+        events_stream.filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

@@ -67,3 +67,46 @@ def test_embedding_drift_detects_planted_mean_shift(spark):
     # well above both the 0.25 'investigate' threshold and the
     # fixture's measured null noise (~0.12)
     assert max(psi.values()) > 0.4, psi
+
+
+def test_embedding_drift_malformed_inputs_raise(spark):
+    """Partial-result-is-wrong-result stance (code-review r9: ragged
+    vectors and NULL elements were silently DROPPED from the shares —
+    understating exactly the drift the monitor exists to catch):
+    ragged vectors raise naming the dim, NULL elements raise, NULL
+    vectors are filtered as documented, and n_directions < 1 is a
+    named ValueError instead of returning None."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    ok = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="n_directions"):
+        embedding_projection_drift(ok, ok, dim=2, n_directions=0)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        embedding_projection_drift(ragged, ok, dim=2, n_directions=2).collect()
+
+    holey = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="null element"):
+        embedding_projection_drift(ok, holey, dim=2, n_directions=2).collect()
+
+    # NULL vectors stay filtered (the documented contract): same
+    # drift rows as the corpus without them
+    with_null = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)] + [(99, None)],
+        "vec_id long, embedding array<double>",
+    )
+    a = embedding_projection_drift(ok, ok, dim=2, n_directions=2)
+    b = embedding_projection_drift(with_null, with_null, dim=2,
+                                   n_directions=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

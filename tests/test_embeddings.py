@@ -106,3 +106,20 @@ def test_nan_element_inside_vector_raises(spark):
     )
     with pytest.raises(Exception, match="[Nn]a[Nn]|null"):
         embedding_correlation(df, dim=2).collect()
+
+
+def test_spectrum_zero_variance_corpus_is_all_null_stats(spark):
+    """An all-constant corpus has NO variance: every spectrum
+    statistic is undefined, INCLUDING n_components_90 (code-review
+    r9: it reported 1 — 'one component covers 90%' reads as
+    maximally-collapsed-but-well-defined, the opposite of
+    no-variance-at-all)."""
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    row = embedding_spectrum(df, dim=3).collect()[0]
+    assert row["n_vectors"] == 5 and row["total_var"] == 0.0
+    assert row["top1_share"] is None
+    assert row["effective_rank"] is None
+    assert row["n_components_90"] is None

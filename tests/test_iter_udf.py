@@ -60,3 +60,49 @@ def test_iter_udf_closed_form(spark):
     assert got[2] == (0.0, 0.0)
     assert got[1][0] == 1.0 and got[1][1] == 0.5
     assert got[3] == (0.1, 0.0)
+
+
+def test_iter_udf_null_vector_and_null_element_match_oracle(spark):
+    """NULL-handling parity with the registered oracle (code-review
+    r9: np.asarray(None) degraded to a 0-d NaN that slipped past the
+    zero guard and emitted NaN where DuckDB emits NULL): a NULL
+    vector yields NULL scale/err on BOTH engines, and NULL elements
+    are SKIPPED by the max — DuckDB list_max semantics — not
+    propagated."""
+    import duckdb
+    import math
+    import pandas as pd
+
+    rows = [
+        (1, [127.0, -63.5, 0.0]),
+        (2, None),
+        (3, [1.0, None, -254.0]),
+        (4, [None]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["scale"], r["max_abs_err"])
+        for r in int8_roundtrip_error_iter(df).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [r[0] for r in rows],
+             "embedding": [r[1] for r in rows]}
+        ),
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLES["u09_iter_quantize"]).fetchall()
+    }
+    norm = lambda t: tuple(
+        None if x is None or (isinstance(x, float) and math.isnan(x))
+        else round(x, 4)
+        for x in t
+    )
+    # the Spark side must produce true NULLs, not NaN
+    assert got[2] == (None, None) and got[4] == (None, None)
+    assert {k: norm(v) for k, v in got.items()} == {
+        k: norm(v) for k, v in want.items()
+    }

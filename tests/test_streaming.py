@@ -1143,3 +1143,17 @@ def test_session_window_exact_gap_merges(spark):
         for r in session_counts(df, "30 minutes").collect()
     )
     assert got == [1, 2]
+
+
+def test_holt_stream_rejects_out_of_domain_params(spark):
+    """The stream validates alpha/beta exactly like its batch twin
+    holt_linear (code-review r9: the stream silently ran parameters
+    the batch side refuses, so 'batch parity' could not hold)."""
+    import pytest
+
+    from miningfrequentpattern_spark.streaming.stateful import holt_stream
+
+    for bad in ({"alpha": 0.0}, {"alpha": 1.5}, {"beta": 0.0},
+                {"beta": -0.1}):
+        with pytest.raises(ValueError, match="alpha|beta"):
+            holt_stream(None, **bad)

@@ -305,3 +305,58 @@ def test_ttl_dedup_stream_multi_chunk_out_of_order_batch(
         (1, True), (2, False), (3, True), (4, True), (5, True),
         (6, False),
     }
+
+
+def test_ttl_dedup_stream_drops_null_ts_like_batch(spark, tmp_path):
+    """NULL-ts rows are DROPPED by the stream exactly as the batch
+    twin drops them (code-review r9: unfiltered NaT became the
+    int64-min sentinel — an 'ancient' anchor that marked the NULL
+    row kept and poisoned every later verdict for the key)."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.operators.timeseries import ttl_dedup
+    from miningfrequentpattern_spark.streaming.stateful import (
+        ttl_dedup_stream,
+    )
+
+    rows = [
+        (1, None, 1),                    # NULL ts — must vanish
+        (1, "2024-01-01 00:00:00", 2),   # keep (anchor)
+        (1, "2024-01-01 00:05:00", 3),   # drop (< 10 min)
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id long, d string, event_id long"
+    ).select("user_id", F.to_timestamp("d").alias("ts"), "event_id")
+    src = str(tmp_path / "src")
+    for i, r in enumerate(batch.collect()):
+        spark.createDataFrame([r], batch.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/f{i:03d}")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        ttl_dedup_stream(stream, ttl="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ttl_null_ts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["is_kept"])
+        for r in spark.sql(
+            "SELECT event_id, is_kept FROM ttl_null_ts"
+        ).collect()
+    }
+    want = {
+        (r["event_id"], r["is_kept"])
+        for r in ttl_dedup(
+            batch, ["user_id"], "ts", "10 minutes", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == want == {(2, True), (3, False)}
