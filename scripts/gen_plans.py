@@ -267,8 +267,9 @@ SECTIONS = [
      "grouped-map chain: one key shuffle, one-timestamp state "
      "(kept-ness has no window closed form)"),
     ("m28_part_communities",
-     "per-round |V|-row label shuffle against cached pre-hashed "
-     "stubs + (node, label) count + rank-1; |E| never reshuffles"),
+     "per-round ONE hash(node) exchange that both the (node, label) "
+     "count and the argmax ride (r9 shave); cached pre-hashed stubs "
+     "— |E| never reshuffles"),
     ("r88_growth_accounting",
      "user-keyed distinct + lag classification; churn self-join on "
      "the week-count-sized aggregate only"),
@@ -281,6 +282,21 @@ SECTIONS = [
     ("u09_iter_quantize",
      "single ArrowEvalPython node (iterator form) — per-batch numpy, "
      "no shuffle at all"),
+    # round-9 promotions
+    ("l61_bpe_merges",
+     "corpus scanned ONCE into the (word, freq) vocabulary; every "
+     "round is vocabulary-sized with a 1-row argmax probe and a "
+     "row-local rewrite. The training loop runs EAGERLY at build "
+     "(bounded per-round probes), so the plan below is the final "
+     "k-row merge-table relation — the per-round shape is pinned in "
+     "tests/test_bpe.py::test_bpe_corpus_scanned_once_per_training"),
+    ("l62_bpe_encode",
+     "single ArrowEvalPython node (iterator form) — per-worker rank "
+     "dict + word memo; row-local, zero shuffles beyond the merge "
+     "table's bounded collect"),
+    ("l04d_portable_fingerprints",
+     "row-local md5-28bit polynomial fold — scan + project, no "
+     "exchange at all"),
 ]
 
 # one section per query — a duplicated entry silently doubles PLANS.md
