@@ -232,21 +232,30 @@ WATCH_GROWTH = {
 # indistinguishable from a regression. Opt out (e.g. in CI smoke) with
 # SPARK_GRAFT_IDLE_GATE=0.
 IDLE_LOAD_1M = 0.5
+# The 5-min average must ALSO be low: a momentary 1-min dip while the
+# 5-min sits at 5+ means a neighbor paused, not finished — the first
+# (and heaviest, sf0.1) timing loop then runs straight into resumed
+# contention (observed: gate passed at [0.46, 5.3, 7.4], reading came
+# back 1.12x with the slow queries swollen).
+IDLE_LOAD_5M = 1.5
 IDLE_WAIT_MAX_SEC = 600
 IDLE_POLL_SEC = 10
+
+
+def _idle_now() -> bool:
+    one, five, _ = os.getloadavg()
+    return one < IDLE_LOAD_1M and five < IDLE_LOAD_5M
 
 
 def _wait_for_idle() -> tuple[int, bool]:
     """Returns (seconds waited, contaminated?)."""
     if os.environ.get("SPARK_GRAFT_IDLE_GATE", "1") == "0":
-        return 0, os.getloadavg()[0] >= IDLE_LOAD_1M
+        return 0, not _idle_now()
     waited = 0
-    while (
-        os.getloadavg()[0] >= IDLE_LOAD_1M and waited < IDLE_WAIT_MAX_SEC
-    ):
+    while not _idle_now() and waited < IDLE_WAIT_MAX_SEC:
         time.sleep(IDLE_POLL_SEC)
         waited += IDLE_POLL_SEC
-    return waited, os.getloadavg()[0] >= IDLE_LOAD_1M
+    return waited, not _idle_now()
 
 
 def main() -> None:

@@ -83,9 +83,19 @@ class SessionizeUDTF:
     a FRESH instance and calls terminate() at partition end, so the
     running state below can never bleed across users. This is the
     imperative-stateful surface a SQL window can only emulate with
-    gaps-and-islands; the u08 oracle IS that emulation (t03's SQL),
-    certifying the two formulations against each other. Gap semantics
-    match t03: a gap of EXACTLY the threshold starts a new session.
+    gaps-and-islands; the u08 oracle IS that emulation (the t03
+    SHAPE with u08's own boundary), certifying the two formulations
+    against each other. Boundary pin (code-review r9 — the old
+    docstring claimed the opposite): a gap of EXACTLY the threshold
+    STARTS a new session here (>=, mirrored by `>=` in the u08
+    oracle), whereas t03's NATIVE session_window MERGES at
+    exactly-gap (its oracle uses strict >) — the two oracles differ
+    by that ONE character on purpose; never sync them blindly.
+    NULL-ts rows carry no event time and are DROPPED (they would
+    otherwise arrive FIRST under Spark's NULLS FIRST ordering,
+    initialize state to a None start, and either lose the first real
+    row's count or crash on timestamp arithmetic mid-partition);
+    the u08 oracle filters them identically.
     Row-at-a-time Python — the extension surface, not the hot path
     (session_counts in streaming/windows.py is the native form)."""
 
@@ -99,6 +109,8 @@ class SessionizeUDTF:
 
     def eval(self, row):  # noqa: D102
         ts = row.ts
+        if ts is None:
+            return
         if self._start is None:
             self._user, self._start, self._last, self._n = (
                 row.user_id, ts, ts, 1,

@@ -29,11 +29,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-MEDIA_SCHEMA = (
-    "doc_id BIGINT, media BINARY, "
-    "media_meta STRUCT<kind: STRING, n_bytes: BIGINT, encoding: STRING>"
-)
-
 FEATURE_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, checksum BIGINT, "
     "head_byte INT, tail_byte INT"
@@ -154,6 +149,17 @@ def sample_frames(media_df: DataFrame, frame_bytes: int = 32) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # Same contract raise as extract_media_features (r8
+            # hardening, extended to this second mapInPandas path in
+            # the r9 sweep): a NULL payload must fail with the
+            # contract spelled out, not `bytes(None)`'s opaque
+            # executor TypeError.
+            if pdf["media"].isna().any():
+                raise ValueError(
+                    "sample_frames: NULL media row reached the frame "
+                    "sampler — filter payload-less rows first "
+                    "(attach_media's media.isNotNull() contract)"
+                )
             ids: list[int] = []
             idxs: list[int] = []
             lens: list[int] = []

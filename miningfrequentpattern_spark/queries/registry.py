@@ -262,20 +262,24 @@ PRIORITY: tuple[str, ...] = (
     "r08_asof_last_click_before_purchase",  # last proof r4
     "r08b_asof_bucketed",  # last proof r4
     "r36_salted_join_segments",  # last proof r4
-    "r37_snapshot_diff",  # last proof r4
-    "r38_incremental_agg_refresh",  # last proof r4
-    "r39_funnel_conversion",  # last proof r4
-    "r40_cohort_retention",  # last proof r4
     # re-certifications (changed code re-proves in the driver env;
-    # each displaces one youngest r4 backfill — l25, l02, l02g, l03
-    # move to round 10): m28 label_propagation single-exchange shave;
-    # l60 drift one-pass-per-side pin + malformed-input raises; u09
-    # NULL-vector/NULL-element oracle-exact semantics; l44 spectrum
-    # zero-variance NULL stats (rows-only — see ROWS_ONLY_REFRESH)
+    # each displaces one youngest r4 backfill — l25, l02, l02g, l03,
+    # r37, r38, r39, r40 move to round 10): m28 label_propagation
+    # single-exchange shave; l60 drift one-pass-per-side pin +
+    # malformed-input raises; u09 NULL-vector/NULL-element
+    # oracle-exact semantics; l44 spectrum zero-variance NULL stats
+    # (rows-only — see ROWS_ONLY_REFRESH); u04/u05 F.round instead
+    # of numpy/Python half-even rounding (+ u05 empty-vector filter
+    # and ragged raise); u08 NULL-ts drop on both engines (oracle
+    # text changed); l07c sample_frames NULL-payload contract raise
     "m28_part_communities",
     "l60_embedding_drift",
     "u09_iter_quantize",
     "l44_embedding_spectrum",
+    "u04_arrow_vector_norms",
+    "u05_arrow_grouped_centroids",
+    "u08_udtf_table_args",
+    "l07c_frame_sample",
 )
 
 

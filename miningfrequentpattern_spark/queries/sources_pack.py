@@ -378,14 +378,19 @@ def u04_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [
                     ids,
                     pa.array(dims.astype("int64")),
-                    pa.array(np.round(norms, 4)),
+                    pa.array(norms),
                 ],
                 names=["vec_id", "emb_dim", "emb_norm"],
             )
 
+    # Round JVM-side with F.round, never np.round inside the kernel
+    # (code-review r9): np.round ties half-to-even via an inexact
+    # scaled algorithm while the DuckDB oracle's round() is half-away
+    # -from-zero — a norm landing on a .00005 boundary would flip the
+    # 4th decimal on one engine only. F.round is the repo-wide pin.
     return emb.mapInArrow(
         batch_norms, schema="vec_id BIGINT, emb_dim BIGINT, emb_norm DOUBLE"
-    )
+    ).withColumn("emb_norm", F.round("emb_norm", 4))
 
 
 @query(
@@ -487,12 +492,18 @@ def u05_arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    # NULL vectors can't average (a null list breaks the flatten/
-    # reshape alignment in the Arrow kernel) — same boundary filter
-    # as the similarity operators.
+    # NULL AND EMPTY vectors can't average (a null list breaks the
+    # flatten/reshape alignment in the Arrow kernel; an empty one
+    # shifts every later row's slice — the exact hazard the r8 fix
+    # closed in u04 but not this twin, code-review r9) — same
+    # boundary filter as the similarity operators, with the oracle
+    # filtering identically by construction (unnest emits nothing
+    # for an empty list).
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+        )
         .select(
             "label", F.col("embedding").cast("array<double>").alias("emb")
         )
@@ -503,6 +514,14 @@ def u05_arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat = lists.combine_chunks().flatten().to_numpy(
             zero_copy_only=False
         )
+        if len(flat) % len(table):
+            # reshape would raise an opaque ValueError — or, when the
+            # element count happens to divide, silently shear every
+            # row's values (code-review r9): name the defect instead.
+            raise ValueError(
+                "u05: ragged embedding lengths within a label group — "
+                "centroids over mixed dims are undefined"
+            )
         m = flat.reshape(len(table), -1)
         c = m.mean(axis=0)
         return pa.table(
@@ -512,14 +531,17 @@ def u05_arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "n_vecs": [len(table)],
                 "n_dims": [m.shape[1]],
-                "centroid_norm": [round(float(np.sqrt((c * c).sum())), 4)],
+                "centroid_norm": [float(np.sqrt((c * c).sum()))],
             }
         )
 
+    # F.round, not Python round() inside the kernel: banker's-rounding
+    # ties vs the oracle's half-away-from-zero (code-review r9, the
+    # u04 pin).
     return emb.groupBy("label").applyInArrow(
         centroid,
         schema="label INT, n_vecs BIGINT, n_dims BIGINT, centroid_norm DOUBLE",
-    )
+    ).withColumn("centroid_norm", F.round("centroid_norm", 4))
 
 
 @query(
@@ -848,12 +870,18 @@ def s15_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "u08_udtf_table_args",
     oracle="""
+    -- >= on purpose: the UDTF SPLITS at exactly-gap while t03's
+    -- native session_window MERGES there (strict > in t03's oracle)
+    -- — one deliberate character of difference, pinned in
+    -- functions/udtf.py::SessionizeUDTF. NULL-ts rows are dropped
+    -- on both sides (the UDTF skips them; see its docstring).
     WITH x AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     y AS (
       SELECT user_id, ts,

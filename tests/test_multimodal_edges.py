@@ -58,3 +58,16 @@ def test_sample_frames_rejects_bad_frame_bytes(spark):
     assert [(r["frame_idx"], r["frame_len"]) for r in rows] == [
         (0, 4), (1, 2)
     ]
+
+
+def test_sample_frames_null_media_raises_actionably(spark):
+    """Same r8 contract raise as extract_media_features, extended to
+    the frame sampler in the r9 sweep: a NULL payload fails naming
+    the attach_media contract, not bytes(None)'s opaque TypeError."""
+    from miningfrequentpattern_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcd")), (2, None)], "doc_id long, media binary"
+    )
+    with pytest.raises(Exception, match="payload-less"):
+        sample_frames(df, frame_bytes=4).collect()

@@ -2,7 +2,7 @@
 
 from miningfrequentpattern_spark.sources.io import load_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     """Small-file compaction: a 64-file write compacts to the computed
@@ -173,3 +173,44 @@ def test_load_table_normalizes_bigint_nanos_for_orders_too(
     assert dict(got.dtypes)["o_orderdate"] == "timestamp"
     row = got.collect()[0]
     assert row["o_orderdate"] == datetime.datetime(2024, 1, 1)
+
+
+def test_u05_empty_vector_filtered_and_ragged_raises(spark, tmp_path):
+    """u05's Arrow centroid kernel: empty vectors are filtered at the
+    boundary (the u04 r8 fix, extended to this twin in the r9 sweep)
+    and ragged dims within a label raise naming the defect instead of
+    reshape's opaque ValueError / silent shear."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.queries.registry import (
+        QUERIES,
+        load_all_packs,
+    )
+    from miningfrequentpattern_spark.sources.io import load_table
+
+    load_all_packs()
+    q = QUERIES["u05_arrow_grouped_centroids"]
+
+    base = load_table(spark, SF_ORACLE, "embeddings")
+
+    # empty vectors are dropped like NULLs: same centroids as without
+    d_empty = str(tmp_path / "empty")
+    base.unionByName(
+        base.limit(2).withColumn(
+            "embedding", F.array().cast(base.schema["embedding"].dataType)
+        )
+    ).write.mode("overwrite").parquet(f"{d_empty}/embeddings.parquet")
+    clean = {tuple(r) for r in q(spark, SF_ORACLE).collect()}
+    withempty = {tuple(r) for r in q(spark, d_empty).collect()}
+    assert clean == withempty and len(clean) == 10
+
+    # ragged dims within a label raise actionably
+    d_rag = str(tmp_path / "ragged")
+    base.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.slice("embedding", 1, 8))
+        .otherwise(F.col("embedding")),
+    ).write.mode("overwrite").parquet(f"{d_rag}/embeddings.parquet")
+    with pytest.raises(Exception, match="ragged"):
+        q(spark, d_rag).collect()
