@@ -76,8 +76,17 @@ def frequent_items_from_rows(
 ) -> DataFrame:
     """M2+M3 scalable form: F-list from raw rows (see
     item_supports_from_rows)."""
-    n = df.select(key).distinct().select(
-        F.count(F.lit(1)).alias("n_baskets")
+    # The denominator counts keys with >= 1 NON-NULL item — mirroring
+    # basketize's min_items=1 drop of empty baskets (code-review r9:
+    # counting every distinct key admitted all-NULL-item keys into N
+    # that the basket path excludes, so the two forms' ceil(s*N)
+    # thresholds diverged on exactly the null-bearing inputs
+    # item_supports_from_rows' own filter handles).
+    n = (
+        df.filter(F.col(item).isNotNull())
+        .select(key)
+        .distinct()
+        .select(F.count(F.lit(1)).alias("n_baskets"))
     )
     return (
         item_supports_from_rows(df, key, item)
@@ -224,7 +233,7 @@ def apriori_frequent_itemsets(
     reliable `checkpoint()` against the context's checkpoint dir
     (operators/ckpt.py), at the cost of one durable write per level.
     """
-    from .ckpt import pin
+    from .ckpt import pin, release
 
     cached: list[DataFrame] = []
     try:
@@ -331,6 +340,13 @@ def apriori_frequent_itemsets(
                 .select("itemset", "freq")
             )
             counted = pin(counted, durable)
+            # cands_id (the pre-prune candidate relation, the largest
+            # per-k pin) has no consumer once `counted` is pinned —
+            # release its blocks NOW instead of leaking O(levels)
+            # executor storage for the session (code-review r9; the
+            # exact hazard ckpt.release documents). The counted pins
+            # stay: the returned plan reads them.
+            release(cands_id, durable)
             if counted.isEmpty():
                 break
             results.append(

@@ -39,6 +39,14 @@ from ..sources.io import load_table
 from .registry import query
 
 # Canonical token-explode CTE reused by every token-basket oracle.
+# DELIBERATELY simpler than Spark's text.tokens() (no trim, no
+# ''-filter, all-docs denominators): equivalent ONLY under the pinned
+# fixture invariant — every documents.text is non-empty, ASCII,
+# single-spaced with no leading/trailing space — enforced per-SF by
+# tests/test_fixture_invariants.py::test_documents_text_is_ascii_
+# single_spaced, which exists precisely so a fixture regeneration
+# that breaks the invariant fails THERE with a named message instead
+# of as opaque m04/m05/m07/m08 hash mismatches (code-review r9).
 _TOK = (
     "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS item "
     "FROM documents"
@@ -912,7 +920,18 @@ def m15_pair_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     never pick at 100 TB); the top-25 is a TakeOrderedAndProject,
     never a global sort. The basket-squared fan-out bound is the
     same giant-basket argument as basketize (max 17 parts/order in
-    the fixtures; salting is the escape hatch at scale)."""
+    the fixtures; salting is the escape hatch at scale).
+
+    FP-parity stance (code-review r9): pair_utility is a float64 sum
+    whose addition ORDER differs between engines (and across Spark
+    partitionings), so a group landing within an ulp of a .005
+    rounding boundary could in principle flip the 2nd decimal or the
+    top-25 membership — the m13/m26 accepted-risk class, narrower
+    here because each group sums ≤ n_orders·2 well-scaled products.
+    Hash-proven r4 and re-proven by every local mirror run since; if
+    a fixture regeneration ever lands a boundary case, the fix is
+    the l43 pin (paired round+0.0 at a coarser grain), not a code
+    bug."""
     li = load_table(spark, sf_dir, "lineitem")
     lu = li.groupBy(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")

@@ -207,6 +207,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # m19, l40, r48, u08...) up to 50. After round 10 the oldest proof
 # should be r6. Stage new oracle-bearing registrations sparingly —
 # each displaces a backfill.
+#
+# ROUND 10 CONSOLIDATIONS (booked from the r9 mining-pack review
+# sweep; deferred because each changes code/oracle text and would
+# displace more backfills than this round's window can absorb):
+# (a) share the support-thresholded co-purchase pair builder between
+#     m18_part_kcore / m25_part_ktruss / m23 (verbatim 10-line
+#     copies — the _copurchase_pairs class of duplication);
+# (b) extract m11's 1-to-1 token-rule derivation into a helper m16
+#     reuses (their native bodies are cosmetic renames of each
+#     other);
+# (c) factor the pasted tok/n/k1/k2/pairs oracle CTE block
+#     (m05_rules_1to1 / m11 / m16) and the sequential-pattern chain
+#     (m09 / m12) into module constants like _TOK/_RULES.
+# Each consolidation re-certifies its queries in the round-10
+# window (the changed-code rule).
 # Keep the canaries and re-certify anything whose code or oracle
 # text changes.
 # l44 rides a deliberate refresh slot: embedding_spectrum's

@@ -272,3 +272,34 @@ def test_kcore_oracle_chain_has_peel_depth_slack(duck):
         f"{_KCORE_ORACLE_ROUNDS}-round oracle chain — lengthen "
         "_KCORE_ORACLE_ROUNDS before the driver hash silently diverges"
     )
+
+
+def test_frequent_items_from_rows_denominator_ignores_all_null_keys(spark):
+    """The F-list threshold denominator counts keys with >= 1
+    non-NULL item, mirroring basketize's empty-basket drop
+    (code-review r9: an all-NULL-item key inflated N on the row path
+    only, so the two forms' ceil(s*N) thresholds diverged on exactly
+    the null-bearing inputs the support filter already handles)."""
+    from miningfrequentpattern_spark.operators.baskets import basketize
+    from miningfrequentpattern_spark.operators.mining import (
+        frequent_items,
+        frequent_items_from_rows,
+    )
+
+    # 11 keys; key 11 has only NULL items -> basket path sees N=10.
+    # item 'a' sits in 5 baskets: frequent at s=0.5 iff N=10.
+    rows = [(k, "a") for k in range(1, 6)]
+    rows += [(k, f"only_{k}") for k in range(6, 11)]
+    rows += [(11, None), (11, None)]
+    df = spark.createDataFrame(rows, "k long, item string")
+    via_rows = {
+        r["item"]: r["freq"]
+        for r in frequent_items_from_rows(df, "k", "item", 0.5).collect()
+    }
+    via_baskets = {
+        r["item"]: r["freq"]
+        for r in frequent_items(
+            basketize(df, "k", "item"), 0.5
+        ).collect()
+    }
+    assert via_rows == via_baskets == {"a": 5}
