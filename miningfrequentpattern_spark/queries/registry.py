@@ -276,7 +276,6 @@ PRIORITY: tuple[str, ...] = (
     "r07_region_segment_grid",  # last proof r4
     "r08_asof_last_click_before_purchase",  # last proof r4
     "r08b_asof_bucketed",  # last proof r4
-    "r36_salted_join_segments",  # last proof r4
     # re-certifications (changed code re-proves in the driver env;
     # each displaces one youngest r4 backfill — l25, l02, l02g, l03,
     # r37, r38, r39, r40 move to round 10): m28 label_propagation
@@ -295,6 +294,14 @@ PRIORITY: tuple[str, ...] = (
     "u05_arrow_grouped_centroids",
     "u08_udtf_table_args",
     "l07c_frame_sample",
+    # s16: merge_upsert_partitioned internals changed in the r9 io
+    # sweep (NULL-op upsert semantics, batch-dupe/type-drift guards,
+    # fail-fast cleanup, cached updates/out) — displaces
+    # r36_salted_join_segments (r4) to round 10. r32 (the other
+    # merge-path query) and the three canaries (the load_table
+    # refactor's proof — every query reads through it) are already
+    # in the window.
+    "s16_merge_upsert",
 )
 
 

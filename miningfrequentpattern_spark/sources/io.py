@@ -45,6 +45,26 @@ _NANOS_VARIANT_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _normalize_timestamps(df: DataFrame, table: str) -> DataFrame:
+    """Shared timestamp normalization for BOTH the batch and stream
+    readers (code-review r9: read_events_stream carried a hardcoded
+    -'ts' copy of this logic that a fixture regeneration adding a
+    second nanos-variant column would silently type-break): every
+    column the fixture history has shipped as TIMESTAMP(NANOS) gets
+    the BIGINT-nanos guard (_NANOS_VARIANT_COLS, per table — keying
+    on one column was the r8 finding), and TIMESTAMP_NTZ casts to
+    session-local TIMESTAMP."""
+    for cname in _NANOS_VARIANT_COLS.get(table, ()):
+        if dict(df.dtypes).get(cname) == "bigint":
+            df = df.withColumn(
+                cname, F.timestamp_micros(F.expr(f"{cname} div 1000"))
+            )
+    for cname, ctype in df.dtypes:
+        if ctype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: parquet scan of one fixture table.
 
@@ -57,30 +77,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Every operator and SQL oracle in this repo was written against
     session-local TIMESTAMP (the sessions run UTC), and NTZ rejects
     numeric casts (`cast(ts as double)`), so both variants are
-    normalized here at the load boundary: BIGINT nanos →
-    timestamp_micros, TIMESTAMP_NTZ → TIMESTAMP. Under a UTC session
-    the NTZ cast is wall-clock-identity, exactly what DuckDB's naive
-    `ts::TIMESTAMP` yields, keeping oracle parity. Only affected
-    columns are wrapped, so pushdown/pruning on every other column is
-    untouched (verified in tests/test_plans.py).
+    normalized at the load boundary by _normalize_timestamps: BIGINT
+    nanos → timestamp_micros, TIMESTAMP_NTZ → TIMESTAMP. Under a UTC
+    session the NTZ cast is wall-clock-identity, exactly what
+    DuckDB's naive `ts::TIMESTAMP` yields, keeping oracle parity.
+    Only affected columns are wrapped, so pushdown/pruning on every
+    other column is untouched (verified in tests/test_plans.py).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Every column the fixture history has shipped as TIMESTAMP(NANOS)
-    # gets the BIGINT-nanos guard, not just events.ts — the docstring
-    # names orders.o_orderdate as having the same variant history, and
-    # keying the normalization on one table would silently type-break
-    # the other on a regeneration (code-review r8 finding).
-    for cname in _NANOS_VARIANT_COLS.get(name, ()):
-        if dict(df.dtypes).get(cname) == "bigint":
-            df = df.withColumn(
-                cname, F.timestamp_micros(F.expr(f"{cname} div 1000"))
-            )
-    for cname, ctype in df.dtypes:
-        if ctype == "timestamp_ntz":
-            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
-    return df
+    return _normalize_timestamps(df, name)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -191,16 +198,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    # Same NTZ normalization as load_table (watermarks and the batch
-    # twins both expect session-local TIMESTAMP).
-    for cname, ctype in stream.dtypes:
-        if ctype == "timestamp_ntz":
-            stream = stream.withColumn(cname, F.col(cname).cast("timestamp"))
-    return stream
+    # The SAME normalization seam as load_table — one contract, two
+    # readers (code-review r9: a hardcoded 'ts' copy lived here).
+    return _normalize_timestamps(stream, "events")
 
 
 def read_xml(
@@ -300,6 +300,49 @@ def merge_upsert_partitioned(
             f"base table; base={sorted(base_schema.fieldNames())} "
             f"updates={sorted(up_cols)}"
         )
+    # Types too, not just names (code-review r9): with ANSI off a
+    # v DOUBLE base unioned with v STRING updates coerces to STRING
+    # and dynamic overwrite writes touched partitions with a DIFFERENT
+    # physical type than untouched ones — later reads fail with an
+    # opaque footer-merge error (or silently pick one type).
+    base_types = {f.name: f.dataType for f in base_schema.fields}
+    drift = {
+        f.name: (f.dataType, base_types[f.name])
+        for f in updates.schema.fields
+        if f.name in base_types and f.dataType != base_types[f.name]
+    }
+    if drift:
+        raise ValueError(
+            "merge_upsert_partitioned: updates column type(s) differ "
+            f"from the base table: { {k: (str(a), str(b)) for k, (a, b) in drift.items()} } "
+            "— cast explicitly; a silent union coercion would write "
+            "mixed physical types across partitions"
+        )
+    # The validation probes + move check + emptied collect + final
+    # write would otherwise each re-evaluate the updates source
+    # (~5 executions per merge, code-review r9). The batch is
+    # dimension-sized BY CONTRACT — cache it for the call.
+    updates = updates.cache()
+    try:
+        _merge_upsert_cached(
+            spark, path, updates, keys, partition_col, op_col,
+            delete_marker, base_schema,
+        )
+    finally:
+        updates.unpersist()
+
+
+def _merge_upsert_cached(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    op_col: str | None,
+    delete_marker: str,
+    base_schema,
+) -> None:
+    """Body of merge_upsert_partitioned, with `updates` cached."""
     null_keys = updates.filter(
         F.greatest(*[F.col(k).isNull() for k in keys])
         if len(keys) > 1
@@ -309,6 +352,22 @@ def merge_upsert_partitioned(
         raise ValueError(
             "merge_upsert_partitioned: NULL merge key in updates — "
             "equality can never match the target row"
+        )
+    # Duplicate keys WITHIN the batch silently land as duplicate rows
+    # (the anti-join removes one base row, then both updates insert).
+    # The guard lived only in the cdc_merge_stream wrapper; it belongs
+    # on the shared primitive (code-review r9). Batch-sized aggregate
+    # on the cached updates — metadata cost.
+    dupes = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    if not dupes.isEmpty():
+        raise ValueError(
+            "merge_upsert_partitioned: duplicate merge key(s) within "
+            "one updates batch — collapse to one row per key first "
+            "(e.g. keep the latest by your ordering column)"
         )
     base = spark.read.schema(base_schema).parquet(path)
     touched = updates.select(partition_col).distinct()
@@ -363,64 +422,93 @@ def merge_upsert_partitioned(
     )
     surv_cond = None
     for k in keys:
-        c = in_touched[k].eqNullSafe(F.col(f"_mu.{k}"))
+        # backticks: a dotted key name must resolve as a plain column
+        # of the _mu alias, not as nested-field access (code-review
+        # r9 — the USING-style join this replaced handled it).
+        c = in_touched[k].eqNullSafe(F.col(f"_mu.`{k}`"))
         surv_cond = c if surv_cond is None else surv_cond & c
     survivors = in_touched.join(upd_keys, surv_cond, "left_anti")
     inserts = updates
     if op_col is not None:
-        inserts = updates.filter(F.col(op_col) != delete_marker).drop(
-            op_col
+        # eqNullSafe: a NULL op must act as an UPSERT per the contract
+        # ("every other op value is an upsert") — plain != evaluates
+        # NULL for a NULL op and silently filtered the row out, so a
+        # CDC feed with a missing op field DELETED the key
+        # (code-review r9, the one silent-data-loss finding).
+        inserts = updates.filter(
+            ~F.col(op_col).eqNullSafe(F.lit(delete_marker))
+        ).drop(op_col)
+    # The output is both collected-from (emptied probe) and written:
+    # a lazy localCheckpoint would pin corpus-touched-sized blocks,
+    # so cache instead and release in the same call.
+    out = survivors.unionByName(inserts).cache()
+    try:
+        # Partitions the batch touched but that end up with ZERO
+        # output rows (all rows tombstoned, nothing re-inserted):
+        # dynamic overwrite will not rewrite them, so their old files
+        # must be removed explicitly or the deleted keys resurface on
+        # next read. Dimension-sized driver materialization —
+        # metadata for a write commit, not an operator hot path.
+        out_parts = out.select(partition_col).distinct()
+        emptied = [
+            r[0]
+            for r in touched.join(
+                out_parts,
+                # null-safe: a tombstoned NULL partition must land in
+                # `emptied` (so __HIVE_DEFAULT_PARTITION__ is
+                # cleaned), and a surviving NULL partition must NOT
+                touched[partition_col].eqNullSafe(
+                    out_parts[partition_col]
+                ),
+                "left_anti",
+            ).collect()
+        ]
+        # FAIL FAST, before the irreversible write (code-review r9:
+        # both cleanup refusals used to fire AFTER the commit,
+        # leaving the table half-mutated with zombie partitions):
+        # the non-local-URI refusal and the partition-value rendering
+        # both run on the already-computed emptied list now.
+        emptied_dirs = None
+        if emptied:
+            emptied_dirs = _renderable_partition_values(
+                path, emptied
+            )
+        # Per-write option, NOT a session-conf flip (ADVICE r7): two
+        # streams merging concurrently on one SparkSession would race
+        # a set/restore of the shared conf; the DataFrameWriter
+        # option scopes dynamic overwrite to exactly this commit.
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
         )
-    out = survivors.unionByName(inserts)
-    # Partitions the batch touched but that end up with ZERO output
-    # rows (all rows tombstoned, nothing re-inserted): dynamic
-    # overwrite will not rewrite them, so their old files must be
-    # removed explicitly or the deleted keys resurface on next read.
-    # Dimension-sized driver materialization — metadata for a write
-    # commit, not an operator hot path.
-    out_parts = out.select(partition_col).distinct()
-    emptied = [
-        r[0]
-        for r in touched.join(
-            out_parts,
-            # null-safe: a tombstoned NULL partition must land in
-            # `emptied` (so __HIVE_DEFAULT_PARTITION__ is cleaned),
-            # and a surviving NULL partition must NOT
-            touched[partition_col].eqNullSafe(out_parts[partition_col]),
-            "left_anti",
-        ).collect()
-    ]
-    # Per-write option, NOT a session-conf flip (ADVICE r7): two
-    # streams merging concurrently on one SparkSession would race a
-    # set/restore of the shared conf; the DataFrameWriter option
-    # scopes dynamic overwrite to exactly this commit.
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
-    if emptied:
-        _remove_partition_dirs(spark, path, partition_col, emptied)
+        if emptied_dirs:
+            _remove_partition_dirs(
+                spark, path, partition_col, emptied_dirs
+            )
+    finally:
+        out.unpersist()
 
 
-def _remove_partition_dirs(
-    spark: SparkSession, path: str, partition_col: str, values: list
-) -> None:
-    """Delete `<path>/<partition_col>=<escaped value>` directories for
-    the given partition values — the post-commit cleanup for
-    partitions a MERGE emptied entirely.
+def _renderable_partition_values(path: str, values: list) -> set[str]:
+    """Pre-write validation + rendering of emptied-partition values
+    (code-review r9: both refusals below used to fire AFTER the merge
+    commit, leaving the table half-mutated with zombie partitions —
+    they now run on the pre-computed emptied list BEFORE the write):
 
-    Directory names are matched by LISTING and UNESCAPING (Spark's
-    own ExternalCatalogUtils.unescapePathName via the JVM, falling
-    back to URL-unquoting), never by re-formatting values — so date/
-    timestamp/int partition values match exactly however Spark wrote
-    them. NULL partition values live in __HIVE_DEFAULT_PARTITION__.
-    Local filesystems only (the dir_parquet_bytes stance): a
-    non-local URI raises instead of silently leaving zombie files.
-    """
-    import shutil
-    from urllib.parse import unquote
+    - non-local URIs raise (the cleanup is a local-FS delete; the
+      dir_parquet_bytes stance — refusing beats silently leaving the
+      tombstoned partitions' files to resurrect deleted keys);
+    - only value types whose Python rendering provably matches
+      Spark's directory rendering are accepted: None
+      (__HIVE_DEFAULT_PARTITION__), bool (Spark lowercases — the r8
+      finding), str, int, and datetime.date (str() == Spark's
+      yyyy-MM-dd). Timestamps and floats render DIFFERENTLY in
+      Python str() than in Spark's dir names (fraction trimming,
+      exponent casing), so the old str() fallback silently missed
+      the directory — now a named error (code-review r9)."""
+    import datetime
 
     if "://" in path and not path.startswith("file://"):
         raise ValueError(
@@ -428,6 +516,45 @@ def _remove_partition_dirs(
             f"non-local URI {path!r} needs the Hadoop FileSystem API — "
             "refusing to leave the tombstoned partitions' files behind"
         )
+    rendered = set()
+    for v in values:
+        if v is None:
+            rendered.add("__HIVE_DEFAULT_PARTITION__")
+        elif isinstance(v, bool):
+            rendered.add("true" if v else "false")
+        elif isinstance(v, (str, int)) or (
+            isinstance(v, datetime.date)
+            and not isinstance(v, datetime.datetime)
+        ):
+            rendered.add(str(v))
+        else:
+            raise ValueError(
+                "merge_upsert_partitioned: cannot safely clean up an "
+                f"emptied partition with value {v!r} "
+                f"({type(v).__name__}): Python's rendering of this "
+                "type differs from Spark's directory naming — use a "
+                "string/int/date/bool partition column, or remove the "
+                "directory yourself"
+            )
+    return rendered
+
+
+def _remove_partition_dirs(
+    spark: SparkSession, path: str, partition_col: str, rendered: set
+) -> None:
+    """Delete `<path>/<partition_col>=<escaped value>` directories for
+    the given PRE-RENDERED partition values — the post-commit cleanup
+    for partitions a MERGE emptied entirely (validation/rendering
+    happens pre-write in _renderable_partition_values).
+
+    Directory names are matched by LISTING and UNESCAPING (Spark's
+    own ExternalCatalogUtils.unescapePathName via the JVM, falling
+    back to URL-unquoting), never by re-formatting names — so escaped
+    characters match exactly however Spark wrote them.
+    """
+    import shutil
+    from urllib.parse import unquote
+
     root = path[len("file://"):] if path.startswith("file://") else path
 
     def _unescape(name: str) -> str:
@@ -440,23 +567,12 @@ def _remove_partition_dirs(
         except Exception:
             return unquote(name)
 
-    def _render(v) -> str:
-        if v is None:
-            return "__HIVE_DEFAULT_PARTITION__"
-        # Spark renders boolean partition values lowercase ('p=true');
-        # Python str(True) is 'True' and would never match, leaving
-        # the tombstoned directory behind (code-review r8 finding).
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        return str(v)
-
-    wanted = {_render(v) for v in values}
     prefix = f"{partition_col}="
     for entry in os.listdir(root):
         full = os.path.join(root, entry)
         if not (os.path.isdir(full) and entry.startswith(prefix)):
             continue
-        if _unescape(entry[len(prefix):]) in wanted:
+        if _unescape(entry[len(prefix):]) in rendered:
             shutil.rmtree(full)
 
 

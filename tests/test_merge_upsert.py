@@ -312,3 +312,90 @@ def test_merge_upsert_boolean_partition_tombstone_cleanup(
     }
     assert got == {(2, False)}
     assert not os.path.isdir(os.path.join(path, "p=true"))
+
+
+def test_merge_upsert_null_op_is_upsert_not_delete(spark, tmp_path):
+    """A NULL op value must act as an UPSERT per the contract ('every
+    other op value is an upsert') — plain != delete_marker evaluated
+    NULL and silently DELETED the key (code-review r9, the
+    silent-data-loss finding: a CDC feed with a missing op field)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0)], "k long, p string, v double"
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a", 99.0, None), (2, "a", 0.0, "d")],
+        "k long, p string, v double, op string",
+    )
+    merge_upsert_partitioned(
+        spark, path, updates, ["k"], "p", op_col="op", delete_marker="d"
+    )
+    got = {
+        (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, 99.0)}  # k=1 upserted, k=2 deleted
+
+
+def test_merge_upsert_duplicate_batch_keys_raise(spark, tmp_path):
+    """Duplicate merge keys within one batch raise on the shared
+    primitive (code-review r9: the guard lived only in the
+    cdc_merge_stream wrapper; direct callers silently got two rows
+    for one key)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0)], "k long, p string, v double"
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "a", 2.0)], "k long, p string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate merge key"):
+        merge_upsert_partitioned(spark, path, updates, ["k"], "p")
+    assert spark.read.parquet(path).count() == 1  # untouched
+
+
+def test_merge_upsert_type_drift_raises(spark, tmp_path):
+    """Same column NAMES but drifted TYPES must be rejected — a silent
+    union coercion writes mixed physical types across partitions
+    (code-review r9)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0)], "k long, p string, v double"
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "a", "not-a-double")], "k long, p string, v string"
+    )
+    with pytest.raises(ValueError, match="type"):
+        merge_upsert_partitioned(spark, path, updates, ["k"], "p")
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_upsert_unrenderable_emptied_partition_fails_fast(
+    spark, tmp_path
+):
+    """A tombstone batch emptying a TIMESTAMP partition must fail
+    BEFORE the write (Python str() of a timestamp never matches
+    Spark's directory rendering, so cleanup would miss) — and fail
+    fast means the table is untouched, not half-mutated
+    (code-review r9)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    spark.sql(
+        "SELECT 1L AS k, TIMESTAMP'2024-01-01 00:00:00.5' AS p, "
+        "10.0 AS v"
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    dels = spark.sql(
+        "SELECT 1L AS k, TIMESTAMP'2024-01-01 00:00:00.5' AS p, "
+        "10.0 AS v, 'd' AS op"
+    )
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    with pytest.raises(ValueError, match="cannot safely clean up"):
+        merge_upsert_partitioned(
+            spark, path, dels, ["k"], "p", op_col="op", delete_marker="d"
+        )
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert before == after  # fail-fast: nothing mutated
