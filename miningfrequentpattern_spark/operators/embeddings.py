@@ -457,10 +457,10 @@ def embedding_projection_drift(
                         F.size(F.col(vec_col)).cast("string"),
                     )
                 ).cast("double"))
-                .when(pr.isNull(), F.raise_error(F.lit(
-                    f"null element inside {vec_col}: filter or impute "
-                    "upstream; drift shares over partial corpora would "
-                    "be silently wrong"
+                .when(pr.isNull() | F.isnan(pr), F.raise_error(F.lit(
+                    f"null/NaN element inside {vec_col}: filter or "
+                    "impute upstream; drift shares over partial "
+                    "corpora would be silently wrong"
                 )).cast("double"))
                 .otherwise(pr)
             )

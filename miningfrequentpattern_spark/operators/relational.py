@@ -415,8 +415,12 @@ def scd2_versions(
         changed = changed | ~F.col(a).eqNullSafe(prev)
     # lag over the FIRST row of a key yields NULL for every attr; a
     # genuinely-NULL first attr would then look unchanged (NULL <=>
-    # NULL), so anchor the first row explicitly on the tiebreak.
-    first = F.lag(F.col(tiebreak_col)).over(w_log).isNull()
+    # NULL), so anchor the first row explicitly — by POSITION, not
+    # by lag(tiebreak).isNull(): a NULL tiebreak VALUE mid-log made
+    # the FOLLOWING row look first and opened a phantom version
+    # boundary for an attribute that never changed (code-review r9).
+    # row_number rides the same window spec — no extra exchange.
+    first = F.row_number().over(w_log) == 1
     versions = df.withColumn("_new_version", first | changed).filter(
         F.col("_new_version")
     )
@@ -1075,9 +1079,12 @@ def _quantile_edges(
     value sitting exactly ON an unrounded edge would bin differently
     per engine. 4dp is safe for ≤2-decimal inputs with small-
     denominator interpolation fractions (the true edge then has ≤3
-    decimals — never at the 4dp half boundary)."""
+    decimals — never at the 4dp half boundary). NaN is excluded like
+    NULL (the mad_outliers/binned_quantile_rollup sibling pin,
+    extended here in the r9 sweep): Spark sorts NaN above all reals,
+    so one NaN would make the top edges NaN and unreachable."""
     v = F.col(value_col).cast("double")
-    return df.filter(v.isNotNull()).agg(
+    return df.filter(v.isNotNull() & ~F.isnan(v)).agg(
         F.transform(
             F.percentile(v, F.array(*[F.lit(f) for f in fracs])),
             lambda e: F.round(e, 4),
@@ -1134,9 +1141,14 @@ def psi_drift(
         v = F.col(value_col).cast("double")
         # explicit NULL-edges guard: size(NULL) is -1 or NULL
         # depending on session conf (legacy.sizeOfNull) — the
-        # empty-reference line item must be NULL-binned under BOTH
+        # empty-reference line item must be NULL-binned under BOTH.
+        # NaN excluded like NULL (code-review r9: NaN satisfies
+        # `>= edge` for every edge under Spark's NaN-greatest
+        # ordering, so a sensor glitch inflated the TOP bin's
+        # cur_share — maximal-drift evidence from a non-number);
+        # the r74 oracle carries the same isnan exclusion.
         return (
-            df.filter(v.isNotNull())
+            df.filter(v.isNotNull() & ~F.isnan(v))
             .crossJoin(F.broadcast(edges))
             .select(
                 F.when(
@@ -1283,12 +1295,17 @@ def chi2_independence(
     ).agg(F.count(F.lit(1)).alias("n_obs"))
     wa = Window.partitionBy("a")
     wb = Window.partitionBy("b")
-    wt = Window.partitionBy()
     ra = F.sum("n_obs").over(wa)
     cb = F.sum("n_obs").over(wb)
-    tot = F.sum("n_obs").over(wt)
-    e = ra * cb / tot
-    return counts.select(
+    # Grand total as a 1-row aggregate crossJoin-broadcast, NEVER an
+    # empty-spec window (code-review r9): Window.partitionBy() with
+    # no keys funnels the whole cell relation — which approaches
+    # corpus scale for two high-cardinality categoricals — through
+    # ONE WindowExec task; the house pattern (psi_drift's totals,
+    # key_skew_profile) computes the same scalar with no cliff.
+    total = counts.agg(F.sum("n_obs").alias("_tot"))
+    e = ra * cb / F.col("_tot")
+    return counts.crossJoin(F.broadcast(total)).select(
         "a",
         "b",
         "n_obs",

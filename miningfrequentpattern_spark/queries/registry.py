@@ -222,6 +222,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     (m09 / m12) into module constants like _TOK/_RULES.
 # Each consolidation re-certifies its queries in the round-10
 # window (the changed-code rule).
+#
+# ROUND 10 HARDENING BACKLOG (booked from the r9 relational review
+# sweep — same deferral logic; the r9 window absorbed the scd2/chi2/
+# psi fixes and could not absorb these too):
+# (d) NaN pins on winsorized_stats (r60), rfm_scores (r75),
+#     pareto_frontier_2d (r49) — the mad_outliers sibling exclusion;
+# (e) binned_quantile_rollup lo < hi / n_bins >= 1 validation (r54);
+# (f) round4 (sign-of-zero pin) on the signed rounded outputs of
+#     abc_classification (r64), winsorized_stats (r60),
+#     topn_with_others (r63), binned_quantile_rollup (r54);
+# (g) hoist winsorized_stats' inline join-back into mad_outliers'
+#     _back helper (module level);
+# (h) working-column collision guards (_bk/_lid/_rn/_mid/_pid/_salt
+#     vs same-named user columns) across the ranked-operator family.
 # Keep the canaries and re-certify anything whose code or oracle
 # text changes.
 # l44 rides a deliberate refresh slot: embedding_spectrum's
@@ -272,10 +286,6 @@ PRIORITY: tuple[str, ...] = (
     "r03_local_supplier_volume",  # last proof r4
     "r04_customer_order_counts",  # last proof r4
     "r05_customers_without_orders",  # last proof r4
-    "r06_click_to_purchase_10min",  # last proof r4
-    "r07_region_segment_grid",  # last proof r4
-    "r08_asof_last_click_before_purchase",  # last proof r4
-    "r08b_asof_bucketed",  # last proof r4
     # re-certifications (changed code re-proves in the driver env;
     # each displaces one youngest r4 backfill — l25, l02, l02g, l03,
     # r37, r38, r39, r40 move to round 10): m28 label_propagation
@@ -302,6 +312,15 @@ PRIORITY: tuple[str, ...] = (
     # refactor's proof — every query reads through it) are already
     # in the window.
     "s16_merge_upsert",
+    # relational-sweep re-certs (displace r06/r07/r08/r08b to r10):
+    # scd2_versions first-row anchor by position (r51 + r84);
+    # chi2_independence grand total via broadcast crossJoin instead
+    # of an empty-spec window (r77); psi_drift NaN exclusion with
+    # the r74 oracle in lockstep (l60 rides psi too — already in)
+    "r51_scd2_versions",
+    "r84_scd2_lookup",
+    "r77_type_dow_chi2",
+    "r74_value_psi",
 )
 
 

@@ -3258,10 +3258,15 @@ def r73_deseasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "r74_value_psi",
     oracle="""
+    -- NOT isnan: in lockstep with psi_drift's Spark-side exclusion
+    -- (r9 sweep — NaN sorts above all reals in Spark, inflating the
+    -- top bin; excluded like NULL on BOTH engines)
     WITH ref AS (SELECT value FROM events
-                 WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-07-01'),
+                 WHERE value IS NOT NULL AND NOT isnan(value)
+                   AND ts < TIMESTAMP '2024-07-01'),
     cur AS (SELECT value FROM events
-            WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-07-01'),
+            WHERE value IS NOT NULL AND NOT isnan(value)
+                  AND ts >= TIMESTAMP '2024-07-01'),
     e AS (SELECT list_transform(
             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
                                   0.6, 0.7, 0.8, 0.9]),

@@ -88,3 +88,21 @@ def test_scd2_matches_run_collapse_reference(spark, rows):
             nxt = starts[i + 1][0] if i + 1 < len(starts) else None
             want.append((k, v, t, nxt, nxt is None))
     assert got == sorted(want)
+
+
+def test_scd2_null_tiebreak_value_opens_no_phantom_version(spark):
+    """A NULL tiebreak VALUE mid-log must not anchor the FOLLOWING
+    row as 'first' (code-review r9: lag(tiebreak).isNull() treated
+    the row after a NULL-tiebreak row as a new version boundary for
+    an attribute that never changed). Order stays total via ts."""
+    from miningfrequentpattern_spark.operators.relational import (
+        scd2_versions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "e1", "A"), (1, 20, None, "A"), (1, 30, "e2", "A")],
+        "k long, ts long, tb string, attr string",
+    )
+    out = scd2_versions(df, ["k"], ["attr"], "ts", "tb").collect()
+    assert len(out) == 1  # one version: attr never changed
+    assert out[0]["valid_from"] == 10 and out[0]["valid_to"] is None

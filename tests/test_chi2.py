@@ -55,3 +55,26 @@ def test_chi2_null_category_is_a_category(spark):
         for r in chi2_independence(df, "a", "b").collect()
     }
     assert got[(None, "p")] == 1 and got[(None, "q")] == 1
+
+
+def test_chi2_grand_total_has_no_empty_window(spark):
+    """The grand total rides a 1-row aggregate broadcast-crossJoin,
+    never an empty-spec window that would funnel the whole cell
+    relation through ONE WindowExec task (code-review r9) — and the
+    values are unchanged by the rewrite."""
+    from miningfrequentpattern_spark.operators.relational import (
+        chi2_independence,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "x")], "u string, v string"
+    )
+    out = chi2_independence(df, "u", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # every Window node must carry partition keys
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", plan):
+        assert m.group(2).strip(), f"empty-partition window in plan: {m.group(0)}"
+    got = {(r["a"], r["b"]): (r["n_obs"], r["expected"]) for r in out.collect()}
+    assert got[("a", "x")] == (1, 1.5) and got[("b", "x")] == (2, 1.5)

@@ -165,3 +165,20 @@ def test_acf_matches_numpy_on_any_series(spark, xs, k):
                 assert abs(acf - round(float(want), 4)) <= 2e-4
         else:
             assert acf is None
+
+
+def test_psi_drift_excludes_nan_like_null(spark):
+    """NaN is excluded from both PSI sides like NULL (code-review r9:
+    Spark sorts NaN above all reals, so reference NaN poisoned the
+    top edges and a current-side NaN inflated the top bin — a sensor
+    glitch read as maximal drift). Result equals the NaN-free run."""
+    from miningfrequentpattern_spark.operators.relational import psi_drift
+
+    clean_ref = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS v")
+    clean_cur = spark.range(100).selectExpr("CAST(id + 5 AS DOUBLE) AS v")
+    nan = spark.sql("SELECT CAST('NaN' AS DOUBLE) AS v")
+    a = psi_drift(clean_ref, clean_cur, "v").collect()
+    b = psi_drift(
+        clean_ref.unionAll(nan), clean_cur.unionAll(nan), "v"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
