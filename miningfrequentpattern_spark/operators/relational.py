@@ -1125,7 +1125,8 @@ def psi_drift(
     Pins: empty bins on either side count 0 and take the floor
     clamp in the log (the standard PSI convention — an empty
     current bin is MAXIMAL drift evidence, not a divide-by-zero);
-    NULL values are excluded from both sides; edges are 4dp-rounded
+    NULL and NaN values are excluded from both sides (NaN sorts
+    above all reals in Spark — see _binned); edges are 4dp-rounded
     (see _quantile_edges) so ties at an edge bin identically across
     engines; an EMPTY reference has NULL edges, so every current
     row lands on one NULL-bin line item with a finite psi_part —
