@@ -1291,9 +1291,17 @@ def chi2_independence(
     reconstruct them from the margins (documented, same stance as
     benford's absent digits).
     """
-    counts = df.groupBy(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    # The cell aggregate feeds TWO consumers (the margin windows and
+    # the grand total), so it sits behind a LAZY localCheckpoint
+    # barrier — the _combined_moments idiom: both read ONE RDD,
+    # computed once, instead of each re-running the corpus aggregate
+    # (and the barrier's pin is cell-relation-sized, the same data
+    # the windows shuffle anyway).
+    counts = (
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
     wa = Window.partitionBy("a")
     wb = Window.partitionBy("b")
     ra = F.sum("n_obs").over(wa)

@@ -204,8 +204,9 @@ SECTIONS = [
      "broadcast quantile edges, NO global ntile/percent_rank "
      "window anywhere"),
     ("r77_type_dow_chi2",
-     "one corpus aggregate; margins as windows on the cell grain; "
-     "no join"),
+     "one corpus aggregate; margins as KEYED windows on the cell "
+     "grain; grand total via 1-row broadcast crossJoin — no "
+     "empty-spec window, no single-partition cliff (r9)"),
     ("r78_click_vs_view_ranksum",
      "midranks via the two-phase range-partitioned rank; no "
      "single-partition window, no driver collect"),

@@ -1764,10 +1764,13 @@ def test_staged_theil_sen_pair_join_is_key_equi(spark):
 
 
 def test_staged_chi2_margins_on_cell_grain(spark):
-    """r77 candidate: ONE corpus exchange (the (a, b) cell count);
-    both margin windows and the grand-total window run on the
-    cell-grain relation (≤|a|·|b| rows — the benford posture); no
-    UDF, no join at all."""
+    """r77: the (a, b) cell count is ONE corpus aggregate behind a
+    lazy checkpoint barrier (both consumers scan its RDD — the
+    _combined_moments idiom); margin windows are KEYED on a/b over
+    the cell-grain relation (≤|a|·|b| rows — the benford posture);
+    the grand total is a 1-row broadcast, NEVER an empty-spec window
+    (r9: Window.partitionBy() funneled the whole cell relation
+    through one task); no pandas UDF."""
     from miningfrequentpattern_spark.operators.relational import (
         chi2_independence,
     )
@@ -1780,8 +1783,15 @@ def test_staged_chi2_margins_on_cell_grain(spark):
         .alias("dow"),
     )
     p = _staged_plan(chi2_independence(ev, "event_type", "dow"))
+    # the only aggregates in the POST-barrier plan are the grand
+    # total's partial+final pair; the corpus cell count ran once
+    # inside the checkpointed RDD
     assert len(re.findall(r"^\(\d+\) \w*HashAggregate", p, flags=re.M)) == 2, p
-    assert "Join" not in p, p
+    # every Window node carries partition keys (no single-task cliff)
+    for m in re.finditer(r"Window \[(.*?)\], \[(.*?)\]", p):
+        assert m.group(2).strip(), p
+    # the total rides a broadcast, not a shuffle join of the cells
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
 
 
