@@ -1021,33 +1021,29 @@ def bpe_merge_rounds(
         # Row-local rewrite: left-to-right fold merging every
         # NON-OVERLAPPING (l, r) occurrence — the exact sequential
         # semantics of the reference implementation ("aaa" with
-        # ("a","a") merges once, leaving "aa","a").
+        # ("a","a") merges once, leaving "aa","a"). No just-merged
+        # flag is needed for the non-overlap contract (code-review
+        # r9 removed it): after a merge the accumulator's last
+        # element is l+r, which can only equal l if r were '' —
+        # impossible, since symbols come from splitting non-empty
+        # words and merges concatenate non-empty symbols — so the
+        # plain last-element check IS the non-overlapping fold
+        # (property-proven against the pure-Python reference and the
+        # replace-fold oracle, both of which encode the same
+        # contract).
         lc, rc, mc = F.lit(l), F.lit(r), F.lit(merged)
         folded = F.aggregate(
             "_syms",
-            F.struct(
-                F.array().cast("array<string>").alias("acc"),
-                F.lit(False).alias("just"),
-            ),
-            lambda st_, x: F.when(
-                (~st_.just)
-                & (F.size(st_.acc) > 0)
-                & (F.element_at(st_.acc, -1) == lc)
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lc)
                 & (x == rc),
-                F.struct(
-                    F.concat(
-                        F.slice(st_.acc, 1, F.size(st_.acc) - 1),
-                        F.array(mc),
-                    ).alias("acc"),
-                    F.lit(True).alias("just"),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(mc),
                 ),
-            ).otherwise(
-                F.struct(
-                    F.concat(st_.acc, F.array(x)).alias("acc"),
-                    F.lit(False).alias("just"),
-                )
-            ),
-            lambda st_: st_.acc,
+            ).otherwise(F.concat(acc, F.array(x))),
         )
         # New generation pinned eagerly, PREVIOUS generation released
         # NOW (the graph-loop ckpt seam): without the release a

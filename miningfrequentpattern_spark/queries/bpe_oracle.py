@@ -70,10 +70,14 @@ def bpe_encode_oracle_sql(n_merges: int, min_pair_count: int = 2) -> str:
     """Generate the unrolled-CTE DuckDB oracle for bpe_encode over the
     merges the TRAINER oracle derives from the same corpus: per
     document, every word's symbols are wrapped (' s ') and words are
-    joined with a '#' sentinel (no ' l  r ' pattern can span it, so
-    merges never cross word boundaries); each training round's merge
-    is then applied in RANK ORDER as the same replace-fold — the
-    training-order replay the encoder's rank-priority loop is
+    joined with a TAB sentinel (no ' l  r ' pattern can span it, so
+    merges never cross word boundaries; tab rather than the original
+    '#' — code-review r9: '#' is legal text under the fixture
+    invariant pin and a literal '#' in a document would have been
+    erased by the final replace, while tab is pinned ABSENT by the
+    single-space/ASCII-printable invariant); each training round's
+    merge is then applied in RANK ORDER as the same replace-fold —
+    the training-order replay the encoder's rank-priority loop is
     provably equivalent to on self-trained tables. The final token
     list falls out by erasing the sentinel (leaving the same double
     space that separates intra-word tokens), trimming, and splitting
@@ -91,7 +95,7 @@ e0 AS (
                     list_transform(string_split(w, ''),
                                    s -> ' ' || s || ' '),
                     'string_agg', '')),
-           'string_agg', '#') AS repr
+           'string_agg', chr(9)) AS repr
   FROM documents)""")
     for k in range(1, n_merges + 1):
         parts.append(f""",
@@ -104,7 +108,7 @@ e{k} AS (
   FROM e{k-1} e LEFT JOIN w{k} w ON TRUE)""")
     parts.append(f"""
 SELECT doc_id,
-       string_split(trim(replace(repr, '#', '')), '  ') AS bpe_tokens
+       string_split(trim(replace(repr, chr(9), '')), '  ') AS bpe_tokens
 FROM e{n_merges}
 ORDER BY doc_id""")
     return "".join(parts)

@@ -417,8 +417,14 @@ def l04c_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- exact twin of Spark aggregate(); mod-2^30 keeps every
     -- intermediate in exactly-representable BIGINT range (DuckDB
     -- errors on 64-bit overflow, so JVM-style wraparound is not an
-    -- option on purpose).
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+    -- option on purpose). list_filter mirrors Spark T.tokens' ''
+    -- drop: DuckDB string_split('', ' ') is [''] (LEN 1, never 0 —
+    -- code-review r9: the empty-list guard was unreachable and an
+    -- empty-text doc would have folded md5('') instead of Spark's
+    -- 0), so the filtered form makes the guard real on both engines.
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(trim(text), ' '),
+                                  x -> x != '') AS toks
                FROM documents)
     SELECT doc_id,
            CAST(CASE WHEN len(toks) = 0 THEN 0
@@ -1115,10 +1121,17 @@ def l20_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("avg_neg_log2p"), F.asc("doc_id")],
         rank_col="ppl_rank",
     )
-    # One score row per document is guaranteed (split of even an empty
-    # trimmed text yields one token), so N comes from the raw scan — a
-    # pruned count, not a re-evaluation of the scoring pipeline.
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # N must count SCORED documents — unigram_logprob_score emits no
+    # row for a zero-token doc (T.tokens: empty/whitespace-only text
+    # yields [], so the explode drops it), and the oracle's
+    # count(*) OVER () counts scored rows. The old comment claimed
+    # the split always yields a token (false — code-review r9) and
+    # counted raw docs, which diverges the moment a regeneration
+    # ships a token-less doc. The count stays a pruned scan (text
+    # column only), never a re-evaluation of the scoring pipeline.
+    n_docs = docs.filter(F.size(T.tokens("text")) > 0).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     decile = (
         F.least(
             F.lit(9),
@@ -3442,6 +3455,39 @@ def l60_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_MERGES = 6  # fixture-certified depth (test_bpe: 3 and 6)
 BPE_ENCODE_MERGES = 5  # fixture-certified depth (test_bpe: 5)
 
+_BPE_SCHEMA = (
+    "round int, left string, right string, merged string, "
+    "pair_count long"
+)
+
+
+def _bpe_merges_memo(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Train-once-serve-many for the registry's BPE queries
+    (code-review r9, the l34/l45 fit-cache precedent): training runs
+    n eager driver rounds, and l61 (depth 6) + l62 (depth 5) in one
+    session re-derived overlapping tables from the same immutable
+    fixture. The greedy merge sequence is PREFIX-STABLE (the k-merge
+    table is exactly the first k rows of any deeper table — same
+    deterministic argmax at every step), so one training at the max
+    registered depth serves every shallower request bit-identically.
+    Keyed by (applicationId, sf_dir) through the shared fit-cache
+    seam so entries never outlive their SparkContext."""
+    from ..operators.similarity import _FIT_CACHE, _fit_cache_put
+
+    depth = max(n, BPE_TRAIN_MERGES)
+    key = (spark.sparkContext.applicationId, "bpe-merges", sf_dir, depth)
+    rows = _FIT_CACHE.get(key)
+    if rows is None:
+        docs = load_table(spark, sf_dir, "documents")
+        rows = [
+            tuple(r)
+            for r in T.bpe_merge_rounds(docs, n_merges=depth)
+            .orderBy("round")
+            .collect()
+        ]
+        _fit_cache_put(key, rows)
+    return spark.createDataFrame(rows[:n], _BPE_SCHEMA)
+
 
 @query("l61_bpe_merges", oracle=bpe_oracle_sql(BPE_TRAIN_MERGES))
 def l61_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3455,8 +3501,7 @@ def l61_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::bpe_merge_rounds. Oracle: unrolled-CTE round
     triples (count, gated argmax, replace-fold), queries/
     bpe_oracle.py; certified in tests/test_bpe.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    return T.bpe_merge_rounds(docs, n_merges=BPE_TRAIN_MERGES)
+    return _bpe_merges_memo(spark, sf_dir, BPE_TRAIN_MERGES)
 
 
 @query("l62_bpe_encode", oracle=bpe_encode_oracle_sql(BPE_ENCODE_MERGES))
@@ -3472,5 +3517,5 @@ def l62_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel-joined word encoding, queries/bpe_oracle.py; certified
     in tests/test_bpe.py (fixture equality + word-boundary pin)."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = T.bpe_merge_rounds(docs, n_merges=BPE_ENCODE_MERGES)
+    merges = _bpe_merges_memo(spark, sf_dir, BPE_ENCODE_MERGES)
     return T.bpe_encode(docs, merges).select("doc_id", "bpe_tokens")

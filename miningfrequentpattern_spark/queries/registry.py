@@ -235,7 +235,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (g) hoist winsorized_stats' inline join-back into mad_outliers'
 #     _back helper (module level);
 # (h) working-column collision guards (_bk/_lid/_rn/_mid/_pid/_salt
-#     vs same-named user columns) across the ranked-operator family.
+#     vs same-named user columns) across the ranked-operator family;
+# (i) l36's Knuth-hash doc_id * 2654435761 overflows int64 for
+#     doc_id >= ~3.5e9 (Spark wraps to a corrupt sample, DuckDB
+#     errors) — reduce doc_id mod 2^31 BEFORE the multiply on BOTH
+#     sides (l36 re-certifies);
+# (j) interpolate L48_QUERY_TERMS into the l48/l49 oracles and a
+#     shared BENCH_MOD constant into the l12/l25/l31/l54 oracles
+#     (the PREFIX_FP_SQL drift-prevention pattern; each re-certifies).
+# NOTE (r9 llm sweep, fixed in-round on existing window slots):
+# l62's encode-oracle sentinel is now TAB (chr(9), pinned absent by
+# the fixture invariant — '#' was legal text); l04d's oracle filters
+# '' pseudo-tokens so its empty-text guard is reachable; l20 counts
+# SCORED docs for the decile denominator; l61/l62 share one memoized
+# training per (app, sf_dir) via the fit-cache seam (prefix-stable,
+# pinned in tests/test_bpe.py).
 # Keep the canaries and re-certify anything whose code or oracle
 # text changes.
 # l44 rides a deliberate refresh slot: embedding_spectrum's

@@ -409,3 +409,26 @@ def test_bpe_encode_duckdb_oracle_word_boundary_sentinel(spark):
     assert got == want
     # (a,b) IS the first learned merge, yet 'a b' stays two tokens
     assert got[0][-2:] == ["a", "b"]
+
+
+def test_bpe_prefix_stability_and_memo(spark):
+    """The greedy merge sequence is PREFIX-STABLE: the k-merge table
+    equals the first k rows of any deeper table (same deterministic
+    argmax at every step) — the property the registry's
+    train-once-serve-many memo (_bpe_merges_memo, code-review r9)
+    relies on to serve l62's depth-5 table from l61's depth-6
+    training; and the memo's served table is bit-identical to direct
+    training."""
+    from miningfrequentpattern_spark.queries.llm_pack import (
+        _bpe_merges_memo,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    six = [tuple(r) for r in bpe_merge_rounds(docs, n_merges=6)
+           .orderBy("round").collect()]
+    five = [tuple(r) for r in bpe_merge_rounds(docs, n_merges=5)
+            .orderBy("round").collect()]
+    assert six[:5] == five
+    served = [tuple(r) for r in _bpe_merges_memo(spark, SF_ORACLE, 5)
+              .orderBy("round").collect()]
+    assert served == five
