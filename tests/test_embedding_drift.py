@@ -86,18 +86,23 @@ def test_embedding_drift_malformed_inputs_raise(spark):
     with pytest.raises(ValueError, match="n_directions"):
         embedding_projection_drift(ok, ok, dim=2, n_directions=0)
 
+    # single-partition malformed inputs: with 32 concurrent tasks the
+    # raising task cancels its siblings, and the driver-side error can
+    # surface as a cancellation artifact without the cause text under
+    # heavy host load (observed once in a full-suite run at loadavg
+    # ~12); one task = deterministic error propagation.
     ragged = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [1.0])],
         "vec_id long, embedding array<double>",
-    )
+    ).repartition(1)
     with pytest.raises(Exception, match="ragged"):
         embedding_projection_drift(ragged, ok, dim=2, n_directions=2).collect()
 
     holey = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [1.0, None])],
         "vec_id long, embedding array<double>",
-    )
-    with pytest.raises(Exception, match="null element"):
+    ).repartition(1)
+    with pytest.raises(Exception, match="null/NaN element"):
         embedding_projection_drift(ok, holey, dim=2, n_directions=2).collect()
 
     # NULL vectors stay filtered (the documented contract): same
