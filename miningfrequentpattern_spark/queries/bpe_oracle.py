@@ -81,7 +81,12 @@ def bpe_encode_oracle_sql(n_merges: int, min_pair_count: int = 2) -> str:
     provably equivalent to on self-trained tables. The final token
     list falls out by erasing the sentinel (leaving the same double
     space that separates intra-word tokens), trimming, and splitting
-    on '  '. Relies on the pinned fixture invariant (non-empty,
+    on '  '; the output column is that list re-joined with TAB
+    (code-review r10: the driver's pandas hash canonicalizer cannot
+    factorize ARRAY columns, so registered queries must emit scalar
+    columns — the l62 red-row lesson; TAB is safe as the join char
+    for the same pinned-absent reason it is safe as the sentinel).
+    Relies on the pinned fixture invariant (non-empty,
     single-spaced ASCII text)."""
     trainer = bpe_oracle_sql(n_merges, min_pair_count)
     with_part = trainer[: trainer.index("\nSELECT 1 AS round")]
@@ -108,7 +113,9 @@ e{k} AS (
   FROM e{k-1} e LEFT JOIN w{k} w ON TRUE)""")
     parts.append(f"""
 SELECT doc_id,
-       string_split(trim(replace(repr, chr(9), '')), '  ') AS bpe_tokens
+       array_to_string(
+         string_split(trim(replace(repr, chr(9), '')), '  '),
+         chr(9)) AS bpe_tokens
 FROM e{n_merges}
 ORDER BY doc_id""")
     return "".join(parts)

@@ -3515,7 +3515,13 @@ def l62_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles — operators/text.py::bpe_encode. Oracle: the
     trainer CTEs plus per-round rank-order replace-folds over a
     sentinel-joined word encoding, queries/bpe_oracle.py; certified
-    in tests/test_bpe.py (fixture equality + word-boundary pin)."""
+    in tests/test_bpe.py (fixture equality + word-boundary pin).
+    The registered output TAB-joins the token array (round-10 fix of
+    the r9 red row: the driver's pandas canonicalizer cannot hash
+    ARRAY columns; TAB is pinned absent from fixture text, so the
+    join is lossless — the _itemset_str house rule)."""
     docs = load_table(spark, sf_dir, "documents")
     merges = _bpe_merges_memo(spark, sf_dir, BPE_ENCODE_MERGES)
-    return T.bpe_encode(docs, merges).select("doc_id", "bpe_tokens")
+    return T.bpe_encode(docs, merges).select(
+        "doc_id", F.concat_ws("\t", "bpe_tokens").alias("bpe_tokens")
+    )

@@ -43,6 +43,25 @@ def _normalize(pdf: pd.DataFrame) -> list[tuple]:
 
 
 def compare(spark_df, duck_con, sql: str) -> None:
+    # Complex-type tripwire (the r9 l62 red row): the DRIVER's hash
+    # canonicalizer sorts a pandas frame, and numpy object arrays are
+    # unhashable — an ARRAY/MAP/STRUCT output column fails there with
+    # `TypeError: unhashable type` before any value comparison, while
+    # this mirror's _norm_cell would happily stringify lists and pass.
+    # House rule: registered oracle-bearing queries emit SCALAR columns
+    # only (stringify arrays, e.g. _itemset_str / concat_ws("\t", ...)).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"complex-typed output columns {complex_cols} would break the "
+        f"driver's pandas hash canonicalizer (unhashable numpy arrays) "
+        f"— stringify them (array_to_string / concat_ws) on BOTH sides"
+    )
     spark_pdf = spark_df.toPandas()
     duck_pdf = duck_con.execute(sql).df()
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (

@@ -371,8 +371,10 @@ def test_bpe_encode_duckdb_oracle_equality_on_fixture(spark):
         f"CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SF_ORACLE}/documents.parquet')"
     )
+    # the oracle emits a TAB-joined string (r10: scalar-column house
+    # rule for the driver canonicalizer); split it back for comparison
     want = {
-        r[0]: list(r[1])
+        r[0]: r[1].split("\t")
         for r in con.execute(bpe_encode_oracle_sql(5)).fetchall()
     }
     assert got == want
@@ -401,7 +403,7 @@ def test_bpe_encode_duckdb_oracle_word_boundary_sentinel(spark):
         pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
     )
     want = {
-        r[0]: list(r[1])
+        r[0]: r[1].split("\t")
         for r in con.execute(
             bpe_encode_oracle_sql(3, min_pair_count=2)
         ).fetchall()
