@@ -220,6 +220,13 @@ WATCH_GROWTH = {
     # in LPA (operators/graph.py) — the honest LPA cost model below
     # Spark's per-stage overhead crossover at sf0.1
     "m28_part_communities": 0.8,
+    # measured ~0.67/decade idle (3.8-3.9 s at sf0.1; the r9 driver
+    # reading of 7.03 s / 0.93 per decade was the contaminated run):
+    # MLlib FPGrowth's own PFP fit jobs — the most expensive headline
+    # query and the like-for-like set's biggest contention swing
+    # factor (VERDICT r9 item 7). A genuine MLlib/plan regression
+    # flags here instead of hiding inside the generic 1.4 envelope.
+    "m04_itemsets_full_tokens": 1.0,
 }
 
 
@@ -238,13 +245,32 @@ IDLE_LOAD_1M = 0.5
 # contention (observed: gate passed at [0.46, 5.3, 7.4], reading came
 # back 1.12x with the slow queries swollen).
 IDLE_LOAD_5M = 1.5
+# The 15-min average must be sane too (VERDICT r9): the 1.99x driver
+# reading passed the 1-min/5-min gate at loadavg [0.13, 1.48, 4.94] —
+# heavy load had only JUST stopped, and it resumed into the timing
+# loop (loadavg_after climbed back to 2.9/3.6). A 15-min average
+# above ~2 says the box was busy within the decay horizon; wait it
+# out (bounded) rather than trusting a momentary dip.
+IDLE_LOAD_15M = 2.0
 IDLE_WAIT_MAX_SEC = 600
 IDLE_POLL_SEC = 10
+# Committed like-for-like gate denominator (BASELINE.md, min-of-2
+# over the 24-query set) and the self-check threshold: a subtotal
+# beyond RETRY_FACTOR x denominator on a box whose demonstrated quiet
+# envelope is 0.89-1.13x is contention with near-certainty — re-run
+# the 24-query prefix ONCE and take the per-query min, stamping
+# `retried` so the record shows it (VERDICT r9 item 2).
+GATE_DENOMINATOR_SEC = 20.81
+RETRY_FACTOR = 1.5
 
 
 def _idle_now() -> bool:
-    one, five, _ = os.getloadavg()
-    return one < IDLE_LOAD_1M and five < IDLE_LOAD_5M
+    one, five, fifteen = os.getloadavg()
+    return (
+        one < IDLE_LOAD_1M
+        and five < IDLE_LOAD_5M
+        and fifteen < IDLE_LOAD_15M
+    )
 
 
 def _wait_for_idle() -> tuple[int, bool]:
@@ -341,6 +367,21 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = time_query(name, sf_dir)
 
+    # Self-check (VERDICT r9): the r9 driver run's like-for-like came
+    # back 1.99x purely from a load wave at run start — the prefix
+    # queries were uniformly swollen while later ADDITIONS in the same
+    # process timed at steady-state. If the gate subtotal exceeds
+    # RETRY_FACTOR x the committed denominator, re-time the 24-query
+    # prefix once (min with the first pass, the same estimator) and
+    # stamp `retried: true` so a genuine regression — which survives
+    # the retry — is distinguishable from a wave — which doesn't.
+    retried = False
+    first_pass_lfl = round(sum(timings[k] for k in LIKE_FOR_LIKE), 3)
+    if first_pass_lfl > RETRY_FACTOR * GATE_DENOMINATOR_SEC:
+        retried = True
+        for name in LIKE_FOR_LIKE:
+            timings[name] = min(timings[name], time_query(name, sf_dir))
+
     total = round(sum(timings.values()), 3)
     # Like-for-like subtotal over the 24-query set every prior round
     # measured (BASELINE.md's committed gate denominator) — the
@@ -424,6 +465,8 @@ def main() -> None:
         "loadavg_after": load_after,
         "idle_wait_sec": idle_wait_sec,
         "contaminated": contaminated,
+        "retried": retried,
+        "like_for_like_first_pass": first_pass_lfl,
     }
     if scaling is not None:
         out["scaling"] = scaling
@@ -463,11 +506,19 @@ def main() -> None:
         # contention, not regression (VERDICT r7 diagnosability ask).
         "loadavg_before": load_before,
         "loadavg_after": load_after,
-        # Idle gate verdict (VERDICT r8): true = the 1-min load never
-        # dropped below IDLE_LOAD_1M within the bounded wait — treat
-        # the reading as contention-suspect, not a regression.
+        # Idle gate verdict (VERDICT r8): true = the 1/5/15-min load
+        # never all dropped below the IDLE_LOAD_* bars within the
+        # bounded wait — treat the reading as contention-suspect, not
+        # a regression.
         "idle_wait_sec": idle_wait_sec,
         "contaminated": contaminated,
+        # Retry self-check (VERDICT r9): true = the first-pass 24-query
+        # subtotal exceeded RETRY_FACTOR x the committed denominator
+        # and the prefix was re-timed once (min taken) — the recorded
+        # like_for_like survived a retry, so a high reading here is a
+        # real regression, not a start-of-run load wave.
+        "retried": retried,
+        "like_for_like_first_pass": first_pass_lfl,
         "detail": detail_path,
     }
     line = json.dumps(compact)
