@@ -2020,7 +2020,8 @@ def l34_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (SELECT doc_id, source,
                       len(string_split(trim(text), ' ')) AS n_tokens,
-                      (((doc_id * 2654435761) % 4294967296) + 1)
+                      ((((doc_id % 2147483648) * 2654435761)
+                          % 4294967296) + 1)
                         / 4294967297.0 AS u
                FROM documents),
     k AS (SELECT doc_id, source, n_tokens,
@@ -2045,16 +2046,25 @@ def l36_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 2³², +1 so u>0) — pure integer arithmetic both engines
     compute bit-identically, which is what makes a randomized-looking
     operator ORACLE-ABLE: the randomness is a deterministic function
-    of the data. The ranking uses round(key, 12) with a doc_id
-    tiebreak so a last-ulp libm pow() divergence between JVM and C
-    cannot reorder the cutoff.
+    of the data. doc_id is reduced mod 2³¹ BEFORE the multiply
+    (registry backlog item (i), r10): the raw product wraps int64 for
+    doc_id ≥ ~3.5e9 — Spark would silently emit a corrupt sample at
+    100 TB doc counts while DuckDB errors — and the reduction keeps
+    the max product at (2³¹-1)·2654435761 ≈ 5.7e18 < 2⁶³-1 while
+    leaving every sub-2³¹ doc_id's hash (and thus the certified
+    fixture sample) bit-identical. The ranking uses round(key, 12)
+    with a doc_id tiebreak so a last-ulp libm pow() divergence
+    between JVM and C cannot reorder the cutoff.
 
     Shape: map-side key computation, then global top-100 compiles to
     TakeOrderedAndProject (per-partition heaps, no full sort — the
     r15 pattern); nothing but the 100 winners crosses the network."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        (
+            ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        )
         + 1
     ) / F.lit(4294967297.0)
     w = docs.select(

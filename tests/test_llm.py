@@ -896,3 +896,54 @@ def test_ivfpq_fit_cache_identical_and_keyed(spark):
     kw2 = dict(kw, n_clusters=4)
     ivfpq_topk(q, emb, fit_cache_key="t", **kw2).count()
     assert len(_FIT_CACHE) == filled + 1
+
+
+def test_weighted_sample_survives_huge_doc_ids(spark, tmp_path):
+    """Registry backlog item (i), r10: l36's A-ES key hash must reduce
+    doc_id mod 2^31 BEFORE the Knuth multiply — the raw product wraps
+    int64 for doc_id >= ~3.5e9 (Spark silently emits a corrupt sample;
+    DuckDB errors on the overflow), which is exactly the doc_id range
+    a 100 TB corpus reaches. Drive the REGISTERED query and its
+    REGISTERED oracle end-to-end on a synthetic fixture whose doc_ids
+    straddle the wrap point; sub-2^31 ids must also hash identically
+    to the pre-fix formula (the fixture sample is unchanged)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    wrap = 3_500_000_000  # ~2^63 / 2654435761
+    ids = [7, 12345, 2**31 - 1, 2**31, wrap, 2**33 + 5, 2**62 + 11]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "text": [f"alpha beta gamma {i % 5} delta" for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["web"] * len(ids),
+            "n_chars": [30] * len(ids),
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    got = (
+        e.queries()["l36_weighted_sample"](spark, str(tmp_path))
+        .orderBy("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(
+        e.oracle_sql()["l36_weighted_sample"] + " OFFSET 0"
+    ).df().sort_values("doc_id")
+    assert [r["doc_id"] for r in got] == list(want["doc_id"])
+    assert [r["sample_key"] for r in got] == list(want["sample_key"])
+    # every key in (0, 1]: a wrapped negative product would push the
+    # pre-division numerator negative and the key out of range
+    assert all(0.0 < r["sample_key"] <= 1.0 for r in got)
+    # sub-2^31 ids hash exactly as the pre-fix formula did
+    for r in got:
+        if r["doc_id"] < 2**31:
+            u = ((r["doc_id"] * 2654435761) % 4294967296 + 1) / 4294967297.0
+            assert abs(r["sample_key"] - round(u ** (1 / 5), 6)) < 1e-12
