@@ -954,6 +954,14 @@ def label_propagation(
         labels = stubs.select(F.col("_v").alias("id")).distinct().select(
             "id", F.col("id").alias("_lab")
         )
+        # Per-round generations pin eagerly (lineage truncation) and
+        # the PREDECESSOR is released once its successor is
+        # materialized — the same ckpt.pin/ckpt.release seam as
+        # bpe_merge_rounds/apriori (ADVICE r9: without the release,
+        # each round leaked a |V|-row block set for the session).
+        # Only the FINAL generation stays pinned: it is the RDD the
+        # returned plan reads.
+        prev = None
         for _ in range(iterations):
             # argmax on (count DESC, label ASC) as ONE aggregate:
             # min_by over the (-n, label) struct picks the same row
@@ -995,7 +1003,12 @@ def label_propagation(
                 )
             )
             if _materialize:
-                labels = labels.localCheckpoint(eager=True)
+                from .ckpt import pin, release
+
+                labels = pin(labels)
+                if prev is not None:
+                    release(prev)
+                prev = labels
         return labels.select("id", F.col("_lab").alias("community"))
     finally:
         if _materialize:

@@ -1279,9 +1279,12 @@ def chi2_independence(
     sibling of r70's goodness-of-fit.
 
     Shape: ONE (a, b) hash aggregate over the corpus; both margins
-    and the grand total are windows over the CELL-GRAIN relation
-    (≤|a|·|b| rows — the benford group-total posture), so nothing
-    after the first aggregate touches corpus scale. Pins: expected
+    are windows over the CELL-GRAIN relation (≤|a|·|b| rows — the
+    benford group-total posture) and the grand total is a 1-row
+    aggregate broadcast-crossJoined back onto it (the empty-spec
+    window was removed in the r9 sweep; see the inline comment and
+    tests/test_plans.py), so nothing after the first aggregate
+    touches corpus scale. Pins: expected
     is always > 0 on observed margins (both margins contain the
     cell itself), so chi2_part never divides by zero; NULL
     categories are categories (groupBy keeps them — NULL × outcome

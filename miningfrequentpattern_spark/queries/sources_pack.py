@@ -510,18 +510,20 @@ def u05_arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def centroid(table):
-        lists = table.column("emb")
-        flat = lists.combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        if len(flat) % len(table):
-            # reshape would raise an opaque ValueError — or, when the
-            # element count happens to divide, silently shear every
-            # row's values (code-review r9): name the defect instead.
+        lists = table.column("emb").combine_chunks()
+        # Per-ROW length check, not a divisibility check (ADVICE r9):
+        # `len(flat) % len(table)` misses mixed dims whose element
+        # total divides evenly by the row count — e.g. a 2-row group
+        # with dims 6 and 10 passes (16 % 2 == 0) and reshape(2, 8)
+        # silently shears every row. A single distinct list length is
+        # the actual reshape precondition.
+        lengths = pa.compute.list_value_length(lists)
+        if len(pa.compute.unique(lengths)) != 1:
             raise ValueError(
                 "u05: ragged embedding lengths within a label group — "
                 "centroids over mixed dims are undefined"
             )
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
         m = flat.reshape(len(table), -1)
         c = m.mean(axis=0)
         return pa.table(

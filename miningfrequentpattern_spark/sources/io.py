@@ -305,11 +305,20 @@ def merge_upsert_partitioned(
     # and dynamic overwrite writes touched partitions with a DIFFERENT
     # physical type than untouched ones — later reads fail with an
     # opaque footer-merge error (or silently pick one type).
+    # Nullability-normalized comparison (ADVICE r9): strict DataType
+    # equality includes NESTED nullability (array containsNull, struct
+    # field nullable), so an updates batch whose array<double> differs
+    # from the base only in containsNull would be rejected even though
+    # the union is lossless — a false-positive fail-fast.
+    # simpleString() renders the type tree without nullability
+    # markers, which is exactly the physical-type drift this guard
+    # exists to catch.
     base_types = {f.name: f.dataType for f in base_schema.fields}
     drift = {
         f.name: (f.dataType, base_types[f.name])
         for f in updates.schema.fields
-        if f.name in base_types and f.dataType != base_types[f.name]
+        if f.name in base_types
+        and f.dataType.simpleString() != base_types[f.name].simpleString()
     }
     if drift:
         raise ValueError(

@@ -88,3 +88,27 @@ def test_label_propagation_string_clique_converges(spark):
         for r in label_propagation(edges, iterations=3).collect()
     }
     assert set(got.values()) == {"d10"}
+
+
+def test_label_propagation_releases_per_round_checkpoints(spark):
+    """ADVICE r9: LPA's per-round eager localCheckpoint generations
+    must retire as their successor materializes — only the FINAL
+    pinned generation (the one the returned plan reads) plus the
+    pre-existing baseline may remain after the operator returns,
+    regardless of round count."""
+    from miningfrequentpattern_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    base = n_persistent()
+    out = label_propagation(edges, iterations=6)
+    assert out.count() == 31
+    # final labels generation only (the stubs cache is unpersisted in
+    # the operator's finally block)
+    assert n_persistent() <= base + 1, n_persistent()

@@ -373,6 +373,33 @@ def test_merge_upsert_type_drift_raises(spark, tmp_path):
     assert spark.read.parquet(path).count() == 1
 
 
+def test_merge_upsert_nested_nullability_is_not_drift(spark, tmp_path):
+    """ADVICE r9: the drift guard compares nullability-NORMALIZED
+    types. An updates batch whose array<double> differs from the base
+    only in containsNull (array(lit(...)) builds containsNull=false;
+    parquet round-trips read back true) is a lossless union and must
+    NOT be rejected."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", [10.0, 20.0])], "k long, p string, v array<double>"
+    ).write.mode("overwrite").partitionBy("p").parquet(path)
+    updates = spark.createDataFrame([(1, "a")], "k long, p string").select(
+        "k", "p", F.array(F.lit(1.5), F.lit(2.5)).alias("v")
+    )
+    base_n = [f for f in spark.read.parquet(path).schema if f.name == "v"]
+    up_n = [f for f in updates.schema if f.name == "v"]
+    # precondition: the two sides really do differ only in containsNull
+    assert base_n[0].dataType != up_n[0].dataType
+    assert (
+        base_n[0].dataType.simpleString() == up_n[0].dataType.simpleString()
+    )
+    merge_upsert_partitioned(spark, path, updates, ["k"], "p")
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and list(got[0]["v"]) == [1.5, 2.5]
+
+
 def test_merge_upsert_unrenderable_emptied_partition_fails_fast(
     spark, tmp_path
 ):

@@ -214,3 +214,25 @@ def test_u05_empty_vector_filtered_and_ragged_raises(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{d_rag}/embeddings.parquet")
     with pytest.raises(Exception, match="ragged"):
         q(spark, d_rag).collect()
+
+    # ragged dims whose element TOTAL divides evenly by the row count
+    # (ADVICE r9): a 2-row group with dims 6 and 10 passed the old
+    # `len(flat) % len(table)` divisibility check (16 % 2 == 0) and
+    # reshape(2, 8) silently sheared every row — the per-row length
+    # check must raise here too.
+    import pandas as pd
+
+    d_shear = str(tmp_path / "shear")
+    (tmp_path / "shear").mkdir()
+    pd.DataFrame(
+        {
+            "vec_id": pd.array([1, 2], dtype="int64"),
+            "embedding": [
+                [float(i) for i in range(6)],
+                [float(i) for i in range(10)],
+            ],
+            "label": pd.array([3, 3], dtype="int32"),
+        }
+    ).to_parquet(f"{d_shear}/embeddings.parquet")
+    with pytest.raises(Exception, match="ragged"):
+        q(spark, d_shear).collect()
