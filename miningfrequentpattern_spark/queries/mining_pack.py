@@ -52,6 +52,53 @@ _TOK = (
     "FROM documents"
 )
 
+# Consolidation (c), r9 mining-pack sweep: the 1-to-1 token-rule CTE
+# chain (doc count, item counts, Apriori-k2 pair supports at
+# minSupport=0.45, both rule directions) was pasted verbatim into the
+# m05_rules_1to1 / m11 / m16 oracles and kept in sync by hand — one
+# constant interpolated by all three (the PREFIX_FP_SQL
+# drift-prevention pattern). Spark twin: _token_pair_rules below.
+_PAIR_RULES_CTE = f"""tok AS ({_TOK}),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         k1 AS (SELECT item, count(*) AS freq FROM tok GROUP BY item),
+         k2 AS (SELECT a.item AS x, b.item AS y, count(*) AS freq
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.item < b.item
+                GROUP BY a.item, b.item),
+         pairs AS (SELECT x, y, freq FROM k2
+                   WHERE freq >= ceil(0.45 * (SELECT n_docs FROM n))),
+         both_dirs AS (
+           SELECT x AS antecedent, y AS consequent, freq FROM pairs
+           UNION ALL
+           SELECT y AS antecedent, x AS consequent, freq FROM pairs)"""
+
+# Same consolidation for the sequential-pattern chain: the bounded
+# ≤3-length pattern lattice over per-user (ts, event_id)-ordered
+# events, shared verbatim by the m09_prefixspan_full and m12 oracles
+# (m12 stacks the rule split/join on top).
+_SEQ_PATTERNS_CTE = """n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    e AS (SELECT user_id, ts, event_id, event_type FROM events),
+    p1 AS (
+      SELECT event_type AS pattern, count(DISTINCT user_id) AS freq
+      FROM e GROUP BY 1),
+    s2 AS (
+      SELECT DISTINCT a.user_id, a.event_type AS x, b.event_type AS y
+      FROM e a JOIN e b ON b.user_id = a.user_id
+       AND (b.ts, b.event_id) > (a.ts, a.event_id)),
+    p2 AS (SELECT x || '>' || y AS pattern, count(*) AS freq
+           FROM s2 GROUP BY 1),
+    s3 AS (
+      SELECT DISTINCT a.user_id,
+             a.event_type AS x, b.event_type AS y, c.event_type AS z
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id
+       AND (b.ts, b.event_id) > (a.ts, a.event_id)
+      JOIN e c ON c.user_id = b.user_id
+       AND (c.ts, c.event_id) > (b.ts, b.event_id)),
+    p3 AS (SELECT x || '>' || y || '>' || z AS pattern, count(*) AS freq
+           FROM s3 GROUP BY 1),
+    allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             UNION ALL SELECT * FROM p3)"""
+
 
 def _itemset_str(df: DataFrame, items_col: str = "items") -> DataFrame:
     """Canonical string form of an itemset column (oracle-safe)."""
@@ -300,18 +347,7 @@ def m04_itemsets_market(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m05_rules_1to1_tokens",
     oracle=f"""
-    WITH tok AS ({_TOK}),
-         n AS (SELECT count(*) AS n_docs FROM documents),
-         k1 AS (SELECT item, count(*) AS freq FROM tok GROUP BY item),
-         k2 AS (SELECT a.item AS x, b.item AS y, count(*) AS freq
-                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.item < b.item
-                GROUP BY a.item, b.item),
-         pairs AS (SELECT x, y, freq FROM k2
-                   WHERE freq >= ceil(0.45 * (SELECT n_docs FROM n))),
-         both_dirs AS (
-           SELECT x AS antecedent, y AS consequent, freq FROM pairs
-           UNION ALL
-           SELECT y AS antecedent, x AS consequent, freq FROM pairs)
+    WITH {_PAIR_RULES_CTE}
     SELECT r.antecedent, r.consequent,
            round(r.freq * 1.0 / fa.freq, 4) AS confidence,
            round((r.freq * 1.0 / fa.freq) / (fc.freq * 1.0 / n.n_docs), 4) AS lift,
@@ -495,30 +531,8 @@ def m09_prefixspan_1seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m09_prefixspan_full",
-    oracle="""
-    WITH n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
-    e AS (SELECT user_id, ts, event_id, event_type FROM events),
-    p1 AS (
-      SELECT event_type AS pattern, count(DISTINCT user_id) AS freq
-      FROM e GROUP BY 1),
-    s2 AS (
-      SELECT DISTINCT a.user_id, a.event_type AS x, b.event_type AS y
-      FROM e a JOIN e b ON b.user_id = a.user_id
-       AND (b.ts, b.event_id) > (a.ts, a.event_id)),
-    p2 AS (SELECT x || '>' || y AS pattern, count(*) AS freq
-           FROM s2 GROUP BY 1),
-    s3 AS (
-      SELECT DISTINCT a.user_id,
-             a.event_type AS x, b.event_type AS y, c.event_type AS z
-      FROM e a
-      JOIN e b ON b.user_id = a.user_id
-       AND (b.ts, b.event_id) > (a.ts, a.event_id)
-      JOIN e c ON c.user_id = b.user_id
-       AND (c.ts, c.event_id) > (b.ts, b.event_id)),
-    p3 AS (SELECT x || '>' || y || '>' || z AS pattern, count(*) AS freq
-           FROM s3 GROUP BY 1),
-    allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
-             UNION ALL SELECT * FROM p3)
+    oracle=f"""
+    WITH {_SEQ_PATTERNS_CTE}
     SELECT pattern, freq FROM allp
     WHERE freq >= ceil(0.5 * (SELECT n_users FROM n))
     """,
@@ -587,21 +601,70 @@ def m10_maximal_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _itemset_str(out).select("itemset", "freq")
 
 
+def _token_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native 1-to-1 token association rules at minSupport=0.45 /
+    minConfidence=0.6 — the Spark twin of _PAIR_RULES_CTE and
+    consolidation (b) of the r9 mining-pack sweep (m11 and m16
+    carried cosmetic renames of this exact derivation): per-doc
+    distinct tokens, Apriori-k2 pair supports ≥ ceil(0.45·N), both
+    rule directions, confidence = pair/antecedent frequency.
+
+    Returns (antecedent, consequent, freq, fa, fc, n_docs, conf) with
+    conf UNROUNDED — callers round ONCE at their output seam
+    (rounding per-hop first compounds to off-by-1e-4, the m16
+    lesson). Shape: the only corpus-scale work is the token self-join
+    and its pair aggregate; item counts and the 1-row doc count are
+    vocabulary-/scalar-sized and broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokens("text"))).alias("item"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    k1 = tok.groupBy("item").agg(F.count(F.lit(1)).alias("freq"))
+    a, b = tok.alias("a"), tok.alias("b")
+    k2 = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = k2.crossJoin(F.broadcast(n)).filter(
+        F.col("freq") >= F.ceil(0.45 * F.col("n_docs"))
+    ).select("x", "y", "freq")
+    both = pairs.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "freq",
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "freq",
+        )
+    )
+    fa = k1.select(
+        F.col("item").alias("antecedent"), F.col("freq").alias("fa")
+    )
+    fc = k1.select(
+        F.col("item").alias("consequent"), F.col("freq").alias("fc")
+    )
+    return (
+        both.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .withColumn("conf", F.col("freq") / F.col("fa"))
+        .filter(F.col("conf") >= 0.6)
+    )
+
+
 @query(
     "m11_rule_interest",
     oracle=f"""
-    WITH tok AS ({_TOK}),
-         n AS (SELECT count(*) AS n_docs FROM documents),
-         k1 AS (SELECT item, count(*) AS freq FROM tok GROUP BY item),
-         k2 AS (SELECT a.item AS x, b.item AS y, count(*) AS freq
-                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.item < b.item
-                GROUP BY a.item, b.item),
-         pairs AS (SELECT x, y, freq FROM k2
-                   WHERE freq >= ceil(0.45 * (SELECT n_docs FROM n))),
-         both_dirs AS (
-           SELECT x AS antecedent, y AS consequent, freq FROM pairs
-           UNION ALL
-           SELECT y AS antecedent, x AS consequent, freq FROM pairs)
+    WITH {_PAIR_RULES_CTE}
     SELECT r.antecedent, r.consequent,
            round(r.freq * 1.0 / fa.freq, 4) AS confidence,
            CASE WHEN r.freq * 1.0 / fa.freq < 1 THEN
@@ -631,45 +694,13 @@ def m11_rule_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument as l15's vocab leg) with the identical FP operation
     order, so 4-dp rounding is bit-stable. Counts, not MLlib doubles:
     deriving supp(X)/supp(Y) back out of MLlib's confidence/lift
-    columns would round-trip divisions and drift in the last ulp."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(T.tokens("text"))).alias("item"),
-    )
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    k1 = tok.groupBy("item").agg(F.count(F.lit(1)).alias("freq"))
-    a, b = tok.alias("a"), tok.alias("b")
-    k2 = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    pairs = k2.crossJoin(F.broadcast(n)).filter(
-        F.col("freq") >= F.ceil(0.45 * F.col("n_docs"))
-    ).select("x", "y", "freq")
-    both = pairs.select(
-        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "freq"
-    ).unionAll(
-        pairs.select(
-            F.col("y").alias("antecedent"),
-            F.col("x").alias("consequent"),
-            "freq",
-        )
-    )
-    fa = k1.select(F.col("item").alias("antecedent"), F.col("freq").alias("fa"))
-    fc = k1.select(F.col("item").alias("consequent"), F.col("freq").alias("fc"))
-    conf = F.col("freq") / F.col("fa")
+    columns would round-trip divisions and drift in the last ulp.
+    The rule derivation itself is _token_pair_rules, shared with
+    m16 (consolidation (b), r9 mining-pack sweep)."""
+    conf = F.col("conf")
     supp_y = F.col("fc") / F.col("n_docs")
     return (
-        both.join(F.broadcast(fa), "antecedent")
-        .join(F.broadcast(fc), "consequent")
-        .crossJoin(F.broadcast(n))
-        .filter(conf >= 0.6)
+        _token_pair_rules(spark, sf_dir)
         .select(
             "antecedent",
             "consequent",
@@ -692,30 +723,8 @@ def m11_rule_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m12_sequence_rules",
-    oracle="""
-    WITH n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
-    e AS (SELECT user_id, ts, event_id, event_type FROM events),
-    p1 AS (
-      SELECT event_type AS pattern, count(DISTINCT user_id) AS freq
-      FROM e GROUP BY 1),
-    s2 AS (
-      SELECT DISTINCT a.user_id, a.event_type AS x, b.event_type AS y
-      FROM e a JOIN e b ON b.user_id = a.user_id
-       AND (b.ts, b.event_id) > (a.ts, a.event_id)),
-    p2 AS (SELECT x || '>' || y AS pattern, count(*) AS freq
-           FROM s2 GROUP BY 1),
-    s3 AS (
-      SELECT DISTINCT a.user_id,
-             a.event_type AS x, b.event_type AS y, c.event_type AS z
-      FROM e a
-      JOIN e b ON b.user_id = a.user_id
-       AND (b.ts, b.event_id) > (a.ts, a.event_id)
-      JOIN e c ON c.user_id = b.user_id
-       AND (c.ts, c.event_id) > (b.ts, b.event_id)),
-    p3 AS (SELECT x || '>' || y || '>' || z AS pattern, count(*) AS freq
-           FROM s3 GROUP BY 1),
-    allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
-             UNION ALL SELECT * FROM p3),
+    oracle=f"""
+    WITH {_SEQ_PATTERNS_CTE},
     freqp AS (SELECT pattern, freq FROM allp
               WHERE freq >= ceil(0.5 * (SELECT n_users FROM n))),
     r AS (SELECT regexp_replace(pattern, '>[^>]*$', '') AS antecedent,
@@ -962,18 +971,7 @@ def m15_pair_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m16_rule_chains",
     oracle=f"""
-    WITH tok AS ({_TOK}),
-         n AS (SELECT count(*) AS n_docs FROM documents),
-         k1 AS (SELECT item, count(*) AS freq FROM tok GROUP BY item),
-         k2 AS (SELECT a.item AS x, b.item AS y, count(*) AS freq
-                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.item < b.item
-                GROUP BY a.item, b.item),
-         pairs AS (SELECT x, y, freq FROM k2
-                   WHERE freq >= ceil(0.45 * (SELECT n_docs FROM n))),
-         both_dirs AS (
-           SELECT x AS antecedent, y AS consequent, freq FROM pairs
-           UNION ALL
-           SELECT y AS antecedent, x AS consequent, freq FROM pairs),
+    WITH {_PAIR_RULES_CTE},
          rules AS (SELECT r.antecedent, r.consequent,
                           r.freq * 1.0 / fa.freq AS conf
                    FROM both_dirs r
@@ -1012,33 +1010,15 @@ def m16_rule_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed on the UNROUNDED confidence ratios in both engines and
     rounded once at the end (rounding per-hop first would compound
     to off-by-1e-4 disagreements; the ratios themselves are the same
-    doubles MLlib's confidence would carry)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("item")
-    )
-    n_docs = docs.count()  # scalar sizing action, like m08's threshold
-    a, b = tok.alias("ta"), tok.alias("tb")
-    pairs = (
-        a.join(
-            b,
-            (F.col("ta.doc_id") == F.col("tb.doc_id"))
-            & (F.col("ta.item") < F.col("tb.item")),
-        )
-        .groupBy(F.col("ta.item").alias("x"), F.col("tb.item").alias("y"))
-        .agg(F.count(F.lit(1)).alias("pfreq"))
-        .filter(F.col("pfreq") >= -(-45 * n_docs // 100))  # ceil(0.45*N)
-    )
-    k1 = tok.groupBy("item").agg(F.count(F.lit(1)).alias("ifreq"))
-    both = pairs.select(
-        F.col("x").alias("a"), F.col("y").alias("c"), "pfreq"
-    ).unionByName(
-        pairs.select(F.col("y").alias("a"), F.col("x").alias("c"), "pfreq")
-    )
-    r = (
-        both.join(k1.withColumnRenamed("item", "a"), "a")
-        .select("a", "c", (F.col("pfreq") / F.col("ifreq")).alias("conf"))
-        .filter(F.col("conf") >= 0.6)
+    doubles MLlib's confidence would carry). The rule relation is
+    _token_pair_rules, shared with m11 (consolidation (b), r9
+    mining-pack sweep — this also moved the support threshold from a
+    driver-side integer ceil onto the oracle's exact F.ceil(0.45·N)
+    arithmetic, removing a scalar count() action)."""
+    r = _token_pair_rules(spark, sf_dir).select(
+        F.col("antecedent").alias("a"),
+        F.col("consequent").alias("c"),
+        "conf",
     )
     r1, r2 = r.alias("r1"), r.alias("r2")
     return (
@@ -1173,17 +1153,8 @@ def m18_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round lineage truncation)."""
     from ..operators.graph import kcore
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(
-            F.col("a.pk").alias("src"), F.col("b.pk").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n_co"))
+        _copurchase_counted_pairs(spark, sf_dir)
         .filter(F.col("n_co") >= 2)
         .select("src", "dst")
     )
@@ -1370,6 +1341,28 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_counted_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(src, dst, n_co) co-purchase pairs carrying their co-order
+    COUNT — the support-thresholded/weighted builder consolidation
+    (a) of the r9 mining-pack sweep: m18 (3-core) and m25 (3-truss)
+    filter n_co >= support, m23 (Bellman-Ford) derives edge cost
+    1/n_co; all three previously carried verbatim 10-line copies of
+    this join+aggregate. Same incidence projection and low-to-high
+    pair orientation as _copurchase_pairs, plus the count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok"))
+               & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+
+
 def _copurchase_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized DISTINCT co-purchase edge list (src, dst) — the
     m13/m14-certified construction, shared by the round-6 graph
@@ -1517,15 +1510,8 @@ def m23_part_cheapest_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     refusal — pins in tests/test_sssp.py)."""
     from ..operators.graph import sssp_distances
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("weight"))
+    pairs = _copurchase_counted_pairs(spark, sf_dir).select(
+        "src", "dst", (F.lit(1.0) / F.col("n_co")).alias("weight")
     )
     # One materialization for the seed aggregate + the operator's
     # edge cache (the m21 stance).
@@ -1649,16 +1635,9 @@ def m25_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated fixpoint)."""
     from ..operators.graph import ktruss
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
+        _copurchase_counted_pairs(spark, sf_dir)
+        .filter(F.col("n_co") >= 2)
         .select("src", "dst")
     )
     return ktruss(pairs, _KTRUSS_K).select(
