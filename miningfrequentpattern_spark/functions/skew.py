@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .guards import reject_working_cols
+
 
 def salted_count(
     df: DataFrame, keys: list[str], n_salts: int = 16, out: str = "n"
@@ -24,6 +26,9 @@ def salted_count(
     """COUNT(*) per key, skew-proof: phase 1 aggregates
     (key, salt) shards, phase 2 sums the shard counts. Two small
     shuffles instead of one skewed one."""
+    # hardening (h), r9 relational sweep: a key named like an
+    # internal column would be shadowed in the salted projection
+    reject_working_cols(df.select(*keys), ("_salt", "_pn"), "salted_count")
     salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
     partial = (
         df.select(*keys, salt)
@@ -59,6 +64,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    # hardening (h): withColumn REPLACES an existing _salt column
+    # silently — corrupt join keys with no error
+    reject_working_cols(fact, ("_salt",), "salted_join")
+    reject_working_cols(dim, ("_salt",), "salted_join")
     f = fact.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")
     )
@@ -79,6 +88,10 @@ def salted_collect_set(
     flatten+distinct at merge. Bounds any single task's set size to
     ~|key's items|/n_salts during phase 1 — the salted twin of
     operators.baskets.basketize for pathological keys."""
+    # hardening (h): only key/item survive into the salted projection
+    reject_working_cols(
+        df.select(key, item), ("_salt", "_ps"), "salted_collect_set"
+    )
     salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
     partial = (
         df.select(key, F.col(item), salt)

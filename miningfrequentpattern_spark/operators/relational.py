@@ -9,6 +9,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
+from ..functions.guards import reject_working_cols as _reject_working_cols
 from ..functions.rounding import round4
 from . import ckpt
 
@@ -108,6 +109,8 @@ def asof_join(
     if tolerance_expr is not None:
         cond = cond & (delta <= tolerance_expr)
 
+    _reject_working_cols(left, ("_lid", "_bk", "_rn"), "asof_join")
+    _reject_working_cols(right, ("_bk", "_rn"), "asof_join")
     out_cols = list(left.columns)
     l = left.withColumn("_lid", F.monotonically_increasing_id())
     r = right
@@ -180,6 +183,7 @@ def top_k_per_group(
     unique tiebreak column in `order_by` for oracle-stable output.
     Single shuffle on the group cols; rank prune happens map-side
     post-shuffle (WindowExec), no second pass."""
+    _reject_working_cols(df, ("_rn",), "top_k_per_group")
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -235,6 +239,10 @@ def global_row_number(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    _reject_working_cols(
+        df, ("_mid", "_pid", "_cnt", "_offset", rank_col),
+        "global_row_number",
+    )
     part = (
         df.repartitionByRange(num_partitions, *order_exprs)
         .sortWithinPartitions(*order_exprs)
@@ -301,6 +309,12 @@ def pareto_frontier_2d(
     The oracle twin (r49) IS the NOT EXISTS form, certifying this
     plan against the textbook dominance definition at sf0.01.
     """
+    _reject_working_cols(
+        df,
+        ("_gmax", "_bkt", "_bmax", "_prev_bmax", "_prev_in", "_fmin")
+        + tuple(f"_fk_{k}" for k in key_cols),
+        "pareto_frontier_2d",
+    )
     # Rows with a NULL coordinate are EXCLUDED up front: dominance is
     # undefined against NULL, and without the filter a NULL min_col
     # lands in the last bucket via F.least's null-skip, sorts FIRST in
@@ -308,10 +322,19 @@ def pareto_frontier_2d(
     # genuine frontier rows while the NULL row itself vanishes in the
     # non-null-safe join-back — silently dropping real frontier
     # members (code-review r8 finding; the interval_merge
-    # documented-drop stance).
-    df = df.filter(
-        F.col(min_col).isNotNull() & F.col(max_col).isNotNull()
-    )
+    # documented-drop stance). NaN coordinates are excluded with the
+    # NULLs (hardening (d), the mad_outliers sibling exclusion):
+    # dominance against NaN is equally undefined, NaN min_col
+    # NaN-poisons its bucket arithmetic, and a NaN max_col sorts
+    # GREATEST so its _gmax would wrongly dominate every real row.
+    def _clean(c: str) -> Column:
+        col = F.col(c)
+        keep = col.isNotNull()
+        if isinstance(df.schema[c].dataType, (DoubleType, FloatType)):
+            keep = keep & ~F.isnan(col)
+        return keep
+
+    df = df.filter(_clean(min_col) & _clean(max_col))
     neg_inf = F.lit(float("-inf"))
     bounds = df.agg(
         F.min(min_col).alias("lo"), F.max(min_col).alias("hi")
@@ -491,6 +514,23 @@ def binned_quantile_rollup(
     bad = [q for q in qs if not 0.0 < q <= 1.0]
     if bad:
         raise ValueError(f"qs must be in (0, 1], got {bad}")
+    # Hardening (e), r9 relational sweep: lo >= hi makes the bin
+    # width zero/negative (every value divides to ±inf/NaN and
+    # clamps to one bin — a silently useless sketch), and n_bins < 1
+    # divides by zero at width computation. Name the misuse instead.
+    if not lo < hi:
+        raise ValueError(
+            f"binned_quantile_rollup: need lo < hi, got [{lo}, {hi}]"
+        )
+    if n_bins < 1:
+        raise ValueError(
+            f"binned_quantile_rollup: n_bins must be >= 1, got {n_bins}"
+        )
+    _reject_working_cols(
+        df.select(*groups, *(partial_grain or [])),
+        ("bin", "cnt", "cum", "_cum_below", "n_rows", "q"),
+        "binned_quantile_rollup",
+    )
     w = (hi - lo) / n_bins
     binc = F.least(
         F.greatest(
@@ -530,16 +570,39 @@ def binned_quantile_rollup(
             *groups,
             "q",
             "n_rows",
-            F.round(
+            # round4 pins -0.0 (hardening (f)): a negative-domain
+            # grid can interpolate an estimate to signed zero.
+            round4(
                 F.lit(lo)
                 + F.lit(w)
                 * (
                     F.col("bin")
                     + (target - F.col("_cum_below")) / F.col("cnt")
-                ),
-                4,
+                )
             ).alias("est"),
         )
+    )
+
+
+def _group_back(
+    onto: DataFrame, dim: DataFrame, groups: list[str]
+) -> DataFrame:
+    """Null-safe broadcast join-back of a group-dimension relation
+    onto a corpus-grain relation — the winsorize/mad join-back,
+    hoisted to module level (hardening (g), r9 relational sweep:
+    winsorized_stats carried an inline copy of mad_outliers' closure).
+    NULL group values join null-safely so NULL-group rows clamp and
+    count instead of vanishing through a NULL != NULL equi-join
+    (review r5). `dim` must be group-cardinality sized — it is
+    broadcast."""
+    for g in groups:
+        dim = dim.withColumnRenamed(g, f"_d_{g}")
+    cond = None
+    for g in groups:
+        c = F.col(g).eqNullSafe(F.col(f"_d_{g}"))
+        cond = c if cond is None else cond & c
+    return onto.join(F.broadcast(dim), cond).drop(
+        *[f"_d_{g}" for g in groups]
     )
 
 
@@ -576,27 +639,34 @@ def winsorized_stats(
     """
     if not 0.0 <= p_lo < p_hi <= 1.0:
         raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    _reject_working_cols(
+        df, ("_v", "lo_val", "hi_val") + tuple(f"_d_{g}" for g in groups),
+        "winsorized_stats",
+    )
     v = F.col(value_col).cast("double")
-    base = df.filter(v.isNotNull()).select(*groups, v.alias("_v"))
+    # NaN excluded with NULL (hardening (d), the mad_outliers sibling
+    # exclusion): NaN passes isNotNull but sorts above all reals, so
+    # one NaN would drag hi_val to NaN and poison win_mean through
+    # the clamp.
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *groups, v.alias("_v")
+    )
     bounds = base.groupBy(*groups).agg(
         F.percentile("_v", F.lit(p_lo)).alias("lo_val"),
         F.percentile("_v", F.lit(p_hi)).alias("hi_val"),
     )
-    for g in groups:
-        bounds = bounds.withColumnRenamed(g, f"_b_{g}")
-    cond = None
-    for g in groups:
-        c = F.col(g).eqNullSafe(F.col(f"_b_{g}"))
-        cond = c if cond is None else cond & c
     clamped = F.least(F.greatest(F.col("_v"), F.col("lo_val")), F.col("hi_val"))
+    # round4 pins -0.0 on the signed outputs (hardening (f)): a
+    # negative-domain measure can round a bound or the clamped mean
+    # to signed zero differently per engine (the l43 class).
     return (
-        base.join(F.broadcast(bounds), cond)
+        _group_back(base, bounds, groups)
         .groupBy(*groups)
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.round(F.first("lo_val"), 4).alias("lo_val"),
-            F.round(F.first("hi_val"), 4).alias("hi_val"),
-            F.round(F.avg(clamped), 4).alias("win_mean"),
+            round4(F.first("lo_val")).alias("lo_val"),
+            round4(F.first("hi_val")).alias("hi_val"),
+            round4(F.avg(clamped)).alias("win_mean"),
         )
     )
 
@@ -743,6 +813,19 @@ def topn_with_others(
     everything after is dimension-sized. No global sort: the rank
     window orders the aggregate relation, not the corpus.
     """
+    # Parameter-collision guard (hardening (h)): input columns never
+    # survive the first aggregate here, so the collision surface is
+    # the OUTPUT names — label/measure colliding with each other or
+    # with the internal rank / is_other columns.
+    if (
+        label_col == measure_col
+        or {label_col, measure_col} & {"_rn", "is_other"}
+    ):
+        raise ValueError(
+            f"topn_with_others: label_col={label_col!r} / "
+            f"measure_col={measure_col!r} collide with each other or "
+            f"with the internal ('_rn', 'is_other') columns"
+        )
     agg = df.groupBy(F.col(group_col).alias(label_col)).agg(
         measure.alias(measure_col)
     )
@@ -757,7 +840,9 @@ def topn_with_others(
             F.col(measure_col),
         )
         .groupBy(label_col, "is_other")
-        .agg(F.round(F.sum(measure_col), 4).alias(measure_col))
+        # round4 pins -0.0 (hardening (f)): a signed measure (net
+        # revenue with refunds) can sum a bucket to signed zero.
+        .agg(round4(F.sum(measure_col)).alias(measure_col))
     )
 
 
@@ -793,6 +878,11 @@ def abc_classification(
     guarded division never runs under ANSI mode (review r5,
     confirmed by execution).
     """
+    _reject_working_cols(
+        df.select(*group_cols),
+        ("item", "total", "share", "cum_share", "abc_class"),
+        "abc_classification",
+    )
     agg = df.groupBy(*group_cols, F.col(item_col).alias("item")).agg(
         measure.alias("total")
     )
@@ -810,13 +900,15 @@ def abc_classification(
     )
     nz = grand != 0
     share_before = F.when(nz, cum_before / grand)
+    # round4 pins -0.0 (hardening (f)): signed measures (net revenue
+    # with returns) can round a total or share to signed zero.
     return agg.select(
         *group_cols,
         "item",
-        F.round("total", 4).alias("total"),
-        F.round(F.when(nz, F.col("total") / grand), 4).alias("share"),
-        F.round(
-            F.when(nz, (cum_before + F.col("total")) / grand), 4
+        round4(F.col("total")).alias("total"),
+        round4(F.when(nz, F.col("total") / grand)).alias("share"),
+        round4(
+            F.when(nz, (cum_before + F.col("total")) / grand)
         ).alias("cum_share"),
         F.when(share_before < a_cut, F.lit("A"))
         .when(share_before < b_cut, F.lit("B"))
@@ -861,6 +953,10 @@ def mad_outliers(
     are ALL NULL; NULL group values join null-safely (the winsorize
     review-r5 pin).
     """
+    _reject_working_cols(
+        df, ("_v", "_med", "_mad") + tuple(f"_d_{g}" for g in groups),
+        "mad_outliers",
+    )
     v = F.col(value_col).cast("double")
     carry = list(carry or ())
     base = df.select(*groups, *carry, v.alias("_v"))
@@ -875,15 +971,9 @@ def mad_outliers(
     )
 
     def _back(onto: DataFrame, dim: DataFrame) -> DataFrame:
-        for g in groups:
-            dim = dim.withColumnRenamed(g, f"_d_{g}")
-        cond = None
-        for g in groups:
-            c = F.col(g).eqNullSafe(F.col(f"_d_{g}"))
-            cond = c if cond is None else cond & c
-        return onto.join(F.broadcast(dim), cond).drop(
-            *[f"_d_{g}" for g in groups]
-        )
+        # module-level _group_back (hardening (g)): null-safe
+        # broadcast dimension join-back shared with winsorized_stats
+        return _group_back(onto, dim, groups)
 
     vals_med = _back(vals, meds)
     mads = vals_med.groupBy(*groups).agg(
@@ -1221,13 +1311,18 @@ def rfm_scores(
     if n_tiles < 2:
         raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
     fracs = [i / n_tiles for i in range(1, n_tiles)]
+    # NaN amounts ride the NULL leg (hardening (d), the mad_outliers
+    # sibling exclusion): sum() propagates NaN, so ONE NaN amount
+    # would make the customer's monetary — and then every quantile
+    # edge — NaN, collapsing all m_scores. NaN→NULL keeps the row
+    # counted in frequency while contributing 0 to monetary, exactly
+    # the documented NULL-amount stance.
+    amt = F.col(amount_col).cast("double")
+    amt = F.when(~F.isnan(amt), amt)
     per_cust = df.groupBy(customer_col).agg(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(
-            F.coalesce(F.sum(F.col(amount_col).cast("double")), F.lit(0.0)),
-            4,
-        ).alias("monetary"),
+        F.round(F.coalesce(F.sum(amt), F.lit(0.0)), 4).alias("monetary"),
     )
     edges = per_cust.agg(
         *[

@@ -773,9 +773,17 @@ def l11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(keep)
 
 
+# Every BENCH_MOD-th doc_id plays the benchmark role in the
+# decontamination family (l12/l25/l31/l54) -- the fixtures carry no
+# eval suite. ONE constant interpolated into all four oracles and
+# used by all four Spark bodies (hardening (j), r9 sweep): the
+# hand-synced '40' literals per engine could drift silently.
+BENCH_MOD = 40
+
+
 @query(
     "l12_decontaminate",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     sh AS (SELECT doc_id,
              list_distinct(list_filter(
@@ -784,8 +792,8 @@ def l11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> x IS NOT NULL)) AS g
            FROM t),
     ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
-    b AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 40 = 0),
-    tr AS (SELECT doc_id, s FROM ex WHERE doc_id % 40 != 0)
+    b AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+    tr AS (SELECT doc_id, s FROM ex WHERE doc_id % {BENCH_MOD} != 0)
     SELECT tr.doc_id, count(DISTINCT b.bench_id) AS n_benchmark_hits
     FROM tr JOIN b ON tr.s = b.s
     GROUP BY tr.doc_id
@@ -802,8 +810,8 @@ def l12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
-    bench = docs.filter(F.col("doc_id") % 40 == 0)
-    train = docs.filter(F.col("doc_id") % 40 != 0)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     return decontaminate(train, bench, n=3)
 
 
@@ -1389,14 +1397,14 @@ def l24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM (SELECT doc_id, string_split(text, ' ') AS l
                  FROM documents)),
     ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
-    bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 40 = 0),
+    bench AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % {BENCH_MOD} = 0),
     train AS (SELECT e.doc_id, e.s FROM ex e
               JOIN good g ON g.doc_id = e.doc_id
-              WHERE e.doc_id % 40 != 0),
+              WHERE e.doc_id % {BENCH_MOD} != 0),
     contaminated AS (SELECT DISTINCT tr.doc_id
                      FROM train tr JOIN bench b ON tr.s = b.s),
     clean AS (SELECT g.* FROM good g
-              WHERE g.doc_id % 40 != 0
+              WHERE g.doc_id % {BENCH_MOD} != 0
                 AND g.doc_id NOT IN (SELECT doc_id FROM contaminated))
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
@@ -1429,15 +1437,15 @@ def l25_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     good = feats.filter(F.col("quality_pass"))
     train_docs = (
         deduped.join(good.select("doc_id"), "doc_id", "left_semi")
-        .filter(F.col("doc_id") % 40 != 0)
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
         .withColumn("tokens", T.tokens("text"))
     )
-    bench = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).withColumn(
         "tokens", T.tokens("text")
     )
     contaminated = decontaminate(train_docs, bench).select("doc_id")
     clean = (
-        good.filter(F.col("doc_id") % 40 != 0)
+        good.filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(contaminated, "doc_id", "left_anti")
     )
     return clean.groupBy("lang").agg(
@@ -1823,7 +1831,7 @@ def l30_prefix_dedup_keep_longest(
 
 @query(
     "l31_decontaminate_frac",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     sh AS (SELECT doc_id,
              list_distinct(list_filter(
@@ -1832,8 +1840,8 @@ def l30_prefix_dedup_keep_longest(
                x -> x IS NOT NULL)) AS g
            FROM t),
     ex AS (SELECT doc_id, len(g) AS n_shingles, unnest(g) AS s FROM sh),
-    b AS (SELECT DISTINCT s FROM ex WHERE doc_id % 40 = 0),
-    tr AS (SELECT doc_id, n_shingles, s FROM ex WHERE doc_id % 40 != 0)
+    b AS (SELECT DISTINCT s FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+    tr AS (SELECT doc_id, n_shingles, s FROM ex WHERE doc_id % {BENCH_MOD} != 0)
     SELECT tr.doc_id,
            CAST(tr.n_shingles AS BIGINT) AS n_shingles,
            CAST(count(DISTINCT tr.s) AS BIGINT) AS n_hit_shingles,
@@ -1860,8 +1868,8 @@ def l31_decontaminate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
-    bench = docs.filter(F.col("doc_id") % 40 == 0)
-    train = docs.filter(F.col("doc_id") % 40 != 0)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     return decontaminate_frac(train, bench, n=3, min_frac=0.5)
 
 
@@ -2673,11 +2681,15 @@ def l47_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 L48_QUERY_TERMS = ["scan", "merge", "window", "stream"]
+# interpolated into the l48/l49 oracle IN-lists so the Spark-side
+# query terms and the oracle's literal list can never drift
+# (hardening (j), r9 sweep -- the PREFIX_FP_SQL pattern)
+_L48_TERMS_SQL = ", ".join(f"'{t}'" for t in L48_QUERY_TERMS)
 
 
 @query(
     "l48_bm25_scores",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split(trim(text), ' '), x -> x != '')
@@ -2689,7 +2701,7 @@ L48_QUERY_TERMS = ["scan", "merge", "window", "stream"]
       SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
     q AS (
       SELECT doc_id, dl, term FROM h
-      WHERE term IN ('scan', 'merge', 'window', 'stream')),
+      WHERE term IN ({_L48_TERMS_SQL})),
     df AS (
       SELECT term, count(DISTINCT doc_id) AS dfreq FROM q GROUP BY 1),
     tf AS (
@@ -2720,14 +2732,14 @@ def l48_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l49_hybrid_rrf",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, source, string_split(trim(text), ' ') AS toks
       FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
     m AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
     h AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
     q AS (SELECT doc_id, dl, term FROM h
-          WHERE term IN ('scan', 'merge', 'window', 'stream')),
+          WHERE term IN ({_L48_TERMS_SQL})),
     df AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM q GROUP BY 1),
     tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q GROUP BY 1, 2, 3),
     bm AS (SELECT tf.doc_id, sum(
@@ -3057,7 +3069,7 @@ def l53_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "l54_contamination_attribution",
-    oracle="""
+    oracle=f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT doc_id,
          list_distinct(list_filter(
@@ -3070,8 +3082,8 @@ b AS (SELECT DISTINCT
         CASE WHEN doc_id % 80 = 0 THEN 'benchA' ELSE 'benchB' END
           AS benchmark,
         s
-      FROM ex WHERE doc_id % 40 = 0),
-tr AS (SELECT doc_id, n_shingles, s FROM ex WHERE doc_id % 40 != 0),
+      FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+tr AS (SELECT doc_id, n_shingles, s FROM ex WHERE doc_id % {BENCH_MOD} != 0),
 h AS (SELECT tr.doc_id, tr.n_shingles, b.benchmark,
              count(DISTINCT tr.s) AS n_hit
       FROM tr JOIN b ON tr.s = b.s
@@ -3104,13 +3116,13 @@ def l54_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
-    bench = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).withColumn(
         "bench",
         F.when(F.col("doc_id") % 80 == 0, F.lit("benchA")).otherwise(
             F.lit("benchB")
         ),
     )
-    train = docs.filter(F.col("doc_id") % 40 != 0)
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     return decontaminate_attribution(train, bench, "bench", n=3)
 
 

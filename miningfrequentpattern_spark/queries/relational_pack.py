@@ -2555,7 +2555,7 @@ def r53_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c.n_rows AS BIGINT) AS n_rows,
            round(0.0::DOUBLE + 5.0::DOUBLE *
                  (c.bin + (qs.q * c.n_rows - c.cum_below) / c.cnt),
-                 4) AS est
+                 4) + 0.0 AS est
     FROM c CROSS JOIN qs
     WHERE c.cum >= qs.q * c.n_rows AND c.cum_below < qs.q * c.n_rows
     """,
@@ -2792,16 +2792,17 @@ def r59_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT l_returnflag AS returnflag, l_extendedprice AS v
-      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
     b AS (
       SELECT returnflag,
              quantile_cont(v, 0.05) AS lo,
              quantile_cont(v, 0.95) AS hi
       FROM base GROUP BY returnflag)
     SELECT base.returnflag, count(*) AS n_obs,
-           round(any_value(lo), 4) AS lo_val,
-           round(any_value(hi), 4) AS hi_val,
-           round(avg(least(greatest(v, lo), hi)), 4) AS win_mean
+           round(any_value(lo), 4) + 0.0 AS lo_val,
+           round(any_value(hi), 4) + 0.0 AS hi_val,
+           round(avg(least(greatest(v, lo), hi)), 4) + 0.0 AS win_mean
     FROM base JOIN b USING (returnflag)
     GROUP BY base.returnflag
     """,
@@ -2878,7 +2879,7 @@ def r61_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM rev)
     SELECT CASE WHEN rn <= 10 THEN label ELSE 'OTHER' END AS label,
            (rn > 10) AS is_other,
-           round(sum(total), 4) AS total
+           round(sum(total), 4) + 0.0 AS total
     FROM rk GROUP BY 1, 2
     """,
 )
@@ -2914,9 +2915,9 @@ def r63_brand_topn_others(spark: SparkSession, sf_dir: str) -> DataFrame:
                  0.0) AS cumb,
              sum(total) OVER (PARTITION BY returnflag) AS grand
       FROM agg)
-    SELECT returnflag, item, round(total, 4) AS total,
-           round(total / grand, 4) AS share,
-           round((cumb + total) / grand, 4) AS cum_share,
+    SELECT returnflag, item, round(total, 4) + 0.0 AS total,
+           round(total / grand, 4) + 0.0 AS share,
+           round((cumb + total) / grand, 4) + 0.0 AS cum_share,
            CASE WHEN cumb / grand < 0.8 THEN 'A'
                 WHEN cumb / grand < 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class

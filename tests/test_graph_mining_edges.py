@@ -121,6 +121,33 @@ def test_pareto_frontier_null_coordinates_excluded(spark):
     assert got == {(5.0, 50.0), (1.0, 10.0)}
 
 
+def test_pareto_frontier_nan_coordinates_excluded(spark):
+    """Hardening (d), r10: a NaN max_col sorts GREATEST, so without
+    the exclusion its _gmax wrongly dominates every real row in its
+    bucket's prefix (the same mechanism as the NULL finding); a NaN
+    min_col NaN-poisons the bucket arithmetic. Both ride the
+    documented-drop leg with the NULLs."""
+    from miningfrequentpattern_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [
+            ("g", 0.5, nan),   # NaN max: would dominate everything
+            ("g", nan, 99.0),  # NaN min: poisons bucketing
+            ("g", 5.0, 50.0),
+            ("g", 1.0, 10.0),
+        ],
+        "g string, mn double, mx double",
+    )
+    got = {
+        (r["mn"], r["mx"])
+        for r in pareto_frontier_2d(df, ["g"], "mn", "mx").collect()
+    }
+    assert got == {(5.0, 50.0), (1.0, 10.0)}
+
+
 def test_growth_accounting_reports_churn_into_empty_period(spark):
     """Everyone churns in week 2 (zero actives): the week-2 row must
     still exist and carry the churn, or total churn is undercounted

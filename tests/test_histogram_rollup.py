@@ -127,3 +127,23 @@ def test_q_zero_is_rejected_not_silently_dropped(spark):
 
     with pytest.raises(ValueError, match=r"\(0, 1\]"):
         binned_quantile_rollup(df, ["g"], "v", [0.0, 0.5], 0.0, 1.0, 4)
+
+
+def test_binned_rollup_rejects_degenerate_grid(spark):
+    """Hardening (e), r10: lo >= hi (zero/negative bin width — every
+    value clamps into one bin, a silently useless sketch) and
+    n_bins < 1 (division by zero at width computation) must raise
+    named errors, not mis-sketch."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.relational import (
+        binned_quantile_rollup,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="lo < hi"):
+        binned_quantile_rollup(df, ["g"], "v", [0.5], 10.0, 10.0, 5)
+    with pytest.raises(ValueError, match="lo < hi"):
+        binned_quantile_rollup(df, ["g"], "v", [0.5], 10.0, 1.0, 5)
+    with pytest.raises(ValueError, match="n_bins"):
+        binned_quantile_rollup(df, ["g"], "v", [0.5], 0.0, 10.0, 0)

@@ -661,14 +661,32 @@ def test_merge_schema_scan_stays_single_scan(spark):
 
 
 def test_rule_chains_join_is_equi_never_cartesian(spark):
-    """m16: every join must be EQUI — the pair-generation self-join
-    keyed by doc_id and the 2-hop chain self-join keyed by
-    consequent = antecedent — never a cartesian / nested-loop; the
-    pair support must hash-aggregate with map-side partials (the
-    Apriori-k2 shape m08 certifies against FPGrowth)."""
+    """m16: the corpus-scale joins must be EQUI — the pair-generation
+    self-join keyed by doc_id and the 2-hop chain self-join keyed by
+    consequent = antecedent — never a cartesian / nested-loop over
+    data; the pair support must hash-aggregate with map-side partials
+    (the Apriori-k2 shape m08 certifies against FPGrowth). Since the
+    r10 consolidation m16 shares m11's _token_pair_rules, whose
+    support threshold rides crossJoin(broadcast(1-row doc count)) —
+    those nodes plan as BroadcastNestedLoopJoin Cross BuildRight and
+    are the ONLY nested-loop form allowed (the repo-wide scalar-
+    broadcast idiom; build side is one row by construction)."""
     p = plan_of(spark, "m16_rule_chains")
     assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p, p
+    for line in p.splitlines():
+        # tree lines carry the join type + build side; the details
+        # section repeats each node as a bare "(N) BroadcastNested…"
+        # header, which has nothing to assert on
+        if "BroadcastNestedLoopJoin" in line and not line.rstrip().endswith(
+            "BroadcastNestedLoopJoin"
+        ):
+            assert "Cross BuildRight" in line, line
+    # the data joins themselves must still be hash/merge equi joins
+    assert (
+        "BroadcastHashJoin" in p
+        or "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+    ), p
     assert "partial_count" in p or "partial count" in p, p
 
 

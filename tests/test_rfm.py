@@ -64,3 +64,44 @@ def test_rfm_rejects_bad_tiles(spark):
     )
     with pytest.raises(ValueError):
         rfm_scores(df, "cust", "ts", "amt", n_tiles=1)
+
+
+def test_rfm_nan_amount_rides_the_null_leg(spark):
+    """Hardening (d), r10: a NaN amount must behave exactly like a
+    NULL amount (counts toward frequency, contributes 0 to monetary)
+    — without the pin, sum() propagates NaN into the customer's
+    monetary and then into every quantile edge, collapsing all
+    m_scores."""
+    from miningfrequentpattern_spark.operators.relational import (
+        rfm_scores,
+    )
+
+    rows_null = [
+        (c, float(d), amt)
+        for c, d, amt in [
+            (1, 1, 10.0), (1, 2, None), (2, 3, 50.0), (2, 4, 5.0),
+            (3, 5, 30.0), (4, 6, 80.0), (5, 7, 1.0),
+        ]
+    ]
+    rows_nan = [
+        (c, d, float("nan") if a is None else a) for c, d, a in rows_null
+    ]
+    schema = "cust long, ts double, amt double"
+    want = sorted(
+        map(
+            tuple,
+            rfm_scores(
+                spark.createDataFrame(rows_null, schema), "cust", "ts", "amt"
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            rfm_scores(
+                spark.createDataFrame(rows_nan, schema), "cust", "ts", "amt"
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert all(not (m != m) for r in got for m in [r[3]])  # no NaN monetary

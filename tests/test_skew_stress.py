@@ -280,3 +280,56 @@ def test_label_propagation_correct_on_hot_hub(spark):
                 nxt[i] = labels[0]
             labels = nxt
         assert got == labels, iters
+
+
+def test_salted_helpers_reject_working_column_collisions(spark):
+    """Hardening (h), r10: a user column named `_salt` would be
+    silently REPLACED by salted_join's withColumn (corrupt join keys,
+    no error); the aggregate helpers shadow `_salt`/`_pn`/`_ps` the
+    same way. All three fail fast naming the clash."""
+    import pytest
+
+    from miningfrequentpattern_spark.functions.skew import (
+        salted_collect_set,
+        salted_count,
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([(1, 2)], "k long, _salt long")
+    dim = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(fact, dim, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(dim, fact, "k")
+    with pytest.raises(ValueError, match="collide"):
+        salted_count(fact, ["_salt"])
+    with pytest.raises(ValueError, match="collide"):
+        salted_collect_set(fact, "k", "_salt")
+
+
+def test_ranked_operators_reject_working_column_collisions(spark):
+    """Hardening (h), r10 — the ranked/joined family: top_k_per_group
+    drops `_rn` at the end (a user `_rn` column would vanish),
+    global_row_number shifts `_mid`/`_pid` arithmetic, asof_join
+    monotonic-ids `_lid`. Each rejects the collision by name."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.operators.relational import (
+        asof_join,
+        global_row_number,
+        top_k_per_group,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, _rn long")
+    with pytest.raises(ValueError, match="_rn"):
+        top_k_per_group(df, ["k"], [F.col("_rn")], 1)
+    df2 = spark.createDataFrame([(1, 2)], "k long, _mid long")
+    with pytest.raises(ValueError, match="_mid"):
+        global_row_number(df2, [F.col("k")])
+    left = spark.createDataFrame(
+        [(1, 2)], "k long, _lid long"
+    ).withColumn("ts", F.current_timestamp())
+    right = left.select("k", "ts")
+    with pytest.raises(ValueError, match="_lid"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts")

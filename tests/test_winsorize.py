@@ -55,3 +55,25 @@ def test_winsorize_null_group_counts(spark):
     }
     assert got["a"] == (2, 1.5)
     assert got[None] == (2, 6.0)
+
+
+def test_winsorize_nan_excluded_and_collision_guard(spark):
+    """Hardening (d)/(h), r10: NaN values are excluded like NULLs —
+    one NaN would drag hi_val to NaN through Spark's NaN-greatest
+    sort and poison win_mean via the clamp — and an input column
+    colliding with the internal working names raises actionably."""
+    clean = spark.createDataFrame(
+        [("a", float(i)) for i in range(11)], "g string, v double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("a", float("nan")), ("a", None)], "g string, v double"
+        )
+    )
+    want = winsorized_stats(clean, ["g"], "v", 0.1, 0.9).collect()
+    got = winsorized_stats(dirty, ["g"], "v", 0.1, 0.9).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    clash = clean.withColumnRenamed("v", "_v")
+    with pytest.raises(ValueError, match="collide"):
+        winsorized_stats(clash, ["g"], "_v", 0.1, 0.9)
