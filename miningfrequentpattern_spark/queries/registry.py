@@ -196,145 +196,108 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # scripts/m28_ab.py parity, but the re-certify rule is mechanical:
 # changed code re-proves in the driver env).
 #
-# ROUND 10 ROTATION TODO: re-run `python scripts/plan_rotation.py`
-# after CORRECTNESS_r09 lands. Expected shape (hand cross-check):
-# 3 canaries + the r4 remainder (l26_source_kl_drift,
-# l27_dsir_resample, s10_compaction_roundtrip, s11_binaryfile_scan,
-# s12_bucketed_join, u07_polymorphic_udtf, m13_part_pagerank,
-# m14_part_triangles, l28_ngram_novelty, r05b/l04/l05/l06/l09/m02-
-# class r4 rows — whatever plan_rotation lists) + the r5 cohort
-# (s13, m16, l30, t07, m17, l31, l32, s14, r41-r47, l33-l38, m18,
-# m19, l40, r48, u08...) up to 50. After round 10 the oldest proof
-# should be r6. Stage new oracle-bearing registrations sparingly —
-# each displaces a backfill.
+# ROUND 10 ROTATION (executed): CORRECTNESS_r09 came back 48/50 —
+# 47 hash-green + l44's by-design rows-only refresh — with ONE real
+# failure, l62_bpe_encode (values tuple-equal to the oracle; the
+# ARRAY<STRING> output broke the driver's pandas hash
+# canonicalization). Round 10 fixed l62's output shape (TAB-joined
+# string on both engines, the _itemset_str house rule; a complex-type
+# tripwire now lives in tests/oracle.py::compare) and spent the
+# window on re-proof + the booked consolidations/hardening, adding
+# ZERO new registrations (VERDICT r9 item 8).
 #
-# ROUND 10 CONSOLIDATIONS (booked from the r9 mining-pack review
-# sweep; deferred because each changes code/oracle text and would
-# displace more backfills than this round's window can absorb):
-# (a) share the support-thresholded co-purchase pair builder between
-#     m18_part_kcore / m25_part_ktruss / m23 (verbatim 10-line
-#     copies — the _copurchase_pairs class of duplication);
-# (b) extract m11's 1-to-1 token-rule derivation into a helper m16
-#     reuses (their native bodies are cosmetic renames of each
-#     other);
-# (c) factor the pasted tok/n/k1/k2/pairs oracle CTE block
-#     (m05_rules_1to1 / m11 / m16) and the sequential-pattern chain
-#     (m09 / m12) into module constants like _TOK/_RULES.
-# Each consolidation re-certifies its queries in the round-10
-# window (the changed-code rule).
+# Window = 3 canaries + l62 (limbo-promoted: its r9 row never
+# run-proved) + 24 changed-code re-certifications + the full r4
+# remainder + 4 r5 rows, generated by
+#   python scripts/plan_rotation.py --promote <changed names>
+# The changed-code set (code, plan, or oracle TEXT changed in r10):
+#   l36 (doc_id mod 2^31 overflow fix, backlog (i));
+#   m18/m23/m25 (_copurchase_counted_pairs consolidation (a));
+#   m11/m16 (_token_pair_rules consolidation (b); m16 also moved to
+#   the oracle's exact ceil(0.45*N) arithmetic);
+#   m05_rules_1to1/m09_full/m12 (oracle CTE constants, (c));
+#   r49/r54/r60/r63/r64/r75 (NaN pins (d), r54 validation (e),
+#   round4 zero-sign pins + paired oracle '+ 0.0' (f));
+#   l12/l25/l31/l54 (BENCH_MOD) and l48/l49 (L48_QUERY_TERMS)
+#   oracle-constant interpolation (j);
+#   u05 (per-row ragged-length guard, ADVICE r9);
+#   m28 (label_propagation ckpt pin/release, ADVICE r9);
+#   s16 (nullability-normalized type-drift guard, ADVICE r9).
+# EXEMPT from re-cert (guard-only additions — a new fail-fast branch
+# before plan construction, plans and oracles byte-identical):
+# r08/r08b/r26/r36/r67/r73/l20/l50 pick up the (h) collision guards
+# but compute the identical plan; r08/r08b/r36 re-prove anyway as r4
+# backfills. Displacement cost: the r5 cohort beyond m13/m14/m17/m19
+# slips to round 11 — oldest remaining proof after this round is r5.
 #
-# ROUND 10 HARDENING BACKLOG (booked from the r9 relational review
-# sweep — same deferral logic; the r9 window absorbed the scd2/chi2/
-# psi fixes and could not absorb these too):
-# (d) NaN pins on winsorized_stats (r60), rfm_scores (r75),
-#     pareto_frontier_2d (r49) — the mad_outliers sibling exclusion;
-# (e) binned_quantile_rollup lo < hi / n_bins >= 1 validation (r54);
-# (f) round4 (sign-of-zero pin) on the signed rounded outputs of
-#     abc_classification (r64), winsorized_stats (r60),
-#     topn_with_others (r63), binned_quantile_rollup (r54);
-# (g) hoist winsorized_stats' inline join-back into mad_outliers'
-#     _back helper (module level);
-# (h) working-column collision guards (_bk/_lid/_rn/_mid/_pid/_salt
-#     vs same-named user columns) across the ranked-operator family;
-# (i) l36's Knuth-hash doc_id * 2654435761 overflows int64 for
-#     doc_id >= ~3.5e9 (Spark wraps to a corrupt sample, DuckDB
-#     errors) — reduce doc_id mod 2^31 BEFORE the multiply on BOTH
-#     sides (l36 re-certifies);
-# (j) interpolate L48_QUERY_TERMS into the l48/l49 oracles and a
-#     shared BENCH_MOD constant into the l12/l25/l31/l54 oracles
-#     (the PREFIX_FP_SQL drift-prevention pattern; each re-certifies).
-# NOTE (r9 llm sweep, fixed in-round on existing window slots):
-# l62's encode-oracle sentinel is now TAB (chr(9), pinned absent by
-# the fixture invariant — '#' was legal text); l04d's oracle filters
-# '' pseudo-tokens so its empty-text guard is reachable; l20 counts
-# SCORED docs for the decile denominator; l61/l62 share one memoized
-# training per (app, sf_dir) via the fit-cache seam (prefix-stable,
-# pinned in tests/test_bpe.py).
-# Keep the canaries and re-certify anything whose code or oracle
-# text changes.
-# l44 rides a deliberate refresh slot: embedding_spectrum's
-# degenerate (zero-variance) branch changed in the round-9 review
-# sweep — rows-only by design (eigh has no SQL twin), so the
-# re-certification is a fresh RUN proof, marked here so
-# tests/test_rotation.py can tell it from a wasted slot.
-ROWS_ONLY_REFRESH: frozenset[str] = frozenset({"l44_embedding_spectrum"})
+# ROUND 11 ROTATION TODO: re-run `python scripts/plan_rotation.py`
+# after CORRECTNESS_r10 lands. Expected shape: 3 canaries + the r5
+# remainder (m16-displaced rows, r41-r48 family, l02b/l02c/l02e,
+# l04c, l08, l07b, l03c, s13, m20, r10/r29/r33, r50, t07, l30,
+# l32-l38, m19-class rows — whatever plan_rotation lists) + the r6
+# cohort up to 50. Keep the canaries; re-certify anything whose code
+# or oracle text changes (guard-only additions exempt per the r10
+# precedent above). Stage new oracle-bearing registrations sparingly.
+#
+# Backlog state after r10: consolidations (a)-(c) and hardening
+# (d)-(j) from the r9 sweeps are LANDED (see the r10 commits);
+# protobuf re-probed ABSENT (the TWS twin stays an env skip). No
+# open booked items.
+# l44's r9 refresh slot completed its purpose; ROWS_ONLY_REFRESH is
+# empty this round (every r10 slot is oracle-bearing).
+ROWS_ONLY_REFRESH: frozenset[str] = frozenset()
 PRIORITY: tuple[str, ...] = (
-    # canaries - proven every round, kept to detect driver-env drift
+    # canaries - proven every round
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    # round-9 promotions (never-proven: implicit via the limbo guard)
-    "l04d_portable_fingerprints",
-    "l61_bpe_merges",
-    "l62_bpe_encode",
-    # backfill: oldest driver proofs first (r2, then r3, then r4 in
-    # registration order) — plan_rotation.py output verbatim
-    "l02d_embedding_neardup",  # last proof r2
-    "m04_itemsets_full_tokens",  # last proof r3
-    "m04_itemsets_market",  # last proof r3
-    "m05_rules_full_tokens",  # last proof r3
-    "m07_topk_itemsets",  # last proof r3
-    "m09_prefixspan_full",  # last proof r3
-    "m10_maximal_itemsets",  # last proof r3
-    "l10_pii_scrub",  # last proof r3
-    "l11_stratified_sample",  # last proof r3
-    "l12_decontaminate",  # last proof r3
-    "l13_sequence_pack",  # last proof r3
-    "l15_unigram_logprob",  # last proof r3
-    "l16_chunk_overlap",  # last proof r3
-    "l17_tfidf_topterms",  # last proof r3
-    "l19_duplicate_ngram_spans",  # last proof r3
-    "l20_quality_buckets",  # last proof r3
-    "t06_microbatch_mining",  # last proof r3
-    "m03_frequent_items",  # last proof r4
-    "m04_itemsets_k2_tokens",  # last proof r4
-    "m05_rules_1to1_tokens",  # last proof r4
-    "m06_rule_transform",  # last proof r4
-    "m07_topk_items",  # last proof r4
-    "m08_apriori_tokens",  # last proof r4
-    "m09_prefixspan_1seq",  # last proof r4
-    "m10_closed_itemsets",  # last proof r4
-    "m12_sequence_rules",  # last proof r4
-    "m15_pair_utility",  # last proof r4
-    "r02_pricing_summary",  # last proof r4
-    "r03_local_supplier_volume",  # last proof r4
-    "r04_customer_order_counts",  # last proof r4
-    "r05_customers_without_orders",  # last proof r4
-    # re-certifications (changed code re-proves in the driver env;
-    # each displaces one youngest r4 backfill — l25, l02, l02g, l03,
-    # r37, r38, r39, r40 move to round 10): m28 label_propagation
-    # single-exchange shave; l60 drift one-pass-per-side pin +
-    # malformed-input raises; u09 NULL-vector/NULL-element
-    # oracle-exact semantics; l44 spectrum zero-variance NULL stats
-    # (rows-only — see ROWS_ONLY_REFRESH); u04/u05 F.round instead
-    # of numpy/Python half-even rounding (+ u05 empty-vector filter
-    # and ragged raise); u08 NULL-ts drop on both engines (oracle
-    # text changed); l07c sample_frames NULL-payload contract raise
-    "m28_part_communities",
-    "l60_embedding_drift",
-    "u09_iter_quantize",
-    "l44_embedding_spectrum",
-    "u04_arrow_vector_norms",
-    "u05_arrow_grouped_centroids",
-    "u08_udtf_table_args",
-    "l07c_frame_sample",
-    # s16: merge_upsert_partitioned internals changed in the r9 io
-    # sweep (NULL-op upsert semantics, batch-dupe/type-drift guards,
-    # fail-fast cleanup, cached updates/out) — displaces
-    # r36_salted_join_segments (r4) to round 10. r32 (the other
-    # merge-path query) and the three canaries (the load_table
-    # refactor's proof — every query reads through it) are already
-    # in the window.
-    "s16_merge_upsert",
-    # relational-sweep re-certs (displace r06/r07/r08/r08b to r10):
-    # scd2_versions first-row anchor by position (r51 + r84);
-    # chi2_independence grand total via broadcast crossJoin instead
-    # of an empty-spec window (r77); psi_drift NaN exclusion with
-    # the r74 oracle in lockstep (l60 rides psi too — already in)
-    "r51_scd2_versions",
-    "r84_scd2_lookup",
-    "r77_type_dow_chi2",
-    "r74_value_psi",
+    "l62_bpe_encode",  # promote
+    "l36_weighted_sample",  # promote
+    "m05_rules_1to1_tokens",  # promote
+    "m11_rule_interest",  # promote
+    "m16_rule_chains",  # promote
+    "m09_prefixspan_full",  # promote
+    "m12_sequence_rules",  # promote
+    "m18_part_kcore",  # promote
+    "m23_part_cheapest_reach",  # promote
+    "m25_part_ktruss",  # promote
+    "m28_part_communities",  # promote
+    "r49_pareto_frontier",  # promote
+    "r54_histogram_quantiles",  # promote
+    "r60_winsorized_price",  # promote
+    "r63_brand_topn_others",  # promote
+    "r64_brand_abc",  # promote
+    "r75_customer_rfm",  # promote
+    "l12_decontaminate",  # promote
+    "l25_curation_pipeline",  # promote
+    "l31_decontaminate_frac",  # promote
+    "l54_contamination_attribution",  # promote
+    "l48_bm25_scores",  # promote
+    "l49_hybrid_rrf",  # promote
+    "u05_arrow_grouped_centroids",  # promote
+    "s16_merge_upsert",  # promote
+    "r06_click_to_purchase_10min",  # last proof r4
+    "r07_region_segment_grid",  # last proof r4
+    "r08_asof_last_click_before_purchase",  # last proof r4
+    "r08b_asof_bucketed",  # last proof r4
+    "r36_salted_join_segments",  # last proof r4
+    "r37_snapshot_diff",  # last proof r4
+    "r38_incremental_agg_refresh",  # last proof r4
+    "r39_funnel_conversion",  # last proof r4
+    "r40_cohort_retention",  # last proof r4
+    "l02_ngram_jaccard_pairs",  # last proof r4
+    "l02g_ngram_jaccard_capped",  # last proof r4
+    "l03_cosine_topk",  # last proof r4
+    "l26_source_kl_drift",  # last proof r4
+    "l27_importance_resample",  # last proof r4
+    "u07_udtf_polymorphic_ngrams",  # last proof r4
+    "s10_compact_roundtrip",  # last proof r4
+    "s11_binaryfile_scan",  # last proof r4
+    "s12_bucketed_join",  # last proof r4
+    "m13_part_pagerank",  # last proof r5
+    "m14_part_triangles",  # last proof r5
+    "m17_part_clustering",  # last proof r5
+    "m19_negative_pairs",  # last proof r5
 )
 
 
