@@ -377,7 +377,12 @@ def main() -> None:
     # the retry — is distinguishable from a wave — which doesn't.
     retried = False
     first_pass_lfl = round(sum(timings[k] for k in LIKE_FOR_LIKE), 3)
-    if first_pass_lfl > RETRY_FACTOR * GATE_DENOMINATOR_SEC:
+    # The committed denominator is an sf0.1 quantity: at any other
+    # headline SF the 1.5x threshold is meaningless (always-fires at
+    # sf1, dead at sf0.01 — r10 review), so the self-check only arms
+    # on the SF the denominator was recorded at.
+    at_gate_sf = sf_dir.rstrip("/").endswith("sf0.1")
+    if at_gate_sf and first_pass_lfl > RETRY_FACTOR * GATE_DENOMINATOR_SEC:
         retried = True
         for name in LIKE_FOR_LIKE:
             timings[name] = min(timings[name], time_query(name, sf_dir))

@@ -18,8 +18,16 @@ def reject_working_cols(
     df: DataFrame, working: tuple[str, ...], op: str
 ) -> None:
     """Raise a named ValueError when `df` carries a column an
-    operator uses internally."""
-    clash = sorted(set(df.columns) & set(working))
+    operator uses internally.
+
+    Names compare CASEFOLDED (r10 review): Spark's default resolver
+    is case-insensitive (spark.sql.caseSensitive=false, never set in
+    this repo), so a user `_SALT` column is exactly as shadowed by
+    withColumn("_salt", ...) as a lowercase one — an exact-string
+    intersection would wave it through into the silent corruption
+    this guard exists to stop."""
+    wset = {w.casefold() for w in working}
+    clash = sorted(c for c in df.columns if c.casefold() in wset)
     if clash:
         raise ValueError(
             f"{op}: input column(s) {clash} collide with internal "

@@ -29,6 +29,13 @@ def salted_count(
     # hardening (h), r9 relational sweep: a key named like an
     # internal column would be shadowed in the salted projection
     reject_working_cols(df.select(*keys), ("_salt", "_pn"), "salted_count")
+    # the output name must not duplicate a key (r10 review: two
+    # identically-named columns -> AMBIGUOUS_REFERENCE one op later)
+    if out.casefold() in {k.casefold() for k in keys} | {"_salt", "_pn"}:
+        raise ValueError(
+            f"salted_count: out={out!r} collides with a key or an "
+            f"internal column"
+        )
     salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
     partial = (
         df.select(*keys, salt)
@@ -92,6 +99,11 @@ def salted_collect_set(
     reject_working_cols(
         df.select(key, item), ("_salt", "_ps"), "salted_collect_set"
     )
+    if out.casefold() in {key.casefold(), "_salt", "_ps"}:
+        raise ValueError(
+            f"salted_collect_set: out={out!r} collides with the key "
+            f"or an internal column"
+        )
     salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
     partial = (
         df.select(key, F.col(item), salt)

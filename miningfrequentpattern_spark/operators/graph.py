@@ -950,18 +950,19 @@ def label_propagation(
         # plan, where a cache would pin for the session lifetime
         # without ever being warmed by this function (ADVICE r7 leak).
         stubs = stubs.cache()
+    # Per-round generations pin eagerly (lineage truncation) and
+    # the PREDECESSOR is released once its successor is
+    # materialized — the same ckpt.pin/ckpt.release seam as
+    # bpe_merge_rounds/apriori (ADVICE r9: without the release,
+    # each round leaked a |V|-row block set for the session).
+    # Only the FINAL generation stays pinned: it is the RDD the
+    # returned plan reads. (prev initialized OUTSIDE the try so the
+    # error-path release below can never NameError.)
+    prev = None
     try:
         labels = stubs.select(F.col("_v").alias("id")).distinct().select(
             "id", F.col("id").alias("_lab")
         )
-        # Per-round generations pin eagerly (lineage truncation) and
-        # the PREDECESSOR is released once its successor is
-        # materialized — the same ckpt.pin/ckpt.release seam as
-        # bpe_merge_rounds/apriori (ADVICE r9: without the release,
-        # each round leaked a |V|-row block set for the session).
-        # Only the FINAL generation stays pinned: it is the RDD the
-        # returned plan reads.
-        prev = None
         for _ in range(iterations):
             # argmax on (count DESC, label ASC) as ONE aggregate:
             # min_by over the (-n, label) struct picks the same row
@@ -1010,6 +1011,15 @@ def label_propagation(
                     release(prev)
                 prev = labels
         return labels.select("id", F.col("_lab").alias("community"))
+    except BaseException:
+        # error-path release (r10 review, the kcore/CC stance): a
+        # mid-loop failure must not leave the last pinned generation
+        # resident for the session — nothing will ever read it
+        if _materialize and prev is not None:
+            from .ckpt import release
+
+            release(prev)
+        raise
     finally:
         if _materialize:
             # checkpointed labels no longer reference the stubs cache

@@ -109,8 +109,16 @@ def asof_join(
     if tolerance_expr is not None:
         cond = cond & (delta <= tolerance_expr)
 
-    _reject_working_cols(left, ("_lid", "_bk", "_rn"), "asof_join")
-    _reject_working_cols(right, ("_bk", "_rn"), "asof_join")
+    # _bk exists only on the bucketed path (r10 review: rejecting an
+    # unbucketed caller's _bk column would be a false positive)
+    _reject_working_cols(
+        left, ("_lid", "_rn") + (("_bk",) if bucket is not None else ()),
+        "asof_join",
+    )
+    _reject_working_cols(
+        right, ("_rn",) + (("_bk",) if bucket is not None else ()),
+        "asof_join",
+    )
     out_cols = list(left.columns)
     l = left.withColumn("_lid", F.monotonically_increasing_id())
     r = right
@@ -639,8 +647,12 @@ def winsorized_stats(
     """
     if not 0.0 <= p_lo < p_hi <= 1.0:
         raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    # guard scoped to the GROUP columns (r10 review): everything else
+    # is projected away before any working name exists, so a non-group
+    # lo_val (e.g. a previous pass's output joined back) is legal
     _reject_working_cols(
-        df, ("_v", "lo_val", "hi_val") + tuple(f"_d_{g}" for g in groups),
+        df.select(*groups),
+        ("_v", "lo_val", "hi_val") + tuple(f"_d_{g}" for g in groups),
         "winsorized_stats",
     )
     v = F.col(value_col).cast("double")
@@ -953,8 +965,12 @@ def mad_outliers(
     are ALL NULL; NULL group values join null-safely (the winsorize
     review-r5 pin).
     """
+    # guard scoped to the columns that SURVIVE into the working
+    # relation — groups and carry; everything else is projected away
+    # before any working name exists (r10 review)
     _reject_working_cols(
-        df, ("_v", "_med", "_mad") + tuple(f"_d_{g}" for g in groups),
+        df.select(*groups, *(carry or ())),
+        ("_v", "_med", "_mad") + tuple(f"_d_{g}" for g in groups),
         "mad_outliers",
     )
     v = F.col(value_col).cast("double")

@@ -3079,7 +3079,8 @@ sh AS (SELECT doc_id,
        FROM t),
 ex AS (SELECT doc_id, len(g) AS n_shingles, unnest(g) AS s FROM sh),
 b AS (SELECT DISTINCT
-        CASE WHEN doc_id % 80 = 0 THEN 'benchA' ELSE 'benchB' END
+        CASE WHEN doc_id % {2 * BENCH_MOD} = 0 THEN 'benchA'
+             ELSE 'benchB' END
           AS benchmark,
         s
       FROM ex WHERE doc_id % {BENCH_MOD} = 0),
@@ -3116,11 +3117,13 @@ def l54_contamination_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
+    # every other bench doc plays suite A: 2*BENCH_MOD, derived (r10
+    # review: a literal 80 here would silently detach from BENCH_MOD)
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0).withColumn(
         "bench",
-        F.when(F.col("doc_id") % 80 == 0, F.lit("benchA")).otherwise(
-            F.lit("benchB")
-        ),
+        F.when(
+            F.col("doc_id") % (2 * BENCH_MOD) == 0, F.lit("benchA")
+        ).otherwise(F.lit("benchB")),
     )
     train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     return decontaminate_attribution(train, bench, "bench", n=3)

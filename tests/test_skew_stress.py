@@ -333,3 +333,29 @@ def test_ranked_operators_reject_working_column_collisions(spark):
     right = left.select("k", "ts")
     with pytest.raises(ValueError, match="_lid"):
         asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+
+
+def test_salted_out_name_and_case_variant_collisions_rejected(spark):
+    """r10 review follow-ups on the collision guards: (1) the `out`
+    output name must not duplicate a key/internal column (two
+    identically-named columns -> AMBIGUOUS_REFERENCE one operator
+    later); (2) names compare case-insensitively, matching Spark's
+    default resolver — a `_SALT` column is exactly as replaced by
+    withColumn('_salt', ...) as a lowercase one."""
+    import pytest
+
+    from miningfrequentpattern_spark.functions.skew import (
+        salted_collect_set,
+        salted_count,
+        salted_join,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="out"):
+        salted_count(df, ["k"], out="k")
+    with pytest.raises(ValueError, match="out"):
+        salted_collect_set(df, "k", "v", out="k")
+    fact_uc = spark.createDataFrame([(1, 2)], "k long, _SALT long")
+    dim = spark.createDataFrame([(1, "x")], "k long, s string")
+    with pytest.raises(ValueError, match="collide"):
+        salted_join(fact_uc, dim, "k")

@@ -74,6 +74,13 @@ def test_winsorize_nan_excluded_and_collision_guard(spark):
     got = winsorized_stats(dirty, ["g"], "v", 0.1, 0.9).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
-    clash = clean.withColumnRenamed("v", "_v")
+    # guard is scoped to the GROUP columns (everything else is
+    # projected away before any working name exists — r10 review), so
+    # a value column literally named _v is legal...
+    legal = clean.withColumnRenamed("v", "_v")
+    assert winsorized_stats(legal, ["g"], "_v", 0.1, 0.9).count() == 1
+    # ...but a GROUP column on a working name is rejected, and the
+    # check is case-insensitive like Spark's default resolver
+    clash = clean.withColumnRenamed("g", "LO_VAL")
     with pytest.raises(ValueError, match="collide"):
-        winsorized_stats(clash, ["g"], "_v", 0.1, 0.9)
+        winsorized_stats(clash, ["LO_VAL"], "v", 0.1, 0.9)
