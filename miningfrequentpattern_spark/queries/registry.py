@@ -241,8 +241,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Backlog state after r10: consolidations (a)-(c) and hardening
 # (d)-(j) from the r9 sweeps are LANDED (see the r10 commits);
-# protobuf re-probed ABSENT (the TWS twin stays an env skip). No
-# open booked items.
+# protobuf re-probed ABSENT (the TWS twin stays an env skip).
+#
+# ROUND 11 BOOKED (from the r10 sources/multimodal review sweep —
+# deferred because each changes registered-query code and the r10
+# window is committed):
+# (k) collapse s18_corrupt_csv_audit / s19_corrupt_json_audit's
+#     near-identical 25-line bodies into one parameterized helper
+#     (writer_fn, reader_fn, modulus, tag) — both re-certify;
+# (l) media_dedup: compute the per-group count over the SAME ordered
+#     window spec as the row_number (explicit unbounded frame)
+#     instead of a second unordered spec — one Window pass instead
+#     of two over the same partition keys; l59 re-certifies.
+# Fixed in-round from the same sweep (guard-class or in-window):
+# jsonl_sink manifests name-scoped via .option('name') (two writers
+# sharing a path clobbered each other's batch manifests and the
+# loser's vacuum deleted its committed files); BINARY columns land
+# base64 not bytearray-repr; synthetic_txns rejects non-positive
+# sizing options; u05 imports pyarrow.compute explicitly; s06/s10
+# read back with the writer's schema (empty-slice
+# UNABLE_TO_INFER_SCHEMA).
 # l44's r9 refresh slot completed its purpose; ROWS_ONLY_REFRESH is
 # empty this round (every r10 slot is oracle-bearing).
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset()

@@ -187,7 +187,10 @@ def s06_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     path = _scratch("orc")
     write_orc(p, path)
-    back = read_orc(spark, path)
+    # writer schema on the read-back: an empty slice writes a
+    # fileless dir and schema inference throws instead of returning
+    # the empty aggregate (code-review r10, the s04/s05 pin)
+    back = read_orc(spark, path, schema=p.schema)
     return back.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum("p_retailprice"), 4).alias("total_price"),
@@ -491,6 +494,12 @@ def u05_arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     with plain SQL aggregates."""
     import numpy as np
     import pyarrow as pa
+    # pa.compute is NOT exposed by `import pyarrow` alone — the
+    # kernel below only worked because a pyspark worker helper
+    # happens to import pyarrow.compute first (code-review r10);
+    # import it explicitly so the executor-side closure never
+    # depends on that side effect.
+    import pyarrow.compute  # noqa: F401
 
     # NULL AND EMPTY vectors can't average (a null list breaks the
     # flatten/reshape alignment in the Arrow kernel; an empty one
@@ -617,7 +626,9 @@ def s10_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_parquet(
         spark, src, dst, target_file_bytes=target, sort_cols=["ts"]
     )
-    back = spark.read.parquet(dst)
+    # writer schema on the read-back (code-review r10, the s04/s05
+    # empty-input pin)
+    back = spark.read.schema(ev.schema).parquet(dst)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

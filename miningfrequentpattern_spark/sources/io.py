@@ -153,11 +153,18 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return reader.json(path)
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:  # noqa: ANN001
     """S3: ORC ingestion (bundled reader — same pushdown/pruning
     machinery as parquet; `.explain` shows PushedFilters on ORC scans
-    identically)."""
-    return spark.read.orc(path)
+    identically). Pass the writer's `schema` for round-trips: an
+    empty input writes a fileless directory, and a schema-inferred
+    read then throws UNABLE_TO_INFER_SCHEMA instead of returning the
+    empty relation the round-trip contract owes (the s04/s05 pin,
+    extended here in the r10 sweep)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -62,6 +62,19 @@ class SyntheticTxnReader(DataSourceReader):
         # Option keys arrive lowercased from the reader API.
         self.n_partitions = int(options.get("partitions", 4))
         self.rows_per_partition = int(options.get("rowsperpartition", 1000))
+        # Fail eagerly with the option named (code-review r10, the
+        # sample_frames stance): a non-positive value silently yields
+        # an empty source instead of the sized feed the caller asked
+        # for.
+        for opt, v in (
+            ("partitions", self.n_partitions),
+            ("rowsperpartition", self.rows_per_partition),
+        ):
+            if v < 1:
+                raise ValueError(
+                    f"synthetic_txns: option {opt!r} must be >= 1, "
+                    f"got {v}"
+                )
 
     def partitions(self) -> Sequence[InputPartition]:
         return [InputPartition(i) for i in range(self.n_partitions)]
@@ -86,6 +99,16 @@ class SyntheticTxnStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict) -> None:
         self.rows_per_batch = int(options.get("rowsperbatch", 500))
+        # rowsperbatch=0 makes read() return the same offset forever —
+        # micro-batches fire and commit with zero progress and no
+        # error; a negative value REGRESSES the checkpointed offset so
+        # recovery replays empty ranges. Name the misuse instead
+        # (code-review r10).
+        if self.rows_per_batch < 1:
+            raise ValueError(
+                f"synthetic_txns: option 'rowsperbatch' must be >= 1, "
+                f"got {self.rows_per_batch}"
+            )
 
     def initialOffset(self) -> dict:
         return {"next_txn": 0}
@@ -126,10 +149,19 @@ class JsonlStreamSink(DataSource):
     visible. That staged-files-plus-manifest protocol is the same
     commit shape the parquet/Delta sinks use.
 
-    Exactly-once on restart: manifests are named by batchId, so a
-    re-delivered epoch (crash between sink commit and checkpoint
-    commit) OVERWRITES its manifest rather than adding one — readers
-    following manifests see each batch's file set exactly once.
+    Exactly-once on restart: manifests are named by (sink name,
+    batchId), so a re-delivered epoch (crash between sink commit and
+    checkpoint commit) OVERWRITES its manifest rather than adding one
+    — readers following manifests see each batch's file set exactly
+    once. The sink NAME comes from `.option("name", ...)` (default
+    "default") and is the manifest namespace: it must be STABLE
+    across restarts of the same query (restart = same name = correct
+    re-delivery overwrite) and DISTINCT between queries sharing the
+    sink path — two writers on one name collide on batch ids (both
+    checkpoints restart at 0), each clobbering the other's manifests,
+    after which the loser's committed files look unreferenced and its
+    own next vacuum deletes them (code-review r10: data loss, found
+    before any multi-writer deployment).
     Readers MUST follow manifests: listing `_staging` directly can
     observe files whose epoch never committed. Each writer instance
     stages under its own `_staging/<writer_id>/` subdir; files
@@ -156,14 +188,18 @@ class JsonlStreamSink(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonl_sink requires .option('path', ...)")
-        return JsonlStreamWriter(path)
+        return JsonlStreamWriter(path, self.options.get("name", "default"))
 
 
 class JsonlStreamWriter(DataSourceStreamWriter):
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, sink_name: str = "default") -> None:
         import uuid as _uuid
 
         self.path = path
+        # Manifest namespace (see class docstring): stable across
+        # restarts of the same query, distinct between queries that
+        # share the sink path.
+        self.sink_name = sink_name
         # Per-writer-instance staging namespace: this writer stages
         # under _staging/<writer_id>/ and its vacuum scans ONLY that
         # subdir, so a second writer sharing the sink path (a backfill
@@ -184,15 +220,30 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         staging = _os.path.join(self.path, "_staging", self.writer_id)
         _os.makedirs(staging, exist_ok=True)
         fname = _os.path.join(staging, f"part-{_uuid.uuid4().hex}.jsonl")
+        import base64 as _b64
+
+        def _jsonable(v):  # noqa: ANN001
+            # BINARY columns (media payloads, avro/proto blobs) are
+            # bytearray here; default=str would emit the Python repr
+            # "bytearray(b'...')" as the JSON value — undecodable
+            # garbage with no error, the same defect class as the
+            # r8 Row-repr fix one type further down (code-review
+            # r10). Base64 is the JSON convention for bytes.
+            if isinstance(v, (bytes, bytearray)):
+                return _b64.b64encode(bytes(v)).decode("ascii")
+            return str(v)
+
         n = 0
         with open(fname, "w") as f:
             for row in iterator:
                 # recursive=True: a nested struct column otherwise
-                # stays a Row object and json.dumps's default=str
+                # stays a Row object and json.dumps's default= hook
                 # emits its Python repr ("Row(a=1, ...)") instead of
                 # a JSON object (code-review r8).
                 f.write(
-                    _json.dumps(row.asDict(recursive=True), default=str)
+                    _json.dumps(
+                        row.asDict(recursive=True), default=_jsonable
+                    )
                     + "\n"
                 )
                 n += 1
@@ -213,7 +264,9 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         # Write-then-rename: rename is atomic on a POSIX filesystem,
         # so a reader can never observe a truncated manifest — the
         # property the visibility contract above depends on.
-        final = _os.path.join(self.path, f"_commit_{batchId}.json")
+        final = _os.path.join(
+            self.path, f"_commit_{self.sink_name}_{batchId}.json"
+        )
         tmp = final + ".inprogress"
         with open(tmp, "w") as f:
             _json.dump(manifest, f)

@@ -236,3 +236,25 @@ def test_u05_empty_vector_filtered_and_ragged_raises(spark, tmp_path):
     ).to_parquet(f"{d_shear}/embeddings.parquet")
     with pytest.raises(Exception, match="ragged"):
         q(spark, d_shear).collect()
+
+
+def test_orc_roundtrip_empty_input_returns_empty(spark, tmp_path):
+    """code-review r10: an EMPTY slice written to ORC/parquet leaves a
+    fileless directory; a schema-inferred read-back then throws
+    UNABLE_TO_INFER_SCHEMA instead of returning the empty relation
+    the round-trip contract owes (the s04/s05 pin, extended to
+    read_orc and s10's read-back)."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.sources.io import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    p = load_table(spark, SF_ORACLE, "part").filter(F.lit(False))
+    path = str(tmp_path / "orc_empty")
+    write_orc(p, path)
+    back = read_orc(spark, path, schema=p.schema)
+    assert back.count() == 0
+    assert back.columns == p.columns

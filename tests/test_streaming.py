@@ -485,7 +485,9 @@ def test_stream_sink_vacuums_own_orphans_only(spark, tmp_path):
 
     w.commit([_FileCommitMessage(file=committed, n_rows=1)], batchId=0)
 
-    manifest = jsonlib.load(open(os.path.join(out, "_commit_0.json")))
+    manifest = jsonlib.load(
+        open(os.path.join(out, "_commit_default_0.json"))
+    )
     assert manifest["files"] == [committed]
     assert os.path.exists(committed), "manifested file must survive"
     assert not os.path.exists(orphan), "own orphan not vacuumed"
@@ -1157,3 +1159,115 @@ def test_holt_stream_rejects_out_of_domain_params(spark):
                 {"beta": -0.1}):
         with pytest.raises(ValueError, match="alpha|beta"):
             holt_stream(None, **bad)
+
+
+def test_stream_sink_binary_columns_base64_not_repr(spark, tmp_path):
+    """code-review r10: a BINARY column must land as base64 in the
+    jsonl output, not json.dumps's default=str Python repr
+    ("bytearray(b'...')") — the same defect class as the r8 Row-repr
+    fix, one type further down."""
+    import base64
+    import glob
+    import json as jsonlib
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        JsonlStreamSink,
+        SyntheticTxnDataSource,
+    )
+
+    spark.dataSource.register(SyntheticTxnDataSource)
+    spark.dataSource.register(JsonlStreamSink)
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.format("synthetic_txns")
+        .option("rowsperbatch", "8")
+        .load()
+        .select(
+            "txn_id",
+            F.encode(F.col("item"), "utf-8").alias("payload"),
+        )
+    )
+    (
+        stream.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    rows = []
+    for mf in sorted(glob.glob(f"{out}/_commit_*.json")):
+        for fpath in jsonlib.load(open(mf))["files"]:
+            with open(fpath) as fh:
+                rows += [jsonlib.loads(line) for line in fh]
+    assert rows, "sink wrote nothing"
+    for r in rows:
+        decoded = base64.b64decode(r["payload"]).decode("utf-8")
+        assert decoded == f"item{(r['txn_id'] * 7919) % 100}", r
+        assert "bytearray" not in r["payload"]
+
+
+def test_stream_sink_name_scopes_manifests(spark, tmp_path):
+    """code-review r10 (multi-writer data loss): two writers sharing
+    a sink path collide on batch ids unless their manifests are
+    name-scoped — writer B's batch-0 commit must not clobber writer
+    A's batch-0 manifest, or A's committed files become unreferenced
+    and A's own next vacuum deletes them."""
+    import json as jsonlib
+    import os
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        JsonlStreamWriter,
+        _FileCommitMessage,
+    )
+
+    out = str(tmp_path / "sink")
+    a = JsonlStreamWriter(out, "live")
+    b = JsonlStreamWriter(out, "backfill")
+    files = {}
+    for w, tag in ((a, "a"), (b, "b")):
+        staging = os.path.join(out, "_staging", w.writer_id)
+        os.makedirs(staging)
+        f = os.path.join(staging, f"part-{tag}.jsonl")
+        with open(f, "w") as fh:
+            fh.write('{"x": 1}\n')
+        files[tag] = f
+    a.commit([_FileCommitMessage(file=files["a"], n_rows=1)], batchId=0)
+    b.commit([_FileCommitMessage(file=files["b"], n_rows=1)], batchId=0)
+    # both manifests exist independently; neither clobbered the other
+    ma = jsonlib.load(open(os.path.join(out, "_commit_live_0.json")))
+    mb = jsonlib.load(open(os.path.join(out, "_commit_backfill_0.json")))
+    assert ma["files"] == [files["a"]] and mb["files"] == [files["b"]]
+    # and B's commit-time vacuum did NOT delete A's committed file
+    assert os.path.exists(files["a"]) and os.path.exists(files["b"])
+    # a restart of the SAME query (same name, re-delivered epoch)
+    # still overwrites its own manifest — exactly-once preserved
+    a2 = JsonlStreamWriter(out, "live")
+    staging2 = os.path.join(out, "_staging", a2.writer_id)
+    os.makedirs(staging2)
+    f2 = os.path.join(staging2, "part-a2.jsonl")
+    with open(f2, "w") as fh:
+        fh.write('{"x": 2}\n')
+    a2.commit([_FileCommitMessage(file=f2, n_rows=1)], batchId=0)
+    ma2 = jsonlib.load(open(os.path.join(out, "_commit_live_0.json")))
+    assert ma2["files"] == [f2]
+
+
+def test_synthetic_txns_rejects_nonpositive_sizing(spark):
+    """code-review r10: rowsperbatch=0 spins forever with zero
+    progress; negative partitions silently yields an empty source.
+    Both fail eagerly with the option named."""
+    import pytest
+
+    from miningfrequentpattern_spark.sources.pydatasource import (
+        SyntheticTxnReader,
+        SyntheticTxnStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="rowsperbatch"):
+        SyntheticTxnStreamReader({"rowsperbatch": "0"})
+    with pytest.raises(ValueError, match="partitions"):
+        SyntheticTxnReader({"partitions": "-1"})
+    with pytest.raises(ValueError, match="rowsperpartition"):
+        SyntheticTxnReader({"rowsperpartition": "0"})
