@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .guards import reject_working_cols as _reject_working_cols
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two equal-length float arrays."""
@@ -130,6 +132,11 @@ def int8_roundtrip_error_iter(df, vec_col: str = "embedding"):
                 scales.append(scale)
             yield pd.DataFrame({"scale": scales, "max_abs_err": errs})
 
+    # withColumn REPLACES an existing _q; a user scale/max_abs_err
+    # column would duplicate the output names (r10 audit)
+    _reject_working_cols(
+        df, ("_q", "scale", "max_abs_err"), "int8_roundtrip_error_iter"
+    )
     res = df.withColumn("_q", quant_err(F.col(vec_col)))
     return res.select(
         *[c for c in df.columns if c != vec_col],

@@ -438,6 +438,9 @@ def scd2_versions(
     whole operator costs ONE shuffle of the log plus one
     versions-sized exchange. No joins, no global window.
     """
+    # withColumn REPLACES an existing column silently (hardening
+    # (h) follow-through, r10 class audit)
+    _reject_working_cols(df, ("_new_version",), "scd2_versions")
     order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
     w_log = Window.partitionBy(*key_cols).orderBy(*order)
     changed = F.lit(False)
@@ -780,6 +783,9 @@ def cdc_apply(
     The op column rides through, so unclassifiable survivors are
     visible to the caller.
     """
+    # a user _rn column would be silently REPLACED by the rank and
+    # then dropped from the snapshot (r10 class audit)
+    _reject_working_cols(changes, ("_rn",), "cdc_apply")
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in seq_cols]
     )

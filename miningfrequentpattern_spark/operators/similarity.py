@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.guards import reject_working_cols as _reject_working_cols
 from ..functions.vectors import cosine, l2_normalize
 
 
@@ -1192,6 +1193,9 @@ def truncated_dim_recall(
     """
     if not trunc_dims:
         raise ValueError("trunc_dims must be non-empty")
+    # withColumn would REPLACE a user _tv column silently (r10 audit)
+    for side in (queries, corpus):
+        _reject_working_cols(side, ("_tv",), "truncated_dim_recall")
     full = cosine_topk_exact(
         queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
         max_queries=max_queries,

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as ST
 
 from ..functions.durations import duration_us
+from ..functions.guards import reject_working_cols as _reject_working_cols
 from ..functions.rounding import round4
 
 
@@ -530,6 +531,8 @@ def seasonal_profile(
     NULL timestamps or values pass through with NULL profile
     columns, never dropped.
     """
+    # withColumn REPLACES an existing _dow silently (r10 class audit)
+    _reject_working_cols(df, ("_dow",), "seasonal_profile")
     t = F.col(t_col)
     x = F.col(value_col).cast("double")
     dow = F.when(
@@ -727,6 +730,15 @@ def interval_overlap_join(
         ).select(*keys, s.alias(f"{tag}_start"), e.alias(f"{tag}_end"))
         return out
 
+    # only the keys survive prep's projection; a key named like a
+    # working/output column would be shadowed or duplicated (r10 audit)
+    for side in (left, right):
+        _reject_working_cols(
+            side.select(*keys),
+            ("_bk", "a_start", "a_end", "b_start", "b_end",
+             "overlap_start", "overlap_end"),
+            "interval_overlap_join",
+        )
     a = prep(left, "a")
     b = prep(right, "b")
     overlap = (F.col("a_start") < F.col("b_end")) & (
@@ -975,6 +987,7 @@ def pit_trailing_features(
     timestamps are excluded (no point in time to be AS OF).
     """
     win_us = duration_us(window, what="window")
+    _reject_working_cols(df, ("_us",), "pit_trailing_features")
     t = F.col(ts_col)
     base = df.filter(t.isNotNull()).withColumn("_us", F.unix_micros(t))
     w = (

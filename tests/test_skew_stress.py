@@ -359,3 +359,58 @@ def test_salted_out_name_and_case_variant_collisions_rejected(spark):
     dim = spark.createDataFrame([(1, "x")], "k long, s string")
     with pytest.raises(ValueError, match="collide"):
         salted_join(fact_uc, dim, "k")
+
+
+def test_user_frame_operators_reject_internal_name_collisions(spark):
+    """r10 class audit: every operator that withColumn's an internal
+    name onto the CALLER's frame (where it silently REPLACES a
+    same-named user column) rejects the collision actionably —
+    scd2_versions, cdc_apply, seasonal_profile, pit_trailing_features,
+    truncated_dim_recall, the int8 iterator
+    UDF, and interval_overlap_join's key set."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.functions.vectors import (
+        int8_roundtrip_error_iter,
+    )
+    from miningfrequentpattern_spark.operators.relational import (
+        cdc_apply,
+        scd2_versions,
+    )
+    from miningfrequentpattern_spark.operators.similarity import (
+        truncated_dim_recall,
+    )
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_overlap_join,
+        pit_trailing_features,
+        seasonal_profile,
+    )
+
+    ts = spark.createDataFrame(
+        [(1, 2.0, 3, 4)], "k long, v double, _new_version long, sq long"
+    ).withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="_new_version"):
+        scd2_versions(ts, ["k"], ["v"], "ts", "sq")
+    rn = ts.withColumnRenamed("_new_version", "_rn")
+    with pytest.raises(ValueError, match="_rn"):
+        cdc_apply(rn.withColumn("op", F.lit("U")), ["k"], ["sq"], "op")
+    dow = ts.withColumnRenamed("_new_version", "_dow")
+    with pytest.raises(ValueError, match="_dow"):
+        seasonal_profile(dow, ["k"], "ts", "v")
+    us = ts.withColumnRenamed("_new_version", "_us")
+    with pytest.raises(ValueError, match="_us"):
+        pit_trailing_features(us, ["k"], "ts", "v", "7 days")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 9.0)], "vec_id long, embedding array<double>, _tv double"
+    )
+    with pytest.raises(ValueError, match="_tv"):
+        truncated_dim_recall(emb, emb, trunc_dims=[1], k=1)
+    sc = emb.withColumnRenamed("_tv", "scale")
+    with pytest.raises(ValueError, match="scale"):
+        int8_roundtrip_error_iter(sc)
+    iv = spark.createDataFrame(
+        [(1, 0.0, 1.0)], "_bk long, span_start double, span_end double"
+    )
+    with pytest.raises(ValueError, match="_bk"):
+        interval_overlap_join(iv, iv, ["_bk"])
