@@ -570,7 +570,11 @@ def sssp_distances(
     legs: list[DataFrame] = []
     try:
         dist = pin(
+            # a NULL id is not a node (the khop_distances stance —
+            # r10 sweep): without the filter a NULL seed emits a
+            # spurious (NULL, 0.0) output row
             sources.select(F.col(id_col).alias("id"))
+            .filter(F.col("id").isNotNull())
             .distinct()
             .select("id", F.lit(0.0).alias("dist")),
             durable,
@@ -823,6 +827,17 @@ def personalized_pagerank(
     exchange vs the uniform operator. Sizing actions (N, |seeds∩V|)
     are the documented bounded eager steps.
     """
+    # damping outside (0, 1) breaks the teleport algebra below:
+    # d=0 divides by zero in (1-d)/(d*m) before any Spark work, and
+    # d=1 zeroes every teleport weight so the rank init's seed
+    # detection (_c > 0) matches nothing — all-zero ppr with no
+    # error (r10 sweep). The random-walk model needs 0 < d < 1
+    # anyway; plain pagerank's d=0 (uniform) remains legal there.
+    if not 0.0 < damping < 1.0:
+        raise ValueError(
+            f"personalized_pagerank: damping must be in (0, 1), "
+            f"got {damping}"
+        )
     contribs, nodes = _contribs_nodes(edges, src, dst)
     seeds_in = (
         seeds.select(F.col(seed_col).alias("id"))

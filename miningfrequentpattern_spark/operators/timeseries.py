@@ -140,6 +140,13 @@ def interval_merge(
     against no span (same stance as the histogram rollup's NULL
     exclusion; document the drop, never corrupt the merge).
     """
+    # a KEY named like the working island column or an output name
+    # would be duplicated/shadowed in the grouped select (r10 sweep)
+    _reject_working_cols(
+        df.select(*keys),
+        ("_island", "span_start", "span_end", "n_intervals"),
+        "interval_merge",
+    )
     w = Window.partitionBy(*keys).orderBy(start_col, end_col)
     prior_max_end = F.max(end_col).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -303,6 +310,14 @@ def cusum_drift(
     """
     t = F.col(order_col)
     x = F.col(value_col).cast("double")
+    # a key/carry column named like a working or output column would
+    # be shadowed (cusum/drifted) or duplicated (_x) silently (r10
+    # sweep, the 73e18de class)
+    _reject_working_cols(
+        df.select(*keys, order_col, *carry),
+        ("_x", "cusum", "drifted"),
+        "cusum_drift",
+    )
     # `carry` columns ride through untouched (the l40 pass-through
     # convention) so compositions don't need a join-back on the
     # series key to recover companion measures.
@@ -836,15 +851,21 @@ def holt_linear(
         raise ValueError(f"beta must be in (0, 1], got {beta}")
     import numpy as np
 
-    # The tiebreak may BE the value column (the streaming twin orders
-    # by (ts, value), so its batch-equality harness passes
-    # tiebreak_col=value_col) — don't select it twice.
+    # The tiebreak may BE the value column, the order column, or a
+    # key (the ewma r8 guard, widened here in the r10 sweep — the
+    # value-only check re-exposed the duplicate-label crash for
+    # tiebreak_col=key).
     extra = (
         [tiebreak_col]
-        if tiebreak_col and tiebreak_col != value_col
+        if tiebreak_col
+        and tiebreak_col not in (*keys, order_col, value_col)
         else []
     )
-    base = df.select(
+    # NULL values are EXCLUDED (r10 sweep, the cusum_drift stance):
+    # the recurrence reads x[t] every step, so one NULL arrives as
+    # NaN and poisons level AND trend for the entire rest of the
+    # series — silent tail corruption, not a skipped point.
+    base = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
         order_col,
         *extra,
@@ -924,6 +945,9 @@ def gapfill_interpolate(
     Scale: windows are keyed by the series — no global window; the
     relation is grid-sized (cardinality × span), not corpus-sized.
     """
+    # withColumn REPLACES an existing out_col silently (r10 sweep,
+    # the 73e18de class)
+    _reject_working_cols(df, (out_col,), "gapfill_interpolate")
     t = F.col(t_col).cast("double")
     v = F.col(value_col).cast("double")
     wb = (
@@ -1048,7 +1072,20 @@ def ttl_dedup(
     shuffle-order nondeterminism).
     """
     ttl_us = duration_us(ttl, what="ttl")
-    extra = [tiebreak_col] if tiebreak_col else []
+    # The tiebreak may already ride in keys/carry or BE the ts column
+    # (the ewma r8 guard, extended here in the r10 sweep): selecting
+    # it twice crashes deep in the pandas worker with an opaque
+    # non-unique-label error.
+    extra = (
+        [tiebreak_col]
+        if tiebreak_col and tiebreak_col not in (*keys, *carry, ts_col)
+        else []
+    )
+    _reject_working_cols(
+        df.select(*keys, *extra, *carry),
+        ("_us", "is_kept"),
+        "ttl_dedup",
+    )
     base = df.filter(F.col(ts_col).isNotNull()).select(
         *keys,
         *extra,
@@ -1060,7 +1097,11 @@ def ttl_dedup(
         list(base.schema.fields)
         + [ST.StructField("is_kept", ST.BooleanType())]
     )
-    sort_cols = ["_us", *extra]
+    sort_cols = ["_us"] + (
+        [tiebreak_col]
+        if tiebreak_col and tiebreak_col != ts_col
+        else []
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
@@ -1131,7 +1172,12 @@ def holt_winters_additive(
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
     m = int(period)
-    base = df.select(
+    # NULL values are EXCLUDED (r10 sweep, the holt_linear/cusum
+    # stance): one NULL inside the first two seasons NaN-poisons
+    # l0/b0 and the whole seasonal buffer — an all-NULL model that
+    # silently passes the 2m length check it was counted toward.
+    # Filtering FIRST also makes the length check count usable rows.
+    base = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
         order_col,
         F.col(value_col).cast("double").alias(value_col),
@@ -1216,7 +1262,12 @@ def ols_two_factor(
     r² = 1 − SSE/SST with SSE = Syy − b1·S1y − b2·S2y on the centered
     sums. COLLINEAR regressors (det ≤ 1e-12·S11·S22 — Cauchy–Schwarz
     makes det ≥ 0, the relative floor is the r44-family zero guard)
-    yield NULL betas/intercept/r2; a zero-variance y yields NULL r2.
+    yield NULL betas/intercept/r2, and so does a CONSTANT regressor
+    regardless of whether its mean round-trips at 4dp (the r10 sweep
+    guard: Sii − sci²/n is the sum of squares about the TRUE mean —
+    exactly zero for a constant — where the rounded-pivot Sii alone
+    can be a nonzero eps² artifact that made det look fine and the
+    beta pure rounding noise); a zero-variance y yields NULL r2.
 
     Shape: one group-keyed mean aggregate BROADCAST back (the
     mad_outliers posture — the corpus is never reshuffled on the
@@ -1270,7 +1321,23 @@ def ols_two_factor(
         F.sum("_c2").alias("_sc2"),
     )
     det = F.col("_s11") * F.col("_s22") - F.col("_s12") * F.col("_s12")
-    ok = det > F.lit(1e-12) * F.col("_s11") * F.col("_s22")
+    # ok requires (1) a well-conditioned 2x2 system AND (2) each
+    # regressor's TRUE variance positive. The det test alone misses a
+    # CONSTANT regressor whose group mean does not round-trip at 4dp
+    # (r10 sweep, confirmed by execution): the rounded-pivot residual
+    # is then a constant eps != 0, so S22 = n*eps^2 > 0 and the det
+    # ratio looks fine — but the "fitted" beta2 is pure rounding
+    # noise. S22 - sc2^2/n is the sum of squares about the TRUE mean
+    # (exactly 0 for a constant), computed in the same operation
+    # order as the oracle so the decision is bitwise cross-engine.
+    n_obs = F.col("n_obs")
+    v1 = F.col("_s11") - F.col("_sc1") * F.col("_sc1") / n_obs
+    v2 = F.col("_s22") - F.col("_sc2") * F.col("_sc2") / n_obs
+    ok = (
+        (det > F.lit(1e-12) * F.col("_s11") * F.col("_s22"))
+        & (v1 > F.lit(1e-12) * F.col("_s11"))
+        & (v2 > F.lit(1e-12) * F.col("_s22"))
+    )
     b1 = F.when(
         ok,
         (F.col("_s1y") * F.col("_s22") - F.col("_s12") * F.col("_s2y"))

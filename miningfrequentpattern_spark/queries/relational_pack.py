@@ -4467,30 +4467,34 @@ a AS (SELECT priority, count(*) AS n_obs,
              sum(c1 * c2) AS s12, sum(c1 * yc) AS s1y,
              sum(c2 * yc) AS s2y, sum(yc * yc) AS syy,
              sum(yc) AS sy, sum(c1) AS sc1, sum(c2) AS sc2
-      FROM c GROUP BY 1)
+      FROM c GROUP BY 1),
+a2 AS (SELECT *,
+         (s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+          AND s11 - sc1 * sc1 / n_obs > 1e-12 * s11
+          AND s22 - sc2 * sc2 / n_obs > 1e-12 * s22) AS ok
+       FROM a)
 SELECT priority, CAST(n_obs AS BIGINT) AS n_obs,
-       round(CASE WHEN s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+       round(CASE WHEN ok
              THEN (my + sy / n_obs)
                   - ((s1y * s22 - s12 * s2y)
                      / (s11 * s22 - s12 * s12)) * (m1 + sc1 / n_obs)
                   - ((s11 * s2y - s1y * s12)
                      / (s11 * s22 - s12 * s12)) * (m2 + sc2 / n_obs)
              END, 4) + 0.0 AS intercept,
-       round(CASE WHEN s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+       round(CASE WHEN ok
              THEN (s1y * s22 - s12 * s2y) / (s11 * s22 - s12 * s12)
              END, 4) + 0.0 AS beta1,
-       round(CASE WHEN s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+       round(CASE WHEN ok
              THEN (s11 * s2y - s1y * s12) / (s11 * s22 - s12 * s12)
              END, 4) + 0.0 AS beta2,
-       round(CASE WHEN syy > 0
-                   AND s11 * s22 - s12 * s12 > 1e-12 * s11 * s22
+       round(CASE WHEN syy > 0 AND ok
              THEN 1.0 - (syy
                   - ((s1y * s22 - s12 * s2y)
                      / (s11 * s22 - s12 * s12)) * s1y
                   - ((s11 * s2y - s1y * s12)
                      / (s11 * s22 - s12 * s12)) * s2y) / syy
              END, 4) + 0.0 AS r2
-FROM a
+FROM a2
 """,
 )
 def r91_trend_weekend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:

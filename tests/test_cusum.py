@@ -42,3 +42,22 @@ def test_cusum_empty_and_null(spark):
     )
     out = cusum_drift(nulls, ["k"], "t", "x", target=1.0).collect()
     assert len(out) == 1 and math.isclose(out[0]["cusum"], 2.0)
+
+
+def test_cusum_rejects_output_name_collisions(spark):
+    """r10 sweep (the 73e18de class): a carry column named 'drifted'
+    was silently overwritten by the alarm boolean; 'cusum'/'_x'
+    collide the same way."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        cusum_drift,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0, True)],
+        "k string, t double, v double, drifted boolean",
+    )
+    with pytest.raises(ValueError, match="drifted"):
+        cusum_drift(df, ["k"], "t", "v", target=0.0, threshold=1.0,
+                    carry=("drifted",))

@@ -68,3 +68,22 @@ def test_gapfill_interp_single_exchange_two_passes(spark):
     assert p.count("Exchange") <= 2, p  # one node + one details mention
     specs = re.findall(r"windowspecdefinition\((\w+)#", p)
     assert specs and set(specs) == {"k"}, specs
+
+
+def test_gapfill_rejects_out_col_collision(spark):
+    """r10 sweep (the 73e18de class): withColumn(out_col) silently
+    REPLACED an existing same-named user column."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        gapfill_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0, 99.0)],
+        "k string, t double, v double, filled double",
+    )
+    with pytest.raises(ValueError, match="filled"):
+        gapfill_interpolate(df, ["k"], "t", "v")
+    # a different out_col on the same frame is fine
+    assert gapfill_interpolate(df, ["k"], "t", "v", out_col="v2").count() == 1

@@ -73,3 +73,42 @@ def test_holt_rejects_bad_params_and_ties(spark):
         holt_linear(df, ["k"], "t", "x", beta=1.5)
     with pytest.raises(Exception, match="order-ambiguous|duplicate"):
         holt_linear(df, ["k"], "t", "x").collect()
+
+
+def test_holt_null_values_excluded_not_poisoning(spark):
+    """r10 sweep: one NULL value arrived as NaN and poisoned level AND
+    trend for the entire rest of the series. NULLs now ride the
+    documented-drop leg (the cusum stance): the remaining rows fit
+    exactly the NULL-free series."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    clean = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 3.0, 3.0), ("a", 4.0, 4.0)],
+        "k string, t double, v double",
+    )
+    dirty = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, None), ("a", 3.0, 3.0),
+         ("a", 4.0, 4.0)],
+        "k string, t double, v double",
+    )
+    want = sorted(map(tuple, holt_linear(clean, ["k"], "t", "v").collect()))
+    got = sorted(map(tuple, holt_linear(dirty, ["k"], "t", "v").collect()))
+    assert got == want
+    assert all(r[-1] == r[-1] and r[-2] == r[-2] for r in got)  # no NaN
+
+
+def test_holt_tiebreak_may_be_key_or_order(spark):
+    """r10 sweep: the ewma r8 guard widened to keys/order — a
+    tiebreak that IS a key previously selected the column twice and
+    crashed in the pandas worker with a non-unique-label error."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 2.0)], "k string, t double, v double"
+    )
+    assert holt_linear(df, ["k"], "t", "v", tiebreak_col="k").count() == 2
+    assert holt_linear(df, ["k"], "t", "v", tiebreak_col="t").count() == 2

@@ -67,3 +67,40 @@ def test_holt_winters_raises_on_short_series_and_bad_params(spark):
         holt_winters_additive(df, ["k"], "t", "x", period=1)
     with pytest.raises(ValueError, match="alpha"):
         holt_winters_additive(df, ["k"], "t", "x", alpha=0.0)
+
+
+def test_holt_winters_null_values_excluded_and_counted_out(spark):
+    """r10 sweep: a NULL inside the first two seasons NaN-poisoned
+    l0/b0 and the whole seasonal buffer (an all-NULL model), and NULL
+    rows counted toward the 2*period init check. NULLs now drop
+    before both; a series with 2m rows of which one is NULL RAISES
+    the too-short error instead of silently emitting nothing."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    m = 2
+    rows = [("a", float(i), float(i % m) + i * 0.1) for i in range(1, 7)]
+    clean = spark.createDataFrame(rows, "k string, t double, v double")
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("a", 0.5, None)], "k string, t double, v double"
+        )
+    )
+    want = sorted(
+        map(tuple, holt_winters_additive(
+            clean, ["k"], "t", "v", period=m).collect())
+    )
+    got = sorted(
+        map(tuple, holt_winters_additive(
+            dirty, ["k"], "t", "v", period=m).collect())
+    )
+    assert got == want
+    short = spark.createDataFrame(
+        rows[: 2 * m - 1] + [("a", 9.0, None)],
+        "k string, t double, v double",
+    )
+    with pytest.raises(Exception, match="two full seasons"):
+        holt_winters_additive(short, ["k"], "t", "v", period=m).collect()

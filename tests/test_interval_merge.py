@@ -46,3 +46,20 @@ def test_interval_merge_drops_null_boundaries(spark):
     )
     got = interval_merge(df, ["k"], "s", "e").collect()
     assert [tuple(r) for r in got] == [("a", 1, 2, 1)]
+
+
+def test_interval_merge_rejects_working_key_names(spark):
+    """r10 sweep: a KEY named like the island working column or an
+    output name previously failed with AMBIGUOUS_REFERENCE naming a
+    column the caller never wrote."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        interval_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0)], "_island long, s double, e double"
+    )
+    with pytest.raises(ValueError, match="_island"):
+        interval_merge(df, ["_island"], "s", "e")

@@ -51,3 +51,36 @@ def test_ols_two_factor_controls_for_weekend(spark):
         ["g"], "t", "x",
     ).collect()[0]
     assert st["r2"] < 0.2
+
+
+def test_constant_regressor_nulls_even_when_mean_not_4dp(spark):
+    """r10 sweep: a CONSTANT regressor whose group mean does NOT
+    round-trip at 4dp left a nonzero eps^2 in S22 through the
+    rounded-pivot centering, so the det test passed and beta2 came
+    back as pure rounding noise. The true-variance floor
+    (S22 - sc2^2/n) must NULL the model either way."""
+    from miningfrequentpattern_spark.operators.timeseries import (
+        ols_two_factor,
+    )
+
+    rows_noisy = [
+        ("g", float(i), float(i), 0.00003) for i in range(1, 9)
+    ]
+    rows_exact = [("g", float(i), float(i), 5.0) for i in range(1, 9)]
+    schema = "g string, y double, x1 double, x2 double"
+    for rows in (rows_noisy, rows_exact):
+        got = ols_two_factor(
+            spark.createDataFrame(rows, schema), ["g"], "y", "x1", "x2"
+        ).collect()[0]
+        assert got["beta1"] is None and got["beta2"] is None, got
+        assert got["intercept"] is None and got["r2"] is None, got
+    # a genuinely two-factor system still fits
+    rows_ok = [
+        ("g", float(i) + (2.0 if i % 2 else 0.0), float(i),
+         1.0 if i % 2 else 0.0)
+        for i in range(1, 9)
+    ]
+    fit = ols_two_factor(
+        spark.createDataFrame(rows_ok, schema), ["g"], "y", "x1", "x2"
+    ).collect()[0]
+    assert abs(fit["beta1"] - 1.0) < 1e-6 and abs(fit["beta2"] - 2.0) < 1e-6

@@ -95,3 +95,21 @@ def test_ppr_empty_graph(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     seeds = spark.createDataFrame([(1,)], "id long")
     assert personalized_pagerank(edges, seeds, 3).count() == 0
+
+
+def test_ppr_rejects_degenerate_damping(spark):
+    """r10 sweep: damping=0 crashed with ZeroDivisionError before any
+    Spark work and damping=1 silently returned all-zero ppr (the
+    teleport weights vanish, so the rank init finds no seeds). Both
+    now raise with the parameter named."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    for d in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="damping"):
+            personalized_pagerank(edges, seeds, damping=d)

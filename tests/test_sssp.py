@@ -121,3 +121,21 @@ def test_sssp_empty_and_null_weight_edges(spark):
     # NULL-endpoint edges drop too — no spurious id=NULL row
     # (review r5).
     assert got == {1: 0.0, 5: 3.0}
+
+
+def test_sssp_null_seed_is_not_a_node(spark):
+    """r10 sweep (the khop stance): a NULL seed id must not emit a
+    spurious (NULL, 0.0) distance row."""
+    from miningfrequentpattern_spark.operators.graph import (
+        sssp_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    seeds = spark.createDataFrame([(1,), (None,)], "id long")
+    got = {
+        (r["id"], r["dist"])
+        for r in sssp_distances(edges, seeds, max_rounds=2).collect()
+    }
+    assert got == {(1, 0.0), (2, 1.0)}

@@ -360,3 +360,26 @@ def test_ttl_dedup_stream_drops_null_ts_like_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want == {(2, True), (3, False)}
+
+
+def test_ttl_tiebreak_in_carry_or_ts_does_not_duplicate(spark):
+    """r10 sweep (the ewma r8 guard, extended): a tiebreak that also
+    rides in carry — or IS the ts column — previously selected the
+    column twice and crashed deep in the pandas worker with an opaque
+    non-unique-label error."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.operators.timeseries import (
+        ttl_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 11, 200.0)], "user_id long, event_id long, v double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 1000))
+    out = ttl_dedup(
+        df, ["user_id"], "ts", "10 minutes",
+        tiebreak_col="event_id", carry=("event_id",),
+    )
+    assert out.count() == 2 and out.columns.count("event_id") == 1
+    out2 = ttl_dedup(df, ["user_id"], "ts", "10 minutes", tiebreak_col="ts")
+    assert out2.count() == 2
