@@ -49,9 +49,14 @@ def _update_user_counts(
 
 
 def running_user_counts_stream(events_stream: DataFrame) -> DataFrame:
-    """T5: arbitrary stateful processing over a stream."""
+    """T5: arbitrary stateful processing over a stream. The update
+    function reads only (user_id, event_type) — narrow BEFORE the
+    state seam so the props/value columns never ride the Arrow
+    transfer into the Python state worker (r10 sweep; the cusum/
+    heavy-hitters convention)."""
     return (
-        events_stream.groupBy("user_id")
+        events_stream.select("user_id", "event_type")
+        .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_counts,
             outputStructType=RUNNING_SCHEMA,
@@ -78,14 +83,14 @@ def windowed_counts_stream(
 ) -> DataFrame:
     """T1+T3 streaming twin of windows.tumbling_counts, with a
     watermark so late data beyond `delay` is dropped and window state
-    is evicted."""
-    return (
-        events_stream.withWatermark("ts", delay)
-        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("w.start").alias("window_start"), "event_type", "n_events"
-        )
+    is evicted. ONE definition (r10 sweep): the twin IS
+    tumbling_counts applied to the watermarked stream — the previous
+    inline copy of its expression tree kept the pair equal only by
+    hand."""
+    from .windows import tumbling_counts
+
+    return tumbling_counts(
+        events_stream.withWatermark("ts", delay), width
     )
 
 
@@ -118,7 +123,11 @@ def mine_stream_foreach_batch(
         if batch_df.isEmpty():
             return
         baskets = batch_df.groupBy("user_id").agg(
-            F.sort_array(F.collect_set("event_type")).alias("items")
+            # no basket-side sort: FPGrowth ignores item order (the
+            # t06 c795db8 rationale, extended to this hot per-batch
+            # path in the r10 sweep); the output select's sort_array
+            # is the only load-bearing one
+            F.collect_set("event_type").alias("items")
         )
         model = fit_fpgrowth(baskets, min_support=min_support)
         (
@@ -200,7 +209,8 @@ def running_user_counts_tws(events_stream: DataFrame) -> DataFrame:
             "on runtimes without it"
         )
     return (
-        events_stream.groupBy("user_id")
+        events_stream.select("user_id", "event_type")
+        .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=RunningCountsProcessor(),
             outputStructType=RUNNING_SCHEMA,
@@ -267,7 +277,7 @@ def cdc_snapshot_stream(events_stream: DataFrame) -> DataFrame:
     the delete downstream — the Debezium convention)."""
     changes = events_stream.filter(
         F.col("ts").isNotNull() & F.col("event_id").isNotNull()
-    )
+    ).select("user_id", "ts", "event_id", "event_type", "value")
     return changes.groupBy("user_id").applyInPandasWithState(
         _update_cdc_snapshot,
         outputStructType=CDC_OUT_SCHEMA,

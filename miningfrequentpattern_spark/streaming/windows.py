@@ -87,6 +87,11 @@ def dedup_events(events: DataFrame, keys: list[str], ts_col: str = "ts") -> Data
     exercised in tests/test_streaming.py; this batch form is the
     oracle-checkable contract (dropDuplicates keeps an ARBITRARY row,
     which can never hash-match an oracle)."""
+    from ..functions.guards import reject_working_cols
+
+    # withColumn REPLACES (and drop then deletes) a user _rn column
+    # silently (r10 sweep, the 73e18de class)
+    reject_working_cols(events, ("_rn",), "dedup_events")
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col("event_id"))
     return (
         events.withColumn("_rn", F.row_number().over(w))
@@ -139,8 +144,16 @@ def click_purchase_join_stream(
         F.col("c.user_id").alias("user_id"),
         F.col("c.event_id").alias("click_id"),
         F.col("p.event_id").alias("purchase_id"),
+        # exact integer micros, not double-cast ts (the r62/r06 pin,
+        # extended to this twin in the r10 sweep): epoch-scale double
+        # quantization (~2.4e-7 s) flips 4dp boundary cases vs the
+        # registered r06 batch query and its oracle; micros subtract
+        # exactly and one divide is correctly rounded. NULL-safe for
+        # the outer join (unix_micros(NULL) is NULL).
         F.round(
-            F.col("p.ts").cast("double") - F.col("c.ts").cast("double"), 4
+            (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts")))
+            / F.lit(1_000_000.0),
+            4,
         ).alias("gap_sec"),
     )
 

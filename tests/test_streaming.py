@@ -152,8 +152,12 @@ def test_stream_stream_interval_join(spark):
             F.col("a.user_id").alias("user_id"),
             F.col("a.event_id").alias("click_id"),
             F.col("b.event_id").alias("purchase_id"),
+            # exact micros, matching the operator's r10 fix (the
+            # r62/r06 pin) — cast-double flips 4dp boundary cases
             F.round(
-                F.col("b.ts").cast("double") - F.col("a.ts").cast("double"), 4
+                (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts")))
+                / F.lit(1_000_000.0),
+                4,
             ).alias("gap_sec"),
         )
         .collect()
@@ -208,7 +212,8 @@ def test_stream_stream_left_outer_join(spark):
             F.col("a.event_id").alias("click_id"),
             F.col("b.event_id").alias("purchase_id"),
             F.round(
-                F.col("b.ts").cast("double") - F.col("a.ts").cast("double"),
+                (F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts")))
+                / F.lit(1_000_000.0),
                 4,
             ).alias("gap_sec"),
             F.col("a.ts").alias("click_ts"),
