@@ -41,7 +41,15 @@ def exact_dedup(
 
     Returns all docs annotated with (content_hash, dup_rank, is_kept) —
     callers filter `is_kept` to materialize the deduplicated corpus.
+    A doc frame already carrying any of those three names is rejected
+    (r10 sweep, the 73e18de class: withColumn/select('*', ...) would
+    silently replace or ambiguously duplicate the user's column).
     """
+    from ..functions.guards import reject_working_cols
+
+    reject_working_cols(
+        docs, ("content_hash", "dup_rank", "is_kept"), "exact_dedup"
+    )
     h = F.sha2(normalized_text(text_col), 256).alias("content_hash")
     w = Window.partitionBy("content_hash").orderBy(id_col)
     return (
@@ -445,6 +453,17 @@ def simhash_neardup_pairs(
     pair set is deduplicated before scoring (hamming is deterministic
     per pair, so distinct() on the projected triple is exact).
     """
+    # 0 <= max_hamming <= 62: the pigeonhole needs max_hamming+1
+    # NON-EMPTY disjoint bands out of 63 bits — beyond 62 some band
+    # has width 0, its mask is 0, and the equi-join silently
+    # degenerates to a per-block cross product; negative values
+    # divide by zero below (r10 sweep, the ann_lsh fail-loudly
+    # stance).
+    if not 0 <= max_hamming <= 62:
+        raise ValueError(
+            f"simhash_neardup_pairs: max_hamming must be in [0, 62] "
+            f"(63-bit fingerprints), got {max_hamming}"
+        )
     bands = max_hamming + 1
     bounds = [63 * b // bands for b in range(bands + 1)]
     band_structs = []
@@ -493,6 +512,7 @@ def minhash_neardup_pairs(
     num_hash_tables: int = 8,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    vocab_size: int = 1 << 20,
 ) -> DataFrame:
     """L2 (MinHash LSH): shingle → binarized term vector → MinHashLSH
     → approxSimilarityJoin. Returns (doc_a, doc_b, jaccard_dist).
@@ -519,12 +539,37 @@ def minhash_neardup_pairs(
     ).transform(docs)
     ng = NGram(n=3, inputCol="_toks", outputCol="_shingles").transform(tok)
     ng = ng.filter(F.size("_shingles") > 0)
+    # Empty/degenerate corpora (no docs, all-NULL text, every doc
+    # < 3 tokens) must return the empty pair set, not crash
+    # CountVectorizer.fit with 'vocabulary size should be > 0' — the
+    # sibling embedding/semantic tiers short-circuit the same way
+    # (r10 sweep; the 100 TB failure mode is a crashed job, not an
+    # empty join). Bounded eager probe, like num_blocks sizing.
+    if ng.isEmpty():
+        return docs.sparkSession.createDataFrame(
+            [], f"doc_a {dict(docs.dtypes)[id_col]}, "
+                f"doc_b {dict(docs.dtypes)[id_col]}, jaccard_dist double"
+        )
     cv_model = CountVectorizer(
-        inputCol="_shingles", outputCol="_vec", binary=True
+        inputCol="_shingles", outputCol="_vec", binary=True,
+        vocabSize=vocab_size,
     ).fit(ng)
-    # MinHashLSH requires ≥1 non-zero entry; guaranteed by the
-    # non-empty-shingles filter above since CountVectorizer keeps the
-    # full vocabulary at these corpus sizes.
+    # MinHashLSH requires ≥1 non-zero entry. The non-empty-shingles
+    # filter guarantees it ONLY while the vocabulary is complete:
+    # CountVectorizer silently keeps the top-df `vocabSize` shingles
+    # (default 2^18 — a few MB of text exceeds it), and a doc made of
+    # dropped shingles vectorizes to all zeros → MinHashLSH throws
+    # mid-job, while survivors estimate a DIFFERENT Jaccard than the
+    # exact anchor. Fail actionably instead (r10 sweep): the fitted
+    # vocabulary hitting the cap exactly is the truncation signal.
+    if len(cv_model.vocabulary) >= vocab_size:
+        raise ValueError(
+            f"minhash_neardup_pairs: shingle vocabulary hit "
+            f"vocab_size={vocab_size} — the top-df truncation would "
+            f"silently change the estimated Jaccard and can zero out "
+            f"unique-content docs; raise vocab_size (driver memory "
+            f"~vocab strings) or dedup with simhash/ngram_jaccard"
+        )
     vec = cv_model.transform(ng)
     lsh = MinHashLSH(
         inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
@@ -598,9 +643,17 @@ def embedding_neardup_pairs(
     # NULL vectors cannot participate in cosine similarity (np.array
     # over a batch containing None degrades to object dtype and the
     # GEMM throws) — drop them at the boundary.
+    # NULL/NaN ELEMENTS ride the same documented drop as NULL vectors
+    # (r10 sweep): numpy converts a None element to NaN, the GEMM
+    # makes the whole sims row NaN, and NaN > threshold is False —
+    # every pair for that doc silently vanishes (the exact failure
+    # mode the zero-norm guard below defends against).
     src = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    ).filter(F.col("_vec").isNotNull())
+    ).filter(
+        F.col("_vec").isNotNull()
+        & ~F.exists("_vec", lambda x: x.isNull() | F.isnan(x))
+    )
     if num_blocks is None:
         n = src.count()
         if n == 0:
@@ -630,6 +683,18 @@ def embedding_neardup_pairs(
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
         if not len(left) or not len(right):
             return empty
+        widths = {len(v) for v in left["_vec"]} | {
+            len(v) for v in right["_vec"]
+        }
+        if len(widths) != 1:
+            # np.array would raise an opaque inhomogeneous-shape
+            # error mid-task; name the defect (r10 sweep, the
+            # ann/pq dim-guard class)
+            raise ValueError(
+                f"embedding_neardup_pairs: mixed vector widths "
+                f"{sorted(widths)} in one block — cosine over ragged "
+                f"embeddings is undefined"
+            )
         ma = np.array(list(left["_vec"]), dtype=np.float64)
         mb = np.array(list(right["_vec"]), dtype=np.float64)
         ida = left["_id"].to_numpy(dtype=np.int64)
@@ -1286,14 +1351,27 @@ def source_shingle_overlap(
     group_col: str = "source",
     tokens_col: str = "tokens",
     n: int = 3,
+    include_disjoint: bool = False,
 ) -> DataFrame:
     """Corpus-level overlap matrix between sources — one row per
-    source pair (a < b): shingle-set sizes, the common-shingle count,
-    Jaccard, and BOTH containments. The dedup-planning view one level
-    above l02's per-document pairs: before spending a full near-dup
-    pass across two feeds, this says whether feed B is 90% inside
-    feed A (containment ≈ 1 — mirror/re-crawl, dedup by provenance)
-    or genuinely novel (Jaccard ≈ 0 — skip the cross-feed pass).
+    OVERLAPPING source pair (a < b) by default: shingle-set sizes,
+    the common-shingle count, Jaccard, and BOTH containments. The
+    dedup-planning view one level above l02's per-document pairs:
+    before spending a full near-dup pass across two feeds, this says
+    whether feed B is 90% inside feed A (containment ≈ 1 —
+    mirror/re-crawl, dedup by provenance) or genuinely novel
+    (Jaccard ≈ 0 — skip the cross-feed pass).
+
+    DISJOINT pairs (zero shared shingles) are ABSENT by default — the
+    shingle equi-join IS the filter, which is what keeps the plan off
+    a |sources|² cross join (the l55 registration's documented scale
+    shape). A consumer that needs the FULL grid — so "disjoint" is
+    distinguishable from "pair missing from input" — passes
+    include_disjoint=True: the |sources|-row size relation expands to
+    the (a < b) grid (|sources|² rows, dimension-sized) and
+    LEFT-joins the common counts, emitting explicit zero rows
+    (r10 sweep: the docstring previously promised one row per pair
+    while the implementation emitted only overlapping ones).
 
     Shape: ONE corpus scan to the DISTINCT (source, shingle)
     relation; the pair counts come from a shingle-keyed self-join of
@@ -1323,6 +1401,15 @@ def source_shingle_overlap(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    if include_disjoint:
+        ga = sizes.select(F.col("_g").alias("source_a"))
+        gb = sizes.select(F.col("_g").alias("source_b"))
+        grid = ga.crossJoin(gb).filter(
+            F.col("source_a") < F.col("source_b")
+        )
+        common = grid.join(
+            common, ["source_a", "source_b"], "left"
+        ).withColumn("n_common", F.coalesce("n_common", F.lit(0)))
     sa = F.broadcast(
         sizes.select(F.col("_g").alias("source_a"), F.col("_n").alias("n_a"))
     )

@@ -405,6 +405,15 @@ def ivf_topk(
         out = [[] for _ in arrs]
         if valid_idx:
             m = np.array([arrs[i] for i in valid_idx], dtype=np.float64)
+            if m.ndim != 2 or m.shape[1] != b_centers.value.shape[1]:
+                # name the defect instead of numpy's raw broadcasting
+                # ValueError deep in an executor task (r10 sweep, the
+                # ann_lsh/pq mis-sized-dim class)
+                raise ValueError(
+                    f"ivf_topk: query vector width "
+                    f"{m.shape[1] if m.ndim == 2 else 'ragged'} != "
+                    f"corpus/centroid width {b_centers.value.shape[1]}"
+                )
             d = ((m[:, None, :] - b_centers.value[None, :, :]) ** 2).sum(
                 axis=2
             )
@@ -484,6 +493,7 @@ def _pq_fit_codebooks(
     seed: int,
     fit_mod: int,
     cache_key=None,
+    op: str = "pq_topk",
 ):
     """Fit the per-subspace PQ codebooks on (a hash-mod sample of) the
     normalized corpus `c` (expects `_nv`) and broadcast the stacked
@@ -537,7 +547,7 @@ def _pq_fit_codebooks(
         # (falling back to the full corpus silently would defeat the
         # bounded-fit contract the caller asked for).
         raise ValueError(
-            f"pq_topk: fit_mod={fit_mod} selected no corpus rows to "
+            f"{op}: fit_mod={fit_mod} selected no corpus rows to "
             "fit codebooks on; lower fit_mod (the fit set should be "
             ">= ~100x n_codes rows)"
         )
@@ -575,6 +585,18 @@ def _pq_fit_codebooks(
             codebooks = list(pool.map(_fit, range(n_subspaces)))
     finally:
         fit_all.unpersist()
+    # A NON-empty fit sample smaller than n_codes passes the isEmpty
+    # guard but random-init KMeans then returns fewer than n_codes
+    # centers, and the ADC table write crashes with an opaque numpy
+    # shape error mid-task (r10 sweep). Same actionable contract as
+    # the empty-sample raise above.
+    short = [c_.shape[0] for c_ in codebooks if c_.shape[0] != n_codes]
+    if short:
+        raise ValueError(
+            f"{op}: fit sample yielded only {min(short)} distinct "
+            f"KMeans centers < n_codes={n_codes}; lower fit_mod or "
+            f"n_codes (the fit set should be >= ~100x n_codes rows)"
+        )
     cb = np.stack(codebooks)  # (n_subspaces, n_codes, sub)
     b = spark.sparkContext.broadcast(cb)
     if memo_key is not None:
@@ -974,7 +996,7 @@ def ivfpq_topk(
 
     b_cb = _pq_fit_codebooks(
         c, id_col, n_subspaces, n_codes, sub, seed, fit_mod,
-        cache_key=fit_cache_key,
+        cache_key=fit_cache_key, op="ivfpq_topk",
     )
     encode_udf = _pq_encode_udf(b_cb, n_subspaces, sub)
     adc_udf = _pq_adc_udf(b_cb, n_subspaces, n_codes, sub)
@@ -1204,8 +1226,27 @@ def truncated_dim_recall(
     for d in trunc_dims:
         if d < 1:
             raise ValueError(f"trunc_dims must be >= 1, got {d}")
-        qd = queries.withColumn("_tv", F.slice(F.col(vec_col), 1, int(d)))
-        cd = corpus.withColumn("_tv", F.slice(F.col(vec_col), 1, int(d)))
+        # slice CLAMPS past the end, so d > actual width would
+        # silently compare the FULL vectors and report recall 1.0
+        # for a truncation that was never evaluated — a wrong
+        # go/no-go shipping measurement (r10 sweep). Lazy
+        # codegen-side check, NULLs exempt (the pq dim-guard form).
+        def _tv(side: DataFrame) -> F.Column:
+            return F.when(
+                F.assert_true(
+                    F.col(vec_col).isNull()
+                    | (F.size(vec_col) >= F.lit(int(d))),
+                    F.lit(
+                        f"truncated_dim_recall: trunc_dim={d} exceeds "
+                        "the embedding width — the sliced ranking "
+                        "would silently equal the full one"
+                    ),
+                ).isNull(),
+                F.slice(F.col(vec_col), 1, int(d)),
+            )
+
+        qd = queries.withColumn("_tv", _tv(queries))
+        cd = corpus.withColumn("_tv", _tv(corpus))
         # The panel bound was already enforced (or opted out) on the
         # full pass over the same query set — don't re-probe per width.
         trunc = cosine_topk_exact(

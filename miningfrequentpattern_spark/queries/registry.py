@@ -312,7 +312,17 @@ PRIORITY: tuple[str, ...] = (
     "s10_compact_roundtrip",  # last proof r4
     "s11_binaryfile_scan",  # last proof r4
     "s12_bucketed_join",  # last proof r4
-    "m13_part_pagerank",  # last proof r5
+    # r10 dedup/similarity sweep re-cert (hand edit, displacing the
+    # last r5 backfill m13 to round 11): embedding_neardup_pairs now
+    # drops vectors with NULL/NaN ELEMENTS at the boundary (they made
+    # every pair for that doc silently vanish via NaN > threshold);
+    # fixture has none, so values are identical, but the plan changed.
+    # The sweep's other touches are guard-class (minhash empty/vocab
+    # guards, simhash max_hamming validation, exact_dedup collision
+    # guard, ivf/pq/truncated-recall dim guards, source_overlap's
+    # opt-in include_disjoint default-off) — plans/outputs identical
+    # on every valid input; l01/l03c ride the window anyway.
+    "l02d_embedding_neardup",
     # r10 graph/timeseries sweep re-certs (hand edit, displacing the
     # three youngest r5 backfills m14/m17/m19 to round 11): holt and
     # holt_winters now EXCLUDE NULL values (one NULL NaN-poisoned the

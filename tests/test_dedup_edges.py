@@ -315,3 +315,107 @@ def test_dir_parquet_bytes_skips_staging_dirs(tmp_path):
     (d / "_temporary" / "0" / "part-00000.parquet").write_bytes(b"y" * 900)
     (d / "_SUCCESS").write_bytes(b"")
     assert dir_parquet_bytes(str(d)) == 100
+
+
+def test_exact_dedup_rejects_annotation_collisions(spark):
+    """r10 sweep (the 73e18de class): a docs frame already carrying
+    content_hash/dup_rank/is_kept (a prior pass's output) was
+    silently overwritten or ambiguously duplicated."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", 2)], "doc_id long, text string, dup_rank long"
+    )
+    with pytest.raises(ValueError, match="dup_rank"):
+        exact_dedup(df)
+
+
+def test_minhash_empty_and_degenerate_corpora_return_empty(spark):
+    """r10 sweep: an empty corpus, all-NULL text, or every-doc-under-
+    3-tokens corpus crashed CountVectorizer.fit ('vocabulary size
+    should be > 0') instead of returning the empty pair set like the
+    sibling embedding/semantic tiers."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        minhash_neardup_pairs,
+    )
+
+    schema = "doc_id long, text string"
+    for rows in ([], [(1, None)], [(1, "a b"), (2, "x")]):
+        df = spark.createDataFrame(rows, schema)
+        out = minhash_neardup_pairs(df)
+        assert out.count() == 0
+        assert out.columns == ["doc_a", "doc_b", "jaccard_dist"]
+
+
+def test_minhash_vocab_truncation_raises_actionably(spark):
+    """r10 sweep: CountVectorizer silently keeps only the top-df
+    vocab_size shingles — survivors estimate a DIFFERENT Jaccard and
+    unique-content docs zero out and crash MinHashLSH mid-job. The
+    cap being hit must raise with the knob named."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.dedup import (
+        minhash_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="vocab_size"):
+        minhash_neardup_pairs(docs, vocab_size=4)
+
+
+def test_simhash_rejects_degenerate_max_hamming(spark):
+    """r10 sweep: max_hamming > 62 silently degenerated the banded
+    equi-join to a per-block cross product (a width-0 band masks
+    every fingerprint to 0); negatives divided by zero."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    fp = spark.createDataFrame([(1, 5)], "doc_id long, simhash long")
+    for bad in (63, 70, -1):
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_neardup_pairs(fp, max_hamming=bad)
+
+
+def test_embedding_neardup_null_element_and_ragged(spark):
+    """r10 sweep: a vector with a NULL element passed the
+    vector-level isNotNull filter, numpy turned it into NaN, and
+    every pair for that doc silently vanished (NaN > threshold is
+    False); ragged widths crashed with numpy's opaque
+    inhomogeneous-shape error. NULL-element vectors now ride the
+    documented drop; ragged widths raise by name."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    ok = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    base = spark.createDataFrame(
+        ok, "doc_id long, embedding array<double>"
+    )
+    withnull = base.unionByName(
+        spark.createDataFrame(
+            [(4, [1.0, None])], "doc_id long, embedding array<double>"
+        )
+    )
+    want = sorted(
+        map(tuple, embedding_neardup_pairs(base, threshold=0.9, id_col="doc_id").collect())
+    )
+    got = sorted(
+        map(tuple, embedding_neardup_pairs(withnull, threshold=0.9, id_col="doc_id").collect())
+    )
+    assert got == want and len(got) == 1  # (1,2) pair only
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 5.0])],
+        "doc_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="mixed vector widths"):
+        embedding_neardup_pairs(ragged, threshold=0.1, id_col="doc_id", num_blocks=1).collect()

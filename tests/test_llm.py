@@ -947,3 +947,56 @@ def test_weighted_sample_survives_huge_doc_ids(spark, tmp_path):
         if r["doc_id"] < 2**31:
             u = ((r["doc_id"] * 2654435761) % 4294967296 + 1) / 4294967297.0
             assert abs(r["sample_key"] - round(u ** (1 / 5), 6)) < 1e-12
+
+
+def test_ivf_rejects_mismatched_query_width(spark):
+    """r10 sweep (the ann/pq mis-sized-dim class): a query side whose
+    vectors are narrower than the corpus crashed the probe UDF with a
+    raw numpy broadcasting error; it now raises by name."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).withColumn(
+        "embedding", F.slice("embedding", 1, 32)
+    )
+    with pytest.raises(Exception, match="width"):
+        ivf_topk(q, emb, k=3, n_clusters=8, n_probes=2, seed=42).collect()
+
+
+def test_truncated_recall_rejects_overwide_trunc_dim(spark):
+    """r10 sweep: F.slice clamps past the end, so trunc_dim > width
+    silently compared the FULL vectors and reported recall 1.0 for a
+    truncation that was never evaluated."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.similarity import (
+        truncated_dim_recall,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    with pytest.raises(Exception, match="trunc_dim"):
+        truncated_dim_recall(q, emb, trunc_dims=[128], k=3).collect()
+
+
+def test_pq_fit_sample_smaller_than_n_codes_raises(spark):
+    """r10 sweep: a NON-empty fit sample smaller than n_codes passed
+    the isEmpty guard, random-init KMeans returned fewer centers, and
+    the ADC table write crashed with an opaque numpy shape error."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).filter(F.col("vec_id") < 12)
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="n_codes"):
+        pq_topk(q, emb, k=3, n_subspaces=8, n_codes=16,
+                rerank_factor=4, seed=42, dim=64)

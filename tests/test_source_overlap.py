@@ -67,3 +67,34 @@ def test_source_overlap_bounds(spark):
         assert r["source_a"] < r["source_b"]
         assert r["n_common"] <= min(r["n_a"], r["n_b"])
         assert r["jaccard"] <= min(r["containment_a"], r["containment_b"])
+
+
+def test_source_overlap_include_disjoint_emits_zero_rows(spark):
+    """r10 sweep: the operator docstring promised one row per source
+    pair while the inner join omitted disjoint pairs entirely —
+    consumers could not distinguish 'disjoint' from 'missing'. The
+    default keeps the registered inner-join scale shape; opting in
+    emits explicit zero rows for the full (a < b) grid."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.operators.dedup import (
+        source_shingle_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "a b c d e"),
+            ("s2", "a b c x y"),
+            ("s3", "p q r s t"),
+        ],
+        "source string, text string",
+    ).withColumn("tokens", F.split("text", " "))
+    dflt = source_shingle_overlap(docs)
+    assert dflt.count() == 1  # only (s1, s2) overlap
+    full = source_shingle_overlap(docs, include_disjoint=True)
+    rows = {(r["source_a"], r["source_b"]): r for r in full.collect()}
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert rows[("s1", "s3")]["n_common"] == 0
+    assert rows[("s1", "s3")]["jaccard"] == 0.0
+    # overlapping pair identical between the two modes
+    assert rows[("s1", "s2")]["n_common"] == dflt.collect()[0]["n_common"]
