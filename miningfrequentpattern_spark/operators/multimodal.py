@@ -213,13 +213,23 @@ def media_dedup(media_df: DataFrame, keep: str = "min_id") -> DataFrame:
     # singleton (n_copies 1, kept) inside the same single window
     # pass; for non-NULL digests the salt is a constant and changes
     # nothing.
-    null_salt = F.when(
-        F.col("media_md5").isNull(), F.col("doc_id")
-    )
-    w = Window.partitionBy("media_md5", null_salt).orderBy("doc_id")
-    cw = Window.partitionBy("media_md5", null_salt)
+    # Both columns ride ONE window spec (same partitioning AND
+    # ordering) so the plan carries a single Exchange+Sort — the salt
+    # must be a NAMED column for that: an inline expression is
+    # re-aliased per window spec (_w0#14 vs _w0#18), which Catalyst
+    # treats as two different partitionings and plans two shuffles
+    # (r10 sweep, booked item (l)). The count needs the explicit
+    # whole-partition frame: an ordered window's default frame stops
+    # at the current row.
+    w = Window.partitionBy("media_md5", "_null_salt").orderBy("doc_id")
+    cw = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         media_df.withColumn("media_md5", digest)
+        .withColumn(
+            "_null_salt",
+            F.when(F.col("media_md5").isNull(), F.col("doc_id")),
+        )
         .withColumn("n_copies", F.count(F.lit(1)).over(cw).cast("long"))
         .withColumn("is_kept", F.row_number().over(w) == 1)
+        .drop("_null_salt")
     )

@@ -1027,6 +1027,48 @@ _AUDIT_SCHEMA = (
 )
 
 
+def _corrupt_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    tag: str,
+    fmt: str,
+    modulus: int,
+    bad_lines: list[str],
+    reader,
+) -> DataFrame:
+    """Shared s18/s19 malformed-input audit body.
+
+    Round-trips an orders slice (o_orderkey % modulus == 0) through
+    ``fmt`` with planted malformed lines appended as raw text, reads
+    back PERMISSIVE via ``reader`` with a _corrupt_record quarantine
+    column, and reduces to row/good/corrupt counts + an exact-integer
+    key checksum. The format-specific parts — writer format, permissive
+    reader, slice modulus, and the malformed-line shapes — are the only
+    parameters; everything else (quarantine predicate, aggregate shape,
+    integer checksum keeping float round-tripping out of the hash) is
+    deliberately identical between the CSV and JSON audits.
+    """
+    path = _scratch(tag)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % modulus == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.write.mode("overwrite").format(fmt).save(path)
+    spark.createDataFrame(
+        [(b,) for b in bad_lines], "value string"
+    ).coalesce(1).write.mode("append").text(path)
+    parsed = reader(spark, path, _AUDIT_SCHEMA)
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((~bad).cast("int")).cast("long").alias("n_good"),
+        F.sum(bad.cast("int")).cast("long").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("o_orderkey")))
+        .cast("long")
+        .alias("key_checksum"),
+    )
+
+
 @query(
     "s18_corrupt_csv_audit",
     oracle="""
@@ -1048,23 +1090,14 @@ def s18_corrupt_csv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (the s02 round-trip stance); the integer checksum keeps CSV
     double round-tripping out of the hash. Per-shape quarantine pins
     in tests/test_corrupt_csv.py. sources/io.py::read_csv_permissive."""
-    path = _scratch("s18_csv")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 7 == 0
-    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
-    orders.write.mode("overwrite").csv(path)
-    spark.createDataFrame(
-        [(b,) for b in _S18_BAD], "value string"
-    ).coalesce(1).write.mode("append").text(path)
-    parsed = read_csv_permissive(spark, path, _AUDIT_SCHEMA)
-    bad = F.col("_corrupt_record").isNotNull()
-    return parsed.agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum((~bad).cast("int")).cast("long").alias("n_good"),
-        F.sum(bad.cast("int")).cast("long").alias("n_corrupt"),
-        F.sum(F.when(~bad, F.col("o_orderkey")))
-        .cast("long")
-        .alias("key_checksum"),
+    return _corrupt_audit(
+        spark,
+        sf_dir,
+        tag="s18_csv",
+        fmt="csv",
+        modulus=7,
+        bad_lines=_S18_BAD,
+        reader=read_csv_permissive,
     )
 
 
@@ -1087,23 +1120,14 @@ def s19_corrupt_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned per shape in tests/test_corrupt_json.py (type mismatch
     keeps parsable fields but quarantines; missing fields are NULL
     with NO quarantine). sources/io.py::read_json_permissive."""
-    path = _scratch("s19_json")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 11 == 0
-    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
-    orders.write.mode("overwrite").json(path)
-    spark.createDataFrame(
-        [(b,) for b in _S19_BAD], "value string"
-    ).coalesce(1).write.mode("append").text(path)
-    parsed = read_json_permissive(spark, path, _AUDIT_SCHEMA)
-    bad = F.col("_corrupt_record").isNotNull()
-    return parsed.agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum((~bad).cast("int")).cast("long").alias("n_good"),
-        F.sum(bad.cast("int")).cast("long").alias("n_corrupt"),
-        F.sum(F.when(~bad, F.col("o_orderkey")))
-        .cast("long")
-        .alias("key_checksum"),
+    return _corrupt_audit(
+        spark,
+        sf_dir,
+        tag="s19_json",
+        fmt="json",
+        modulus=11,
+        bad_lines=_S19_BAD,
+        reader=read_json_permissive,
     )
 
 

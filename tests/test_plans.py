@@ -2038,3 +2038,14 @@ def test_r91_ols_is_aggregate_only(spark):
     p = plan_of(spark, "r91_trend_weekend_ols")
     assert p.count("orders.parquet") <= 2  # daily agg + rounded-mean pivot leg
     assert "CartesianProduct" not in p
+
+
+def test_media_dedup_single_exchange_window(spark):
+    """media_dedup's n_copies + is_kept ride ONE window spec over a
+    NAMED salt column — an inline salt expression is re-aliased per
+    spec and Catalyst plans a second Exchange+Sort over identical
+    keys (r10 sweep, booked item (l))."""
+    p = plan_of(spark, "l59_media_dedup")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
