@@ -592,6 +592,118 @@ def minhash_neardup_pairs(
     )
 
 
+MINHASH_PRIME = 2_147_483_647
+"""2^31 - 1 (Mersenne prime): the affine-hash modulus. a*x + b stays
+below 2^59 for 28-bit shingle hashes, so every intermediate is an
+exactly-representable BIGINT on BOTH engines — DuckDB errors on
+64-bit overflow where the JVM wraps, so JVM wraparound arithmetic is
+not portable (the l04d mod-2^30 stance)."""
+
+
+def minhash_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-hash coefficients h_i(x) = (a_i*x + b_i)
+    mod MINHASH_PRIME, derived from two public mixing constants
+    (Knuth's multiplicative 2654435761, Blake2/Chacha's 1779033703)
+    so the SAME integers can be interpolated into the DuckDB oracle
+    text (the L48_QUERY_TERMS oracle-constant pattern). a_i is never
+    0 for any sane num_perm (the multiplier is coprime to the prime
+    modulus and i+1 < MINHASH_PRIME)."""
+    a = [(2654435761 * (i + 1)) % MINHASH_PRIME for i in range(num_perm)]
+    b = [(1779033703 * (i + 1) + 97) % MINHASH_PRIME for i in range(num_perm)]
+    return a, b
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """L2 (MinHash LSH, engine-portable): banded min-hash candidate
+    pairs scored by signature agreement — the deterministic,
+    value-hash-oracle-able form of minhash_neardup_pairs (which rides
+    MLlib's seeded MinHashLSH and can only ever be rows-only).
+
+    Per doc: word-n-gram shingles → 28-bit md5 base hash per shingle
+    (conv(substr(md5,1,7)) — the l04d engine-shared integer) → num_perm
+    affine permutations h_i(x) = (a_i*x + b_i) mod 2^31-1 → signature
+    sig_i = min over shingles. ALL row-local native expressions: the
+    signature needs no shuffle, no fit, no Python. Pairs are generated
+    by the r=1 banded self-join (each signature component is its own
+    band — MLlib's numHashTables layout) and kept when the estimated
+    Jaccard, |{i: sig_a[i]=sig_b[i]}| / num_perm, clears `threshold`.
+
+    The banding is provably lossless for the OUTPUT: any pair passing
+    `threshold` > 0 agrees on >= 1 component and therefore shares a
+    band, so the all-pairs DuckDB oracle computes the identical result
+    set while Spark runs the sub-quadratic inverted-index plan (the
+    l02 exact-Jaccard oracle stance). At 100 TB: explode cost is
+    num_perm rows/doc (16 here vs bands+1 in the SimHash tier), bucket
+    join scales as sum(bucket^2) on 31-bit min-hash keys — uniform by
+    construction except true near-dup clusters, which are the signal.
+    """
+    g = shingles(tokens_col, n)
+    xs = F.transform(
+        g,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast(
+            "long"
+        ),
+    )
+    a_c, b_c = minhash_coeffs(num_perm)
+    p = F.lit(MINHASH_PRIME).cast("long")
+
+    # One-arg lambda on purpose: F.transform passes the array INDEX as
+    # a second argument when the lambda's arity is 2, so `lambda x,
+    # i=i` would shadow the coefficient index with the element index.
+    def _sig_component(i: int) -> F.Column:
+        a_i = F.lit(a_c[i]).cast("long")
+        b_i = F.lit(b_c[i]).cast("long")
+        return F.array_min(
+            F.transform(F.col("_xs"), lambda x: (a_i * x + b_i) % p)
+        )
+
+    sig = F.array(*[_sig_component(i) for i in range(num_perm)])
+    base = (
+        docs.withColumn("_xs", xs)
+        .filter(F.size("_xs") > 0)
+        .select(id_col, sig.alias("_sig"))
+    )
+    bands = base.select(
+        id_col, "_sig", F.posexplode("_sig").alias("_band", "_bval")
+    )
+    # Same leg shape as simhash_neardup_pairs: corpus-sized banded
+    # index, identical legs hash-partition on the same key, never
+    # broadcast.
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col("a._bval") == F.col("b._bval"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a._sig"), F.col("b._sig"), lambda x, y: x == y
+            ),
+            lambda e: e,
+        )
+    )
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.round(agree / F.lit(float(num_perm)), 4).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -442,6 +442,117 @@ def ivf_topk(
     )
 
 
+def ivf_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via a DETERMINISTIC IVF
+    index — the value-hash-oracle-able sibling of ivf_topk (whose
+    MLlib-KMeans quantizer is seeded but not reproducible outside
+    Spark).
+
+    The coarse quantizer is the n_clusters lowest-id corpus vectors
+    used as fixed seed points (no Lloyd iterations): assignment and
+    probing are plain L2 argmins any engine computes identically, so
+    a DuckDB oracle can certify the full posting-list pipeline —
+    assignment, multi-probe, posting join, exact rerank — value for
+    value. KMeans centers buy tighter cells; seed points keep the
+    IDENTICAL search structure (cells partition the corpus, queries
+    probe n_probes nearest cells) with recall measured in tests, so
+    this form certifies the machinery while ivf_topk remains the
+    quality tier.
+
+    Scale shape: the quantizer is dimension-sized and rides the
+    driver->literal path like ivf_topk's broadcast centroid matrix
+    (a bounded TakeOrdered of n_clusters rows — the documented
+    vocabulary-sized materialization class); assignment/probing are
+    then ROW-LOCAL expressions (argmin over an inline struct array —
+    zero shuffle, no fit job, no Python), and the only exchange is
+    the posting-list equi-join on cell id plus the per-query top-k
+    window, both bounded by cell sizes — the IVF win.
+    """
+    q_in = queries.filter(F.col(vec_col).isNotNull())
+    c_in = corpus.filter(F.col(vec_col).isNotNull())
+    centers = [
+        [float(x) for x in r[0]]
+        for r in c_in.select(F.col(vec_col).cast("array<double>"))
+        .orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    ]
+    if not centers:
+        return _empty_topk_result(queries, corpus, id_col)
+    dims = {len(c) for c in centers}
+    if len(dims) != 1:
+        raise ValueError(
+            f"ivf_topk_portable: ragged corpus vector widths {sorted(dims)}"
+        )
+
+    def _cells(v: F.Column) -> F.Column:
+        """(d2, cid) structs vs every seed center — sorted ascending,
+        so element 1 is the assignment and the first n_probes are the
+        probe set. The sequential aggregate fold keeps summation
+        order engine-portable."""
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                v,
+                                F.array(*[F.lit(x) for x in c]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d2"),
+                        F.lit(i).cast("long").alias("cid"),
+                    )
+                    for i, c in enumerate(centers)
+                ]
+            )
+        )
+
+    posts = c_in.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.element_at(
+            _cells(F.col(vec_col).cast("array<double>")), 1
+        )["cid"].alias("cid"),
+    )
+    probes = q_in.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    _cells(F.col(vec_col).cast("array<double>")),
+                    1,
+                    n_probes,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("cid"),
+    )
+    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        probes.join(posts, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # Opt-in fit memo (VERDICT r7, l45 shave): ANN index fits are
 # fit-once-serve-many in production — the only reason this module
 # refit per call is the registry's stateless (spark, sf_dir) query

@@ -24,7 +24,7 @@ from ..operators import text as T
 from ..operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup,
-    minhash_neardup_pairs,
+    minhash_portable_pairs,
     ngram_jaccard_pairs,
     shingles,
     simhash64,
@@ -199,15 +199,71 @@ def l02g_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("l02b_minhash_lsh_pairs")
-def l02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (MinHash LSH, seeded): candidate near-dup pairs at estimated
-    Jaccard ≥ 0.2 via banded min-hash. Rows-only (randomized); recall
-    vs the exact pairs is asserted in tests/test_llm.py."""
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_neardup_pairs(
-        docs, num_hash_tables=8, jaccard_threshold=0.2, seed=42
+def _l02b_oracle(num_perm: int = 16, threshold: float = 0.2) -> str:
+    """All-pairs MinHash oracle with the operator's OWN affine-hash
+    coefficients interpolated as integer literals (the L48_QUERY_TERMS
+    oracle-constant pattern): both engines compute identical 28-bit
+    md5 shingle hashes (the l04d fold) and identical (a_i*x + b_i)
+    mod 2^31-1 signatures, so the banding is the only thing the
+    oracle omits — and banding is provably output-lossless (any pair
+    agreeing on >= 1 of num_perm components shares an r=1 band)."""
+    from ..operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    a_c, b_c = minhash_coeffs(num_perm)
+    sig_entries = ",\n      ".join(
+        f"list_min(list_transform(xs, x -> "
+        f"(CAST({a_c[i]} AS BIGINT) * x + {b_c[i]}) % {MINHASH_PRIME}))"
+        for i in range(num_perm)
     )
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(trim(text), ' '),
+                                  x -> x != '') AS l
+               FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(list_zip(l, l[2:], l[3:]),
+                              s -> s[1] || ' ' || s[2] || ' ' || s[3]),
+               x -> x IS NOT NULL)) AS g
+           FROM t),
+    hx AS (SELECT doc_id,
+             list_transform(g, w -> list_reduce(
+               list_transform(string_split(substr(md5(w), 1, 7), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b)) AS xs
+           FROM sh WHERE len(g) > 0),
+    sig AS (SELECT doc_id, [
+      {sig_entries}
+      ] AS sig FROM hx)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_filter(list_zip(a.sig, b.sig),
+                                 s -> s[1] = s[2])) / {num_perm}.0, 4)
+             AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE round(len(list_filter(list_zip(a.sig, b.sig),
+                                s -> s[1] = s[2])) / {num_perm}.0, 4)
+          >= {threshold}
+    """
+
+
+@query("l02b_minhash_lsh_pairs", oracle=_l02b_oracle())
+def l02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (MinHash LSH): banded min-hash candidate pairs at estimated
+    Jaccard >= 0.2 — UPGRADED round 11 from rows-only to a full
+    value-hash oracle by swapping MLlib's seeded MinHashLSH for the
+    engine-portable affine-permutation form (operators/dedup.py::
+    minhash_portable_pairs): 28-bit md5 shingle hashes + fixed
+    (a_i*x+b_i) mod 2^31-1 permutations are computable identically in
+    DuckDB, so the oracle checks exact signature values, not just row
+    counts. The MLlib variant (minhash_neardup_pairs) remains the
+    library operator for vectorized corpora, recall-tested in
+    tests/test_llm.py; this form is what a 100 TB dedup would run
+    anyway — no CountVectorizer fit, no driver-sized vocabulary, one
+    row-local signature pass."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", T.tokens("text")
+    )
+    return minhash_portable_pairs(docs, num_perm=16, threshold=0.2)
 
 
 @query("l02c_simhash_pairs")
@@ -630,16 +686,61 @@ def l07b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_media(docs))
 
 
-@query("l03c_ivf_topk")
+@query(
+    "l03c_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                    v AS cv
+             FROM e ORDER BY vec_id LIMIT 16),
+    cells AS (SELECT e.vec_id, e.v, c.cid,
+                list_sum(list_transform(list_zip(e.v, c.cv),
+                         s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+              FROM e CROSS JOIN cent c),
+    ranked_cells AS (SELECT vec_id, v, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cid) AS rn
+              FROM cells),
+    posts AS (SELECT vec_id AS neighbor_id, v AS cv2, cid
+              FROM ranked_cells WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, v AS qv, cid
+               FROM ranked_cells WHERE rn <= 4 AND vec_id < 20),
+    scored AS (SELECT query_id, neighbor_id,
+                 round(list_sum(list_transform(list_zip(qv, cv2),
+                                               s -> s[1]*s[2]))
+                       / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                          * sqrt(list_sum(list_transform(cv2,
+                                                         x -> x*x)))),
+                       4) + 0.0 AS cos_sim
+               FROM probes JOIN posts USING (cid)
+               WHERE neighbor_id != query_id),
+    ranked AS (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC,
+                                             neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def l03c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 (approximate, IVF): KMeans coarse quantizer + n_probes=4
-    posting-list search + exact rerank for the same 20 queries. The
-    trained-index counterpart of the LSH path; seeded, rows-only."""
-    from ..operators.similarity import ivf_topk
+    """L3 (approximate, IVF): deterministic coarse quantizer (the 16
+    lowest-id corpus vectors as fixed seed points) + n_probes=4
+    posting-list search + exact rerank for the same 20 queries —
+    UPGRADED round 11 from rows-only to a full value-hash oracle:
+    seed-point assignment and probing are plain L2 argmins DuckDB
+    recomputes exactly, so the driver certifies the ENTIRE IVF
+    pipeline (cell assignment, multi-probe, posting join, rerank,
+    ranking) value for value, not just row counts. The KMeans-trained
+    form (operators/similarity.py::ivf_topk) remains the quality
+    tier, recall-tested in tests/test_llm.py; both share the search
+    machinery this oracle proves."""
+    from ..operators.similarity import ivf_topk_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(queries_df, emb, k=5, n_clusters=16, n_probes=4, seed=42)
+    return ivf_topk_portable(queries_df, emb, k=5, n_clusters=16, n_probes=4)
 
 
 @query(

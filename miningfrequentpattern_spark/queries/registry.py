@@ -230,14 +230,39 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # backfills. Displacement cost: the r5 cohort beyond m13/m14/m17/m19
 # slips to round 11 — oldest remaining proof after this round is r5.
 #
-# ROUND 11 ROTATION TODO: re-run `python scripts/plan_rotation.py`
-# after CORRECTNESS_r10 lands. Expected shape: 3 canaries + the r5
-# remainder (m16-displaced rows, r41-r48 family, l02b/l02c/l02e,
-# l04c, l08, l07b, l03c, s13, m20, r10/r29/r33, r50, t07, l30,
-# l32-l38, m19-class rows — whatever plan_rotation lists) + the r6
-# cohort up to 50. Keep the canaries; re-certify anything whose code
-# or oracle text changes (guard-only additions exempt per the r10
-# precedent above). Stage new oracle-bearing registrations sparingly.
+# ROUND 11 ROTATION (executed): CORRECTNESS_r10 came back 50/50 with
+# zero errors. Window generated by
+#   python scripts/plan_rotation.py --promote s18_corrupt_csv_audit \
+#     s19_corrupt_json_audit l59_media_dedup
+# = 3 canaries + the 3 booked changed-code re-certs ((k) one
+# parameterized corrupt-audit body; (l) media_dedup single
+# Exchange+Sort+Window via a NAMED null-salt column — the inline salt
+# expression was re-aliased per window spec and planned TWO shuffles)
+# + the full 40-row r5 remainder + 4 r6 rows. Displacement cost: the
+# 3 youngest r6 backfills (r52/r53/r55) slip to round 12.
+# Two in-window backfills additionally changed code AND oracle this
+# round (the VERDICT r10 rows-only burn-down, items 4-5), so their
+# slots double as changed-code re-certs:
+#   l02b: MLlib MinHashLSH -> minhash_portable_pairs (28-bit md5
+#     shingle hashes + fixed affine permutations mod 2^31-1, the
+#     l04d engine-shared-integer trick; coefficients interpolated
+#     into the oracle text) — moves OFF the rows-only list with a
+#     full value-hash oracle; banding is output-lossless by the
+#     >=1-agreeing-component argument, so the oracle is all-pairs.
+#     The MLlib variant stays the library operator, recall-tested.
+#   l03c: KMeans IVF -> ivf_topk_portable (n_clusters lowest-id
+#     corpus vectors as fixed seed points; assignment/probing are
+#     row-local L2 argmins both engines compute identically) — moves
+#     OFF the rows-only list; the KMeans form stays the quality
+#     tier, recall-tested.
+#
+# ROUND 12 ROTATION TODO: re-run `python scripts/plan_rotation.py`
+# after CORRECTNESS_r11 lands. Expected shape: 3 canaries + the r6
+# remainder (r52/r53/r55 displaced this round + the rest of the r6
+# cohort) + r7 rows up to 50. Keep the canaries; re-certify anything
+# whose code or oracle text changes (guard-only additions exempt per
+# the r10 precedent). Stage new oracle-bearing registrations
+# sparingly.
 #
 # Backlog state after r10: consolidations (a)-(c) and hardening
 # (d)-(j) from the r9 sweeps are LANDED (see the r10 commits);
@@ -269,73 +294,55 @@ PRIORITY: tuple[str, ...] = (
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    "l62_bpe_encode",  # promote
-    "l36_weighted_sample",  # promote
-    "m05_rules_1to1_tokens",  # promote
-    "m11_rule_interest",  # promote
-    "m16_rule_chains",  # promote
-    "m09_prefixspan_full",  # promote
-    "m12_sequence_rules",  # promote
-    "m18_part_kcore",  # promote
-    "m23_part_cheapest_reach",  # promote
-    "m25_part_ktruss",  # promote
-    "m28_part_communities",  # promote
-    "r49_pareto_frontier",  # promote
-    "r54_histogram_quantiles",  # promote
-    "r60_winsorized_price",  # promote
-    "r63_brand_topn_others",  # promote
-    "r64_brand_abc",  # promote
-    "r75_customer_rfm",  # promote
-    "l12_decontaminate",  # promote
-    "l25_curation_pipeline",  # promote
-    "l31_decontaminate_frac",  # promote
-    "l54_contamination_attribution",  # promote
-    "l48_bm25_scores",  # promote
-    "l49_hybrid_rrf",  # promote
-    "u05_arrow_grouped_centroids",  # promote
-    "s16_merge_upsert",  # promote
-    "r06_click_to_purchase_10min",  # last proof r4
-    "r07_region_segment_grid",  # last proof r4
-    "r08_asof_last_click_before_purchase",  # last proof r4
-    "r08b_asof_bucketed",  # last proof r4
-    "r36_salted_join_segments",  # last proof r4
-    "r37_snapshot_diff",  # last proof r4
-    "r38_incremental_agg_refresh",  # last proof r4
-    "r39_funnel_conversion",  # last proof r4
-    "r40_cohort_retention",  # last proof r4
-    "l02_ngram_jaccard_pairs",  # last proof r4
-    "l02g_ngram_jaccard_capped",  # last proof r4
-    "l03_cosine_topk",  # last proof r4
-    "l26_source_kl_drift",  # last proof r4
-    "l27_importance_resample",  # last proof r4
-    "u07_udtf_polymorphic_ngrams",  # last proof r4
-    "s10_compact_roundtrip",  # last proof r4
-    "s11_binaryfile_scan",  # last proof r4
-    "s12_bucketed_join",  # last proof r4
-    # r10 dedup/similarity sweep re-cert (hand edit, displacing the
-    # last r5 backfill m13 to round 11): embedding_neardup_pairs now
-    # drops vectors with NULL/NaN ELEMENTS at the boundary (they made
-    # every pair for that doc silently vanish via NaN > threshold);
-    # fixture has none, so values are identical, but the plan changed.
-    # The sweep's other touches are guard-class (minhash empty/vocab
-    # guards, simhash max_hamming validation, exact_dedup collision
-    # guard, ivf/pq/truncated-recall dim guards, source_overlap's
-    # opt-in include_disjoint default-off) — plans/outputs identical
-    # on every valid input; l01/l03c ride the window anyway.
-    "l02d_embedding_neardup",
-    # r10 graph/timeseries sweep re-certs (hand edit, displacing the
-    # three youngest r5 backfills m14/m17/m19 to round 11): holt and
-    # holt_winters now EXCLUDE NULL values (one NULL NaN-poisoned the
-    # whole series tail / the seasonal init), and ols_two_factor's
-    # collinearity guard gained the true-variance floor (constant
-    # regressor with a non-4dp-round-trip mean fitted rounding noise;
-    # oracle updated in lockstep). Fixture outputs are value-identical
-    # (no NULLs / no degenerate regressors there) but the mechanical
-    # changed-code rule applies.
-    "r82_holt_revenue",
-    "r90_holt_winters",
-    "r91_trend_weekend_ols",
+    "s18_corrupt_csv_audit",  # promote
+    "s19_corrupt_json_audit",  # promote
+    "l59_media_dedup",  # promote
+    "m13_part_pagerank",  # last proof r5
+    "m14_part_triangles",  # last proof r5
+    "m17_part_clustering",  # last proof r5
+    "m19_negative_pairs",  # last proof r5
+    "m20_gap_sequential_pairs",  # last proof r5
+    "r10_approx_aggregates",  # last proof r5
+    "r29_hll_sketches",  # last proof r5
+    "r33_approx_topk",  # last proof r5
+    "r41_correlation_matrix",  # last proof r5
+    "r42_data_quality_report",  # last proof r5
+    "r43_gapfill_daily",  # last proof r5
+    "r44_daily_anomaly",  # last proof r5
+    "r45_delta_join_refresh",  # last proof r5
+    "r46_rolling_distinct_users",  # last proof r5
+    "r47_event_transitions",  # last proof r5
+    "r48_hll_rollup_merge",  # last proof r5
+    "r50_weighted_median",  # last proof r5
+    "l02b_minhash_lsh_pairs",  # last proof r5
+    "l02c_simhash_pairs",  # last proof r5
+    "l02e_neardup_clusters",  # last proof r5
+    "l04c_doc_fingerprints",  # last proof r5
+    "l08_langid_heuristic",  # last proof r5
+    "l07b_media_features",  # last proof r5
+    "l03c_ivf_topk",  # last proof r5
+    "l14_neardup_keep_best",  # last proof r5
+    "l18_semantic_neardup",  # last proof r5
+    "l28_ngram_novelty",  # last proof r5
+    "l29_embedding_dim_stats",  # last proof r5
+    "l30_prefix_dedup_keep_longest",  # last proof r5
+    "l32_incremental_dedup",  # last proof r5
+    "l33_vocab_growth",  # last proof r5
+    "l34_pq_topk",  # last proof r5
+    "l37_collocations",  # last proof r5
+    "l38_fuzzy_join",  # last proof r5
+    "l40_prep_pipeline2",  # last proof r5
+    "l41_token_gini",  # last proof r5
+    "t07_stream_enrich",  # last proof r5
+    "s13_merge_schema_scan",  # last proof r5
+    "s14_dynamic_partition_overwrite",  # last proof r5
+    "s15_metadata_scan",  # last proof r5
+    "m21_part_khop_reach",  # last proof r6
+    "m22_item_cosine",  # last proof r6
+    "m24_part_assortativity",  # last proof r6
+    "m26_part_ppr",  # last proof r6
 )
+
 
 
 def _reorder() -> None:

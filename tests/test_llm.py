@@ -1000,3 +1000,130 @@ def test_pq_fit_sample_smaller_than_n_codes_raises(spark):
     with pytest.raises(ValueError, match="n_codes"):
         pq_topk(q, emb, k=3, n_subspaces=8, n_codes=16,
                 rerank_factor=4, seed=42, dim=64)
+
+
+def test_minhash_portable_recall_and_estimate_quality(spark):
+    """The portable affine-permutation MinHash must (a) recover every
+    exact-Jaccard>=0.5 pair at est threshold 0.2 (planted near-dups
+    are ~0.99 similar — 16 permutations agree almost everywhere), and
+    (b) estimate within 0.35 absolute of the exact Jaccard on the
+    recovered pairs (16 perms => sd ~0.125 at j=0.5)."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        minhash_portable_pairs,
+    )
+
+    docs = _docs(spark).withColumn("tokens", T.tokens("text"))
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, block_col="lang", n=3, threshold=0.5
+        ).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_portable_pairs(
+            docs, num_perm=16, threshold=0.2
+        ).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    hits = [p for p in exact if p in est]
+    recall = len(hits) / len(exact)
+    assert recall >= 0.9, f"portable minhash recall too low: {recall}"
+    worst = max(abs(est[p] - exact[p]) for p in hits)
+    assert worst <= 0.35, f"estimate error too high: {worst}"
+
+
+def test_minhash_portable_is_deterministic_and_null_safe(spark):
+    """No seeds, no fit: two runs give identical pair sets, and
+    NULL-text / under-3-token docs drop at the boundary instead of
+    crashing (shingles(NULL) -> NULL -> size -1 -> filtered)."""
+    from miningfrequentpattern_spark.operators.dedup import (
+        minhash_portable_pairs,
+    )
+
+    schema = "doc_id long, text string"
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, None),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(base, schema).withColumn(
+        "tokens", T.tokens("text")
+    )
+    out1 = sorted(
+        map(tuple, minhash_portable_pairs(docs, threshold=0.2).collect())
+    )
+    out2 = sorted(
+        map(tuple, minhash_portable_pairs(docs, threshold=0.2).collect())
+    )
+    assert out1 == out2
+    assert out1, "the planted near-dup pair should surface"
+    assert all(r[0] == 1 and r[1] == 2 for r in out1)
+    # empty corpus: schema-stable empty result, no crash
+    empty = spark.createDataFrame([], schema).withColumn(
+        "tokens", T.tokens("text")
+    )
+    res = minhash_portable_pairs(empty)
+    assert res.count() == 0
+    assert res.columns == ["doc_a", "doc_b", "est_jaccard"]
+
+
+def test_ivf_portable_recall_and_exact_rerank(spark):
+    """The deterministic seed-point IVF (4/16 probes) must recall a
+    solid fraction of exact top-5, return only true cosine values
+    (exact rerank), and be run-to-run identical (no seeds, no fit)."""
+    from miningfrequentpattern_spark.operators.similarity import (
+        cosine_topk_exact,
+        ivf_topk_portable,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk_exact(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ivf_topk_portable(
+            q, emb, k=5, n_clusters=16, n_probes=4
+        ).collect()
+    }
+    hits = set(exact) & set(approx)
+    assert len(hits) / len(exact) >= 0.4, (
+        f"portable ivf recall too low: {len(hits)}/{len(exact)}"
+    )
+    for pair in hits:
+        assert abs(exact[pair] - approx[pair]) < 1e-9
+    rerun = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ivf_topk_portable(
+            q, emb, k=5, n_clusters=16, n_probes=4
+        ).collect()
+    }
+    assert rerun == approx
+
+
+def test_ivf_portable_empty_and_ragged_edges(spark):
+    """Empty corpus returns the schema-stable empty result; ragged
+    corpus widths are named at plan time instead of surfacing as a
+    zip_with length quirk deep in an executor."""
+    import pytest
+
+    from miningfrequentpattern_spark.operators.similarity import (
+        ivf_topk_portable,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    q = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    res = ivf_topk_portable(q, empty)
+    assert res.count() == 0
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 3.0])], schema
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        ivf_topk_portable(q, ragged, n_clusters=2)
