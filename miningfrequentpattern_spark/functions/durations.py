@@ -17,7 +17,8 @@ _MULT = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
 def duration_us(text: str, *, what: str = "duration") -> int:
-    """Parse '<N> (second|minute|hour|day)[s]' into epoch microseconds.
+    """Parse '<N> (second|minute|hour|day)[s]' into a duration length
+    in microseconds (relative, never an epoch timestamp).
 
     Raises ValueError naming `what` (the caller's parameter name) so
     error messages stay operator-specific.

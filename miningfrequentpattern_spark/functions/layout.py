@@ -68,7 +68,10 @@ def compact_parquet(
     sort_cols: list[str] | None = None,
 ) -> int:
     """Rewrite `src_dir` into `dst_dir` as ~`target_file_bytes` files;
-    returns the file count written.
+    returns the PLANNED partition count — an upper bound on files
+    actually written (repartitionByRange samples boundaries, and a
+    low-cardinality or skewed sort key can leave some partitions
+    empty; empty partitions write no part files).
 
     Shape: ONE repartition exchange sized from the source's real
     on-disk bytes (never a fixed constant — the round-trip that makes

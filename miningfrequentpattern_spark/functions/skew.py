@@ -146,6 +146,26 @@ def key_skew_profile(
     `quantile_cont`, the r10b pin), a 1-row stats aggregate
     broadcast back, and a bounded TakeOrderedAndProject for the
     top-k — never a global sort."""
+    # Same collision stance as the salted siblings (r11 functions
+    # sweep): a key named like one of the seven computed columns
+    # would silently duplicate the name in the result (two 'share'
+    # columns) or make the internal orderBy ambiguous.
+    reject_working_cols(
+        df.select(*keys),
+        (
+            "n_rows_key",
+            "share",
+            "n_keys",
+            "mean_per_key",
+            "p50_per_key",
+            "p99_per_key",
+            "skew_factor",
+            "_n_rows",
+            "_mean",
+            "_max_n",
+        ),
+        "key_skew_profile",
+    )
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows_key"))
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),

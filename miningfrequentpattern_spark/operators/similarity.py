@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.guards import reject_working_cols as _reject_working_cols
+from ..functions.rounding import round4
 from ..functions.vectors import cosine, l2_normalize
 
 
@@ -145,8 +146,8 @@ def cosine_topk_exact(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).filter(F.col("_cv").isNotNull())
-    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
+    # round4 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = round4(cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -299,8 +300,8 @@ def ann_lsh_topk(
     cv = c_in.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
+    # round4 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = round4(cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -428,8 +429,8 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("cid", F.explode(probe_cids(F.col("_qv"))))
 
-    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
+    # round4 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = round4(cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -539,8 +540,8 @@ def ivf_topk_portable(
             )
         ).alias("cid"),
     )
-    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
+    # round4 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = round4(cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -940,8 +941,8 @@ def pq_topk(
     cv = c.select(
         F.col(id_col).alias("neighbor_id"), F.col("_arr").alias("_cv")
     )
-    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
+    # round4 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = round4(cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
@@ -1178,8 +1179,8 @@ def ivfpq_topk(
     cv = c.select(
         F.col(id_col).alias("neighbor_id"), F.col("_arr").alias("_cv")
     )
-    # + 0.0 pins -0.0 on near-orthogonal pairs (the l43 class)
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 4) + F.lit(0.0)
+    # round4 pins -0.0 on near-orthogonal pairs (the l43 class)
+    sim = round4(cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )

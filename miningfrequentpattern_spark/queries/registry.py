@@ -256,6 +256,29 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     OFF the rows-only list; the KMeans form stays the quality
 #     tier, recall-tested.
 #
+# ROUND 12 BOOKED (from the r11 functions sweep — each changes
+# registered-query semantics and the r11 window is committed):
+# (m) u09/int8_roundtrip_error_iter: a stored IEEE NaN ELEMENT (not
+#     NULL — parquet distinguishes them, but Arrow->pandas collapses
+#     both to np.nan) is skipped by the np.isnan filter while the
+#     DuckDB oracle's list_max orders NaN above every float → scale
+#     diverges NaN vs finite. Fixture has no NaN elements today; pin
+#     one semantics (propagate NaN like the oracle, or filter in the
+#     oracle too) and re-certify u09.
+# (n) zorder.spread16 silently truncates inputs to 16 bits and
+#     s09_zorder_key already feeds it hour ≈ 490k (19 bits) and
+#     unbounded user_id — values 65536 apart interleave identically,
+#     quietly weakening file-level min/max pruning (both engines
+#     agree, so no hash ever fails). Rank- or range-bucket each
+#     dimension into 16 bits inside the operator (and the oracle),
+#     then re-certify s09.
+# Fixed in-round from the same sweep (guard/doc class, plans
+# unchanged): key_skew_profile gains the sibling collision guard;
+# compact_parquet's return documented as a planned upper bound;
+# duration_us documented as relative microseconds; similarity.py's
+# six inlined `F.round(...,4)+F.lit(0.0)` copies now call
+# functions/rounding.round4 (bit-identical expression).
+#
 # ROUND 12 ROTATION TODO: re-run `python scripts/plan_rotation.py`
 # after CORRECTNESS_r11 lands. Expected shape: 3 canaries + the r6
 # remainder (r52/r53/r55 displaced this round + the rest of the r6

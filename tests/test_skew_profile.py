@@ -53,3 +53,22 @@ def test_skew_profile_topk_is_bounded_not_global_sort(spark):
         ln.strip().startswith("Sort ") and "global=true" in ln
         for ln in p.splitlines()
     ), p
+
+
+def test_skew_profile_rejects_colliding_key_names(spark):
+    """r11 functions sweep: a key named like a computed output column
+    (or a stats-side internal) must fail fast with the operator named,
+    not emit a frame with two 'share' columns."""
+    import pytest
+
+    from miningfrequentpattern_spark.functions.skew import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "share long, _mean string"
+    )
+    with pytest.raises(ValueError, match="key_skew_profile"):
+        key_skew_profile(df, keys=["share"])
+    with pytest.raises(ValueError, match="key_skew_profile"):
+        key_skew_profile(df, keys=["_mean"])
