@@ -279,6 +279,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # six inlined `F.round(...,4)+F.lit(0.0)` copies now call
 # functions/rounding.round4 (bit-identical expression).
 #
+# ROUND 11 QUERIES-PACK SWEEP (the r10 VERDICT item 6 target — the
+# least-recently-swept module family after the functions sweep
+# above): full line-by-line review of streaming_pack (257),
+# sources_pack (1164), mining_pack (1846), llm_pack (3653), and
+# relational_pack (4532) this round. ZERO new findings — every
+# risky seam checked (NULL/NaN divide parity, sign-of-zero,
+# rounding-boundary FP, tie determinism, broadcast orientation,
+# degenerate inputs, skew posture) already carries a documented pin
+# from the r5-r10 sweeps. The same pass re-read the r9-cohort
+# operator interiors (operators/text.py, mining.py, relational.py,
+# embeddings.py): also zero findings. With functions/ swept earlier
+# this round and dedup/similarity/graph/timeseries/streaming/
+# sources/multimodal swept in r10, every module has now had a
+# full-file review within the last two rounds — sweep yield has
+# reached diminishing returns; keep the cadence but expect
+# guard/doc-class findings only.
+#
 # ROUND 12 ROTATION TODO: re-run `python scripts/plan_rotation.py`
 # after CORRECTNESS_r11 lands. Expected shape: 3 canaries + the r6
 # remainder (r52/r53/r55 displaced this round + the rest of the r6
