@@ -422,6 +422,85 @@ def simhash64(tokens_col: str = "tokens") -> F.Column:
     )
 
 
+SIMHASH_PORTABLE_BITS = 28
+"""Width of the engine-portable SimHash fingerprint: the md5-28bit
+per-token hash (the l04d/l02b engine-shared integer) caps the usable
+bit budget at 28 — every bit of the fingerprint must come from a hash
+both engines compute identically, and 7 hex chars of md5 is the house
+28-bit form. Coarser than the 64-bit xxhash tier by design: the
+portable tier buys a full value-hash oracle at the price of
+resolution (28 independent votes instead of 63)."""
+
+
+def simhash_portable(tokens_col: str = "tokens") -> F.Column:
+    """L2 (SimHash, engine-portable): 28-bit fingerprint of a token
+    array — simhash64's Charikar scheme (frequency-weighted per-bit
+    majority votes, ties to 1) with the per-token hash swapped from
+    Spark-private xxhash64 to the md5-28bit engine-shared integer
+    (conv(substr(md5,1,7)) — the l04d fold DuckDB reproduces exactly),
+    which is what makes the pair query value-hash-oracle-able. Same
+    native-expression shape as simhash64: tokens hashed once, one
+    aggregate folds all 28 bit counters, no shuffle, no Python; same
+    NULL/empty-array stance (NULL fingerprint, never the all-ones
+    near-dup hub — see simhash64's docstring)."""
+    n = SIMHASH_PORTABLE_BITS
+    return F.expr(
+        f"""
+        CASE WHEN {tokens_col} IS NULL OR size({tokens_col}) = 0
+        THEN CAST(NULL AS BIGINT)
+        ELSE aggregate(
+          zip_with(
+            aggregate(
+              transform({tokens_col},
+                t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)),
+              array_repeat(0L, {n}),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, {n - 1}), i -> shiftright(h, i) & 1L),
+                (a, b) -> a + b)),
+            sequence(0, {n - 1}),
+            (c, i) -> IF(c * 2 >= size({tokens_col}), shiftleft(1L, i), 0L)),
+          0L,
+          (acc, v) -> acc + v)
+        END
+        """
+    )
+
+
+def simhash_portable_pairs(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """L2 (SimHash, engine-portable): near-dup pairs within
+    `max_hamming` bits of 28-bit portable fingerprints — the
+    deterministic, value-hash-oracle-able tier of the SimHash family
+    (simhash64/xxhash stays the 64-bit library operator, banded-equals-
+    all-pairs-tested in tests/test_llm.py). Rides the SAME banded
+    equi-join machinery as the 64-bit tier (pigeonhole over
+    max_hamming+1 disjoint bands — exact, never approximate), so the
+    all-pairs DuckDB oracle computes the identical result set while
+    Spark runs the sub-quadratic banded plan (the l02b stance). The
+    default max_hamming=3 keeps the relative cut (3/28) in line with
+    the 64-bit tier's 8/63."""
+    from ..functions.guards import reject_working_cols
+
+    # withColumn REPLACES an existing column silently (the repo-wide
+    # collision-guard stance, r10 class audit)
+    reject_working_cols(docs, ("_pfp",), "simhash_portable_pairs")
+    fp = docs.withColumn("_pfp", simhash_portable(tokens_col))
+    return simhash_neardup_pairs(
+        fp,
+        id_col=id_col,
+        fp_col="_pfp",
+        block_col=block_col,
+        max_hamming=max_hamming,
+        n_bits=SIMHASH_PORTABLE_BITS,
+    )
+
+
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of
     XOR — single JVM intrinsic)."""
@@ -434,38 +513,47 @@ def simhash_neardup_pairs(
     fp_col: str = "simhash",
     block_col: str | None = "lang",
     max_hamming: int = 8,
+    n_bits: int = 63,
 ) -> DataFrame:
     """L2 (SimHash candidate pass): pairs within `max_hamming` bits,
     via banded fingerprint equi-join — EXACT, not approximate.
 
-    Pigeonhole: split the 63-bit fingerprint into (max_hamming + 1)
-    disjoint bands; two fingerprints differing in ≤ max_hamming bits
-    must agree exactly on at least one band. So an equi-join on
-    (band_index, band_value) generates every qualifying pair, and the
-    hamming filter afterwards discards false candidates. Result set is
-    identical to the all-pairs self-join (asserted in tests/test_llm.py)
-    but the join is equi-key: at 100 TB it shuffles on ~7-bit band
-    values instead of materializing O(block²) comparisons per metadata
-    block. `block_col` (if given) stays as an extra equi-key, bounding
-    candidates to same-block pairs exactly as before.
+    Pigeonhole: split the `n_bits`-bit fingerprint (63 for the
+    simhash64 tier, SIMHASH_PORTABLE_BITS for the portable one) into
+    (max_hamming + 1) disjoint bands; two fingerprints differing in
+    ≤ max_hamming bits must agree exactly on at least one band. So an
+    equi-join on (band_index, band_value) generates every qualifying
+    pair, and the hamming filter afterwards discards false candidates.
+    Result set is identical to the all-pairs self-join (asserted in
+    tests/test_llm.py) but the join is equi-key: at 100 TB it shuffles
+    on narrow band values instead of materializing O(block²)
+    comparisons per metadata block. `block_col` (if given) stays as an
+    extra equi-key, bounding candidates to same-block pairs exactly as
+    before.
 
     Each ≤-max_hamming pair can surface from several bands, so the
     pair set is deduplicated before scoring (hamming is deterministic
     per pair, so distinct() on the projected triple is exact).
     """
-    # 0 <= max_hamming <= 62: the pigeonhole needs max_hamming+1
-    # NON-EMPTY disjoint bands out of 63 bits — beyond 62 some band
-    # has width 0, its mask is 0, and the equi-join silently
+    if n_bits < 1 or n_bits > 63:
+        raise ValueError(
+            f"simhash_neardup_pairs: n_bits must be in [1, 63] "
+            f"(non-negative BIGINT fingerprints), got {n_bits}"
+        )
+    # 0 <= max_hamming <= n_bits-1: the pigeonhole needs max_hamming+1
+    # NON-EMPTY disjoint bands out of n_bits bits — beyond that some
+    # band has width 0, its mask is 0, and the equi-join silently
     # degenerates to a per-block cross product; negative values
     # divide by zero below (r10 sweep, the ann_lsh fail-loudly
     # stance).
-    if not 0 <= max_hamming <= 62:
+    if not 0 <= max_hamming <= n_bits - 1:
         raise ValueError(
-            f"simhash_neardup_pairs: max_hamming must be in [0, 62] "
-            f"(63-bit fingerprints), got {max_hamming}"
+            f"simhash_neardup_pairs: max_hamming must be in "
+            f"[0, {n_bits - 1}] ({n_bits}-bit fingerprints), got "
+            f"{max_hamming}"
         )
     bands = max_hamming + 1
-    bounds = [63 * b // bands for b in range(bands + 1)]
+    bounds = [n_bits * b // bands for b in range(bands + 1)]
     band_structs = []
     for i in range(bands):
         lo, width = bounds[i], bounds[i + 1] - bounds[i]

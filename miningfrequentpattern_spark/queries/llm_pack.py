@@ -27,8 +27,6 @@ from ..operators.dedup import (
     minhash_portable_pairs,
     ngram_jaccard_pairs,
     shingles,
-    simhash64,
-    simhash_neardup_pairs,
     connected_components,
 )
 from ..operators.multimodal import (
@@ -266,15 +264,71 @@ def l02b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_portable_pairs(docs, num_perm=16, threshold=0.2)
 
 
-@query("l02c_simhash_pairs")
+_L02C_MAX_HAMMING = 3
+
+
+def _l02c_oracle(max_hamming: int = _L02C_MAX_HAMMING) -> str:
+    """All-pairs portable-SimHash oracle with the 28 per-bit majority
+    votes unrolled as literal power-of-two constants (the l02b
+    generated-oracle pattern): per doc, each token's 28-bit md5 hash
+    (the l04d fold) votes on every bit; bit = 1 iff votes*2 >= n_tokens
+    (ties to 1, matching simhash_portable's IF(c*2 >= size)). The
+    banded Spark plan is output-lossless (pigeonhole over
+    max_hamming+1 bands), so the all-pairs SQL computes the identical
+    pair set."""
+    from ..operators.dedup import SIMHASH_PORTABLE_BITS
+
+    bits = ",\n             ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h // {1 << i}) % 2 = 1))"
+        f" >= len(hs) THEN 1 ELSE 0 END"
+        for i in range(SIMHASH_PORTABLE_BITS)
+    )
+    ham = "len(list_filter(list_zip(a.b, c.b), p -> p[1] != p[2]))"
+    return f"""
+    WITH t AS (SELECT doc_id, lang,
+                      list_filter(string_split(trim(text), ' '),
+                                  x -> x != '') AS toks
+               FROM documents WHERE text IS NOT NULL),
+    hx AS (SELECT doc_id, lang,
+             list_transform(toks, w -> list_reduce(
+               list_transform(string_split(substr(md5(w), 1, 7), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b)) AS hs
+           FROM t WHERE len(toks) > 0),
+    fp AS (SELECT doc_id, lang,
+             [{bits}] AS b
+           FROM hx)
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM fp a JOIN fp c ON a.lang = c.lang AND a.doc_id < c.doc_id
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+@query("l02c_simhash_pairs", oracle=_l02c_oracle())
 def l02c_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (SimHash): 64-bit fingerprints + hamming≤8 pairs, lang-blocked.
-    Rows-only (xxhash64 is Spark-specific)."""
+    """L2 (SimHash): hamming≤3 near-dup pairs over 28-bit PORTABLE
+    fingerprints, lang-blocked — UPGRADED round 11 from rows-only to a
+    full value-hash oracle (the l02b/l03c burn-down pattern): the
+    per-token hash moves from Spark-private xxhash64 to the md5-28bit
+    engine-shared integer, so DuckDB recomputes the identical
+    frequency-vote fingerprints and the all-pairs oracle certifies the
+    banded plan's exact pair set (banding is lossless by pigeonhole).
+    The 64-bit xxhash tier (simhash64 + hamming≤8) stays the library
+    operator — higher resolution, banded-equals-all-pairs-tested in
+    tests/test_llm.py; this tier trades 28-bit resolution for a driver
+    value-hash proof. max_hamming=3 keeps the relative cut (3/28) in
+    line with the 64-bit tier's 8/63; at sf0.01 the fixture's planted
+    near-dups land at hamming 0-1 with 442 pairs total under the cut
+    (probed round 11)."""
+    from ..operators.dedup import simhash_portable_pairs
+
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
-    fp = docs.withColumn("simhash", simhash64("tokens"))
-    return simhash_neardup_pairs(fp, block_col="lang", max_hamming=8)
+    return simhash_portable_pairs(
+        docs, block_col="lang", max_hamming=_L02C_MAX_HAMMING
+    )
 
 
 @query(

@@ -240,9 +240,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # expression was re-aliased per window spec and planned TWO shuffles)
 # + the full 40-row r5 remainder + 4 r6 rows. Displacement cost: the
 # 3 youngest r6 backfills (r52/r53/r55) slip to round 12.
-# Two in-window backfills additionally changed code AND oracle this
-# round (the VERDICT r10 rows-only burn-down, items 4-5), so their
-# slots double as changed-code re-certs:
+# Three in-window backfills additionally changed code AND oracle
+# this round (the VERDICT r10 rows-only burn-down, items 4-5, plus
+# the same trick applied once more), so their slots double as
+# changed-code re-certs:
+#   l02c: xxhash64 simhash64 -> simhash_portable_pairs (28-bit
+#     md5-28bit frequency-vote fingerprints, hamming<=3, the l02b
+#     engine-shared-integer trick; banding lossless by pigeonhole so
+#     the all-pairs oracle is exact) — moves OFF the rows-only list
+#     with a full value-hash oracle, certified against DuckDB at
+#     sf0.01 in-session. The 64-bit xxhash tier stays the library
+#     operator (banded-equals-all-pairs-tested).
 #   l02b: MLlib MinHashLSH -> minhash_portable_pairs (28-bit md5
 #     shingle hashes + fixed affine permutations mod 2^31-1, the
 #     l04d engine-shared-integer trick; coefficients interpolated

@@ -382,6 +382,79 @@ def test_simhash_rejects_degenerate_max_hamming(spark):
     for bad in (63, 70, -1):
         with pytest.raises(ValueError, match="max_hamming"):
             simhash_neardup_pairs(fp, max_hamming=bad)
+    # the generalized n_bits bound (round-11 portable tier): the
+    # pigeonhole budget shrinks with the fingerprint width, and n_bits
+    # itself must leave the BIGINT sign bit alone
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_neardup_pairs(fp, max_hamming=28, n_bits=28)
+    for bad_bits in (0, 64):
+        with pytest.raises(ValueError, match="n_bits"):
+            simhash_neardup_pairs(fp, max_hamming=1, n_bits=bad_bits)
+
+
+def test_simhash_portable_banded_equals_allpairs(spark):
+    """Round-11 portable tier: the 28-bit banded equi-join's pair set
+    must equal the naive all-pairs hamming filter (the pigeonhole
+    exactness claim the l02c oracle relies on), and empty-token docs
+    must pair with nothing (NULL fingerprint, the simhash64 stance)."""
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.operators.dedup import (
+        SIMHASH_PORTABLE_BITS,
+        simhash_portable,
+        simhash_portable_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en"),
+            (2, "alpha beta gamma delta zeta", "en"),
+            (3, "alpha beta gamma delta epsilon", "en"),
+            (4, "totally different words entirely here", "en"),
+            (5, "alpha beta gamma delta epsilon", "fr"),
+            (6, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).withColumn("tokens", F.filter(F.split(F.trim("text"), r"\s+"),
+                                    lambda t: t != F.lit("")))
+    max_h = 6
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_portable_pairs(
+            docs, block_col="lang", max_hamming=max_h
+        ).collect()
+    }
+    fp = docs.withColumn("fp", simhash_portable("tokens")).filter(
+        F.col("fp").isNotNull()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    naive = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_h)
+        .collect()
+    }
+    assert got == naive
+    # identical docs (1, 3) must pair at hamming 0; the empty doc 6
+    # and the cross-lang twin 5 must appear in no pair
+    assert (1, 3, 0) in got
+    ids = {i for (x, y, _) in got for i in (x, y)}
+    assert 6 not in ids  # empty doc: NULL fingerprint
+    assert 5 not in ids  # alone in its lang block
+    # fingerprints stay within the declared bit budget
+    top = fp.agg(F.max("fp")).first()[0]
+    assert 0 <= top < (1 << SIMHASH_PORTABLE_BITS)
 
 
 def test_embedding_neardup_null_element_and_ragged(spark):
