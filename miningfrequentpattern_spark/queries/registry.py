@@ -280,6 +280,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     agree, so no hash ever fails). Rank- or range-bucket each
 #     dimension into 16 bits inside the operator (and the oracle),
 #     then re-certify s09.
+# (o) l03b rows-only burn-down (the l02b/l02c/l03c trick, round-11
+#     analysis): since the r6 native rewrite, ann_lsh_topk's
+#     randomness is a deterministic function of seed 42 — the
+#     projection directions are numpy-seeded LITERAL arrays, bucket
+#     bits are signs of sequential-fold dot products (the l60
+#     list_reduce bit-parity argument), and candidate gen + rerank
+#     are deterministic joins/ranks. An oracle generated with the
+#     baked projection literals (the _l60_oracle pattern) should
+#     certify the full RP-LSH pipeline value-for-value; round the
+#     dot to 6dp + 0.0 before the sign test (the l60 edge stance) so
+#     a near-zero projection can't flip a bucket bit cross-engine.
+#     l03b is NOT in the r11 window, so this books for an r12 slot.
 # Fixed in-round from the same sweep (guard/doc class, plans
 # unchanged): key_skew_profile gains the sibling collision guard;
 # compact_parquet's return documented as a planned upper bound;
