@@ -346,9 +346,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # sizing options; u05 imports pyarrow.compute explicitly; s06/s10
 # read back with the writer's schema (empty-slice
 # UNABLE_TO_INFER_SCHEMA).
-# l44's r9 refresh slot completed its purpose; ROWS_ONLY_REFRESH is
-# empty this round (every r10 slot is oracle-bearing).
-ROWS_ONLY_REFRESH: frozenset[str] = frozenset()
+# ROWS_ONLY_REFRESH, round 11: the r5-cohort backfill slots include
+# seven queries that are rows-only BY DESIGN (randomized sketches /
+# MLlib-randomized ANN tiers / the xxhash fingerprint twin) — their
+# re-promotion is the deliberate oldest-proof refresh the round-5
+# policy allows, declared here so tests/test_rotation.py can tell it
+# from an accidental wasted slot. (l02b/l02c/l03c would have been on
+# this list too, but their round-11 oracle upgrades made those slots
+# oracle-bearing instead — the better outcome.)
+ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
+    {
+        "r10_approx_aggregates",
+        "r29_hll_sketches",
+        "r33_approx_topk",
+        "r48_hll_rollup_merge",
+        "l04c_doc_fingerprints",
+        "l18_semantic_neardup",
+        "l34_pq_topk",
+    }
+)
 PRIORITY: tuple[str, ...] = (
     # canaries - proven every round
     "m01_basketize_orders",
