@@ -316,13 +316,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # reached diminishing returns; keep the cadence but expect
 # guard/doc-class findings only.
 #
-# ROUND 12 ROTATION TODO: re-run `python scripts/plan_rotation.py`
-# after CORRECTNESS_r11 lands. Expected shape: 3 canaries + the r6
-# remainder (r52/r53/r55 displaced this round + the rest of the r6
-# cohort) + r7 rows up to 50. Keep the canaries; re-certify anything
-# whose code or oracle text changes (guard-only additions exempt per
-# the r10 precedent). Stage new oracle-bearing registrations
-# sparingly.
+# ROUND 12 ROTATION TODO: re-run `python scripts/plan_rotation.py
+# --promote u09_iter_quantize s09_zorder_key l03b_ann_lsh_topk`
+# (the booked (m)/(n)/(o) re-certs — drop any that don't land) after
+# CORRECTNESS_r11 arrives. Dry-run with a simulated all-green r11
+# (this session): 3 canaries + the full 30-row r6 cohort
+# (r52..r81/r69, l38b/l42/l46/l47/l50/l51/l52, l45) + the first 17
+# r7 rows (m27, r05b, r09, r11/r11b, r12..r22, r10b); each --promote
+# displaces one youngest r7 backfill. l45_ivfpq_topk is rows-only by
+# design and must move onto the r12 ROWS_ONLY_REFRESH list (with
+# l03b too if its (o) oracle upgrade does NOT land — if it does,
+# its slot is the re-cert). Keep the canaries; guard-only additions
+# exempt per the r10 precedent. Stage new oracle-bearing
+# registrations sparingly.
 #
 # Backlog state after r10: consolidations (a)-(c) and hardening
 # (d)-(j) from the r9 sweeps are LANDED (see the r10 commits);
