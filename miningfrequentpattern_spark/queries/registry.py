@@ -292,6 +292,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     dot to 6dp + 0.0 before the sign test (the l60 edge stance) so
 #     a near-zero projection can't flip a bucket bit cross-engine.
 #     l03b is NOT in the r11 window, so this books for an r12 slot.
+#     STAGED + LOCALLY CERTIFIED round 11 (the r5-r7 staging flow):
+#     tests/test_ann_lsh_oracle_staged.py::ann_lsh_oracle_sql
+#     hash-matches ann_lsh_topk over DOUBLE-CAST fixture embeddings
+#     at sf0.01 with NO rounding needed — sequential-fold bit parity
+#     holds end-to-end (norm, normalize, bucket floor, rerank). The
+#     one registered-code change the promotion needs is the
+#     `.cast("array<double>")` at the l03b query boundary (float32
+#     products in Spark's fold have no portable SQL twin); move the
+#     generator verbatim into llm_pack on promotion.
 # Fixed in-round from the same sweep (guard/doc class, plans
 # unchanged): key_skew_profile gains the sibling collision guard;
 # compact_parquet's return documented as a planned upper bound;
