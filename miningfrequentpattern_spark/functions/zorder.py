@@ -59,3 +59,55 @@ def morton2_sql(x_expr: str, y_expr: str) -> str:
         return v
 
     return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"
+
+
+# --- STAGED round-12 candidate (registry booking (n), round 11) ----
+# spread16 TRUNCATES inputs to 16 bits, so dimension values 65536
+# apart interleave identically — file-level min/max pruning quietly
+# weakens on wide-domain keys (s09 already feeds hour ≈ 490k and
+# unbounded user_id). The fix: RANGE-BUCKET each dimension onto the
+# full 16-bit domain first, from data-derived bounds. Staged here
+# (s09's registered formula is untouched until its r12 re-cert slot);
+# certified by tests/test_zorder_bucketed_staged.py.
+
+
+def bucket16(col: Column, lo: Column, hi: Column) -> Column:
+    """Monotone range-bucket of an integer column onto [0, 65535]:
+    floor((col - lo) * 65536 / (hi - lo + 1)), clamped. `lo`/`hi` are
+    the dimension's (broadcast) data bounds; in-range values never
+    need the clamp (the index is < 65536 by construction), which
+    exists for out-of-bounds late rows when bounds come from a stale
+    profile. Monotone ⇒ z-order locality is preserved; surjective
+    onto the full 16-bit domain ⇒ no truncation aliasing. Arithmetic
+    parity: (col-lo)*65536 stays an exact BIGINT for spans < 2^47,
+    the division is one correctly-rounded double op, and floor() of
+    the identical double agrees on every engine (the oracle mirrors
+    the same floor-of-double form — DuckDB `/` is float division)."""
+    idx = F.floor(
+        ((col.cast("long") - lo.cast("long")) * F.lit(65536))
+        / (hi.cast("long") - lo.cast("long") + F.lit(1))
+    ).cast("long")
+    return F.least(F.greatest(idx, F.lit(0)), F.lit(65535))
+
+
+def bucket16_sql(e: str, lo: str, hi: str) -> str:
+    """bucket16's engine-portable SQL text (floor of FLOAT division,
+    matching Spark's `/` — NOT DuckDB's integer `//`, whose
+    truncation could disagree with the double rounding at exact-
+    multiple boundaries)."""
+    return (
+        f"least(greatest(CAST(floor(((({e}) - ({lo})) * 65536)"
+        f" / (({hi}) - ({lo}) + 1)) AS BIGINT), 0), 65535)"
+    )
+
+
+def morton2_bucketed(
+    x: Column, y: Column,
+    x_lo: Column, x_hi: Column,
+    y_lo: Column, y_hi: Column,
+) -> Column:
+    """Morton key over range-bucketed dimensions — the wide-domain
+    z-order form: each dimension is mapped onto the FULL 16-bit
+    domain before interleaving, so min/max pruning keeps resolution
+    however wide the raw key domains are."""
+    return morton2(bucket16(x, x_lo, x_hi), bucket16(y, y_lo, y_hi))

@@ -273,6 +273,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     diverges NaN vs finite. Fixture has no NaN elements today; pin
 #     one semantics (propagate NaN like the oracle, or filter in the
 #     oracle too) and re-certify u09.
+#     DECISION (round 11): pin = RAISE on NaN/NULL elements, the
+#     embeddings.py::_moment_partials partial-result-is-wrong-result
+#     stance (a NaN inside a stored embedding is corrupt data; both
+#     propagate-NaN and filter-NaN silently compute over it). Oracle
+#     text unchanged (fixture is NaN-free); the kernel body changes,
+#     so u09 re-certifies mechanically in its r12 slot.
 # (n) zorder.spread16 silently truncates inputs to 16 bits and
 #     s09_zorder_key already feeds it hour ≈ 490k (19 bits) and
 #     unbounded user_id — values 65536 apart interleave identically,
@@ -280,6 +286,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     agree, so no hash ever fails). Rank- or range-bucket each
 #     dimension into 16 bits inside the operator (and the oracle),
 #     then re-certify s09.
+#     STAGED + LOCALLY CERTIFIED round 11: functions/zorder.py::
+#     bucket16 / bucket16_sql / morton2_bucketed (floor-of-double
+#     bucketing from broadcast data bounds — monotone, full 16-bit
+#     surjection, clamped stragglers) with the full r12 s09 shape
+#     oracle-parity-tested in tests/test_zorder_bucketed_staged.py;
+#     the promotion swaps the s09 body + oracle to the staged forms.
 # (o) l03b rows-only burn-down (the l02b/l02c/l03c trick, round-11
 #     analysis): since the r6 native rewrite, ann_lsh_topk's
 #     randomness is a deterministic function of seed 42 — the
