@@ -392,6 +392,78 @@ def test_simhash_rejects_degenerate_max_hamming(spark):
             simhash_neardup_pairs(fp, max_hamming=1, n_bits=bad_bits)
 
 
+def test_simhash_portable_banding_lossless_property(spark):
+    """Hypothesis sweep of the pigeonhole-exactness claim the l02c
+    oracle rests on: for ARBITRARY small corpora over a tie-heavy
+    alphabet and ARBITRARY max_hamming in [0, 27], the 28-bit banded
+    equi-join's pair set equals the naive all-pairs hamming filter.
+    Random band widths exercise the uneven n_bits*b//bands bounds the
+    fixed-corpus test cannot (a width-rounding bug would drop pairs
+    only at specific hamming/width combinations)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from miningfrequentpattern_spark.operators.dedup import (
+        simhash_portable,
+        simhash_portable_pairs,
+    )
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+    @given(
+        texts=st.lists(
+            st.lists(word, min_size=1, max_size=5).map(" ".join),
+            min_size=2,
+            max_size=6,
+        ),
+        max_h=st.integers(0, 27),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def _property(texts, max_h):
+        docs = spark.createDataFrame(
+            [(i, t, "xx") for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string",
+        ).withColumn(
+            "tokens",
+            F.filter(F.split(F.trim("text"), r"\s+"),
+                     lambda t: t != F.lit("")),
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_portable_pairs(
+                docs, block_col="lang", max_hamming=max_h
+            ).collect()
+        }
+        fp = docs.withColumn("fp", simhash_portable("tokens")).filter(
+            F.col("fp").isNotNull()
+        )
+        a, b = fp.alias("a"), fp.alias("b")
+        naive = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in a.join(
+                b, F.col("a.doc_id") < F.col("b.doc_id")
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+                .cast("long")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_h)
+            .collect()
+        }
+        assert got == naive
+
+    _property()
+
+
 def test_simhash_portable_banded_equals_allpairs(spark):
     """Round-11 portable tier: the 28-bit banded equi-join's pair set
     must equal the naive all-pairs hamming filter (the pigeonhole
