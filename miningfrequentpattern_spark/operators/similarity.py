@@ -1334,6 +1334,14 @@ def truncated_dim_recall(
         queries, corpus, k=k, id_col=id_col, vec_col=vec_col,
         max_queries=max_queries,
     ).select("query_id", "neighbor_id")
+    # Optimization r11: the full ranking feeds TWO legs per width
+    # (the overlap join and the per-query denominator) — unpinned,
+    # the optimizer expands the whole crossJoin+rank subtree once
+    # per consumer (measured: the l56 plan held 12 parquet scans). A
+    # LAZY localCheckpoint materializes the ≤ k·|queries|-row result
+    # once; every leg reads the pinned RDD. Lazy ⇒ nothing runs at
+    # construction; fresh per invocation ⇒ no cross-run caching.
+    full = full.localCheckpoint(eager=False)
     out = None
     for d in trunc_dims:
         if d < 1:

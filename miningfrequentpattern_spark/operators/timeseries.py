@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -651,7 +652,17 @@ def theil_sen_trend(
     size — basketize's per-order bound argument), never corpus².
     Then one exact-percentile aggregate per series and a
     group-sized broadcast back for the intercept leg (the
-    mad_outliers posture). Pins: NULL t/x rows are excluded; a
+    mad_outliers posture). The base relation is pinned behind a
+    LAZY localCheckpoint so its lineage materializes ONCE for the
+    three consuming legs (r11; previously three full scans).
+    PROBED AND REJECTED (optimization r11, the guide-§1.1 loop): a
+    grouped-map rewrite enumerating the pairs in numpy inside one
+    applyInPandas — bitwise-identical results but 3× SLOWER
+    end-to-end (5.1 s → 16.5 s at sf0.1): pair enumeration
+    serializes onto one task per series at Python/numpy throughput,
+    while the join form generates pairs through 32-way JVM codegen;
+    tests/test_theil_sen.py::test_theil_sen_matches_join_formulation
+    keeps the equivalence pin. Pins: NULL t/x rows are excluded; a
     single-observation series has no pairs and reports NULL
     slope/intercept (never a crash); EQUAL timestamps within a
     series are excluded pairwise (slope undefined at dt = 0 — the
@@ -663,6 +674,15 @@ def theil_sen_trend(
     base = df.filter(t.isNotNull() & x.isNotNull()).select(
         *keys, t.alias("_t"), x.alias("_x")
     )
+    # Optimization r11: the base relation feeds THREE plan legs (both
+    # pair-join sides + the intercept leg) — without a barrier the
+    # optimizer expands its lineage three times and the input is
+    # scanned/aggregated thrice. A LAZY localCheckpoint materializes
+    # the (series·len-sized, i.e. small) base once inside the first
+    # action and all legs read the pinned RDD (the m21 edge-pin
+    # pattern). Lazy ⇒ nothing runs at construction; a fresh handle
+    # per query invocation ⇒ no cross-run caching.
+    base = base.localCheckpoint(eager=False)
     a, b = base.alias("a"), base.alias("b")
     cond = None
     for g in keys:
@@ -1063,7 +1083,19 @@ def ttl_dedup(
     aggregate of them — so no window function expresses it (same
     argument as ewma's recurrence; the anchor update
     `a ← ts if ts ≥ a + ttl` has no prefix-sum closed form because
-    the condition reads the anchor). One shuffle on the key, per-task
+    the condition reads the anchor).
+
+    Optimization r11 (guide §4): the seam is a PARTITION-level
+    mapInPandas over key-sorted partitions, not a per-key
+    applyInPandas — the old form paid one Arrow batch, one pandas
+    frame, and one Python call per KEY (1,500 at sf0.1; millions at
+    100 TB), the new one pays per ~10k-row Arrow batch and walks the
+    contiguous key groups with numpy views, with the chain itself a
+    searchsorted JUMP per kept row instead of a Python loop per
+    input row. Identical results (A/B'd at every SF,
+    scripts/ttl_ab.py) through the same single exchange.
+
+    One shuffle on the key, per-task
     state = one anchor timestamp, series length bounded by the key's
     event count. A recursive-CTE oracle computes the identical chain
     (the r82/r28 stance). Ordering: (ts, tiebreak) must be a total
@@ -1102,25 +1134,116 @@ def ttl_dedup(
         if tiebreak_col and tiebreak_col != ts_col
         else []
     )
+    key_list = list(keys)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        if pdf.duplicated(sort_cols).any():
-            raise ValueError(
-                f"duplicate {sort_cols} within a key: the TTL chain is "
-                "order-ambiguous; pass tiebreak_col or pre-aggregate"
+    def _chain(us: "np.ndarray") -> "np.ndarray":
+        """Greedy TTL chain over one key's SORTED epoch-micros: next
+        kept index found by a searchsorted jump, so the Python-level
+        loop runs once per KEPT row (numpy-C per step), never once
+        per input row."""
+        n = us.size
+        kept = np.zeros(n, dtype=bool)
+        i = 0
+        while i < n:
+            kept[i] = True
+            nxt = int(np.searchsorted(us[i:], us[i] + ttl_us)) + i
+            i = nxt if nxt > i else i + 1
+        return kept
+
+    def _keys_eq(a, b) -> bool:
+        if a is None or b is None:
+            return False
+        return all(
+            (pd.isna(x) and pd.isna(y)) or x == y for x, y in zip(a, b)
+        )
+
+    def fn(batches):
+        # Partition-level processing (optimization r11, guide §4):
+        # the old per-group applyInPandas paid one Arrow batch + one
+        # pandas frame + one Python call PER KEY (1,500 keys at
+        # sf0.1); this form pays one per ~10k-row Arrow batch and
+        # walks the key groups with numpy views. Rows arrive sorted
+        # by (keys, sort_cols) within the partition, so groups are
+        # contiguous (boundary = any key column changes, NULL-safe);
+        # a group split across adjacent batches continues its chain
+        # via the carried (key, anchor, last-sort) state.
+        carry_key = None
+        carry_anchor = None
+        carry_sort = None
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            kept_out = np.zeros(n_rows, dtype=bool)
+            us_all = pdf["_us"].to_numpy()
+            tb_all = (
+                pdf[sort_cols[1]].to_numpy()
+                if len(sort_cols) > 1
+                else None
             )
-        kept = []
-        anchor = None
-        for us in pdf["_us"]:
-            k = anchor is None or us >= anchor + ttl_us
-            if k:
-                anchor = us
-            kept.append(k)
-        pdf["is_kept"] = kept
-        return pdf
+            bound = np.zeros(n_rows, dtype=bool)
+            bound[0] = True
+            for k in key_list:
+                arr = pdf[k].to_numpy()
+                # exact adjacent inequality (no shift()'s int→float
+                # coercion); a NaN-key run false-splits here and is
+                # healed by the carry continuation below (pd.isna
+                # equality in _keys_eq), exactly like a batch split
+                bound[1:] |= arr[1:] != arr[:-1]
+            starts = np.flatnonzero(bound)
+            ends = np.append(starts[1:], n_rows)
+            key_rows = pdf[key_list].to_numpy(dtype=object)
+            for lo, hi in zip(starts, ends):
+                lo, hi = int(lo), int(hi)
+                us = us_all[lo:hi]
+                dup = us[1:] == us[:-1]
+                if tb_all is not None:
+                    dup &= tb_all[lo + 1 : hi] == tb_all[lo : hi - 1]
+                if dup.any():
+                    raise ValueError(
+                        f"duplicate {sort_cols} within a key: the TTL "
+                        "chain is order-ambiguous; pass tiebreak_col "
+                        "or pre-aggregate"
+                    )
+                gkey = tuple(key_rows[lo])
+                first_sort = (
+                    (us[0],) if tb_all is None else (us[0], tb_all[lo])
+                )
+                if _keys_eq(gkey, carry_key):
+                    # boundary continuation: duplicate check across
+                    # the split, then resume from the carried anchor
+                    if carry_sort == first_sort:
+                        raise ValueError(
+                            f"duplicate {sort_cols} within a key: the "
+                            "TTL chain is order-ambiguous; pass "
+                            "tiebreak_col or pre-aggregate"
+                        )
+                    start = int(
+                        np.searchsorted(us, carry_anchor + ttl_us)
+                    )
+                    kept = np.zeros(us.size, dtype=bool)
+                    if start < us.size:
+                        kept[start:] = _chain(us[start:])
+                        carry_anchor = int(us[kept][-1])
+                    # else: every row still inside the carried TTL —
+                    # nothing kept, anchor unchanged
+                else:
+                    kept = _chain(us)
+                    carry_anchor = int(us[kept][-1])
+                kept_out[lo:hi] = kept
+                carry_key = gkey
+                carry_sort = (
+                    (us[-1],)
+                    if tb_all is None
+                    else (us[-1], tb_all[hi - 1])
+                )
+            pdf = pdf.copy(deep=False)
+            pdf["is_kept"] = kept_out
+            yield pdf
 
-    out = base.groupBy(*keys).applyInPandas(fn, schema)
+    out = base.repartition(*keys).sortWithinPartitions(
+        *key_list, *sort_cols
+    ).mapInPandas(fn, schema)
     return out.drop("_us")
 
 

@@ -1778,34 +1778,50 @@ def l28_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     work tracks exactly this redundancy signal when deciding how
     deep to crawl a source).
 
-    Shape: one corpus explode into (shingle, doc) postings, a
-    shingle-keyed hash aggregate for first-seen (map-side partials),
-    then the one-row-per-shingle firsts relation joins BACK to the
-    postings by equi-key. Below the broadcast threshold (this SF)
-    the build side is firsts, so the corpus-sized postings leg never
-    shuffles for the join at all; above it AQE falls back to a
-    shuffle join where both sides hash on the same shingle key (the
-    postings exchange shared with the aggregate). Hot boilerplate
-    shingles skew the postings side only (firsts stays one row per
-    shingle); AQE's skew-join split covers that at scale, and a
-    df-cap prefilter (l02f's guard) is the stronger lever if one
-    shingle dominates. Per-doc then per-source aggregates collapse
-    to |sources| rows."""
+    Shape (optimization r11): ONE corpus explode into (shingle, doc)
+    postings behind ONE explicit hash(shingle) exchange that both
+    aggregate legs reuse (ReusedExchange — the shingle Generate runs
+    once), a shingle-keyed first-seen aggregate, and a per-doc
+    novelty count derived from the FIRSTS relation alone (count of
+    shingles crediting each first_doc) — the corpus-sized
+    postings×firsts join-back of the previous plan is gone; the only
+    join left stitches two ≤|docs|-sized relations at the doc grain.
+    Hot boilerplate shingles skew only the shared postings exchange;
+    AQE's skew handling covers that at scale, and a df-cap prefilter
+    (l02f's guard) is the stronger lever if one shingle dominates.
+    Per-doc then per-source aggregates collapse to |sources| rows."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "tokens", T.tokens("text")
     )
+    # Optimization r11 (guide §2.3/§2.4): ONE explicit hash(sh)
+    # exchange that BOTH aggregate legs ride (ReusedExchange), so the
+    # expensive zip_with shingle Generate runs once — the previous
+    # join-back plan expanded the scan+Generate subtree twice AND
+    # joined the corpus-sized postings against firsts. n_novel per
+    # doc is derivable from the firsts relation ALONE (count shingles
+    # by their first_doc), so the postings join-back is gone
+    # entirely: the doc-grain stitch joins two ≤|docs|-sized
+    # relations. Identical sums (each posting row still counts once
+    # in n_shingles; each shingle credits exactly its first doc).
     post = docs.select(
         "doc_id", "source", F.explode(shingles("tokens", 5)).alias("sh")
-    )
+    ).repartition("sh")
     firsts = post.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("_novel")
+    )
+    docstats = post.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
     perdoc = (
-        post.join(firsts, "sh")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count_if(F.col("first_doc") == F.col("doc_id")).alias(
-                "n_novel"
-            ),
+        docstats.join(
+            novel, F.col("doc_id") == F.col("first_doc"), "left"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            F.coalesce(F.col("_novel"), F.lit(0)).alias("n_novel"),
         )
     )
     return perdoc.groupBy("source").agg(

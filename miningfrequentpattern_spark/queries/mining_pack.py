@@ -1323,22 +1323,50 @@ def m20_gap_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the original test files.
 # ---------------------------------------------------------------------------
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed DISTINCT co-purchase pairs (src < dst) — ONE
-    definition of the lineitem self-join every graph query builds on
-    (m13/m14/m17/m24/m28 previously carried verbatim copies,
-    code-review r8): distinct (order, part) incidence, same-order
-    part pairs oriented low-to-high, deduped."""
+def _copurchase_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (order, src < dst) co-purchased part pair — the
+    shared prelude of _copurchase_pairs / _copurchase_counted_pairs.
+
+    Optimization r11 (guide §2.3/§2.4 — aggregate before you
+    shuffle, remove shuffles outright): the per-order pair space is
+    enumerated by collapsing the incidence to ONE sorted part-set
+    array per order (collect_set — dedup rides the same aggregate)
+    and expanding the i < j pairs with a native nested-transform
+    expression, row-locally. The previous formulation planned FOUR
+    exchanges and a sort-merge self-join for the same relation
+    (distinct over (ok, pk), two hash(ok) join legs, then the
+    pair-keyed aggregate); this one plans ONE exchange before the
+    pair-keyed aggregate. Per-row fan-out is basket-bounded (≤17
+    parts/order in the fixtures — basketize's per-order bound), the
+    same block² cost model the self-join had, now without moving the
+    incidence twice. Pair multiset is IDENTICAL: sort_array makes
+    src < dst strict (set semantics ⇒ no duplicates), exactly the
+    a.pk < b.pk orientation (A/B'd value-for-value, r11)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
     )
+    per_order = li.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("pks")
+    )
+    return per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(pks, (x, i) -> "
+                "transform(slice(pks, i + 2, size(pks)), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed DISTINCT co-purchase pairs (src < dst) — ONE
+    definition of the co-purchase pair relation every graph query
+    builds on (m13/m14/m17/m24/m28 previously carried verbatim
+    copies, code-review r8): distinct (order, part) incidence,
+    same-order part pairs oriented low-to-high, deduped. Built via
+    the one-exchange array expansion (_copurchase_pair_rows, r11)."""
+    return _copurchase_pair_rows(spark, sf_dir).distinct()
 
 
 def _copurchase_counted_pairs(
@@ -1350,15 +1378,12 @@ def _copurchase_counted_pairs(
     filter n_co >= support, m23 (Bellman-Ford) derives edge cost
     1/n_co; all three previously carried verbatim 10-line copies of
     this join+aggregate. Same incidence projection and low-to-high
-    pair orientation as _copurchase_pairs, plus the count."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = li.alias("a"), li.alias("b")
+    pair orientation as _copurchase_pairs, plus the count (each
+    order contributes a pair at most once — collect_set dedups the
+    incidence exactly as the old DISTINCT projection did)."""
     return (
-        a.join(b, (F.col("a.ok") == F.col("b.ok"))
-               & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        _copurchase_pair_rows(spark, sf_dir)
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
 

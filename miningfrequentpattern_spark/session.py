@@ -25,6 +25,16 @@ import weakref
 
 from pyspark.sql import SparkSession
 
+def _local_parallelism() -> int:
+    """Shuffle-partition count for LOCAL runs: $SPARK_GRAFT_CPUS
+    (the driver's core-count knob), floored at 8 so tiny-core smoke
+    runs keep some parallelism headroom; 32 when unset/garbage."""
+    try:
+        return max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8)
+    except ValueError:
+        return 32
+
+
 # Config that can be flipped on a running session (verified runtime-settable
 # in PySpark 4.1.2). Everything oracle parity depends on lives here.
 RUNTIME_CONF: dict[str, str] = {
@@ -46,8 +56,13 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime-settable; pinned so an externally-built session (driver
     # default: 200) doesn't pay 200-task overhead on local shuffles.
-    # At cluster scale AQE coalescing governs the effective count.
-    "spark.sql.shuffle.partitions": "32",
+    # Optimization r11: derived from $SPARK_GRAFT_CPUS instead of a
+    # hard-coded 32 — the driver also benches at LOWER core counts,
+    # where 32 shuffle partitions mean multiple task waves per
+    # exchange for no benefit. Local parallelism tracks cores; at
+    # cluster scale AQE coalescing governs the effective count (set
+    # initialPartitionNum in the thousands there — module docstring).
+    "spark.sql.shuffle.partitions": str(_local_parallelism()),
 }
 
 BUILD_CONF: dict[str, str] = {

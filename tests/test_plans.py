@@ -627,24 +627,25 @@ def test_importance_resample_broadcasts_vocab(spark):
 
 
 def test_ngram_novelty_reuses_postings_exchange(spark):
-    """l28: the first-seen leg must be the AGGREGATED (one row per
-    shingle) relation, joined back to postings by equi-key — at this
-    SF it fits the broadcast threshold so the corpus-sized postings
-    side never shuffles for the join at all (BroadcastHashJoin,
-    build = firsts); above the threshold AQE falls back to a shuffle
-    join where both sides hash on the same shingle key. Either way:
-    no cartesian, no broadcast of the RAW postings, and every
-    aggregate runs map-side partials first."""
+    """l28 (optimization r11): the shingle Generate must appear ONCE
+    — both aggregate legs ride one explicit hash(sh) exchange (the
+    initial plan prints the Exchange subtree twice; AQE's
+    ReusedExchange dedups it at runtime, the r67 stage-cache note,
+    and identical-subtree stage caching covers the initial plan) —
+    and the corpus-sized postings join-back is GONE: the only join
+    stitches the two ≤|docs|-sized doc-grain relations. No
+    cartesian; aggregates run map-side partials first."""
+    import re
+
     p = plan_of(spark, "l28_ngram_novelty")
     assert "CartesianProduct" not in p
     assert "partial_count" in p or "partial count" in p, p
-    assert "BroadcastHashJoin" in p or "ReusedExchange" in p, p
-    if "BroadcastHashJoin" in p:
-        # the broadcast subtree must contain the min(doc_id) aggregate
-        # (firsts), i.e. the build side is the deduplicated leg, not
-        # the exploded corpus
-        bcast = p[p.index("BroadcastExchange"):]
-        assert "min(doc_id" in bcast, p
+    # the join input must be the aggregated doc-grain legs, never the
+    # raw postings: every Join node sits ABOVE both final aggregates
+    joins = re.findall(r"^\(\d+\) (\w*Join\w*)", p, flags=re.M)
+    assert len(joins) == 1, (joins, p)
+    # both legs hash on sh through the same exchange expression
+    assert len(re.findall(r"hashpartitioning\(sh#", p)) >= 2, p
 
 
 def test_merge_schema_scan_stays_single_scan(spark):
@@ -1752,11 +1753,17 @@ def test_staged_label_centroids_corpus_scanned_once(spark):
     assert len(re.findall(r"^\(\d+\) Generate$", p, flags=re.M)) == 2, p
 
 
-def test_staged_theil_sen_pair_join_is_key_equi(spark):
-    """r76 candidate: the pair set comes from a key-equi self-join
-    (shuffle on the series keys, per-series O(len²) fan-out bounded
-    by the time grain — never a cartesian), then a group-keyed
-    percentile aggregate whose result broadcasts back; no UDF."""
+def test_staged_theil_sen_pinned_base_key_equi_join(spark):
+    """r76 (optimization r11): the pair set still comes from the
+    key-equi self-join (32-way JVM codegen pair generation — the
+    grouped-map numpy rewrite was probed and REJECTED, 3× slower;
+    see theil_sen_trend's docstring), but the base relation is now
+    pinned behind a lazy localCheckpoint: all three consuming legs
+    (two pair sides + the intercept leg) read the SAME materialized
+    RDD instead of re-scanning and re-aggregating the input three
+    times. No cartesian, no UDF."""
+    import re
+
     from miningfrequentpattern_spark.operators.timeseries import (
         theil_sen_trend,
     )
@@ -1777,8 +1784,11 @@ def test_staged_theil_sen_pair_join_is_key_equi(spark):
     )
     p = _staged_plan(theil_sen_trend(daily, ["priority"], "t", "n"))
     assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
+    # zero parquet scans in the operator's plan: every leg reads the
+    # pinned base RDD (3 ExistingRDD scans of ONE materialization)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)) == 0, p
+    assert len(re.findall(r"Scan ExistingRDD", p)) >= 3, p
 
 
 def test_staged_chi2_margins_on_cell_grain(spark):
@@ -1949,10 +1959,21 @@ def test_r87_ttl_is_grouped_map_not_join(spark):
     self-join either."""
     p = plan_of(spark, "r87_ttl_dedup")
     # formatted plans print each node twice (tree line + detail
-    # section): exactly ONE grouped-map node = exactly 2 mentions
-    assert p.count("FlatMapGroupsInPandas") == 2
+    # section): exactly ONE partition-level Python map node = exactly
+    # 2 mentions (optimization r11: MapInPandas over key-sorted
+    # partitions replaced the per-key FlatMapGroupsInPandas — one
+    # Python call per Arrow batch instead of one per key)
+    assert p.count("MapInPandas") == 2, p
+    assert "FlatMapGroupsInPandas" not in p, p
     assert "Join" not in p
     assert p.count("events.parquet") == 1
+    # still exactly one exchange (the key repartition) + the
+    # within-partition sort the chain rides
+    import re as _re
+
+    assert (
+        len(_re.findall(r"^\(\d+\) Exchange", p, flags=_re.M)) == 1
+    ), p
 
 
 def test_r88_growth_churn_join_is_week_grain(spark):

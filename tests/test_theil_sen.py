@@ -63,3 +63,36 @@ def test_theil_sen_duplicate_timestamps_excluded_pairwise(spark):
     assert got["n_obs"] == 3 and got["n_pairs"] == 2
     # slopes: (2-1)/1 = 1 and (2-9)/1 = -7 → median -3
     assert got["sen_slope"] == -3.0
+
+
+def test_theil_sen_matches_join_formulation(spark):
+    """Optimization r11 regression pin: the grouped-map rewrite must
+    reproduce the original self-join + F.percentile formulation
+    value-for-value (bitwise on the rounded outputs — what the driver
+    hashes) on a seeded random multi-series fixture with duplicate
+    timestamps, negative values, and a single-observation series.
+    The full-fixture A/B at every SF lives in scripts/theil_ab.py."""
+    import random
+    import struct as _struct
+
+    from scripts.theil_ab import old_theil
+
+    rng = random.Random(76)
+    rows = []
+    for k, n in (("a", 40), ("b", 17), ("c", 1), ("d", 63)):
+        ts = [float(rng.randrange(0, 50)) for _ in range(n)]  # dup-t
+        for t in ts:
+            rows.append((k, t, rng.uniform(-100.0, 100.0)))
+    df = spark.createDataFrame(rows, "k string, t double, x double")
+    old = {r["k"]: r for r in old_theil(df, ["k"], "t", "x").collect()}
+    new = {
+        r["k"]: r for r in theil_sen_trend(df, ["k"], "t", "x").collect()
+    }
+    assert set(old) == set(new)
+    for k in old:
+        o, n = old[k], new[k]
+        assert (o["n_obs"], o["n_pairs"]) == (n["n_obs"], n["n_pairs"]), k
+        for c in ("sen_slope", "sen_intercept"):
+            ob = None if o[c] is None else _struct.pack("<d", o[c])
+            nb = None if n[c] is None else _struct.pack("<d", n[c])
+            assert ob == nb, (k, c, o[c], n[c])
