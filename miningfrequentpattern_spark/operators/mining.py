@@ -377,15 +377,32 @@ def prefix_span(
 
     Input: one row per entity with `sequence ARRAY<ARRAY<T>>` (see
     baskets.event_sequences). Output: (sequence, freq) ordered.
+
+    The input is CACHED for the duration of the mining call
+    (optimization r11, guide §5 caching + the fit_fpgrowth
+    rationale): MLlib's PrefixSpan is eager and makes multiple full
+    passes over `sequences` (sequence count, frequent-item scan,
+    internal-representation build), and the typical input lineage is
+    a groupBy/collect_list SHUFFLE (baskets.event_sequences) that
+    would otherwise re-run per pass — measured interleaved at sf0.1:
+    1.30 s → 0.95 s min-of-3. The (pattern-lattice-sized) result is
+    pinned with an eager localCheckpoint BEFORE the input cache is
+    released so the returned handle never leans on the unpersisted
+    lineage; the pin is per-invocation — nothing outlives the call.
     """
     ps = PrefixSpan(
         minSupport=min_support,
         maxPatternLength=max_pattern_length,
         sequenceCol=sequence_col,
     )
-    return ps.findFrequentSequentialPatterns(sequences).orderBy(
-        F.desc("freq"), F.col("sequence").cast("string")
-    )
+    seqs = sequences.cache()
+    try:
+        pats = ps.findFrequentSequentialPatterns(seqs).localCheckpoint(
+            eager=True
+        )
+    finally:
+        seqs.unpersist()
+    return pats.orderBy(F.desc("freq"), F.col("sequence").cast("string"))
 
 
 # ---------------------------------------------------------------------------
@@ -533,56 +550,73 @@ def emerging_pair_patterns(
     (vanishing patterns — present before, gone after — surface with
     n_after = 0 rather than silently dropping).
 
-    Shape: per period, DISTINCT (basket, item) postings self-join on
-    the basket key under the pinned shuffle_hash hint (corpus-sized
-    relations must never broadcast — the m15/l02 convention) into a
-    (pair, count) aggregate; the two PAIR-grain relations full-outer
-    join on the pair key; the two 1-row basket counts broadcast. All
-    supports divide exact integers, so both engines compute identical
-    float64 (the m22 parity stance). NULL basket/item keys are
-    excluded (they cannot form evidence).
+    Shape (optimization r11, guide §2.3/§2.4 — aggregate before you
+    shuffle, remove shuffles outright): ONE union-tagged pass. Both
+    corpora union with a `_late` period tag, collapse to one sorted
+    item-set array per (basket, period) — `collect_set` dedups, so
+    the old DISTINCT-postings pass rides the same aggregate — and the
+    i < j pairs expand row-locally with the native nested-transform
+    expression (the _copurchase_pair_rows pattern; fan-out is
+    basket-bounded, the identical block² cost the old self-join paid
+    per basket, without moving the postings twice per period). Pair
+    counts for BOTH periods come from one conditional aggregate
+    (count_if on the tag), which also replaces the old pair-keyed
+    FULL-OUTER join of the two period relations; the 1-row basket
+    counts broadcast, as before. The old plan expanded the input
+    lineage SIX times (two self-join legs + a basket count, per
+    period: 12 parquet scans / 14 exchanges in m27); this one
+    materializes the (basket, period)-grain array relation once
+    behind a lazy localCheckpoint (the m21 edge-pin pattern — lazy ⇒
+    nothing runs at construction; fresh per invocation ⇒ no cross-run
+    caching) and plans 2 scans / 3 exchanges. Pair multiset is
+    IDENTICAL: sort_array makes item_a < item_b strict under the same
+    type ordering the old `a.it < b.it` join predicate used, and set
+    semantics mean no duplicate pairs per basket (A/B'd
+    value-for-value at every SF, r11). All supports divide exact
+    integers, so both engines compute identical float64 (the m22
+    parity stance). NULL basket/item keys are excluded (they cannot
+    form evidence).
     """
-    def _postings(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-            )
-            .filter(F.col("bk").isNotNull() & F.col("it").isNotNull())
-            .distinct()
-        )
+    def _leg(df: DataFrame, late: bool) -> DataFrame:
+        return df.select(
+            F.col(basket_col).alias("bk"),
+            F.col(item_col).alias("it"),
+            F.lit(late).alias("_late"),
+        ).filter(F.col("bk").isNotNull() & F.col("it").isNotNull())
 
-    def _pairs(iu: DataFrame, out: str) -> DataFrame:
-        a, b = iu.alias("a"), iu.hint("shuffle_hash").alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.bk") == F.col("b.bk"))
-                & (F.col("a.it") < F.col("b.it")),
-            )
-            .groupBy(
-                F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b")
-            )
-            .agg(F.count(F.lit(1)).alias(out))
-        )
-
-    iu_b, iu_a = _postings(before), _postings(after)
-    nb = iu_b.agg(F.countDistinct("bk").alias("_n_before"))
-    na = iu_a.agg(F.countDistinct("bk").alias("_n_after"))
+    tagged = _leg(before, False).unionByName(_leg(after, True))
+    per_basket = tagged.groupBy("bk", "_late").agg(
+        F.sort_array(F.collect_set("it")).alias("its")
+    )
+    # Two consumers (basket counts + pair expansion) — pin so the
+    # union+aggregate lineage materializes once, not per consumer.
+    per_basket = per_basket.localCheckpoint(eager=False)
+    counts = per_basket.agg(
+        F.count_if(~F.col("_late")).alias("_n_before"),
+        F.count_if(F.col("_late")).alias("_n_after"),
+    )
     joined = (
-        _pairs(iu_b, "n_before")
-        .join(_pairs(iu_a, "n_after"), ["item_a", "item_b"], "full_outer")
-        .select(
-            "item_a",
-            "item_b",
-            F.coalesce("n_before", F.lit(0)).alias("n_before"),
-            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        per_basket.select(
+            "_late",
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, (x, i) -> "
+                    "transform(slice(its, i + 2, size(its)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("p"),
+        )
+        .select("_late", "p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count_if(~F.col("_late")).alias("n_before"),
+            F.count_if(F.col("_late")).alias("n_after"),
         )
         .filter(
             (F.col("n_before") >= min_count)
             | (F.col("n_after") >= min_count)
         )
-        .crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(counts))
     )
     sup_b = F.col("n_before") * 1.0 / F.col("_n_before")
     sup_a = F.col("n_after") * 1.0 / F.col("_n_after")

@@ -413,8 +413,20 @@ def unigram_logprob_score(
     1-row broadcast cross join, same pattern as m03's threshold.
     """
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    # Optimization r11 (guide §2.4): the vocab relation feeds TWO
+    # legs (the total and the kept/scored join) and `total` itself
+    # previously re-tokenized the corpus a THIRD time — pin the
+    # vocabulary-sized counts behind a lazy localCheckpoint and
+    # derive the grand total as Σ c over the pin (exact: every token
+    # occurrence counts once in its vocab row). The LM-build pass and
+    # the broadcast-scored re-scan remain the two corpus passes — the
+    # documented probed design (importance_llr_score rationale).
+    vocab = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    total = vocab.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("total")
+    )
     if vocab_size is None:
         scored = tok.join(F.broadcast(vocab), "tok")
     else:
@@ -484,7 +496,13 @@ def importance_llr_score(
     raw = tok.groupBy("tok").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.count_if(F.col("_is_tgt")).alias("c_tgt"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ Optimization r11 (guide §2.4): raw feeds the scalars leg AND
+    # the broadcast score table — unpinned, the scalars re-planned
+    # the corpus tokenize a THIRD time (the l27 plan held 3
+    # Generates for the documented two-pass design). The pin is
+    # vocabulary-sized; the two passes the docstring promises are
+    # now exactly what the plan executes.
     scal = raw.agg(
         F.sum("c_raw").alias("n_raw"),
         F.sum("c_tgt").alias("n_tgt"),
@@ -595,12 +613,18 @@ def tfidf_top_terms(
     uniform groups.
     """
     tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        tok.distinct()
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # Optimization r11 (guide §2.3/§2.4): df derives from the tf
+    # relation instead of a second tokenize + DISTINCT over the
+    # corpus — tf is (doc, token)-grain by construction, so counting
+    # its rows per token IS the document frequency (exactly what
+    # `tok.distinct().groupBy("tok").count()` computed, minus one
+    # full corpus pass and the distinct exchange). tf then feeds two
+    # legs (df + the scored join), so it pins behind a lazy
+    # localCheckpoint: the corpus tokenizes ONCE per call.
+    tf = tok.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     if vocab_size is None:
         scored = tf.join(F.broadcast(df_), "tok")

@@ -1646,6 +1646,14 @@ def l26_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(T.tokens("text")).alias("w"))
     cs = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # Optimization r11: cs feeds FOUR legs (main + ts + cw + tg) —
+    # unpinned, each re-planned the corpus explode + aggregate (the
+    # l26 plan held 4 parquet scans / 4 Generates). A lazy
+    # localCheckpoint materializes the vocabulary×sources-sized
+    # counts once; every leg reads the pinned RDD. Lazy ⇒ nothing
+    # runs at construction; fresh per invocation ⇒ no cross-run
+    # caching.
+    cs = cs.localCheckpoint(eager=False)
     ts = cs.groupBy("source").agg(F.sum("c").alias("t"))
     cw = cs.groupBy("w").agg(F.sum("c").alias("cg"))
     tg = cs.agg(F.sum("c").alias("g"))
@@ -2146,9 +2154,19 @@ def l33_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     t = d.select("decile", F.explode(T.tokens("text")).alias("tok"))
-    f = t.groupBy("tok").agg(F.min("decile").alias("decile"))
+    # Optimization r11 (guide §2.3 "aggregate before you shuffle"):
+    # both rollups (token first-sighting + per-decile occurrences)
+    # previously re-planned the corpus tokenize. One shared
+    # (token, decile)-grain count — vocab×10-sized, pinned lazily —
+    # serves both exactly: min(decile) over a token's decile rows ≡
+    # min over its occurrence rows, and Σ c per decile ≡ the row
+    # count per decile. The corpus tokenizes ONCE.
+    cnt = t.groupBy("tok", "decile").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
+    f = cnt.groupBy("tok").agg(F.min("decile").alias("decile"))
     newv = f.groupBy("decile").agg(F.count(F.lit(1)).alias("n_new"))
-    occ = t.groupBy("decile").agg(F.count(F.lit(1)).alias("n_occ"))
+    occ = cnt.groupBy("decile").agg(F.sum("c").alias("n_occ"))
     w = (
         Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2311,7 +2329,19 @@ def l37_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = T.tokens("text")
     toks = docs.select("doc_id", t.alias("t"))
     uni = toks.select(F.explode("t").alias("w"))
-    un = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Optimization r11 (guide §2.3/§2.4): the unigram counts feed
+    # THREE legs (tot + both join sides) and the bigram stream fed
+    # TWO separate aggregates — unpinned, each consumer re-planned
+    # its full corpus tokenize (the l37 plan held 5 Generates). Pin
+    # the vocabulary-sized unigram counts and the bigram-grain counts
+    # once each (lazy localCheckpoints — nothing runs at
+    # construction, fresh per invocation); the bigram TOTAL derives
+    # from the unfiltered bigram counts (Σ c12 ≡ the old
+    # count-of-rows over the stream, exactly), so the corpus
+    # tokenizes once per n-gram order instead of five times.
+    un = uni.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     tot = un.agg(F.sum("c").alias("n"))
     bigrams = T.shifted_pairs(
         F.col("t"), lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
@@ -2319,15 +2349,11 @@ def l37_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = toks.select(F.explode(bigrams).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    bn = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= 5)
-    )
-    btot = (
-        big.groupBy()
-        .agg(F.sum(F.lit(1)).alias("nb"))
-    )
+    bg = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint(eager=False)
+    bn = bg.filter(F.col("c12") >= 5)
+    btot = bg.agg(F.sum("c12").alias("nb"))
     u1 = un.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = un.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     pmi = F.round(

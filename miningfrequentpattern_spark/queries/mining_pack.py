@@ -622,6 +622,13 @@ def _token_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     k1 = tok.groupBy("item").agg(F.count(F.lit(1)).alias("freq"))
+    # PROBED AND REJECTED (optimization r11): the row-local
+    # array-expansion pair enumeration that won for _copurchase_pair_
+    # rows LOSES here — interleaved A/B at sf0.1: self-join 0.71 s
+    # vs expansion 1.15 s. Docs average only ~23 distinct tokens
+    # (≤31), so the broadcast equi-join is cheap while the expansion
+    # pays struct-array materialization + explode allocation churn
+    # per doc. Keep the join form.
     a, b = tok.alias("a"), tok.alias("b")
     k2 = (
         a.join(
@@ -1020,6 +1027,12 @@ def m16_rule_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("consequent").alias("c"),
         "conf",
     )
+    # Optimization r11: both chain-hop legs consume the rules
+    # relation — unpinned, the whole pair-mining subtree planned
+    # TWICE (the m16 plan held 4 document scans). Lazy pin: the
+    # (rule-set-sized, ~870-row) relation materializes once and both
+    # hop legs read the pinned RDD.
+    r = r.localCheckpoint(eager=False)
     r1, r2 = r.alias("r1"), r.alias("r2")
     return (
         r1.join(r2, F.col("r2.a") == F.col("r1.c"))
@@ -1203,33 +1216,51 @@ def m19_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the sparse observed pair counts with ZERO-FILL, so a
     pair that never co-occurs still ranks (c12=0 → lift 0).
 
-    Shape: presence relation = one explode + distinct (doc, token);
-    the top-40 df leg is TakeOrderedAndProject and BROADCASTS into
-    both the per-doc pair self-join's filters (only top-token rows
-    enter the join — the grid bounds the pair space at 780, never
-    |vocab|²) and the 780-row grid itself; the observed leg shuffles
-    on doc_id (uniform). N (doc count) rides a 1-row broadcast."""
+    Shape (optimization r11): presence relation = one explode +
+    distinct (doc, token), PINNED — the before-plan expanded the
+    tokenize subtree SIX times (7 parquet scans / 6 Generates: the
+    df→top leg re-planned once per top consumer, plus both pair-join
+    sides); now the postings materialize once behind a lazy
+    localCheckpoint (the m21 edge-pin pattern) and the 40-row top
+    relation pins too. The observed leg is the basket expansion, not
+    a self-join: semi-filter the postings to top tokens (broadcast),
+    collapse to one sorted token-set per doc (≤40 by construction —
+    the grid bounds the pair space at 780, never |vocab|²) and
+    expand i < j pairs row-locally (the _copurchase_pair_rows
+    pattern; pair multiset identical — set semantics + the same `<`
+    ordering). N (doc count) rides a 1-row broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     pres = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("w")
     ).distinct()
+    # Two consumers (df leg + observed leg) of the tokenize+distinct
+    # subtree — materialize once (lazy ⇒ nothing runs at
+    # construction; fresh per invocation ⇒ no cross-run caching).
+    pres = pres.localCheckpoint(eager=False)
     n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
     df = pres.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    top = df.orderBy(F.desc("df"), "w").limit(40)
+    # 40-row relation, FOUR consumers (grid both sides + the obs
+    # semi-filter + df1/df2 payloads) — pin it.
+    top = df.orderBy(F.desc("df"), "w").limit(40).localCheckpoint(
+        eager=False
+    )
     ta = top.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
     tb = top.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
     grid = ta.join(F.broadcast(tb), F.col("w1") < F.col("w2"))
-    p1 = pres.select(F.col("doc_id"), F.col("w").alias("w1"))
-    p2 = pres.select(F.col("doc_id"), F.col("w").alias("w2"))
     obs = (
-        p1.join(F.broadcast(top.select(F.col("w").alias("w1"))), "w1")
-        .join(
-            p2.join(
-                F.broadcast(top.select(F.col("w").alias("w2"))), "w2"
-            ),
-            "doc_id",
+        pres.join(F.broadcast(top.select("w")), "w")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("w")).alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ws, (x, i) -> "
+                    "transform(slice(ws, i + 2, size(ws)), "
+                    "y -> struct(x AS w1, y AS w2))))"
+                )
+            ).alias("p")
         )
-        .filter(F.col("w1") < F.col("w2"))
+        .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )

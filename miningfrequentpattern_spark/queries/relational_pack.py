@@ -1598,6 +1598,49 @@ def r38_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_stages(
+    spark: SparkSession, sf_dir: str, pin: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three r39 funnel stage relations (first click; first view
+    within 2 h of it; first purchase within 2 h of that). With
+    ``pin`` the stage-1/2 outputs sit behind lazy localCheckpoints
+    (see r39's optimization note); without, the raw lineage is
+    exposed so tests can assert each stage's filter pushdown."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(
+        prev: DataFrame, ts_col: str, etype: str, out_col: str
+    ) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).alias("e")
+        pv = prev.alias("pv")
+        return (
+            pv.join(
+                e,
+                (F.col("e.user_id") == F.col("pv.user_id"))
+                & (F.col("e.ts") > F.col(f"pv.{ts_col}"))
+                & (
+                    F.col("e.ts")
+                    <= F.col(f"pv.{ts_col}") + F.expr("INTERVAL 2 HOURS")
+                ),
+            )
+            .groupBy(F.col("pv.user_id").alias("user_id"))
+            .agg(F.min(F.col("e.ts")).alias(out_col))
+        )
+
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    if pin:
+        c = c.localCheckpoint(eager=False)
+    v = first_after(c, "click_ts", "view", "view_ts")
+    if pin:
+        v = v.localCheckpoint(eager=False)
+    p = first_after(v, "view_ts", "purchase", "purchase_ts")
+    return c, v, p
+
+
 @query(
     "r39_funnel_conversion",
     oracle="""
@@ -1637,34 +1680,17 @@ def r39_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain shuffled equi-join; either is skew-safe since user_id is
     the natural partition key). Stage outputs are 1-row counts
     union'd together."""
-    ev = _t(spark, sf_dir, "events")
-
-    def first_after(
-        prev: DataFrame, ts_col: str, etype: str, out_col: str
-    ) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype).alias("e")
-        pv = prev.alias("pv")
-        return (
-            pv.join(
-                e,
-                (F.col("e.user_id") == F.col("pv.user_id"))
-                & (F.col("e.ts") > F.col(f"pv.{ts_col}"))
-                & (
-                    F.col("e.ts")
-                    <= F.col(f"pv.{ts_col}") + F.expr("INTERVAL 2 HOURS")
-                ),
-            )
-            .groupBy(F.col("pv.user_id").alias("user_id"))
-            .agg(F.min(F.col("e.ts")).alias(out_col))
-        )
-
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    v = first_after(c, "click_ts", "view", "view_ts")
-    p = first_after(v, "view_ts", "purchase", "purchase_ts")
+    # Optimization r11 (guide §2.4): each stage relation feeds TWO
+    # consumers (its own 1-row count + the next stage's join anchor)
+    # — unpinned, the funnel's sequential dependency made the plan
+    # expand stage 1 THREE times and stage 2 twice (6 parquet scans
+    # of events). Lazy localCheckpoint pins on the |users|-sized
+    # stage-1/2 outputs (stage 3 has one consumer): each stage's
+    # event scan runs ONCE. Lazy ⇒ nothing runs at construction;
+    # fresh per invocation ⇒ no cross-run caching. Each stage's
+    # event_type filter still pushes into its (now interior) scan —
+    # asserted on the pre-pin stages in tests/test_plans.py.
+    c, v, p = _funnel_stages(spark, sf_dir, pin=True)
     one = F.count(F.lit(1)).alias("n_users")
     return (
         c.agg(one).select(F.lit("l1_click").alias("stage"), "n_users")
@@ -1862,6 +1888,14 @@ def r42_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
         ).alias("disc_viol"),
     )
+    # Optimization r11: li_agg feeds THREE report legs (two checks +
+    # the FK row's total) and ev_agg two — unpinned, each unionAll
+    # branch re-planned the full table aggregate (the r42 plan held
+    # 10 parquet scans: lineitem 4×, events 3×). A lazy
+    # localCheckpoint materializes each 1-ROW aggregate once; every
+    # leg reads the pinned RDD. Lazy ⇒ nothing runs at construction;
+    # fresh per invocation ⇒ no cross-run caching.
+    li_agg = li_agg.localCheckpoint(eager=False)
     o_agg = orders.agg(
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
@@ -1871,7 +1905,7 @@ def r42_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_agg = ev.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_if(F.col("value").isNull()).alias("null_value"),
-    )
+    ).localCheckpoint(eager=False)
     li_orph = (
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("v"))
@@ -3248,6 +3282,15 @@ def r73_deseasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
     prof = seasonal_profile(daily, ["event_type"], "day", "n").drop("ratio")
+    # Optimization r11 (guide §2.4): mad_outliers consumes its input
+    # through FOUR legs (median agg, MAD agg, scoring join, NULL
+    # pass-through) — unpinned, each re-planned the events scan +
+    # daily aggregate + seasonal window (the r73 plan held 5 parquet
+    # scans / 13 Exchanges). The profile is (event_type × day)-grain
+    # — tiny at any corpus size — so pin it: the expensive corpus
+    # lineage materializes once. Lazy ⇒ nothing runs at
+    # construction; fresh per invocation ⇒ no cross-run caching.
+    prof = prof.localCheckpoint(eager=False)
     return mad_outliers(
         prof,
         ["event_type"],

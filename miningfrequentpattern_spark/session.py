@@ -54,6 +54,18 @@ RUNTIME_CONF: dict[str, str] = {
     # sources/io.py convert to a microsecond timestamp (lossless on the
     # fixtures — verified zero sub-microsecond components).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Optimization r11 (guide §7.2 — read the plan): Catalyst's
+    # InferFiltersFromGenerate copies the GENERATOR EXPRESSION into an
+    # inferred `isnotnull AND size > 0` filter below each explode, so
+    # an expensive generator (the 2–5-gram zip_with shingle chains)
+    # evaluates 3× per row — once per conjunct in the pushed filter,
+    # once in the Generate. The inferred filter is semantically
+    # redundant (explode already skips NULL/empty arrays), so
+    # excluding the rule cannot change results; measured interleaved
+    # at sf0.1: l02 1.96→1.28 s, l02g 1.83→1.32 s, neutral elsewhere.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Runtime-settable; pinned so an externally-built session (driver
     # default: 200) doesn't pay 200-task overhead on local shuffles.
     # Optimization r11: derived from $SPARK_GRAFT_CPUS instead of a

@@ -303,3 +303,31 @@ def test_frequent_items_from_rows_denominator_ignores_all_null_keys(spark):
         ).collect()
     }
     assert via_rows == via_baskets == {"a": 5}
+
+
+def test_prefix_span_hand_pin_and_cache_release(spark):
+    """prefix_span (optimization r11) caches its input for MLlib's
+    multiple passes and pins the result before releasing the cache:
+    values must match the hand-computed lattice, the returned handle
+    must survive the unpersist (re-collectable), and the input must
+    NOT stay cached after the call."""
+    from miningfrequentpattern_spark.operators.mining import prefix_span
+
+    rows = [
+        (1, [["a"], ["b"], ["c"]]),
+        (2, [["a"], ["c"]]),
+        (3, [["b"], ["a"]]),
+    ]
+    seqs = spark.createDataFrame(
+        rows, "uid long, sequence array<array<string>>"
+    ).select("sequence")
+    out = prefix_span(seqs, min_support=0.5, max_pattern_length=3)
+    got = {
+        ">".join(x[0] for x in r["sequence"]): r["freq"]
+        for r in out.collect()
+    }
+    # minCount = ceil(0.5 * 3) = 2: a in all three, b/c in two,
+    # a>c in u1+u2; every other chain appears at most once.
+    assert got == {"a": 3, "b": 2, "c": 2, "a>c": 2}
+    assert seqs.storageLevel.useMemory is False  # cache released
+    assert len(out.collect()) == 4  # pin survives the unpersist
