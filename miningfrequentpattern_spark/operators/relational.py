@@ -356,10 +356,19 @@ def pareto_frontier_2d(
         F.lit(n_buckets - 1),
     ).cast("int")
 
+    # Optimization r11 (guide §2.4): per_value feeds TWO legs (the
+    # across-bucket prefix and the within-bucket window) — unpinned,
+    # the corpus aggregate planned twice (the r49 plan held the part
+    # scan + hash agg once per leg). The relation is the distinct
+    # value domain of min_col per group — far smaller than the input
+    # — so a lazy localCheckpoint materializes it once; both legs
+    # read the pinned RDD. Lazy ⇒ nothing runs at construction;
+    # fresh per invocation ⇒ no cross-run caching.
     per_value = (
         df.groupBy(*key_cols, min_col)
         .agg(F.max(max_col).alias("_gmax"))
         .withColumn("_bkt", bucket)
+        .localCheckpoint(eager=False)
     )
     w_in = (
         Window.partitionBy(*key_cols, "_bkt")

@@ -750,11 +750,22 @@ def bm25_scores(
         F.avg("_dl").alias("_avgdl"),
     )
     terms = F.array(*[F.lit(t) for t in query_terms])
+    # Optimization r11 (guide §2.4): hits feeds TWO legs (df and tf)
+    # — unpinned, each re-planned its own corpus tokenize (the l48
+    # plan held 3 parquet scans / 2 Generates). hits is
+    # (matched tokens)-sized — small by the term filter — so a lazy
+    # localCheckpoint materializes it once; the corpus tokenizes
+    # twice per call (moments + hits), not three times. The
+    # corpus-sized withlen relation itself stays UNPINNED — the
+    # importance_llr_score probed stance: re-scanning columnar
+    # parquet beats materializing the exploded corpus.
     hits = withlen.select(
         "_id",
         "_dl",
         F.explode("_toks").alias("_term"),
-    ).filter(F.array_contains(terms, F.col("_term")))
+    ).filter(
+        F.array_contains(terms, F.col("_term"))
+    ).localCheckpoint(eager=False)
     # df(term): docs containing the term at least once.
     dfreq = hits.select("_id", "_term").distinct().groupBy("_term").agg(
         F.count(F.lit(1)).alias("_df")

@@ -1980,10 +1980,23 @@ def r43_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     ev = _t(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
-    b = ev.agg(
-        F.min(day).alias("mn"), F.max(day).alias("mx")
+    # Optimization r11 (guide §2.3/§2.4): bounds and the type
+    # dimension both derive from the counts relation instead of two
+    # extra corpus passes — c is (type, day)-grain by construction,
+    # so min/max over its day column ≡ min/max over the raw cast
+    # (aggregates skip the NULL-day group identically) and its
+    # distinct event_type set ≡ the corpus's (every row lands in some
+    # group, NULL keys included). c is day-grain-sized, so it pins
+    # behind a lazy localCheckpoint for its three consumers: the
+    # corpus is scanned ONCE (was 3 scans). Fresh per invocation ⇒
+    # no cross-run caching.
+    c = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    b = c.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
     )
-    types = ev.select("event_type").distinct()
+    types = c.select("event_type").distinct()
     grid = (
         types.crossJoin(F.broadcast(b))
         .select(
@@ -1995,9 +2008,6 @@ def r43_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day"),
         )
     )
-    c = ev.groupBy(
-        "event_type", day.alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
     return grid.join(c, ["event_type", "day"], "left").select(
         "event_type",
         # midnight timestamp, not DATE — see the oracle's dialect note
@@ -3027,6 +3037,14 @@ def r65_ops_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Optimization r11 (guide §2.4): daily feeds THREE legs (mu,
+    # trend, centered) — unpinned, each re-planned the events scan +
+    # aggregate (the r65 plan held 3 parquet scans, belying the
+    # docstring's one-pass claim). The (event_type × day)-grain
+    # relation is tiny at any corpus size — pin it lazily so the
+    # corpus pass runs once. Fresh per invocation ⇒ no cross-run
+    # caching.
+    daily = daily.localCheckpoint(eager=False)
     mu = daily.groupBy("event_type").agg(
         F.avg(F.col("n") * 1.0).alias("mean_n")
     )

@@ -1577,7 +1577,11 @@ def test_staged_bm25_broadcasts_every_dimension_leg(spark):
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" in p, p
     assert "SortMergeJoin" not in p, p
-    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, p
+    # r11: the matched-tokens hits relation is pinned (ExistingRDD),
+    # so the one PUBLIC corpus scan is the moments leg — pruned all
+    # the way down to text alone (doc_id rides the pinned leg).
+    assert "ReadSchema: struct<text:string>" in p, p
+    assert "Scan ExistingRDD" in p, p
     assert "InPandas" not in p and "BatchEvalPython" not in p, p
 
 
