@@ -9,9 +9,11 @@ collect_list+aggregate), and the rescaled-prefix-sum algebraic trick
 (y_t = (1-a)^t · Σ x_i/(1-a)^i) overflows float64 after a few
 thousand steps (1/0.8 ** 2400 = inf). The right seam is the U2
 grouped-map one: shuffle once on the series key, run the recurrence
-vectorized per series inside an Arrow-batched applyInPandas — the
-textbook "per-partition imperative logic" case the PySpark guide
-reserves pandas UDFs for.
+vectorized per series — physically a partition-level mapInPandas
+over key-sorted partitions (`_per_group_map_over_sorted_partitions`,
+optimization r11) so the Arrow/Python round-trip is paid per ~10k-row
+batch, not per key, while each series still reaches its recurrence
+as one whole pandas frame.
 
 Scale posture: ONE shuffle (the groupBy on the series keys); per-task
 memory is bounded by series LENGTH, not corpus size — a daily-grain
@@ -35,6 +37,75 @@ from pyspark.sql import types as ST
 from ..functions.durations import duration_us
 from ..functions.guards import reject_working_cols as _reject_working_cols
 from ..functions.rounding import round4
+
+
+def _per_group_map_over_sorted_partitions(
+    base: DataFrame,
+    keys: Sequence[str],
+    sort_cols: Sequence[str],
+    group_fn,
+    schema: ST.StructType,
+) -> DataFrame:
+    """Run a grouped-map body once per SERIES through a partition-level
+    seam: `repartition(keys) + sortWithinPartitions(keys, sort_cols) +
+    mapInPandas`, with contiguous key groups sliced out of each Arrow
+    batch and a group that straddles a batch boundary buffered until
+    complete (per-task memory = one series, the same bound the
+    grouped-map form had per group).
+
+    Optimization r11 (guide §4): `groupBy(keys).applyInPandas` pays
+    one Arrow batch, one pandas frame, and one Python call PER KEY —
+    a few series at sf0.1, millions at 100 TB. This seam pays per
+    ~10k-row Arrow batch on both directions (complete groups of a
+    batch return as ONE concatenated frame) while `group_fn` itself
+    is UNCHANGED — each series still arrives as one whole pandas
+    frame, so results (including RAISE-on-duplicate contracts and
+    bitwise float64 recurrence parity) are identical by construction,
+    not by re-derivation. Same single exchange as groupBy.
+
+    NULL-key handling matches groupBy semantics (all-NULL keys form
+    one group): boundary detection treats adjacent NULLs as equal,
+    whatever their representation (None vs NaN/NaT after Arrow).
+    """
+    key_list = list(keys)
+
+    def fn(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pending is not None:
+                pdf = pd.concat((pending, pdf), ignore_index=True)
+                pending = None
+            n = len(pdf)
+            bound = np.zeros(n, dtype=bool)
+            bound[0] = True
+            for k in key_list:
+                arr = pdf[k].to_numpy()
+                neq = arr[1:] != arr[:-1]
+                na = pd.isna(arr)
+                neq = neq & ~(na[1:] & na[:-1])
+                bound[1:] |= neq
+            starts = np.flatnonzero(bound)
+            # the last group may continue into the next batch — hold it
+            last_lo = int(starts[-1])
+            pending = pdf.iloc[last_lo:].reset_index(drop=True)
+            if len(starts) > 1:
+                done = [
+                    group_fn(
+                        pdf.iloc[int(lo):int(hi)].reset_index(drop=True)
+                    )
+                    for lo, hi in zip(starts[:-1], starts[1:])
+                ]
+                yield pd.concat(done, ignore_index=True)
+        if pending is not None and len(pending):
+            yield group_fn(pending)
+
+    return (
+        base.repartition(*key_list)
+        .sortWithinPartitions(*key_list, *sort_cols)
+        .mapInPandas(fn, schema)
+    )
 
 
 def ewma(
@@ -108,7 +179,9 @@ def ewma(
         pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf
 
-    return base.groupBy(*keys).applyInPandas(fn, schema)
+    return _per_group_map_over_sorted_partitions(
+        base, keys, sort_cols, fn, schema
+    )
 
 
 def interval_merge(
@@ -930,7 +1003,9 @@ def holt_linear(
         pdf["trend"] = tr
         return pdf
 
-    return base.groupBy(*keys).applyInPandas(fn, schema)
+    return _per_group_map_over_sorted_partitions(
+        base, keys, sort_cols, fn, schema
+    )
 
 
 def gapfill_interpolate(
@@ -1351,7 +1426,9 @@ def holt_winters_additive(
         pdf["seasonal"], pdf["fitted"] = sea, fit
         return pdf
 
-    return base.groupBy(*keys).applyInPandas(fn, schema)
+    return _per_group_map_over_sorted_partitions(
+        base, keys, [order_col], fn, schema
+    )
 
 
 def ols_two_factor(

@@ -1100,11 +1100,13 @@ def test_staged_containment_inherits_jaccard_join_shape(spark):
 
 
 def test_staged_ewma_one_series_shuffle_no_window(spark):
-    """r52 candidate: the recurrence is ONE grouped-map over the
-    series key — a FlatMapGroupsInPandas fed by the daily aggregate,
-    never a Window (the O(len²) windowed-convolution shape the
-    operator exists to avoid). Exactly two exchanges: the (priority,
-    day) aggregate and the series-key grouping."""
+    """r52 candidate: the recurrence is ONE partition-level Python
+    seam over the series key — a MapInPandas over key-sorted
+    partitions (optimization r11: replaced the per-key
+    FlatMapGroupsInPandas), never a Window (the O(len²)
+    windowed-convolution shape the operator exists to avoid). Exactly
+    two exchanges: the (priority, day) aggregate and the series-key
+    repartition."""
     from miningfrequentpattern_spark.operators.timeseries import ewma
     from miningfrequentpattern_spark.sources.io import load_table
 
@@ -1117,7 +1119,8 @@ def test_staged_ewma_one_series_shuffle_no_window(spark):
         .agg(F.sum("o_totalprice").alias("rev"))
     )
     p = _staged_plan(ewma(daily, ["priority"], "day", "rev", alpha=0.2))
-    assert "FlatMapGroupsInPandas" in p
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p
     assert "Window" not in p
     assert _n_exchanges(p) <= 2, p
 
@@ -2060,11 +2063,14 @@ def test_r88_growth_churn_join_is_week_grain(spark):
 
 
 def test_r90_holt_winters_single_grouped_map(spark):
-    """Holt-Winters is one grouped-map recurrence after the daily
-    aggregate — one orders scan, one Python boundary."""
+    """Holt-Winters is one per-series recurrence seam after the daily
+    aggregate — one orders scan, one Python boundary (optimization
+    r11: MapInPandas over key-sorted partitions replaced the per-key
+    FlatMapGroupsInPandas)."""
     p = plan_of(spark, "r90_holt_winters")
-    # one grouped-map node = 2 mentions (tree + detail section)
-    assert p.count("FlatMapGroupsInPandas") == 2
+    # one partition-level map node = 2 mentions (tree + detail)
+    assert p.count("MapInPandas") == 2, p
+    assert "FlatMapGroupsInPandas" not in p, p
     assert p.count("orders.parquet") == 1
 
 
