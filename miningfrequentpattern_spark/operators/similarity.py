@@ -1082,7 +1082,8 @@ def ivfpq_topk(
             fit_cache_key, (n_clusters, seed, dim),
         )
     b_centers = _FIT_CACHE.get(coarse_key) if coarse_key else None
-    if b_centers is None:
+
+    def _fit_coarse():
         # Same cluster-scaled fit parallelism as ivf_topk (ADVICE r8:
         # a literal 8 capped Lloyd's scan concurrency regardless of
         # corpus size; coalesce never raises the count).
@@ -1102,14 +1103,38 @@ def ivfpq_topk(
         centers = np.array(
             [np.asarray(cc) for cc in model.clusterCenters()]
         )
-        b_centers = spark.sparkContext.broadcast(centers)
+        b = spark.sparkContext.broadcast(centers)
         if coarse_key is not None:
-            _fit_cache_put(coarse_key, b_centers)
+            _fit_cache_put(coarse_key, b)
+        return b
 
-    b_cb = _pq_fit_codebooks(
-        c, id_col, n_subspaces, n_codes, sub, seed, fit_mod,
-        cache_key=fit_cache_key, op="ivfpq_topk",
-    )
+    def _fit_pq():
+        return _pq_fit_codebooks(
+            c, id_col, n_subspaces, n_codes, sub, seed, fit_mod,
+            cache_key=fit_cache_key, op="ivfpq_topk",
+        )
+
+    if b_centers is None:
+        # Optimization r11 (guide §2.6 — overlap independent jobs):
+        # the coarse quantizer fit and the 8 PQ sub-quantizer fits are
+        # independent seeded estimators over the same normalized
+        # corpus; running them sequentially left the cluster idle
+        # through each fit's scheduling tail. Two driver threads let
+        # Spark schedule both job chains at once — results are
+        # bit-identical (separate estimators, separate seeds, same
+        # inputs; each keeps its own fit cache entry). Same pattern as
+        # _pq_fit_codebooks' own intra-fit thread pool.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_coarse = pool.submit(_fit_coarse)
+            fut_pq = pool.submit(_fit_pq)
+            # Collect BOTH before raising so a PQ failure can't leak a
+            # half-done coarse fit thread past the pool join.
+            b_centers = fut_coarse.result()
+            b_cb = fut_pq.result()
+    else:
+        b_cb = _fit_pq()
     encode_udf = _pq_encode_udf(b_cb, n_subspaces, sub)
     adc_udf = _pq_adc_udf(b_cb, n_subspaces, n_codes, sub)
 

@@ -898,6 +898,66 @@ def test_ivfpq_fit_cache_identical_and_keyed(spark):
     assert len(_FIT_CACHE) == filled + 1
 
 
+def test_ivfpq_overlapped_fits_match_sequential_reference(spark):
+    """Optimization r11 (guide §2.6): ivfpq_topk runs its coarse
+    KMeans fit and the 8 PQ codebook fits on two concurrent driver
+    threads (they are independent seeded estimators over the same
+    normalized corpus). The overlap must be invisible in the values:
+    the fitted arrays must be BIT-IDENTICAL to fitting the same
+    estimators sequentially — an equality check, not a tolerance
+    check (seeded MLlib fits are deterministic)."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from miningfrequentpattern_spark.operators.similarity import (
+        _pq_fit_codebooks,
+        l2_normalize,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    c = (
+        emb.select(F.col("vec_id"), F.col("embedding").alias("_arr"))
+        .filter(F.col("_arr").isNotNull())
+        .withColumn("_nv", l2_normalize("_arr"))
+    )
+    n_clusters, n_subspaces, n_codes, seed = 8, 8, 16, 42
+    sub = 64 // n_subspaces
+
+    def fit_coarse():
+        fit_vec = (
+            c.select(array_to_vector(F.col("_nv")).alias("_v"))
+            .coalesce(8)
+            .cache()
+        )
+        try:
+            km = KMeans(
+                k=n_clusters, seed=seed,
+                featuresCol="_v", predictionCol="_cid",
+            )
+            model = km.fit(fit_vec)
+        finally:
+            fit_vec.unpersist()
+        return np.array(
+            [np.asarray(cc) for cc in model.clusterCenters()]
+        )
+
+    def fit_pq():
+        return _pq_fit_codebooks(
+            c, "vec_id", n_subspaces, n_codes, sub, seed, 1,
+            cache_key=None, op="test",
+        ).value
+
+    seq = (fit_coarse(), fit_pq())
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(fit_coarse), pool.submit(fit_pq)
+        par = (fa.result(), fb.result())
+    assert np.array_equal(seq[0], par[0])
+    assert np.array_equal(seq[1], par[1])
+
+
 def test_weighted_sample_survives_huge_doc_ids(spark, tmp_path):
     """Registry backlog item (i), r10: l36's A-ES key hash must reduce
     doc_id mod 2^31 BEFORE the Knuth multiply — the raw product wraps
