@@ -354,14 +354,27 @@ def kcore(
     cache-only loop re-analyzes a plan that doubles every round;
     durable=True swaps it for the reliable-checkpoint form
     (operators/ckpt.py).
+
+    Optimization r11 (guide §1.2 — don't compute things twice): the
+    degree relation is pinned BEFORE the convergence count, so each
+    round runs the |E|-stub degree aggregate exactly once — the
+    previous formulation counted the lazy keep relation and then
+    re-derived the same aggregate inside the next-generation pin (and
+    a third time at the fixpoint for the result projection). The
+    survivor count and both semi-join build sides now read the pinned
+    (v, deg) rows; per-round cost drops by one full degree aggregate
+    at identical results (the CC loop's pin-before-probe pattern).
     """
     from .ckpt import pin, release
 
     e = pin(_undirected(edges, src, dst), durable)
+    live: list[DataFrame] = [e]
     prev_nodes: int | None = None
     try:
         for _ in range(max_iter):
-            keep = _degrees(e).filter(F.col("deg") >= k).select("v")
+            dgs = pin(_degrees(e), durable)
+            live.append(dgs)
+            keep = dgs.filter(F.col("deg") >= k).select("v")
             n = keep.count()
             if n == 0:
                 # Build the empty result from an explicit schema, NOT
@@ -381,24 +394,24 @@ def kcore(
                         ]
                     ),
                 )
-                release(e, durable)
                 return empty
             if n == prev_nodes:
-                # No node fell below k this round — fixpoint reached.
-                # Pin the (core-sized) result, then release the edge
-                # pin it derives from: returning the lazy plan left
-                # e's checkpoint blocks pinned for the session after
-                # the caller dropped the handle (code-review r8; the
-                # khop/sssp final-pin stance).
-                deg = _degrees(e)
+                # No node fell below k this round — fixpoint reached
+                # (count equality forces keep == last round's keep ⊇
+                # nodes(e) ⊇ keep, so every node of e has deg >= k and
+                # the unfiltered projection below IS the core). Pin
+                # the (core-sized) result, then release the pins it
+                # derives from: returning the lazy plan left blocks
+                # pinned for the session after the caller dropped the
+                # handle (code-review r8; the khop/sssp final-pin
+                # stance).
                 out = pin(
-                    deg.select(
+                    dgs.select(
                         F.col("v").alias("id"),
                         F.col("deg").alias("core_degree"),
                     ),
                     durable,
                 )
-                release(e, durable)
                 return out
             prev_nodes = n
             nxt = (
@@ -407,16 +420,17 @@ def kcore(
                 .select("s", "d")
             )
             nxt = pin(nxt, durable)
-            release(e, durable)
+            for df in live:
+                release(df, durable)
+            live = [nxt]
             e = nxt
-        release(e, durable)
         raise RuntimeError(
             f"kcore(k={k}) did not stabilize in {max_iter} rounds; "
             "raise max_iter (peel depth exceeds it)"
         )
-    except Exception:
-        release(e, durable)
-        raise
+    finally:
+        for df in live:
+            release(df, durable)
 
 
 def khop_distances(
@@ -568,6 +582,7 @@ def sssp_distances(
         .cache()
     )
     legs: list[DataFrame] = []
+    out: DataFrame | None = None
     try:
         dist = pin(
             # a NULL id is not a node (the khop_distances stance —
@@ -614,12 +629,17 @@ def sssp_distances(
                 "rounds — raise max_rounds (or a negative cycle exists); "
                 "refusing to return a truncated relation as the fixpoint"
             )
-        out = pin(dist, durable)
+        # dist is already a pinned generation (every loop update pins
+        # it) — return it directly instead of re-materializing the
+        # same rows into a second pin (optimization r11, guide §1.2);
+        # the finally below releases every OTHER leg.
+        out = dist
         return out
     finally:
         e.unpersist()
         for leg in legs:
-            release(leg, durable)
+            if leg is not out:
+                release(leg, durable)
 
 
 def degree_assortativity(
@@ -731,16 +751,30 @@ def ktruss(
     rather than returning a too-large pseudo-truss (the kcore/CC
     stance), and per-round lineage pinning + release follow kcore
     exactly (durable=True for the reliable-checkpoint form).
+
+    Optimization r11 (guide §1.2 — don't compute things twice): the
+    filtered (s, d, support) relation is pinned BEFORE the
+    convergence count, so each round runs the triangle enumeration —
+    the round's dominant cost — exactly once. The previous
+    formulation counted the lazy keep relation and then re-ran the
+    whole enumeration+support subtree inside the next-generation pin
+    (and again at the fixpoint for the result pin): two full
+    triangle passes per round for one round's peel. The count, the
+    fixpoint return, and the next round's edge view now all read the
+    one pinned materialization; results identical.
     """
     from .ckpt import pin, release
 
     need = k - 2
-    e = pin(_undirected(edges, src, dst), durable)
+    e_pin = pin(_undirected(edges, src, dst), durable)
+    e = e_pin
+    live: list[DataFrame] = [e_pin]
     prev: int | None = None
+    out: DataFrame | None = None
     try:
         for _ in range(max_iter):
             sup = _edge_support(e)
-            keep = (
+            keep = pin(
                 e.join(sup, ["s", "d"], "left")
                 .select(
                     "s",
@@ -749,8 +783,10 @@ def ktruss(
                         "support"
                     ),
                 )
-                .filter(F.col("support") >= need)
+                .filter(F.col("support") >= need),
+                durable,
             )
+            live.append(keep)
             n = keep.count()
             if n == 0:
                 from pyspark.sql import types as ST
@@ -766,29 +802,33 @@ def ktruss(
                         ]
                     ),
                 )
-                release(e, durable)
                 return empty
             if n == prev:
                 # no edge fell below k−2 this round — fixpoint; the
                 # support column was computed against this same edge
-                # set, so it is the within-truss support. Pin the
-                # result, release the edge pin it reads (code-review
-                # r8 — the kcore/khop final-pin stance).
-                out = pin(keep, durable)
-                release(e, durable)
+                # set, so it is the within-truss support. keep is
+                # already the pinned result — return it and release
+                # every OTHER pin (code-review r8 — the kcore/khop
+                # final-pin stance).
+                out = keep
                 return out
             prev = n
-            nxt = pin(keep.select("s", "d"), durable)
-            release(e, durable)
-            e = nxt
-        release(e, durable)
+            # Next round reads the (s, d) view of the pinned keep —
+            # a lazy projection over the LogicalRDD, no second
+            # materialization and bounded plan depth.
+            for df in live:
+                if df is not keep:
+                    release(df, durable)
+            live = [keep]
+            e = keep.select("s", "d")
         raise RuntimeError(
             f"ktruss(k={k}) did not stabilize in {max_iter} rounds; "
             "raise max_iter (peel depth exceeds it)"
         )
-    except Exception:
-        release(e, durable)
-        raise
+    finally:
+        for df in live:
+            if df is not out:
+                release(df, durable)
 
 
 def personalized_pagerank(
