@@ -263,6 +263,51 @@ IDLE_POLL_SEC = 10
 GATE_DENOMINATOR_SEC = 20.81
 RETRY_FACTOR = 1.5
 
+# Per-job latency canary (VERDICT r11 item 1): BOTH r11 driver runs
+# were degraded by a host failure mode the loadavg gate provably
+# cannot see — per-job scheduling latency floors at 200-600 ms
+# (healthy ~10 ms) while loadavg stays under every IDLE_LOAD_* bar
+# (observed loadavg_before [0.04, 0.64] on a run whose 8-core scaling
+# block beat its 32-core run 4/5). A one-task count() on the warm
+# session measures exactly that fixed per-job cost and nothing else
+# (no shuffle, no Python worker, ~0 compute). Gate: min over
+# CANARY_RUNS jobs must floor under CANARY_MS_MAX; if not, wait
+# (bounded, like the idle gate) and re-probe; if it never recovers,
+# run anyway but stamp `contaminated: true` — self-labeling, not
+# silent. The canary re-runs AFTER the timing loop too, so
+# degradation that starts mid-run also marks the record. Both
+# readings land in the output as canary_ms_before/after.
+CANARY_RUNS = 20
+CANARY_MS_MAX = 50.0
+CANARY_WAIT_MAX_SEC = 600
+CANARY_POLL_SEC = 30
+
+
+def _canary_min_ms(spark) -> float:
+    rdd = spark.sparkContext.parallelize([1], 1)
+    rdd.count()  # absorb any one-off scheduling warm-up
+    best = float("inf")
+    for _ in range(CANARY_RUNS):
+        t0 = time.perf_counter()
+        rdd.count()
+        best = min(best, (time.perf_counter() - t0) * 1000.0)
+    return round(best, 1)
+
+
+def _canary_gate(spark) -> tuple[float, int, bool]:
+    """Probe the warm session's one-task job latency; wait (bounded)
+    for the host to recover if degraded. Returns (final min ms,
+    seconds waited, degraded?)."""
+    ms = _canary_min_ms(spark)
+    waited = 0
+    if os.environ.get("SPARK_GRAFT_IDLE_GATE", "1") == "0":
+        return ms, 0, ms > CANARY_MS_MAX
+    while ms > CANARY_MS_MAX and waited < CANARY_WAIT_MAX_SEC:
+        time.sleep(CANARY_POLL_SEC)
+        waited += CANARY_POLL_SEC
+        ms = _canary_min_ms(spark)
+    return ms, waited, ms > CANARY_MS_MAX
+
 
 def _idle_now() -> bool:
     one, five, fifteen = os.getloadavg()
@@ -334,6 +379,27 @@ def main() -> None:
         .save()
     )
 
+    # Per-job latency canary on the warm session (VERDICT r11 item 1):
+    # the one degradation mode loadavg cannot see. Waits (bounded) for
+    # recovery; a reading taken degraded is stamped contaminated.
+    canary_ms_before, canary_wait_sec, canary_degraded = _canary_gate(spark)
+    contaminated = contaminated or canary_degraded
+
+    # Fit-memoized surfaces (VERDICT r11 item 5): these queries carry
+    # a per-process fit memo (l34/l45 fit_cache_key=sf_dir KMeans/PQ
+    # codebooks; l61/l62 the BPE merge-table memo), so min-of-2 takes
+    # the memo-hit second run and the FRESH-fit cost is invisible to
+    # the gate number. Record first-run (cold) and min-of-rest (warm)
+    # separately in BENCH_DETAIL so the fit path stays measurable.
+    # The gate definition (min-of-N in `queries`) is unchanged.
+    FIT_MEMOIZED = {
+        "l34_pq_topk",
+        "l45_ivfpq_topk",
+        "l61_bpe_merges",
+        "l62_bpe_encode",
+    }
+    fit_cold_warm: dict[str, dict[str, float]] = {}
+
     # min over N_RUNS executions per query: a single cold execution
     # attributes one-off costs (whole-stage-codegen compile for that
     # plan shape, Python-worker pool spawn for pandas-UDF queries,
@@ -361,6 +427,15 @@ def main() -> None:
         # measure exactly the committed min-of-2 methodology.
         if max(runs) > 3.0 * min(runs):
             runs.append(run_once(name, at_dir))
+        if (
+            name in FIT_MEMOIZED
+            and at_dir == sf_dir
+            and name not in fit_cold_warm
+        ):
+            fit_cold_warm[name] = {
+                "cold_first_run": round(runs[0], 3),
+                "warm_min": round(min(runs[1:]), 3),
+            }
         return round(min(runs), 3)
 
     timings: dict[str, float] = {}
@@ -459,6 +534,11 @@ def main() -> None:
         }
 
     load_after = [round(x, 2) for x in os.getloadavg()]
+    # Post-run canary: degradation that STARTS mid-run (the r11 8-core
+    # record's inflated additions half) marks the record too. No wait
+    # loop here — the timings are already taken; this only labels.
+    canary_ms_after = _canary_min_ms(spark)
+    contaminated = contaminated or canary_ms_after > CANARY_MS_MAX
     out: dict[str, object] = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -469,10 +549,15 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": load_after,
         "idle_wait_sec": idle_wait_sec,
+        "canary_ms_before": canary_ms_before,
+        "canary_ms_after": canary_ms_after,
+        "canary_wait_sec": canary_wait_sec,
         "contaminated": contaminated,
         "retried": retried,
         "like_for_like_first_pass": first_pass_lfl,
     }
+    if fit_cold_warm:
+        out["fit_cold_warm"] = fit_cold_warm
     if scaling is not None:
         out["scaling"] = scaling
     # Full record: a file (always complete) plus a first stdout line
@@ -516,6 +601,14 @@ def main() -> None:
         # bounded wait — treat the reading as contention-suspect, not
         # a regression.
         "idle_wait_sec": idle_wait_sec,
+        # Per-job latency canary (VERDICT r11): min ms over 20
+        # one-task jobs on the warm session, probed before and after
+        # the timing loop. A min above CANARY_MS_MAX (50 ms; healthy
+        # ~10 ms) is the loadavg-invisible host degradation mode —
+        # the reading is stamped contaminated.
+        "canary_ms_before": canary_ms_before,
+        "canary_ms_after": canary_ms_after,
+        "canary_wait_sec": canary_wait_sec,
         "contaminated": contaminated,
         # Retry self-check (VERDICT r9): true = the first-pass 24-query
         # subtotal exceeded RETRY_FACTOR x the committed denominator

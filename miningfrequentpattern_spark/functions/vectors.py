@@ -102,33 +102,46 @@ def int8_roundtrip_error_iter(df, vec_col: str = "embedding"):
         for s in batches:
             scales, errs = [], []
             for v in s:
-                # NULL-vector / NULL-element semantics match the u09
-                # DuckDB oracle exactly (code-review r9: the old body
-                # let np.asarray(None) degrade to a 0-d NaN that
-                # slipped past the m == 0.0 guard and emitted NaN
-                # where the oracle emits NULL): a NULL vector has no
-                # scale (NULL out), and NULL elements are SKIPPED by
-                # the max — DuckDB's list_max semantics, verified —
-                # via nan-aware reductions.
+                # NULL-VECTOR semantics match the u09 DuckDB oracle
+                # exactly (code-review r9: the old body let
+                # np.asarray(None) degrade to a 0-d NaN that slipped
+                # past the m == 0.0 guard and emitted NaN where the
+                # oracle emits NULL): a NULL vector has no scale
+                # (NULL out). A NaN or NULL ELEMENT inside a stored
+                # vector RAISES (registry booking (m), r12 re-cert):
+                # it is corrupt data, and both propagate-NaN and
+                # skip-NaN silently compute over it — worse, the
+                # engines would then DIVERGE at scale (np.isnan
+                # filtering vs DuckDB list_max ordering NaN above
+                # every finite). Same partial-result-is-wrong-result
+                # stance as embeddings.py::_moment_partials. Arrow →
+                # pandas collapses NULL elements and IEEE NaN to
+                # np.nan, so one check catches both. Fixture is
+                # NaN-free (verified at all 3 SFs), so u09's oracle
+                # results are unchanged.
                 if v is None:
                     scales.append(None)
                     errs.append(None)
                     continue
                 x = np.asarray(v, dtype=np.float64)
-                valid = x[~np.isnan(x)] if x.size else x
-                if valid.size == 0:
+                if x.size == 0:
                     scales.append(None)
                     errs.append(None)
                     continue
-                m = float(np.max(np.abs(valid)))
+                if np.isnan(x).any():
+                    raise ValueError(
+                        "null/NaN element inside vector: filter or "
+                        "repair corrupt embeddings before "
+                        "int8_roundtrip_error_iter"
+                    )
+                m = float(np.max(np.abs(x)))
                 if m == 0.0:
                     scales.append(0.0)
                     errs.append(0.0)
                     continue
                 scale = m / 127.0
                 q = np.clip(np.round(x / scale), levels[0], levels[-1])
-                with np.errstate(invalid="ignore"):
-                    errs.append(float(np.nanmax(np.abs(x - q * scale))))
+                errs.append(float(np.max(np.abs(x - q * scale))))
                 scales.append(scale)
             yield pd.DataFrame({"scale": scales, "max_abs_err": errs})
 

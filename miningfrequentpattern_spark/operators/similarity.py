@@ -568,6 +568,11 @@ def ivf_topk_portable(
 # returns bit-identical centers/codebooks — recall and rows-only
 # determinism are unchanged by construction.
 _FIT_CACHE: dict[tuple, object] = {}
+# The r11 two-thread fit overlap makes _fit_coarse and
+# _pq_fit_codebooks call _fit_cache_put concurrently; the eviction
+# scan must not iterate the dict while the other thread inserts
+# (RuntimeError: dict changed size during iteration — ADVICE r11).
+_FIT_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _fit_cache_put(key: tuple, value: object) -> None:
@@ -591,9 +596,10 @@ def _fit_cache_put(key: tuple, value: object) -> None:
             live.add(active.applicationId)
     except Exception:
         pass
-    for k in [k for k in _FIT_CACHE if k[0] not in live]:
-        del _FIT_CACHE[k]
-    _FIT_CACHE[key] = value
+    with _FIT_CACHE_LOCK:
+        for k in [k for k in _FIT_CACHE if k[0] not in live]:
+            del _FIT_CACHE[k]
+        _FIT_CACHE[key] = value
 
 
 def _pq_fit_codebooks(
@@ -645,7 +651,8 @@ def _pq_fit_codebooks(
             spark.sparkContext.applicationId, "pq-codebooks", cache_key,
             (n_subspaces, n_codes, sub, seed, fit_mod, id_col),
         )
-        hit = _FIT_CACHE.get(memo_key)
+        with _FIT_CACHE_LOCK:
+            hit = _FIT_CACHE.get(memo_key)
         if hit is not None:
             return hit
     fit_src = (
@@ -1081,7 +1088,8 @@ def ivfpq_topk(
             spark.sparkContext.applicationId, "ivfpq-coarse",
             fit_cache_key, (n_clusters, seed, dim),
         )
-    b_centers = _FIT_CACHE.get(coarse_key) if coarse_key else None
+    with _FIT_CACHE_LOCK:
+        b_centers = _FIT_CACHE.get(coarse_key) if coarse_key else None
 
     def _fit_coarse():
         # Same cluster-scaled fit parallelism as ivf_topk (ADVICE r8:
@@ -1126,11 +1134,16 @@ def ivfpq_topk(
         # _pq_fit_codebooks' own intra-fit thread pool.
         from concurrent.futures import ThreadPoolExecutor
 
+        from concurrent.futures import wait as _fut_wait
+
         with ThreadPoolExecutor(max_workers=2) as pool:
             fut_coarse = pool.submit(_fit_coarse)
             fut_pq = pool.submit(_fit_pq)
-            # Collect BOTH before raising so a PQ failure can't leak a
-            # half-done coarse fit thread past the pool join.
+            # Wait for BOTH to finish before collecting either result
+            # (ADVICE r11): raising on the first .result() would rely
+            # on the context-manager join alone to stop the other
+            # thread and would silently drop its exception.
+            _fut_wait([fut_coarse, fut_pq])
             b_centers = fut_coarse.result()
             b_cb = fut_pq.result()
     else:

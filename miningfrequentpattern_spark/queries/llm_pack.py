@@ -444,16 +444,104 @@ def l03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_exact(queries_df, emb, k=5)
 
 
-@query("l03b_ann_lsh_topk")
+def _l03b_ann_lsh_oracle_sql(
+    k: int = 5,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    max_query_id: int = 20,
+    admission_floor: float = 0.28,
+) -> str:
+    """Generate the all-in-SQL RP-LSH oracle over the `embeddings`
+    view with the operator's OWN seeded projections interpolated at
+    full repr precision (the _l60_oracle pattern; registry booking
+    (o), promoted r12 from tests/test_ann_lsh_oracle_staged.py).
+    Every float step has an exact DuckDB twin: the norm/dot
+    sequential folds mirror F.aggregate via list_reduce;
+    bucket_length 0.5 is a power of two so the bucket floor agrees
+    wherever the dots are bit-identical; the rerank cosine is
+    round4-pinned with the id tiebreak."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((num_hash_tables, dim))
+    proj /= np.linalg.norm(proj, axis=1, keepdims=True)
+
+    fold = "list_reduce(list_prepend(0.0, {terms}), (a, b) -> a + b)"
+    sq = fold.format(terms="list_transform(v, x -> x * x)")
+    bucket_arms = []
+    for t, d in enumerate(proj):
+        lits = ", ".join(repr(float(x)) for x in d)
+        dott = fold.format(
+            terms=f"list_transform(list_zip(u, [{lits}]),"
+            " s -> s[1] * s[2])"
+        )
+        bucket_arms.append(
+            f"SELECT vec_id, {t} AS t,\n"
+            f"       CAST(floor(({dott}) / {bucket_length!r}) AS BIGINT)"
+            f" AS h\nFROM nv"
+        )
+    buckets = "\nUNION ALL\n".join(bucket_arms)
+    dot_vv = fold.format(
+        terms="list_transform(list_zip(q.v, c.v), s -> s[1] * s[2])"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    n AS (SELECT vec_id, v, sqrt({sq}) AS nrm FROM e),
+    nv AS (SELECT vec_id, v,
+             list_transform(
+               v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS u
+           FROM n),
+    b AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM b qb JOIN b cb ON qb.t = cb.t AND qb.h = cb.h
+      WHERE qb.vec_id < {max_query_id}
+        AND qb.vec_id != cb.vec_id),
+    scored AS (
+      -- q.nrm/c.nrm are the SAME sequential folds cosine() recomputes
+      -- from the raw vectors, so reusing them is value-identical
+      SELECT cand.query_id, cand.neighbor_id,
+             round(CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+                        ELSE ({dot_vv}) / (q.nrm * c.nrm) END,
+                   4) + 0.0 AS cos_sim
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id)
+               AS rank
+      FROM scored WHERE cos_sim >= {admission_floor!r})
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("l03b_ann_lsh_topk", oracle=_l03b_ann_lsh_oracle_sql())
 def l03b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 (approximate): NATIVE random-projection LSH top-5 for the
     same 20 queries (round 6 rewrite: codegen dot-product hashes, a
     plain (table, bucket) equi-join for candidates, no MLlib UDF and
     therefore no localCheckpoint barrier — full lineage
-    recoverability). Seeded, rows-only; recall vs the exact operator
-    is asserted in tests/test_llm.py. dim passed explicitly — fully
-    lazy plan."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    recoverability). Seeded; recall vs the exact operator is
+    asserted in tests/test_llm.py. dim passed explicitly — fully
+    lazy plan.
+
+    r12 re-cert (registry booking (o)): moved OFF the rows-only list
+    — the generated all-in-SQL oracle above certifies projections,
+    normalization, bucket floors, candidate set, admission floor and
+    ranking value-for-value. The one body change the promotion
+    needed: `.cast("array<double>")` at the query boundary (the
+    l03/l02d convention) — Spark's fold over array<float> multiplies
+    in float32 before the double accumulate, which no portable SQL
+    reproduces."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     queries_df = emb.filter(F.col("vec_id") < 20)
     return ann_lsh_topk(queries_df, emb, k=5, seed=42, dim=64)
 

@@ -337,13 +337,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # reached diminishing returns; keep the cadence but expect
 # guard/doc-class findings only.
 #
-# ROUND 12 ROTATION TODO: re-run `python scripts/plan_rotation.py
-# --promote u09_iter_quantize s09_zorder_key l03b_ann_lsh_topk`
-# (the booked (m)/(n)/(o) re-certs — drop any that don't land) after
-# CORRECTNESS_r11 arrives. Dry-run with a simulated all-green r11
-# (this session): 3 canaries + the full 30-row r6 cohort
-# (r52..r81/r69, l38b/l42/l46/l47/l50/l51/l52, l45) + the first 17
-# r7 rows (m27, r05b, r09, r11/r11b, r12..r22, r10b); each --promote
+# ROUND 12 ROTATION — DONE (this round): re-ran
+# `python scripts/plan_rotation.py --promote u09_iter_quantize
+# s09_zorder_key l03b_ann_lsh_topk` against the real CORRECTNESS_r11
+# and pasted its window below verbatim — all three booked (m)/(n)/(o)
+# re-certs LANDED. The window: 3 canaries + 3 promotions + the full
+# 30-row r6 cohort (r52..r81/r69, l38b/l42/l46/l47/l50/l51/l52, l45)
+# + the first 14 r7 rows; each --promote
 # displaces one youngest r7 backfill. l45_ivfpq_topk is rows-only by
 # design and must move onto the r12 ROWS_ONLY_REFRESH list (with
 # l03b too if its (o) oracle upgrade does NOT land — if it does,
@@ -381,15 +381,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # from an accidental wasted slot. (l02b/l02c/l03c would have been on
 # this list too, but their round-11 oracle upgrades made those slots
 # oracle-bearing instead — the better outcome.)
+# ROWS_ONLY_REFRESH, round 12: exactly one slot — l45_ivfpq_topk is
+# rows-only BY DESIGN (MLlib-KMeans-randomized ANN tier, recall-floor
+# tested) and lands on an r6-cohort backfill slot. l03b would have
+# been here too, but its booked (o) oracle upgrade LANDED this round
+# (the generated RP-LSH SQL is now the registered oracle), so its
+# slot is the re-cert — the better outcome, same as l02b/l02c/l03c
+# in r11.
 ROWS_ONLY_REFRESH: frozenset[str] = frozenset(
     {
-        "r10_approx_aggregates",
-        "r29_hll_sketches",
-        "r33_approx_topk",
-        "r48_hll_rollup_merge",
-        "l04c_doc_fingerprints",
-        "l18_semantic_neardup",
-        "l34_pq_topk",
+        "l45_ivfpq_topk",
     }
 )
 PRIORITY: tuple[str, ...] = (
@@ -397,53 +398,53 @@ PRIORITY: tuple[str, ...] = (
     "m01_basketize_orders",
     "r01_filter_project",
     "l01_exact_dedup",
-    "s18_corrupt_csv_audit",  # promote
-    "s19_corrupt_json_audit",  # promote
-    "l59_media_dedup",  # promote
-    "m13_part_pagerank",  # last proof r5
-    "m14_part_triangles",  # last proof r5
-    "m17_part_clustering",  # last proof r5
-    "m19_negative_pairs",  # last proof r5
-    "m20_gap_sequential_pairs",  # last proof r5
-    "r10_approx_aggregates",  # last proof r5
-    "r29_hll_sketches",  # last proof r5
-    "r33_approx_topk",  # last proof r5
-    "r41_correlation_matrix",  # last proof r5
-    "r42_data_quality_report",  # last proof r5
-    "r43_gapfill_daily",  # last proof r5
-    "r44_daily_anomaly",  # last proof r5
-    "r45_delta_join_refresh",  # last proof r5
-    "r46_rolling_distinct_users",  # last proof r5
-    "r47_event_transitions",  # last proof r5
-    "r48_hll_rollup_merge",  # last proof r5
-    "r50_weighted_median",  # last proof r5
-    "l02b_minhash_lsh_pairs",  # last proof r5
-    "l02c_simhash_pairs",  # last proof r5
-    "l02e_neardup_clusters",  # last proof r5
-    "l04c_doc_fingerprints",  # last proof r5
-    "l08_langid_heuristic",  # last proof r5
-    "l07b_media_features",  # last proof r5
-    "l03c_ivf_topk",  # last proof r5
-    "l14_neardup_keep_best",  # last proof r5
-    "l18_semantic_neardup",  # last proof r5
-    "l28_ngram_novelty",  # last proof r5
-    "l29_embedding_dim_stats",  # last proof r5
-    "l30_prefix_dedup_keep_longest",  # last proof r5
-    "l32_incremental_dedup",  # last proof r5
-    "l33_vocab_growth",  # last proof r5
-    "l34_pq_topk",  # last proof r5
-    "l37_collocations",  # last proof r5
-    "l38_fuzzy_join",  # last proof r5
-    "l40_prep_pipeline2",  # last proof r5
-    "l41_token_gini",  # last proof r5
-    "t07_stream_enrich",  # last proof r5
-    "s13_merge_schema_scan",  # last proof r5
-    "s14_dynamic_partition_overwrite",  # last proof r5
-    "s15_metadata_scan",  # last proof r5
-    "m21_part_khop_reach",  # last proof r6
-    "m22_item_cosine",  # last proof r6
-    "m24_part_assortativity",  # last proof r6
-    "m26_part_ppr",  # last proof r6
+    "u09_iter_quantize",  # promote (booked (m): NaN/NULL-element RAISE pin)
+    "s09_zorder_key",  # promote (booked (n): range-bucketed z-order)
+    "l03b_ann_lsh_topk",  # promote (booked (o): generated RP-LSH oracle)
+    "r52_ewma_daily_revenue",  # last proof r6
+    "r53_skew_advisor",  # last proof r6
+    "r55_activity_spans",  # last proof r6
+    "r56_time_weighted_value",  # last proof r6
+    "r57_daily_revenue_trend",  # last proof r6
+    "r58_value_drift",  # last proof r6
+    "r59_fk_audit",  # last proof r6
+    "r61_cdc_snapshot",  # last proof r6
+    "r65_ops_monitor",  # last proof r6
+    "r66_volume_acf",  # last proof r6
+    "r67_value_outliers",  # last proof r6
+    "r68_join_fanout_audit",  # last proof r6
+    "r70_price_benford",  # last proof r6
+    "r72_custkey_encoding",  # last proof r6
+    "r73_deseasonal_outliers",  # last proof r6
+    "r76_robust_trend",  # last proof r6
+    "r78_click_vs_view_ranksum",  # last proof r6
+    "r79_cuped_user_value",  # last proof r6
+    "r80_concurrent_activity",  # last proof r6
+    "r81_orders_contract",  # last proof r6
+    "r69_weekly_seasonality",  # last proof r6
+    "l38b_fuzzy_join_capped",  # last proof r6
+    "l42_containment_pairs",  # last proof r6
+    "l46_quantized_recall",  # last proof r6
+    "l47_calibrated_gate",  # last proof r6
+    "l50_zipf_fit",  # last proof r6
+    "l51_label_centroids",  # last proof r6
+    "l52_bigram_backoff",  # last proof r6
+    "l45_ivfpq_topk",  # last proof r6 (rows-only refresh — see list above)
+    "m27_emerging_pairs",  # last proof r7
+    "r05b_parts_with_bulk_orders",  # last proof r7
+    "r09_distinct_aggregates",  # last proof r7
+    "r11_rollup_status_priority",  # last proof r7
+    "r11b_cube_flag_status",  # last proof r7
+    "r12_top3_parts_per_brand",  # last proof r7
+    "r13_order_gaps",  # last proof r7
+    "r14_running_customer_spend",  # last proof r7
+    "r15_top25_orders",  # last proof r7
+    "r16_repeat_customers_y2k",  # last proof r7
+    "r16b_one_year_only_customers",  # last proof r7
+    "r17_string_functions",  # last proof r7
+    "r18_monthly_order_stats",  # last proof r7
+    "r19_math_functions",  # last proof r7
+    "r20_array_functions",  # last proof r7
 )
 
 

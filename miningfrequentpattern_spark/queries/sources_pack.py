@@ -435,32 +435,63 @@ def s08_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..functions.zorder import bucket16_sql as _b16sql
 from ..functions.zorder import morton2_sql as _m2sql
 
+# Range-bucketed z-order oracle (registry booking (n), promoted r12):
+# both engines derive each dimension's [lo, hi] bounds from the same
+# data CTE and bucket onto the full 16-bit domain before the
+# interleave — staged + certified round 11 in
+# tests/test_zorder_bucketed_staged.py, swapped in verbatim here.
+_S09_BX = _b16sql("u", "(SELECT ulo FROM b)", "(SELECT uhi FROM b)")
+_S09_BY = _b16sql("h", "(SELECT hlo FROM b)", "(SELECT hhi FROM b)")
 _S09_ORACLE = f"""
-    SELECT event_id,
-           {_m2sql("user_id", "CAST(floor(epoch(ts) / 3600) AS BIGINT)")}
-             AS zval
-    FROM events WHERE event_id < 2000
+    WITH e AS (SELECT event_id, user_id AS u,
+                      CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+               FROM events WHERE event_id < 2000),
+    b AS (SELECT min(u) AS ulo, max(u) AS uhi,
+                 min(h) AS hlo, max(h) AS hhi FROM e)
+    SELECT event_id, {_m2sql(_S09_BX, _S09_BY)} AS zval FROM e
     """
 
 
 @query("s09_zorder_key", oracle=_S09_ORACLE)
 def s09_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S-extension (layout): Morton z-order key over (user_id,
-    hour-bucket) for the events table — the multi-dimensional
-    clustering key that, with repartitionByRange(zval) + a sorted
-    write, bounds BOTH dimensions' min/max span per file so parquet
-    stats prune scans on either predicate (Delta/Iceberg's ZORDER BY,
-    as a plain expression). Oracle computes the identical bit-interleave
-    formula text in DuckDB."""
-    from ..functions.zorder import morton2
+    """S-extension (layout): Morton z-order key over RANGE-BUCKETED
+    (user_id, hour-bucket) for the events table — the
+    multi-dimensional clustering key that, with
+    repartitionByRange(zval) + a sorted write, bounds BOTH
+    dimensions' min/max span per file so parquet stats prune scans on
+    either predicate (Delta/Iceberg's ZORDER BY, as a plain
+    expression).
+
+    r12 re-cert (registry booking (n)): the original morton2 fed
+    spread16 raw wide-domain keys (hour ≈ 490k = 19 bits, unbounded
+    user_id), which TRUNCATE to 16 bits — values 65536 apart
+    interleaved identically and file-level min/max pruning quietly
+    weakened (both engines agreed, so no hash ever failed).
+    bucket16 maps each dimension monotonically onto the full 16-bit
+    domain from broadcast data-derived bounds: no aliasing, locality
+    preserved, stragglers clamp. Oracle computes the identical
+    bucket + bit-interleave formula text in DuckDB, bounds from the
+    same data."""
+    from ..functions.zorder import morton2_bucketed
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
-    return ev.select(
+    base = ev.select(
+        "event_id", F.col("user_id").alias("u"), hour.alias("h")
+    )
+    bounds = base.agg(
+        F.min("u").alias("ulo"), F.max("u").alias("uhi"),
+        F.min("h").alias("hlo"), F.max("h").alias("hhi"),
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
         "event_id",
-        morton2(F.col("user_id"), hour).alias("zval"),
+        morton2_bucketed(
+            F.col("u"), F.col("h"),
+            F.col("ulo"), F.col("uhi"), F.col("hlo"), F.col("hhi"),
+        ).alias("zval"),
     )
 
 

@@ -125,10 +125,25 @@ def t04_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 (batch form): per-user running counts via applyInPandas —
-    the same pandas state function the streaming
-    applyInPandasWithState variant uses, fitted to the grouped-map
-    API. Oracle-checked because the final state is deterministic."""
+    """T5 (batch form): per-user running counts via the SAME pandas
+    state function the streaming applyInPandasWithState variant uses —
+    each user's events still reach it as one whole pandas frame.
+    Oracle-checked because the final state is deterministic.
+
+    Optimization r12 (guide §4, VERDICT r11 item 6): the grouped-map
+    `groupBy(user_id).applyInPandas` seam paid one Arrow batch + one
+    Python call PER USER — linear Python-call count in users at
+    100 TB. The partition-level seam
+    (`_per_group_map_over_sorted_partitions`) runs the unchanged
+    per-group function over key-sorted partitions, paying the
+    Python/Arrow round-trip per ~10k-row batch instead; only the two
+    consumed columns cross the boundary. Same single user_id
+    exchange; the streaming twin (tests/test_streaming.py) keeps the
+    applyInPandasWithState semantic demo."""
+    from ..operators.timeseries import (
+        _per_group_map_over_sorted_partitions,
+    )
+
     ev = _events(spark, sf_dir)
 
     import pandas as pd
@@ -142,8 +157,12 @@ def t05_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        counts, schema="user_id BIGINT, n_events BIGINT, n_purchases BIGINT"
+    return _per_group_map_over_sorted_partitions(
+        ev.select("user_id", "event_type"),
+        keys=["user_id"],
+        sort_cols=[],
+        group_fn=counts,
+        schema="user_id BIGINT, n_events BIGINT, n_purchases BIGINT",
     )
 
 

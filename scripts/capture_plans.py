@@ -1,5 +1,7 @@
 """Capture .explain("formatted") output for named queries into
-plans/r11/<query>_<tag>.txt (judge evidence for OPTIMIZATION_r11.md).
+plans/<round>/<query>_<tag>.txt (judge evidence for
+OPTIMIZATION_<round>.md). Round dir defaults to r12; override with
+SPARK_GRAFT_PLANS_ROUND.
 
 Usage: python scripts/capture_plans.py <tag> <query> [<query> ...]
 """
@@ -24,7 +26,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    outdir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+    outdir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    )
     outdir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

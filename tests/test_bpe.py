@@ -92,6 +92,8 @@ WORD = st.text(alphabet="abc", min_size=1, max_size=5)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # driver test budget (VERDICT r11 item 2):
+# heavyweight property/stream-twin cert, full-suite-only
 def test_bpe_matches_python_reference(spark, docs, n_merges):
     """The distributed merge sequence equals the pure-Python BPE for
     ANY corpus over a tie-heavy 3-letter alphabet — same argmax, same
@@ -192,6 +194,8 @@ def _ref_encode(text, pairs):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # driver test budget (VERDICT r11 item 2):
+# heavyweight property/stream-twin cert, full-suite-only
 def test_bpe_encode_equals_training_order_replay(spark, docs, n_merges):
     """Rank-priority encoding with merges TRAINED ON THE SAME corpus
     equals the training-order replay for every document — and

@@ -392,6 +392,8 @@ def test_simhash_rejects_degenerate_max_hamming(spark):
             simhash_neardup_pairs(fp, max_hamming=1, n_bits=bad_bits)
 
 
+@pytest.mark.slow  # driver test budget (VERDICT r11 item 2):
+# heavyweight property/stream-twin cert, full-suite-only
 def test_simhash_portable_banding_lossless_property(spark):
     """Hypothesis sweep of the pigeonhole-exactness claim the l02c
     oracle rests on: for ARBITRARY small corpora over a tie-heavy

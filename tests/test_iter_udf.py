@@ -63,21 +63,24 @@ def test_iter_udf_closed_form(spark):
 
 
 def test_iter_udf_null_vector_and_null_element_match_oracle(spark):
-    """NULL-handling parity with the registered oracle (code-review
+    """NULL/NaN contract, registry booking (m) pin (r12 re-cert): a
+    NULL VECTOR yields NULL scale/err on BOTH engines (code-review
     r9: np.asarray(None) degraded to a 0-d NaN that slipped past the
-    zero guard and emitted NaN where DuckDB emits NULL): a NULL
-    vector yields NULL scale/err on BOTH engines, and NULL elements
-    are SKIPPED by the max — DuckDB list_max semantics — not
-    propagated."""
+    zero guard and emitted NaN where DuckDB emits NULL); an empty
+    vector is NULL on both too (list_max([]) IS NULL). A NaN or NULL
+    ELEMENT inside a stored vector RAISES — corrupt data; the old
+    skip-NaN semantics silently computed over it and diverged from
+    DuckDB's list_max (which orders NaN above every finite) at
+    scale. Same stance as embeddings._moment_partials."""
     import duckdb
     import math
     import pandas as pd
+    import pytest
 
     rows = [
         (1, [127.0, -63.5, 0.0]),
         (2, None),
-        (3, [1.0, None, -254.0]),
-        (4, [None]),
+        (5, []),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {
@@ -102,7 +105,15 @@ def test_iter_udf_null_vector_and_null_element_match_oracle(spark):
         for x in t
     )
     # the Spark side must produce true NULLs, not NaN
-    assert got[2] == (None, None) and got[4] == (None, None)
+    assert got[2] == (None, None) and got[5] == (None, None)
     assert {k: norm(v) for k, v in got.items()} == {
         k: norm(v) for k, v in want.items()
     }
+    # NULL element and NaN element both RAISE (Arrow collapses both
+    # to np.nan on the pandas side — one check catches both)
+    for bad in ([1.0, None, -254.0], [float("nan")], [None]):
+        bad_df = spark.createDataFrame(
+            [(9, bad)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="null/NaN element"):
+            int8_roundtrip_error_iter(bad_df).collect()

@@ -957,6 +957,25 @@ def test_ivfpq_overlapped_fits_match_sequential_reference(spark):
     assert np.array_equal(seq[0], par[0])
     assert np.array_equal(seq[1], par[1])
 
+    # Production-path anchor (ADVICE r11): the reference above
+    # re-implements the coarse fit; also exercise ivfpq_topk's OWN
+    # overlapped wiring (fit_cache_key=None → both fits run fresh on
+    # the two driver threads each call) and require two invocations
+    # to agree exactly — drift in _fit_coarse/_fit_pq wiring fails
+    # here even if the re-implementation stays green.
+    from miningfrequentpattern_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    kw = dict(
+        k=5, n_clusters=8, n_probes=4, n_subspaces=8, n_codes=16,
+        rerank_factor=8, seed=42, dim=64,
+    )
+    run1 = sorted(map(tuple, ivfpq_topk(q, emb, **kw).collect()))
+    run2 = sorted(map(tuple, ivfpq_topk(q, emb, **kw).collect()))
+    assert run1 == run2
+
 
 def test_weighted_sample_survives_huge_doc_ids(spark, tmp_path):
     """Registry backlog item (i), r10: l36's A-ES key hash must reduce

@@ -61,6 +61,8 @@ def test_ppr_all_nodes_seeded_is_uniform_pagerank(spark):
     assert pr == ppr
 
 
+@pytest.mark.slow  # driver test budget (VERDICT r11 item 2):
+# heavyweight property/stream-twin cert, full-suite-only
 def test_ppr_concentrates_near_the_seed(spark):
     """A 6-cycle seeded at one node, run to (damping-geometric)
     convergence: scores decay with hop distance — seed > 1-hop >

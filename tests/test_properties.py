@@ -11,6 +11,13 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+# Driver test budget (VERDICT r11 item 2, pytest.ini): this whole
+# randomized-property suite is `slow` — excluded from the default
+# driver-budget run, re-proven by the builder's full-suite close.
+pytestmark = pytest.mark.slow
+
+
 TOKEN = st.text(alphabet="abc", min_size=1, max_size=3)
 DOC = st.lists(TOKEN, min_size=0, max_size=12)
 

@@ -16,6 +16,13 @@ from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
+import pytest
+# Driver test budget (VERDICT r11 item 2, pytest.ini): this whole
+# randomized-property suite is `slow` — excluded from the default
+# driver-budget run, re-proven by the builder's full-suite close.
+pytestmark = pytest.mark.slow
+
+
 WORD = st.text(alphabet="abc", min_size=1, max_size=4)
 TEXT = st.lists(WORD, min_size=0, max_size=8).map(" ".join)
 

@@ -19,6 +19,13 @@ from miningfrequentpattern_spark.operators.timeseries import (
     holt_linear,
 )
 
+import pytest
+
+# Driver test budget (VERDICT r11 item 2, pytest.ini): this whole
+# randomized-property suite is `slow` — excluded from the default
+# driver-budget run, re-proven by the builder's full-suite close.
+pytestmark = pytest.mark.slow
+
 _SETTINGS = dict(
     max_examples=8,
     deadline=None,

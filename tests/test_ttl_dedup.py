@@ -8,6 +8,7 @@ eviction-ambiguity band) stay here."""
 from pyspark.sql import functions as F
 
 from miningfrequentpattern_spark.operators.timeseries import ttl_dedup
+import pytest
 def test_ttl_dedup_greedy_chain_closed_form(spark):
     """ts = 0, 5, 10, 21 min with ttl 10: keep 0 (anchor), drop 5,
     keep 10 (>= 0+10), drop... wait 21 >= 10+10 -> keep. Chain:
@@ -58,6 +59,8 @@ def test_ttl_dedup_ties_raise_without_tiebreak(spark):
     assert sum(r["is_kept"] for r in got) == 1
 
 
+@pytest.mark.slow  # driver test budget (VERDICT r11 item 2):
+# heavyweight property/stream-twin cert, full-suite-only
 def test_ttl_dedup_stream_twin_agrees_outside_ambiguity_band(
     spark, tmp_path
 ):
@@ -151,6 +154,8 @@ def test_ttl_dedup_fixture_chain_actually_throttles(spark):
     )
 
 
+@pytest.mark.slow  # driver test budget (VERDICT r11 item 2):
+# heavyweight property/stream-twin cert, full-suite-only
 def test_ttl_dedup_stateful_stream_twin_exact_everywhere(
     spark, tmp_path
 ):
@@ -307,6 +312,8 @@ def test_ttl_dedup_stream_multi_chunk_out_of_order_batch(
     }
 
 
+@pytest.mark.slow  # driver test budget (VERDICT r11 item 2):
+# heavyweight property/stream-twin cert, full-suite-only
 def test_ttl_dedup_stream_drops_null_ts_like_batch(spark, tmp_path):
     """NULL-ts rows are DROPPED by the stream exactly as the batch
     twin drops them (code-review r9: unfiltered NaT became the

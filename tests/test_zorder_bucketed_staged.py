@@ -11,10 +11,9 @@ s09 registration: the Spark expression vs the identical SQL (oracle
 parity), monotonicity (locality preserved), full-domain coverage (no
 aliasing), and the clamp for out-of-bounds stragglers.
 
-Promotion flow: the r12 s09 re-cert swaps morton2(user_id, hour) for
-morton2_bucketed over broadcast bounds and interpolates
-bucket16_sql into the oracle (both engines deriving bounds from the
-same data CTE).
+PROMOTED round 12: s09_zorder_key's registered body + oracle now ARE
+these staged forms (sources_pack.py) — these tests stay as the
+independent certification of the shape and of bucket16's properties.
 """
 
 from __future__ import annotations
